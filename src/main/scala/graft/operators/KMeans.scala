@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spark-first re-expression of the reference's GPU MapReduce K-means
+  * (kmeans_mapreduce_core.cu, kmeans_with_mapreduce-cuda.cu).
+  *
+  * The reference's phases map onto Spark as:
+  *   - map (nearest-centroid assignment, kmeans_mapreduce_core.cu:21-44):
+  *     a per-row codegen'd fold over a *broadcast-literal* centroid array
+  *     — zero shuffle, no n×k intermediate.
+  *   - shuffle+reduce (sort pairs by key, load-balanced per-cluster sum,
+  *     kmeans_mapreduce_core.cu:71-207): `groupBy(cid).avg` — Spark's
+  *     hash aggregation does map-side partial combine, so only k rows per
+  *     partition cross the wire; this is exactly the skew-proof "loading
+  *     balance" the reference hand-rolls, for free.
+  *   - iterate (kmeans_mapreduce_core.cu:237-259): driver loop over k×dim
+  *     doubles (tiny state), re-broadcast each round.
+  *
+  * At 100 TB: the point table is only ever scanned (never repartitioned);
+  * each iteration moves k×numPartitions partial-agg rows, independent of
+  * data volume and of cluster-size skew.
+  */
+object KMeansDF {
+
+  final case class Centroid(cid: Int, x: Double, y: Double)
+
+  /** (squared-distance, cid) argmin over the centroid list as a single
+    * codegen-friendly column expression. Ties break to the lowest cid
+    * (centroids must be sorted by cid; strict `<` keeps the first). */
+  def nearest(x: Column, y: Column, centroids: Seq[Centroid]): Column = {
+    val cs = centroids.sortBy(_.cid)
+    val arr = array(cs.map(c =>
+      struct(lit(c.cid).as("cid"), lit(c.x).as("cx"), lit(c.y).as("cy"))): _*)
+    val init = struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid"))
+    aggregate(arr, init, (acc, c) => {
+      val dx = x - c.getField("cx")
+      val dy = y - c.getField("cy")
+      val d  = dx * dx + dy * dy
+      when(d < acc.getField("d"),
+        struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+    })
+  }
+
+  /** Map phase: points(id,x,y) → +cid, +dist (squared Euclidean). */
+  def assign(points: DataFrame, centroids: Seq[Centroid]): DataFrame = {
+    val n = nearest(col("x"), col("y"), centroids)
+    points.withColumn("_n", n)
+      .withColumn("cid", col("_n.cid"))
+      .withColumn("dist", col("_n.d"))
+      .drop("_n")
+  }
+
+  /** One full Lloyd iteration: assign + per-cluster mean (the reference's
+    * map→sort→reduce round). Empty clusters keep their old centroid, as
+    * the reference implicitly does (no pairs → centroid untouched).
+    * Centroids are rounded to `roundTo` decimals so that iteration
+    * results are bit-stable across engines/summation orders. */
+  def step(points: DataFrame, centroids: Seq[Centroid], roundTo: Int = 6): Seq[Centroid] = {
+    val moved = assign(points, centroids)
+      .groupBy("cid")
+      .agg(round(avg("x"), roundTo).as("nx"), round(avg("y"), roundTo).as("ny"))
+      .collect()
+      .map(r => r.getInt(0) -> Centroid(r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .toMap
+    centroids.map(c => moved.getOrElse(c.cid, c)).sortBy(_.cid)
+  }
+
+  /** Deterministic init: the k lowest-id points (the reference samples k
+    * input points with a seeded RNG, kmeans_with_mapreduce-cuda.cu:12-19;
+    * we pick a seed-free but equally data-driven rule so the oracle can
+    * reproduce it). */
+  def initFirstK(points: DataFrame, k: Int): Seq[Centroid] =
+    points.orderBy("id").limit(k).collect().zipWithIndex.map { case (r, i) =>
+      Centroid(i, r.getAs[Double]("x"), r.getAs[Double]("y"))
+    }
+
+  /** Full Lloyd's to convergence (max centroid movement < tol), bounded
+    * iterations like the reference's ITERATIONS cap (config.cuh:11). */
+  def fit(points: DataFrame, k: Int, maxIter: Int = 25, tol: Double = 1e-4): Seq[Centroid] = {
+    var cs = initFirstK(points, k)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved >= tol) {
+      val next = step(points, cs)
+      moved = cs.zip(next).map { case (a, b) =>
+        math.max(math.abs(a.x - b.x), math.abs(a.y - b.y))
+      }.max
+      cs = next
+      iter += 1
+    }
+    cs
+  }
+
+  /** WSSSE: sum of squared distance to the nearest centroid. */
+  def cost(points: DataFrame, centroids: Seq[Centroid]): DataFrame =
+    assign(points, centroids).agg(round(sum("dist"), 4).as("wssse"))
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.KMeansDF
+import graft.operators.KMeansDF.Centroid
+
+/** Clustering query pack — the reference's entire surface
+  * (kmeans_with_mapreduce-cuda.cu / kmeans_mapreduce_core.cu), Spark-first.
+  *
+  * Points are the 2-D projection of `embeddings` (Tables.points2d), the
+  * analogue of the reference's Birch `x y` text points. Seed centroids are
+  * the points with id < K — a deterministic, oracle-reproducible stand-in
+  * for the reference's seeded random sample (random_num_generator.hpp).
+  */
+object Clustering extends QueryPack {
+  val K = 15 // reference NUM_OUTPUT (config.cuh:14)
+
+  /** Deterministic seed centroids: points with id < K, cid = id. */
+  def seedCentroids(points: DataFrame): Seq[Centroid] =
+    points.filter(col("id") < K).collect()
+      .map(r => Centroid(r.getAs[Long]("id").toInt,
+        r.getAs[Double]("x"), r.getAs[Double]("y")))
+      .sortBy(_.cid).toSeq
+
+  private def pts(s: SparkSession, d: String): DataFrame = Tables.points2d(s, d)
+
+  // SQL fragments shared by every clustering oracle.
+  private val ptsSql =
+    "SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y FROM embeddings"
+  private val centSql =
+    s"SELECT CAST(id AS INT) AS cid, x AS cx, y AS cy FROM pts WHERE id < $K"
+  // argmin via row_number: ORDER BY (dist, cid) mirrors the strict-<
+  // fold over a cid-sorted centroid array on the Spark side.
+  private val assignSql =
+    """SELECT id, x, y, cid, dist FROM (
+      |  SELECT p.id, p.x, p.y, c.cid,
+      |    (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy) AS dist,
+      |    row_number() OVER (PARTITION BY p.id
+      |      ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+      |  FROM pts p CROSS JOIN cent c) WHERE rn = 1""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "km_assign" -> ((s, d) => {
+      val p = pts(s, d)
+      KMeansDF.assign(p, seedCentroids(p)).select("id", "cid")
+    }),
+    "km_sizes" -> ((s, d) => {
+      val p = pts(s, d)
+      KMeansDF.assign(p, seedCentroids(p)).groupBy("cid")
+        .agg(count(lit(1)).as("n"))
+    }),
+    "km_update" -> ((s, d) => {
+      val p = pts(s, d)
+      KMeansDF.assign(p, seedCentroids(p)).groupBy("cid")
+        .agg(round(avg("x"), 6).as("nx"), round(avg("y"), 6).as("ny"),
+          count(lit(1)).as("n"))
+    }),
+    "km_iterate2" -> ((s, d) => {
+      val p = pts(s, d)
+      val c1 = KMeansDF.step(p, seedCentroids(p))
+      val c2 = KMeansDF.step(p, c1)
+      import s.implicits._
+      c2.toDF().select(col("cid"), col("x").as("nx"), col("y").as("ny"))
+    }),
+    "km_cost" -> ((s, d) => {
+      val p = pts(s, d)
+      KMeansDF.cost(p, seedCentroids(p))
+    }),
+    "km_lloyd" -> ((s, d) => {
+      val p = pts(s, d)
+      import s.implicits._
+      KMeansDF.fit(p, K).toDF()
+        .select(col("cid"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
+    }),
+    "km_fit_mllib" -> ((s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(emb)
+      model.transform(emb).groupBy("prediction").agg(count(lit(1)).as("n"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "km_assign" ->
+      s"""WITH pts AS ($ptsSql), cent AS ($centSql), a AS ($assignSql)
+         |SELECT id, cid FROM a""".stripMargin,
+    "km_sizes" ->
+      s"""WITH pts AS ($ptsSql), cent AS ($centSql), a AS ($assignSql)
+         |SELECT cid, count(*) AS n FROM a GROUP BY cid""".stripMargin,
+    "km_update" ->
+      s"""WITH pts AS ($ptsSql), cent AS ($centSql), a AS ($assignSql)
+         |SELECT cid, round(avg(x),6) AS nx, round(avg(y),6) AS ny, count(*) AS n
+         |FROM a GROUP BY cid""".stripMargin,
+    "km_iterate2" ->
+      s"""WITH pts AS ($ptsSql), cent AS ($centSql), a AS ($assignSql),
+         |cent1 AS (
+         |  SELECT c.cid, coalesce(u.nx, c.cx) AS cx, coalesce(u.ny, c.cy) AS cy
+         |  FROM cent c LEFT JOIN (
+         |    SELECT cid, round(avg(x),6) AS nx, round(avg(y),6) AS ny FROM a GROUP BY cid
+         |  ) u USING (cid)),
+         |a2 AS (SELECT id, x, y, cid FROM (
+         |  SELECT p.id, p.x, p.y, c.cid,
+         |    row_number() OVER (PARTITION BY p.id
+         |      ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+         |  FROM pts p CROSS JOIN cent1 c) WHERE rn = 1),
+         |upd2 AS (SELECT cid, round(avg(x),6) AS nx, round(avg(y),6) AS ny FROM a2 GROUP BY cid)
+         |SELECT c.cid, coalesce(u.nx, c.cx) AS nx, coalesce(u.ny, c.cy) AS ny
+         |FROM cent1 c LEFT JOIN upd2 u USING (cid)""".stripMargin,
+    "km_cost" ->
+      s"""WITH pts AS ($ptsSql), cent AS ($centSql), a AS ($assignSql)
+         |SELECT round(sum(dist),4) AS wssse FROM a""".stripMargin
+  )
+}

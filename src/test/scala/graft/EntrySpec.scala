@@ -1,0 +1,21 @@
+package graft
+
+/** Catch-all: every SURVEY.md §2 query must run and return rows on
+  * sf0.001, and every oracle key must reference a real query. */
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name runs with rows > 0 on sf0.001") {
+      assert(fn(spark, sfDir).count() > 0)
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KMeansDF
+import graft.operators.KMeansDF.Centroid
+
+class KMeansSpec extends SparkSpec {
+  private val s = TestSession.spark
+  import s.implicits._
+
+  private def tiny = Seq(
+    (0L, 0.0, 0.0), (1L, 1.0, 0.0), (2L, 10.0, 10.0), (3L, 11.0, 10.0)
+  ).toDF("id", "x", "y")
+
+  test("assign picks the nearest centroid") {
+    val cs = Seq(Centroid(0, 0.0, 0.0), Centroid(1, 10.0, 10.0))
+    val got = KMeansDF.assign(tiny, cs).select("id", "cid")
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("assign breaks distance ties toward the lower cid") {
+    val cs = Seq(Centroid(0, -1.0, 0.0), Centroid(1, 1.0, 0.0))
+    val p = Seq((0L, 0.0, 5.0)).toDF("id", "x", "y") // equidistant
+    val cid = KMeansDF.assign(p, cs).select("cid").as[Int].head()
+    assert(cid === 0)
+  }
+
+  test("step averages members and keeps empty clusters unchanged") {
+    val cs = Seq(Centroid(0, 0.0, 0.0), Centroid(1, 10.0, 10.0),
+      Centroid(2, 1000.0, 1000.0))
+    val next = KMeansDF.step(tiny, cs)
+    assert(next(0) === Centroid(0, 0.5, 0.0))
+    assert(next(1) === Centroid(1, 10.5, 10.0))
+    assert(next(2) === Centroid(2, 1000.0, 1000.0)) // no members → unchanged
+  }
+
+  test("fit converges to the two obvious clusters") {
+    val cs = KMeansDF.fit(tiny, 2)
+    val xs = cs.map(c => (c.x, c.y)).toSet
+    assert(xs === Set((0.5, 0.0), (10.5, 10.0)))
+  }
+
+  test("cost is the sum of squared distances to assigned centroids") {
+    val cs = Seq(Centroid(0, 0.5, 0.0), Centroid(1, 10.5, 10.0))
+    val w = KMeansDF.cost(tiny, cs).select("wssse").as[Double].head()
+    assert(w === 1.0) // 4 × 0.25
+  }
+
+  test("km queries run on real data with sane shapes") {
+    val p = Tables.points2d(spark, sfDir)
+    val k = graft.queries.Clustering.K
+    val sizes = graft.queries.Clustering.defs("km_sizes")(spark, sfDir).collect()
+    assert(sizes.map(_.getLong(1)).sum === p.count())
+    assert(sizes.length <= k)
+  }
+}
