@@ -10,7 +10,10 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     graft.queries.Clustering,
-    graft.queries.Relational
+    graft.queries.Relational,
+    graft.queries.TextPack,
+    graft.queries.DedupPack,
+    graft.queries.SimilarityPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

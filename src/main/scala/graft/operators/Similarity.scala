@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosineSim
+
+/** Embedding similarity search (SURVEY.md §2).
+  *
+  * Exact paths are *blocked* (broadcast query set / label blocks) so the
+  * candidate count, not the corpus size, drives cost. The LSH path is
+  * the 100 TB shape: random-hyperplane bucketing turns top-k into a
+  * bucket-local problem — linear scan + small per-bucket brute force.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: broadcast the (small) query set against the
+    * corpus; per-query top-k via ranking window over qid (queries ≪
+    * corpus, so the shuffle moves only nQueries×corpus candidate rows
+    * already reduced to (qid, vid, cos)). */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = corpus.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vid"),
+        cosineSim(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vid"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Exact near-duplicate pairs within blocks (co-partitioned self-join
+    * on the block key; never all-pairs). */
+  def nearDupPairs(corpus: DataFrame, blockCol: String, threshold: Double): DataFrame =
+    corpus.as("a")
+      .join(corpus.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosineSim(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+
+  /** Deterministic pseudo-random hyperplane component r_{p,i} in [-1, 1),
+    * derived from xxhash64 so executors need no shared RNG state. */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(concat_ws("_", lit("plane"), lit(p), i.cast("string"))), lit(2000L))
+      .cast("double") / 1000.0) - 1.0
+
+  /** Sign-of-projection LSH bucket id over `numPlanes` hyperplanes. */
+  def lshBucket(vec: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: brute force only within each query's LSH bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 6): DataFrame = {
+    val bc = corpus.withColumn("bucket", lshBucket(col("embedding"), numPlanes))
+    val bq = queries.withColumn("bucket", lshBucket(col("embedding"), numPlanes))
+    val cand = bc.as("c")
+      .join(broadcast(bq.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vid"),
+        cosineSim(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vid"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+
+/** Deduplication query pack over `documents` (SURVEY.md §2). */
+object DedupPack extends QueryPack {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact duplicate groups keyed by md5(text); keeper = min doc_id.
+    "dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
+    }),
+
+    // Blocked exact near-dup: word-set Jaccard ≥ 0.6 inside
+    // (lang, n_chars/100) blocks — the block key bounds pair count.
+    "dedup_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("lb"),
+        words(col("text")).as("w"))
+      docs.as("a")
+        .join(docs.as("b"),
+          col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(Dedup.wordJaccard(col("a.w"), col("b.w")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+    }),
+
+    // MinHash(128) + LSH(32×4) candidates, exact-Jaccard verified.
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", 0.5)),
+
+    // 64-bit SimHash, Hamming ≤ 3, complete 4-band pigeonhole blocking.
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.w, b.w)) /
+        |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 4) AS jaccard
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6""".stripMargin
+  )
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis query pack over `documents` (SURVEY.md §2): token
+  * stats, quality scoring, heuristic language ID, fingerprinting.
+  * Single-pass, shuffle only for the final small aggregations. */
+object TextPack extends QueryPack {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("w", words(col("text")))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "token_count" -> ((s, d) => {
+      docs(s, d)
+        .select(col("lang"), size(col("w")).as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          round(avg("n_tokens"), 4).as("avg_tokens"),
+          max("n_tokens").as("max_tokens"))
+    }),
+
+    "text_quality" -> ((s, d) => {
+      val nWords = size(col("w"))
+      val nChars = length(col("text"))
+      val stopHits = hitCount(col("w"), langProfiles.toMap.apply("en"))
+      val digitR = round(charClassCount(col("text"), "0-9") / nChars, 6)
+      val alnumSpace = "a-zA-Z0-9 "
+      val punctR = round((nChars - charClassCount(col("text"), alnumSpace)) / nChars, 6)
+      val stopR = round(stopHits / nWords, 6)
+      docs(s, d).select(
+        col("doc_id"),
+        nChars.cast("long").as("n_chars"),
+        nWords.cast("long").as("n_words"),
+        round(length(regexp_replace(col("text"), " ", "")) / nWords, 4).as("avg_word_len"),
+        digitR.as("digit_ratio"),
+        punctR.as("punct_ratio"),
+        stopR.as("stop_ratio"),
+        round(lit(0.5) * least(lit(1.0), nWords / 50.0)
+          + lit(0.3) * stopR + lit(0.2) * (lit(1.0) - punctR), 6).as("quality_score"))
+    }),
+
+    "lang_id" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("predicted", predictedLang(col("w")))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "text_fingerprint" -> ((s, d) => {
+      docs(s, d)
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), fingerprint(col("w")).as("fp"))
+    })
+  )
+
+  // --- DuckDB oracles ------------------------------------------------
+
+  private val wSql = "regexp_split_to_array(text, '\\s+')"
+
+  private def hitSql(listExpr: String, vocab: Seq[String]): String =
+    s"len(list_filter($listExpr, x -> list_contains([${vocab.map("'" + _ + "'").mkString(",")}], x)))"
+
+  private val predictedSql: String = {
+    val scores = langProfiles.map { case (lang, prof) => lang -> s"s_$lang" }
+    val cases = langProfiles.map { case (lang, _) =>
+      val ge = langProfiles.filter(_._1 != lang)
+        .map { case (o, _) => s"s_$lang >= s_$o" }.mkString(" AND ")
+      s"WHEN $ge THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'zh' END"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "token_count" ->
+      s"""WITH t AS (SELECT lang, len($wSql) AS n_tokens FROM documents)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(avg(n_tokens),4) AS avg_tokens, max(n_tokens) AS max_tokens
+         |FROM t GROUP BY lang""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $wSql AS w, CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($wSql) AS BIGINT) AS n_words
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_chars, n_words,
+         |    round(length(replace(text,' ',''))/n_words, 4) AS avg_word_len,
+         |    round(length(regexp_replace(text,'[^0-9]','','g'))/n_chars, 6) AS digit_ratio,
+         |    round((n_chars - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g')))/n_chars, 6) AS punct_ratio,
+         |    round(${hitSql("w", langProfiles.toMap.apply("en"))}/n_words, 6) AS stop_ratio
+         |  FROM t)
+         |SELECT doc_id, n_chars, n_words, avg_word_len, digit_ratio, punct_ratio,
+         |  stop_ratio,
+         |  round(0.5*least(1.0, n_words/50.0) + 0.3*stop_ratio + 0.2*(1.0-punct_ratio), 6)
+         |    AS quality_score
+         |FROM m""".stripMargin,
+    "lang_id" -> {
+      val scoreCols = langProfiles.map { case (lang, prof) =>
+        s"${hitSql(wSql, prof)} AS s_$lang"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT lang, $scoreCols FROM documents)
+         |SELECT lang, $predictedSql AS predicted, count(*) AS n
+         |FROM t GROUP BY 1, 2""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (SELECT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+         |      FROM t, UNNEST(range(1, len(w)-1)) AS u(i)
+         |      WHERE len(w) >= 3)
+         |SELECT doc_id, min(h) AS fp FROM g GROUP BY doc_id""".stripMargin
+  )
+}

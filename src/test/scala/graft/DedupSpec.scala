@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  private val s = TestSession.spark
+  import s.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog")   // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("wordJaccard computes exact set similarity") {
+    val j = docs.filter($"doc_id" isin (1L, 3L))
+      .agg(collect_list("text")).as[Seq[String]].head()
+    val df = Seq((j(0), j(1))).toDF("a", "b")
+    val got = df.select(
+      Dedup.wordJaccard(split($"a", "\\s+"), split($"b", "\\s+"))).as[Double].head()
+    // sets: {the,quick,brown,fox,jumps,over,lazy,dog} vs
+    //       {completely,different,content,about,spark,engines} — disjoint
+    assert(got === 0.0)
+  }
+
+  test("minhashPairs finds the exact and near duplicates") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must collide in every band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pass verification")
+  }
+
+  test("simhash of identical texts is identical; near-dups are close") {
+    val sh = docs.select($"doc_id", Dedup.simhash(split($"text", "\\s+")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(4L))
+    val hamming14 = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val hamming13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming14 < hamming13, "near-dup must be closer than unrelated doc")
+  }
+
+  test("simhashPairs blocking is complete for hamming <= 3 (pigeonhole)") {
+    // brute-force hamming over all pairs must equal the banded join result
+    val sh = Tables.documents(spark, sfDir).limit(200)
+      .select($"doc_id", Dedup.simhash(split($"text", "\\s+")).as("s"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ida, sa) <- sh; (idb, sb) <- sh if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    val banded = Dedup.simhashPairs(
+      Tables.documents(spark, sfDir).limit(200), "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextSpec extends SparkSpec {
+  private val s = TestSession.spark
+  import s.implicits._
+
+  test("triShingles builds overlapping word 3-grams") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val got = df.select(triShingles(words($"t"))).as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("fingerprint is stable and equal for equal texts") {
+    val df = Seq("x y z w", "x y z w", "different words here now").toDF("t")
+    val fps = df.select(fingerprint(words($"t"))).as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("hitCount counts multiset occurrences") {
+    val df = Seq("the cat and the dog").toDF("t")
+    val n = df.select(hitCount(words($"t"), Seq("the", "and"))).as[Int].head()
+    assert(n === 3)
+  }
+
+  test("predictedLang picks max-scoring profile with alphabetical ties") {
+    val df = Seq(
+      "the cat of the house",  // en hits
+      "der hund und die katze", // de hits
+      "xyzzy plugh"             // no hits anywhere → tie → 'de' (alphabetical)
+    ).toDF("t")
+    val got = df.select(predictedLang(words($"t"))).as[String].collect()
+    assert(got(0) === "en")
+    assert(got(1) === "de")
+    assert(got(2) === "de")
+  }
+}
