@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.TextPack,
     graft.queries.DedupPack,
-    graft.queries.SimilarityPack
+    graft.queries.SimilarityPack,
+    graft.queries.MultimodalPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

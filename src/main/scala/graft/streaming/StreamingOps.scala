@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming operators (SURVEY.md §2). Both transforms are
+  * source-agnostic: they accept any streaming (or batch) DataFrame with
+  * the events schema, so tests drive them from MemoryStream and
+  * production wires `spark.readStream` in front.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums with a watermark — the streaming twin
+    * of the batch `q_events_window` query (same `window()` operator). */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, nEvents: Long, sumValue: Double)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sess_value: Double)
+
+  /** Streaming sessionization with custom state: 30-min inactivity gap —
+    * the stateful twin of batch `q_sessionize`. Event-time timeouts
+    * against the watermark (deterministic on replay, unlike wall-clock
+    * timeouts). State per user is O(1); scales with distinct active
+    * users only. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue))
+          } else {
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  out ::= SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when event time passes last+gap (never behind the
+              // current watermark, which would be rejected)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}

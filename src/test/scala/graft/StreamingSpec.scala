@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+class StreamingSpec extends SparkSpec {
+  private val s = TestSession.spark
+  import s.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowedAgg aggregates tumbling windows from a stream") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.windowedAgg(in.toDF())
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), "view", 1.0), Event(1, ts(10), "view", 2.0),
+        Event(2, ts(70), "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("sum_value"))).toSet
+      assert(rows === Set(("view", 2L, 3.0), ("click", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the inactivity gap is exceeded") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), "view", 1.0), Event(1, ts(10), "click", 2.0),
+        Event(1, ts(120), "view", 4.0), // 110-min gap → closes first session
+        Event(2, ts(0), "view", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sess_value"))).toSet
+      // user 1's first session closes via the in-stream gap; user 2's via
+      // event-time timeout (watermark t110 > t0+30min). User 1's session
+      // at t120 is still open — the watermark hasn't passed its gap.
+      assert(rows === Set((1L, 2L, 3.0), (2L, 1L, 9.0)))
+    } finally q.stop()
+  }
+}
