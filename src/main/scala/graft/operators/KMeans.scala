@@ -79,18 +79,23 @@ object KMeansDF {
   /** Full Lloyd's to convergence (max centroid movement < tol), bounded
     * iterations like the reference's ITERATIONS cap (config.cuh:11). */
   def fit(points: DataFrame, k: Int, maxIter: Int = 25, tol: Double = 1e-4): Seq[Centroid] = {
-    var cs = initFirstK(points, k)
-    var iter = 0
-    var moved = Double.MaxValue
-    while (iter < maxIter && moved >= tol) {
-      val next = step(points, cs)
-      moved = cs.zip(next).map { case (a, b) =>
-        math.max(math.abs(a.x - b.x), math.abs(a.y - b.y))
-      }.max
-      cs = next
-      iter += 1
-    }
-    cs
+    // iterative refinement re-scans the point table every round: pin it
+    // (MEMORY_AND_DISK) for the duration, as MLlib does
+    val pinned = points.persist()
+    try {
+      var cs = initFirstK(pinned, k)
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < maxIter && moved >= tol) {
+        val next = step(pinned, cs)
+        moved = cs.zip(next).map { case (a, b) =>
+          math.max(math.abs(a.x - b.x), math.abs(a.y - b.y))
+        }.max
+        cs = next
+        iter += 1
+      }
+      cs
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** WSSSE: sum of squared distance to the nearest centroid. */

@@ -40,18 +40,23 @@ object Similarity {
         round(cosineSim(col("a.embedding"), col("b.embedding")), 4).as("cos"))
       .filter(col("cos") >= threshold)
 
-  /** Deterministic pseudo-random hyperplane component r_{p,i} in [-1, 1),
-    * derived from xxhash64 so executors need no shared RNG state. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(concat_ws("_", lit("plane"), lit(p), i.cast("string"))), lit(2000L))
-      .cast("double") / 1000.0) - 1.0
+  /** Deterministic hyperplanes baked in as plan literals (seeded LCG on
+    * the driver) — no per-row hashing, no shared RNG state. */
+  private def planes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    var s = 0x51AFE7B70C0FFEEL
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 2000L).toDouble / 1000.0 - 1.0
+    }
+    Seq.fill(numPlanes)(Array.fill(dim)(next()))
+  }
 
   /** Sign-of-projection LSH bucket id over `numPlanes` hyperplanes. */
-  def lshBucket(vec: Column, numPlanes: Int): Column =
-    (0 until numPlanes).map { p =>
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int = 64): Column =
+    planes(numPlanes, dim).zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
       val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") * planeComponent(p, i)),
+        zip_with(vec, planeCol, (v, r) => v.cast("double") * r),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)

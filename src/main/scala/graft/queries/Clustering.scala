@@ -79,7 +79,8 @@ object Clustering extends QueryPack {
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(emb)
+      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20)
+        .setInitMode("random").fit(emb.cache())
       model.transform(emb).groupBy("prediction").agg(count(lit(1)).as("n"))
     })
   )

@@ -21,15 +21,20 @@ object DedupPack extends QueryPack {
     // Blocked exact near-dup: word-set Jaccard ≥ 0.6 inside
     // (lang, n_chars/100) blocks — the block key bounds pair count.
     "dedup_jaccard" -> ((s, d) => {
+      // distinct word sets computed once per doc, before the block
+      // self-join (identical sides → exchange reuse); pairs carry only
+      // the precomputed sets
       val docs = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("lb"),
-        words(col("text")).as("w"))
+        array_distinct(words(col("text"))).as("wd"))
+        .withColumn("n", size(col("wd")))
+      val inter = size(array_intersect(col("a.wd"), col("b.wd")))
       docs.as("a")
         .join(docs.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(Dedup.wordJaccard(col("a.w"), col("b.w")), 4).as("jaccard"))
+          round(inter / (col("a.n") + col("b.n") - inter), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.6)
     }),
 

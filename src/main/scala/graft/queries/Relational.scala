@@ -76,9 +76,9 @@ object Relational extends QueryPack {
     "q_semi_anti" -> ((s, d) => {
       val c = customer(s, d)
       val bigOrders = orders(s, d).filter(col("o_totalprice") > 100000)
-      val withBig = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      val withBig = c.join(broadcast(bigOrders), col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
-      val without = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      val without = c.join(broadcast(bigOrders), col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
       withBig.join(without, Seq("c_mktsegment"), "full_outer")
         .select(col("c_mktsegment"),
