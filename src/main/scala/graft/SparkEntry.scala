@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.TextPack,
     graft.queries.DedupPack,
     graft.queries.SimilarityPack,
-    graft.queries.MultimodalPack
+    graft.queries.MultimodalPack,
+    graft.queries.StatsPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

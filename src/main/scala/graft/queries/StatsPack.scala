@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Distribution / sketch statistics pack (SURVEY.md §2). */
+object StatsPack extends QueryPack {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact interpolated percentiles per group (order-stat aggregate).
+    "q_percentile" -> ((s, d) => {
+      events(s, d).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+    }),
+
+    // Exact multi-column distinct counts (expands to two aggregations).
+    "q_distinct" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // HLL++ sketch distinct — constant memory per group at any scale;
+    // rows-only (sketch estimates are engine-specific by design).
+    "q_approx_distinct" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // Per-label mean embedding: posexplode to narrow (label, dim, v)
+    // rows → hash agg with partial combine. The shuffle carries only
+    // k×dim partial sums per partition regardless of corpus size.
+    "q_label_centroid" -> ((s, d) => {
+      embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).as("dim"))
+        .agg(round(avg(col("v").cast("double")), 5).as("c"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5),4) AS p50,
+        |  round(quantile_cont(value, 0.9),4) AS p90, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_label_centroid" ->
+      """SELECT label, pos AS dim, round(avg(v),5) AS c FROM (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings)
+        |GROUP BY label, pos""".stripMargin
+  )
+}
