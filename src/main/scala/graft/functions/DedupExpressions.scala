@@ -117,10 +117,41 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Intersection size of two pre-sorted string arrays via linear merge —
+  * no per-row hash-set allocation (array_intersect builds one per call,
+  * which dominated the blocked-Jaccard verify stage). Inputs MUST be
+  * sorted ascending (sort once per doc, merge per pair). */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { n += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object DedupExpressions {
   def minhashBands(words: Column, numHashes: Int, bands: Int): Column =
     ExprBridge.column(MinHashBands(ExprBridge.expression(words), numHashes, bands))
 
   def simhash64(words: Column): Column =
     ExprBridge.column(SimHash64(ExprBridge.expression(words)))
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ExprBridge.column(SortedIntersectSize(ExprBridge.expression(a), ExprBridge.expression(b)))
 }

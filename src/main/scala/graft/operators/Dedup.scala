@@ -45,12 +45,14 @@ object Dedup {
   }
 
   /** Join candidate (id_a, id_b) pairs back to per-doc distinct word
-    * sets and keep exact Jaccard ≥ threshold. */
+    * sets and keep exact Jaccard ≥ threshold. Sets are sorted once per
+    * doc so the per-pair intersection is a linear merge (native expr). */
   private[graft] def verifyJaccard(cand: DataFrame, base: DataFrame,
       threshold: Double): DataFrame = {
     val wd = base.select(col("id"),
-      array_distinct(col("w")).as("wd")).withColumn("n", size(col("wd")))
-    val inter = size(array_intersect(col("a.wd"), col("b.wd")))
+      sort_array(array_distinct(col("w"))).as("wd")).withColumn("n", size(col("wd")))
+    val inter = graft.functions.DedupExpressions
+      .sortedIntersectSize(col("a.wd"), col("b.wd"))
     cand
       .join(wd.as("a"), col("id_a") === col("a.id"))
       .join(wd.as("b"), col("id_b") === col("b.id"))

@@ -21,14 +21,15 @@ object DedupPack extends QueryPack {
     // Blocked exact near-dup: word-set Jaccard ≥ 0.6 inside
     // (lang, n_chars/100) blocks — the block key bounds pair count.
     "dedup_jaccard" -> ((s, d) => {
-      // distinct word sets computed once per doc, before the block
-      // self-join (identical sides → exchange reuse); pairs carry only
-      // the precomputed sets
+      // sorted distinct word sets computed once per doc, before the
+      // block self-join (identical sides → exchange reuse); the pair
+      // verify is then a native linear merge-intersect
       val docs = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("lb"),
-        array_distinct(words(col("text"))).as("wd"))
+        sort_array(array_distinct(words(col("text")))).as("wd"))
         .withColumn("n", size(col("wd")))
-      val inter = size(array_intersect(col("a.wd"), col("b.wd")))
+      val inter = graft.functions.DedupExpressions
+        .sortedIntersectSize(col("a.wd"), col("b.wd"))
       docs.as("a")
         .join(docs.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb")
