@@ -15,18 +15,20 @@ import graft.functions.VectorFunctions.cosineSim
 object Similarity {
 
   /** Exact cosine top-k: broadcast the (small) query set against the
-    * corpus; per-query top-k via ranking window over qid (queries ≪
-    * corpus, so the shuffle moves only nQueries×corpus candidate rows
-    * already reduced to (qid, vid, cos)). */
+    * corpus, then the bounded-heap TopKStructs aggregate per query —
+    * only k candidates per query per partition reach the shuffle (a
+    * ranking window would sort-shuffle all nQueries×corpus rows). */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topk
     val cand = corpus.as("c")
       .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vid"),
         cosineSim(col("q.embedding"), col("c.embedding")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
-    cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("vid"), round(col("cos"), 4).as("cos"))
+    cand.groupBy("qid")
+      .agg(topk(struct((-col("cos")).as("negcos"), col("vid").as("v")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+        col("t.v").as("vid"), round(-col("t.negcos"), 4).as("cos"))
   }
 
   /** Exact near-duplicate pairs within blocks (co-partitioned self-join

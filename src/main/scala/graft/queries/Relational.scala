@@ -72,6 +72,22 @@ object Relational extends QueryPack {
           round(col("o_totalprice"), 2).as("price"))
     }),
 
+    // Same top-k semantics via the bounded-heap TopKStructs aggregate:
+    // only k rows per key per partition cross the shuffle (vs the
+    // window's full sort) — the 100 TB shape. Hash-matched against the
+    // identical DuckDB oracle as q_topk_window.
+    "q_topk_agg" -> ((s, d) => {
+      import graft.functions.TopKAggregate.topk
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(topk(struct((-col("o_totalprice")).as("negp"),
+          col("o_orderkey").as("key")), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("o_orderpriority"), (col("i") + 1).cast("int").as("rk"),
+          col("t.key").as("o_orderkey"),
+          round(-col("t.negp"), 2).as("price"))
+    }),
+
     // EXISTS / NOT EXISTS via semi/anti joins (no row duplication).
     "q_semi_anti" -> ((s, d) => {
       val c = customer(s, d)
@@ -176,6 +192,12 @@ object Relational extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q_topk_window" ->
+      """SELECT o_orderpriority, rk, o_orderkey, price FROM (
+        |  SELECT o_orderpriority, o_orderkey, round(o_totalprice,2) AS price,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_topk_agg" ->
       """SELECT o_orderpriority, rk, o_orderkey, price FROM (
         |  SELECT o_orderpriority, o_orderkey, round(o_totalprice,2) AS price,
         |    row_number() OVER (PARTITION BY o_orderpriority
