@@ -26,29 +26,19 @@ object KMeansDF {
 
   final case class Centroid(cid: Int, x: Double, y: Double)
 
-  /** (squared-distance, cid) argmin over the centroid list as a single
-    * codegen-friendly column expression. Ties break to the lowest cid
-    * (centroids must be sorted by cid; strict `<` keeps the first). */
-  def nearest(x: Column, y: Column, centroids: Seq[Centroid]): Column = {
-    val cs = centroids.sortBy(_.cid)
-    val arr = array(cs.map(c =>
-      struct(lit(c.cid).as("cid"), lit(c.x).as("cx"), lit(c.y).as("cy"))): _*)
-    val init = struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid"))
-    aggregate(arr, init, (acc, c) => {
-      val dx = x - c.getField("cx")
-      val dy = y - c.getField("cy")
-      val d  = dx * dx + dy * dy
-      when(d < acc.getField("d"),
-        struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
-    })
-  }
+  /** (cid, squared-distance) argmin over the centroid list — the native
+    * codegen'd NearestCentroid2D expression with the centroid table
+    * baked in as primitive arrays. Ties break to the lowest cid. */
+  def nearest(x: Column, y: Column, centroids: Seq[Centroid]): Column =
+    graft.functions.KMeansExpressions.nearestCentroid(
+      x, y, centroids.map(c => (c.cid, c.x, c.y)))
 
   /** Map phase: points(id,x,y) → +cid, +dist (squared Euclidean). */
   def assign(points: DataFrame, centroids: Seq[Centroid]): DataFrame = {
     val n = nearest(col("x"), col("y"), centroids)
     points.withColumn("_n", n)
       .withColumn("cid", col("_n.cid"))
-      .withColumn("dist", col("_n.d"))
+      .withColumn("dist", col("_n.dist"))
       .drop("_n")
   }
 
