@@ -10,6 +10,7 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     graft.queries.Clustering,
+    graft.queries.ClusteringND,
     graft.queries.Relational,
     graft.queries.TextPack,
     graft.queries.DedupPack,

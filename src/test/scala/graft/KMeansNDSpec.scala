@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KMeansND
+
+class KMeansNDSpec extends SparkSpec {
+  private val s = TestSession.spark
+  import s.implicits._
+
+  private def tiny = Seq(
+    (0L, Array(0f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
+    (2L, Array(10f, 10f, 10f)), (3L, Array(10f, 11f, 10f))
+  ).toDF("id", "vec")
+
+  test("assign picks the nearest centroid in n dimensions") {
+    val cs = Seq(0 -> Array(0.0, 0.0, 0.0), 1 -> Array(10.0, 10.0, 10.0))
+    val got = KMeansND.assign(tiny, cs).select("id", "cid")
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("assign dist matches the squared euclidean distance") {
+    val cs = Seq(0 -> Array(0.0, 0.0, 0.0))
+    val d = KMeansND.assign(tiny.filter($"id" === 1), cs)
+      .select("dist").as[Double].head()
+    assert(math.abs(d - 1.0) < 1e-12)
+  }
+
+  test("fit converges to the two blobs") {
+    val cs = KMeansND.fit(tiny, 2).toMap
+    assert(cs(0).toSeq === Seq(0.5, 0.0, 0.0))
+    assert(cs(1).toSeq === Seq(10.0, 10.5, 10.0))
+  }
+
+  test("step leaves empty clusters unchanged") {
+    val cs = Seq(0 -> Array(0.0, 0.0, 0.0), 1 -> Array(1000.0, 0.0, 0.0))
+    val next = KMeansND.step(tiny, cs).toMap
+    assert(next(1).toSeq === Seq(1000.0, 0.0, 0.0))
+  }
+}
