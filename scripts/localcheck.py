@@ -22,6 +22,13 @@ def canon(rel):
     rows = sorted(tuple(str(v) for v in r) for r in df.itertuples(index=False))
     return cols, rows
 
+def raw_rows(rel):
+    # file/result order, columns sorted by name — catches canonical-order
+    # divergence that an order-sensitive driver compare would see
+    cols = sorted(rel.columns)
+    df = rel.df()[cols]
+    return [tuple(str(v) for v in r) for r in df.itertuples(index=False)]
+
 fails = 0
 for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
     if not os.path.isdir(qdir):
@@ -54,5 +61,8 @@ for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
             print(f"   only-got {list(gs - ws)[:2]}\n   only-want {list(ws - gs)[:2]}")
         fails += 1
     else:
-        print(f"OK   {q}: {len(gr)} rows")
+        order = "ordered" if raw_rows(got) == raw_rows(want) else "ORDER-DIVERGENT"
+        print(f"OK   {q}: {len(gr)} rows ({order})")
+        if order != "ordered":
+            fails += 1
 sys.exit(1 if fails else 0)

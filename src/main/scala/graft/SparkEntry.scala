@@ -28,6 +28,11 @@ object SparkEntry {
     packs.flatMap(_.defs).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys → rows-only check. */
-  def oracleSql: Map[String, String] = packs.flatMap(_.oracles).toMap
+    * the same parquet tables. Omitted keys → rows-only check. Every
+    * oracle is wrapped in the same canonical row order Verify applies
+    * to the Spark dumps (all columns asc, nulls first). */
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracles).toMap.map { case (k, sql) =>
+      k -> s"SELECT * FROM (\n$sql\n) graft_q ORDER BY ALL NULLS FIRST"
+    }
 }

@@ -16,9 +16,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // canonical row order (all columns asc, nulls first) so the
+        // compare is valid even if the driver hashes rows in file order;
+        // oracleSql wraps the same ORDER BY ALL NULLS FIRST
+        val df = fn(spark, sfDir)
+        val sorted = df.orderBy(df.columns.map(c =>
+          org.apache.spark.sql.functions.col(c).asc_nulls_first).toIndexedSeq: _*)
+        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
