@@ -91,4 +91,36 @@ object KMeansDF {
   /** WSSSE: sum of squared distance to the nearest centroid. */
   def cost(points: DataFrame, centroids: Seq[Centroid]): DataFrame =
     assign(points, centroids).agg(round(sum("dist"), 4).as("wssse"))
+
+  // ---- reference-faithful integer mode ------------------------------
+
+  /** One iteration with the reference's exact arithmetic: integer
+    * coordinates, per-cluster integer sums, truncating-division means
+    * (kmeans_mapreduce_core.cu:54-69 `new_centroid.x /= len`). Distance
+    * comparison in double is exact here — Birch coords ≤ ~1e6, so
+    * squared distances stay below 2^53. Empty clusters keep their
+    * centroid, as in the reference (no pairs → untouched). */
+  def stepInt(points: DataFrame, centroids: Seq[Centroid]): Seq[Centroid] = {
+    val moved = assign(points, centroids)
+      .groupBy("cid")
+      .agg(expr("sum(CAST(x AS BIGINT)) div count(1)").as("nx"),
+        expr("sum(CAST(y AS BIGINT)) div count(1)").as("ny"))
+      .collect()
+      .map(r => r.getInt(0) -> Centroid(r.getInt(0),
+        r.getLong(1).toDouble, r.getLong(2).toDouble))
+      .toMap
+    centroids.map(c => moved.getOrElse(c.cid, c)).sortBy(_.cid)
+  }
+
+  /** The reference's full pipeline shape: fixed iteration count
+    * (config.cuh ITERATIONS), integer means, deterministic init. */
+  def fitReference(points: DataFrame, k: Int, iterations: Int): Seq[Centroid] = {
+    val pinned = points.persist()
+    try {
+      var cs = initFirstK(pinned, k)
+      var i = 0
+      while (i < iterations) { cs = stepInt(pinned, cs); i += 1 }
+      cs
+    } finally pinned.unpersist(blocking = false)
+  }
 }
