@@ -12,6 +12,7 @@ object SparkEntry {
     graft.queries.Clustering,
     graft.queries.ClusteringND,
     graft.queries.Relational,
+    graft.queries.RelationalII,
     graft.queries.TextPack,
     graft.queries.DedupPack,
     graft.queries.SimilarityPack,
