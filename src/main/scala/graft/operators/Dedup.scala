@@ -70,6 +70,45 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  // ---- duplicate-cluster resolution ---------------------------------
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every node adopts the smallest label among itself and
+    * its neighbors until fixpoint. Iterations are O(component diameter)
+    * — dup clusters are near-cliques, so 2-3 rounds in practice. Each
+    * round is one co-partitioned join + partial-agg min; nothing is
+    * collected except the convergence counter. The cluster id (= min
+    * doc id reached) is the canonical keeper for the group. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // eager localCheckpoint per round: persist() alone leaves the
+    // logical plan growing with the iteration count (analyzer blow-up →
+    // heap); checkpointing truncates lineage to the materialized state,
+    // exactly like iterative graph algorithms on a cluster
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("nid"))
+        .agg(min("label").as("nlabel"))
+      val next = labels
+        .join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over word hashes: per-bit ±1 votes, sign → bit

@@ -45,7 +45,12 @@ object DedupPack extends QueryPack {
 
     // 64-bit SimHash, Hamming ≤ 3, complete 4-band pigeonhole blocking.
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text"))
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
+
+    // Duplicate-group resolution: connected components over the blocked
+    // Jaccard pairs; cluster_id = canonical keeper (min doc id).
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(defs("dedup_jaccard")(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
