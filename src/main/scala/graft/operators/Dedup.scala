@@ -84,6 +84,7 @@ object Dedup {
     // logical plan growing with the iteration count (analyzer blow-up →
     // heap); checkpointing truncates lineage to the materialized state,
     // exactly like iterative graph algorithms on a cluster
+    val before = pairs.sparkSession.sparkContext.getPersistentRDDs.keySet
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -106,7 +107,18 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // re-materialize the small final state, then free every intermediate
+    // checkpoint block (they'd otherwise occupy the block manager for
+    // the rest of the session)
+    val result = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    val sc = pairs.sparkSession.sparkContext
+    val ids = sc.getPersistentRDDs.keySet -- before
+    val keep = if (ids.nonEmpty) ids.max else -1
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (ids.contains(id) && id != keep) rdd.unpersist(false)
+    }
+    result
   }
 
   // ---- SimHash -------------------------------------------------------
