@@ -56,6 +56,28 @@ object TextPack extends QueryPack {
       docs(s, d)
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), fingerprint(col("w")).as("fp"))
+    }),
+
+    // TF-IDF with per-doc top-3 terms: corpus DF via distinct-count,
+    // per-doc ranking via the bounded-heap TopKStructs aggregate.
+    // Ranking on the ROUNDED score: ln() may differ in the last ulp
+    // between engines, and mathematically-equal scores from different
+    // (tf, df) pairs must tie identically on both sides.
+    "text_tfidf" -> ((s, d) => {
+      import graft.functions.TopKAggregate.topk
+      val base = docs(s, d)
+      val n = base.count().toDouble
+      val w = base.select(col("doc_id"), explode(col("w")).as("word"))
+      val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = w.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "word")
+        .select(col("doc_id"), col("word"),
+          round(col("tf") * log(lit(n) / col("df")), 4).as("score"))
+      scored.groupBy("doc_id")
+        .agg(topk(struct((-col("score")).as("negs"), col("word").as("wd")), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("doc_id"), (col("i") + 1).cast("int").as("rk"),
+          col("t.wd").as("word"), (-col("t.negs")).as("score"))
     })
   )
 
@@ -107,6 +129,17 @@ object TextPack extends QueryPack {
          |SELECT lang, $predictedSql AS predicted, count(*) AS n
          |FROM t GROUP BY 1, 2""".stripMargin
     },
+    "text_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wSql) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |s AS (SELECT doc_id, tf.word, round(tf * ln(n / df), 4) AS score
+         |      FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n)
+         |SELECT doc_id, rk, word, score FROM (
+         |  SELECT doc_id, word, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+         |  FROM s) WHERE rk <= 3""".stripMargin,
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $wSql AS w FROM documents),
          |g AS (SELECT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
