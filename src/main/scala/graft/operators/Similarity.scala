@@ -72,9 +72,11 @@ object Similarity {
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vid"),
         cosineSim(col("q.embedding"), col("c.embedding")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
-    cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("vid"), round(col("cos"), 4).as("cos"))
+    import graft.functions.TopKAggregate.topk
+    cand.groupBy("qid")
+      .agg(topk(struct((-col("cos")).as("negcos"), col("vid").as("v")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+        col("t.v").as("vid"), round(-col("t.negcos"), 4).as("cos"))
   }
 }
