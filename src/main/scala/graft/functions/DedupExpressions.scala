@@ -53,6 +53,9 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
 
   override def dataType: DataType = ArrayType(LongType)
 
+  // returns null for docs with <3 words regardless of input nullability
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any): Any = {
     val ws = v.asInstanceOf[ArrayData]
     val n = ws.numElements()

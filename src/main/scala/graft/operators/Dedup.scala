@@ -72,24 +72,85 @@ object Dedup {
 
   // ---- duplicate-cluster resolution ---------------------------------
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: every node adopts the smallest label among itself and
-    * its neighbors until fixpoint. Iterations are O(component diameter)
-    * — dup clusters are near-cliques, so 2-3 rounds in practice. Each
-    * round is one co-partitioned join + partial-agg min; nothing is
-    * collected except the convergence counter. The cluster id (= min
-    * doc id reached) is the canonical keeper for the group. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // eager localCheckpoint per round: persist() alone leaves the
-    // logical plan growing with the iteration count (analyzer blow-up →
-    // heap); checkpointing truncates lineage to the materialized state,
-    // exactly like iterative graph algorithms on a cluster
-    val before = pairs.sparkSession.sparkContext.getPersistentRDDs.keySet
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  /** Connected components over near-dup pairs. The cluster id (= min
+    * doc id in the component) is the canonical keeper for the group.
+    *
+    * Adaptive execution, mirroring AQE's broadcast fallback: the dup
+    * graph after blocking is orders of magnitude smaller than the
+    * corpus (pairs, not documents), so when the materialized edge
+    * count fits comfortably on the driver (`localEdgeThreshold`, ~32 MB
+    * at the default) it is solved with a single-pass union-find — no
+    * per-round job scheduling at all. Above the threshold (a 100 TB
+    * corpus can yield 10^9+ pairs) it falls back to the distributed
+    * min-label loop below. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      localEdgeThreshold: Long = 2000000L): DataFrame = {
+    val ccDebug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+    def dbg(m: String): Unit =
+      if (ccDebug) System.err.println(s"[cc] $m t=${System.nanoTime() / 1e9}")
+    dbg("enter")
+    // materialize pair generation exactly once (it is the expensive
+    // upstream: LSH banding / blocked verify)
+    val edges1 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
+    val nEdges = edges1.count()
+    dbg(s"edges materialized n=$nEdges")
+    val out =
+      if (nEdges <= localEdgeThreshold) localUnionFind(edges1)
+      else distributedMinLabel(edges1, maxIter, dbg)
+    edges1.unpersist(false)
+    dbg("done")
+    out
+  }
+
+  /** Driver-side union-find (path-halving + union toward the running
+    * min), then root → component-min relabel. O(E α(E)); only invoked
+    * when E is driver-sized. */
+  private def localUnionFind(edges1: DataFrame): DataFrame = {
+    val spark = edges1.sparkSession
+    val es = edges1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      parent.putIfAbsent(x, x)
+      while (parent.get(x) != x) {
+        val gp = parent.get(parent.get(x))
+        parent.put(x, gp) // path halving
+        x = gp
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union toward the smaller root → root IS the min id
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val rows = parent.keySet().toArray(Array.empty[java.lang.Long])
+      .map(id => (id.longValue(), find(id)))
+    import spark.implicits._
+    spark.createDataset(rows.toIndexedSeq)
+      .toDF("doc_id", "cluster_id")
+  }
+
+  /** Distributed min-label propagation with pointer jumping. Each round
+    * every node adopts the min label over itself and its neighbors, then
+    * labels are shortcut through themselves (label := label's label),
+    * which contracts long chains in O(log diameter) rounds. Each round
+    * is bounded state: joins on (id) with partial-agg min; nothing is
+    * collected except the convergence counter. localCheckpoint per
+    * round truncates lineage (persist() alone grows the logical plan
+    * until analyzer heap exhaustion). */
+  private def distributedMinLabel(edges1: DataFrame, maxIter: Int,
+      dbg: String => Unit): DataFrame = {
+    val spark = edges1.sparkSession
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = edges1
+      .union(edges1.select(col("dst"), col("src")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    dbg("labels init")
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -97,22 +158,37 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("nid"))
         .agg(min("label").as("nlabel"))
-      val next = labels
+      val prop = labels
         .join(neighborMin, labels("id") === col("nid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jumping: resolve each node's propagated label through
+      // the propagated label of that label-node, contracting chains
+      // exponentially (labels are monotone-decreasing node ids within
+      // the component, so the composition stays in-component)
+      val jump = prop.select(col("id").as("j_id"), col("label").as("j_label"))
+      val next = prop.as("p")
+        .join(jump, col("p.label") === col("j_id"), "left")
+        .select(col("p.id"), col("p.old_label"),
+          least(col("p.label"), coalesce(col("j_label"), col("p.label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      // convergence count is a scan of the materialized round, not
+      // another shuffle join against prior state
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select("id", "label")
       iter += 1
+      dbg(s"round $iter changed=$changed")
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
     // re-materialize the small final state, then free every intermediate
     // checkpoint block (they'd otherwise occupy the block manager for
     // the rest of the session)
     val result = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .localCheckpoint(true)
-    val sc = pairs.sparkSession.sparkContext
+    val sc = spark.sparkContext
     val ids = sc.getPersistentRDDs.keySet -- before
     val keep = if (ids.nonEmpty) ids.max else -1
     sc.getPersistentRDDs.foreach { case (id, rdd) =>

@@ -79,8 +79,14 @@ object Clustering extends QueryPack {
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20)
-        .setInitMode("random").fit(emb.cache())
+      // cache only for the iterative fit; the (cheap) final transform
+      // rescans parquet rather than pinning the projection in the
+      // shared session for the rest of a Bench/Verify run
+      emb.cache()
+      val model =
+        try new KMeans().setK(10).setSeed(42L).setMaxIter(20)
+          .setInitMode("random").fit(emb)
+        finally emb.unpersist()
       model.transform(emb).groupBy("prediction").agg(count(lit(1)).as("n"))
     })
   )

@@ -26,6 +26,12 @@ object StreamingOps {
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, sess_value: Double)
 
+  /** State (epoch ms, from Timestamp.getTime) → output row. Bounds are
+    * emitted in epoch MICROS to match the batch pack's unix_micros
+    * convention (q_sessionize / q_asof_join). */
+  private def closeSession(userId: Long, s: SessionState): SessionOut =
+    SessionOut(userId, s.start * 1000L, s.last * 1000L, s.nEvents, s.sumValue)
+
   /** Streaming sessionization with custom state: 30-min inactivity gap —
     * the stateful twin of batch `q_sessionize`. Event-time timeouts
     * against the watermark (deterministic on replay, unlike wall-clock
@@ -44,7 +50,7 @@ object StreamingOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue))
+            Iterator(closeSession(userId, s))
           } else {
             var out = List.empty[SessionOut]
             var cur = state.getOption
@@ -55,7 +61,7 @@ object StreamingOps {
                   cur = Some(s.copy(last = t, nEvents = s.nEvents + 1,
                     sumValue = s.sumValue + e.value))
                 case Some(s) =>
-                  out ::= SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue)
+                  out ::= closeSession(userId, s)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -7,14 +7,36 @@ class ConnectedComponentsSpec extends SparkSpec {
   private val s = TestSession.spark
   import s.implicits._
 
-  test("labels a simple chain and a separate pair correctly") {
+  test("labels a simple chain and a separate pair correctly (both paths)") {
     // components: {1,2,3,4} (chain) and {10, 11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    val local = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    assert(local === want)
+    // localEdgeThreshold=0 forces the distributed min-label loop
+    val dist = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === want)
+  }
+
+  test("pointer jumping converges a long chain in few distributed rounds") {
+    // a 64-node chain: plain min-label propagation needs 63 rounds;
+    // with pointer jumping maxIter=12 must suffice (O(log diameter))
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, maxIter = 12,
+      localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(got === (1L to 64L).map(_ -> 1L).toMap)
+  }
+
+  test("throws instead of returning wrong labels when maxIter is exhausted") {
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 2, localEdgeThreshold = 0L).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("matches a union-find ground truth on real near-dup pairs") {
