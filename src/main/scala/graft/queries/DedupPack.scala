@@ -68,6 +68,28 @@ object DedupPack extends QueryPack {
         |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 4) AS jaccard
         |  FROM t a JOIN t b
         |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6""".stripMargin
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6""".stripMargin,
+    // connected components as a recursive reachability closure: reach
+    // (id, r) holds every node r reachable from id; min(r) = cluster id
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS w
+        |  FROM documents),
+        |jp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.w, b.w)) /
+        |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 4) >= 0.6),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM n
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM e JOIN reach ON reach.id = e.dst)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
   )
 }
