@@ -54,4 +54,53 @@ object Multimodal {
       docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
       "doc_id", "media").toDF()
   }
+
+  final case class MediaFeatures(id: Long, byte_len: Int, hist: Array[Double])
+  final case class Frame(id: Long, frame_idx: Int, frame_hash: String)
+
+  /** Feature-extract stage (stub model): fixed-width per-media feature
+    * vector — here an 8-bin L1-normalized byte histogram. The plumbing
+    * (typed partition batches, per-partition model init, fixed-width
+    * array output ready for the similarity/clustering packs) is real; a
+    * real image/audio embedding model drops in behind the same
+    * signature. */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // a real model loads weights here, once per partition
+        it.map { case (id, bytes) =>
+          val h = new Array[Double](8)
+          var i = 0
+          while (i < bytes.length) { h((bytes(i) & 0xFF) >> 5) += 1.0; i += 1 }
+          val n = math.max(1, bytes.length).toDouble
+          MediaFeatures(id, bytes.length,
+            h.map(v => math.rint(v / n * 10000) / 10000))
+        }
+      }
+  }
+
+  /** Frame-sampling stage for video-style payloads: every `stride`
+    * bytes emits one 16-byte "frame" row — the flatMap shape of real
+    * frame extraction (rows out ∝ media length / stride, partition-
+    * parallel, no driver involvement). */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      stride: Int = 64): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until math.max(1, bytes.length / stride)).iterator.map { f =>
+          val from = f * stride
+          val frame = java.util.Arrays.copyOfRange(
+            bytes, from, math.min(bytes.length, from + 16))
+          md.reset()
+          Frame(id, f, md.digest(frame).map("%02x".format(_)).mkString)
+        }
+      }
+  }
 }

@@ -63,6 +63,54 @@ object Similarity {
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style ANN — the other scale path for similarity search: the
+    * corpus is partitioned once into coarse Voronoi cells (native
+    * argmin expression over broadcast centroids — a scan, no shuffle),
+    * each query probes only its `nprobe` nearest cells, and brute force
+    * runs inside probed cells only. Cost per query is corpus/nCells ×
+    * nprobe instead of the full corpus; recall grows with nprobe.
+    * Production fits the coarse centroids with `KMeansND.fit`; they are
+    * a parameter so the cell layout is deterministic for the oracle.
+    * Distances use the |a|²−2a·b+|b|² sequential-double identity that
+    * DuckDB's list_dot_product reproduces exactly. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], k: Int, nprobe: Int = 2): DataFrame = {
+    import graft.functions.TopKAggregate.topk
+    import graft.operators.KMeansND
+    val cells = corpus.withColumn("cell",
+      KMeansND.nearest(col("embedding"), centroids).getField("cid"))
+    // query-side probing: nQueries × nCells rows (tiny); interpreted
+    // higher-order folds are fine here and accumulate sequentially in
+    // double, so the oracle ranks cells identically
+    val sorted = centroids.sortBy(_._1)
+    val centArr = array(sorted.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv"),
+        lit(KMeansND.norm2(cv)).as("cn"))
+    }: _*)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val qd = transform(col("embedding"), x => x.cast("double"))
+    val probed = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), qd.as("qv"))
+      .withColumn("c", explode(centArr))
+      .withColumn("dist",
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("c.cv"))) + col("c.cn"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("c.cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("c.cid").as("pcell"))
+    val cand = cells.as("c")
+      .join(broadcast(probed.as("q")),
+        col("q.pcell") === col("c.cell") && col("q.qid") =!= col("c.vec_id"))
+      .select(col("q.qid").as("qid"), col("c.vec_id").as("vid"),
+        cosineSim(col("q.qemb"), col("c.embedding")).as("cos"))
+    cand.groupBy("qid")
+      .agg(topk(struct((-col("cos")).as("negcos"), col("vid").as("v")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+        col("t.v").as("vid"), round(-col("t.negcos"), 4).as("cos"))
+  }
+
   /** Approximate top-k: brute force only within each query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 6): DataFrame = {
     val bc = corpus.withColumn("bucket", lshBucket(col("embedding"), numPlanes))

@@ -50,7 +50,32 @@ object DedupPack extends QueryPack {
     // Duplicate-group resolution: connected components over the blocked
     // Jaccard pairs; cluster_id = canonical keeper (min doc id).
     "dedup_clusters" -> ((s, d) =>
-      Dedup.connectedComponents(defs("dedup_jaccard")(s, d)))
+      Dedup.connectedComponents(defs("dedup_jaccard")(s, d))),
+
+    // n-gram (word-bigram) Jaccard near-dup: order-sensitive, so it
+    // catches shuffled-word docs that the word-SET Jaccard calls equal.
+    // Same blocked self-join shape; bigram sets sorted once per doc,
+    // pair verify is the native linear merge-intersect.
+    "dedup_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("lb"),
+          words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .withColumn("bg", expr(
+          "transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
+        .select(col("doc_id"), col("lang"), col("lb"),
+          sort_array(array_distinct(col("bg"))).as("bgd"))
+        .withColumn("n", size(col("bgd")))
+      val inter = graft.functions.DedupExpressions
+        .sortedIntersectSize(col("a.bgd"), col("b.bgd"))
+      docs.as("a")
+        .join(docs.as("b"),
+          col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(inter / (col("a.n") + col("b.n") - inter), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -90,6 +115,22 @@ object DedupPack extends QueryPack {
         |  SELECT id, id AS r FROM n
         |  UNION
         |  SELECT e.src AS id, reach.r FROM e JOIN reach ON reach.id = e.dst)
-        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
+        |    regexp_split_to_array(text, '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, lb,
+        |    list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM t WHERE len(w) >= 2),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.bg, b.bg)) /
+        |      (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 4) AS jaccard
+        |  FROM g a JOIN g b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
   )
 }

@@ -8,8 +8,18 @@ import graft.multimodal.Multimodal
   * MultimodalSpec asserts the decode against reference values. */
 object MultimodalPack extends QueryPack {
 
+  private def media(s: SparkSession, d: String) = {
+    import org.apache.spark.sql.functions._
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode" -> ((s, d) => Multimodal.documentsAsMedia(s, d))
+    "mm_decode" -> ((s, d) => Multimodal.documentsAsMedia(s, d)),
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(media(s, d), "doc_id", "media").toDF()),
+    "mm_framesample" -> ((s, d) =>
+      Multimodal.sampleFrames(media(s, d), "doc_id", "media").toDF())
   )
 
   def oracles: Map[String, String] = Map.empty

@@ -56,6 +56,41 @@ object RelationalII extends QueryPack {
         .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
         .agg(count(lit(1)))
         .na.fill(0L)
+    }),
+
+    // CUBE: every subtotal combination, with grouping_id level marker.
+    "q_cube" -> ((s, d) =>
+      orders(s, d).cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))),
+
+    // Explicit GROUPING SETS through the SQL surface (distinct subtotal
+    // shapes that neither rollup nor cube expresses).
+    "q_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
+    // Range join: each purchase joined to the same user's views in the
+    // preceding hour. Equi key (user_id) + band predicate — stays a
+    // co-partitioned hash join, never a cross product; time compared in
+    // epoch micros (the engines' shared truncation of the ns source).
+    "q_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("puid"),
+          unix_micros(col("ts")).as("pt"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vuid"), unix_micros(col("ts")).as("vt"),
+          col("value").as("vval"))
+      p.join(v, col("puid") === col("vuid")
+          && col("vt") >= col("pt") - 3600000000L && col("vt") < col("pt"), "left")
+        .groupBy("pid")
+        .agg(count(col("vt")).as("n_views"), round(sum("vval"), 2).as("view_value"))
     })
   )
 
@@ -84,6 +119,25 @@ object RelationalII extends QueryPack {
         |   WHERE o_custkey = c_custkey) AS max_order
         |FROM customer
         |WHERE c_acctbal > 0""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pt
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS vt, value AS vval
+        |      FROM events WHERE event_type = 'view')
+        |SELECT pid, count(vt) AS n_views, round(sum(vval),2) AS view_value
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.vt >= p.pt - 3600000000 AND v.vt < p.pt
+        |GROUP BY pid""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS ub,
         |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,

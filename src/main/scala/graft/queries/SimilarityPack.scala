@@ -26,8 +26,21 @@ object SimilarityPack extends QueryPack {
     "ann_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < NumQueries), k = 3)
+    }),
+
+    // IVF ANN: 16 coarse cells (deterministic first-k seed so the
+    // oracle reproduces the layout; production trains via KMeansND.fit),
+    // nprobe=2, exact cosine within probed cells.
+    "ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.operators.KMeansND.seed(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")), NumCells)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        cents, k = 3, nprobe = 2)
     })
   )
+
+  private val NumCells = 16
 
   private val cosSql =
     """(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
@@ -48,6 +61,27 @@ object SimilarityPack extends QueryPack {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosSql, 4) AS cos
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".stripMargin
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (list_dot_product(e.v,e.v) - 2*list_dot_product(e.v,c.cv))
+         |      + list_dot_product(c.cv,c.cv), c.cid) AS rn
+         |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+         |probe AS (SELECT qid, qv, cid AS cell FROM (
+         |  SELECT q.vec_id AS qid, q.v AS qv, c.cid, row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY (list_dot_product(q.v,q.v) - 2*list_dot_product(q.v,c.cv))
+         |      + list_dot_product(c.cv,c.cv), c.cid) AS rn
+         |  FROM emb q CROSS JOIN cent c WHERE q.vec_id < $NumQueries) WHERE rn <= 2),
+         |cand AS (SELECT p.qid, s.vec_id AS vid,
+         |    (list_dot_product(p.qv, s.v) /
+         |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.v, s.v)))) AS cos
+         |  FROM probe p JOIN cells s ON s.cell = p.cell AND s.vec_id <> p.qid)
+         |SELECT qid, rk, vid, round(cos, 4) AS cos FROM (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |  FROM cand) WHERE rk <= 3""".stripMargin
   )
 }

@@ -41,7 +41,29 @@ object StatsPack extends QueryPack {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), (col("pos") + 1).as("dim"))
         .agg(round(avg(col("v").cast("double")), 5).as("c"))
-    })
+    }),
+
+    // Deterministic stratified sampling — the training-data downsample
+    // primitive: md5-hash Bernoulli keyed on doc_id (stable across
+    // runs/engines/partitionings, unlike rand()), with a per-stratum
+    // rate (en kept at 2× the rest). Pure scan + filter: no shuffle,
+    // and the hash filter pushes no data movement at any scale.
+    "q_sample" -> ((s, d) => {
+      val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+        16, 10).cast("long")
+      val threshold = when(col("lang") === "en", 26214L).otherwise(13107L)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), h.as("h"), threshold.as("t"))
+        .filter(col("h") < col("t"))
+        .select("doc_id", "lang")
+    }),
+
+    // Fixed-width histogram: bucket = floor(price/25k)·25k — a single
+    // hash agg; bucket count is bounded by the value range, not rows.
+    "q_histogram" -> ((s, d) =>
+      orders(s, d)
+        .groupBy((floor(col("o_totalprice") / 25000) * 25000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -58,6 +80,14 @@ object StatsPack extends QueryPack {
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
         |    generate_subscripts(embedding, 1) AS pos
         |  FROM embeddings)
-        |GROUP BY label, pos""".stripMargin
+        |GROUP BY label, pos""".stripMargin,
+    "q_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+        |  < CASE WHEN lang = 'en' THEN 26214 ELSE 13107 END""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice/25000)*25000 AS BIGINT) AS bucket,
+        |  count(*) AS n, round(avg(o_totalprice),2) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }

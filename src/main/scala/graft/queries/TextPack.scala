@@ -58,6 +58,24 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), fingerprint(col("w")).as("fp"))
     }),
 
+    // BPE-ish subword token accounting: a GPT-2-style pretokenizer
+    // regex (letter runs / digit runs / punctuation runs, each with an
+    // optional leading space) — the standard first stage of byte-pair
+    // tokenization. Codegen'd regexp_extract_all; the alternatives'
+    // character classes are disjoint, so Java and RE2 agree exactly.
+    "text_bpe" -> ((s, d) => {
+      val toks = expr(
+        "regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)")
+      Tables.documents(s, d)
+        .select(col("lang"), size(toks).as("n_bpe"),
+          size(words(col("text"))).as("n_words"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bpe").as("total_bpe"),
+          round(avg("n_bpe"), 4).as("avg_bpe"),
+          round(sum("n_bpe") / sum("n_words"), 4).as("bpe_per_word"))
+    }),
+
     // TF-IDF with per-doc top-3 terms: corpus DF via distinct-count,
     // per-doc ranking via the bounded-heap TopKStructs aggregate.
     // Ranking on the ROUNDED score: ln() may differ in the last ulp
@@ -140,6 +158,17 @@ object TextPack extends QueryPack {
          |  SELECT doc_id, word, score,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
          |  FROM s) WHERE rk <= 3""".stripMargin,
+    "text_bpe" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_words
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+        |  round(avg(n_bpe), 4) AS avg_bpe,
+        |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 4) AS bpe_per_word
+        |FROM t GROUP BY lang""".stripMargin,
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $wSql AS w FROM documents),
          |g AS (SELECT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h

@@ -42,6 +42,30 @@ class DedupSpec extends SparkSpec {
     assert(hamming14 < hamming13, "near-dup must be closer than unrelated doc")
   }
 
+  test("dedup_ngram bigram jaccard is order-sensitive and matches brute force") {
+    // brute-force bigram-set Jaccard inside (lang, length-bucket) blocks
+    val rows = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", floor($"n_chars" / 100).as("lb"), $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3).split("\\s+").toSeq))
+    def bigrams(w: Seq[String]) = w.zip(w.tail).map { case (a, b) => s"$a $b" }.toSet
+    val brute = (for {
+      (ida, la, ba, wa) <- rows; (idb, lb2, bb, wb) <- rows
+      if ida < idb && la == lb2 && ba == bb && wa.size >= 2 && wb.size >= 2
+      ga = bigrams(wa); gb = bigrams(wb)
+      j = math.rint(ga.intersect(gb).size.toDouble /
+        (ga.size + gb.size - ga.intersect(gb).size) * 10000) / 10000
+      if j >= 0.5
+    } yield (ida, idb)).toSet
+    val got = graft.queries.DedupPack.defs("dedup_ngram")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    // order sensitivity: same word multiset, different order → no shared bigrams
+    val g1 = bigrams("alpha beta gamma delta epsilon zeta".split(" ").toSeq)
+    val g2 = bigrams("zeta epsilon delta gamma beta alpha".split(" ").toSeq)
+    assert(g1.intersect(g2).isEmpty, "reversed word order shares no bigrams")
+  }
+
   test("simhashPairs blocking is complete for hamming <= 3 (pigeonhole)") {
     // brute-force hamming over all pairs must equal the banded join result
     val sh = Tables.documents(spark, sfDir).limit(200)

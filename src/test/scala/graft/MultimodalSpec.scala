@@ -21,6 +21,34 @@ class MultimodalSpec extends SparkSpec {
     assert(m.byte_len === 0 && m.width === 1 && m.height === 1)
   }
 
+  test("extractFeatures emits normalized fixed-width features") {
+    val df = Seq((1L, "aaaa".getBytes("UTF-8")), (2L, Array.emptyByteArray))
+      .toDF("id", "media")
+    val got = Multimodal.extractFeatures(df, "id", "media")
+      .collect().map(f => f.id -> f).toMap
+    // 'a' = 0x61 → bin 3; all mass in one bin, L1-normalized
+    assert(got(1L).byte_len === 4)
+    assert(got(1L).hist.toSeq === Seq(0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    assert(got(2L).hist.toSeq === Seq.fill(8)(0.0))
+  }
+
+  test("sampleFrames emits one row per stride with stable hashes") {
+    val payload = Array.tabulate[Byte](200)(_.toByte)
+    val df = Seq((5L, payload)).toDF("id", "media")
+    val frames = Multimodal.sampleFrames(df, "id", "media", stride = 64)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2))
+    // frame hash = md5 of the 16 bytes at the stride offset
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(java.util.Arrays.copyOfRange(payload, 64, 80))
+      .map("%02x".format(_)).mkString
+    assert(frames(1).frame_hash === want)
+    // short payloads still emit one frame
+    val one = Multimodal.sampleFrames(
+      Seq((6L, "tiny".getBytes("UTF-8"))).toDF("id", "media"), "id", "media")
+    assert(one.count() === 1)
+  }
+
   test("decodeMeta runs distributed over the documents table") {
     val out = Multimodal.documentsAsMedia(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)

@@ -45,4 +45,32 @@ class SimilaritySpec extends SparkSpec {
     val r = Similarity.lshTopK(emb, emb.filter($"vec_id" < 5), 3)
     assert(r.count() <= 15)
   }
+
+  test("ivfTopK with nprobe=all cells reproduces the exact topK") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" < 3)
+    val cents = graft.operators.KMeansND.seed(
+      emb.select($"vec_id".as("id"), $"embedding".as("vec")), 4)
+    // probing every cell makes IVF exhaustive → must equal brute force
+    val ivf = Similarity.ivfTopK(emb, q, cents, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.topK(emb, q, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf === exact)
+  }
+
+  test("ivfTopK with nprobe=1 searches only the query's own cell") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" < 3)
+    val cents = graft.operators.KMeansND.seed(
+      emb.select($"vec_id".as("id"), $"embedding".as("vec")), 4)
+    val r = Similarity.ivfTopK(emb, q, cents, k = 3, nprobe = 1)
+    // bounded output, correctly ranked per query
+    val rows = r.collect()
+    assert(rows.length <= 9 && rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

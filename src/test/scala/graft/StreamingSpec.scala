@@ -30,6 +30,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedAgg appends finalized windows to a parquet file sink") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val in = MemoryStream[Event]
+    val q = StreamingOps.windowedAgg(in.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Event(1, ts(0), "view", 1.0), Event(1, ts(10), "view", 2.0))
+      q.processAllAvailable()
+      // second batch advances the watermark past hour 0 → window finalizes
+      in.addData(Event(2, ts(180), "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("sum_value")))
+      assert(rows.toSet === Set(("view", 2L, 3.0)))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("sessionize closes a session when the inactivity gap is exceeded") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]

@@ -7,6 +7,14 @@ class TextSpec extends SparkSpec {
   private val s = TestSession.spark
   import s.implicits._
 
+  test("bpe-ish pretokenizer splits letter/digit/punct runs with leading space") {
+    val df = Seq("Hello, world42 foo-bar  x").toDF("t")
+    val got = df.select(expr(
+      "regexp_extract_all(t, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)"))
+      .as[Seq[String]].head()
+    assert(got === Seq("Hello", ",", " world", "42", " foo", "-", "bar", " x"))
+  }
+
   test("triShingles builds overlapping word 3-grams") {
     val df = Seq("a b c d", "a b").toDF("t")
     val got = df.select(triShingles(words($"t"))).as[Seq[String]].collect()
