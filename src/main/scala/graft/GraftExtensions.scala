@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashBands, SimHash64, SortedIntersectSize}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import graft.functions.{CosineSimilarity, MinHashBands, NGramHashSet, SimHash64, SortedIntersectSize, SortedLongIntersectSize}
 
 /** Library-level Catalyst integration: inject graft's native expressions
   * into every session built with
@@ -26,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("simhash64", es => SimHash64(es.head)))
     e.injectFunction(fn("sorted_intersect_size",
       es => SortedIntersectSize(es(0), es(1))))
+    e.injectFunction(fn("ngram_hash_set", es => NGramHashSet(es(0),
+      es(1).asInstanceOf[Literal].value.toString.toInt)))
+    e.injectFunction(fn("sorted_long_intersect_size",
+      es => SortedLongIntersectSize(es(0), es(1))))
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftbridge.ExprBridge
-import graft.functions.{CosineSimilarity, MinHashBands, SimHash64, SortedIntersectSize}
+import graft.functions.{CosineSimilarity, MinHashBands, NGramHashSet, SimHash64, SortedIntersectSize, SortedLongIntersectSize}
 
 /** Session bootstrap + SQL surface for the graft engine.
   *
@@ -32,5 +32,11 @@ object GraftSession {
       es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_size",
       es => SortedIntersectSize(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_hash_set",
+      es => NGramHashSet(es(0),
+        es(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_long_intersect_size",
+      es => SortedLongIntersectSize(es(0), es(1)), "scala_udf")
   }
 }

@@ -44,15 +44,17 @@ object Dedup {
     verifyJaccard(cand, base, threshold)
   }
 
-  /** Join candidate (id_a, id_b) pairs back to per-doc distinct word
-    * sets and keep exact Jaccard ≥ threshold. Sets are sorted once per
-    * doc so the per-pair intersection is a linear merge (native expr). */
+  /** Join candidate (id_a, id_b) pairs back to per-doc distinct
+    * word-hash sets and keep exact Jaccard ≥ threshold. Hash sets are
+    * sorted once per doc so the per-pair intersection is a linear merge
+    * over longs (native expr — several-fold cheaper than string sets). */
   private[graft] def verifyJaccard(cand: DataFrame, base: DataFrame,
       threshold: Double): DataFrame = {
     val wd = base.select(col("id"),
-      sort_array(array_distinct(col("w"))).as("wd")).withColumn("n", size(col("wd")))
+      graft.functions.DedupExpressions.ngramHashSet(col("w"), 1).as("wd"))
+      .withColumn("n", size(col("wd")))
     val inter = graft.functions.DedupExpressions
-      .sortedIntersectSize(col("a.wd"), col("b.wd"))
+      .sortedLongIntersectSize(col("a.wd"), col("b.wd"))
     cand
       .join(wd.as("a"), col("id_a") === col("a.id"))
       .join(wd.as("b"), col("id_b") === col("b.id"))

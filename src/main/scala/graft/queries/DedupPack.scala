@@ -21,15 +21,18 @@ object DedupPack extends QueryPack {
     // Blocked exact near-dup: word-set Jaccard ≥ 0.6 inside
     // (lang, n_chars/100) blocks — the block key bounds pair count.
     "dedup_jaccard" -> ((s, d) => {
-      // sorted distinct word sets computed once per doc, before the
-      // block self-join (identical sides → exchange reuse); the pair
-      // verify is then a native linear merge-intersect
+      // sorted distinct word-HASH sets computed once per doc, before
+      // the block self-join (identical sides → exchange reuse); the
+      // pair verify is then a native linear merge over longs — several
+      // times lighter on both CPU and shuffle than string sets, and the
+      // oracle hashes identically (md5_number_lower)
       val docs = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("lb"),
-        sort_array(array_distinct(words(col("text")))).as("wd"))
+        graft.functions.DedupExpressions.ngramHashSet(words(col("text")), 1).as("wd"))
+        .filter(col("wd").isNotNull)
         .withColumn("n", size(col("wd")))
       val inter = graft.functions.DedupExpressions
-        .sortedIntersectSize(col("a.wd"), col("b.wd"))
+        .sortedLongIntersectSize(col("a.wd"), col("b.wd"))
       docs.as("a")
         .join(docs.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb")
@@ -59,15 +62,11 @@ object DedupPack extends QueryPack {
     "dedup_ngram" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("lb"),
-          words(col("text")).as("w"))
-        .filter(size(col("w")) >= 2)
-        .withColumn("bg", expr(
-          "transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
-        .select(col("doc_id"), col("lang"), col("lb"),
-          sort_array(array_distinct(col("bg"))).as("bgd"))
+          graft.functions.DedupExpressions.ngramHashSet(words(col("text")), 2).as("bgd"))
+        .filter(col("bgd").isNotNull)
         .withColumn("n", size(col("bgd")))
       val inter = graft.functions.DedupExpressions
-        .sortedIntersectSize(col("a.bgd"), col("b.bgd"))
+        .sortedLongIntersectSize(col("a.bgd"), col("b.bgd"))
       docs.as("a")
         .join(docs.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb")
@@ -85,7 +84,8 @@ object DedupPack extends QueryPack {
     "dedup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
-        |    list_distinct(regexp_split_to_array(text, '\s+')) AS w
+        |    list_distinct(list_transform(regexp_split_to_array(text, '\s+'),
+        |      x -> md5_number_lower(x))) AS w
         |  FROM documents),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -100,7 +100,8 @@ object DedupPack extends QueryPack {
       """WITH RECURSIVE
         |t AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
-        |    list_distinct(regexp_split_to_array(text, '\s+')) AS w
+        |    list_distinct(list_transform(regexp_split_to_array(text, '\s+'),
+        |      x -> md5_number_lower(x))) AS w
         |  FROM documents),
         |jp AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -123,7 +124,8 @@ object DedupPack extends QueryPack {
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, lang, lb,
-        |    list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |    list_distinct(list_transform(range(1, len(w)),
+        |      i -> md5_number_lower(w[i] || ' ' || w[i+1]))) AS bg
         |  FROM t WHERE len(w) >= 2),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
