@@ -91,7 +91,35 @@ object RelationalII extends QueryPack {
           && col("vt") >= col("pt") - 3600000000L && col("vt") < col("pt"), "left")
         .groupBy("pid")
         .agg(count(col("vt")).as("n_views"), round(sum("vval"), 2).as("view_value"))
-    })
+    }),
+
+    // Row-frame windows: trailing moving average + running sum.
+    "q_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("mavg", round(avg("value").over(w.rowsBetween(-3, 0)), 4))
+        .withColumn("rsum", round(sum("value").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "mavg", "rsum")
+    }),
+
+    // Calendar breadth: extract-style grouping (UTC on both engines).
+    "q_datetime" -> ((s, d) =>
+      events(s, d).groupBy(
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"), dayofweek(col("ts")).as("dow"),
+        hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))),
+
+    // Sliding (overlapping) time windows: 1-hour span, 30-minute slide —
+    // every event lands in exactly two windows.
+    "q_sliding_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+          col("n"), col("sum_value")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -138,6 +166,32 @@ object RelationalII extends QueryPack {
         |FROM p LEFT JOIN v ON p.user_id = v.user_id
         |  AND v.vt >= p.pt - 3600000000 AND v.vt < p.pt
         |GROUP BY pid""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT event_id, user_id, mavg, rsum FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg,
+        |    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rsum
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q_datetime" ->
+      """SELECT CAST(date_part('year', ts) AS INT) AS y,
+        |  CAST(date_part('month', ts) AS INT) AS m,
+        |  CAST(date_part('day', ts) AS INT) AS dom,
+        |  CAST(date_part('dow', ts) + 1 AS INT) AS dow,
+        |  CAST(date_part('hour', ts) AS INT) AS h,
+        |  count(*) AS n, round(sum(value),2) AS sv
+        |FROM events GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    "q_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    unnest([time_bucket(INTERVAL 30 minutes, ts),
+        |            time_bucket(INTERVAL 30 minutes, ts) - INTERVAL 30 minutes]) AS ws
+        |  FROM events)
+        |SELECT CAST(epoch(ws) AS BIGINT) AS ws, event_type,
+        |  count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS ub,
         |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,

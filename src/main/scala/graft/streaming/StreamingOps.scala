@@ -32,6 +32,16 @@ object StreamingOps {
   private def closeSession(userId: Long, s: SessionState): SessionOut =
     SessionOut(userId, s.start * 1000L, s.last * 1000L, s.nEvents, s.sumValue)
 
+  /** Streaming exact dedup — the streaming twin of batch `dedup_exact`:
+    * drops rows whose key was already seen within the watermark horizon.
+    * State is bounded by the horizon (keys older than the watermark are
+    * evicted), so memory is O(keys per horizon), not O(stream). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming sessionization with custom state: 30-min inactivity gap —
     * the stateful twin of batch `q_sessionize`. Event-time timeouts
     * against the watermark (deterministic on replay, unlike wall-clock

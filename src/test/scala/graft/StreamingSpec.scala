@@ -55,6 +55,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupStream drops duplicate keys within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(in.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), "view", 1.0), Event(1, ts(1), "view", 2.0), // dup key
+        Event(1, ts(2), "click", 3.0), Event(2, ts(3), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      assert(rows.length === 3)
+      assert(rows.toSet === Set((1L, "view"), (1L, "click"), (2L, "view")))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the inactivity gap is exceeded") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
