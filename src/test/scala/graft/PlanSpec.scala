@@ -44,4 +44,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") || !p.contains("wd#"),
       "word arrays must not ride the candidate shuffle")
   }
+
+  test("q_sample is a pure pushed scan+filter — no shuffle") {
+    val p = plan("q_sample")
+    assert(!p.contains("Exchange"), "hash sampling must not move data")
+    assert(p.contains("ReadSchema") && !p.contains("text"),
+      "sampling reads keys/strata only, never the document text")
+  }
+
+  test("q_range_join is an equi hash join with a band condition, not a cross product") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band predicate must ride the user_id equi join")
+  }
+
+  test("ann_ivf broadcasts the probed queries and scans the corpus once") {
+    val p = plan("ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), "probe set must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the probe join")
+  }
+
+  test("dedup_ngram ships long hash sets, not bigram strings") {
+    val p = plan("dedup_ngram")
+    assert(p.contains("ngramhashset") || p.contains("NGramHashSet")
+      || p.contains("bgd"), "hashed bigram sets expected in the plan")
+    assert(!p.contains("transform(sequence"),
+      "no interpreted higher-order bigram construction in the hot path")
+  }
+
+  test("text_bpe fuses extraction into the scan projection with partial agg") {
+    val p = plan("text_bpe")
+    // AQE explain (isFinalPlan=false) hides WholeStageCodegen spans;
+    // the codegen-ability invariants are: native regexp in the Project
+    // directly over the scan (no UDF/serialization) and map-side combine
+    assert(p.contains("regexp_extract_all") && !p.contains("BatchEvalPython")
+      && !p.contains("mapelements"), "extraction must stay native")
+    assert(p.contains("partial_"), "token stats must combine map-side")
+  }
 }
