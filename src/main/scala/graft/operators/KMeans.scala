@@ -66,26 +66,73 @@ object KMeansDF {
       Centroid(i, r.getAs[Double]("x"), r.getAs[Double]("y"))
     }
 
+  /** One Lloyd iteration over a pinned coordinate RDD: broadcast
+    * centroids, treeAggregate of k×(Σx, Σy, n) partials. Same
+    * arithmetic and lowest-cid tie-break as [[step]], but the inner
+    * loop carries no Catalyst work — a fresh DataFrame plan would be
+    * re-analyzed and re-optimized every round because the centroid
+    * literals change. This is the one place imperative RDD code beats
+    * the declarative plan (and is exactly MLlib's own shape). */
+  private def stepRdd(rdd: org.apache.spark.rdd.RDD[(Double, Double)],
+      centroids: Seq[Centroid], roundTo: Int = 6): Seq[Centroid] = {
+    val sorted = centroids.sortBy(_.cid)
+    val cxs = sorted.map(_.x).toArray
+    val cys = sorted.map(_.y).toArray
+    val k = cxs.length
+    val bc = rdd.sparkContext.broadcast((cxs, cys))
+    try {
+      val (sx, sy, cnt) = rdd.treeAggregate(
+        (new Array[Double](k), new Array[Double](k), new Array[Long](k)))(
+        seqOp = { case (acc, (x, y)) =>
+          val (cx, cy) = bc.value
+          var best = Double.MaxValue; var bi = 0; var i = 0
+          while (i < k) {
+            val dx = x - cx(i); val dy = y - cy(i)
+            val d = dx * dx + dy * dy
+            if (d < best) { best = d; bi = i } // strict < → lowest cid wins ties
+            i += 1
+          }
+          acc._1(bi) += x; acc._2(bi) += y; acc._3(bi) += 1
+          acc
+        },
+        combOp = { case (a, b) =>
+          var i = 0
+          while (i < k) { a._1(i) += b._1(i); a._2(i) += b._2(i); a._3(i) += b._3(i); i += 1 }
+          a
+        })
+      def rnd(v: Double): Double =
+        BigDecimal(v).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+      sorted.zipWithIndex.map { case (c, i) =>
+        if (cnt(i) == 0) c // empty cluster unchanged, as in the reference
+        else Centroid(c.cid, rnd(sx(i) / cnt(i)), rnd(sy(i) / cnt(i)))
+      }
+    } finally bc.destroy()
+  }
+
   /** Full Lloyd's to convergence (max centroid movement < tol), bounded
     * iterations like the reference's ITERATIONS cap (config.cuh:11). */
   def fit(points: DataFrame, k: Int, maxIter: Int = 25, tol: Double = 1e-4): Seq[Centroid] = {
-    // iterative refinement re-scans the point table every round: pin it
-    // (MEMORY_AND_DISK) for the duration, as MLlib does
-    val pinned = points.persist()
+    // iterative refinement re-scans the points every round: pin the
+    // two coordinate columns (MEMORY_AND_DISK) for the duration
+    val rdd = points.select(col("x"), col("y"))
+      .rdd.map(r => (r.getDouble(0), r.getDouble(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var cs = initFirstK(pinned, k)
+      var cs = initFirstK(points, k)
       var iter = 0
       var moved = Double.MaxValue
       while (iter < maxIter && moved >= tol) {
-        val next = step(pinned, cs)
+        val next = stepRdd(rdd, cs)
         moved = cs.zip(next).map { case (a, b) =>
           math.max(math.abs(a.x - b.x), math.abs(a.y - b.y))
         }.max
         cs = next
         iter += 1
+        if (sys.env.contains("SPARK_GRAFT_KM_DEBUG"))
+          System.err.println(s"[km] iter $iter moved=$moved t=${System.nanoTime() / 1e9}")
       }
       cs
-    } finally pinned.unpersist(blocking = false)
+    } finally rdd.unpersist(blocking = false)
   }
 
   /** WSSSE: sum of squared distance to the nearest centroid. */
