@@ -42,6 +42,28 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join — the streaming twin of batch
+    * `q_range_join`: each purchase is joined to the same user's views
+    * from the preceding hour. Both sides are watermarked and the join
+    * condition bounds event time on both, so join state is evicted once
+    * the watermark passes the interval — bounded memory at any rate. */
+  def purchaseViewJoin(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", watermarkDelay)
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+      .withWatermark("v_ts", watermarkDelay)
+    p.join(v, col("p_user") === col("v_user")
+      && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+      && col("v_ts") < col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_ts"), col("v_ts"),
+        col("v_value"))
+  }
+
   /** Streaming sessionization with custom state: 30-min inactivity gap —
     * the stateful twin of batch `q_sessionize`. Event-time timeouts
     * against the watermark (deterministic on replay, unlike wall-clock

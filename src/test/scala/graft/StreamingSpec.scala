@@ -55,6 +55,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("purchaseViewJoin matches views in the preceding hour, stream-stream") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.purchaseViewJoin(in.toDF())
+      .writeStream.format("memory").queryName("pv_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), "view", 1.0),   // in window (60 min before purchase)
+        Event(1, ts(30), "view", 2.0),  // in window
+        Event(1, ts(60), "purchase", 9.0),
+        Event(1, ts(90), "view", 3.0),  // after the purchase — excluded
+        Event(2, ts(30), "view", 4.0))  // other user — excluded
+      q.processAllAvailable()
+      val rows = spark.table("pv_join").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("v_value"))).toSet
+      assert(rows === Set((1L, 1.0), (1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
