@@ -233,6 +233,37 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Multiset count of array elements that belong to a small baked-in
+  * vocabulary (stopword profiles, function-word lists). The
+  * `size(filter(ws, w -> array_contains(vocab, w)))` higher-order form
+  * is interpreted with per-element closure dispatch; this is one hash
+  * lookup per token. */
+case class VocabHitCount(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val set = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    vocab.foreach(v => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val ws = v.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (set.contains(ws.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object DedupExpressions {
   def minhashBands(words: Column, numHashes: Int, bands: Int): Column =
     ExprBridge.column(MinHashBands(ExprBridge.expression(words), numHashes, bands))
@@ -248,4 +279,7 @@ object DedupExpressions {
 
   def sortedLongIntersectSize(a: Column, b: Column): Column =
     ExprBridge.column(SortedLongIntersectSize(ExprBridge.expression(a), ExprBridge.expression(b)))
+
+  def vocabHitCount(words: Column, vocab: Seq[String]): Column =
+    ExprBridge.column(VocabHitCount(ExprBridge.expression(words), vocab))
 }

@@ -13,11 +13,10 @@ object TextFunctions {
   /** Whitespace tokenization (the `\s+` split both engines agree on). */
   def words(text: Column): Column = split(text, "\\s+")
 
-  /** Multiset count of tokens that appear in `vocab`. */
-  def hitCount(ws: Column, vocab: Seq[String]): Column = {
-    val v = array(vocab.map(lit): _*)
-    size(filter(ws, w => array_contains(v, w)))
-  }
+  /** Multiset count of tokens that appear in `vocab` (native expr —
+    * one hash probe per token instead of an interpreted HOF filter). */
+  def hitCount(ws: Column, vocab: Seq[String]): Column =
+    DedupExpressions.vocabHitCount(ws, vocab)
 
   /** Function-word profiles for the heuristic language ID. Scores are
     * profile hit counts; argmax with alphabetical tie-break. */

@@ -87,6 +87,9 @@ object TextPack extends QueryPack {
       val n = base.count().toDouble
       val w = base.select(col("doc_id"), explode(col("w")).as("word"))
       val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      // separate distinct lineage for df: measured faster than both a
+      // dfreq-from-tf self-join (recomputes the tf aggregation) and a
+      // window count over tf (sort-shuffles the full (doc, word) set)
       val dfreq = w.distinct().groupBy("word").agg(count(lit(1)).as("df"))
       val scored = tf.join(dfreq, "word")
         .select(col("doc_id"), col("word"),
