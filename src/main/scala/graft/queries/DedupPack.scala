@@ -36,7 +36,12 @@ object DedupPack extends QueryPack {
       docs.as("a")
         .join(docs.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb")
-            && col("a.doc_id") < col("b.doc_id"))
+            && col("a.doc_id") < col("b.doc_id")
+            // size-ratio prefilter: jaccard >= t implies min >= t*max,
+            // so this prunes pairs before the array merge ever runs
+            // (0.995 slack covers the rounded-comparison boundary)
+            && least(col("a.n"), col("b.n"))
+              >= lit(0.995 * 0.6) * greatest(col("a.n"), col("b.n")))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           round(inter / (col("a.n") + col("b.n") - inter), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.6)
@@ -70,7 +75,9 @@ object DedupPack extends QueryPack {
       docs.as("a")
         .join(docs.as("b"),
           col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb")
-            && col("a.doc_id") < col("b.doc_id"))
+            && col("a.doc_id") < col("b.doc_id")
+            && least(col("a.n"), col("b.n"))
+              >= lit(0.995 * 0.5) * greatest(col("a.n"), col("b.n")))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           round(inter / (col("a.n") + col("b.n") - inter), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
