@@ -112,6 +112,20 @@ object RelationalII extends QueryPack {
         hour(col("ts")).as("h"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))),
 
+    // Skew-salted shuffle join surfaced as a query: the events fact has
+    // few, hot user keys; the fact side salts 8 ways off event_id and
+    // the (not-broadcastable-by-assumption) dim side replicates per
+    // salt, so no reducer owns a hot key alone. Result is identical to
+    // the plain join — which is exactly what the oracle checks.
+    "q_skew_join" -> ((s, d) => {
+      val fact = events(s, d).select(col("user_id"), col("event_id"), col("value"))
+      val dim = customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
+      graft.operators.SkewJoin.saltedJoin(fact, dim, "user_id", "event_id", salts = 8)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // Sliding (overlapping) time windows: 1-hour span, 30-minute slide —
     // every event lands in exactly two windows.
     "q_sliding_window" -> ((s, d) =>
@@ -183,6 +197,10 @@ object RelationalII extends QueryPack {
         |  CAST(date_part('hour', ts) AS INT) AS h,
         |  count(*) AS n, round(sum(value),2) AS sv
         |FROM events GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    "q_skew_join" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_sliding_window" ->
       """WITH e AS (
         |  SELECT event_type, value,
