@@ -33,6 +33,16 @@ object StatsPack extends QueryPack {
         count(lit(1)).as("n_rows"))
     }),
 
+    // Approximate percentiles (positional sketch) — the constant-memory
+    // twin of q_percentile; rows-only for the same reason as the HLL.
+    "q_approx_percentile" -> ((s, d) => {
+      events(s, d).groupBy("event_type").agg(
+        expr("approx_percentile(value, array(0.5, 0.9), 1000)").as("p"),
+        count(lit(1)).as("n"))
+        .select(col("event_type"), col("p")(0).as("p50"),
+          col("p")(1).as("p90"), col("n"))
+    }),
+
     // Per-label mean embedding: posexplode to narrow (label, dim, v)
     // rows → hash agg with partial combine. The shuffle carries only
     // k×dim partial sums per partition regardless of corpus size.

@@ -32,6 +32,16 @@ class KMeansNDSpec extends SparkSpec {
     assert(cs(1).toSeq === Seq(10.0, 10.5, 10.0))
   }
 
+  test("fit's treeAggregate inner loop equals the DataFrame step on embeddings") {
+    val p = Tables.embeddings(spark, sfDir)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val k = 4
+    val viaFit = KMeansND.fit(p, k, maxIter = 1, tol = 0.0)
+    val viaStep = KMeansND.step(p, KMeansND.seed(p, k))
+    assert(viaFit.map { case (c, v) => c -> v.toSeq }
+      === viaStep.map { case (c, v) => c -> v.toSeq })
+  }
+
   test("step leaves empty clusters unchanged") {
     val cs = Seq(0 -> Array(0.0, 0.0, 0.0), 1 -> Array(1000.0, 0.0, 0.0))
     val next = KMeansND.step(tiny, cs).toMap

@@ -41,6 +41,16 @@ class KMeansSpec extends SparkSpec {
     assert(xs === Set((0.5, 0.0), (10.5, 10.0)))
   }
 
+  test("fit's treeAggregate inner loop equals the DataFrame step on real points") {
+    // one full round through each path from the same seed must agree
+    // exactly: same strict-< lowest-cid ties, same HALF_UP 6-dp means
+    val p = Tables.points2d(spark, sfDir)
+    val k = graft.queries.Clustering.K
+    val viaFit = KMeansDF.fit(p, k, maxIter = 1, tol = 0.0)
+    val viaStep = KMeansDF.step(p, KMeansDF.initFirstK(p, k))
+    assert(viaFit === viaStep)
+  }
+
   test("cost is the sum of squared distances to assigned centroids") {
     val cs = Seq(Centroid(0, 0.5, 0.0), Centroid(1, 10.5, 10.0))
     val w = KMeansDF.cost(tiny, cs).select("wssse").as[Double].head()
