@@ -216,17 +216,17 @@ object Dedup {
       .select(col(idCol).as("id"), words(col(textCol)).as("w"))
       .withColumn("sim", simhash(col("w")))
       .select("id", "sim")
-    val banded = sh.withColumn("band", explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_idx"),
-          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)))
-      .select(col("id"), col("sim"), col("band.band_idx").as("band_idx"),
-        col("band.band_val").as("band_val"))
+    // band id and 16-bit slice packed into ONE long key (idx<<16 | val):
+    // a single-column equi join hashes/compares half the key bytes
+    val banded = sh.withColumn("band_val", explode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))
+          + lit(b.toLong << 16)): _*)))
+      .select(col("id"), col("band_val"))
     // ids-only band join (exchange reused across both sides), then one
     // join back to the small (id, sim) table for the Hamming check
     val cand = banded.as("a")
       .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_val") === col("b.band_val")
+        col("a.band_val") === col("b.band_val")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
