@@ -58,6 +58,18 @@ object RelationalII extends QueryPack {
         .na.fill(0L)
     }),
 
+    // Unpivot (wide→long): the inverse of q_pivot's reshaping.
+    "q_unpivot" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("total"))
+    }),
+
     // CUBE: every subtotal combination, with grouping_id level marker.
     "q_cube" -> ((s, d) =>
       orders(s, d).cube("o_orderstatus", "o_orderpriority")
@@ -161,6 +173,15 @@ object RelationalII extends QueryPack {
         |   WHERE o_custkey = c_custkey) AS max_order
         |FROM customer
         |WHERE c_acctbal > 0""".stripMargin,
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem)
+        |SELECT measure, count(*) AS n, round(sum(val),2) AS total
+        |FROM u GROUP BY measure""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

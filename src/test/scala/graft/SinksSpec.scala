@@ -38,6 +38,17 @@ class SinksSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("embeddings survive an ORC round-trip (arrays included)") {
+    val dir = tmp("graft_orc_")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      emb.write.mode("overwrite").orc(s"$dir/emb")
+      val back = spark.read.orc(s"$dir/emb")
+      assert(back.count() === emb.count())
+      assert(back.exceptAll(emb).isEmpty && emb.exceptAll(back).isEmpty)
+    } finally rm(dir)
+  }
+
   test("partitioned parquet prunes non-matching partitions at plan time") {
     val dir = tmp("graft_part_")
     try {
