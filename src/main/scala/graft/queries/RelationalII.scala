@@ -58,6 +58,30 @@ object RelationalII extends QueryPack {
         .na.fill(0L)
     }),
 
+    // Typed per-group imperative logic (KeyValueGroupedDataset
+    // .flatMapGroups): max inter-event gap per user. The group
+    // iterator is sorted in-task by (ts, event_id) — deterministic —
+    // and the oracle reproduces it with lag() windows. This is the
+    // batch face of the API the streaming sessionizer uses; state is
+    // one group in memory at a time.
+    "q_typed_groups" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+        .as[(Long, Long, Long)]
+      ev.groupByKey(_._1)
+        .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long)]) =>
+          val ts = it.toArray.sortBy(r => (r._2, r._3)).map(_._2)
+          if (ts.length < 2) Iterator.empty
+          else {
+            var maxGap = 0L
+            var i = 1
+            while (i < ts.length) { maxGap = math.max(maxGap, ts(i) - ts(i - 1)); i += 1 }
+            Iterator((uid, ts.length.toLong, maxGap))
+          }
+        }.toDF("user_id", "n_events", "max_gap_us")
+    }),
+
     // Unpivot (wide→long): the inverse of q_pivot's reshaping.
     "q_unpivot" -> ((s, d) => {
       lineitem(s, d)
@@ -173,6 +197,14 @@ object RelationalII extends QueryPack {
         |   WHERE o_custkey = c_custkey) AS max_order
         |FROM customer
         |WHERE c_acctbal > 0""".stripMargin,
+    "q_typed_groups" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events, max(gap) AS max_gap_us
+        |FROM g GROUP BY user_id HAVING count(*) >= 2""".stripMargin,
     "q_unpivot" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
