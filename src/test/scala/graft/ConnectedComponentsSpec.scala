@@ -39,6 +39,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("handles an empty pair set without failing") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+  }
+
   test("matches a union-find ground truth on real near-dup pairs") {
     val pairs = graft.queries.DedupPack.defs("dedup_jaccard")(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect()

@@ -37,4 +37,28 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getInt(0)
     assert(n === 1)
   }
+
+  test("a pure-SQL session can run the hashed-Jaccard dedup pipeline") {
+    GraftSession.registerFunctions(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("docs_sql")
+    // same shape as dedup_jaccard, written by a SQL-only user
+    val pairs = spark.sql(
+      """WITH t AS (
+        |  SELECT doc_id, lang, floor(n_chars/100) AS lb,
+        |    ngram_hash_set(split(text, '\\s+'), 1) AS w
+        |  FROM docs_sql WHERE size(split(text, '\\s+')) >= 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(sorted_long_intersect_size(a.w, b.w) /
+        |      (size(a.w) + size(b.w) - sorted_long_intersect_size(a.w, b.w)), 4)
+        |      AS jaccard
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b FROM p WHERE jaccard >= 0.6""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val api = graft.queries.DedupPack.defs("dedup_jaccard")(spark, sfDir)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === api)
+  }
 }
