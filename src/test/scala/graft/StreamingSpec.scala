@@ -93,6 +93,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming ingests parquet drops incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_").toString
+    try {
+      val batch1 = Seq(Event(1, ts(0), "view", 1.0), Event(2, ts(1), "click", 2.0))
+      batch1.toDF().write.parquet(s"$dir/in/b1")
+      val stream = spark.readStream
+        .schema(batch1.toDF().schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in/*")
+      val q = stream.groupBy("event_type").count()
+        .writeStream.format("memory").queryName("file_src")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("file_src").collect().map(_.getLong(1)).sum === 2)
+        // a new file arriving is picked up without restarting the query
+        Seq(Event(3, ts(2), "view", 3.0)).toDF().write.parquet(s"$dir/in/b2")
+        q.processAllAvailable()
+        assert(spark.table("file_src").collect().map(_.getLong(1)).sum === 3)
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("sessionize closes a session when the inactivity gap is exceeded") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
