@@ -82,6 +82,40 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(id: Long, src_w: Int, src_h: Int,
+      dst_w: Int, dst_h: Int, out_len: Int, checksum: String)
+
+  /** Resize stage (stub codec): parses the fake header, "resamples" to
+    * the target box preserving aspect ratio, and emits the resized
+    * payload's metadata + checksum. The real-codec contract is the
+    * same: bytes in, bytes+metadata out, pure per-row, partition-
+    * parallel; swap the stub arithmetic for libvips/javacv and the
+    * plumbing stands. */
+  def resize(df: DataFrame, idCol: String, binCol: String,
+      maxW: Int = 256, maxH: Int = 256): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val m = stubDecode(id, bytes)
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+          val (dw, dh) = (math.max(1, (m.width * scale).toInt),
+            math.max(1, (m.height * scale).toInt))
+          // stub "resampled" payload: every k-th byte of the source,
+          // where k tracks the area ratio — deterministic, length ∝ scale²
+          val k = math.max(1, (1.0 / math.max(scale * scale, 1e-9)).toInt)
+          val out = bytes.indices.collect { case i if i % k == 0 => bytes(i) }.toArray
+          md.reset()
+          ResizedMedia(id, m.width, m.height, dw, dh, out.length,
+            md.digest(out).map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
   /** Frame-sampling stage for video-style payloads: every `stride`
     * bytes emits one 16-byte "frame" row — the flatMap shape of real
     * frame extraction (rows out ∝ media length / stride, partition-

@@ -19,7 +19,9 @@ object MultimodalPack extends QueryPack {
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(media(s, d), "doc_id", "media").toDF()),
     "mm_framesample" -> ((s, d) =>
-      Multimodal.sampleFrames(media(s, d), "doc_id", "media").toDF())
+      Multimodal.sampleFrames(media(s, d), "doc_id", "media").toDF()),
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resize(media(s, d), "doc_id", "media").toDF())
   )
 
   def oracles: Map[String, String] = Map.empty

@@ -49,6 +49,26 @@ class MultimodalSpec extends SparkSpec {
     assert(one.count() === 1)
   }
 
+  test("resize preserves aspect ratio and never upscales") {
+    // header bytes chosen for a 1025×513 source (mild 2:1 aspect)
+    val big = Array.tabulate[Byte](4096)(i => (i * 31).toByte)
+    big(0) = 64; big(1) = 0; big(2) = 32; big(3) = 0
+    val out = Multimodal.resize(
+      Seq((1L, big)).toDF("id", "media"), "id", "media", 64, 64)
+      .collect().head
+    assert(out.dst_w <= 64 && out.dst_h <= 64)
+    val srcRatio = out.src_w.toDouble / out.src_h
+    val dstRatio = out.dst_w.toDouble / out.dst_h
+    assert(math.abs(srcRatio - dstRatio) / srcRatio < 0.1,
+      "aspect ratio preserved within integer rounding")
+    assert(out.out_len <= big.length, "downscale must not grow the payload")
+    // deterministic: same input → same checksum
+    val again = Multimodal.resize(
+      Seq((1L, big)).toDF("id", "media"), "id", "media", 64, 64)
+      .collect().head
+    assert(again.checksum === out.checksum)
+  }
+
   test("decodeMeta runs distributed over the documents table") {
     val out = Multimodal.documentsAsMedia(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
