@@ -45,6 +45,27 @@ class PlanSpec extends SparkSpec {
       "word arrays must not ride the candidate shuffle")
   }
 
+  test("q_topk_agg shuffles bounded heaps, not sorted rows") {
+    val p = plan("q_topk_agg")
+    assert(p.contains("partial_topkstructs") || p.contains("TopKStructs"),
+      "bounded-heap aggregate must combine map-side")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Sort ["),
+      "no full per-group sort should survive in the aggregate variant")
+  }
+
+  test("q_asof_join is one partitioned window pass — no join at all") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), "as-of must be a carry-forward window, not a join")
+    val shuffles = "Exchange".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected a single user_id exchange, saw $shuffles")
+  }
+
+  test("q_label_centroid shuffles only k×dim partial sums") {
+    val p = plan("q_label_centroid")
+    assert(p.contains("partial_avg") || p.contains("partial_average"),
+      "vector mean must combine map-side before the exchange")
+  }
+
   test("q_sample is a pure pushed scan+filter — no shuffle") {
     val p = plan("q_sample")
     assert(!p.contains("Exchange"), "hash sampling must not move data")
