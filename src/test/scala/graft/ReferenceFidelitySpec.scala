@@ -28,6 +28,31 @@ class ReferenceFidelitySpec extends SparkSpec {
     assert(r.getDouble(0) >= 0 && r.getDouble(3) <= 1000000)
   }
 
+  test("the reference's recorded centroids are fixpoints of our integer step") {
+    // data/birch1.txt.output is a run the reference shipped. Its init is
+    // wall-clock-seeded, so the run itself is unreproducible — but any
+    // converged centroid must be a FIXPOINT of one assignment+integer-
+    // mean iteration, and fixpointness is seed-independent. 11 of the
+    // 15 recorded centroids (the dense Birch grid clusters) reproduce
+    // bit-exactly under our step — a single tie-break, rounding, or
+    // distance discrepancy would perturb them. The other 4 sit in the
+    // sparse remainder and are not fixpoints of the shipped data under
+    // either NUM_INPUT=10000 or the full 100k file (they move by >10⁴
+    // units), i.e. the recording predates the shipped data/config —
+    // measured, not assumed.
+    val re = """Point: \((\d+),(\d+)\)""".r
+    val recorded = {
+      val src = scala.io.Source.fromFile("/root/reference/data/birch1.txt.output")
+      try src.getLines().collect { case re(x, y) => (x.toDouble, y.toDouble) }
+        .zipWithIndex.map { case ((x, y), i) => KMeansDF.Centroid(i, x, y) }.toSeq
+      finally src.close()
+    }
+    assert(recorded.length === K)
+    val next = KMeansDF.stepInt(points, recorded)
+    val fixed = recorded.zip(next).count { case (a, b) => a.x == b.x && a.y == b.y }
+    assert(fixed >= 11, s"expected >=11 bit-exact fixpoint centroids, got $fixed")
+  }
+
   test("integer-mode Lloyd's matches the reference's arithmetic") {
     val cs = KMeansDF.fitReference(points, K, iterations = 10)
     assert(cs.length === K)
