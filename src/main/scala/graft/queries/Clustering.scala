@@ -74,6 +74,32 @@ object Clustering extends QueryPack {
       KMeansDF.fit(p, K).toDF()
         .select(col("cid"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
     }),
+    // Model selection: WSSSE elbow curve over candidate k — one
+    // broadcast-argmin pass per k, unioned. Each pass is the km_cost
+    // operator; the oracle reproduces every k from the same seeds.
+    "km_elbow" -> ((s, d) => {
+      val p = pts(s, d)
+      val seeds = seedCentroids(p)
+      Seq(2, 4, 8, 15).map { k =>
+        KMeansDF.cost(p, seeds.take(k)).select(lit(k).as("k"), col("wssse"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // Cluster quality: MLlib's squared-euclidean silhouette (O(n·k),
+    // not the O(n²) textbook formula — the at-scale evaluator).
+    "km_silhouette" -> ((s, d) => {
+      import org.apache.spark.ml.evaluation.ClusteringEvaluator
+      import org.apache.spark.ml.functions.array_to_vector
+      val p = pts(s, d)
+      val assigned = KMeansDF.assign(p, seedCentroids(p))
+        .select(array_to_vector(array(col("x"), col("y"))).as("features"),
+          col("cid").cast("int").as("prediction"))
+      val sil = new ClusteringEvaluator().setMetricName("silhouette").evaluate(assigned)
+      val spark = s
+      import spark.implicits._
+      Seq((math.rint(sil * 10000) / 10000, Clustering.K)).toDF("silhouette", "k")
+    }),
+
     "km_fit_mllib" -> ((s, d) => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -119,6 +145,19 @@ object Clustering extends QueryPack {
          |FROM cent1 c LEFT JOIN upd2 u USING (cid)""".stripMargin,
     "km_cost" ->
       s"""WITH pts AS ($ptsSql), cent AS ($centSql), a AS ($assignSql)
-         |SELECT round(sum(dist),4) AS wssse FROM a""".stripMargin
+         |SELECT round(sum(dist),4) AS wssse FROM a""".stripMargin,
+    "km_elbow" -> {
+      val perK = Seq(2, 4, 8, 15).map { k =>
+        s"""SELECT $k AS k, round(sum(dist),4) AS wssse FROM (
+           |  SELECT id, dist FROM (
+           |    SELECT p.id,
+           |      (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy) AS dist,
+           |      row_number() OVER (PARTITION BY p.id
+           |        ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+           |    FROM pts p CROSS JOIN (SELECT * FROM cent WHERE cid < $k) c)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH pts AS ($ptsSql), cent AS ($centSql)\n$perK"
+    }
   )
 }
