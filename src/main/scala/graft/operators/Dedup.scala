@@ -199,6 +199,18 @@ object Dedup {
     result
   }
 
+  /** End-to-end corpus dedup: resolve near-dup pairs to clusters, keep
+    * one canonical doc (min id) per cluster, pass uniques through. The
+    * composite a training-data pipeline actually calls: pairs → CC →
+    * anti-join of non-keepers against the corpus (one broadcast-able
+    * small side: non-keepers ≈ dup count, not corpus size). */
+  def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val nonKeepers = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("_drop_id"))
+    docs.join(nonKeepers, docs(idCol) === col("_drop_id"), "left_anti")
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over word hashes: per-bit ±1 votes, sign → bit

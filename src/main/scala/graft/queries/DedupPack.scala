@@ -60,6 +60,15 @@ object DedupPack extends QueryPack {
     "dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(defs("dedup_jaccard")(s, d))),
 
+    // End-to-end dedup applied to the corpus: near-dup clusters keep
+    // their min-id doc, uniques pass through; per-lang survivor counts.
+    "dedup_apply" -> ((s, d) =>
+      Dedup.applyDedup(Tables.documents(s, d), "doc_id",
+          defs("dedup_jaccard")(s, d))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))),
+
     // n-gram (word-bigram) Jaccard near-dup: order-sensitive, so it
     // catches shuffled-word docs that the word-SET Jaccard calls equal.
     // Same blocked self-join shape; bigram sets sorted once per doc,
@@ -124,6 +133,34 @@ object DedupPack extends QueryPack {
         |  UNION
         |  SELECT e.src AS id, reach.r FROM e JOIN reach ON reach.id = e.dst)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_apply" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
+        |    list_distinct(list_transform(regexp_split_to_array(text, '\s+'),
+        |      x -> md5_number_lower(x))) AS w
+        |  FROM documents),
+        |jp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.w, b.w)) /
+        |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 4) >= 0.6),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM n
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM e JOIN reach ON reach.id = e.dst),
+        |drops AS (
+        |  SELECT id AS doc_id FROM (
+        |    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |  WHERE id <> cluster_id)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |GROUP BY lang""".stripMargin,
     "dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,

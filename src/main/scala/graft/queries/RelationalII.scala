@@ -58,6 +58,18 @@ object RelationalII extends QueryPack {
         .na.fill(0L)
     }),
 
+    // Aggregation into collections: sorted distinct array + ordered
+    // string concatenation per group (sort makes both deterministic
+    // across partitionings — unsorted collect_* is not).
+    "q_array_agg" -> ((s, d) => {
+      events(s, d)
+        .withColumn("ub", (col("user_id") % 10).cast("long"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_set(col("ub"))).as("buckets"),
+          count(lit(1)).as("n"))
+        .withColumn("bucket_csv", concat_ws(",", col("buckets")))
+    }),
+
     // Typed per-group imperative logic (KeyValueGroupedDataset
     // .flatMapGroups): max inter-event gap per user. The group
     // iterator is sorted in-task by (ts, event_id) — deterministic —
@@ -197,6 +209,12 @@ object RelationalII extends QueryPack {
         |   WHERE o_custkey = c_custkey) AS max_order
         |FROM customer
         |WHERE c_acctbal > 0""".stripMargin,
+    "q_array_agg" ->
+      """SELECT event_type,
+        |  list_sort(list_distinct(list(user_id % 10))) AS buckets,
+        |  count(*) AS n,
+        |  array_to_string(list_sort(list_distinct(list(user_id % 10))), ',') AS bucket_csv
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_typed_groups" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -58,6 +58,26 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), fingerprint(col("w")).as("fp"))
     }),
 
+    // PII detection/redaction accounting — the compliance scrub a
+    // training corpus goes through before use. Patterns avoid
+    // lookarounds/backrefs so Java (Spark) and RE2 (DuckDB) agree.
+    "text_pii" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+      val phone = "\\+[0-9][0-9]+"
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(col("lang"),
+          (length(t) - length(regexp_replace(t, email, ""))).as("email_chars"),
+          (length(t) - length(regexp_replace(t, phone, ""))).as("phone_chars"),
+          length(regexp_replace(regexp_replace(t, email, "<EMAIL>"),
+            phone, "<PHONE>")).as("redacted_len"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("email_chars") > 0).cast("long")).as("docs_with_email"),
+          sum((col("phone_chars") > 0).cast("long")).as("docs_with_phone"),
+          sum("redacted_len").as("total_redacted_len"))
+    }),
+
     // BPE-ish subword token accounting: a GPT-2-style pretokenizer
     // regex (letter runs / digit runs / punctuation runs, each with an
     // optional leading space) — the standard first stage of byte-pair
@@ -161,6 +181,21 @@ object TextPack extends QueryPack {
          |  SELECT doc_id, word, score,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
          |  FROM s) WHERE rk <= 3""".stripMargin,
+    "text_pii" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    length(text) - length(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '', 'g')) AS email_chars,
+        |    length(text) - length(regexp_replace(text, '\+[0-9][0-9]+', '', 'g')) AS phone_chars,
+        |    length(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      '\+[0-9][0-9]+', '<PHONE>', 'g')) AS redacted_len
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN email_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+        |  CAST(sum(CASE WHEN phone_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+        |  CAST(sum(redacted_len) AS BIGINT) AS total_redacted_len
+        |FROM t GROUP BY lang""".stripMargin,
     "text_bpe" ->
       """WITH t AS (
         |  SELECT lang,
