@@ -21,6 +21,31 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
 
+  /** The cluster-deployment preset (1000-executor / 100 TB shape).
+    * Local runs don't need these; a production submit applies them on
+    * top of `builder()`:
+    *   - AQE owns runtime parallelism: start shuffle partitions high
+    *     (coalescing shrinks them per-stage; undersized partitions at
+    *     100 TB mean multi-GB spills), let skew-join splitting handle
+    *     hot keys the salting API doesn't cover.
+    *   - Broadcast threshold raised to 64 MB: every §2 dim table and
+    *     centroid/probe/query side fits, keeping the fact tables to
+    *     at most one exchange per query.
+    *   - Kryo + compressed shuffle/broadcast: the dedup packs ship
+    *     long-array hash sets — binary-friendly, poorly served by
+    *     Java serialization. */
+  def clusterDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", "4000")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.shuffle.compress", "true")
+      .config("spark.broadcast.compress", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+
   /** Registers graft's native expressions under SQL names. */
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
