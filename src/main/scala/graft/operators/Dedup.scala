@@ -23,25 +23,50 @@ object Dedup {
   /** Candidate pairs (id_a < id_b) whose MinHash signatures collide in
     * ≥1 band, with exact word-set Jaccard verification ≥ `threshold`.
     *
-    * Shuffle discipline: the band self-join moves only (id, band_idx,
-    * band_val) — never the documents — and its two sides are identical
-    * plans, so Spark reuses one exchange. Word sets re-enter only for
-    * the (small) deduplicated candidate set, via equi-joins back to a
-    * per-doc distinct-word projection. */
+    * Exact duplicates are collapsed FIRST (md5(text) groups): banding,
+    * the bucket self-join, and Jaccard verification run once per
+    * distinct text, and member pairs are expanded afterwards. On the
+    * duplicate-heavy corpora this operator exists for, the band join
+    * would otherwise pay c² inflated rows per c-sized identical group
+    * in every one of the 32 bands; collapsed, join cost follows
+    * distinct texts and expansion is bounded by the output pair count
+    * (the semantic floor). Shuffle discipline unchanged: the band join
+    * moves (id, band_val) only; word sets re-enter for the verified
+    * representative pairs via equi-joins. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), words(col(textCol)).as("w"))
+    val base = docs.select(col(idCol).as("id"),
+        md5(col(textCol).cast("binary")).as("h"), words(col(textCol)).as("w"))
       .filter(size(col("w")) >= 3)
-    val bands = base
+    val reps = base.dropDuplicates("h")
+    val bands = reps
       .withColumn("band_val",
         explode(graft.functions.DedupExpressions.minhashBands(col("w"), NumHashes, Bands)))
       .select(col("id"), col("band_val"))
-    val cand = bands.as("a")
+    val candRep = bands.as("a")
       .join(bands.as("b"),
         col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(cand, base, threshold)
+    val repPairs = verifyJaccard(candRep, reps.select(col("id"), col("w")), threshold)
+    val members = base.select(col("h"), col("id"))
+    val repsH = reps.select(col("id").as("rid"), col("h").as("rh"))
+    // identical texts: Jaccard exactly 1 — a text-hash self-join emits
+    // each member pair once
+    val within = members.as("x")
+      .join(members.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    // verified representative pairs inherit their Jaccard across all
+    // members of both texts
+    val across = repPairs.as("p")
+      .join(repsH.as("ra"), col("p.id_a") === col("ra.rid"))
+      .join(members.as("ma"), col("ra.rh") === col("ma.h"))
+      .join(repsH.as("rb"), col("p.id_b") === col("rb.rid"))
+      .join(members.as("mb"), col("rb.rh") === col("mb.h"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"), col("p.jaccard"))
+    within.unionByName(across)
   }
 
   /** Join candidate (id_a, id_b) pairs back to per-doc distinct
@@ -62,6 +87,96 @@ object Dedup {
         round(inter / (col("a.n") + col("b.n") - inter), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Blocked exact n-gram Jaccard with exact-duplicate collapse.
+    * Expects `docs` projected to (doc_id, lang, lb, text); emits
+    * (id_a < id_b, jaccard) for same-(lang, lb)-block pairs with
+    * hashed n-gram-set Jaccard ≥ threshold.
+    *
+    * Identical (text, lang, lb) rows are collapsed to one
+    * representative before the block self-join: the join then scales
+    * with distinct texts per block (duplicate-heavy corpora would
+    * otherwise pay c² join rows per c-sized identical group), and
+    * member pairs are expanded afterwards — bounded by the output,
+    * which is the semantic floor. A size-ratio prefilter prunes rep
+    * pairs before the array merge (jaccard ≥ t implies min ≥ t·max;
+    * 0.995 slack covers the rounded-comparison boundary). */
+  def blockedNgramJaccard(docs: DataFrame, ngramN: Int, threshold: Double): DataFrame = {
+    val (reps, members, repPairs) = blockedParts(docs, ngramN, threshold)
+    // identical texts in the same block: jaccard is exactly 1
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.h") === col("y.h") && col("x.lang") === col("y.lang")
+          && col("x.lb") === col("y.lb") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    // verified representative pairs inherit their jaccard across all
+    // members of both texts (same block by construction)
+    val across = repPairs
+      .join(members.as("ma"), col("ha") === col("ma.h")
+        && col("pl") === col("ma.lang") && col("plb") === col("ma.lb"))
+      .join(members.as("mb"), col("hb") === col("mb.h")
+        && col("pl") === col("mb.lang") && col("plb") === col("mb.lb"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("id_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("id_b"),
+        col("jaccard"))
+    within.unionByName(across)
+  }
+
+  /** Connectivity-equivalent SPARSE pair set for duplicate-cluster
+    * resolution: a star from each identical-text group to its
+    * representative plus ONE edge per verified representative pair —
+    * the same connected components as the full member expansion with
+    * |members| + |repPairs| edges instead of Σ c² (39M → ~150k on a
+    * 10× replica probe). Cluster resolution doesn't need every
+    * qualifying pair, only their connectivity; use this for
+    * `connectedComponents`/`applyDedup`, and the full
+    * [[blockedNgramJaccard]] when the pair list itself is the answer. */
+  def blockedNgramJaccardSparse(docs: DataFrame, ngramN: Int,
+      threshold: Double): DataFrame = {
+    val (reps, members, repPairs) = blockedParts(docs, ngramN, threshold)
+    val star = members.as("m")
+      .join(reps.select(col("h"), col("lang"), col("lb"),
+          col("doc_id").as("rep_id")).as("r"),
+        col("m.h") === col("r.h") && col("m.lang") === col("r.lang")
+          && col("m.lb") === col("r.lb") && col("m.doc_id") =!= col("rep_id"))
+      .select(least(col("m.doc_id"), col("rep_id")).as("id_a"),
+        greatest(col("m.doc_id"), col("rep_id")).as("id_b"))
+    val repEdges = repPairs
+      .select(least(col("rid_a"), col("rid_b")).as("id_a"),
+        greatest(col("rid_a"), col("rid_b")).as("id_b"))
+    star.unionByName(repEdges)
+  }
+
+  /** Shared prep for the blocked Jaccard family: hashed n-gram sets,
+    * one representative per identical (text, lang, block), and the
+    * verified representative pairs. */
+  private def blockedParts(docs: DataFrame, ngramN: Int, threshold: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = docs.select(col("doc_id"), col("lang"), col("lb"),
+      md5(col("text").cast("binary")).as("h"),
+      graft.functions.DedupExpressions.ngramHashSet(words(col("text")), ngramN).as("wd"))
+      .filter(col("wd").isNotNull)
+      .withColumn("n", size(col("wd")))
+    val reps = base.dropDuplicates("h", "lang", "lb")
+    val members = base.select(col("h"), col("lang"), col("lb"), col("doc_id"))
+    val inter = graft.functions.DedupExpressions
+      .sortedLongIntersectSize(col("a.wd"), col("b.wd"))
+    val repPairs = reps.as("a")
+      .join(reps.as("b"),
+        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb")
+          && col("a.h") < col("b.h")
+          // size-ratio prefilter: jaccard >= t implies min >= t*max
+          // (0.995 slack covers the rounded-comparison boundary)
+          && least(col("a.n"), col("b.n"))
+            >= lit(0.995 * threshold) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.h").as("ha"), col("b.h").as("hb"),
+        col("a.doc_id").as("rid_a"), col("b.doc_id").as("rid_b"),
+        col("a.lang").as("pl"), col("a.lb").as("plb"),
+        round(inter / (col("a.n") + col("b.n") - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    (reps, members, repPairs)
   }
 
   /** Exact word-set Jaccard similarity. */
@@ -221,32 +336,51 @@ object Dedup {
   /** Near-dup pairs with Hamming distance ≤ 3 via 4×16-bit band blocking.
     * Complete by pigeonhole: ≤3 differing bits cannot touch all 4 bands,
     * so every qualifying pair collides in ≥1 band — unlike MinHash LSH
-    * this blocking loses no recall. */
+    * this blocking loses no recall.
+    *
+    * The band self-join runs over DISTINCT signatures, not documents:
+    * exact-duplicate-heavy corpora (the common case at scale) would
+    * otherwise flood every band bucket with c copies of the same
+    * signature and pay 4·c² inflated join rows plus a dedup shuffle.
+    * Collapsed, the join cost follows unique signatures; member
+    * expansion afterwards is bounded by the OUTPUT pair count, which
+    * is the semantic floor. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sh = docs
       .select(col(idCol).as("id"), words(col(textCol)).as("w"))
       .withColumn("sim", simhash(col("w")))
       .select("id", "sim")
-    // band id and 16-bit slice packed into ONE long key (idx<<16 | val):
-    // a single-column equi join hashes/compares half the key bytes
-    val banded = sh.withColumn("band_val", explode(array((0 until 4).map(b =>
+    val sims = sh.select("sim").distinct()
+    // band id and 16-bit slice packed into ONE long key (idx<<16 | val)
+    val banded = sims.withColumn("band_val", explode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))
           + lit(b.toLong << 16)): _*)))
-      .select(col("id"), col("band_val"))
-    // ids-only band join (exchange reused across both sides), then one
-    // join back to the small (id, sim) table for the Hamming check
-    val cand = banded.as("a")
+      .select(col("sim"), col("band_val"))
+    // signature-pair candidates (canonical sim_a < sim_b), Hamming-
+    // verified before any member expansion
+    val simPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band_val") === col("b.band_val")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.id"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sa.sim").bitwiseXOR(col("sb.sim"))).as("hamming"))
+          && col("a.sim") < col("b.sim"))
+      .select(col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .dropDuplicates("sim_a", "sim_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
+    // identical-signature pairs: Hamming 0 by definition — a sim-keyed
+    // self-join emits each member pair exactly once
+    val within = sh.as("x")
+      .join(sh.as("y"), col("x.sim") === col("y.sim") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    // cross-signature expansion: every member pair inherits the
+    // signature pair's Hamming distance
+    val across = simPairs
+      .join(sh.as("ma"), col("sim_a") === col("ma.sim"))
+      .join(sh.as("mb"), col("sim_b") === col("mb.sim"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("hamming"))
+    within.unionByName(across)
   }
 }

@@ -20,32 +20,14 @@ object DedupPack extends QueryPack {
 
     // Blocked exact near-dup: word-set Jaccard ≥ 0.6 inside
     // (lang, n_chars/100) blocks — the block key bounds pair count.
-    "dedup_jaccard" -> ((s, d) => {
-      // sorted distinct word-HASH sets computed once per doc, before
-      // the block self-join (identical sides → exchange reuse); the
-      // pair verify is then a native linear merge over longs — several
-      // times lighter on both CPU and shuffle than string sets, and the
-      // oracle hashes identically (md5_number_lower)
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("lb"),
-        graft.functions.DedupExpressions.ngramHashSet(words(col("text")), 1).as("wd"))
-        .filter(col("wd").isNotNull)
-        .withColumn("n", size(col("wd")))
-      val inter = graft.functions.DedupExpressions
-        .sortedLongIntersectSize(col("a.wd"), col("b.wd"))
-      docs.as("a")
-        .join(docs.as("b"),
-          col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb")
-            && col("a.doc_id") < col("b.doc_id")
-            // size-ratio prefilter: jaccard >= t implies min >= t*max,
-            // so this prunes pairs before the array merge ever runs
-            // (0.995 slack covers the rounded-comparison boundary)
-            && least(col("a.n"), col("b.n"))
-              >= lit(0.995 * 0.6) * greatest(col("a.n"), col("b.n")))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(inter / (col("a.n") + col("b.n") - inter), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.6)
-    }),
+    // Blocked exact near-dup over hashed word sets (native NGramHashSet
+    // = DuckDB md5_number_lower), exact-dup collapse + linear long-merge
+    // verify — see Dedup.blockedNgramJaccard for the scale shape.
+    "dedup_jaccard" -> ((s, d) =>
+      Dedup.blockedNgramJaccard(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 100).as("lb"), col("text")),
+        ngramN = 1, threshold = 0.6)),
 
     // MinHash(128) + LSH(32×4) candidates, exact-Jaccard verified.
     "dedup_minhash" -> ((s, d) =>
@@ -56,41 +38,37 @@ object DedupPack extends QueryPack {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
 
     // Duplicate-group resolution: connected components over the blocked
-    // Jaccard pairs; cluster_id = canonical keeper (min doc id).
+    // Jaccard pairs; cluster_id = canonical keeper (min doc id). Uses
+    // the connectivity-equivalent sparse edge set (group stars + rep
+    // pairs) — identical components, |V|+|repPairs| edges instead of
+    // the full quadratic expansion.
     "dedup_clusters" -> ((s, d) =>
-      Dedup.connectedComponents(defs("dedup_jaccard")(s, d))),
+      Dedup.connectedComponents(Dedup.blockedNgramJaccardSparse(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 100).as("lb"), col("text")),
+        ngramN = 1, threshold = 0.6))),
 
     // End-to-end dedup applied to the corpus: near-dup clusters keep
     // their min-id doc, uniques pass through; per-lang survivor counts.
+    // Sparse edges — applyDedup only needs connectivity.
     "dedup_apply" -> ((s, d) =>
       Dedup.applyDedup(Tables.documents(s, d), "doc_id",
-          defs("dedup_jaccard")(s, d))
+          Dedup.blockedNgramJaccardSparse(
+            Tables.documents(s, d).select(col("doc_id"), col("lang"),
+              floor(col("n_chars") / 100).as("lb"), col("text")),
+            ngramN = 1, threshold = 0.6))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("chars_kept"))),
 
     // n-gram (word-bigram) Jaccard near-dup: order-sensitive, so it
     // catches shuffled-word docs that the word-SET Jaccard calls equal.
-    // Same blocked self-join shape; bigram sets sorted once per doc,
-    // pair verify is the native linear merge-intersect.
-    "dedup_ngram" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), floor(col("n_chars") / 100).as("lb"),
-          graft.functions.DedupExpressions.ngramHashSet(words(col("text")), 2).as("bgd"))
-        .filter(col("bgd").isNotNull)
-        .withColumn("n", size(col("bgd")))
-      val inter = graft.functions.DedupExpressions
-        .sortedLongIntersectSize(col("a.bgd"), col("b.bgd"))
-      docs.as("a")
-        .join(docs.as("b"),
-          col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb")
-            && col("a.doc_id") < col("b.doc_id")
-            && least(col("a.n"), col("b.n"))
-              >= lit(0.995 * 0.5) * greatest(col("a.n"), col("b.n")))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(inter / (col("a.n") + col("b.n") - inter), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-    })
+    // Same collapsed blocked shape over hashed bigram sets.
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.blockedNgramJaccard(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 100).as("lb"), col("text")),
+        ngramN = 2, threshold = 0.5))
   )
 
   def oracles: Map[String, String] = Map(
