@@ -32,15 +32,40 @@ object Similarity {
   }
 
   /** Exact near-duplicate pairs within blocks (co-partitioned self-join
-    * on the block key; never all-pairs). */
-  def nearDupPairs(corpus: DataFrame, blockCol: String, threshold: Double): DataFrame =
-    corpus.as("a")
-      .join(corpus.as("b"),
-        col(s"a.$blockCol") === col(s"b.$blockCol")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+    * on the block key; never all-pairs). Identical (block, vector) rows
+    * are collapsed to one representative before the join — replicated
+    * vectors would otherwise pay c² join rows per identical group —
+    * and member pairs are expanded afterwards (identical vectors have
+    * cosine exactly 1 at the rounded precision; cross pairs inherit the
+    * representative cosine, which is bit-equal for equal inputs). */
+  def nearDupPairs(corpus: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val base = corpus.select(col("vec_id"), col(blockCol).as("blk"), col("embedding"))
+    val reps = base.dropDuplicates("blk", "embedding")
+    val members = base
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.blk") === col("y.blk")
+          && col("x.embedding") === col("y.embedding")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        lit(1.0).as("cos"))
+    // canonical representative order via lexicographic array comparison
+    val repPairs = reps.as("a")
+      .join(reps.as("b"),
+        col("a.blk") === col("b.blk") && col("a.embedding") < col("b.embedding"))
+      .select(col("a.blk").as("pblk"), col("a.embedding").as("ea"),
+        col("b.embedding").as("eb"),
         round(cosineSim(col("a.embedding"), col("b.embedding")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+    val across = repPairs
+      .join(members.as("ma"), col("pblk") === col("ma.blk")
+        && col("ea") === col("ma.embedding"))
+      .join(members.as("mb"), col("pblk") === col("mb.blk")
+        && col("eb") === col("mb.embedding"))
+      .select(least(col("ma.vec_id"), col("mb.vec_id")).as("id_a"),
+        greatest(col("ma.vec_id"), col("mb.vec_id")).as("id_b"), col("cos"))
+    within.unionByName(across)
+  }
 
   /** Deterministic hyperplanes baked in as plan literals (seeded LCG on
     * the driver) — no per-row hashing, no shared RNG state. */
