@@ -85,6 +85,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the probe join")
   }
 
+  test("collapsed dedup joins stay equi-joins — no cartesian fallback") {
+    for (q <- Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash",
+        "dedup_clusters", "embed_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: member expansion and rep joins must remain hash equi-joins")
+    }
+  }
+
   test("dedup_ngram ships long hash sets, not bigram strings") {
     val p = plan("dedup_ngram")
     assert(p.contains("ngramhashset") || p.contains("NGramHashSet")
