@@ -35,6 +35,16 @@ for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         continue
     q = os.path.basename(qdir)
     got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+    # the driver sorts every dump with pandas sort_values, which throws
+    # on array/struct columns (r2: mm_features, q_array_agg) — replicate
+    # that failure mode locally for EVERY query, rows-only included
+    try:
+        df = got.df()
+        df.sort_values(by=sorted(df.columns))
+    except Exception as e:
+        print(f"FAIL {q}: driver-style pandas sort would fail: {e}")
+        fails += 1
+        continue
     if q not in oracle:
         n = len(got.fetchall())
         print(f"{'OK  ' if n > 0 else 'WARN'} {q}: rows-only ({n} rows)")

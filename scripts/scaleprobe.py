@@ -30,24 +30,35 @@ R = 10
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 
+
+def key_stride(table: str, key: str) -> int:
+    """Replica offset derived from the source's max id — a fixed constant
+    would silently collide (duplicate keys) once a table outgrows it."""
+    hi = con.sql(f"SELECT max({key}) FROM '{SF}/{table}.parquet'").fetchall()[0][0]
+    return int(hi) + 1
+
+
+doc_stride = key_stride("documents", "doc_id")
 con.sql(f"""COPY (
-  SELECT doc_id + 1000000 * r AS doc_id, lang, n_chars, text
+  SELECT doc_id + {doc_stride} * r AS doc_id, lang, n_chars, text
   FROM '{SF}/documents.parquet', range(0, {R}) t(r)
 ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
 
+vec_stride = key_stride("embeddings", "vec_id")
 con.sql(f"""COPY (
-  SELECT vec_id + 1000000 * r AS vec_id, label, embedding
+  SELECT vec_id + {vec_stride} * r AS vec_id, label, embedding
   FROM '{SF}/embeddings.parquet', range(0, {R}) t(r)
 ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
 
+order_stride = key_stride("orders", "o_orderkey")
 con.sql(f"""COPY (
-  SELECT o_orderkey + 100000000 * r AS o_orderkey, o_custkey, o_orderstatus,
+  SELECT o_orderkey + {order_stride} * r AS o_orderkey, o_custkey, o_orderstatus,
          o_totalprice, o_orderdate, o_orderpriority
   FROM '{SF}/orders.parquet', range(0, {R}) t(r)
 ) TO '{OUT}/orders.parquet' (FORMAT PARQUET)""")
 
 con.sql(f"""COPY (
-  SELECT l_orderkey + 100000000 * r AS l_orderkey, l_partkey, l_suppkey,
+  SELECT l_orderkey + {order_stride} * r AS l_orderkey, l_partkey, l_suppkey,
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          l_returnflag, l_linestatus, l_shipdate
   FROM '{SF}/lineitem.parquet', range(0, {R}) t(r)
@@ -58,11 +69,12 @@ for t in ["customer", "supplier", "nation", "region", "part"]:
 
 # events: pyarrow replication preserving timestamp[ns]
 t = pq.read_table(f"{SF}/events.parquet")
+event_stride = pc.max(t.column("event_id")).as_py() + 1
 parts = []
 for r in range(R):
     parts.append(t.set_column(
         t.schema.get_field_index("event_id"), "event_id",
-        pc.add(t.column("event_id"), pa.scalar(10000000 * r, pa.int64()))))
+        pc.add(t.column("event_id"), pa.scalar(event_stride * r, pa.int64()))))
 pq.write_table(pa.concat_tables(parts), f"{OUT}/events.parquet")
 
 for name in ["documents", "embeddings", "events", "orders", "lineitem"]:

@@ -4,7 +4,6 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.Literal
 import graft.functions.{CosineSimilarity, MinHashBands, NGramHashSet, SimHash64, SortedIntersectSize, SortedLongIntersectSize}
 
 /** Library-level Catalyst integration: inject graft's native expressions
@@ -28,7 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("sorted_intersect_size",
       es => SortedIntersectSize(es(0), es(1))))
     e.injectFunction(fn("ngram_hash_set", es => NGramHashSet(es(0),
-      es(1).asInstanceOf[Literal].value.toString.toInt)))
+      graft.functions.FunctionArgs.literalInt("ngram_hash_set", "n", es(1)))))
     e.injectFunction(fn("sorted_long_intersect_size",
       es => SortedLongIntersectSize(es(0), es(1))))
   }

@@ -59,8 +59,8 @@ object GraftSession {
       es => SortedIntersectSize(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("ngram_hash_set",
       es => NGramHashSet(es(0),
-        es(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          .value.toString.toInt), "scala_udf")
+        graft.functions.FunctionArgs.literalInt("ngram_hash_set", "n", es(1))),
+      "scala_udf")
     reg.createOrReplaceTempFunction("sorted_long_intersect_size",
       es => SortedLongIntersectSize(es(0), es(1)), "scala_udf")
   }

@@ -39,6 +39,16 @@ object DedupHashing {
     while (j < until) { h = h * 31 + sig(j); j += 1 }
     h
   }
+
+  /** Lower 64 bits of an md5 digest read little-endian — bit-identical
+    * to DuckDB's `md5_number_lower`, the shared hash space that makes
+    * every md5-derived operator oracle-reproducible (SURVEY.md §4). */
+  @inline def md5Lower64(d: Array[Byte]): Long = {
+    var h = 0L
+    var j = 15
+    while (j >= 8) { h = (h << 8) | (d(j) & 0xFFL); j -= 1 }
+    h
+  }
 }
 
 /** words array<string> → array<long> of LSH band bucket keys: word
@@ -89,10 +99,16 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
 }
 
 /** words array<string> → 64-bit SimHash (per-bit ±1 votes over word
-  * hashes, sign → bit), one native pass. */
+  * hashes, sign → bit), one native pass. Word hashes are md5-lower-64
+  * (= DuckDB `md5_number_lower`), so an oracle can rebuild the exact
+  * signature — and because the 4-band pigeonhole blocking downstream is
+  * complete for Hamming ≤ 3, the whole operator is SQL-checkable as a
+  * brute-force pairwise popcount. */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
 
   override def nullSafeEval(v: Any): Any = {
     val ws = v.asInstanceOf[ArrayData]
@@ -100,10 +116,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val s = ws.getUTF8String(i).toString
-      val lo = MurmurHash3.stringHash(s, 0x85ebca6b)
-      val hi = MurmurHash3.stringHash(s, 0xc2b2ae35)
-      val h = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+      md.reset()
+      md.update(ws.getUTF8String(i).getBytes)
+      val h = DedupHashing.md5Lower64(md.digest())
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -154,12 +169,7 @@ case class NGramHashSet(child: Expression, n: Int)
         md.update(ws.getUTF8String(i + g).getBytes)
         g += 1
       }
-      val d = md.digest()
-      // lower 64 bits, little-endian: DuckDB md5_number_lower
-      var h = 0L
-      var j = 15
-      while (j >= 8) { h = (h << 8) | (d(j) & 0xFFL); j -= 1 }
-      hs(i) = h
+      hs(i) = DedupHashing.md5Lower64(md.digest())
       i += 1
     }
     java.util.Arrays.sort(hs)

@@ -207,8 +207,12 @@ object Dedup {
       if (ccDebug) System.err.println(s"[cc] $m t=${System.nanoTime() / 1e9}")
     dbg("enter")
     // materialize pair generation exactly once (it is the expensive
-    // upstream: LSH banding / blocked verify)
-    val edges1 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // upstream: LSH banding / blocked verify). Ids are normalized to
+    // long here so the local and distributed paths agree on the output
+    // schema (bigint) — non-integral id columns are a caller error, and
+    // ANSI mode fails the cast loudly rather than corrupting ids.
+    val edges1 = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
       .localCheckpoint(true)
     val nEdges = edges1.count()
     dbg(s"edges materialized n=$nEdges")

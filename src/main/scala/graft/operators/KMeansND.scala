@@ -108,6 +108,8 @@ object KMeansND {
       centroids: Seq[(Int, Array[Double])], roundTo: Int = 6): Seq[(Int, Array[Double])] = {
     val sorted = centroids.sortBy(_._1)
     val cvs = sorted.map(_._2).toArray
+    require(cvs.forall(_.length == cvs.head.length),
+      s"ragged centroid dims: ${cvs.map(_.length).distinct.mkString(",")}")
     val cns = cvs.map(norm2)
     val k = cvs.length
     val bc = rdd.sparkContext.broadcast((cvs, cns))
@@ -116,13 +118,17 @@ object KMeansND {
         (Array.fill(k)(Array.empty[Double]), new Array[Long](k)))(
         seqOp = { case ((s, n), x) =>
           val (cv, cn) = bc.value
+          // a ragged corpus must fail fast, not yield a silently-partial
+          // dot product or mis-sized sum arrays downstream
+          require(cv.isEmpty || x.length == cv(0).length,
+            s"vector dim ${x.length} != centroid dim ${cv(0).length}")
           var na = 0.0; var i = 0
           while (i < x.length) { na += x(i) * x(i); i += 1 }
           var best = Double.MaxValue; var bi = 0; var c = 0
           while (c < k) {
             var dot = 0.0; var j = 0
             val v = cv(c)
-            while (j < x.length && j < v.length) { dot += x(j) * v(j); j += 1 }
+            while (j < x.length) { dot += x(j) * v(j); j += 1 }
             val d = (na - 2 * dot) + cn(c)
             if (d < best) { best = d; bi = c } // strict < → lowest cid wins
             c += 1

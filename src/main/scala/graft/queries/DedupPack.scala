@@ -139,6 +139,29 @@ object DedupPack extends QueryPack {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         |GROUP BY lang""".stripMargin,
+    // The 4×16-bit band blocking is COMPLETE for Hamming ≤ 3
+    // (pigeonhole), so the oracle is the brute-force semantic: rebuild
+    // each 64-bit signature from md5_number_lower word hashes (±1 votes
+    // per bit, sign → bit; duplicates counted — no list_distinct), then
+    // keep every pair with popcount(xor) ≤ 3.
+    "dedup_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+        |wh AS (
+        |  SELECT doc_id, md5_number_lower(unnest(ws)) AS h FROM d),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM wh, range(0, 64) t(j) GROUP BY doc_id, j),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN 1::UBIGINT << j ELSE 0::UBIGINT END)
+        |      AS UBIGINT) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
     "dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,

@@ -16,8 +16,14 @@ object MultimodalPack extends QueryPack {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> ((s, d) => Multimodal.documentsAsMedia(s, d)),
-    "mm_features" -> ((s, d) =>
-      Multimodal.extractFeatures(media(s, d), "doc_id", "media").toDF()),
+    // the feature vector dumps as csv — the gate's compare harness
+    // can't sort array columns; the typed Dataset keeps the real array
+    "mm_features" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.extractFeatures(media(s, d), "doc_id", "media").toDF()
+        .select(col("id"), col("byte_len"),
+          concat_ws(",", col("hist")).as("hist_csv"))
+    }),
     "mm_framesample" -> ((s, d) =>
       Multimodal.sampleFrames(media(s, d), "doc_id", "media").toDF()),
     "mm_resize" -> ((s, d) =>

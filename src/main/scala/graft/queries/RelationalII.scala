@@ -60,14 +60,19 @@ object RelationalII extends QueryPack {
 
     // Aggregation into collections: sorted distinct array + ordered
     // string concatenation per group (sort makes both deterministic
-    // across partitionings — unsorted collect_* is not).
+    // across partitionings — unsorted collect_* is not). The dumped
+    // result carries the collection as csv + cardinality, not the raw
+    // array — the gate's compare harness can't sort array columns.
     "q_array_agg" -> ((s, d) => {
       events(s, d)
         .withColumn("ub", (col("user_id") % 10).cast("long"))
         .groupBy("event_type")
         .agg(sort_array(collect_set(col("ub"))).as("buckets"),
           count(lit(1)).as("n"))
-        .withColumn("bucket_csv", concat_ws(",", col("buckets")))
+        .select(col("event_type"),
+          concat_ws(",", col("buckets")).as("bucket_csv"),
+          size(col("buckets")).cast("long").as("n_buckets"),
+          col("n"))
     }),
 
     // Typed per-group imperative logic (KeyValueGroupedDataset
@@ -211,9 +216,9 @@ object RelationalII extends QueryPack {
         |WHERE c_acctbal > 0""".stripMargin,
     "q_array_agg" ->
       """SELECT event_type,
-        |  list_sort(list_distinct(list(user_id % 10))) AS buckets,
-        |  count(*) AS n,
-        |  array_to_string(list_sort(list_distinct(list(user_id % 10))), ',') AS bucket_csv
+        |  array_to_string(list_sort(list_distinct(list(user_id % 10))), ',') AS bucket_csv,
+        |  CAST(len(list_distinct(list(user_id % 10))) AS BIGINT) AS n_buckets,
+        |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "q_typed_groups" ->
       """WITH g AS (

@@ -22,15 +22,20 @@ object StreamingOps {
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  /** start/last are epoch MICROS — the same unit the batch pack emits
+    * (unix_micros), so streaming/batch parity holds below the
+    * millisecond (events.parquet carries sub-ms timestamps). */
   final case class SessionState(start: Long, last: Long, nEvents: Long, sumValue: Double)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, sess_value: Double)
 
-  /** State (epoch ms, from Timestamp.getTime) → output row. Bounds are
-    * emitted in epoch MICROS to match the batch pack's unix_micros
-    * convention (q_sessionize / q_asof_join). */
+  /** Timestamp → epoch micros without ms truncation: getTime floors to
+    * millis; getNanos carries the full sub-second fraction. */
+  private def epochMicros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   private def closeSession(userId: Long, s: SessionState): SessionOut =
-    SessionOut(userId, s.start * 1000L, s.last * 1000L, s.nEvents, s.sumValue)
+    SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue)
 
   /** Streaming exact dedup — the streaming twin of batch `dedup_exact`:
     * drops rows whose key was already seen within the watermark horizon.
@@ -86,10 +91,11 @@ object StreamingOps {
           } else {
             var out = List.empty[SessionOut]
             var cur = state.getOption
-            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
+            val gapUs = gapMs * 1000L
+            it.toSeq.sortBy(e => epochMicros(e.ts)).foreach { e =>
+              val t = epochMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(s.copy(last = t, nEvents = s.nEvents + 1,
                     sumValue = s.sumValue + e.value))
                 case Some(s) =>
@@ -101,10 +107,11 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              // close when event time passes last+gap (never behind the
-              // current watermark, which would be rejected)
+              // timeout API is epoch ms: close when event time passes
+              // last+gap (never behind the current watermark, which
+              // would be rejected)
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(s.last / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.reverseIterator
           }

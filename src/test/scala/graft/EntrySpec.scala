@@ -18,4 +18,16 @@ class EntrySpec extends SparkSpec {
       assert(fn(spark, sfDir).count() > 0)
     }
   }
+
+  test("every query dumps atomic columns only (gate harness can't sort arrays)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, sfDir).schema.fields.toSeq.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"$name.${f.name}"
+      }
+    }
+    assert(offenders.isEmpty, s"complex-typed dump columns: $offenders")
+  }
 }
