@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ExprBridge
 import org.apache.spark.sql.types._
-import scala.util.hashing.MurmurHash3
 
 /** Native Catalyst expressions for the dedup hot path.
   *
@@ -19,10 +18,6 @@ import scala.util.hashing.MurmurHash3
   * itself is primitive-typed native code.
   */
 object DedupHashing {
-  /** 31-bit base hash of a shingle (bounded so a*h+b stays in long). */
-  @inline def shingleHash(s: String): Long =
-    (MurmurHash3.stringHash(s, 0x9747b28c).toLong & 0x7FFFFFFFL)
-
   /** Deterministic permutation parameters, 2^30-bounded. */
   def perms(n: Int): (Array[Long], Array[Long]) = {
     var s = 0x9E3779B97F4A7C15L
@@ -30,14 +25,6 @@ object DedupHashing {
     val a = Array.fill(n)(next() | 1L)
     val b = Array.fill(n)(next())
     (a, b)
-  }
-
-  /** Mixes one band's signature slice into a single long bucket key. */
-  @inline def mixBand(sig: Array[Long], from: Int, until: Int): Long = {
-    var h = 1125899906842597L
-    var j = from
-    while (j < until) { h = h * 31 + sig(j); j += 1 }
-    h
   }
 
   /** Lower 64 bits of an md5 digest read little-endian — bit-identical
@@ -53,7 +40,14 @@ object DedupHashing {
 
 /** words array<string> → array<long> of LSH band bucket keys: word
   * 3-gram shingling, `numHashes` MinHash permutations, `bands` bands.
-  * Null (→ filtered) for docs with fewer than 3 words. */
+  * Null (→ filtered) for docs with fewer than 3 words.
+  *
+  * Every hash is in DuckDB's md5_number_lower space so an oracle can
+  * rebuild the banding bit-exactly: the shingle base hash is
+  * md5-lower-64 masked to 31 bits (a·h+b then stays in long), and the
+  * band bucket key is md5-lower-64 of the band's signature slice
+  * rendered as "s0 s1 s2 s3 <bandIdx>" (decimal ASCII — DuckDB
+  * string_agg of BIGINTs reproduces it verbatim). */
 case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression with CodegenFallback {
   import DedupHashing._
@@ -66,6 +60,9 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
   // returns null for docs with <3 words regardless of input nullability
   override def nullable: Boolean = true
 
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  private val space = " ".getBytes
+
   override def nullSafeEval(v: Any): Any = {
     val ws = v.asInstanceOf[ArrayData]
     val n = ws.numElements()
@@ -73,9 +70,11 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i <= n - 3) {
-      val s = ws.getUTF8String(i).toString + " " + ws.getUTF8String(i + 1).toString +
-        " " + ws.getUTF8String(i + 2).toString
-      val h = shingleHash(s)
+      md.reset()
+      md.update(ws.getUTF8String(i).getBytes); md.update(space)
+      md.update(ws.getUTF8String(i + 1).getBytes); md.update(space)
+      md.update(ws.getUTF8String(i + 2).getBytes)
+      val h = md5Lower64(md.digest()) & 0x7FFFFFFFL
       var j = 0
       while (j < numHashes) {
         val x = pa(j) * h + pb(j)
@@ -85,11 +84,16 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
       i += 1
     }
     val out = new Array[Long](bands)
+    val sb = new java.lang.StringBuilder(96)
     var b = 0
     while (b < bands) {
-      // fold the band index in so identical slices in different bands
-      // never share a bucket key space
-      out(b) = mixBand(sig, b * rows, (b + 1) * rows) * 31 + b
+      sb.setLength(0)
+      var j = b * rows
+      while (j < (b + 1) * rows) { sb.append(sig(j)); sb.append(' '); j += 1 }
+      sb.append(b)
+      md.reset()
+      md.update(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(b) = md5Lower64(md.digest())
       b += 1
     }
     new GenericArrayData(out)

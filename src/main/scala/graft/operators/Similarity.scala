@@ -68,8 +68,10 @@ object Similarity {
   }
 
   /** Deterministic hyperplanes baked in as plan literals (seeded LCG on
-    * the driver) — no per-row hashing, no shared RNG state. */
-  private def planes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    * the driver) — no per-row hashing, no shared RNG state. Exposed to
+    * the query pack so the oracle SQL can inline the exact same doubles
+    * (Double.toString round-trips bit-exactly through DuckDB's parser). */
+  private[graft] def planes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
     var s = 0x51AFE7B70C0FFEEL
     def next(): Double = {
       s = s * 6364136223846793005L + 1442695040888963407L

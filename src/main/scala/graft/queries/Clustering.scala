@@ -16,6 +16,7 @@ import graft.operators.KMeansDF.Centroid
   */
 object Clustering extends QueryPack {
   val K = 15 // reference NUM_OUTPUT (config.cuh:14)
+  val LloydFixedIters = 5 // fixed-iteration mode (reference ITERATIONS shape)
 
   /** Deterministic seed centroids: points with id < K, cid = id. */
   def seedCentroids(points: DataFrame): Seq[Centroid] =
@@ -73,6 +74,18 @@ object Clustering extends QueryPack {
       import s.implicits._
       KMeansDF.fit(p, K).toDF()
         .select(col("cid"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"))
+    }),
+    // The reference's actual loop shape: a FIXED iteration count with no
+    // convergence test in the hot path (config.cuh ITERATIONS,
+    // kmeans_mapreduce_core.cu:237-259) — tol=0 runs stepRdd exactly
+    // maxIter times. Unlike the tol-gated km_lloyd, the trajectory is a
+    // pure function of the data, so the oracle replays every iteration
+    // as a chained CTE.
+    "km_lloyd_fixed" -> ((s, d) => {
+      val p = pts(s, d)
+      import s.implicits._
+      KMeansDF.fit(p, K, maxIter = LloydFixedIters, tol = 0.0).toDF()
+        .select(col("cid"), col("x").as("nx"), col("y").as("ny"))
     }),
     // Model selection: WSSSE elbow curve over candidate k — one
     // broadcast-argmin pass per k, unioned. Each pass is the km_cost
@@ -146,6 +159,27 @@ object Clustering extends QueryPack {
     "km_cost" ->
       s"""WITH pts AS ($ptsSql), cent AS ($centSql), a AS ($assignSql)
          |SELECT round(sum(dist),4) AS wssse FROM a""".stripMargin,
+    // every Lloyd iteration replayed as one assign+update CTE stage;
+    // per-iteration round(…,6) keeps the trajectory bit-stable across
+    // engines despite different summation orders
+    "km_lloyd_fixed" -> {
+      val stages = (0 until LloydFixedIters).map { i =>
+        s"""a$i AS (SELECT id, x, y, cid FROM (
+           |  SELECT p.id, p.x, p.y, c.cid,
+           |    row_number() OVER (PARTITION BY p.id
+           |      ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+           |  FROM pts p CROSS JOIN cent$i c) WHERE rn = 1),
+           |cent${i + 1} AS (
+           |  SELECT c.cid, coalesce(u.nx, c.cx) AS cx, coalesce(u.ny, c.cy) AS cy
+           |  FROM cent$i c LEFT JOIN (
+           |    SELECT cid, round(avg(x),6) AS nx, round(avg(y),6) AS ny
+           |    FROM a$i GROUP BY cid) u USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS ($ptsSql),
+         |cent0 AS (SELECT CAST(id AS INT) AS cid, x AS cx, y AS cy FROM pts WHERE id < $K),
+         |$stages
+         |SELECT cid, cx AS nx, cy AS ny FROM cent$LloydFixedIters""".stripMargin
+    },
     "km_elbow" -> {
       val perK = Seq(2, 4, 8, 15).map { k =>
         s"""SELECT $k AS k, round(sum(dist),4) AS wssse FROM (

@@ -71,7 +71,55 @@ object DedupPack extends QueryPack {
         ngramN = 2, threshold = 0.5))
   )
 
+  // the deterministic MinHash permutation constants the Spark plan
+  // bakes in, inlined as exact BIGINT literals
+  private def permsSql: String = {
+    val (pa, pb) = graft.functions.DedupHashing.perms(graft.operators.Dedup.NumHashes)
+    pa.indices.map(j => s"($j, ${pa(j)}, ${pb(j)})").mkString(", ")
+  }
+
   def oracles: Map[String, String] = Map(
+    // MinHash LSH is reproduced bit-exactly: shingle hashes and band
+    // bucket keys live in DuckDB's md5_number_lower space, and the
+    // permutation constants are inlined above. Output = pairs sharing
+    // >= 1 band bucket, exact-Jaccard-verified (identical texts share
+    // all bands, so the per-doc formulation equals Spark's
+    // collapse-then-expand one).
+    "dedup_minhash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+         |base AS (
+         |  SELECT doc_id, ws,
+         |    list_distinct(list_transform(ws, x -> md5_number_lower(x))) AS wd
+         |  FROM d WHERE len(ws) >= 3),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+         |  FROM base),
+         |hh AS (
+         |  SELECT doc_id, CAST(md5_number_lower(s) & 2147483647 AS BIGINT) AS h
+         |  FROM sh),
+         |p(j, a, b) AS (VALUES $permsSql),
+         |sig AS (
+         |  SELECT doc_id, p.j, min(p.a * hh.h + p.b) AS sg
+         |  FROM hh CROSS JOIN p GROUP BY doc_id, p.j),
+         |band AS (
+         |  SELECT doc_id,
+         |    md5_number_lower(string_agg(CAST(sg AS VARCHAR), ' ' ORDER BY j)
+         |      || ' ' || CAST(j // 4 AS VARCHAR)) AS bk
+         |  FROM sig GROUP BY doc_id, j // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM band x JOIN band y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |ver AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(len(list_intersect(a.wd, b.wd)) /
+         |      (len(a.wd) + len(b.wd) - len(list_intersect(a.wd, b.wd))), 4) AS jaccard
+         |  FROM cand c
+         |  JOIN base a ON a.doc_id = c.id_a
+         |  JOIN base b ON b.doc_id = c.id_b)
+         |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,

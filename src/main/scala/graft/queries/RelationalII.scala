@@ -179,6 +179,15 @@ object RelationalII extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // Skew-salted DISTINCT aggregation: per-type distinct users with
+    // the distinct-state bucketed 16 ways by hash(user) — a hot
+    // event_type's user set never lands on one reducer. Result is
+    // provably the plain aggregate (value→bucket is a function), which
+    // is exactly what the oracle checks.
+    "q_skew_distinct" -> ((s, d) =>
+      graft.operators.SkewAgg.saltedDistinct(
+        events(s, d), Seq("event_type"), "user_id", salts = 16)),
+
     // Sliding (overlapping) time windows: 1-hour span, 30-minute slide —
     // every event lands in exactly two windows.
     "q_sliding_window" -> ((s, d) =>
@@ -277,6 +286,9 @@ object RelationalII extends QueryPack {
       """SELECT c_mktsegment AS seg, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1""".stripMargin,
+    "q_skew_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin,
     "q_sliding_window" ->
       """WITH e AS (
         |  SELECT event_type, value,

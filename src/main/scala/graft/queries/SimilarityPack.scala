@@ -47,7 +47,35 @@ object SimilarityPack extends QueryPack {
       |   (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
       |    sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))""".stripMargin
 
+  // the exact hyperplane doubles the Spark plan bakes in, inlined as
+  // round-trip literals (Double.toString → DuckDB parse is bit-exact)
+  private def planesSql: String =
+    graft.operators.Similarity.planes(6, 64).zipWithIndex.map { case (pv, p) =>
+      s"($p, [${pv.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+
   def oracles: Map[String, String] = Map(
+    "ann_lsh_topk" ->
+      s"""WITH planes(p, pv) AS (VALUES
+         |  $planesSql),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bkt AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
+         |      THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id),
+         |cand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |    (list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))) AS cos
+         |  FROM emb q
+         |  JOIN bkt bq ON bq.vec_id = q.vec_id AND q.vec_id < $NumQueries
+         |  JOIN bkt bc ON bc.bucket = bq.bucket
+         |  JOIN emb c ON c.vec_id = bc.vec_id AND c.vec_id <> q.vec_id)
+         |SELECT qid, rk, vid, round(cos, 4) AS cos FROM (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |  FROM cand) WHERE rk <= 3""".stripMargin,
     "ann_topk" ->
       s"""WITH c AS (
          |  SELECT a.vec_id AS qid, b.vec_id AS vid, $cosSql AS cos

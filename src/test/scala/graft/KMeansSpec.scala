@@ -26,6 +26,17 @@ class KMeansSpec extends SparkSpec {
     assert(cid === 0)
   }
 
+  test("fixed-iteration fit (tol=0) equals the declarative step chain") {
+    val p = Tables.points2d(spark, sfDir)
+    val viaFit = KMeansDF.fit(p, 4, maxIter = 2, tol = 0.0)
+    val seeds = p.filter(col("id") < 4).collect().zipWithIndex
+      .map { case (r, i) => Centroid(i, r.getAs[Double]("x"), r.getAs[Double]("y")) }
+      .sortBy(_.cid).toSeq
+    val viaStep = KMeansDF.step(p, KMeansDF.step(p, seeds))
+    assert(viaFit === viaStep,
+      "RDD treeAggregate loop and DataFrame step must agree bit-exactly")
+  }
+
   test("step averages members and keeps empty clusters unchanged") {
     val cs = Seq(Centroid(0, 0.0, 0.0), Centroid(1, 10.0, 10.0),
       Centroid(2, 1000.0, 1000.0))

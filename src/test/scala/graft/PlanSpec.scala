@@ -102,6 +102,44 @@ class PlanSpec extends SparkSpec {
       "no interpreted higher-order bigram construction in the hot path")
   }
 
+  test("q_cube and q_grouping_sets expand once and combine map-side") {
+    for (q <- Seq("q_cube", "q_grouping_sets")) {
+      val p = plan(q)
+      assert(p.contains("Expand"), s"$q: grouping-set expansion expected")
+      assert(p.contains("partial_"), s"$q: subtotals must combine map-side")
+      val shuffles = "Exchange".r.findAllIn(p).length
+      assert(shuffles <= 1, s"$q: one grouping exchange expected, saw $shuffles")
+    }
+  }
+
+  test("q_moving_avg runs all frames in one window pass") {
+    val p = plan("q_moving_avg")
+    val shuffles = "Exchange".r.findAllIn(p).length
+    assert(shuffles <= 1, s"one user_id exchange expected, saw $shuffles")
+    val windows = "(?m)^\\s*[+:]?-? ?Window ".r.findAllIn(p).length
+    assert("Window".r.findAllIn(p).length <= 2,
+      s"running sum and moving avg must share the window spec: $windows")
+  }
+
+  test("q_sliding_window explodes windows before one partial-agg exchange") {
+    val p = plan("q_sliding_window")
+    assert(p.contains("partial_"), "window counts must combine map-side")
+    val shuffles = "Exchange".r.findAllIn(p).length
+    assert(shuffles <= 1, s"one grouping exchange expected, saw $shuffles")
+  }
+
+  test("ann_lsh_topk broadcasts bucketed queries — corpus never shuffles for the join") {
+    val p = plan("ann_lsh_topk")
+    assert(p.contains("BroadcastHashJoin"), "query side must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the bucket join")
+  }
+
+  test("q_histogram buckets in the scan projection with partial agg") {
+    val p = plan("q_histogram")
+    assert(p.contains("partial_"), "bucket counts must combine map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("text_bpe fuses extraction into the scan projection with partial agg") {
     val p = plan("text_bpe")
     // AQE explain (isFinalPlan=false) hides WholeStageCodegen spans;

@@ -21,6 +21,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedDistinct returns exactly the plain distinct counts") {
+    val ev = Tables.events(spark, sfDir)
+    val plain = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_distinct"))
+      .as[(String, Long)].collect().toSet
+    val salted = graft.operators.SkewAgg
+      .saltedDistinct(ev, Seq("event_type"), "user_id", salts = 16)
+      .as[(String, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("saltedDistinct state is spread: first stage groups on (key, bucket)") {
+    val p = graft.operators.SkewAgg
+      .saltedDistinct(Tables.events(spark, sfDir), Seq("event_type"), "user_id", 16)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("pmod(xxhash64"),
+      "value-bucket expression must reach the first aggregate's keys")
+    assert(p.contains("partial_"), "both stages must combine map-side")
+  }
+
   test("salts actually spread a hot key across partitions") {
     val hot = Seq.fill(1000)((1L, "x")).toDF("k", "v")
       .withColumn("row", monotonically_increasing_id())
