@@ -28,6 +28,32 @@ object SimilarityPack extends QueryPack {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < NumQueries), k = 3)
     }),
 
+    // PQ ANN: 8 subspaces × 16 codewords (deterministic first-k
+    // codebook; production trains per-subspace codebooks with
+    // KMeansND.fit). The corpus ranking touches 8-code arrays only —
+    // the 100 TB memory-compression path (32x here, 256 B → 8 B with
+    // byte codes in production). Exact-arithmetic twin of the oracle.
+    "ann_pq" -> ((s, d) => {
+      import graft.functions.PQExpressions.{pqAdcDist, pqEncode}
+      import graft.functions.TopKAggregate.topk
+      val emb = Tables.embeddings(s, d)
+      val cb: Seq[Seq[Double]] = emb.filter(col("vec_id") < NumCodes)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val codes = emb.select(col("vec_id"), pqEncode(col("embedding"), cb, NumSub).as("codes"))
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val cand = codes.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          pqAdcDist(col("qemb"), col("codes"), cb, NumSub).as("ad"))
+      cand.groupBy("qid")
+        .agg(topk(struct(col("ad"), col("vid").as("v")), 3).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+          col("t.v").as("vid"), round(col("t.ad"), 4).as("ad"))
+    }),
+
     // IVF ANN: 16 coarse cells (deterministic first-k seed so the
     // oracle reproduces the layout; production trains via KMeansND.fit),
     // nprobe=2, exact cosine within probed cells.
@@ -41,6 +67,8 @@ object SimilarityPack extends QueryPack {
   )
 
   private val NumCells = 16
+  private val NumCodes = 16 // PQ codewords per subspace
+  private val NumSub = 8 // PQ subspaces (64-d → 8 dims each)
 
   private val cosSql =
     """(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
@@ -54,7 +82,50 @@ object SimilarityPack extends QueryPack {
       s"($p, [${pv.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n  ")
 
+  // one SQL slice expression per PQ subspace (1-based, inclusive bounds)
+  private def sl(t: String, m: Int): String = {
+    val sub = 64 / NumSub
+    s"$t.v[${m * sub + 1}:${(m + 1) * sub}]"
+  }
+
   def oracles: Map[String, String] = Map(
+    "ann_pq" -> {
+      // encode: per (doc, subspace) argmin codeword under the
+      // (|x|²−2x·c)+|c|² identity; ADC: 8 cb joins on the code list and
+      // a statically-unrolled ascending-m sum (bit-equal to the
+      // expression's accumulation order)
+      val encDist =
+        s"""(list_dot_product(e.v[(m.m*8+1):(m.m*8+8)], e.v[(m.m*8+1):(m.m*8+8)])
+           | - 2*list_dot_product(e.v[(m.m*8+1):(m.m*8+8)], c.v[(m.m*8+1):(m.m*8+8)]))
+           | + list_dot_product(c.v[(m.m*8+1):(m.m*8+8)], c.v[(m.m*8+1):(m.m*8+8)])""".stripMargin
+      val cbJoins = (0 until NumSub)
+        .map(m => s"JOIN cb c$m ON c$m.code = d.cs[${m + 1}]").mkString("\n  ")
+      val terms = (0 until NumSub).map { m =>
+        s"""((list_dot_product(${sl("q", m)}, ${sl("q", m)})
+           |  - 2*list_dot_product(${sl("q", m)}, ${sl(s"c$m", m)}))
+           |  + list_dot_product(${sl(s"c$m", m)}, ${sl(s"c$m", m)}))""".stripMargin
+      }.mkString("\n + ")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, v FROM emb WHERE vec_id < $NumCodes),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT e.vec_id, m.m, c.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, m.m
+         |        ORDER BY $encDist, c.code) AS rn
+         |    FROM emb e CROSS JOIN range(0, $NumSub) m(m) CROSS JOIN cb c)
+         |  WHERE rn = 1),
+         |codes AS (SELECT vec_id, list(code ORDER BY m) AS cs FROM enc GROUP BY vec_id),
+         |adc AS (
+         |  SELECT q.vec_id AS qid, d.vec_id AS vid,
+         |    $terms AS ad
+         |  FROM emb q CROSS JOIN codes d
+         |  $cbJoins
+         |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id)
+         |SELECT qid, rk, vid, round(ad, 4) AS ad FROM (
+         |  SELECT qid, vid, ad,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk
+         |  FROM adc) WHERE rk <= 3""".stripMargin
+    },
     "ann_lsh_topk" ->
       s"""WITH planes(p, pv) AS (VALUES
          |  $planesSql),

@@ -23,6 +23,42 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r._1 - 1.0) < 1e-12 && r._2 === 0.0)
   }
 
+  test("PQ encode picks each codeword for itself; ADC reproduces quantization error") {
+    import graft.functions.PQExpressions.{pqAdcDist, pqEncode}
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb: Seq[Seq[Double]] = emb.filter($"vec_id" < 16)
+      .select($"vec_id", $"embedding").collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    // a codeword encodes to itself in every subspace (distance 0 beats
+    // any distinct codeword; ties go to the lower code, and lower-id
+    // duplicates would only lower the code, never change the distance)
+    val selfCodes = emb.filter($"vec_id" < 16)
+      .select($"vec_id", pqEncode($"embedding", cb, 8).as("codes"))
+      .as[(Long, Seq[Int])].collect()
+    selfCodes.foreach { case (vid, codes) =>
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+      codes.zipWithIndex.foreach { case (c, m) =>
+        val got = cb(c).slice(m * 8, m * 8 + 8)
+        val self = cb(vid.toInt).slice(m * 8, m * 8 + 8)
+        assert(got === self, s"vec $vid subspace $m must encode to its own subvector")
+      }
+    }
+    // ADC distance of a vector against its own codes = total
+    // quantization error; exact for codewords (zero), small for others
+    val zero = emb.filter($"vec_id" < 16)
+      .select(pqAdcDist($"embedding", pqEncode($"embedding", cb, 8), cb, 8))
+      .as[Double].collect()
+    zero.foreach(d => assert(math.abs(d) < 1e-9, s"codeword self-ADC must be ~0, got $d"))
+  }
+
+  test("ann_pq ranks by true distance when vectors are exactly codewords") {
+    // for corpus rows that ARE codewords, ADC degenerates to the exact
+    // inter-codeword distance — the approximation is tight there
+    val r = SparkEntry.queries("ann_pq")(spark, sfDir)
+    assert(r.count() === 30) // 10 queries x top-3
+    assert(r.filter($"ad" < 0).count() === 0, "squared distances are non-negative")
+  }
+
   test("cosineSim survives codegen in a realistic plan") {
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
