@@ -113,6 +113,29 @@ object Clustering extends QueryPack {
       Seq((math.rint(sil * 10000) / 10000, Clustering.K)).toDF("silhouette", "k")
     }),
 
+    // Exact squared-euclidean silhouette from per-cluster aggregates —
+    // the same O(n·k) decomposition MLlib uses (mean dist to a cluster
+    // = |x|² − 2x·μ + E|c|², never pairwise), but with our own
+    // deterministic convention (self included in a(i), cluster moments
+    // rounded to 6 so both engines feed identical scalars downstream).
+    // Scale shape: one stats aggregate (k rows) + one broadcast join.
+    "km_silhouette_exact" -> ((s, d) => {
+      val assigned = KMeansDF.assign(pts(s, d), seedCentroids(pts(s, d)))
+        .withColumn("q", col("x") * col("x") + col("y") * col("y"))
+      val stats = assigned.groupBy(col("cid").as("scid"))
+        .agg(round(avg("x"), 6).as("mx"), round(avg("y"), 6).as("my"),
+          round(avg("q"), 6).as("msq"))
+      val md = (col("q") - lit(2.0) * (col("x") * col("mx") + col("y") * col("my"))) + col("msq")
+      val per = assigned.join(broadcast(stats))
+        .withColumn("md", md)
+        .groupBy("id")
+        .agg(max(when(col("scid") === col("cid"), col("md"))).as("a"),
+          min(when(col("scid") =!= col("cid"), col("md"))).as("b"))
+        .withColumn("s", when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(lit(0.0)))
+      per.agg(round(avg("s"), 4).as("silhouette"), lit(K).as("k"))
+    }),
+
     "km_fit_mllib" -> ((s, d) => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -180,6 +203,26 @@ object Clustering extends QueryPack {
          |$stages
          |SELECT cid, cx AS nx, cy AS ny FROM cent$LloydFixedIters""".stripMargin
     },
+    "km_silhouette_exact" ->
+      s"""WITH pts AS ($ptsSql), cent AS ($centSql), a AS ($assignSql),
+         |q AS (SELECT id, x, y, cid, x*x + y*y AS q FROM a),
+         |stats AS (
+         |  SELECT cid AS scid, round(avg(x),6) AS mx, round(avg(y),6) AS my,
+         |    round(avg(q),6) AS msq
+         |  FROM q GROUP BY cid),
+         |per AS (
+         |  SELECT id,
+         |    max(CASE WHEN scid = cid THEN md END) AS sa,
+         |    min(CASE WHEN scid <> cid THEN md END) AS sb
+         |  FROM (
+         |    SELECT p.id, p.cid, s.scid,
+         |      (p.q - 2*(p.x*s.mx + p.y*s.my)) + s.msq AS md
+         |    FROM q p CROSS JOIN stats s)
+         |  GROUP BY id)
+         |SELECT round(avg(CASE WHEN greatest(sa, sb) > 0
+         |    THEN (sb - sa) / greatest(sa, sb) ELSE 0.0 END), 4) AS silhouette,
+         |  $K AS k
+         |FROM per""".stripMargin,
     "km_elbow" -> {
       val perK = Seq(2, 4, 8, 15).map { k =>
         s"""SELECT $k AS k, round(sum(dist),4) AS wssse FROM (

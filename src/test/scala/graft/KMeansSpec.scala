@@ -26,6 +26,17 @@ class KMeansSpec extends SparkSpec {
     assert(cid === 0)
   }
 
+  test("exact silhouette agrees with MLlib's evaluator to within the self-term") {
+    // same squared-euclidean decomposition; conventions differ only in
+    // including the point itself in a(i) (an O(1/|cluster|) effect)
+    val exact = SparkEntry.queries("km_silhouette_exact")(spark, sfDir)
+      .select("silhouette").as[Double].head()
+    val mllib = SparkEntry.queries("km_silhouette")(spark, sfDir)
+      .select("silhouette").as[Double].head()
+    assert(math.abs(exact - mllib) < 0.1,
+      s"exact=$exact vs mllib=$mllib — decompositions should closely agree")
+  }
+
   test("fixed-iteration fit (tol=0) equals the declarative step chain") {
     val p = Tables.points2d(spark, sfDir)
     val viaFit = KMeansDF.fit(p, 4, maxIter = 2, tol = 0.0)
