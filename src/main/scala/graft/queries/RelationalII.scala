@@ -179,6 +179,20 @@ object RelationalII extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // Full outer join: activity per known customer UNION customers with
+    // no events UNION event users with no customer row — the join type
+    // the rest of the pack doesn't cover (inner/semi/anti/asof/range).
+    "q_outer_join" -> ((s, d) => {
+      val ev = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"), round(sum("value"), 2).as("ev_value"))
+      val cust = customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      cust.join(ev, col("c_custkey") === col("user_id"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("user_id")).as("k"),
+          col("seg"), coalesce(col("n_ev"), lit(0L)).as("n_ev"),
+          coalesce(col("ev_value"), lit(0.0)).as("ev_value"))
+    }),
+
     // Skew-salted DISTINCT aggregation: per-type distinct users with
     // the distinct-state bucketed 16 ways by hash(user) — a hot
     // event_type's user set never lands on one reducer. Result is
@@ -286,6 +300,13 @@ object RelationalII extends QueryPack {
       """SELECT c_mktsegment AS seg, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1""".stripMargin,
+    "q_outer_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, count(*) AS n_ev, round(sum(value),2) AS ev_value
+        |  FROM events GROUP BY user_id)
+        |SELECT coalesce(c.c_custkey, ev.user_id) AS k, c.c_mktsegment AS seg,
+        |  coalesce(ev.n_ev, 0) AS n_ev, coalesce(ev.ev_value, 0.0) AS ev_value
+        |FROM customer c FULL OUTER JOIN ev ON c.c_custkey = ev.user_id""".stripMargin,
     "q_skew_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events GROUP BY 1""".stripMargin,

@@ -52,6 +52,31 @@ object TextPack extends QueryPack {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Gopher-style repetition signals: the fraction of tokens taken by
+    // the single most frequent word / word-bigram. High values flag the
+    // boilerplate and keyword-stuffed docs a training pipeline drops.
+    // One explode + two-stage agg, partial-combined; no text re-enters
+    // the shuffle after tokenization.
+    "text_repetition" -> ((s, d) => {
+      val base = docs(s, d).filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("w"))
+      val wordTop = base
+        .select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(round(max("n") / sum("n"), 4).as("top_word_frac"))
+      val bigramTop = base
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "t")))
+        .withColumn("t2", lead("t", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")))
+        .filter(col("t2").isNotNull)
+        .groupBy(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("bg"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(round(max("n") / sum("n"), 4).as("top_bigram_frac"))
+      wordTop.join(bigramTop, "doc_id")
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       docs(s, d)
         .filter(size(col("w")) >= 3)
@@ -140,6 +165,23 @@ object TextPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $wSql AS ws FROM documents WHERE len($wSql) >= 2),
+         |wt AS (
+         |  SELECT doc_id, round(max(n) / sum(n), 4) AS top_word_frac FROM (
+         |    SELECT doc_id, t, count(*) AS n
+         |    FROM (SELECT doc_id, unnest(ws) AS t FROM base) GROUP BY doc_id, t)
+         |  GROUP BY doc_id),
+         |bt AS (
+         |  SELECT doc_id, round(max(n) / sum(n), 4) AS top_bigram_frac FROM (
+         |    SELECT doc_id, bg, count(*) AS n
+         |    FROM (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |      FROM base) GROUP BY doc_id, bg)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, top_word_frac, top_bigram_frac
+         |FROM wt JOIN bt USING (doc_id)""".stripMargin,
     "token_count" ->
       s"""WITH t AS (SELECT lang, len($wSql) AS n_tokens FROM documents)
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
