@@ -93,6 +93,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream state is bounded: watermark evicts expired keys") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(in.toDF(), Seq("user_id", "event_type"),
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 50 distinct keys in an early window
+      in.addData((0 until 50).map(i => Event(i, ts(0), "view", 1.0)): _*)
+      q.processAllAvailable()
+      // event time jumps far past the watermark horizon: the old keys
+      // are evictable; new micro-batches must not accumulate them
+      in.addData(Event(1000, ts(600), "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(1001, ts(610), "view", 1.0))
+      q.processAllAvailable()
+      val state = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(state < 50,
+        s"state rows ($state) must shrink once the watermark passes the horizon" +
+          " — unbounded dedup state would OOM a long-running stream")
+    } finally q.stop()
+  }
+
   test("file-source streaming ingests parquet drops incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_src_").toString
     try {
