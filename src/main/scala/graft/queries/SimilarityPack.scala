@@ -54,6 +54,22 @@ object SimilarityPack extends QueryPack {
           col("t.v").as("vid"), round(col("t.ad"), 4).as("ad"))
     }),
 
+    // ANN evaluation: per-query recall@3 of the LSH path against exact
+    // cosine — the measurement a pipeline runs before trusting an
+    // approximate index. Both constituent paths are oracle-gated, so
+    // the composite is too.
+    "ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < NumQueries)
+      val exact = Similarity.topK(emb, q, k = 3).select(col("qid"), col("vid"))
+      val approx = Similarity.lshTopK(emb, q, k = 3)
+        .select(col("qid").as("aqid"), col("vid").as("avid"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("vid") === col("avid"), "left")
+        .groupBy("qid")
+        .agg(round(count(col("avid")) / lit(3.0), 4).as("recall"))
+    }),
+
     // IVF ANN: 16 coarse cells (deterministic first-k seed so the
     // oracle reproduces the layout; production trains via KMeansND.fit),
     // nprobe=2, exact cosine within probed cells.
@@ -126,6 +142,36 @@ object SimilarityPack extends QueryPack {
          |    row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk
          |  FROM adc) WHERE rk <= 3""".stripMargin
     },
+    "ann_recall" ->
+      s"""WITH planes(p, pv) AS (VALUES
+         |  $planesSql),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bkt AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
+         |      THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id),
+         |lshcand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |    (list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))) AS cos
+         |  FROM emb q
+         |  JOIN bkt bq ON bq.vec_id = q.vec_id AND q.vec_id < $NumQueries
+         |  JOIN bkt bc ON bc.bucket = bq.bucket
+         |  JOIN emb c ON c.vec_id = bc.vec_id AND c.vec_id <> q.vec_id),
+         |ap AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |  FROM lshcand) WHERE rk <= 3),
+         |excand AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, $cosSql AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < $NumQueries
+         |    AND b.vec_id <> a.vec_id),
+         |ex AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |  FROM excand) WHERE rk <= 3)
+         |SELECT ex.qid, round(count(ap.vid) / 3.0, 4) AS recall
+         |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vid = ex.vid
+         |GROUP BY ex.qid""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH planes(p, pv) AS (VALUES
          |  $planesSql),

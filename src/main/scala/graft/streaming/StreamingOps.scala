@@ -47,6 +47,22 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-duplicate dedup: drops documents whose 64-bit
+    * SimHash signature was already seen within the watermark horizon —
+    * the streaming twin of batch `dedup_simhash`'s identical-signature
+    * collapse. Signature equality catches exact dups and the
+    * paraphrase-level near-dups whose bit votes coincide; state is one
+    * long per signature per horizon (the full Hamming-ball variant
+    * belongs in batch, where band self-joins are cheap). */
+  def dedupStreamBySimhash(docs: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("_sim",
+        graft.functions.DedupExpressions.simhash64(split(col(textCol), "\\s+")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_sim")
+      .drop("_sim")
+
   /** Stream-stream interval join — the streaming twin of batch
     * `q_range_join`: each purchase is joined to the same user's views
     * from the preceding hour. Both sides are watermarked and the join

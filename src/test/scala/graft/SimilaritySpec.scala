@@ -51,6 +51,27 @@ class SimilaritySpec extends SparkSpec {
     zero.foreach(d => assert(math.abs(d) < 1e-9, s"codeword self-ADC must be ~0, got $d"))
   }
 
+  test("ivfTopK with KMeansND-TRAINED cells recalls most exact neighbors") {
+    // the production path: coarse cells fitted with Lloyd's, not the
+    // deterministic first-k seed the oracle uses
+    val emb = Tables.embeddings(spark, sfDir)
+    val pts = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val trained = graft.operators.KMeansND.fit(pts, 8, maxIter = 5)
+    val queries = emb.filter($"vec_id" < 10)
+    val ivf = Similarity.ivfTopK(emb, queries, trained, k = 3, nprobe = 2)
+      .select($"qid", $"vid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.topK(emb, queries, k = 3)
+      .select($"qid", $"vid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.size === 10, "every query must produce results")
+    val recall = exact.map { case (q, ex) =>
+      ivf.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(recall >= 0.2,
+      s"trained-cell IVF recall@3 vs exact cosine was $recall — probing is broken")
+  }
+
   test("ann_pq ranks by true distance when vectors are exactly codewords") {
     // for corpus rows that ARE codewords, ADC degenerates to the exact
     // inter-codeword distance — the approximation is tight there

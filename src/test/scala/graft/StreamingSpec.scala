@@ -93,6 +93,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStreamBySimhash drops exact and word-identical near-dups") {
+    implicit val sq = spark.sqlContext
+    final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupStreamBySimhash(docs, "text", "ts")
+      .writeStream.format("memory").queryName("sim_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog"),
+        (2L, ts(1), "the quick brown fox jumps over the lazy dog"), // exact dup
+        (3L, ts(2), "an entirely different document about spark engines"))
+      q.processAllAvailable()
+      val kept = spark.table("sim_dedup").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept.contains(3L) && kept.size === 2,
+        s"one of the identical docs must be dropped, got $kept")
+    } finally q.stop()
+  }
+
   test("dedupStream state is bounded: watermark evicts expired keys") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
