@@ -330,6 +330,43 @@ object Dedup {
     docs.join(nonKeepers, docs(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /** Incremental (ingest-time) dedup: drop incoming docs that are exact
+    * or blocked-Jaccard near-duplicates of an EXISTING corpus — the
+    * daily-ingestion shape, where the corpus side is orders of
+    * magnitude larger than the batch. Both sides are collapsed to
+    * distinct-text representatives before the block join (the corpus
+    * side especially — it is assumed already dedup'd, but the incoming
+    * batch may be duplicate-heavy), so join cost follows distinct
+    * texts; member expansion is an equi-join on text hash. Expects both
+    * frames projected to (doc_id, lang, lb, text); returns the kept
+    * incoming rows. */
+  def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
+      ngramN: Int, threshold: Double): DataFrame = {
+    def base(df: DataFrame) = df.select(col("doc_id"), col("lang"), col("lb"),
+      md5(col("text").cast("binary")).as("h"),
+      graft.functions.DedupExpressions.ngramHashSet(words(col("text")), ngramN).as("wd"))
+      .withColumn("n", size(col("wd")))
+    val inc = base(incoming)
+    val incReps = inc.dropDuplicates("h", "lang", "lb")
+    val corReps = base(corpus).dropDuplicates("h", "lang", "lb")
+    // exact: any incoming text already in the corpus, regardless of block
+    val exactH = corReps.select(col("h")).distinct()
+    // near: representative-level blocked Jaccard against the corpus
+    val inter = graft.functions.DedupExpressions
+      .sortedLongIntersectSize(col("i.wd"), col("c.wd"))
+    val nearH = incReps.as("i")
+      .join(corReps.as("c"),
+        col("i.lang") === col("c.lang") && col("i.lb") === col("c.lb")
+          && col("i.wd").isNotNull && col("c.wd").isNotNull
+          && least(col("i.n"), col("c.n"))
+            >= lit(0.995 * threshold) * greatest(col("i.n"), col("c.n")))
+      .filter(round(inter / (col("i.n") + col("c.n") - inter), 4) >= threshold)
+      .select(col("i.h").as("h")).distinct()
+    incoming
+      .join(exactH.unionByName(nearH).distinct().as("d"),
+        md5(col("text").cast("binary")) === col("d.h"), "left_anti")
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over word hashes: per-bit ±1 votes, sign → bit

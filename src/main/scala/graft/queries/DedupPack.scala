@@ -61,6 +61,19 @@ object DedupPack extends QueryPack {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("chars_kept"))),
 
+    // Incremental ingest-time dedup: odd doc_ids are the "incoming
+    // batch", even doc_ids the existing corpus; incoming docs that are
+    // exact or blocked-Jaccard near-dups of the corpus are dropped.
+    "dedup_incremental" -> ((s, d) => {
+      def side(parity: Int) = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(2)) === parity)
+        .select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 100).as("lb"), col("text"), col("n_chars"))
+      Dedup.incrementalDedup(side(1), side(0), ngramN = 1, threshold = 0.6)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), sum(col("n_chars")).as("chars_new"))
+    }),
+
     // n-gram (word-bigram) Jaccard near-dup: order-sensitive, so it
     // catches shuffled-word docs that the word-SET Jaccard calls equal.
     // Same collapsed blocked shape over hashed bigram sets.
@@ -210,6 +223,37 @@ object DedupPack extends QueryPack {
         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+    // drops are text-hash-level: any incoming text exactly present in
+    // the corpus, or whose representative verified as a near-dup of a
+    // corpus representative within its (lang, length-bucket) block
+    "dedup_incremental" ->
+      """WITH inc AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
+        |    text, n_chars, md5(text) AS h,
+        |    list_distinct(list_transform(regexp_split_to_array(text, '\s+'),
+        |      x -> md5_number_lower(x))) AS w
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |cor AS (
+        |  SELECT lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
+        |    md5(text) AS h,
+        |    list_distinct(list_transform(regexp_split_to_array(text, '\s+'),
+        |      x -> md5_number_lower(x))) AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |exact_h AS (SELECT DISTINCT h FROM cor),
+        |near_h AS (
+        |  SELECT DISTINCT i.h
+        |  FROM (SELECT DISTINCT h, lang, lb, w FROM inc) i
+        |  JOIN (SELECT DISTINCT h, lang, lb, w FROM cor) c
+        |    ON i.lang = c.lang AND i.lb = c.lb
+        |  WHERE round(len(list_intersect(i.w, c.w)) /
+        |      (len(i.w) + len(c.w) - len(list_intersect(i.w, c.w))), 4) >= 0.6),
+        |kept AS (
+        |  SELECT * FROM inc
+        |  WHERE h NOT IN (SELECT h FROM exact_h)
+        |    AND h NOT IN (SELECT h FROM near_h))
+        |SELECT lang, count(*) AS n_new,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_new
+        |FROM kept GROUP BY lang""".stripMargin,
     "dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
