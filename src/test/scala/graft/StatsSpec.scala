@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Accuracy bounds for the sketch aggregates — the rows-only queries'
+  * semantic gate: the sketches must track their exact counterparts
+  * within the error the sketch parameters promise. */
+class StatsSpec extends SparkSpec {
+  private val s = TestSession.spark
+  import s.implicits._
+
+  test("approx_count_distinct (rsd=0.02) tracks exact distinct within 10%") {
+    val got = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .select($"l_returnflag", $"approx_parts").as[(String, Long)].collect().toMap
+    val exact = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet === exact.keySet)
+    got.foreach { case (k, approx) =>
+      val e = exact(k).toDouble
+      assert(math.abs(approx - e) / e < 0.10,
+        s"$k: HLL estimate $approx vs exact $e drifted past 10%")
+    }
+  }
+
+  test("approx_percentile tracks exact percentiles within the accuracy bound") {
+    val got = SparkEntry.queries("q_approx_percentile")(spark, sfDir)
+      .select($"event_type", $"p50", $"p90").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === exact.keySet)
+    got.foreach { case (k, (a50, a90)) =>
+      val (e50, e90) = exact(k)
+      val spread = math.max(1e-9, e90 - e50)
+      assert(math.abs(a50 - e50) / spread < 0.25,
+        s"$k: approx p50 $a50 vs exact $e50 drifted past the sketch bound")
+      assert(math.abs(a90 - e90) / spread < 0.25,
+        s"$k: approx p90 $a90 vs exact $e90 drifted past the sketch bound")
+    }
+  }
+}
