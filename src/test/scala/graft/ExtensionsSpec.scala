@@ -38,6 +38,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(n === 1)
   }
 
+  test("ngram_hash_set rejects a non-literal width with an analysis error") {
+    GraftSession.registerFunctions(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("docs_err")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT ngram_hash_set(split(text, '\\\\s+'), n_chars) FROM docs_err")
+        .collect()
+    }
+    assert(e.getMessage.contains("must be an integer literal"),
+      s"expected a descriptive argument error, got: ${e.getMessage}")
+  }
+
   test("a pure-SQL session can run the hashed-Jaccard dedup pipeline") {
     GraftSession.registerFunctions(spark)
     Tables.documents(spark, sfDir).createOrReplaceTempView("docs_sql")

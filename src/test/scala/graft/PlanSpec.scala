@@ -140,6 +140,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("ann_pq broadcasts the query side; corpus ships codes, not vectors") {
+    val p = plan("ann_pq")
+    assert(p.contains("Broadcast"), "query set must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the ADC join")
+    assert(p.contains("pqencode") || p.contains("PQEncode") || p.contains("codes"),
+      "code arrays expected in the plan")
+  }
+
+  test("dedup_incremental joins stay equi-joins (no cartesian fallback)") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "rep joins and member expansion must remain hash equi-joins")
+  }
+
+  test("text_repetition aggregates combine map-side") {
+    val p = plan("text_repetition")
+    assert(p.contains("partial_"), "token counts must combine map-side")
+  }
+
+  test("q_outer_join aggregates events before the outer join") {
+    val p = plan("q_outer_join")
+    // the groupBy must run below the join: the outer join sees one row
+    // per user, not one per event
+    val joinIdx = p.indexOf("FullOuter")
+    assert(joinIdx >= 0, "full outer join expected in the plan")
+    assert(p.substring(joinIdx).contains("HashAggregate"),
+      "per-user aggregation must happen under the join, not above it")
+  }
+
   test("text_bpe fuses extraction into the scan projection with partial agg") {
     val p = plan("text_bpe")
     // AQE explain (isFinalPlan=false) hides WholeStageCodegen spans;
