@@ -160,6 +160,32 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("sessionize keeps sub-millisecond event time exactly (micros state)") {
+    implicit val sq = spark.sqlContext
+    // 12:00:00.001500250 — getTime floors to ms; micros must keep .0015002
+    def microTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val startUs = 1700000000001500L // 1.5 ms past the second — ms-unaligned
+    val in = MemoryStream[Event]
+    val q = StreamingOps.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("micro_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, microTs(startUs), "view", 1.0),
+        Event(1, microTs(startUs + 250), "view", 1.0), // same session, +250µs
+        Event(1, microTs(startUs + 10L * 3600 * 1000000), "view", 1.0)) // closes it
+      q.processAllAvailable()
+      val rows = spark.table("micro_sessions")
+        .collect().map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+      assert(rows.contains((startUs, startUs + 250)),
+        s"session bounds must be exact micros, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the inactivity gap is exceeded") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
