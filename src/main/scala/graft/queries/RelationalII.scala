@@ -179,6 +179,27 @@ object RelationalII extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // Typed cogroup (KeyValueGroupedDataset.cogroup): both sides of a
+    // key meet in one task with arbitrary per-group logic — the API for
+    // custom join semantics no SQL join expresses. Aggregates here are
+    // order-free (counts/max) because cogroup iterator order is not
+    // deterministic across shuffles.
+    "q_cogroup" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select(col("user_id"), col("value"))
+        .as[(Long, Double)].groupByKey(_._1)
+      val ord = orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+        .as[(Long, Double)].groupByKey(_._1)
+      ev.cogroup(ord) { (uid, evs, ords) =>
+        var nEv = 0L; var maxEv = Double.MinValue
+        evs.foreach { e => nEv += 1; if (e._2 > maxEv) maxEv = e._2 }
+        var nOrd = 0L; var maxOrd = Double.MinValue
+        ords.foreach { o => nOrd += 1; if (o._2 > maxOrd) maxOrd = o._2 }
+        Iterator((uid, nEv, if (nEv == 0) 0.0 else maxEv,
+          nOrd, if (nOrd == 0) 0.0 else maxOrd))
+      }.toDF("user_id", "n_events", "max_event_value", "n_orders", "max_order_price")
+    }),
+
     // Full outer join: activity per known customer UNION customers with
     // no events UNION event users with no customer row — the join type
     // the rest of the pack doesn't cover (inner/semi/anti/asof/range).
@@ -300,6 +321,20 @@ object RelationalII extends QueryPack {
       """SELECT c_mktsegment AS seg, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1""".stripMargin,
+    "q_cogroup" ->
+      """WITH e AS (
+        |  SELECT user_id, count(*) AS n_events, max(value) AS max_event_value
+        |  FROM events GROUP BY user_id),
+        |o AS (
+        |  SELECT o_custkey AS user_id, count(*) AS n_orders,
+        |    max(o_totalprice) AS max_order_price
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(e.user_id, o.user_id) AS user_id,
+        |  coalesce(e.n_events, 0) AS n_events,
+        |  coalesce(e.max_event_value, 0.0) AS max_event_value,
+        |  coalesce(o.n_orders, 0) AS n_orders,
+        |  coalesce(o.max_order_price, 0.0) AS max_order_price
+        |FROM e FULL OUTER JOIN o ON e.user_id = o.user_id""".stripMargin,
     "q_outer_join" ->
       """WITH ev AS (
         |  SELECT user_id, count(*) AS n_ev, round(sum(value),2) AS ev_value
