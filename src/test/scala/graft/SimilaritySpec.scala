@@ -72,6 +72,28 @@ class SimilaritySpec extends SparkSpec {
       s"trained-cell IVF recall@3 vs exact cosine was $recall — probing is broken")
   }
 
+  test("a persisted IVF index prunes non-probed cells at the scan") {
+    // the disk layout for IVF at scale: corpus written hive-partitioned
+    // by cell id; probing nprobe cells becomes partition pruning — the
+    // scan never opens the other cells' files
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = graft.operators.KMeansND.seed(
+        emb.select($"vec_id".as("id"), $"embedding".as("vec")), 8)
+      val cells = emb.withColumn("cell",
+        graft.operators.KMeansND.nearest($"embedding", cents).getField("cid"))
+      graft.sources.Sinks.writePartitioned(cells, s"$dir/ivf", "cell")
+      val probed = spark.read.parquet(s"$dir/ivf").filter($"cell".isin(2, 5))
+      val p = probed.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(p.contains("PartitionFilters") && (p.contains("cell#") || p.contains("cell IN")),
+        s"cell probe must prune partitions, plan was:\n$p")
+      val all = cells.filter($"cell".isin(2, 5)).count()
+      assert(probed.count() === all, "pruned read must return exactly the probed cells")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("ann_pq ranks by true distance when vectors are exactly codewords") {
     // for corpus rows that ARE codewords, ADC degenerates to the exact
     // inter-codeword distance — the approximation is tight there
