@@ -142,6 +142,20 @@ object Relational extends QueryPack {
           round(sum("value"), 2).as("sess_value"))
     }),
 
+    // Native session windows: the built-in operator twin of the manual
+    // lag/cumsum sessionizer above — and the one that also runs under
+    // Structured Streaming with state eviction. Session closes when the
+    // next event's gap is >= 30 min (session_window's end bound is
+    // exclusive; the lag formulation above uses strict >).
+    "q_session_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sess_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("ss_us"),
+          unix_micros(col("sw.end")).as("se_us"),
+          col("n_events"), col("sess_value"))),
+
     // As-of join: each purchase matched to the same user's most recent
     // strictly-prior 'view'. Union+window carry-forward — linear scan,
     // no range cross-join, scales to arbitrary fact sizes.
@@ -226,6 +240,22 @@ object Relational extends QueryPack {
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 hour, ts)) AS BIGINT) AS ws,
         |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  min(epoch_us(ts)) AS ss_us,
+        |  max(epoch_us(ts)) + 1800000000 AS se_us,
+        |  count(*) AS n_events, round(sum(value),2) AS sess_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value,

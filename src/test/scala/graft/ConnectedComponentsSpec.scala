@@ -22,6 +22,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(dist === want)
   }
 
+  test("int and numeric-string ids normalize to one bigint schema on both paths") {
+    // ids are cast to long up front, so the local and distributed paths
+    // agree on the output schema whatever integral-ish type comes in
+    val intPairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b")
+    val strPairs = Seq(("1", "2"), ("2", "3")).toDF("id_a", "id_b")
+    for (pairs <- Seq(intPairs, strPairs); thresh <- Seq(1000000L, 0L)) {
+      val out = Dedup.connectedComponents(pairs, localEdgeThreshold = thresh)
+      assert(out.schema("doc_id").dataType.typeName === "long")
+      assert(out.schema("cluster_id").dataType.typeName === "long")
+      assert(out.as[(Long, Long)].collect().toMap ===
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    }
+  }
+
   test("pointer jumping converges a long chain in few distributed rounds") {
     // a 64-node chain: plain min-label propagation needs 63 rounds;
     // with pointer jumping maxIter=12 must suffice (O(log diameter))
