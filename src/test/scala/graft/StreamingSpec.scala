@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.{col, count, lit, session_window}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamingOps
@@ -158,6 +159,31 @@ class StreamingSpec extends SparkSpec {
         assert(spark.table("file_src").collect().map(_.getLong(1)).sum === 3)
       } finally q.stop()
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("session_window runs under streaming: closed sessions append once final") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").as("ss"), col("n"))
+      .writeStream.format("memory").queryName("sw_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), "view", 1.0), Event(1, ts(10), "view", 1.0),
+        Event(2, ts(5), "view", 1.0))
+      q.processAllAvailable()
+      // watermark far past session end finalizes both sessions
+      in.addData(Event(3, ts(600), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw_sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"))).toSet
+      assert(rows === Set((1L, 2L), (2L, 1L)),
+        s"the same session_window operator must close sessions under streaming, got $rows")
+    } finally q.stop()
   }
 
   test("sessionize keeps sub-millisecond event time exactly (micros state)") {
