@@ -310,7 +310,7 @@ object Dedup {
     val result = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .localCheckpoint(true)
     val sc = spark.sparkContext
-    val ids = sc.getPersistentRDDs.keySet -- before
+    val ids = sc.getPersistentRDDs.keySet.toSet -- before
     val keep = if (ids.nonEmpty) ids.max else -1
     sc.getPersistentRDDs.foreach { case (id, rdd) =>
       if (ids.contains(id) && id != keep) rdd.unpersist(false)

@@ -62,7 +62,7 @@ object KMeansDF {
     * we pick a seed-free but equally data-driven rule so the oracle can
     * reproduce it). */
   def initFirstK(points: DataFrame, k: Int): Seq[Centroid] =
-    points.orderBy("id").limit(k).collect().zipWithIndex.map { case (r, i) =>
+    points.orderBy("id").limit(k).collect().toIndexedSeq.zipWithIndex.map { case (r, i) =>
       Centroid(i, r.getAs[Double]("x"), r.getAs[Double]("y"))
     }
 

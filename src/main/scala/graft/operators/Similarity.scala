@@ -83,7 +83,7 @@ object Similarity {
   /** Sign-of-projection LSH bucket id over `numPlanes` hyperplanes. */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int = 64): Column =
     planes(numPlanes, dim).zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       val dot = aggregate(
         zip_with(vec, planeCol, (v, r) => v.cast("double") * r),
         lit(0.0), (acc, x) => acc + x)
@@ -111,7 +111,7 @@ object Similarity {
     // double, so the oracle ranks cells identically
     val sorted = centroids.sortBy(_._1)
     val centArr = array(sorted.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv"),
+      struct(lit(cid).as("cid"), array(cv.toIndexedSeq.map(lit): _*).as("cv"),
         lit(KMeansND.norm2(cv)).as("cn"))
     }: _*)
     def dot(a: Column, b: Column): Column =
