@@ -20,9 +20,11 @@ object RelationalII extends QueryPack {
         .withColumn("next_type", lead("event_type", 1).over(w))
         .withColumn("rk", rank().over(w))
         .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("prev_value"),
-          col("next_type"), col("rk"), col("cd"))
+          col("next_type"), col("rk"), col("cd"), col("pr"), col("quartile"))
     }),
 
     // INTERSECT / EXCEPT on key sets.
@@ -235,12 +237,14 @@ object RelationalII extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_window_funcs" ->
-      """SELECT event_id, user_id, prev_value, next_type, rk, cd FROM (
+      """SELECT event_id, user_id, prev_value, next_type, rk, cd, pr, quartile FROM (
         |  SELECT event_id, user_id, event_type,
         |    round(lag(value) OVER w, 2) AS prev_value,
         |    lead(event_type) OVER w AS next_type,
         |    rank() OVER w AS rk,
-        |    round(cume_dist() OVER w, 6) AS cd
+        |    round(cume_dist() OVER w, 6) AS cd,
+        |    round(percent_rank() OVER w, 6) AS pr,
+        |    CAST(ntile(4) OVER w AS INT) AS quartile
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |WHERE event_type = 'purchase'""".stripMargin,
