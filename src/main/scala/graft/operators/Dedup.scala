@@ -209,8 +209,10 @@ object Dedup {
     // materialize pair generation exactly once (it is the expensive
     // upstream: LSH banding / blocked verify). Ids are normalized to
     // long here so the local and distributed paths agree on the output
-    // schema (bigint) — non-integral id columns are a caller error, and
-    // ANSI mode fails the cast loudly rather than corrupting ids.
+    // schema (bigint) — non-integral id columns are a caller error:
+    // ANSI mode (Spark 4 default) fails the cast loudly, and the
+    // null check in localUnionFind catches ANSI-off sessions where the
+    // cast would otherwise corrupt ids to null.
     val edges1 = pairs.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .localCheckpoint(true)
@@ -229,7 +231,12 @@ object Dedup {
     * when E is driver-sized. */
   private def localUnionFind(edges1: DataFrame): DataFrame = {
     val spark = edges1.sparkSession
-    val es = edges1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val es = edges1.collect().map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "connectedComponents ids must cast to long without nulls " +
+          "(non-numeric id column, or null ids in the pair set)")
+      (r.getLong(0), r.getLong(1))
+    }
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
       var x = x0
@@ -342,13 +349,19 @@ object Dedup {
     * incoming rows. */
   def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
       ngramN: Int, threshold: Double): DataFrame = {
-    def base(df: DataFrame) = df.select(col("doc_id"), col("lang"), col("lb"),
-      md5(col("text").cast("binary")).as("h"),
-      graft.functions.DedupExpressions.ngramHashSet(words(col("text")), ngramN).as("wd"))
+    // collapse on the cheap text hash FIRST, hash the word sets only
+    // for the surviving representatives — per-word hashing cost then
+    // follows distinct texts, like the join itself
+    def reps(df: DataFrame) = df
+      .select(col("doc_id"), col("lang"), col("lb"), col("text"),
+        md5(col("text").cast("binary")).as("h"))
+      .dropDuplicates("h", "lang", "lb")
+      .withColumn("wd",
+        graft.functions.DedupExpressions.ngramHashSet(words(col("text")), ngramN))
       .withColumn("n", size(col("wd")))
-    val inc = base(incoming)
-    val incReps = inc.dropDuplicates("h", "lang", "lb")
-    val corReps = base(corpus).dropDuplicates("h", "lang", "lb")
+      .drop("text")
+    val incReps = reps(incoming)
+    val corReps = reps(corpus)
     // exact: any incoming text already in the corpus, regardless of block
     val exactH = corReps.select(col("h")).distinct()
     // near: representative-level blocked Jaccard against the corpus

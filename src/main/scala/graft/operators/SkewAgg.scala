@@ -32,6 +32,6 @@ object SkewAgg {
     df.groupBy(keys :+ pmod(xxhash64(col(valueCol)), lit(salts.toLong)).as("_vb"): _*)
       .agg(count_distinct(col(valueCol)).as("_nd"))
       .groupBy(keys: _*)
-      .agg(sum("_nd").as(s"n_distinct"))
+      .agg(sum("_nd").as("n_distinct"))
   }
 }

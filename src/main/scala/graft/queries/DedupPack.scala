@@ -90,6 +90,9 @@ object DedupPack extends QueryPack {
     val (pa, pb) = graft.functions.DedupHashing.perms(graft.operators.Dedup.NumHashes)
     pa.indices.map(j => s"($j, ${pa(j)}, ${pb(j)})").mkString(", ")
   }
+  // rows per band derives from the same constants MinHashBands uses —
+  // changing NumHashes/Bands re-bands both sides together
+  private val BandRows = graft.operators.Dedup.NumHashes / graft.operators.Dedup.Bands
 
   def oracles: Map[String, String] = Map(
     // MinHash LSH is reproduced bit-exactly: shingle hashes and band
@@ -120,8 +123,8 @@ object DedupPack extends QueryPack {
          |band AS (
          |  SELECT doc_id,
          |    md5_number_lower(string_agg(CAST(sg AS VARCHAR), ' ' ORDER BY j)
-         |      || ' ' || CAST(j // 4 AS VARCHAR)) AS bk
-         |  FROM sig GROUP BY doc_id, j // 4),
+         |      || ' ' || CAST(j // $BandRows AS VARCHAR)) AS bk
+         |  FROM sig GROUP BY doc_id, j // $BandRows),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM band x JOIN band y ON x.bk = y.bk AND x.doc_id < y.doc_id),

@@ -55,8 +55,9 @@ object TextPack extends QueryPack {
     // Gopher-style repetition signals: the fraction of tokens taken by
     // the single most frequent word / word-bigram. High values flag the
     // boilerplate and keyword-stuffed docs a training pipeline drops.
-    // One explode + two-stage agg, partial-combined; no text re-enters
-    // the shuffle after tokenization.
+    // Bigrams are built array-side per row (triShingles' pattern) so
+    // the only shuffles are the two partial-combined aggregations — no
+    // per-token window sort, no token strings riding an extra exchange.
     "text_repetition" -> ((s, d) => {
       val base = docs(s, d).filter(size(col("w")) >= 2)
         .select(col("doc_id"), col("w"))
@@ -65,13 +66,11 @@ object TextPack extends QueryPack {
         .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
         .groupBy("doc_id")
         .agg(round(max("n") / sum("n"), 4).as("top_word_frac"))
+      val bigrams = transform(sequence(lit(0), size(col("w")) - 2), i =>
+        concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
       val bigramTop = base
-        .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "t")))
-        .withColumn("t2", lead("t", 1).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")))
-        .filter(col("t2").isNotNull)
-        .groupBy(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("bg"))
-        .agg(count(lit(1)).as("n"))
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
         .groupBy("doc_id")
         .agg(round(max("n") / sum("n"), 4).as("top_bigram_frac"))
       wordTop.join(bigramTop, "doc_id")
