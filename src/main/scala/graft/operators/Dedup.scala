@@ -362,12 +362,21 @@ object Dedup {
       .drop("text")
     val incReps = reps(incoming)
     val corReps = reps(corpus)
-    // exact: any incoming text already in the corpus, regardless of block
-    val exactH = corReps.select(col("h")).distinct()
+    // exact: any incoming text already in the corpus, regardless of
+    // block. The corpus hash set is corpus-sized — never broadcast or
+    // anti-join against it directly; instead probe the corpus with the
+    // (small) incoming hash set, so only the intersection survives and
+    // every join against the big side is a broadcast probe of its scan.
+    val incH = incReps.select(col("h")).distinct()
+    val exactH = corReps.select(col("h"))
+      .join(broadcast(incH), Seq("h"), "left_semi").distinct()
     // near: representative-level blocked Jaccard against the corpus
     val inter = graft.functions.DedupExpressions
       .sortedLongIntersectSize(col("i.wd"), col("c.wd"))
-    val nearH = incReps.as("i")
+    // the incoming batch is the small side of an ingest-time dedup
+    // (corpus ≫ batch): broadcast its representatives so the corpus
+    // scan never shuffles for the block join
+    val nearH = broadcast(incReps.as("i"))
       .join(corReps.as("c"),
         col("i.lang") === col("c.lang") && col("i.lb") === col("c.lb")
           && col("i.wd").isNotNull && col("c.wd").isNotNull
@@ -375,8 +384,9 @@ object Dedup {
             >= lit(0.995 * threshold) * greatest(col("i.n"), col("c.n")))
       .filter(round(inter / (col("i.n") + col("c.n") - inter), 4) >= threshold)
       .select(col("i.h").as("h")).distinct()
+    // drops ≤ |incoming batch| by construction → broadcastable
     incoming
-      .join(exactH.unionByName(nearH).distinct().as("d"),
+      .join(broadcast(exactH.unionByName(nearH).distinct().as("d")),
         md5(col("text").cast("binary")) === col("d.h"), "left_anti")
   }
 

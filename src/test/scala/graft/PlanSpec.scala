@@ -148,10 +148,13 @@ class PlanSpec extends SparkSpec {
       "code arrays expected in the plan")
   }
 
-  test("dedup_incremental joins stay equi-joins (no cartesian fallback)") {
+  test("dedup_incremental probes the corpus with broadcasts — no corpus shuffle") {
     val p = plan("dedup_incremental")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "rep joins and member expansion must remain hash equi-joins")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must only ever be probed by broadcast (batch ≪ corpus); " +
+        "an SMJ means the corpus is being shuffled for the join")
   }
 
   test("text_repetition aggregates combine map-side") {
