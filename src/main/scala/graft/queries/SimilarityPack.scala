@@ -64,7 +64,7 @@ object SimilarityPack extends QueryPack {
       val exact = Similarity.topK(emb, q, k = 3).select(col("qid"), col("vid"))
       val approx = Similarity.lshTopK(emb, q, k = 3)
         .select(col("qid").as("aqid"), col("vid").as("avid"))
-      exact.join(approx,
+      exact.join(broadcast(approx),
           col("qid") === col("aqid") && col("vid") === col("avid"), "left")
         .groupBy("qid")
         .agg(round(count(col("avid")) / lit(3.0), 4).as("recall"))
