@@ -19,6 +19,17 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("SURVEY §2 inventory matches the registered queries one-to-one") {
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val sec2 = md.split("## §2")(1).split("## §3")(0)
+    val surveyKeys = "(?m)^\\| `([a-z0-9_]+)`".r
+      .findAllMatchIn(sec2).map(_.group(1)).toSet
+    assert(surveyKeys === SparkEntry.queries.keySet,
+      s"drift: survey-only=${surveyKeys -- SparkEntry.queries.keySet} " +
+        s"code-only=${SparkEntry.queries.keySet -- surveyKeys}")
+  }
+
   test("every query dumps atomic columns only (gate harness can't sort arrays)") {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
