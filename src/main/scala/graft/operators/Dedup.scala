@@ -151,16 +151,27 @@ object Dedup {
 
   /** Shared prep for the blocked Jaccard family: hashed n-gram sets,
     * one representative per identical (text, lang, block), and the
-    * verified representative pairs. */
+    * verified representative pairs.
+    *
+    * The n-gram hash set (per-word md5 — the expensive projection) is
+    * computed AFTER the representative collapse, so hashing cost
+    * follows distinct texts like the join itself; the member branch
+    * carries only (h, lang, lb, doc_id). */
   private def blockedParts(docs: DataFrame, ngramN: Int, threshold: Double)
       : (DataFrame, DataFrame, DataFrame) = {
-    val base = docs.select(col("doc_id"), col("lang"), col("lb"),
-      md5(col("text").cast("binary")).as("h"),
-      graft.functions.DedupExpressions.ngramHashSet(words(col("text")), ngramN).as("wd"))
+    val hashed = docs.select(col("doc_id"), col("lang"), col("lb"), col("text"),
+      md5(col("text").cast("binary")).as("h"))
+    val reps = hashed.dropDuplicates("h", "lang", "lb")
+      .withColumn("wd",
+        graft.functions.DedupExpressions.ngramHashSet(words(col("text")), ngramN))
       .filter(col("wd").isNotNull)
       .withColumn("n", size(col("wd")))
-    val reps = base.dropDuplicates("h", "lang", "lb")
-    val members = base.select(col("h"), col("lang"), col("lb"), col("doc_id"))
+      .drop("text")
+    // same sub-n-words exclusion the rep side gets from wd=null, but
+    // via the cheap token count — no hashing in the member branch
+    val members = hashed
+      .filter(size(words(col("text"))) >= ngramN)
+      .select(col("h"), col("lang"), col("lb"), col("doc_id"))
     val inter = graft.functions.DedupExpressions
       .sortedLongIntersectSize(col("a.wd"), col("b.wd"))
     val repPairs = reps.as("a")
