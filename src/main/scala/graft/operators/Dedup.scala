@@ -422,10 +422,14 @@ object Dedup {
     * is the semantic floor. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), words(col(textCol)).as("w"))
-      .withColumn("sim", simhash(col("w")))
-      .select("id", "sim")
+    // signatures are computed once per DISTINCT text (the md5-per-word
+    // bit votes are the expensive projection) and propagated to members
+    // by text hash — ids and hashes ride that join, never the text
+    val hashed = docs.select(col(idCol).as("id"),
+      md5(col(textCol).cast("binary")).as("h"), col(textCol).as("text"))
+    val repSim = hashed.dropDuplicates("h")
+      .select(col("h"), simhash(words(col("text"))).as("sim"))
+    val sh = hashed.select("id", "h").join(repSim, "h").select("id", "sim")
     val sims = sh.select("sim").distinct()
     // band id and 16-bit slice packed into ONE long key (idx<<16 | val)
     val banded = sims.withColumn("band_val", explode(array((0 until 4).map(b =>
