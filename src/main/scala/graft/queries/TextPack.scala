@@ -127,20 +127,32 @@ object TextPack extends QueryPack {
     // (tf, df) pairs must tie identically on both sides.
     "text_tfidf" -> ((s, d) => {
       import graft.functions.TopKAggregate.topk
-      val base = docs(s, d)
-      val n = base.count().toDouble
-      val w = base.select(col("doc_id"), explode(col("w")).as("word"))
-      val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      // token explode + scoring run once per DISTINCT text; document
+      // frequency weights each representative by its member count
+      // (identical texts contain identical words, so df is exact), and
+      // the per-doc result expands by text hash at the end. Scores are
+      // a pure function of text content + global df, so members of a
+      // rep share their top-3 verbatim.
+      val hashed = docs(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"), col("w"))
+      val n = hashed.count().toDouble
+      val members = hashed.select("doc_id", "h")
+      val mcount = members.groupBy("h").agg(count(lit(1)).as("mc"))
+      val wexp = hashed.dropDuplicates("h")
+        .select(col("h"), explode(col("w")).as("word"))
+      val tf = wexp.groupBy("h", "word").agg(count(lit(1)).as("tf"))
       // separate distinct lineage for df: measured faster than both a
       // dfreq-from-tf self-join (recomputes the tf aggregation) and a
       // window count over tf (sort-shuffles the full (doc, word) set)
-      val dfreq = w.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+      val dfreq = wexp.distinct().join(mcount, "h")
+        .groupBy("word").agg(sum("mc").as("df"))
       val scored = tf.join(dfreq, "word")
-        .select(col("doc_id"), col("word"),
+        .select(col("h"), col("word"),
           round(col("tf") * log(lit(n) / col("df")), 4).as("score"))
-      scored.groupBy("doc_id")
+      scored.groupBy("h")
         .agg(topk(struct((-col("score")).as("negs"), col("word").as("wd")), 3).as("top"))
-        .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("h"), posexplode(col("top")).as(Seq("i", "t")))
+        .join(members, "h")
         .select(col("doc_id"), (col("i") + 1).cast("int").as("rk"),
           col("t.wd").as("word"), (-col("t.negs")).as("score"))
     })
