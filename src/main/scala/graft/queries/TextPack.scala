@@ -59,21 +59,26 @@ object TextPack extends QueryPack {
     // the only shuffles are the two partial-combined aggregations — no
     // per-token window sort, no token strings riding an extra exchange.
     "text_repetition" -> ((s, d) => {
-      val base = docs(s, d).filter(size(col("w")) >= 2)
-        .select(col("doc_id"), col("w"))
-      val wordTop = base
-        .select(col("doc_id"), explode(col("w")).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
+      // signals are a pure function of the text: compute per DISTINCT
+      // text, expand to docs by text hash at the end
+      val hashed = docs(s, d).filter(size(col("w")) >= 2)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"), col("w"))
+      val members = hashed.select("doc_id", "h")
+      val reps = hashed.dropDuplicates("h").select("h", "w")
+      val wordTop = reps
+        .select(col("h"), explode(col("w")).as("t"))
+        .groupBy("h", "t").agg(count(lit(1)).as("n"))
+        .groupBy("h")
         .agg(round(max("n") / sum("n"), 4).as("top_word_frac"))
       val bigrams = transform(sequence(lit(0), size(col("w")) - 2), i =>
         concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
-      val bigramTop = base
-        .select(col("doc_id"), explode(bigrams).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
+      val bigramTop = reps
+        .select(col("h"), explode(bigrams).as("bg"))
+        .groupBy("h", "bg").agg(count(lit(1)).as("n"))
+        .groupBy("h")
         .agg(round(max("n") / sum("n"), 4).as("top_bigram_frac"))
-      wordTop.join(bigramTop, "doc_id")
+      wordTop.join(bigramTop, "h").join(members, "h")
+        .select("doc_id", "top_word_frac", "top_bigram_frac")
     }),
 
     "text_fingerprint" -> ((s, d) => {
