@@ -15,6 +15,12 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** The text hash every distinct-text collapse keys on — one
+    * definition so every rep/member split in the engine (and every
+    * oracle's `md5(text)`) agrees byte-for-byte. */
+  def withTextHash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("h", md5(col(textCol).cast("binary")))
+
   // ---- MinHash + LSH -------------------------------------------------
 
   val NumHashes = 128
@@ -35,8 +41,9 @@ object Dedup {
     * representative pairs via equi-joins. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
-        md5(col(textCol).cast("binary")).as("h"), words(col(textCol)).as("w"))
+    val base = withTextHash(docs.select(col(idCol).as("id"),
+        col(textCol).as("text"), words(col(textCol)).as("w")), "text")
+      .drop("text")
       .filter(size(col("w")) >= 3)
     val reps = base.dropDuplicates("h")
     val bands = reps
@@ -159,8 +166,8 @@ object Dedup {
     * carries only (h, lang, lb, doc_id). */
   private def blockedParts(docs: DataFrame, ngramN: Int, threshold: Double)
       : (DataFrame, DataFrame, DataFrame) = {
-    val hashed = docs.select(col("doc_id"), col("lang"), col("lb"), col("text"),
-      md5(col("text").cast("binary")).as("h"))
+    val hashed = withTextHash(
+      docs.select(col("doc_id"), col("lang"), col("lb"), col("text")), "text")
     val reps = hashed.dropDuplicates("h", "lang", "lb")
       .withColumn("wd",
         graft.functions.DedupExpressions.ngramHashSet(words(col("text")), ngramN))
@@ -357,15 +364,23 @@ object Dedup {
     * batch may be duplicate-heavy), so join cost follows distinct
     * texts; member expansion is an equi-join on text hash. Expects both
     * frames projected to (doc_id, lang, lb, text); returns the kept
-    * incoming rows. */
+    * incoming rows.
+    *
+    * `broadcastIncoming` encodes the ingest contract (batch ≪ corpus):
+    * the incoming representatives and the resulting drop set are
+    * force-broadcast so the corpus side is only ever PROBED — scanned,
+    * never shuffled. A caller deduplicating a batch too large to
+    * broadcast (beyond Spark's 8 GB broadcast/driver limits) passes
+    * false and the planner falls back to shuffle joins on both sides. */
   def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
-      ngramN: Int, threshold: Double): DataFrame = {
+      ngramN: Int, threshold: Double,
+      broadcastIncoming: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (broadcastIncoming) broadcast(df) else df
     // collapse on the cheap text hash FIRST, hash the word sets only
     // for the surviving representatives — per-word hashing cost then
     // follows distinct texts, like the join itself
-    def reps(df: DataFrame) = df
-      .select(col("doc_id"), col("lang"), col("lb"), col("text"),
-        md5(col("text").cast("binary")).as("h"))
+    def reps(df: DataFrame) = withTextHash(
+      df.select(col("doc_id"), col("lang"), col("lb"), col("text")), "text")
       .dropDuplicates("h", "lang", "lb")
       .withColumn("wd",
         graft.functions.DedupExpressions.ngramHashSet(words(col("text")), ngramN))
@@ -380,14 +395,11 @@ object Dedup {
     // every join against the big side is a broadcast probe of its scan.
     val incH = incReps.select(col("h")).distinct()
     val exactH = corReps.select(col("h"))
-      .join(broadcast(incH), Seq("h"), "left_semi").distinct()
+      .join(bc(incH), Seq("h"), "left_semi").distinct()
     // near: representative-level blocked Jaccard against the corpus
     val inter = graft.functions.DedupExpressions
       .sortedLongIntersectSize(col("i.wd"), col("c.wd"))
-    // the incoming batch is the small side of an ingest-time dedup
-    // (corpus ≫ batch): broadcast its representatives so the corpus
-    // scan never shuffles for the block join
-    val nearH = broadcast(incReps.as("i"))
+    val nearH = bc(incReps.as("i"))
       .join(corReps.as("c"),
         col("i.lang") === col("c.lang") && col("i.lb") === col("c.lb")
           && col("i.wd").isNotNull && col("c.wd").isNotNull
@@ -395,9 +407,9 @@ object Dedup {
             >= lit(0.995 * threshold) * greatest(col("i.n"), col("c.n")))
       .filter(round(inter / (col("i.n") + col("c.n") - inter), 4) >= threshold)
       .select(col("i.h").as("h")).distinct()
-    // drops ≤ |incoming batch| by construction → broadcastable
+    // drops ≤ |incoming batch's distinct texts| by construction
     incoming
-      .join(broadcast(exactH.unionByName(nearH).distinct().as("d")),
+      .join(bc(exactH.unionByName(nearH).distinct().as("d")),
         md5(col("text").cast("binary")) === col("d.h"), "left_anti")
   }
 
@@ -424,9 +436,14 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // signatures are computed once per DISTINCT text (the md5-per-word
     // bit votes are the expensive projection) and propagated to members
-    // by text hash — ids and hashes ride that join, never the text
-    val hashed = docs.select(col(idCol).as("id"),
-      md5(col(textCol).cast("binary")).as("h"), col(textCol).as("text"))
+    // by text hash; the propagation join moves ids and hashes only.
+    // The collapse itself (dropDuplicates on h) does exchange one copy
+    // of each partition-distinct text — the right trade for a DEDUP
+    // operator, whose expected regime is distinct ≪ total; an
+    // all-distinct corpus pays that one text exchange for no hashing
+    // savings.
+    val hashed = withTextHash(
+      docs.select(col(idCol).as("id"), col(textCol).as("text")), "text")
     val repSim = hashed.dropDuplicates("h")
       .select(col("h"), simhash(words(col("text"))).as("sim"))
     val sh = hashed.select("id", "h").join(repSim, "h").select("id", "sim")

@@ -61,8 +61,9 @@ object TextPack extends QueryPack {
     "text_repetition" -> ((s, d) => {
       // signals are a pure function of the text: compute per DISTINCT
       // text, expand to docs by text hash at the end
-      val hashed = docs(s, d).filter(size(col("w")) >= 2)
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"), col("w"))
+      val hashed = graft.operators.Dedup.withTextHash(
+        docs(s, d).filter(size(col("w")) >= 2)
+          .select(col("doc_id"), col("text"), col("w")), "text").drop("text")
       val members = hashed.select("doc_id", "h")
       val reps = hashed.dropDuplicates("h").select("h", "w")
       val wordTop = reps
@@ -138,8 +139,8 @@ object TextPack extends QueryPack {
       // the per-doc result expands by text hash at the end. Scores are
       // a pure function of text content + global df, so members of a
       // rep share their top-3 verbatim.
-      val hashed = docs(s, d)
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"), col("w"))
+      val hashed = graft.operators.Dedup.withTextHash(
+        docs(s, d).select(col("doc_id"), col("text"), col("w")), "text").drop("text")
       val n = hashed.count().toDouble
       val members = hashed.select("doc_id", "h")
       val mcount = members.groupBy("h").agg(count(lit(1)).as("mc"))

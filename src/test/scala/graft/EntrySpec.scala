@@ -22,7 +22,10 @@ class EntrySpec extends SparkSpec {
   test("SURVEY §2 inventory matches the registered queries one-to-one") {
     val md = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    val sec2 = md.split("## §2")(1).split("## §3")(0)
+    val (from, to) = (md.indexOf("## §2"), md.indexOf("## §3"))
+    assert(from >= 0 && to > from,
+      "SURVEY.md §2/§3 headings moved — update this spec's anchors")
+    val sec2 = md.substring(from, to)
     val surveyKeys = "(?m)^\\| `([a-z0-9_]+)`".r
       .findAllMatchIn(sec2).map(_.group(1)).toSet
     assert(surveyKeys === SparkEntry.queries.keySet,

@@ -152,9 +152,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("dedup_incremental")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "rep joins and member expansion must remain hash equi-joins")
-    assert(!p.contains("SortMergeJoin"),
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the corpus side must only ever be probed by broadcast (batch ≪ corpus); " +
-        "an SMJ means the corpus is being shuffled for the join")
+        "any shuffle join means the corpus is being moved for the join")
   }
 
   test("text_repetition aggregates combine map-side") {
