@@ -43,7 +43,9 @@ object PQ {
   * (ties to the lowest code, like every argmin in the engine). */
 case class PQEncode(child: Expression, codebook: Seq[Seq[Double]], subspaces: Int)
     extends UnaryExpression with CodegenFallback {
-  require(codebook.nonEmpty && codebook.head.length % subspaces == 0)
+  require(codebook.nonEmpty && codebook.head.length % subspaces == 0
+    && codebook.forall(_.length == codebook.head.length),
+    "codebook rows must share one dimensionality divisible by subspaces")
 
   override def dataType: DataType = ArrayType(IntegerType)
 
@@ -81,7 +83,9 @@ case class PQEncode(child: Expression, codebook: Seq[Seq[Double]], subspaces: In
 case class PQADCDist(left: Expression, right: Expression,
     codebook: Seq[Seq[Double]], subspaces: Int)
     extends BinaryExpression with CodegenFallback {
-  require(codebook.nonEmpty && codebook.head.length % subspaces == 0)
+  require(codebook.nonEmpty && codebook.head.length % subspaces == 0
+    && codebook.forall(_.length == codebook.head.length),
+    "codebook rows must share one dimensionality divisible by subspaces")
 
   override def dataType: DataType = DoubleType
 

@@ -236,6 +236,14 @@ object Dedup {
       .localCheckpoint(true)
     val nEdges = edges1.count()
     dbg(s"edges materialized n=$nEdges")
+    // both paths, not just the local one: a null from an ANSI-off cast
+    // (or null ids in the pair set) must fail here, not silently drop
+    // edges in the distributed joins. The scan is over the checkpointed
+    // edge set — cheap relative to everything downstream.
+    if (edges1.filter(col("src").isNull || col("dst").isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        "connectedComponents ids must cast to long without nulls " +
+          "(non-numeric id column, or null ids in the pair set)")
     val out =
       if (nEdges <= localEdgeThreshold) localUnionFind(edges1)
       else distributedMinLabel(edges1, maxIter, dbg)
@@ -371,23 +379,33 @@ object Dedup {
     * force-broadcast so the corpus side is only ever PROBED — scanned,
     * never shuffled. A caller deduplicating a batch too large to
     * broadcast (beyond Spark's 8 GB broadcast/driver limits) passes
-    * false and the planner falls back to shuffle joins on both sides. */
+    * false and the planner falls back to shuffle joins on both sides.
+    *
+    * `collapseCorpus` defaults to false — trusting the contract that
+    * the corpus is already dedup'd keeps it a pure scan (no
+    * corpus-wide aggregate exchange). Pass true for a corpus that may
+    * itself be duplicate-heavy: results are identical either way
+    * (drop sets are DISTINCT over hashes); the flag only moves the
+    * cost between one corpus exchange and duplicate probe work. */
   def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
       ngramN: Int, threshold: Double,
-      broadcastIncoming: Boolean = true): DataFrame = {
+      broadcastIncoming: Boolean = true,
+      collapseCorpus: Boolean = false): DataFrame = {
     def bc(df: DataFrame): DataFrame = if (broadcastIncoming) broadcast(df) else df
     // collapse on the cheap text hash FIRST, hash the word sets only
     // for the surviving representatives — per-word hashing cost then
     // follows distinct texts, like the join itself
-    def reps(df: DataFrame) = withTextHash(
-      df.select(col("doc_id"), col("lang"), col("lb"), col("text")), "text")
-      .dropDuplicates("h", "lang", "lb")
-      .withColumn("wd",
-        graft.functions.DedupExpressions.ngramHashSet(words(col("text")), ngramN))
-      .withColumn("n", size(col("wd")))
-      .drop("text")
-    val incReps = reps(incoming)
-    val corReps = reps(corpus)
+    def hashedSets(df: DataFrame, collapse: Boolean) = {
+      val h = withTextHash(
+        df.select(col("doc_id"), col("lang"), col("lb"), col("text")), "text")
+      val base = if (collapse) h.dropDuplicates("h", "lang", "lb") else h
+      base.withColumn("wd",
+          graft.functions.DedupExpressions.ngramHashSet(words(col("text")), ngramN))
+        .withColumn("n", size(col("wd")))
+        .drop("text")
+    }
+    val incReps = hashedSets(incoming, collapse = true)
+    val corReps = hashedSets(corpus, collapse = collapseCorpus)
     // exact: any incoming text already in the corpus, regardless of
     // block. The corpus hash set is corpus-sized — never broadcast or
     // anti-join against it directly; instead probe the corpus with the

@@ -69,7 +69,10 @@ object DedupPack extends QueryPack {
         .filter(pmod(col("doc_id"), lit(2)) === parity)
         .select(col("doc_id"), col("lang"),
           floor(col("n_chars") / 100).as("lb"), col("text"), col("n_chars"))
-      Dedup.incrementalDedup(side(1), side(0), ngramN = 1, threshold = 0.6)
+      // collapseCorpus: the parity-split "corpus" is as duplicate-heavy
+      // as the incoming side on replica-probe data
+      Dedup.incrementalDedup(side(1), side(0), ngramN = 1, threshold = 0.6,
+          collapseCorpus = true)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_new"), sum(col("n_chars")).as("chars_new"))
     }),

@@ -110,10 +110,11 @@ object SimilarityPack extends QueryPack {
       // (|x|²−2x·c)+|c|² identity; ADC: 8 cb joins on the code list and
       // a statically-unrolled ascending-m sum (bit-equal to the
       // expression's accumulation order)
+      val sub = 64 / NumSub
       val encDist =
-        s"""(list_dot_product(e.v[(m.m*8+1):(m.m*8+8)], e.v[(m.m*8+1):(m.m*8+8)])
-           | - 2*list_dot_product(e.v[(m.m*8+1):(m.m*8+8)], c.v[(m.m*8+1):(m.m*8+8)]))
-           | + list_dot_product(c.v[(m.m*8+1):(m.m*8+8)], c.v[(m.m*8+1):(m.m*8+8)])""".stripMargin
+        s"""(list_dot_product(e.v[(m.m*$sub+1):(m.m*$sub+$sub)], e.v[(m.m*$sub+1):(m.m*$sub+$sub)])
+           | - 2*list_dot_product(e.v[(m.m*$sub+1):(m.m*$sub+$sub)], c.v[(m.m*$sub+1):(m.m*$sub+$sub)]))
+           | + list_dot_product(c.v[(m.m*$sub+1):(m.m*$sub+$sub)], c.v[(m.m*$sub+1):(m.m*$sub+$sub)])""".stripMargin
       val cbJoins = (0 until NumSub)
         .map(m => s"JOIN cb c$m ON c$m.code = d.cs[${m + 1}]").mkString("\n  ")
       val terms = (0 until NumSub).map { m =>

@@ -58,7 +58,8 @@ object StreamingOps {
       watermarkDelay: String = "10 minutes"): DataFrame =
     docs
       .withColumn("_sim",
-        graft.functions.DedupExpressions.simhash64(split(col(textCol), "\\s+")))
+        graft.functions.DedupExpressions.simhash64(
+          graft.functions.TextFunctions.words(col(textCol))))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("_sim")
       .drop("_sim")

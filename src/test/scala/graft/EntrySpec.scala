@@ -13,9 +13,15 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  SparkEntry.queries.foreach { case (name, fn) =>
+  // each query DataFrame is CONSTRUCTED once and shared by the row and
+  // schema tests below — construction is the expensive part for the
+  // driver-loop fits (Lloyd iterations, codebook collects run eagerly)
+  private lazy val built: Map[String, org.apache.spark.sql.DataFrame] =
+    SparkEntry.queries.map { case (name, fn) => name -> fn(spark, sfDir) }
+
+  SparkEntry.queries.keys.foreach { name =>
     test(s"query $name runs with rows > 0 on sf0.001") {
-      assert(fn(spark, sfDir).count() > 0)
+      assert(built(name).count() > 0)
     }
   }
 
@@ -35,8 +41,8 @@ class EntrySpec extends SparkSpec {
 
   test("every query dumps atomic columns only (gate harness can't sort arrays)") {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      fn(spark, sfDir).schema.fields.toSeq.collect {
+    val offenders = built.toSeq.flatMap { case (name, df) =>
+      df.schema.fields.toSeq.collect {
         case f if f.dataType.isInstanceOf[ArrayType] ||
           f.dataType.isInstanceOf[MapType] ||
           f.dataType.isInstanceOf[StructType] => s"$name.${f.name}"

@@ -40,9 +40,10 @@ class KMeansSpec extends SparkSpec {
   test("fixed-iteration fit (tol=0) equals the declarative step chain") {
     val p = Tables.points2d(spark, sfDir)
     val viaFit = KMeansDF.fit(p, 4, maxIter = 2, tol = 0.0)
-    val seeds = p.filter(col("id") < 4).collect().zipWithIndex
+    val seeds = p.filter(col("id") < 4).collect()
+      .sortBy(_.getAs[Long]("id")).zipWithIndex
       .map { case (r, i) => Centroid(i, r.getAs[Double]("x"), r.getAs[Double]("y")) }
-      .sortBy(_.cid).toSeq
+      .toSeq
     val viaStep = KMeansDF.step(p, KMeansDF.step(p, seeds))
     assert(viaFit === viaStep,
       "RDD treeAggregate loop and DataFrame step must agree bit-exactly")

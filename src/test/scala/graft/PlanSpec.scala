@@ -116,9 +116,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_moving_avg")
     val shuffles = "Exchange".r.findAllIn(p).length
     assert(shuffles <= 1, s"one user_id exchange expected, saw $shuffles")
-    val windows = "(?m)^\\s*[+:]?-? ?Window ".r.findAllIn(p).length
-    assert("Window".r.findAllIn(p).length <= 2,
-      s"running sum and moving avg must share the window spec: $windows")
+    val windows = "(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p).length
+    assert(windows <= 1,
+      s"running sum and moving avg must share one Window operator, saw $windows")
   }
 
   test("q_sliding_window explodes windows before one partial-agg exchange") {
