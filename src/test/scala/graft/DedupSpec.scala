@@ -66,6 +66,36 @@ class DedupSpec extends SparkSpec {
     assert(g1.intersect(g2).isEmpty, "reversed word order shares no bigrams")
   }
 
+  test("incrementalDedup drops exact and near corpus duplicates, keeps novel docs") {
+    val corpus = Seq(
+      (10L, "en", 0L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "en", 0L, "some established corpus document about databases")
+    ).toDF("doc_id", "lang", "lb", "text").withColumn("n_chars", length($"text"))
+    val incoming = Seq(
+      (20L, "en", 0L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (21L, "en", 0L, "the quick brown fox jumps over the lazy cat"), // near dup
+      (22L, "en", 0L, "an entirely novel incoming document about streaming"),
+      (23L, "en", 0L, "an entirely novel incoming document about streaming") // dup within batch: both kept (batch-internal dedup is applyDedup's job)
+    ).toDF("doc_id", "lang", "lb", "text").withColumn("n_chars", length($"text"))
+    val kept = Dedup.incrementalDedup(incoming, corpus, ngramN = 1, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(22L, 23L), s"got $kept")
+  }
+
+  test("incrementalDedup flags change the plan, never the result") {
+    def side(parity: Int) = Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(2)) === parity)
+      .select($"doc_id", $"lang", floor($"n_chars" / 100).as("lb"), $"text")
+    val base = Dedup.incrementalDedup(side(1), side(0), 1, 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    for (bcast <- Seq(true, false); collapse <- Seq(true, false)) {
+      val got = Dedup.incrementalDedup(side(1), side(0), 1, 0.6,
+        broadcastIncoming = bcast, collapseCorpus = collapse)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === base, s"bcast=$bcast collapse=$collapse diverged")
+    }
+  }
+
   test("simhashPairs blocking is complete for hamming <= 3 (pigeonhole)") {
     // brute-force hamming over all pairs must equal the banded join result
     val sh = Tables.documents(spark, sfDir).limit(200)
