@@ -126,9 +126,14 @@ object StreamingOps {
               state.update(s)
               // timeout API is epoch ms: close when event time passes
               // last+gap (never behind the current watermark, which
-              // would be rejected)
+              // would be rejected). State is in micros — ceil to ms so
+              // the timeout is never EARLIER than the micros boundary;
+              // an event inside (last, last+gap] must still find the
+              // session open, matching the micros membership test above
+              // and the batch q_session_window twin.
               state.setTimeoutTimestamp(
-                math.max(s.last / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(math.floorDiv(s.last + gapUs + 999L, 1000L),
+                  state.getCurrentWatermarkMs() + 1))
             }
             out.reverseIterator
           }
