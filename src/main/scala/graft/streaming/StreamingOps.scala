@@ -130,7 +130,10 @@ object StreamingOps {
               // the timeout is never EARLIER than the micros boundary;
               // an event inside (last, last+gap] must still find the
               // session open, matching the micros membership test above
-              // and the batch q_session_window twin.
+              // and the batch q_sessionize twin (lag/cumsum with an
+              // inclusive gap: strict > starts a new session). The
+              // built-in session_window operator differs — its end
+              // bound is exclusive (gap >= gapMs splits).
               state.setTimeoutTimestamp(
                 math.max(math.floorDiv(s.last + gapUs + 999L, 1000L),
                   state.getCurrentWatermarkMs() + 1))
