@@ -16,7 +16,11 @@ object Verify {
     GraftSession.registerFunctions(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-iteration subset (mirrors Bench); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         // canonical row order (all columns asc, nulls first) so the
         // compare is valid even if the driver hashes rows in file order;

@@ -77,6 +77,35 @@ object DedupPack extends QueryPack {
         .agg(count(lit(1)).as("n_new"), sum(col("n_chars")).as("chars_new"))
     }),
 
+    // Cross-doc repeated-span measurement — the per-doc metric behind
+    // exact-substring dedup ("what fraction of this doc's 5-word spans
+    // also appear in other docs?"); pipelines drop or trim docs whose
+    // content is mostly shared boilerplate. Linear shape: explode
+    // distinct 5-gram hashes, span doc-frequency by hash agg, join back
+    // — never a doc×doc join. Gram hashing runs once per distinct text
+    // (§3a'); span df counts member DOCS (identical texts weight by
+    // their member count), so exact duplicates correctly score 1.0.
+    "dedup_spans" -> ((s, d) => {
+      import graft.functions.DedupExpressions.ngramHashSet
+      val hashed = Dedup.withTextHash(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+      val members = hashed.select("doc_id", "h")
+      val mcount = members.groupBy("h").agg(count(lit(1)).as("mc"))
+      val repG = hashed.dropDuplicates("h")
+        .withColumn("g", ngramHashSet(words(col("text")), 5))
+        .filter(col("g").isNotNull)
+        .select(col("h"), size(col("g")).as("n_spans"), explode(col("g")).as("gh"))
+      val dfreq = repG.select("h", "gh").join(mcount, "h")
+        .groupBy("gh").agg(sum("mc").as("df"))
+      val repStats = repG.join(dfreq, "gh")
+        .groupBy("h", "n_spans")
+        .agg(sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      members.join(repStats, "h")
+        .select(col("doc_id"), col("n_spans").cast("long").as("n_spans"),
+          col("n_shared"),
+          round(col("n_shared") / col("n_spans"), 4).as("dup_span_frac"))
+    }),
+
     // n-gram (word-bigram) Jaccard near-dup: order-sensitive, so it
     // catches shuffled-word docs that the word-SET Jaccard calls equal.
     // Same collapsed blocked shape over hashed bigram sets.
@@ -260,6 +289,26 @@ object DedupPack extends QueryPack {
         |SELECT lang, count(*) AS n_new,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_new
         |FROM kept GROUP BY lang""".stripMargin,
+    // span df counts DOCS (not distinct texts): DuckDB formulates it
+    // directly as count(DISTINCT doc_id) per gram — equal to Spark's
+    // member-count-weighted rep sum because identical texts contribute
+    // identical gram sets
+    "dedup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),
+        |    i -> md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      || ' ' || w[i+3] || ' ' || w[i+4]))) AS gs
+        |  FROM d WHERE len(w) >= 5),
+        |e AS (SELECT doc_id, len(gs) AS n_spans, unnest(gs) AS gh FROM g),
+        |dfq AS (SELECT gh, count(DISTINCT doc_id) AS df FROM e GROUP BY gh)
+        |SELECT e.doc_id, CAST(e.n_spans AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) / e.n_spans, 4)
+        |    AS dup_span_frac
+        |FROM e JOIN dfq ON e.gh = dfq.gh
+        |GROUP BY e.doc_id, e.n_spans""".stripMargin,
     "dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,

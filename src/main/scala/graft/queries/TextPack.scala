@@ -82,6 +82,41 @@ object TextPack extends QueryPack {
         .select("doc_id", "top_word_frac", "top_bigram_frac")
     }),
 
+    // Benchmark decontamination: per TRAIN doc, how many of its distinct
+    // word 3-grams appear anywhere in the EVAL split (doc_id % 20 == 0 —
+    // a stand-in benchmark set). The n-gram inverted index of the eval
+    // side is benchmark-sized (small by definition), so it broadcasts;
+    // the corpus side is one scan + explode + hash agg — the exact shape
+    // a 100 TB decontamination pass needs (no corpus self-join). Gram
+    // stats are computed once per distinct text (§3a') and expanded to
+    // member docs by text hash.
+    "text_contamination" -> ((s, d) => {
+      import graft.functions.DedupExpressions.ngramHashSet
+      val hashed = graft.operators.Dedup.withTextHash(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+      val members = hashed.select("doc_id", "h")
+      val repG = hashed.dropDuplicates("h")
+        .withColumn("g", ngramHashSet(words(col("text")), 3))
+        .filter(col("g").isNotNull)
+        .select(col("h"), col("g"))
+      // eval membership is per doc_id: the eval gram set is the union
+      // over texts that have at least one eval member
+      val evalH = members.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select("h").distinct()
+      val benchGrams = repG.join(broadcast(evalH), "h")
+        .select(explode(col("g")).as("gh")).distinct()
+      val repStats = repG
+        .select(col("h"), size(col("g")).as("n_grams"), explode(col("g")).as("gh"))
+        .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gh"), "left")
+        .groupBy("h", "n_grams")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_contam"))
+      members.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+        .join(repStats, "h")
+        .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          col("n_contam"),
+          round(col("n_contam") / col("n_grams"), 4).as("contam_frac"))
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       docs(s, d)
         .filter(size(col("w")) >= 3)
@@ -266,6 +301,22 @@ object TextPack extends QueryPack {
         |  round(avg(n_bpe), 4) AS avg_bpe,
         |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 4) AS bpe_per_word
         |FROM t GROUP BY lang""".stripMargin,
+    "text_contamination" ->
+      s"""WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+         |    i -> md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gs
+         |  FROM d WHERE len(w) >= 3),
+         |bench AS (
+         |  SELECT DISTINCT unnest(gs) AS gh FROM g WHERE doc_id % 20 = 0),
+         |tr AS (
+         |  SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gh
+         |  FROM g WHERE doc_id % 20 <> 0)
+         |SELECT tr.doc_id, CAST(tr.n_grams AS BIGINT) AS n_grams,
+         |  CAST(count(bench.gh) AS BIGINT) AS n_contam,
+         |  round(count(bench.gh) / tr.n_grams, 4) AS contam_frac
+         |FROM tr LEFT JOIN bench ON tr.gh = bench.gh
+         |GROUP BY tr.doc_id, tr.n_grams""".stripMargin,
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $wSql AS w FROM documents),
          |g AS (SELECT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h

@@ -96,6 +96,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_spans matches brute-force 5-gram doc-frequency; exact dups score 1.0") {
+    val got = SparkEntry.queries("dedup_spans")(s, TestSession.sfDir)
+      .select($"doc_id", $"n_shared", $"dup_span_frac")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val base = Tables.documents(s, TestSession.sfDir)
+      .select($"doc_id", split($"text", "\\s+").as("w"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, w) =>
+        id -> w.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSeq.distinct
+      }
+      .filter(_._2.nonEmpty)
+    val dfreq = base.flatMap { case (id, g) => g.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val want = base.map { case (id, g) =>
+      val shared = g.count(dfreq(_) >= 2).toLong
+      id -> ((shared, math.rint(shared.toDouble / g.size * 10000) / 10000))
+    }.toMap
+    assert(got === want)
+    // exact duplicate texts share every span with their copies
+    val byText = Tables.documents(s, TestSession.sfDir)
+      .groupBy("text").agg(count(lit(1)).as("n"), collect_list("doc_id").as("ids"))
+      .filter($"n" >= 2).select(explode($"ids")).as[Long].collect()
+    byText.foreach(id => assert(got(id)._2 === 1.0, s"doc $id"))
+  }
+
   test("simhashPairs blocking is complete for hamming <= 3 (pigeonhole)") {
     // brute-force hamming over all pairs must equal the banded join result
     val sh = Tables.documents(spark, sfDir).limit(200)

@@ -35,6 +35,19 @@ class TextSpec extends SparkSpec {
     assert(n === 3)
   }
 
+  test("text_contamination matches a brute-force string-3-gram overlap") {
+    val got = SparkEntry.queries("text_contamination")(s, TestSession.sfDir)
+      .select($"doc_id", $"n_contam").as[(Long, Long)].collect().toMap
+    val docs = Tables.documents(s, TestSession.sfDir)
+      .select($"doc_id", triShingles(words($"text")).as("g"))
+      .filter(size($"g") > 0)
+      .as[(Long, Seq[String])].collect()
+    val bench = docs.filter(_._1 % 20 == 0).flatMap(_._2).toSet
+    val want = docs.filter(_._1 % 20 != 0)
+      .map { case (id, g) => id -> g.distinct.count(bench.contains).toLong }.toMap
+    assert(got === want)
+  }
+
   test("predictedLang picks max-scoring profile with alphabetical ties") {
     val df = Seq(
       "the cat of the house",  // en hits
