@@ -68,6 +68,28 @@ object StatsPack extends QueryPack {
         .select("doc_id", "lang")
     }),
 
+    // Deterministic mixture rebalance — the domain-mixing primitive:
+    // downsample every stratum (lang) to EXACTLY the size of the
+    // smallest one, selecting members by md5-hash rank (a seedless,
+    // engine- and partitioning-stable random draw). Shape: one tiny
+    // per-stratum count agg (broadcast back as a single-row min), one
+    // rank window per stratum. At 100 TB the per-stratum sort is the
+    // cost — there you'd pre-filter with a hash THRESHOLD slightly above
+    // target/count (q_sample's scan-only shape) and exact-rank only the
+    // ~target survivors; semantics identical, sort input ~target rows.
+    "q_mixture" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d).select(col("doc_id"), col("lang"))
+      val target = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("target"))
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val w = Window.partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
+      docs.withColumn("rk", row_number().over(w))
+        .join(broadcast(target))
+        .filter(col("rk") <= col("target"))
+        .select("doc_id", "lang")
+    }),
+
     // Fixed-width histogram: bucket = floor(price/25k)·25k — a single
     // hash agg; bucket count is bounded by the value range, not rows.
     "q_histogram" -> ((s, d) =>
@@ -95,6 +117,15 @@ object StatsPack extends QueryPack {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
         |  < CASE WHEN lang = 'en' THEN 26214 ELSE 13107 END""".stripMargin,
+    "q_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT min(cnt) AS target FROM c),
+        |r AS (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r, t WHERE rk <= t.target""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice/25000)*25000 AS BIGINT) AS bucket,
         |  count(*) AS n, round(avg(o_totalprice),2) AS avg_price

@@ -23,6 +23,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_mixture rebalances every stratum to the smallest stratum's size, deterministically") {
+    def run() = SparkEntry.queries("q_mixture")(spark, sfDir)
+      .as[(Long, String)].collect().toSet
+    val got = run()
+    val counts = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val target = counts.values.min
+    // exact-n per stratum
+    val perLang = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(perLang.keySet === counts.keySet)
+    perLang.foreach { case (lang, n) => assert(n === target, s"lang $lang") }
+    // a subset of the corpus, stable across runs
+    val ids = Tables.documents(spark, sfDir).select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).subsetOf(ids))
+    assert(run() === got)
+  }
+
   test("approx_percentile tracks exact percentiles within the accuracy bound") {
     val got = SparkEntry.queries("q_approx_percentile")(spark, sfDir)
       .select($"event_type", $"p50", $"p90").as[(String, Double, Double)]
