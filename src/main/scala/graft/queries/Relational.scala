@@ -32,12 +32,17 @@ object Relational extends QueryPack {
           count(lit(1)).as("count_order"))
     }),
 
-    // TPC-H Q3 shape: broadcast dim, one fact shuffle, top-k.
+    // TPC-H Q3 shape: broadcast the dim (customer) into orders map-side;
+    // the orders⋈lineitem fact-fact edge is a shuffle join on orderkey —
+    // the date filter keeps most of orders, so hinting it broadcast would
+    // OOM at scale (AQE still broadcasts at runtime when it truly fits).
+    // The groupBy on l_orderkey reuses the join's partitioning: the
+    // lineitem fact crosses the wire exactly once.
     "q3_join" -> ((s, d) => {
       val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = orders(s, d).filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
       val l = lineitem(s, d).filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
-      l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+      l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -45,7 +50,10 @@ object Relational extends QueryPack {
         .limit(10)
     }),
 
-    // TPC-H Q5 shape: star join through region→nation→customer, dims broadcast.
+    // TPC-H Q5 shape: star join — nation/region broadcast into customer,
+    // the ASIA-pruned customer dim broadcast into the fact stream; the
+    // orders⋈lineitem fact-fact edge is a shuffle join (the date filter
+    // keeps nearly all of orders — never hint a fact broadcast).
     "q5_join5" -> ((s, d) => {
       val r = region(s, d).filter(col("r_name") === "ASIA")
       val dims = customer(s, d)
@@ -53,7 +61,7 @@ object Relational extends QueryPack {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       val o = orders(s, d).filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
       lineitem(s, d)
-        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),

@@ -1,6 +1,9 @@
 package graft
 
-import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SimpleMode, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 
 /** Plan-shape invariants (SURVEY.md §3): these are the properties that
   * keep the engine viable at 100 TB, asserted against the optimized
@@ -18,11 +21,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "map-side partial aggregation expected")
   }
 
-  test("q3_join and q5_join5 broadcast every dim — no sort-merge join") {
-    for (q <- Seq("q3_join", "q5_join5")) {
-      val p = plan(q)
-      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast dims")
-      assert(!p.contains("SortMergeJoin"), s"$q must not shuffle the fact table for a join")
+  /** Runs `body` with auto-broadcast and AQE off — the static plan a
+    * 100 TB input would get, where nothing broadcasts unless hinted. */
+  private def atScale[A](body: => A): A = {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold" -> conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" -> conf.get("spark.sql.adaptive.enabled"))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  private def scansTable(p: SparkPlan, table: String): Boolean =
+    p.collect { case sc: FileSourceScanExec => sc }.exists(
+      _.relation.location.rootPaths.exists(_.toString.contains(table)))
+
+  test("q3_join/q5_join5: dims broadcast, facts never do, one shuffle per fact") {
+    atScale {
+      for (q <- Seq("q3_join", "q5_join5")) {
+        val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+        val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+        assert(bhj.nonEmpty, s"$q: hinted dims must still broadcast at scale")
+        for (j <- bhj) {
+          val build = j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }
+          for (fact <- Seq("orders", "lineitem"))
+            assert(!scansTable(build, fact),
+              s"$q: the $fact fact table must never be on a broadcast build side")
+        }
+        // the orders⋈lineitem edge is a shuffle join at scale
+        assert(p.toString.contains("SortMergeJoin") || p.toString.contains("ShuffledHashJoin"),
+          s"$q: the fact-fact edge must be a shuffle join when nothing auto-broadcasts")
+        // each fact's RAW rows cross the wire at most once (exchanges above
+        // a partial aggregate ship k-sized partials, not fact rows)
+        for (fact <- Seq("orders", "lineitem")) {
+          val n = p.collect {
+            case e: ShuffleExchangeExec if scansTable(e, fact) &&
+              e.collect { case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }.isEmpty => e
+          }.length
+          assert(n <= 1, s"$q: $fact raw rows must shuffle at most once, saw $n exchanges")
+        }
+      }
     }
   }
 
