@@ -71,22 +71,36 @@ object StatsPack extends QueryPack {
     // Deterministic mixture rebalance — the domain-mixing primitive:
     // downsample every stratum (lang) to EXACTLY the size of the
     // smallest one, selecting members by md5-hash rank (a seedless,
-    // engine- and partitioning-stable random draw). Shape: one tiny
-    // per-stratum count agg (broadcast back as a single-row min), one
-    // rank window per stratum. At 100 TB the per-stratum sort is the
-    // cost — there you'd pre-filter with a hash THRESHOLD slightly above
-    // target/count (q_sample's scan-only shape) and exact-rank only the
-    // ~target survivors; semantics identical, sort input ~target rows.
+    // engine- and partitioning-stable random draw). Scale shape: the
+    // rank window never sorts a full stratum — a per-stratum hash-prefix
+    // PREFILTER (threshold ≈ (2·target+64)/cnt of the 32-bit md5
+    // prefix, q_sample's scan-only shape) cuts the window input to
+    // ~2×target rows first. The filter keeps a PREFIX of the md5 sort
+    // order (kept prefix value < any dropped prefix value), so the
+    // top-target rows are identical to the unfiltered rank as long as
+    // ≥ target rows survive per stratum — enforced in-plan by a
+    // raise_error guard (loud failure, never a silent undersample).
     "q_mixture" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = documents(s, d).select(col("doc_id"), col("lang"))
-      val target = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
-        .agg(min("cnt").as("target"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val strata = counts.join(broadcast(counts.agg(min("cnt").as("target"))))
+        .select(col("lang"), col("target"),
+          least(lit(1.0), (col("target") * 2 + 64).cast("double") / col("cnt")).as("cut"))
       val h = md5(col("doc_id").cast("string").cast("binary"))
-      val w = Window.partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
-      docs.withColumn("rk", row_number().over(w))
-        .join(broadcast(target))
-        .filter(col("rk") <= col("target"))
+      val pre = docs
+        .withColumn("md5h", h)
+        .withColumn("hv", conv(substring(col("md5h"), 1, 8), 16, 10).cast("long"))
+        .join(broadcast(strata), Seq("lang"))
+        .filter(col("hv") < col("cut") * lit(4294967296.0)) // 2^32: prefix cut
+      val w = Window.partitionBy("lang").orderBy(col("md5h").asc, col("doc_id").asc)
+      pre.withColumn("rk", row_number().over(w))
+        .withColumn("n_surv", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("eff_target", col("target") +
+          when(col("n_surv") < col("target"),
+            raise_error(concat(lit("q_mixture: prefilter underflow in stratum "), col("lang"))))
+            .otherwise(lit(0L)))
+        .filter(col("rk") <= col("eff_target"))
         .select("doc_id", "lang")
     }),
 

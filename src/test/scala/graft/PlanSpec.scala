@@ -67,6 +67,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_mixture rank window sorts only hash-prefiltered survivors") {
+    val p = SparkEntry.queries("q_mixture")(spark, sfDir).queryExecution.sparkPlan
+    val windows = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "exact rank window expected")
+    // every window must sit above the hash-prefix cut: its subtree
+    // contains the hv < cut·2^32 filter fed by the broadcast strata join
+    for (w <- windows) {
+      val cutFilters = w.child.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("hv") => f
+      }
+      assert(cutFilters.nonEmpty,
+        "window input must be prefiltered by the per-stratum hash cut")
+      assert(w.child.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "strata thresholds must reach the scan via a broadcast join")
+    }
+  }
+
   test("km_assign is shuffle-free (broadcast-literal centroid fold)") {
     val p = plan("km_assign")
     assert(!p.contains("Exchange"), "assignment is a pure map over the scan")
