@@ -45,7 +45,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // under SPARK_GRAFT_ONLY the oracle json carries ONLY the dumped
+    // keys: a dev run into a reused outDir can then never pair a full
+    // oracle list with stale parquet from an earlier full run (the
+    // driver never sets ONLY, so its gate always gets the full map)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -176,7 +176,10 @@ object TextPack extends QueryPack {
       // rep share their top-3 verbatim.
       val hashed = graft.operators.Dedup.withTextHash(
         docs(s, d).select(col("doc_id"), col("text"), col("w")), "text").drop("text")
-      val n = hashed.count().toDouble
+      // corpus size stays IN-PLAN (broadcast single-row aggregate joined
+      // below, q_mixture's pattern) — no Spark action at plan-build time,
+      // no extra eager corpus scan for callers composing plans
+      val ntot = broadcast(hashed.agg(count(lit(1)).cast("double").as("n_corpus")))
       val members = hashed.select("doc_id", "h")
       val mcount = members.groupBy("h").agg(count(lit(1)).as("mc"))
       val wexp = hashed.dropDuplicates("h")
@@ -187,9 +190,9 @@ object TextPack extends QueryPack {
       // window count over tf (sort-shuffles the full (doc, word) set)
       val dfreq = wexp.distinct().join(mcount, "h")
         .groupBy("word").agg(sum("mc").as("df"))
-      val scored = tf.join(dfreq, "word")
+      val scored = tf.join(dfreq, "word").join(ntot)
         .select(col("h"), col("word"),
-          round(col("tf") * log(lit(n) / col("df")), 4).as("score"))
+          round(col("tf") * log(col("n_corpus") / col("df")), 4).as("score"))
       scored.groupBy("h")
         .agg(topk(struct((-col("score")).as("negs"), col("word").as("wd")), 3).as("top"))
         .select(col("h"), posexplode(col("top")).as(Seq("i", "t")))

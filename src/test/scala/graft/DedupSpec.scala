@@ -111,7 +111,10 @@ class DedupSpec extends SparkSpec {
       .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
     val want = base.map { case (id, g) =>
       val shared = g.count(dfreq(_) >= 2).toLong
-      id -> ((shared, math.rint(shared.toDouble / g.size * 10000) / 10000))
+      // HALF_UP to match Spark round() — math.rint is half-to-even and
+      // diverges on exact .5 boundary fractions
+      id -> ((shared, BigDecimal(shared.toDouble / g.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
     }.toMap
     assert(got === want)
     // exact duplicate texts share every span with their copies

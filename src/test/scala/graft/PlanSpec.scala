@@ -34,7 +34,9 @@ class PlanSpec extends SparkSpec {
 
   private def scansTable(p: SparkPlan, table: String): Boolean =
     p.collect { case sc: FileSourceScanExec => sc }.exists(
-      _.relation.location.rootPaths.exists(_.toString.contains(table)))
+      // match the path's final segment only: a parent directory whose
+      // name embeds another table's name must not false-positive
+      _.relation.location.rootPaths.exists(_.getName == s"$table.parquet"))
 
   test("q3_join/q5_join5: dims broadcast, facts never do, one shuffle per fact") {
     atScale {
@@ -71,15 +73,26 @@ class PlanSpec extends SparkSpec {
     val p = SparkEntry.queries("q_mixture")(spark, sfDir).queryExecution.sparkPlan
     val windows = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(windows.nonEmpty, "exact rank window expected")
-    // every window must sit above the hash-prefix cut: its subtree
-    // contains the hv < cut·2^32 filter fed by the broadcast strata join
+    // every window must sit above the hash-prefix cut. The predicate
+    // references both join sides (hash prefix vs per-stratum cut), so
+    // Catalyst may either keep it as a FilterExec or fuse it into the
+    // strata BroadcastHashJoin as a residual condition — accept both.
+    // Match the 2^32 literal / `cut` attribute, never the `hv` alias
+    // (collapse-eliminated in the optimized plan).
+    def hasCut(c: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+      val s = c.toString
+      s.contains("4.294967296E9") || s.contains("cut")
+    }
     for (w <- windows) {
-      val cutFilters = w.child.collect {
-        case f: org.apache.spark.sql.execution.FilterExec
-          if f.condition.toString.contains("hv") => f
-      }
-      assert(cutFilters.nonEmpty,
-        "window input must be prefiltered by the per-stratum hash cut")
+      val cutInFilter = w.child.collect {
+        case f: org.apache.spark.sql.execution.FilterExec if hasCut(f.condition) => f
+      }.nonEmpty
+      val cutInJoin = w.child.collect {
+        case j: BroadcastHashJoinExec if j.condition.exists(hasCut) => j
+      }.nonEmpty
+      assert(cutInFilter || cutInJoin,
+        "window input must be prefiltered by the per-stratum hash cut " +
+          "(as a FilterExec or a BroadcastHashJoin residual condition)")
       assert(w.child.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
         "strata thresholds must reach the scan via a broadcast join")
     }
@@ -214,6 +227,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the corpus side must only ever be probed by broadcast (batch ≪ corpus); " +
         "any shuffle join means the corpus is being moved for the join")
+  }
+
+  test("text_tfidf builds lazily — no Spark action at plan-build time") {
+    // Spark 4 submits one schema-inference job per parquet read, so
+    // "lazy" here means: building the full tf-idf plan costs no more
+    // jobs than merely opening its input table. An eager count() (the
+    // r5/r6 anti-pattern) adds a multi-stage job and fails this.
+    // Job groups are thread-local — concurrent suites can't pollute it.
+    val sc = spark.sparkContext
+    def jobsDuring(group: String)(body: => Any): Int = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try { body; sc.statusTracker.getJobIdsForGroup(group).length }
+      finally sc.clearJobGroup()
+    }
+    val baseline = jobsDuring("tfidf-lazy-base")(graft.Tables.documents(spark, sfDir))
+    val built = jobsDuring("tfidf-lazy-probe")(
+      SparkEntry.queries("text_tfidf")(spark, sfDir))
+    assert(built <= baseline,
+      s"building the text_tfidf plan submitted $built jobs vs $baseline for a " +
+        "bare table read — corpus size must be an in-plan broadcast " +
+        "aggregate, not an eager action")
   }
 
   test("text_repetition aggregates combine map-side") {
