@@ -31,37 +31,48 @@ object Similarity {
         col("t.v").as("vid"), round(-col("t.negcos"), 4).as("cos"))
   }
 
+  /** 16-byte content hash of a float-array column (Float.toString
+    * round-trips exactly, so equal hashes ⟺ equal vectors modulo md5
+    * collision) — the vector twin of `Dedup.withTextHash`. Collapse /
+    * expand joins key on this instead of the raw 64-float array:
+    * the shuffled join keys are ~16× smaller and hash-comparable. */
+  def vecHash(vec: Column): Column = md5(vec.cast("string").cast("binary"))
+
   /** Exact near-duplicate pairs within blocks (co-partitioned self-join
     * on the block key; never all-pairs). Identical (block, vector) rows
     * are collapsed to one representative before the join — replicated
     * vectors would otherwise pay c² join rows per identical group —
     * and member pairs are expanded afterwards (identical vectors have
     * cosine exactly 1 at the rounded precision; cross pairs inherit the
-    * representative cosine, which is bit-equal for equal inputs). */
+    * representative cosine, which is bit-equal for equal inputs).
+    * All collapse/expand joins key on `vecHash`, never the raw array;
+    * the member side ships (vec_id, blk, vh) only — no embeddings. */
   def nearDupPairs(corpus: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val base = corpus.select(col("vec_id"), col(blockCol).as("blk"), col("embedding"))
-    val reps = base.dropDuplicates("blk", "embedding")
-    val members = base
+      .withColumn("vh", vecHash(col("embedding")))
+    val reps = base.dropDuplicates("blk", "vh")
+    val members = base.select("vec_id", "blk", "vh")
     val within = members.as("x")
       .join(members.as("y"),
         col("x.blk") === col("y.blk")
-          && col("x.embedding") === col("y.embedding")
+          && col("x.vh") === col("y.vh")
           && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         lit(1.0).as("cos"))
-    // canonical representative order via lexicographic array comparison
+    // canonical pair order via the hash (distinct per rep within a
+    // block): each unordered rep pair appears exactly once, and the
+    // output ids are re-canonicalized with least/greatest below
     val repPairs = reps.as("a")
       .join(reps.as("b"),
-        col("a.blk") === col("b.blk") && col("a.embedding") < col("b.embedding"))
-      .select(col("a.blk").as("pblk"), col("a.embedding").as("ea"),
-        col("b.embedding").as("eb"),
+        col("a.blk") === col("b.blk") && col("a.vh") < col("b.vh"))
+      .select(col("a.blk").as("pblk"), col("a.vh").as("ha"), col("b.vh").as("hb"),
         round(cosineSim(col("a.embedding"), col("b.embedding")), 4).as("cos"))
       .filter(col("cos") >= threshold)
     val across = repPairs
       .join(members.as("ma"), col("pblk") === col("ma.blk")
-        && col("ea") === col("ma.embedding"))
+        && col("ha") === col("ma.vh"))
       .join(members.as("mb"), col("pblk") === col("mb.blk")
-        && col("eb") === col("mb.embedding"))
+        && col("hb") === col("mb.vh"))
       .select(least(col("ma.vec_id"), col("mb.vec_id")).as("id_a"),
         greatest(col("ma.vec_id"), col("mb.vec_id")).as("id_b"), col("cos"))
     within.unionByName(across)

@@ -166,6 +166,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embed_neardup joins key on vector hashes, never float arrays") {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.types.ArrayType
+    val p = SparkEntry.queries("embed_neardup")(spark, sfDir)
+      .queryExecution.executedPlan
+    def keys(n: SparkPlan): Seq[Expression] = n match {
+      case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: SortMergeJoinExec     => j.leftKeys ++ j.rightKeys
+      case j: ShuffledHashJoinExec  => j.leftKeys ++ j.rightKeys
+      case _                        => Nil
+    }
+    val arrayKeys = p.collect { case n if keys(n).nonEmpty => keys(n) }
+      .flatten.filter(_.dataType.isInstanceOf[ArrayType])
+    assert(arrayKeys.isEmpty,
+      s"collapse/expand joins must hash-key vectors (16 B md5), not ship " +
+        s"64-float arrays as join keys; found: ${arrayKeys.mkString(", ")}")
+  }
+
   test("dedup_ngram ships long hash sets, not bigram strings") {
     val p = plan("dedup_ngram")
     assert(p.contains("ngramhashset") || p.contains("NGramHashSet")
