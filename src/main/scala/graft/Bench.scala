@@ -32,15 +32,23 @@ object Bench {
     // best of two passes per query: this box shows multi-minute
     // contention windows (observed 5-30x inflation on whatever ran
     // during one); a window can straddle one pass but not both, so the
-    // min is the machine's real throughput, not the window's
+    // min is the machine's real throughput, not the window's. When the
+    // two passes disagree >3x a tie-break third pass runs — and every
+    // per-pass time is published in the JSON ("passes") so a contention
+    // window is self-evident from the artifact, no re-run needed.
     val pass1 = selected.map { case (name, fn) => name -> timeOnce(fn) }
-    val results = selected.map { case (name, fn) =>
-      name -> math.min(pass1(name), timeOnce(fn))
+    val passes = selected.map { case (name, fn) =>
+      val p = List(pass1(name), timeOnce(fn))
+      val disputed = p.max > 3 * p.min && p.max - p.min > 0.5
+      name -> (if (disputed) p :+ timeOnce(fn) else p)
     }
+    val results = passes.map { case (name, p) => name -> p.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ps = passes.map { case (k, p) => s"\"" + k + "\":" + p.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
