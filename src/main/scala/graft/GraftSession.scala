@@ -19,6 +19,13 @@ object GraftSession {
       .master(master)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime Bloom semi-join pushdown: when a selective creation
+      // side feeds a shuffle join, a bloom filter built from its join
+      // keys prunes the probe-side scan before the exchange — the
+      // standard mitigation for "scan 100 TB to semi-join a sliver".
+      // Pinned explicitly (not left to the release default) because the
+      // q_semi_anti scale plan depends on it.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
 
   /** The cluster-deployment preset (1000-executor / 100 TB shape).
@@ -41,6 +48,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // at cluster scale a 64 MB creation side is still worth a bloom
+      // build if it saves a fact-table shuffle
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", (64L << 20).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.shuffle.compress", "true")
       .config("spark.broadcast.compress", "true")

@@ -99,10 +99,16 @@ object Relational extends QueryPack {
     // EXISTS / NOT EXISTS via semi/anti joins (no row duplication).
     "q_semi_anti" -> ((s, d) => {
       val c = customer(s, d)
+      // NO broadcast hint: the filtered orders side is a fact subset —
+      // unboundedly large at scale. AQE broadcasts it when it measures
+      // small; at 100 TB the semi join runs as a shuffle join and the
+      // runtime BLOOM filter (enabled in GraftSession, spec-gated in
+      // PlanSpec) prunes the customer scan down to probable matches
+      // before the exchange.
       val bigOrders = orders(s, d).filter(col("o_totalprice") > 100000)
-      val withBig = c.join(broadcast(bigOrders), col("c_custkey") === col("o_custkey"), "left_semi")
+      val withBig = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
-      val without = c.join(broadcast(bigOrders), col("c_custkey") === col("o_custkey"), "left_anti")
+      val without = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
       withBig.join(without, Seq("c_mktsegment"), "full_outer")
         .select(col("c_mktsegment"),

@@ -98,6 +98,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_semi_anti at scale: runtime bloom filter prunes the customer scan") {
+    // the 100 TB shape: nothing auto-broadcasts, the semi join is a
+    // shuffle join, and the selective orders subset must inject a
+    // bloom might_contain filter on the customer probe side so the
+    // fact scan is pruned BEFORE its exchange. Thresholds are loosened
+    // because sf0.001 scans are below the 10 GB application-side
+    // default — the assertion is about plan shape, not sizes.
+    val conf = spark.conf
+    val wanted = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = wanted.map { case (k, _) => k -> conf.get(k) }
+    wanted.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val p = SparkEntry.queries("q_semi_anti")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        "expected a bloom might_contain runtime filter on the customer side")
+      assert(p.contains("bloom_filter_agg"),
+        "expected the bloom build aggregate over the filtered orders keys")
+      assert(!p.contains("BroadcastHashJoin"),
+        "at scale the semi join must be a shuffle join (no broadcast of a fact subset)")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("km_assign is shuffle-free (broadcast-literal centroid fold)") {
     val p = plan("km_assign")
     assert(!p.contains("Exchange"), "assignment is a pure map over the scan")
