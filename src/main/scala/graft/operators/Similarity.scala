@@ -149,6 +149,36 @@ object Similarity {
         col("t.v").as("vid"), round(-col("t.negcos"), 4).as("cos"))
   }
 
+  /** Production coarse quantizer for IVF: cells fitted with the
+    * distributed Lloyd's of `KMeansND.fit` (broadcast centroids +
+    * treeAggregate partials — no per-iteration shuffle of the corpus).
+    * The oracle-gated queries keep the deterministic first-k seed so
+    * DuckDB can reproduce the layout; this is the recall path. */
+  def trainedCells(corpus: DataFrame, nCells: Int, maxIter: Int = 10)
+      : Seq[(Int, Array[Double])] =
+    KMeansND.fit(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      nCells, maxIter)
+
+  /** Production PQ codebook: each subspace's codewords fitted
+    * independently with `KMeansND.fit` over that subspace's slices
+    * (PQ's defining property — subspace quantizers are independent),
+    * then reassembled into full-length codewords (codeword j's slice
+    * for subspace m = subspace-m centroid j) so the result drops into
+    * `pqEncode`/`pqAdcDist` unchanged. Seeded from the same first-k
+    * vectors as the deterministic codebook, so Lloyd's monotone SSE
+    * descent guarantees quantization error ≤ the seeded codebook's. */
+  def trainedPqCodebook(corpus: DataFrame, numCodes: Int, numSub: Int,
+      dim: Int = 64, maxIter: Int = 5): Seq[Seq[Double]] = {
+    val sub = dim / numSub
+    val perSub: Seq[Map[Int, Array[Double]]] = (0 until numSub).map { m =>
+      val sliced = corpus.select(col("vec_id").as("id"),
+        slice(col("embedding"), m * sub + 1, sub).as("vec"))
+      KMeansND.fit(sliced, numCodes, maxIter).toMap
+    }
+    (0 until numCodes).map(j => perSub.flatMap(cb => cb(j).toSeq))
+  }
+
   /** Approximate top-k: brute force only within each query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 6): DataFrame = {
     val bc = corpus.withColumn("bucket", lshBucket(col("embedding"), numPlanes))
