@@ -64,6 +64,48 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("_sim")
       .drop("_sim")
 
+  /** Streaming MinHash-band near-dup dedup — the streaming composite of
+    * batch `dedup_minhash`'s LSH banding: a document is novel iff NONE
+    * of its band signatures was seen within the watermark horizon.
+    *
+    * Two chained stateful stages (Spark supports stateful-after-stateful
+    * in append mode since watermark propagation landed):
+    *   1. explode each doc into (band, sig) rows and
+    *      `dropDuplicatesWithinWatermark` on them — keeps only the FIRST
+    *      occurrence of each band signature; state is one row per
+    *      distinct (band, sig) per horizon (≤ `bands` longs per doc,
+    *      O(docs-per-horizon × bands), never O(stream)).
+    *   2. tumbling-window count of surviving band rows per doc — a doc
+    *      whose full band set survived collided with nothing.
+    *
+    * Jaccard-similar docs share ≥1 band signature with high probability
+    * (the same 128-hash/32-band geometry as the batch operator), so
+    * they lose that band row in stage 1 and drop out in stage 2.
+    * Short docs (<3 words, null signature) fall back to an exact
+    * text-hash single "band": near-dup degrades to exact-dup there.
+    * Results emit when the watermark passes the window end (append
+    * mode): dedup latency = window + watermark, the price of a
+    * deterministic-on-replay verdict. */
+  def dedupStreamByMinhashBands(docs: DataFrame, textCol: String, tsCol: String,
+      idCol: String = "doc_id", windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val sig = graft.functions.DedupExpressions.minhashBands(
+      graft.functions.TextFunctions.words(col(textCol)), numHashes, bands)
+    val bandRows = docs
+      .withColumn("_bands", coalesce(sig, array(xxhash64(col(textCol)))))
+      .withColumn("_nb", size(col("_bands")))
+      .select(col(idCol), col(tsCol), col("_nb"),
+        posexplode(col("_bands")).as(Seq("_band", "_sig")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_band", "_sig")
+    bandRows
+      .groupBy(window(col(tsCol), windowLen), col(idCol), col("_nb"))
+      .agg(count(lit(1)).as("_kept"))
+      .filter(col("_kept") === col("_nb"))
+      .select(col("window.start").as("ws"), col(idCol))
+  }
+
   /** Stream-stream interval join — the streaming twin of batch
     * `q_range_join`: each purchase is joined to the same user's views
     * from the preceding hour. Both sides are watermarked and the join

@@ -114,6 +114,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStreamByMinhashBands drops banded near-dups, emits novel docs") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupStreamByMinhashBands(docs, "text", "ts")
+      .writeStream.format("memory").queryName("mh_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog while rain " +
+        "falls on the quiet town and children play near the river bank"
+      in.addData(
+        (1L, ts(0), base),
+        (2L, ts(1), base + " postscript"), // ~0.96 Jaccard → band collision
+        (3L, ts(2), "completely different content about distributed query " +
+          "engines and shuffle partitioning strategies in modern systems"))
+      q.processAllAvailable()
+      // watermark must pass window end (1 h) + delay (10 min) to emit
+      in.addData((99L, ts(120), "late tick that closes the first hour window"))
+      q.processAllAvailable()
+      val got = spark.table("mh_dedup").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got.contains(1L), "first occurrence must be novel")
+      assert(got.contains(3L), "unrelated doc must be novel")
+      assert(!got.contains(2L), "near-dup sharing bands with doc 1 must drop")
+    } finally q.stop()
+  }
+
+  test("dedupStreamByMinhashBands state is bounded: horizon eviction on both stages") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupStreamByMinhashBands(docs, "text", "ts")
+      .writeStream.format("memory").queryName("mh_bounded")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 20 distinct docs → 20×32 band-sig state rows in the early window
+      in.addData((0 until 20).map(i =>
+        (i.toLong, ts(i), s"unique document number $i with its own " +
+          s"disjoint vocabulary token$i word$i term$i item$i entry$i")): _*)
+      q.processAllAvailable()
+      // event time jumps 10 h: both the dedup keys and the emitted
+      // window's agg rows are behind the watermark and must evict
+      in.addData((1000L, ts(600), "far future doc one two three four five"))
+      q.processAllAvailable()
+      in.addData((1001L, ts(610), "even later doc six seven eight nine ten"))
+      q.processAllAvailable()
+      val state = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(state < 20 * 32,
+        s"state must not accumulate expired band signatures, saw $state rows")
+    } finally q.stop()
+  }
+
   test("dedupStream state is bounded: watermark evicts expired keys") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
