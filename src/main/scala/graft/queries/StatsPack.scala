@@ -84,7 +84,13 @@ object StatsPack extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val docs = documents(s, d).select(col("doc_id"), col("lang"))
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
-      val strata = counts.join(broadcast(counts.agg(min("cnt").as("target"))))
+      // target = min stratum size via a global window over the k-row
+      // counts aggregate (k = #langs, not #docs — one partition of k
+      // rows at any scale): a single planned subtree, vs the former
+      // self-join on counts that planned the documents scan + count
+      // aggregation twice and leaned on ReuseExchange to dedup them
+      val strata = counts
+        .withColumn("target", min("cnt").over(Window.partitionBy()))
         .select(col("lang"), col("target"),
           least(lit(1.0), (col("target") * 2 + 64).cast("double") / col("cnt")).as("cut"))
       val h = md5(col("doc_id").cast("string").cast("binary"))

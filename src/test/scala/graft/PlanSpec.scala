@@ -71,7 +71,13 @@ class PlanSpec extends SparkSpec {
 
   test("q_mixture rank window sorts only hash-prefiltered survivors") {
     val p = SparkEntry.queries("q_mixture")(spark, sfDir).queryExecution.sparkPlan
-    val windows = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    // only the ORDERED windows are rank windows over doc rows; the
+    // unordered one is the global min over the k-row per-lang counts
+    // (the strata-target derivation), which has nothing to prefilter
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.orderSpec.nonEmpty => w
+    }
     assert(windows.nonEmpty, "exact rank window expected")
     // every window must sit above the hash-prefix cut. The predicate
     // references both join sides (hash prefix vs per-stratum cut), so
