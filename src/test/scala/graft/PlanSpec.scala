@@ -132,6 +132,42 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  /** Queries allowed a BroadcastNestedLoopJoin at scale: each one
+    * deliberately broadcast-crosses a provably tiny side (a hinted
+    * ≤tens-of-rows query/probe set, k-row cluster state, or a
+    * single-row global aggregate), so the nested loop is
+    * O(corpus × tiny), never corpus × corpus. Everything else must
+    * stay equi-join only.
+    *   ann_topk / ann_recall / ann_pq — hinted ≤10-row query set,
+    *     non-equi (self-exclusion) probe over the corpus;
+    *   km_silhouette_exact — k-row cluster-moment broadcast (the
+    *     O(n·k) silhouette decomposition);
+    *   text_tfidf — single-row corpus-count broadcast (in-plan
+    *     replacement for an eager count()). */
+  private val bnljAllowed: Set[String] =
+    Set("ann_topk", "ann_recall", "ann_pq", "km_silhouette_exact", "text_tfidf")
+
+  test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
+    atScale {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val p = fn(spark, sfDir).queryExecution.executedPlan
+          val cart = p.collect {
+            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          }
+          val bnlj = p.collect {
+            case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+          }
+          (if (cart.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
+            (if (bnlj.nonEmpty && !bnljAllowed(name))
+              Seq(s"$name: BroadcastNestedLoopJoin") else Nil)
+      }
+      assert(offenders.isEmpty,
+        s"scale-killer join shapes at autoBroadcast=-1/AQE-off: " +
+          s"${offenders.mkString("; ")}")
+    }
+  }
+
   test("km_assign is shuffle-free (broadcast-literal centroid fold)") {
     val p = plan("km_assign")
     assert(!p.contains("Exchange"), "assignment is a pure map over the scan")
