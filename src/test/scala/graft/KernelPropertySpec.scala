@@ -1,0 +1,206 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import scala.util.Random
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+import graft.functions.{DedupHashing, MinHashBands, NGramHashSet, SimHash64,
+  SortedIntersectSize, SortedLongIntersectSize, VocabHitCount}
+
+/** Fixed-seed randomized properties for the hand-written kernels — the
+  * custom Catalyst expressions and distributed primitives whose logic
+  * the SQL oracles exercise only on the shapes present in the test
+  * corpus. Each property checks the kernel against an INDEPENDENT
+  * straight-line reimplementation of its spec over hundreds of random
+  * inputs (seeded, so failures reproduce). */
+class KernelPropertySpec extends SparkSpec {
+
+  private val rnd = new Random(0x5eed5eedL)
+
+  /** Independent md5-lower-64 (DuckDB md5_number_lower): little-endian
+    * read of digest bytes 8..15 — deliberately NOT DedupHashing's
+    * shift-loop formulation. */
+  private def refMd5Lower64(s: String): Long =
+    java.nio.ByteBuffer
+      .wrap(MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8)), 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .getLong
+
+  private def wordsLit(ws: Seq[String]) =
+    Literal.create(ws, ArrayType(StringType))
+
+  // word pool with duplicates-by-construction and non-ASCII entries:
+  // the expressions hash UTF8String bytes, the references hash
+  // String.getBytes(UTF_8) — these must agree beyond ASCII
+  private val pool = Vector("a", "b", "cat", "dog", "née", "日本", "x9",
+    "the", "of", "zz", "", "naïve")
+  private def randWords(max: Int): Seq[String] =
+    Seq.fill(rnd.nextInt(max + 1))(pool(rnd.nextInt(pool.size)))
+
+  test("md5Lower64 matches an independent little-endian reference") {
+    for (_ <- 1 to 300) {
+      val s = randWords(6).mkString(" ")
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+      assert(DedupHashing.md5Lower64(d) === refMd5Lower64(s))
+    }
+  }
+
+  test("NGramHashSet == sorted distinct md5 hashes of space-joined n-grams") {
+    for (_ <- 1 to 300; n <- 1 to 3) {
+      val ws = randWords(12)
+      val got = NGramHashSet(wordsLit(ws), n).eval(null)
+      if (ws.length < n) assert(got == null, s"ws=$ws n=$n")
+      else {
+        val want = ws.sliding(n).map(g => refMd5Lower64(g.mkString(" ")))
+          .toArray.distinct.sorted
+        assert(got.asInstanceOf[ArrayData].toLongArray.toSeq === want.toSeq,
+          s"ws=$ws n=$n")
+      }
+    }
+  }
+
+  test("SortedLongIntersectSize == set intersection size on sorted inputs") {
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted
+      val got = SortedLongIntersectSize(
+        Literal.create(a, ArrayType(org.apache.spark.sql.types.LongType)),
+        Literal.create(b, ArrayType(org.apache.spark.sql.types.LongType))).eval(null)
+      assert(got === a.toSet.intersect(b.toSet).size, s"a=$a b=$b")
+    }
+  }
+
+  test("SortedIntersectSize == set intersection size on sorted string inputs") {
+    // ASCII-only: String ordering == UTF8String byte ordering there,
+    // and the operator's contract is sorted-ascending inputs
+    val asciiPool = Vector("a", "ab", "b", "ba", "c", "z", "zz", "0", "9x")
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(rnd.nextInt(8))(asciiPool(rnd.nextInt(asciiPool.size)))
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(8))(asciiPool(rnd.nextInt(asciiPool.size)))
+        .distinct.sorted
+      val got = SortedIntersectSize(wordsLit(a), wordsLit(b)).eval(null)
+      assert(got === a.toSet.intersect(b.toSet).size, s"a=$a b=$b")
+    }
+  }
+
+  test("SimHash64 == per-bit majority vote over independent word hashes") {
+    for (_ <- 1 to 200) {
+      val ws = randWords(10)
+      val got = SimHash64(wordsLit(ws)).eval(null).asInstanceOf[Long]
+      val hs = ws.map(refMd5Lower64)
+      val want = (0 until 64).foldLeft(0L) { (acc, j) =>
+        val votes = hs.map(h => if (((h >>> j) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) acc | (1L << j) else acc
+      }
+      assert(got === want, s"ws=$ws")
+    }
+  }
+
+  test("4x16-bit band pigeonhole is complete for Hamming <= 3") {
+    // the blocking key formula from Dedup.simhashPairs: bandVal(sig, b)
+    // = (sig >>> 16b) & 0xFFFF | b << 16. Any two signatures within
+    // Hamming 3 must collide on at least one band — 3 flipped bits
+    // cannot touch all 4 disjoint 16-bit slices.
+    def bandVals(sig: Long): Seq[Long] =
+      (0 until 4).map(b => (((sig >>> (b * 16)) & 0xFFFFL)) + (b.toLong << 16))
+    for (_ <- 1 to 500) {
+      val base = rnd.nextLong()
+      val nFlips = rnd.nextInt(4) // 0..3
+      val flipped = Seq.fill(nFlips)(rnd.nextInt(64))
+        .foldLeft(base)((s, bit) => s ^ (1L << bit))
+      assert(bandVals(base).intersect(bandVals(flipped)).nonEmpty,
+        f"base=$base%016x flipped=$flipped%016x")
+    }
+  }
+
+  test("MinHashBands == independent shingle/permute/band reimplementation") {
+    val (numHashes, bands) = (16, 4)
+    val (pa, pb) = DedupHashing.perms(numHashes)
+    for (_ <- 1 to 200) {
+      val ws = randWords(10)
+      val got = MinHashBands(wordsLit(ws), numHashes, bands).eval(null)
+      if (ws.length < 3) assert(got == null, s"ws=$ws")
+      else {
+        val shingles = ws.sliding(3).map(g =>
+          refMd5Lower64(g.mkString(" ")) & 0x7FFFFFFFL).toSeq
+        val sig = (0 until numHashes).map(j =>
+          shingles.map(h => pa(j) * h + pb(j)).min)
+        val rows = numHashes / bands
+        val want = (0 until bands).map { b =>
+          val slice = sig.slice(b * rows, (b + 1) * rows)
+          refMd5Lower64(slice.mkString("", " ", " ") + b)
+        }
+        assert(got.asInstanceOf[ArrayData].toLongArray.toSeq === want, s"ws=$ws")
+      }
+    }
+  }
+
+  test("VocabHitCount == multiset membership count") {
+    val vocab = Seq("the", "of", "a", "née")
+    for (_ <- 1 to 300) {
+      val ws = randWords(15)
+      val got = VocabHitCount(wordsLit(ws), vocab).eval(null)
+      assert(got === ws.count(vocab.contains), s"ws=$ws")
+    }
+  }
+
+  test("TopKStructs == full-sort top-k across random multi-partition data") {
+    import graft.functions.TopKAggregate.topk
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 3) {
+      val n = 400
+      // duplicate scores force deterministic id tie-breaks through the
+      // heap's struct ordering, same as the full sort's
+      val data = Seq.tabulate(n)(i =>
+        (rnd.nextInt(5), rnd.nextInt(40).toDouble / 4, i.toLong))
+      val df = data.toDF("key", "score", "id").repartition(7)
+      val got = df.groupBy("key")
+        .agg(topk(struct((-col("score")).as("ns"), col("id").as("i")), 5).as("top"))
+        .select(col("key"), posexplode(col("top")).as(Seq("rk", "t")))
+        .select(col("key"), col("rk"), col("t.i").as("id"))
+        .as[(Int, Int, Long)].collect().toSet
+      val want = data.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        rows.sortBy(r => (-r._2, r._3)).take(5).zipWithIndex
+          .map { case (r, rk) => (k, rk, r._3) }
+      }.toSet
+      assert(got === want, s"trial=$trial")
+    }
+  }
+
+  test("connectedComponents == union-find reference on random graphs (both paths)") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 3) {
+      val nodes = Seq.fill(30)(rnd.nextLong().abs % 1000L).distinct
+      val edges = Seq.fill(40)(
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size))))
+        .filter { case (a, b) => a != b }
+      // reference union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = verts.groupBy(find).toSeq
+        .flatMap { case (_, vs) => vs.map(_ -> vs.min) }.toMap
+      val pairs = edges.toDF("id_a", "id_b")
+      for (thresh <- Seq(1000000L, 0L)) {
+        val got = graft.operators.Dedup
+          .connectedComponents(pairs, localEdgeThreshold = thresh)
+          .as[(Long, Long)].collect().toMap
+        assert(got === want, s"trial=$trial thresh=$thresh edges=$edges")
+      }
+    }
+  }
+}
