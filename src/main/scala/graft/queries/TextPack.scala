@@ -123,6 +123,51 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), fingerprint(col("w")).as("fp"))
     }),
 
+    // End-to-end C4/Gopher-style cleaning pass: per-doc rule evaluation
+    // (too short, digit-heavy, stopword-sparse English, single-word
+    // repetition) → keep/drop → per-(source, lang) funnel accounting.
+    // The funnel is what a pipeline operator reports at 100 TB: how many
+    // docs and chars survived, and which rule dropped the rest. Rules
+    // compare ROUNDED metrics (6/6/4 decimals, the pack's conventions)
+    // so both engines agree at the decision boundaries. Text-pure
+    // metrics are computed once per DISTINCT text and expanded to
+    // member docs by text hash (§3a'); the lang-conditional stopword
+    // rule applies per member row. One scan; shuffles are the collapse,
+    // the per-text word agg, and the final small funnel agg.
+    "text_filter_pipeline" -> ((s, d) => {
+      val hashed = graft.operators.Dedup.withTextHash(
+        docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"), col("w")), "text")
+      val members = hashed.select("doc_id", "lang", "source", "n_chars", "h")
+      val reps = hashed.dropDuplicates("h")
+      val repMetrics = reps.select(
+        col("h"),
+        size(col("w")).cast("long").as("n_words"),
+        round(charClassCount(col("text"), "0-9") / length(col("text")), 6)
+          .as("digit_ratio"),
+        round(hitCount(col("w"), langProfiles.toMap.apply("en")) / size(col("w")), 6)
+          .as("stop_ratio"))
+      val wordTop = reps
+        .select(col("h"), explode(col("w")).as("t"))
+        .groupBy("h", "t").agg(count(lit(1)).as("n"))
+        .groupBy("h")
+        .agg(round(max("n") / sum("n"), 4).as("top_word_frac"))
+      val rShort = col("n_words") < 15
+      val rDigit = col("digit_ratio") > 0.2
+      val rStop = col("lang") === "en" && col("stop_ratio") < 0.05
+      val rRep = col("top_word_frac") > 0.2
+      members.join(repMetrics, "h").join(wordTop, "h")
+        .withColumn("keep", !(rShort || rDigit || rStop || rRep))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          sum(when(col("keep"), col("n_chars"))).as("chars_kept"),
+          sum(rShort.cast("long")).as("drop_short"),
+          sum(rDigit.cast("long")).as("drop_digit"),
+          sum(rStop.cast("long")).as("drop_stop"),
+          sum(rRep.cast("long")).as("drop_rep"))
+    }),
+
     // PII detection/redaction accounting — the compliance scrub a
     // training corpus goes through before use. Patterns avoid
     // lookarounds/backrefs so Java (Spark) and RE2 (DuckDB) agree.
@@ -220,6 +265,36 @@ object TextPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "text_filter_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, n_chars, text, $wSql AS w,
+         |    CAST(len($wSql) AS BIGINT) AS n_words
+         |  FROM documents),
+         |wt AS (
+         |  SELECT doc_id, round(max(n) / sum(n), 4) AS top_word_frac FROM (
+         |    SELECT doc_id, tok, count(*) AS n
+         |    FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok)
+         |  GROUP BY doc_id),
+         |m AS (
+         |  SELECT t.source, t.lang, t.n_chars,
+         |    (t.n_words < 15) AS r_short,
+         |    (round(length(regexp_replace(t.text,'[^0-9]','','g'))/length(t.text), 6)
+         |      > 0.2) AS r_digit,
+         |    (t.lang = 'en' AND
+         |      round(${hitSql("t.w", langProfiles.toMap.apply("en"))}/t.n_words, 6)
+         |      < 0.05) AS r_stop,
+         |    (wt.top_word_frac > 0.2) AS r_rep
+         |  FROM t JOIN wt USING (doc_id))
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT (r_short OR r_digit OR r_stop OR r_rep)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN NOT (r_short OR r_digit OR r_stop OR r_rep)
+         |    THEN n_chars END) AS BIGINT) AS chars_kept,
+         |  CAST(sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT) AS drop_short,
+         |  CAST(sum(CASE WHEN r_digit THEN 1 ELSE 0 END) AS BIGINT) AS drop_digit,
+         |  CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS drop_stop,
+         |  CAST(sum(CASE WHEN r_rep THEN 1 ELSE 0 END) AS BIGINT) AS drop_rep
+         |FROM m GROUP BY source, lang""".stripMargin,
     "text_repetition" ->
       s"""WITH base AS (
          |  SELECT doc_id, $wSql AS ws FROM documents WHERE len($wSql) >= 2),
