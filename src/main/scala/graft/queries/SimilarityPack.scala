@@ -23,6 +23,44 @@ object SimilarityPack extends QueryPack {
     "embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.35)),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
+    // embedding space. Coarse k-means cells block the pairwise search
+    // (deterministic first-k seed so the oracle replays the layout;
+    // production trains cells with KMeansND.fit and sizes k ~ sqrt(N)
+    // so per-cell pair counts stay bounded at 100 TB). Within a cell a
+    // vector is dropped when a lower-id vector sits within cosine tau;
+    // identical vectors collapse by content hash first, so the
+    // pairwise stage runs over distinct vectors only. Output is the
+    // per-cell funnel (vectors seen / kept / dropped).
+    "embed_semdedup" -> ((s, d) => {
+      import graft.functions.VectorFunctions.cosineSim
+      import graft.operators.KMeansND
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val assigned = KMeansND.assign(emb, KMeansND.seed(emb, SemCells))
+      val base = assigned.withColumn("vh", Similarity.vecHash(col("vec")))
+      // one row per distinct vector per cell: member count + keeper
+      // candidate (min id); members beyond the keeper are always drops
+      // (cosine of identical vectors is 1 >= tau)
+      val groups = base.groupBy("cid", "vh")
+        .agg(min("id").as("rid"), count(lit(1)).as("c"),
+          min_by(col("vec"), col("id")).as("vec"))
+      // a rep group is blocked when a lower-rid group in the same cell
+      // is within tau (canonical rid_a < rid_b => b is the blocked side)
+      val flagged = groups.as("a")
+        .join(groups.as("b"),
+          col("a.cid") === col("b.cid") && col("a.rid") < col("b.rid")
+            && round(cosineSim(col("a.vec"), col("b.vec")), 4) >= SemTau)
+        .select(col("b.cid").as("fcid"), col("b.rid").as("frid")).distinct()
+      groups
+        .join(flagged,
+          col("cid") === col("fcid") && col("rid") === col("frid"), "left")
+        .groupBy("cid")
+        .agg(sum("c").as("n_vecs"),
+          count(when(col("frid").isNull, 1)).as("n_kept"),
+          (sum("c") - count(when(col("frid").isNull, 1))).as("n_dropped"))
+    }),
+
     "ann_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < NumQueries), k = 3)
@@ -85,6 +123,8 @@ object SimilarityPack extends QueryPack {
   private val NumCells = 16
   private val NumCodes = 16 // PQ codewords per subspace
   private val NumSub = 8 // PQ subspaces (64-d → 8 dims each)
+  private val SemCells = 8 // SemDeDup coarse cells (production: ~sqrt(N))
+  private val SemTau = 0.3 // SemDeDup cosine threshold
 
   private val cosSql =
     """(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
@@ -105,6 +145,26 @@ object SimilarityPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "embed_semdedup" ->
+      s"""WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(id AS INT) AS cid, v AS cv FROM pts WHERE id < $SemCells),
+         |a AS (SELECT id, cid, v FROM (
+         |  SELECT p.id, c.cid, p.v,
+         |    row_number() OVER (PARTITION BY p.id ORDER BY
+         |      (list_dot_product(p.v,p.v) - 2*list_dot_product(p.v,c.cv))
+         |        + list_dot_product(c.cv,c.cv), c.cid) AS rn
+         |  FROM pts p CROSS JOIN cent c) WHERE rn = 1),
+         |g AS (SELECT cid, v, min(id) AS rid, count(*) AS c FROM a GROUP BY cid, v),
+         |f AS (SELECT DISTINCT b.cid, b.rid
+         |  FROM g x JOIN g b ON x.cid = b.cid AND x.rid < b.rid
+         |    AND round(list_dot_product(x.v,b.v) /
+         |      (sqrt(list_dot_product(x.v,x.v)) * sqrt(list_dot_product(b.v,b.v))), 4)
+         |      >= $SemTau)
+         |SELECT g.cid, CAST(sum(g.c) AS BIGINT) AS n_vecs,
+         |  CAST(count(*) - count(f.rid) AS BIGINT) AS n_kept,
+         |  CAST(sum(g.c) - (count(*) - count(f.rid)) AS BIGINT) AS n_dropped
+         |FROM g LEFT JOIN f ON g.cid = f.cid AND g.rid = f.rid
+         |GROUP BY g.cid""".stripMargin,
     "ann_pq" -> {
       // encode: per (doc, subspace) argmin codeword under the
       // (|x|²−2x·c)+|c|² identity; ADC: 8 cb joins on the code list and
