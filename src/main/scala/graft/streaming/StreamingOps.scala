@@ -184,4 +184,35 @@ object StreamingOps {
           }
       }
   }
+
+  /** Stateless streaming quality filter — the streaming twin of batch
+    * `text_filter_pipeline`'s per-doc rule stage, for ingest-time
+    * cleaning: every arriving doc gets the same four keep/drop rules
+    * (too short, digit-heavy, stopword-sparse English, single-word
+    * repetition) on the same rounded metrics. Per-row column math
+    * only, so it needs no watermark and adds no state store; the
+    * repetition metric is computed array-side per row (no explode-agg
+    * — a stream can't re-aggregate per doc). Emits the input columns
+    * plus the rule flags and the keep decision. */
+  def qualityFilterStream(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    import graft.functions.TextFunctions.{charClassCount, hitCount, langProfiles, words}
+    val w = words(col(textCol))
+    val nWords = size(w)
+    val topWordFrac = round(
+      array_max(transform(array_distinct(w), x =>
+        size(filter(w, y => y === x)))) / nWords, 4)
+    val rShort = nWords < 15
+    val rDigit = round(charClassCount(col(textCol), "0-9") / length(col(textCol)), 6) > 0.2
+    val rStop = col(langCol) === "en" &&
+      round(hitCount(w, langProfiles.toMap.apply("en")) / nWords, 6) < 0.05
+    val rRep = topWordFrac > 0.2
+    docs
+      .withColumn("r_short", rShort)
+      .withColumn("r_digit", rDigit)
+      .withColumn("r_stop", rStop)
+      .withColumn("r_rep", rRep)
+      .withColumn("keep",
+        !(col("r_short") || col("r_digit") || col("r_stop") || col("r_rep")))
+  }
 }

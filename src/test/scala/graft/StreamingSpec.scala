@@ -114,6 +114,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityFilterStream applies the batch filter rules statelessly") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "lang", "text")
+    val q = StreamingOps.qualityFilterStream(docs)
+      .writeStream.format("memory").queryName("qfilter")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, "en", "tiny doc"), // r_short
+        (2L, "en", "the cat sat on a mat and the dog ran to a park in the town near a river"),
+        (3L, "en", "call 555 123 9999 8888 7777 6666 5555 4444 3333 2222 1111 0000 9876 5432 1234"), // r_digit
+        (4L, "en", "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam the of and is in on a to"), // r_rep
+        (5L, "de", "der hund läuft schnell durch den wald und springt über einen bach im tal bei nacht")) // en-stopword rule must not fire for de
+      q.processAllAvailable()
+      val rows = spark.table("qfilter").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("keep"), r.getAs[Boolean]("r_short"),
+            r.getAs[Boolean]("r_digit"), r.getAs[Boolean]("r_rep"))).toMap
+      assert(rows(1L)._2, "2-word doc must trip r_short")
+      assert(rows(2L)._1, "clean English doc must be kept")
+      assert(rows(3L)._3 && !rows(3L)._1, "digit wall must trip r_digit")
+      assert(rows(4L)._4 && !rows(4L)._1, "15x repeated word must trip r_rep")
+      assert(rows(5L)._1, "stopword-sparse non-English doc must be kept")
+      // stateless contract: per-row column math only — no state store,
+      // so ingest-time filtering adds no memory that grows with the run
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+        "quality filter must not register a stateful operator")
+    } finally q.stop()
+  }
+
   test("dedupStreamByMinhashBands drops banded near-dups, emits novel docs") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
