@@ -40,7 +40,7 @@ def key_stride(table: str, key: str) -> int:
 
 doc_stride = key_stride("documents", "doc_id")
 con.sql(f"""COPY (
-  SELECT doc_id + {doc_stride} * r AS doc_id, lang, n_chars, text
+  SELECT doc_id + {doc_stride} * r AS doc_id, lang, source, n_chars, text
   FROM '{SF}/documents.parquet', range(0, {R}) t(r)
 ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
 
