@@ -152,6 +152,71 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("CosineSimilarity == sequential double accumulation; codegen == interpreted") {
+    import graft.functions.CosineSimilarity
+    import org.apache.spark.sql.types.FloatType
+    def floatVec(n: Int): Seq[Float] =
+      Seq.fill(n)((rnd.nextInt(2000) - 1000) / 100.0f)
+    def ref(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until n) {
+        val (x, y) = (a(i).toDouble, b(i).toDouble)
+        dot += x * y; na += x * x; nb += y * y
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cases = Seq.fill(100)((floatVec(8), floatVec(8))) :+
+      (Seq.fill(8)(0.0f), floatVec(8)) // zero norm → defined 0.0
+    for ((a, b) <- cases) {
+      val got = CosineSimilarity(
+        Literal.create(a, ArrayType(FloatType)),
+        Literal.create(b, ArrayType(FloatType))).eval(null)
+      assert(got === ref(a, b), s"a=$a b=$b")
+    }
+    // the DataFrame path runs doGenCode — same bits as the interpreted eval
+    import graft.functions.VectorFunctions.cosineSim
+    val s = spark
+    import s.implicits._
+    val rows = cases.take(20)
+    val viaCodegen = rows.toDF("a", "b")
+      .select(cosineSim(col("a"), col("b"))).as[Double].collect()
+    assert(viaCodegen.toSeq === rows.map { case (a, b) => ref(a, b) })
+  }
+
+  test("PQEncode/PQADCDist == independent argmin/sum over the distance identity") {
+    import graft.functions.{PQADCDist, PQEncode}
+    import org.apache.spark.sql.types.{FloatType, IntegerType}
+    val (dim, subspaces, nCodes) = (8, 4, 5)
+    val sub = dim / subspaces
+    def subDist(v: Seq[Float], cw: Seq[Double], base: Int): Double = {
+      var xx = 0.0; var xc = 0.0; var cc = 0.0
+      for (i <- 0 until sub) {
+        val x = v(base + i).toDouble; val w = cw(base + i)
+        xx += x * x; xc += x * w; cc += w * w
+      }
+      (xx - 2 * xc) + cc
+    }
+    for (_ <- 1 to 100) {
+      val cb: Seq[Seq[Double]] =
+        Seq.fill(nCodes)(Seq.fill(dim)((rnd.nextInt(200) - 100) / 10.0))
+      val v = Seq.fill(dim)((rnd.nextInt(200) - 100) / 10.0f)
+      val wantCodes = (0 until subspaces).map { m =>
+        (0 until nCodes).minBy(c => subDist(v, cb(c), m * sub)) // min ties → lowest
+      }
+      val gotCodes = PQEncode(Literal.create(v, ArrayType(FloatType)), cb, subspaces)
+        .eval(null).asInstanceOf[ArrayData].toIntArray.toSeq
+      assert(gotCodes === wantCodes, s"v=$v cb=$cb")
+      val q = Seq.fill(dim)((rnd.nextInt(200) - 100) / 10.0f)
+      val wantAdc = (0 until subspaces)
+        .map(m => subDist(q, cb(wantCodes(m)), m * sub)).reduceLeft(_ + _)
+      val gotAdc = PQADCDist(
+        Literal.create(q, ArrayType(FloatType)),
+        Literal.create(wantCodes, ArrayType(IntegerType)), cb, subspaces).eval(null)
+      assert(gotAdc === wantAdc, s"q=$q codes=$wantCodes")
+    }
+  }
+
   test("TopKStructs == full-sort top-k across random multi-partition data") {
     import graft.functions.TopKAggregate.topk
     val s = spark
