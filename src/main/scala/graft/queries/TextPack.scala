@@ -139,24 +139,26 @@ object TextPack extends QueryPack {
         docs(s, d).select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), col("text"), col("w")), "text")
       val members = hashed.select("doc_id", "lang", "source", "n_chars", "h")
-      val reps = hashed.dropDuplicates("h")
-      val repMetrics = reps.select(
-        col("h"),
-        size(col("w")).cast("long").as("n_words"),
-        round(charClassCount(col("text"), "0-9") / length(col("text")), 6)
-          .as("digit_ratio"),
-        round(hitCount(col("w"), langProfiles.toMap.apply("en")) / size(col("w")), 6)
-          .as("stop_ratio"))
-      val wordTop = reps
-        .select(col("h"), explode(col("w")).as("t"))
-        .groupBy("h", "t").agg(count(lit(1)).as("n"))
-        .groupBy("h")
+      // scalar metrics ride the explode as grouping columns so ONE rep
+      // subtree feeds both the per-word agg and the rule stage (a
+      // separate metrics branch would plan the scan+collapse twice)
+      val repMetrics = hashed.dropDuplicates("h")
+        .select(col("h"),
+          size(col("w")).cast("long").as("n_words"),
+          round(charClassCount(col("text"), "0-9") / length(col("text")), 6)
+            .as("digit_ratio"),
+          round(hitCount(col("w"), langProfiles.toMap.apply("en")) / size(col("w")), 6)
+            .as("stop_ratio"),
+          explode(col("w")).as("t"))
+        .groupBy("h", "n_words", "digit_ratio", "stop_ratio", "t")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("h", "n_words", "digit_ratio", "stop_ratio")
         .agg(round(max("n") / sum("n"), 4).as("top_word_frac"))
       val rShort = col("n_words") < 15
       val rDigit = col("digit_ratio") > 0.2
       val rStop = col("lang") === "en" && col("stop_ratio") < 0.05
       val rRep = col("top_word_frac") > 0.2
-      members.join(repMetrics, "h").join(wordTop, "h")
+      members.join(repMetrics, "h")
         .withColumn("keep", !(rShort || rDigit || rStop || rRep))
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),

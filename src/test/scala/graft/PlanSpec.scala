@@ -339,6 +339,25 @@ class PlanSpec extends SparkSpec {
         "aggregate, not an eager action")
   }
 
+  test("embed_semdedup prunes to id+vector and keeps the cell joins equi") {
+    val p = plan("embed_semdedup")
+    assert(!p.contains("label"),
+      "semantic dedup reads vec_id+embedding only — label must be pruned")
+    assert(p.contains("partial_"), "group collapse must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "within-cell pairing must stay an equi join on cid with a residual cosine")
+  }
+
+  test("text_filter_pipeline: two-branch collapse shape, map-side funnel") {
+    val p = plan("text_filter_pipeline")
+    // the §3a collapse plans one member branch + ONE rep branch (the
+    // scalar metrics ride the explode as grouping columns); a third
+    // scan means a metrics branch split off and re-planned the collapse
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"member + single rep branch expected, saw $scans scans")
+    assert(p.contains("partial_"), "funnel counts must combine map-side")
+  }
+
   test("text_repetition aggregates combine map-side") {
     val p = plan("text_repetition")
     assert(p.contains("partial_"), "token counts must combine map-side")
