@@ -179,6 +179,42 @@ object Similarity {
     (0 until numCodes).map(j => perSub.flatMap(cb => cb(j).toSeq))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
+    * embedding space. `cells` blocks the pairwise search (pass
+    * `KMeansND.seed` for the oracle-reproducible layout or
+    * [[trainedCells]] for the production quantizer; size k ~ sqrt(N) so
+    * per-cell pair counts stay bounded). Within a cell a vector is
+    * dropped when a lower-id vector sits within cosine `tau`; identical
+    * vectors collapse by content hash before the pairwise stage, so
+    * the self-join runs over distinct vectors only. Returns the
+    * per-cell funnel (cid, n_vecs, n_kept, n_dropped). */
+  def semDedup(corpus: DataFrame, cells: Seq[(Int, Array[Double])],
+      tau: Double): DataFrame = {
+    val emb = corpus.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = KMeansND.assign(emb, cells)
+      .withColumn("vh", vecHash(col("vec")))
+    // one row per distinct vector per cell: member count + keeper
+    // candidate (min id); members beyond the keeper are always drops
+    // (cosine of identical vectors is 1 >= tau)
+    val groups = base.groupBy("cid", "vh")
+      .agg(min("id").as("rid"), count(lit(1)).as("c"),
+        min_by(col("vec"), col("id")).as("vec"))
+    // a rep group is blocked when a lower-rid group in the same cell
+    // is within tau (canonical rid_a < rid_b => b is the blocked side)
+    val flagged = groups.as("a")
+      .join(groups.as("b"),
+        col("a.cid") === col("b.cid") && col("a.rid") < col("b.rid")
+          && round(cosineSim(col("a.vec"), col("b.vec")), 4) >= tau)
+      .select(col("b.cid").as("fcid"), col("b.rid").as("frid")).distinct()
+    groups
+      .join(flagged,
+        col("cid") === col("fcid") && col("rid") === col("frid"), "left")
+      .groupBy("cid")
+      .agg(sum("c").as("n_vecs"),
+        count(when(col("frid").isNull, 1)).as("n_kept"),
+        (sum("c") - count(when(col("frid").isNull, 1))).as("n_dropped"))
+  }
+
   /** Approximate top-k: brute force only within each query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 6): DataFrame = {
     val bc = corpus.withColumn("bucket", lshBucket(col("embedding"), numPlanes))

@@ -33,32 +33,11 @@ object SimilarityPack extends QueryPack {
     // pairwise stage runs over distinct vectors only. Output is the
     // per-cell funnel (vectors seen / kept / dropped).
     "embed_semdedup" -> ((s, d) => {
-      import graft.functions.VectorFunctions.cosineSim
       import graft.operators.KMeansND
       val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val assigned = KMeansND.assign(emb, KMeansND.seed(emb, SemCells))
-      val base = assigned.withColumn("vh", Similarity.vecHash(col("vec")))
-      // one row per distinct vector per cell: member count + keeper
-      // candidate (min id); members beyond the keeper are always drops
-      // (cosine of identical vectors is 1 >= tau)
-      val groups = base.groupBy("cid", "vh")
-        .agg(min("id").as("rid"), count(lit(1)).as("c"),
-          min_by(col("vec"), col("id")).as("vec"))
-      // a rep group is blocked when a lower-rid group in the same cell
-      // is within tau (canonical rid_a < rid_b => b is the blocked side)
-      val flagged = groups.as("a")
-        .join(groups.as("b"),
-          col("a.cid") === col("b.cid") && col("a.rid") < col("b.rid")
-            && round(cosineSim(col("a.vec"), col("b.vec")), 4) >= SemTau)
-        .select(col("b.cid").as("fcid"), col("b.rid").as("frid")).distinct()
-      groups
-        .join(flagged,
-          col("cid") === col("fcid") && col("rid") === col("frid"), "left")
-        .groupBy("cid")
-        .agg(sum("c").as("n_vecs"),
-          count(when(col("frid").isNull, 1)).as("n_kept"),
-          (sum("c") - count(when(col("frid").isNull, 1))).as("n_dropped"))
+      Similarity.semDedup(emb,
+        KMeansND.seed(emb.select(col("vec_id").as("id"),
+          col("embedding").as("vec")), SemCells), SemTau)
     }),
 
     "ann_lsh_topk" -> ((s, d) => {

@@ -222,4 +222,34 @@ class SimilaritySpec extends SparkSpec {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("semDedup with trained cells: funnel conserved, replicas drop exactly") {
+    // the production variant of the oracle-gated embed_semdedup query:
+    // cells from the distributed Lloyd's instead of the first-k seed
+    val emb = Tables.embeddings(spark, sfDir)
+    val cells = Similarity.trainedCells(emb, nCells = 8, maxIter = 5)
+    def funnel(df: org.apache.spark.sql.DataFrame) =
+      Similarity.semDedup(df, cells, tau = 0.3).collect()
+        .map(r => r.getAs[Int]("cid") ->
+          (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("n_dropped"))).toMap
+    val n = emb.count()
+    val f1 = funnel(emb)
+    assert(f1.values.map(_._1).sum === n, "every vector lands in exactly one cell")
+    f1.values.foreach { case (v, k, d) => assert(k + d === v, "kept+dropped=seen") }
+    // replica robustness: doubling the corpus with offset ids must not
+    // change the kept set — each replica shares its original's vector,
+    // collapses into the same (cell, hash) group, and the lower-id
+    // original stays the keeper. Exact funnel: n_vecs doubles, n_kept
+    // is unchanged per cell, drops absorb the replicas.
+    val doubled = emb.union(emb.withColumn("vec_id", col("vec_id") + 1000000L))
+    val f2 = funnel(doubled)
+    assert(f2.keySet === f1.keySet)
+    for ((cid, (v1, k1, _)) <- f1) {
+      val (v2, k2, d2) = f2(cid)
+      assert(v2 === 2 * v1, s"cell $cid: replica members must double n_vecs")
+      assert(k2 === k1, s"cell $cid: the kept set must be replica-invariant")
+      assert(d2 === 2 * v1 - k1, s"cell $cid: drops must absorb all replicas")
+    }
+  }
 }
