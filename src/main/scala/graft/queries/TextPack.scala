@@ -123,6 +123,35 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), fingerprint(col("w")).as("fp"))
     }),
 
+    // Sequence packing accounting — the step that packs documents into
+    // fixed token-budget training sequences (budget 2048, whitespace
+    // tokens). Docs are packed FIFO by doc_id within (lang, shard)
+    // streams; a doc starts in the sequence its running token count
+    // opens, and long docs spill across boundaries (split-on-boundary
+    // packing, the standard pretraining layout). The shard key is what
+    // makes this scale: packing is inherently sequential per stream, so
+    // production fans out over many (lang, shard) streams and each
+    // window sort stays bounded — one window pass + one small agg here,
+    // never a global order-by.
+    "text_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          size(col("w")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("seq_id",
+          floor((col("cum") - col("n_tokens")) / budget))
+        .groupBy("lang", "shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          round(sum("n_tokens") / lit(budget.toDouble), 4).as("fill"))
+    }),
+
     // End-to-end C4/Gopher-style cleaning pass: per-doc rule evaluation
     // (too short, digit-heavy, stopword-sparse English, single-word
     // repetition) → keep/drop → per-(source, lang) funnel accounting.
@@ -267,6 +296,21 @@ object TextPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "text_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, doc_id % 8 AS shard,
+         |    CAST(len($wSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT lang, shard, CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc,
+         |  round(sum(n_tokens) / 2048.0, 4) AS fill
+         |FROM c GROUP BY 1, 2, 3""".stripMargin,
     "text_filter_pipeline" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, source, n_chars, text, $wSql AS w,

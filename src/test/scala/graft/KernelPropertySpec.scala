@@ -217,6 +217,73 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("NearestCentroid2D == brute-force argmin with lowest-cid ties; codegen agrees") {
+    import graft.functions.NearestCentroid2D
+    import org.apache.spark.sql.catalyst.InternalRow
+    for (_ <- 1 to 200) {
+      val k = 1 + rnd.nextInt(6)
+      // coarse grid coordinates force genuine distance ties; a
+      // duplicated centroid under a higher cid must never win
+      val cents = (0 until k).map(c =>
+        (c, rnd.nextInt(5).toDouble, rnd.nextInt(5).toDouble)) ++
+        Seq((k, rnd.nextInt(5).toDouble, rnd.nextInt(5).toDouble))
+      val sorted = cents.sortBy(_._1)
+      val (x, y) = (rnd.nextInt(5).toDouble, rnd.nextInt(5).toDouble)
+      val want = sorted.minBy { case (cid, cx, cy) =>
+        ((x - cx) * (x - cx) + (y - cy) * (y - cy), cid)
+      }._1
+      val got = NearestCentroid2D(Literal(x), Literal(y),
+        sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+        sorted.map(_._3).toArray).eval(null).asInstanceOf[InternalRow]
+      assert(got.getInt(0) === want, s"p=($x,$y) cents=$sorted")
+    }
+    // codegen path (DataFrame) == interpreted eval
+    import graft.functions.KMeansExpressions.nearestCentroid
+    val s = spark
+    import s.implicits._
+    val cents = Seq((0, 1.0, 1.0), (1, 3.0, 1.0), (2, 1.0, 1.0)) // dup of cid 0
+    val pts = Seq((0.0, 0.0), (2.0, 1.0), (4.0, 2.0), (1.0, 1.0))
+    val viaDf = pts.toDF("x", "y")
+      .select(nearestCentroid(col("x"), col("y"), cents).as("n"))
+      .select(col("n.cid")).as[Int].collect().toSeq
+    // (2,1) is equidistant from cid 0 and cid 1 → lowest cid wins;
+    // (1,1) sits exactly on the duplicated centroid → cid 0, never 2
+    assert(viaDf === Seq(0, 0, 1, 0), "ties must break to the lowest cid in codegen too")
+  }
+
+  test("NearestCentroidND == brute-force argmin over the distance identity") {
+    import graft.operators.KMeansND
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.FloatType
+    for (_ <- 1 to 200) {
+      val dim = 4
+      val k = 1 + rnd.nextInt(5)
+      val cents = (0 to k).map(c =>
+        c -> Array.fill(dim)(rnd.nextInt(4).toDouble))
+      val v = Seq.fill(dim)(rnd.nextInt(4).toFloat)
+      // reference uses the SAME identity ((|x|^2 - 2x.c) + |c|^2) with
+      // sequential accumulation — bit-compatible with the kernel and
+      // the DuckDB oracle's list_dot_product formulation
+      def dist(cv: Array[Double]): Double = {
+        var na = 0.0; var dot = 0.0; var nc = 0.0
+        for (i <- 0 until dim) {
+          val x = v(i).toDouble
+          na += x * x; dot += x * cv(i); nc += cv(i) * cv(i)
+        }
+        (na - 2 * dot) + nc
+      }
+      val want = cents.minBy { case (cid, cv) => (dist(cv), cid) }._1
+      val sorted = cents.sortBy(_._1)
+      val got = KMeansND.NearestCentroidND(
+        Literal.create(v, ArrayType(FloatType)),
+        sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+        sorted.map(c => KMeansND.norm2(c._2)).toArray)
+        .eval(null).asInstanceOf[InternalRow]
+      assert(got.getInt(0) === want, s"v=$v cents=${cents.map(_._2.toSeq)}")
+      assert(got.getDouble(1) === dist(cents.toMap.apply(want)), "dist must match")
+    }
+  }
+
   test("TopKStructs == full-sort top-k across random multi-partition data") {
     import graft.functions.TopKAggregate.topk
     val s = spark
