@@ -123,6 +123,30 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), fingerprint(col("w")).as("fp"))
     }),
 
+    // Exact heavy hitters (words above 0.5% of all tokens) in two
+    // passes: a Misra-Gries sketch pass (k=400 counters per partition,
+    // merged associatively — the exchange carries O(k) rows per
+    // partition, never the distinct-word long tail), then an exact
+    // re-count restricted to the <=400 candidates. MG with k counters
+    // guarantees every word with count > n/k = n/400 survives the
+    // sketch, a superset of the n/200 support threshold, so the final
+    // answer is exact and deterministic regardless of partitioning or
+    // merge order — the sketch only prunes. The candidate+total row
+    // broadcasts; the membership join is a deliberate 1-row nested
+    // loop (array_contains residual).
+    "text_heavy_hitters" -> ((s, d) => {
+      import graft.functions.FrequencyAggregate.misraGries
+      val toks = docs(s, d).select(explode(col("w")).as("word"))
+      val stats = broadcast(toks.agg(
+        misraGries(col("word"), 400).as("cand"),
+        count(lit(1)).cast("double").as("n_tokens")))
+      toks.join(stats, array_contains(col("cand"), col("word")))
+        .groupBy("word", "n_tokens").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > col("n_tokens") * 0.005)
+        .select(col("word"), col("cnt"),
+          round(col("cnt") / col("n_tokens"), 6).as("share"))
+    }),
+
     // Sequence packing accounting — the step that packs documents into
     // fixed token-budget training sequences (budget 2048, whitespace
     // tokens). Docs are packed FIFO by doc_id within (lang, shard)
@@ -296,6 +320,12 @@ object TextPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "text_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($wSql) AS word FROM documents),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tokens FROM w),
+         |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)
+         |SELECT word, cnt, round(cnt / n_tokens, 6) AS share
+         |FROM c CROSS JOIN n WHERE cnt > n_tokens * 0.005""".stripMargin,
     "text_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, doc_id % 8 AS shard,

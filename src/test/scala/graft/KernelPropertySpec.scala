@@ -284,6 +284,39 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("MisraGries keeps every item above n/k through random partition merges") {
+    import graft.functions.MisraGries
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = MisraGries(BoundReference(0, org.apache.spark.sql.types.StringType,
+      nullable = false), k = 8)
+    for (trial <- 1 to 100) {
+      // zipf-ish stream: a few heavy items over a long uniform tail
+      val heavy = Seq.fill(200)(s"h${rnd.nextInt(3)}")
+      val tail = Seq.fill(300)(s"t${rnd.nextInt(150)}")
+      val stream = rnd.shuffle(heavy ++ tail)
+      val n = stream.length
+      // random partitioning, then a random merge order — the summary
+      // must be insensitive to both for the superset guarantee
+      val parts = stream.grouped(1 + rnd.nextInt(120)).toSeq.map { p =>
+        p.foldLeft(agg.createAggregationBuffer()) { (b, w) =>
+          agg.update(b, InternalRow(UTF8String.fromString(w)))
+        }
+      }
+      val merged = rnd.shuffle(parts).reduceLeft(agg.merge)
+      val cand = agg.eval(merged).asInstanceOf[ArrayData]
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSet
+      assert(cand.size <= 8, "summary must stay k-bounded")
+      val counts = stream.groupBy(identity).view.mapValues(_.size)
+      for ((w, c) <- counts if c > n / 8.0)
+        assert(cand.contains(w),
+          s"trial $trial: '$w' (count $c > n/k=${n / 8.0}) missing from $cand")
+    }
+  }
+
   test("TopKStructs == full-sort top-k across random multi-partition data") {
     import graft.functions.TopKAggregate.topk
     val s = spark

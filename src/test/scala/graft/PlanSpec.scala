@@ -143,9 +143,12 @@ class PlanSpec extends SparkSpec {
     *   km_silhouette_exact — k-row cluster-moment broadcast (the
     *     O(n·k) silhouette decomposition);
     *   text_tfidf — single-row corpus-count broadcast (in-plan
-    *     replacement for an eager count()). */
+    *     replacement for an eager count());
+    *   text_heavy_hitters — single-row Misra-Gries candidate+total
+    *     broadcast probed with an array_contains residual. */
   private val bnljAllowed: Set[String] =
-    Set("ann_topk", "ann_recall", "ann_pq", "km_silhouette_exact", "text_tfidf")
+    Set("ann_topk", "ann_recall", "ann_pq", "km_silhouette_exact", "text_tfidf",
+      "text_heavy_hitters")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
