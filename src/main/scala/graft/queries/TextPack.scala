@@ -188,25 +188,34 @@ object TextPack extends QueryPack {
     // rule applies per member row. One scan; shuffles are the collapse,
     // the per-text word agg, and the final small funnel agg.
     "text_filter_pipeline" -> ((s, d) => {
+      // the collapse exchange ships text ONLY — words re-split after
+      // (shipping the pre-split array would double the shuffle bytes)
       val hashed = graft.operators.Dedup.withTextHash(
-        docs(s, d).select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"), col("text"), col("w")), "text")
-      val members = hashed.select("doc_id", "lang", "source", "n_chars", "h")
-      // scalar metrics ride the explode as grouping columns so ONE rep
-      // subtree feeds both the per-word agg and the rule stage (a
-      // separate metrics branch would plan the scan+collapse twice)
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars"), col("text")), "text")
+      // digit_ratio lives on the MEMBER branch's scan projection: it's
+      // evaluated once per doc row, codegen'd, shuffle-free. Putting a
+      // char-level scalar next to an explode is a trap — Catalyst
+      // collapses the projection BELOW the Generate's output, and the
+      // regex then re-evaluates once per TOKEN row (measured 5 s vs
+      // 1 s on sf0.1 for exactly that plan).
+      val members = hashed.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("h"),
+        round(charClassCount(col("text"), "0-9") / length(col("text")), 6)
+          .as("digit_ratio"))
+      // token metrics all derive from the narrow (h, t) count agg —
+      // text_repetition's proven shape: n_words = sum n, stop hits =
+      // sum n over the profile words, repetition = max n / sum n
+      val en = langProfiles.toMap.apply("en")
       val repMetrics = hashed.dropDuplicates("h")
-        .select(col("h"),
-          size(col("w")).cast("long").as("n_words"),
-          round(charClassCount(col("text"), "0-9") / length(col("text")), 6)
-            .as("digit_ratio"),
-          round(hitCount(col("w"), langProfiles.toMap.apply("en")) / size(col("w")), 6)
-            .as("stop_ratio"),
-          explode(col("w")).as("t"))
-        .groupBy("h", "n_words", "digit_ratio", "stop_ratio", "t")
+        .select(col("h"), explode(words(col("text"))).as("t"))
+        .groupBy("h", "t")
         .agg(count(lit(1)).as("n"))
-        .groupBy("h", "n_words", "digit_ratio", "stop_ratio")
-        .agg(round(max("n") / sum("n"), 4).as("top_word_frac"))
+        .groupBy("h")
+        .agg(sum("n").as("n_words"),
+          round(sum(when(col("t").isin(en: _*), col("n")).otherwise(lit(0L)))
+            / sum("n"), 6).as("stop_ratio"),
+          round(max("n") / sum("n"), 4).as("top_word_frac"))
       val rShort = col("n_words") < 15
       val rDigit = col("digit_ratio") > 0.2
       val rStop = col("lang") === "en" && col("stop_ratio") < 0.05
