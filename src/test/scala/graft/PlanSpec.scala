@@ -361,6 +361,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "funnel counts must combine map-side")
   }
 
+  test("no regex projection ever sits above an explode (per-token re-eval trap)") {
+    // Catalyst collapses a projection placed next to an explode BELOW
+    // the Generate's output, silently re-evaluating per-doc scalars
+    // once per TOKEN row (a measured 5x on text_filter_pipeline).
+    // Guard every doc-exploding text query: any regex must be
+    // evaluated under the Generate, never above it.
+    import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+    import org.apache.spark.sql.execution.{GenerateExec, ProjectExec}
+    for (q <- Seq("text_filter_pipeline", "text_repetition", "text_tfidf",
+        "dedup_spans", "text_contamination", "text_heavy_hitters")) {
+      val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      val offenders = p.collect {
+        case pr: ProjectExec
+          if pr.collect { case g: GenerateExec => g }.nonEmpty &&
+            pr.projectList.exists(_.collectFirst {
+              case r: RegExpReplace => r }.nonEmpty) => pr
+      }
+      assert(offenders.isEmpty,
+        s"$q: a regex projection sits above a Generate and re-evaluates per row")
+    }
+  }
+
   test("text_repetition aggregates combine map-side") {
     val p = plan("text_repetition")
     assert(p.contains("partial_"), "token counts must combine map-side")
