@@ -40,6 +40,31 @@ object SimilarityPack extends QueryPack {
           col("embedding").as("vec")), SemCells), SemTau)
     }),
 
+    // Embedding-space outlier detection — the curation step that drops
+    // mislabeled/garbage vectors before training: per coarse cell,
+    // flag vectors whose centroid distance exceeds mean + 1.5 sigma
+    // (the synthetic corpus has a bounded tail; real corpora tune the z
+    // cut per source).
+    // One assignment scan (broadcast-literal centroid fold), one k-row
+    // stats agg broadcast back — no pairwise work at any scale. Stats
+    // are rounded to 6 before the z-score so both engines agree at the
+    // decision boundary.
+    "embed_outliers" -> ((s, d) => {
+      import graft.operators.KMeansND
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val assigned = KMeansND.assign(emb, KMeansND.seed(emb, SemCells))
+        .select(col("id"), col("cid"), col("dist"))
+      val stats = assigned.groupBy("cid").agg(
+        round(avg("dist"), 6).as("mu"),
+        round(stddev_pop("dist"), 6).as("sigma"))
+      assigned.join(broadcast(stats), "cid")
+        .withColumn("z", round((col("dist") - col("mu")) / col("sigma"), 4))
+        .filter(col("z") > 1.5)
+        .select(col("id").as("vec_id"), col("cid"),
+          round(col("dist"), 4).as("dist"), col("z"))
+    }),
+
     "ann_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < NumQueries), k = 3)
@@ -124,6 +149,23 @@ object SimilarityPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "embed_outliers" ->
+      s"""WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(id AS INT) AS cid, v AS cv FROM pts WHERE id < $SemCells),
+         |a AS (SELECT id, cid, dist FROM (
+         |  SELECT p.id, c.cid,
+         |    (list_dot_product(p.v,p.v) - 2*list_dot_product(p.v,c.cv))
+         |      + list_dot_product(c.cv,c.cv) AS dist,
+         |    row_number() OVER (PARTITION BY p.id ORDER BY
+         |      (list_dot_product(p.v,p.v) - 2*list_dot_product(p.v,c.cv))
+         |        + list_dot_product(c.cv,c.cv), c.cid) AS rn
+         |  FROM pts p CROSS JOIN cent c) WHERE rn = 1),
+         |st AS (SELECT cid, round(avg(dist), 6) AS mu,
+         |  round(stddev_pop(dist), 6) AS sigma FROM a GROUP BY cid)
+         |SELECT a.id AS vec_id, a.cid, round(a.dist, 4) AS dist,
+         |  round((a.dist - st.mu) / st.sigma, 4) AS z
+         |FROM a JOIN st USING (cid)
+         |WHERE round((a.dist - st.mu) / st.sigma, 4) > 1.5""".stripMargin,
     "embed_semdedup" ->
       s"""WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cent AS (SELECT CAST(id AS INT) AS cid, v AS cv FROM pts WHERE id < $SemCells),
