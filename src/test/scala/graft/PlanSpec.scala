@@ -367,19 +367,33 @@ class PlanSpec extends SparkSpec {
     // once per TOKEN row (a measured 5x on text_filter_pipeline).
     // Guard every doc-exploding text query: any regex must be
     // evaluated under the Generate, never above it.
-    import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+    import org.apache.spark.sql.catalyst.expressions.{Md5, RegExpExtract,
+      RegExpExtractAll, RegExpReplace, StringSplit}
     import org.apache.spark.sql.execution.{GenerateExec, ProjectExec}
     for (q <- Seq("text_filter_pipeline", "text_repetition", "text_tfidf",
-        "dedup_spans", "text_contamination", "text_heavy_hitters")) {
+        "dedup_spans", "text_contamination", "text_heavy_hitters",
+        "text_pack", "text_fingerprint")) {
       val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
       val offenders = p.collect {
-        case pr: ProjectExec
-          if pr.collect { case g: GenerateExec => g }.nonEmpty &&
-            pr.projectList.exists(_.collectFirst {
-              case r: RegExpReplace => r }.nonEmpty) => pr
-      }
+        case pr: ProjectExec =>
+          val genOut = pr.collect { case g: GenerateExec => g }
+            .flatMap(_.generatorOutput).map(_.exprId).toSet
+          if (genOut.isEmpty) Nil
+          else pr.projectList.filter { e =>
+            // expensive work whose inputs are all PRE-explode columns:
+            // independent of the generated value, yet evaluated per
+            // generated row
+            val expensive = e.collectFirst {
+              case x @ (_: RegExpReplace | _: RegExpExtract |
+                _: RegExpExtractAll | _: StringSplit | _: Md5) => x
+            }.nonEmpty
+            expensive && e.references.nonEmpty &&
+              e.references.forall(a => !genOut.contains(a.exprId))
+          }
+      }.flatten
       assert(offenders.isEmpty,
-        s"$q: a regex projection sits above a Generate and re-evaluates per row")
+        s"$q: doc-level expensive projection above a Generate re-evaluates " +
+          s"per generated row: ${offenders.mkString(", ")}")
     }
   }
 
