@@ -123,6 +123,32 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), fingerprint(col("w")).as("fp"))
     }),
 
+    // Adaptive quality filtering: instead of global constants, each
+    // source drops its own bottom decile by quality score — the cut
+    // adapts to per-source quality distributions (a boilerplate-heavy
+    // crawl and a curated corpus get different bars). The per-source
+    // cut is an exact percentile computed as a window aggregate over
+    // ONE subtree (a groupBy+join would plan the scan twice); the
+    // score itself is text_quality's formula. At 100 TB swap the exact
+    // percentile for approx_percentile — the plan shape is unchanged.
+    "text_filter_adaptive" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nWords = size(col("w"))
+      val nChars = length(col("text"))
+      val stopR = round(hitCount(col("w"), langProfiles.toMap.apply("en")) / nWords, 6)
+      val punctR = round((nChars - charClassCount(col("text"), "a-zA-Z0-9 ")) / nChars, 6)
+      val q = round(lit(0.5) * least(lit(1.0), nWords / 50.0)
+        + lit(0.3) * stopR + lit(0.2) * (lit(1.0) - punctR), 6)
+      docs(s, d).select(col("source"), q.as("q"))
+        .withColumn("cut",
+          round(expr("percentile(q, 0.1)").over(Window.partitionBy("source")), 6))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q") > col("cut"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("q") <= col("cut"), 1L).otherwise(0L)).as("n_dropped"),
+          min("cut").as("cut"))
+    }),
+
     // Exact heavy hitters (words above 0.5% of all tokens) in two
     // passes: a Misra-Gries sketch pass (k=400 counters per partition,
     // merged associatively — the exchange carries O(k) rows per
@@ -329,6 +355,26 @@ object TextPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "text_filter_adaptive" ->
+      s"""WITH t AS (
+         |  SELECT source, text, $wSql AS w, CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($wSql) AS BIGINT) AS n_words
+         |  FROM documents),
+         |m AS (
+         |  SELECT source,
+         |    round(0.5*least(1.0, n_words/50.0)
+         |      + 0.3*round(${hitSql("w", langProfiles.toMap.apply("en"))}/n_words, 6)
+         |      + 0.2*(1.0 - round((n_chars - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g')))/n_chars, 6)), 6) AS q
+         |  FROM t),
+         |c AS (
+         |  SELECT source, q,
+         |    round(quantile_cont(q, 0.1) OVER (PARTITION BY source), 6) AS cut
+         |  FROM m)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN q > cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN q <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  min(cut) AS cut
+         |FROM c GROUP BY source""".stripMargin,
     "text_heavy_hitters" ->
       s"""WITH w AS (SELECT unnest($wSql) AS word FROM documents),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tokens FROM w),
