@@ -223,6 +223,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental semDedup probes a cell-partitioned corpus with partition pruning") {
+    // the ingest-time layout for semantic dedup at scale: the corpus is
+    // persisted hive-partitioned by cell id (the IVF layout's twin); an
+    // incoming batch assigns to cells, and the dup probe reads ONLY the
+    // touched cells' files via partition pruning — never the corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd_").toString
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = graft.operators.KMeansND.seed(
+        emb.select($"vec_id".as("id"), $"embedding".as("vec")), 8)
+      def cellOf(c: org.apache.spark.sql.Column) =
+        graft.operators.KMeansND.nearest(c, cents).getField("cid")
+      graft.sources.Sinks.writePartitioned(
+        emb.withColumn("cell", cellOf($"embedding")), s"$dir/corpus", "cell")
+      // incoming batch: an exact replica of corpus vec 42 plus a
+      // novel vector (negated copy of vec 7 — anti-aligned to the
+      // corpus, cosine <= 0 to its original)
+      val batch = emb.filter($"vec_id" === 42L)
+        .select(lit(100042L).as("vec_id"), $"embedding")
+        .union(emb.filter($"vec_id" === 7L)
+          .select(lit(100007L).as("vec_id"),
+            transform($"embedding", x => -x).as("embedding")))
+        .withColumn("cell", cellOf($"embedding"))
+      val touched = batch.select("cell").distinct().as[Int].collect().toSeq
+      val probed = spark.read.parquet(s"$dir/corpus")
+        .filter($"cell".isin(touched: _*))
+      val plan = probed.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(plan.contains("PartitionFilters"),
+        s"cell probe must prune partitions, plan was:\n$plan")
+      assert(probed.select("cell").distinct().as[Int].collect().toSet
+        === touched.toSet, "probe must read exactly the touched cells")
+      val dups = batch.as("b").join(probed.as("c"),
+          $"b.cell" === $"c.cell" &&
+            round(cosineSim($"b.embedding", $"c.embedding"), 4) >= 0.99)
+        .select($"b.vec_id").distinct().as[Long].collect().toSet
+      assert(dups.contains(100042L), "exact replica must be flagged as a dup")
+      assert(!dups.contains(100007L), "novel anti-aligned vector must survive")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("semDedup with trained cells: funnel conserved, replicas drop exactly") {
     // the production variant of the oracle-gated embed_semdedup query:
     // cells from the distributed Lloyd's instead of the first-k seed
