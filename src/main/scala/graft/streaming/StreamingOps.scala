@@ -185,6 +185,27 @@ object StreamingOps {
       }
   }
 
+  /** Windowed streaming heavy hitters — the streaming twin of batch
+    * `text_heavy_hitters`: per tumbling event-time window, a mergeable
+    * Misra-Gries summary of the token stream. The MG aggregate's state
+    * is k counters per window (bounded regardless of stream length or
+    * vocabulary size), finalized windows emit their candidate sets
+    * once the watermark passes. Candidates are a superset of every
+    * token above windowTokens/k — downstream re-counts exactly if it
+    * needs counts, same as the batch twin's second pass. */
+  def heavyHittersStream(docs: DataFrame, textCol: String, tsCol: String,
+      k: Int = 64, windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.FrequencyAggregate.misraGries
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(split(col(textCol), "\\s+")).as("word"))
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(misraGries(col("word"), k).as("candidates"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("w.start").as("ws"), col("candidates"), col("n_tokens"))
+  }
+
   /** Stateless streaming quality filter — the streaming twin of batch
     * `text_filter_pipeline`'s per-doc rule stage, for ingest-time
     * cleaning: every arriving doc gets the same four keep/drop rules

@@ -114,6 +114,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream emits per-window MG candidates once finalized") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.heavyHittersStream(docs, "text", "ts", k = 4)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // hour-1 window: 'spark' dominates; long tail of unique tokens
+      in.addData(
+        (1L, ts(0), "spark spark spark spark spark alpha beta"),
+        (2L, ts(5), "spark spark spark gamma delta epsilon"),
+        (3L, ts(10), "spark spark zeta eta theta"))
+      q.processAllAvailable()
+      // advance the watermark past window end (1 h) + delay (10 min)
+      in.addData((99L, ts(120), "tick"))
+      q.processAllAvailable()
+      val rows = spark.table("hh_stream").collect()
+      assert(rows.nonEmpty, "finalized hour-1 window must have emitted")
+      val r = rows.minBy(_.getAs[java.sql.Timestamp]("ws").getTime)
+      val cand = r.getAs[scala.collection.Seq[String]]("candidates").toSet
+      assert(cand.size <= 4, "summary must stay k-bounded")
+      // 10 of 18 hour-1 tokens are 'spark' — far above n/k, so the MG
+      // superset guarantee requires it in the candidate set
+      assert(cand.contains("spark"), s"dominant token missing from $cand")
+      assert(r.getAs[Long]("n_tokens") === 18L)
+    } finally q.stop()
+  }
+
   test("qualityFilterStream applies the batch filter rules statelessly") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String, String)]
