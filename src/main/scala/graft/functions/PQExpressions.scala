@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ExprBridge
 import org.apache.spark.sql.types._
 
@@ -39,15 +39,19 @@ object PQ {
   }
 }
 
-/** float-array vector → array<int> of per-subspace nearest-codeword ids
-  * (ties to the lowest code, like every argmin in the engine). */
+/** float-array vector → `binary` of per-subspace nearest-codeword ids,
+  * one BYTE per subspace (ties to the lowest code, like every argmin in
+  * the engine). Byte-packed codes are the point of PQ at scale: the
+  * corpus ranking column is `subspaces` bytes per row (8 B at 8×256)
+  * instead of an int-array header + 4 B per code. */
 case class PQEncode(child: Expression, codebook: Seq[Seq[Double]], subspaces: Int)
     extends UnaryExpression with CodegenFallback {
   require(codebook.nonEmpty && codebook.head.length % subspaces == 0
     && codebook.forall(_.length == codebook.head.length),
     "codebook rows must share one dimensionality divisible by subspaces")
+  require(codebook.length <= 256, "byte codes address at most 256 codewords")
 
-  override def dataType: DataType = ArrayType(IntegerType)
+  override def dataType: DataType = BinaryType
 
   @transient private lazy val cb = codebook.map(_.toArray).toArray
   private val dim = codebook.head.length
@@ -57,7 +61,7 @@ case class PQEncode(child: Expression, codebook: Seq[Seq[Double]], subspaces: In
     val v = v0.asInstanceOf[ArrayData]
     require(v.numElements() == dim,
       s"vector dim ${v.numElements()} != codebook dim $dim")
-    val out = new Array[Int](subspaces)
+    val out = new Array[Byte](subspaces)
     var m = 0
     while (m < subspaces) {
       val base = m * sub
@@ -69,16 +73,16 @@ case class PQEncode(child: Expression, codebook: Seq[Seq[Double]], subspaces: In
         if (d < best) { best = d; bc = c } // strict < → lowest code wins
         c += 1
       }
-      out(m) = bc
+      out(m) = bc.toByte
       m += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** (query float-array, codes array<int>) → asymmetric (ADC) distance:
+/** (query float-array, byte-packed codes) → asymmetric (ADC) distance:
   * Σ_m subspace-dist(query_m, codeword(codes[m])_m), ascending m. */
 case class PQADCDist(left: Expression, right: Expression,
     codebook: Seq[Seq[Double]], subspaces: Int)
@@ -95,14 +99,14 @@ case class PQADCDist(left: Expression, right: Expression,
 
   override def nullSafeEval(q0: Any, codes0: Any): Any = {
     val q = q0.asInstanceOf[ArrayData]
-    val codes = codes0.asInstanceOf[ArrayData]
-    require(q.numElements() == dim && codes.numElements() == subspaces)
+    val codes = codes0.asInstanceOf[Array[Byte]]
+    require(q.numElements() == dim && codes.length == subspaces)
     // first term, then += in ascending m: matches the oracle's
     // left-associative t0 + t1 + ... + t7 bit-for-bit
-    var total = PQ.subDist(q, cb, codes.getInt(0), 0, sub)
+    var total = PQ.subDist(q, cb, codes(0) & 0xFF, 0, sub)
     var m = 1
     while (m < subspaces) {
-      total += PQ.subDist(q, cb, codes.getInt(m), m * sub, sub)
+      total += PQ.subDist(q, cb, codes(m) & 0xFF, m * sub, sub)
       m += 1
     }
     total

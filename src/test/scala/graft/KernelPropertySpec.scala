@@ -186,7 +186,7 @@ class KernelPropertySpec extends SparkSpec {
 
   test("PQEncode/PQADCDist == independent argmin/sum over the distance identity") {
     import graft.functions.{PQADCDist, PQEncode}
-    import org.apache.spark.sql.types.{FloatType, IntegerType}
+    import org.apache.spark.sql.types.{BinaryType, FloatType}
     val (dim, subspaces, nCodes) = (8, 4, 5)
     val sub = dim / subspaces
     def subDist(v: Seq[Float], cw: Seq[Double], base: Int): Double = {
@@ -205,14 +205,15 @@ class KernelPropertySpec extends SparkSpec {
         (0 until nCodes).minBy(c => subDist(v, cb(c), m * sub)) // min ties → lowest
       }
       val gotCodes = PQEncode(Literal.create(v, ArrayType(FloatType)), cb, subspaces)
-        .eval(null).asInstanceOf[ArrayData].toIntArray.toSeq
+        .eval(null).asInstanceOf[Array[Byte]].map(_ & 0xFF).toSeq
       assert(gotCodes === wantCodes, s"v=$v cb=$cb")
       val q = Seq.fill(dim)((rnd.nextInt(200) - 100) / 10.0f)
       val wantAdc = (0 until subspaces)
         .map(m => subDist(q, cb(wantCodes(m)), m * sub)).reduceLeft(_ + _)
       val gotAdc = PQADCDist(
         Literal.create(q, ArrayType(FloatType)),
-        Literal.create(wantCodes, ArrayType(IntegerType)), cb, subspaces).eval(null)
+        Literal.create(wantCodes.map(_.toByte).toArray, BinaryType),
+        cb, subspaces).eval(null)
       assert(gotAdc === wantAdc, s"q=$q codes=$wantCodes")
     }
   }

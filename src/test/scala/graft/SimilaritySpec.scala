@@ -34,8 +34,9 @@ class SimilaritySpec extends SparkSpec {
     // duplicates would only lower the code, never change the distance)
     val selfCodes = emb.filter($"vec_id" < 16)
       .select($"vec_id", pqEncode($"embedding", cb, 8).as("codes"))
-      .as[(Long, Seq[Int])].collect()
-    selfCodes.foreach { case (vid, codes) =>
+      .as[(Long, Array[Byte])].collect()
+    selfCodes.foreach { case (vid, packed) =>
+      val codes = packed.map(_ & 0xFF)
       assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
       codes.zipWithIndex.foreach { case (c, m) =>
         val got = cb(c).slice(m * 8, m * 8 + 8)
