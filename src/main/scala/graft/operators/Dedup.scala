@@ -351,6 +351,109 @@ object Dedup {
     result
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction — the published MapReduce CC algorithm for the
+    * trillion-edge regime (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014). Same contract as
+    * [[connectedComponents]]: input near-dup pairs (id_a, id_b), output
+    * (doc_id, cluster_id) with cluster_id = component-min id; singleton
+    * docs (no pairs) do not appear.
+    *
+    * Why a second distributed path: [[distributedMinLabel]] keeps a
+    * label row per NODE alive through every round and ships the full
+    * frontier each iteration; star contraction instead rewrites the
+    * EDGE set, which shrinks geometrically as trees flatten — at 10^12
+    * edges the per-round shuffle decays with the data instead of
+    * staying O(V). Each round is two hash-agg + equi-join passes over
+    * the current edges (no node-indexed state), so a skewed hub key is
+    * ordinary AQE skew-join territory.
+    *
+    * Round = large-star then small-star:
+    *  - large-star: over the bidirected edge list, every node u links
+    *    each STRICTLY LARGER neighbor v to m(u) = min(Γ(u) ∪ {u}).
+    *  - small-star: over canonical (hi > lo) edges, every hi-node u
+    *    links its smaller neighbors and itself to m = min(Γ_lo(u)).
+    * Both emit canonical (src > dst) edges with no self-loops, and both
+    * preserve component connectivity (paper, Lemmas 1-2); the fixpoint
+    * is a star per component centered at its min id. Convergence is
+    * detected on the (count, order-independent checksum) of the edge
+    * set — stable across one full round ⇒ fixpoint. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // canonicalize (src > dst), drop self-loops, null-check like the
+    // min-label path: nulls must fail loudly, not vanish in the joins
+    val raw = pairs.select(col("id_a").cast("long").as("a"),
+        col("id_b").cast("long").as("b"))
+      .localCheckpoint(true) // materialize expensive pair gen exactly once
+    if (raw.filter(col("a").isNull || col("b").isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        "connectedComponentsStar ids must cast to long without nulls " +
+          "(non-numeric id column, or null ids in the pair set)")
+    var edges = raw
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = nbrs.groupBy(col("src").as("u"))
+        .agg(min("dst").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // v > u >= m, so output is canonical and self-loop-free by shape
+      nbrs.join(m, nbrs("src") === m("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("src").as("u")).agg(min("dst").as("mn"))
+      val relinked = e.join(m, e("src") === m("u"))
+        .filter(col("dst") =!= col("mn"))
+        .select(col("dst").as("src"), col("mn").as("dst"))
+      relinked.union(m.select(col("u").as("src"), col("mn").as("dst")))
+        .distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, no ANSI overflow; the edge set is
+      // DISTINCT, so xor self-cancellation cannot alias two sets that
+      // differ by a duplicated edge
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("chk")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next
+      fp = nfp
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds " +
+          s"(${fp._1} edges still present); raise maxIter")
+    // fixpoint = stars centered at component mins: every non-root is a
+    // src with exactly one dst (its root); roots appear only as dst
+    val result = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .union(edges.select(col("dst"), col("dst")).distinct())
+      .localCheckpoint(true)
+    val sc = spark.sparkContext
+    val ids = sc.getPersistentRDDs.keySet.toSet -- before
+    val keep = if (ids.nonEmpty) ids.max else -1
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (ids.contains(id) && id != keep) rdd.unpersist(false)
+    }
+    result
+  }
+
   /** End-to-end corpus dedup: resolve near-dup pairs to clusters, keep
     * one canonical doc (min id) per cluster, pass uniques through. The
     * composite a training-data pipeline actually calls: pairs → CC →

@@ -48,6 +48,16 @@ object DedupPack extends QueryPack {
           floor(col("n_chars") / 100).as("lb"), col("text")),
         ngramN = 1, threshold = 0.6))),
 
+    // Same duplicate-group resolution via alternating large-star /
+    // small-star edge contraction (the trillion-edge CC algorithm —
+    // per-round shuffle shrinks with the edge set instead of staying
+    // O(V) like min-label). Identical semantics, same oracle.
+    "dedup_clusters_star" -> ((s, d) =>
+      Dedup.connectedComponentsStar(Dedup.blockedNgramJaccardSparse(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 100).as("lb"), col("text")),
+        ngramN = 1, threshold = 0.6))),
+
     // End-to-end dedup applied to the corpus: near-dup clusters keep
     // their min-id doc, uniques pass through; per-lang survivor counts.
     // Sparse edges — applyDedup only needs connectivity.
@@ -126,6 +136,32 @@ object DedupPack extends QueryPack {
   // changing NumHashes/Bands re-bands both sides together
   private val BandRows = graft.operators.Dedup.NumHashes / graft.operators.Dedup.Bands
 
+  // connected components as a recursive reachability closure: reach
+  // (id, r) holds every node r reachable from id; min(r) = cluster id.
+  // Shared by dedup_clusters (min-label) and dedup_clusters_star
+  // (star contraction) — both must produce this exact table.
+  private val clustersOracle: String =
+    """WITH RECURSIVE
+      |t AS (
+      |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
+      |    list_distinct(list_transform(regexp_split_to_array(text, '\s+'),
+      |      x -> md5_number_lower(x))) AS w
+      |  FROM documents),
+      |jp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.w, b.w)) /
+      |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 4) >= 0.6),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+      |      UNION ALL SELECT id_b, id_a FROM jp),
+      |n AS (SELECT DISTINCT src AS id FROM e),
+      |reach AS (
+      |  SELECT id, id AS r FROM n
+      |  UNION
+      |  SELECT e.src AS id, reach.r FROM e JOIN reach ON reach.id = e.dst)
+      |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // MinHash LSH is reproduced bit-exactly: shingle hashes and band
     // bucket keys live in DuckDB's md5_number_lower space, and the
@@ -184,29 +220,10 @@ object DedupPack extends QueryPack {
         |  FROM t a JOIN t b
         |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6""".stripMargin,
-    // connected components as a recursive reachability closure: reach
-    // (id, r) holds every node r reachable from id; min(r) = cluster id
-    "dedup_clusters" ->
-      """WITH RECURSIVE
-        |t AS (
-        |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
-        |    list_distinct(list_transform(regexp_split_to_array(text, '\s+'),
-        |      x -> md5_number_lower(x))) AS w
-        |  FROM documents),
-        |jp AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b
-        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.w, b.w)) /
-        |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 4) >= 0.6),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
-        |      UNION ALL SELECT id_b, id_a FROM jp),
-        |n AS (SELECT DISTINCT src AS id FROM e),
-        |reach AS (
-        |  SELECT id, id AS r FROM n
-        |  UNION
-        |  SELECT e.src AS id, reach.r FROM e JOIN reach ON reach.id = e.dst)
-        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_clusters" -> clustersOracle,
+    // the star-contraction variant computes the same components; one
+    // oracle definition keeps both gates pinned to one semantic
+    "dedup_clusters_star" -> clustersOracle,
     "dedup_apply" ->
       """WITH RECURSIVE
         |t AS (

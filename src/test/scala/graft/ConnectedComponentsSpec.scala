@@ -58,6 +58,38 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).count() === 0)
   }
 
+  test("star contraction: chain + pair, hub, and duplicate/reversed edges") {
+    // components: {1..4} chain, {10,11}, and a hub 20-{21,22,23}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (21L, 20L), (20L, 22L), (23L, 20L), (22L, 20L), (2L, 1L))
+      .toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    val got = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("star contraction converges a 128-node chain in O(log n) rounds") {
+    // a path graph is the worst case for naive propagation (127 rounds);
+    // alternating large/small-star must flatten it within ~2·log2(128)
+    val pairs = (1L until 128L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(pairs, maxIter = 14)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 128L).map(_ -> 1L).toMap)
+  }
+
+  test("star contraction: empty pair set and non-convergence error") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponentsStar(empty).count() === 0)
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStar(pairs, maxIter = 1).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("matches a union-find ground truth on real near-dup pairs") {
     val pairs = graft.queries.DedupPack.defs("dedup_jaccard")(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect()

@@ -367,6 +367,10 @@ class KernelPropertySpec extends SparkSpec {
           .as[(Long, Long)].collect().toMap
         assert(got === want, s"trial=$trial thresh=$thresh edges=$edges")
       }
+      // the star-contraction path must agree with the same ground truth
+      val gotStar = graft.operators.Dedup.connectedComponentsStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(gotStar === want, s"trial=$trial star edges=$edges")
     }
   }
 }
