@@ -149,6 +149,56 @@ object TextPack extends QueryPack {
           min("cut").as("cut"))
     }),
 
+    // Quality-weighted mixture sampling — the full curation composite:
+    // text_filter_adaptive's per-source bottom-decile quality cut
+    // first, then q_mixture's deterministic stratified draw over the
+    // SURVIVORS (every lang downsampled to the smallest surviving
+    // stratum, members selected by md5-hash rank). Scale shape is the
+    // two parents': the quality pass is a scan + per-source percentile
+    // window; the draw never sorts a full stratum — the hash-prefix
+    // prefilter cuts window input to ~2×target rows with a raise_error
+    // underflow guard. The survivor subtree is referenced twice
+    // (stratum counts + the draw) — the count branch reduces to k
+    // (lang, cnt) rows before its exchange, and the shared window
+    // subtree is exchange-reuse territory; at 100 TB persist the
+    // survivor set once if the double scan ever dominates.
+    "q_mixture_quality" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nWords = size(col("w"))
+      val nChars = length(col("text"))
+      val stopR = round(hitCount(col("w"), langProfiles.toMap.apply("en")) / nWords, 6)
+      val punctR = round((nChars - charClassCount(col("text"), "a-zA-Z0-9 ")) / nChars, 6)
+      val q = round(lit(0.5) * least(lit(1.0), nWords / 50.0)
+        + lit(0.3) * stopR + lit(0.2) * (lit(1.0) - punctR), 6)
+      val surv = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), q.as("q"))
+        .withColumn("qcut",
+          round(expr("percentile(q, 0.1)").over(Window.partitionBy("source")), 6))
+        .filter(col("q") > col("qcut"))
+        .select("doc_id", "lang", "source")
+      val counts = surv.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val strata = counts
+        .withColumn("target", min("cnt").over(Window.partitionBy()))
+        .select(col("lang"), col("target"),
+          least(lit(1.0), (col("target") * 2 + 64).cast("double") / col("cnt")).as("cut"))
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val pre = surv
+        .withColumn("md5h", h)
+        .withColumn("hv", conv(substring(col("md5h"), 1, 8), 16, 10).cast("long"))
+        .join(broadcast(strata), Seq("lang"))
+        .filter(col("hv") < col("cut") * lit(4294967296.0)) // 2^32: prefix cut
+      val w = Window.partitionBy("lang").orderBy(col("md5h").asc, col("doc_id").asc)
+      pre.withColumn("rk", row_number().over(w))
+        .withColumn("n_surv", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("eff_target", col("target") +
+          when(col("n_surv") < col("target"),
+            raise_error(concat(
+              lit("q_mixture_quality: prefilter underflow in stratum "), col("lang"))))
+            .otherwise(lit(0L)))
+        .filter(col("rk") <= col("eff_target"))
+        .select("doc_id", "lang", "source")
+    }),
+
     // Exact heavy hitters (words above 0.5% of all tokens) in two
     // passes: a Misra-Gries sketch pass (k=400 counters per partition,
     // merged associatively — the exchange carries O(k) rows per
@@ -375,6 +425,31 @@ object TextPack extends QueryPack {
          |  CAST(sum(CASE WHEN q <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  min(cut) AS cut
          |FROM c GROUP BY source""".stripMargin,
+    "q_mixture_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, text, $wSql AS w,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($wSql) AS BIGINT) AS n_words
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, source,
+         |    round(0.5*least(1.0, n_words/50.0)
+         |      + 0.3*round(${hitSql("w", langProfiles.toMap.apply("en"))}/n_words, 6)
+         |      + 0.2*(1.0 - round((n_chars - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g')))/n_chars, 6)), 6) AS q
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, lang, source, q,
+         |    round(quantile_cont(q, 0.1) OVER (PARTITION BY source), 6) AS qcut
+         |  FROM m),
+         |s AS (SELECT doc_id, lang, source FROM c WHERE q > qcut),
+         |cnt AS (SELECT lang, count(*) AS n FROM s GROUP BY lang),
+         |tgt AS (SELECT min(n) AS target FROM cnt),
+         |r AS (
+         |  SELECT doc_id, lang, source, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM s)
+         |SELECT doc_id, lang, source FROM r, tgt WHERE rk <= tgt.target""".stripMargin,
     "text_heavy_hitters" ->
       s"""WITH w AS (SELECT unnest($wSql) AS word FROM documents),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tokens FROM w),

@@ -69,16 +69,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_mixture rank window sorts only hash-prefiltered survivors") {
-    val p = SparkEntry.queries("q_mixture")(spark, sfDir).queryExecution.sparkPlan
+  test("mixture rank windows sort only hash-prefiltered survivors") {
+   for (q <- Seq("q_mixture", "q_mixture_quality")) {
+    val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
     // only the ORDERED windows are rank windows over doc rows; the
-    // unordered one is the global min over the k-row per-lang counts
-    // (the strata-target derivation), which has nothing to prefilter
+    // unordered ones are the global min over the k-row per-lang counts
+    // (strata-target derivation) and, for the quality variant, the
+    // per-source percentile cut — nothing to prefilter in either
     val windows = p.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
         if w.orderSpec.nonEmpty => w
     }
-    assert(windows.nonEmpty, "exact rank window expected")
+    assert(windows.nonEmpty, s"$q: exact rank window expected")
     // every window must sit above the hash-prefix cut. The predicate
     // references both join sides (hash prefix vs per-stratum cut), so
     // Catalyst may either keep it as a FilterExec or fuse it into the
@@ -97,11 +99,12 @@ class PlanSpec extends SparkSpec {
         case j: BroadcastHashJoinExec if j.condition.exists(hasCut) => j
       }.nonEmpty
       assert(cutInFilter || cutInJoin,
-        "window input must be prefiltered by the per-stratum hash cut " +
+        s"$q: window input must be prefiltered by the per-stratum hash cut " +
           "(as a FilterExec or a BroadcastHashJoin residual condition)")
       assert(w.child.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
-        "strata thresholds must reach the scan via a broadcast join")
+        s"$q: strata thresholds must reach the scan via a broadcast join")
     }
+   }
   }
 
   test("q_semi_anti at scale: runtime bloom filter prunes the customer scan") {
