@@ -117,26 +117,7 @@ object Similarity {
     import graft.operators.KMeansND
     val cells = corpus.withColumn("cell",
       KMeansND.nearest(col("embedding"), centroids).getField("cid"))
-    // query-side probing: nQueries × nCells rows (tiny); interpreted
-    // higher-order folds are fine here and accumulate sequentially in
-    // double, so the oracle ranks cells identically
-    val sorted = centroids.sortBy(_._1)
-    val centArr = array(sorted.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), array(cv.toIndexedSeq.map(lit): _*).as("cv"),
-        lit(KMeansND.norm2(cv)).as("cn"))
-    }: _*)
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val qd = transform(col("embedding"), x => x.cast("double"))
-    val probed = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), qd.as("qv"))
-      .withColumn("c", explode(centArr))
-      .withColumn("dist",
-        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("c.cv"))) + col("c.cn"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist"), col("c.cid"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qemb"), col("c.cid").as("pcell"))
+    val probed = probeCells(queries, centroids, nprobe)
     val cand = cells.as("c")
       .join(broadcast(probed.as("q")),
         col("q.pcell") === col("c.cell") && col("q.qid") =!= col("c.vec_id"))
@@ -147,6 +128,69 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
       .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
         col("t.v").as("vid"), round(-col("t.negcos"), 4).as("cos"))
+  }
+
+  /** Query-side cell probing shared by the IVF paths: each query ranks
+    * the (broadcast-literal) coarse centroids and keeps its `nprobe`
+    * nearest cells. nQueries × nCells rows (tiny); interpreted
+    * higher-order folds are fine here and accumulate sequentially in
+    * double, so the oracle ranks cells identically. Returns
+    * (qid, qemb, pcell). */
+  private def probeCells(queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], nprobe: Int): DataFrame = {
+    import graft.operators.KMeansND
+    val sorted = centroids.sortBy(_._1)
+    val centArr = array(sorted.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.toIndexedSeq.map(lit): _*).as("cv"),
+        lit(KMeansND.norm2(cv)).as("cn"))
+    }: _*)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val qd = transform(col("embedding"), x => x.cast("double"))
+    queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), qd.as("qv"))
+      .withColumn("c", explode(centArr))
+      .withColumn("dist",
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("c.cv"))) + col("c.cn"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("c.cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("c.cid").as("pcell"))
+  }
+
+  /** IVF + PQ — the composed 100 TB ANN index: coarse Voronoi cells
+    * prune the search to `nprobe` cells per query AND the corpus inside
+    * cells is ranked by asymmetric-distance (ADC) over byte-packed PQ
+    * codes, never raw embeddings. The stored index row is
+    * (vec_id, cell, codes) ≈ tens of bytes — the layout that lets a
+    * billion-vector corpus sit in executor memory. Ranking cost per
+    * query is (corpus/nCells)×nprobe code-array ADC evaluations; raw
+    * vectors appear only query-side (broadcast). Same argmin/ADC
+    * arithmetic as `ann_pq`, same cell geometry as `ann_ivf`, so the
+    * composed oracle reproduces both stages exactly. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], codebook: Seq[Seq[Double]],
+      numSub: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    import graft.functions.PQExpressions.{pqAdcDist, pqEncode}
+    import graft.functions.TopKAggregate.topk
+    import graft.operators.KMeansND
+    // the persisted index: cell id + packed codes, embeddings dropped
+    val index = corpus
+      .withColumn("cell",
+        KMeansND.nearest(col("embedding"), centroids).getField("cid"))
+      .select(col("vec_id"), col("cell"),
+        pqEncode(col("embedding"), codebook, numSub).as("codes"))
+    val probed = probeCells(queries, centroids, nprobe)
+    val cand = index.as("c")
+      .join(broadcast(probed.as("q")),
+        col("q.pcell") === col("c.cell") && col("q.qid") =!= col("c.vec_id"))
+      .select(col("q.qid").as("qid"), col("c.vec_id").as("vid"),
+        pqAdcDist(col("q.qemb"), col("c.codes"), codebook, numSub).as("ad"))
+    cand.groupBy("qid")
+      .agg(topk(struct(col("ad"), col("vid").as("v")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+        col("t.v").as("vid"), round(col("t.ad"), 4).as("ad"))
   }
 
   /** Production coarse quantizer for IVF: cells fitted with the

@@ -121,6 +121,23 @@ object SimilarityPack extends QueryPack {
         emb.select(col("vec_id").as("id"), col("embedding").as("vec")), NumCells)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < NumQueries),
         cents, k = 3, nprobe = 2)
+    }),
+
+    // IVF + PQ composed — the billion-vector index layout: coarse cells
+    // prune the probe set, ADC over byte-packed codes ranks inside
+    // probed cells, raw embeddings never leave the query side. Same
+    // cell geometry as ann_ivf and the same encode/ADC arithmetic as
+    // ann_pq, so the composed oracle replays both stages exactly.
+    "ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.operators.KMeansND.seed(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")), NumCells)
+      val cb: Seq[Seq[Double]] = emb.filter(col("vec_id") < NumCodes)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        cents, cb, NumSub, k = 3, nprobe = 2)
     })
   )
 
@@ -147,6 +164,26 @@ object SimilarityPack extends QueryPack {
     val sub = 64 / NumSub
     s"$t.v[${m * sub + 1}:${(m + 1) * sub}]"
   }
+
+  // PQ SQL fragments shared by ann_pq and ann_ivfpq. encode: per
+  // (doc, subspace) argmin codeword under the (|x|²−2x·c)+|c|²
+  // identity; ADC: one cb join per code-list position and a
+  // statically-unrolled ascending-m sum (bit-equal to the native
+  // expression's accumulation order). The query alias is `q` with
+  // DOUBLE[] column `v` in both call sites.
+  private def pqEncDistSql: String = {
+    val sub = 64 / NumSub
+    s"""(list_dot_product(e.v[(m.m*$sub+1):(m.m*$sub+$sub)], e.v[(m.m*$sub+1):(m.m*$sub+$sub)])
+       | - 2*list_dot_product(e.v[(m.m*$sub+1):(m.m*$sub+$sub)], c.v[(m.m*$sub+1):(m.m*$sub+$sub)]))
+       | + list_dot_product(c.v[(m.m*$sub+1):(m.m*$sub+$sub)], c.v[(m.m*$sub+1):(m.m*$sub+$sub)])""".stripMargin
+  }
+  private def pqCbJoinsSql: String = (0 until NumSub)
+    .map(m => s"JOIN cb c$m ON c$m.code = d.cs[${m + 1}]").mkString("\n  ")
+  private def pqAdcTermsSql: String = (0 until NumSub).map { m =>
+    s"""((list_dot_product(${sl("q", m)}, ${sl("q", m)})
+       |  - 2*list_dot_product(${sl("q", m)}, ${sl(s"c$m", m)}))
+       |  + list_dot_product(${sl(s"c$m", m)}, ${sl(s"c$m", m)}))""".stripMargin
+  }.mkString("\n + ")
 
   def oracles: Map[String, String] = Map(
     "embed_outliers" ->
@@ -186,44 +223,60 @@ object SimilarityPack extends QueryPack {
          |  CAST(sum(g.c) - (count(*) - count(f.rid)) AS BIGINT) AS n_dropped
          |FROM g LEFT JOIN f ON g.cid = f.cid AND g.rid = f.rid
          |GROUP BY g.cid""".stripMargin,
-    "ann_pq" -> {
-      // encode: per (doc, subspace) argmin codeword under the
-      // (|x|²−2x·c)+|c|² identity; ADC: 8 cb joins on the code list and
-      // a statically-unrolled ascending-m sum (bit-equal to the
-      // expression's accumulation order)
-      val sub = 64 / NumSub
-      val encDist =
-        s"""(list_dot_product(e.v[(m.m*$sub+1):(m.m*$sub+$sub)], e.v[(m.m*$sub+1):(m.m*$sub+$sub)])
-           | - 2*list_dot_product(e.v[(m.m*$sub+1):(m.m*$sub+$sub)], c.v[(m.m*$sub+1):(m.m*$sub+$sub)]))
-           | + list_dot_product(c.v[(m.m*$sub+1):(m.m*$sub+$sub)], c.v[(m.m*$sub+1):(m.m*$sub+$sub)])""".stripMargin
-      val cbJoins = (0 until NumSub)
-        .map(m => s"JOIN cb c$m ON c$m.code = d.cs[${m + 1}]").mkString("\n  ")
-      val terms = (0 until NumSub).map { m =>
-        s"""((list_dot_product(${sl("q", m)}, ${sl("q", m)})
-           |  - 2*list_dot_product(${sl("q", m)}, ${sl(s"c$m", m)}))
-           |  + list_dot_product(${sl(s"c$m", m)}, ${sl(s"c$m", m)}))""".stripMargin
-      }.mkString("\n + ")
+    "ann_pq" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cb AS (SELECT CAST(vec_id AS INT) AS code, v FROM emb WHERE vec_id < $NumCodes),
          |enc AS (
          |  SELECT vec_id, m, code FROM (
          |    SELECT e.vec_id, m.m, c.code,
          |      row_number() OVER (PARTITION BY e.vec_id, m.m
-         |        ORDER BY $encDist, c.code) AS rn
+         |        ORDER BY $pqEncDistSql, c.code) AS rn
          |    FROM emb e CROSS JOIN range(0, $NumSub) m(m) CROSS JOIN cb c)
          |  WHERE rn = 1),
          |codes AS (SELECT vec_id, list(code ORDER BY m) AS cs FROM enc GROUP BY vec_id),
          |adc AS (
          |  SELECT q.vec_id AS qid, d.vec_id AS vid,
-         |    $terms AS ad
+         |    $pqAdcTermsSql AS ad
          |  FROM emb q CROSS JOIN codes d
-         |  $cbJoins
+         |  $pqCbJoinsSql
          |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id)
          |SELECT qid, rk, vid, round(ad, 4) AS ad FROM (
          |  SELECT qid, vid, ad,
          |    row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk
-         |  FROM adc) WHERE rk <= 3""".stripMargin
-    },
+         |  FROM adc) WHERE rk <= 3""".stripMargin,
+    "ann_ivfpq" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, v FROM emb WHERE vec_id < $NumCodes),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (list_dot_product(e.v,e.v) - 2*list_dot_product(e.v,c.cv))
+         |      + list_dot_product(c.cv,c.cv), c.cid) AS rn
+         |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT e.vec_id, m.m, c.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, m.m
+         |        ORDER BY $pqEncDistSql, c.code) AS rn
+         |    FROM emb e CROSS JOIN range(0, $NumSub) m(m) CROSS JOIN cb c)
+         |  WHERE rn = 1),
+         |codes AS (SELECT vec_id, list(code ORDER BY m) AS cs FROM enc GROUP BY vec_id),
+         |probe AS (SELECT qid, v, cid AS cell FROM (
+         |  SELECT q.vec_id AS qid, q.v, c.cid, row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY (list_dot_product(q.v,q.v) - 2*list_dot_product(q.v,c.cv))
+         |      + list_dot_product(c.cv,c.cv), c.cid) AS rn
+         |  FROM emb q CROSS JOIN cent c WHERE q.vec_id < $NumQueries) WHERE rn <= 2),
+         |adc AS (
+         |  SELECT q.qid, s.vec_id AS vid,
+         |    $pqAdcTermsSql AS ad
+         |  FROM probe q
+         |  JOIN cells s ON s.cell = q.cell AND s.vec_id <> q.qid
+         |  JOIN codes d ON d.vec_id = s.vec_id
+         |  $pqCbJoinsSql)
+         |SELECT qid, rk, vid, round(ad, 4) AS ad FROM (
+         |  SELECT qid, vid, ad,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk
+         |  FROM adc) WHERE rk <= 3""".stripMargin,
     "ann_recall" ->
       s"""WITH planes(p, pv) AS (VALUES
          |  $planesSql),
