@@ -82,6 +82,7 @@ object StatsPack extends QueryPack {
     // raise_error guard (loud failure, never a silent undersample).
     "q_mixture" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      import graft.operators.Sampling
       val docs = documents(s, d).select(col("doc_id"), col("lang"))
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
       // target = min stratum size via a global window over the k-row
@@ -92,22 +93,24 @@ object StatsPack extends QueryPack {
       val strata = counts
         .withColumn("target", min("cnt").over(Window.partitionBy()))
         .select(col("lang"), col("target"),
-          least(lit(1.0), (col("target") * 2 + 64).cast("double") / col("cnt")).as("cut"))
-      val h = md5(col("doc_id").cast("string").cast("binary"))
-      val pre = docs
-        .withColumn("md5h", h)
-        .withColumn("hv", conv(substring(col("md5h"), 1, 8), 16, 10).cast("long"))
-        .join(broadcast(strata), Seq("lang"))
-        .filter(col("hv") < col("cut") * lit(4294967296.0)) // 2^32: prefix cut
-      val w = Window.partitionBy("lang").orderBy(col("md5h").asc, col("doc_id").asc)
-      pre.withColumn("rk", row_number().over(w))
-        .withColumn("n_surv", count(lit(1)).over(Window.partitionBy("lang")))
-        .withColumn("eff_target", col("target") +
-          when(col("n_surv") < col("target"),
-            raise_error(concat(lit("q_mixture: prefilter underflow in stratum "), col("lang"))))
-            .otherwise(lit(0L)))
-        .filter(col("rk") <= col("eff_target"))
-        .select("doc_id", "lang")
+          Sampling.prefixCut(col("target"), col("cnt")).as("cut"))
+      Sampling.stratifiedHashDraw(docs, "lang", "doc_id", strata, "q_mixture")
+    }),
+
+    // Per-source document cap — the domain-cap curation primitive (a
+    // crawl's over-represented domains are truncated, small sources
+    // pass through): keep at most 15 docs per source, selected by the
+    // same deterministic md5-hash rank as q_mixture. Same scale shape:
+    // k-row cap table broadcast, hash-prefix prefilter, bounded rank
+    // window.
+    "text_source_cap" -> ((s, d) => {
+      import graft.operators.Sampling
+      val docs = documents(s, d).select(col("doc_id"), col("source"))
+      val strata = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        .select(col("source"), least(lit(15L), col("cnt")).as("target"),
+          Sampling.prefixCut(least(lit(15L), col("cnt")), col("cnt")).as("cut"))
+      Sampling.stratifiedHashDraw(docs, "source", "doc_id", strata,
+        "text_source_cap")
     }),
 
     // Fixed-width histogram: bucket = floor(price/25k)·25k — a single
@@ -146,6 +149,13 @@ object StatsPack extends QueryPack {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |SELECT doc_id, lang FROM r, t WHERE rk <= t.target""".stripMargin,
+    "text_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rk <= 15""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice/25000)*25000 AS BIGINT) AS bucket,
         |  count(*) AS n, round(avg(o_totalprice),2) AS avg_price

@@ -164,6 +164,7 @@ object TextPack extends QueryPack {
     // survivor set once if the double scan ever dominates.
     "q_mixture_quality" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      import graft.operators.Sampling
       val nWords = size(col("w"))
       val nChars = length(col("text"))
       val stopR = round(hitCount(col("w"), langProfiles.toMap.apply("en")) / nWords, 6)
@@ -180,23 +181,39 @@ object TextPack extends QueryPack {
       val strata = counts
         .withColumn("target", min("cnt").over(Window.partitionBy()))
         .select(col("lang"), col("target"),
-          least(lit(1.0), (col("target") * 2 + 64).cast("double") / col("cnt")).as("cut"))
-      val h = md5(col("doc_id").cast("string").cast("binary"))
-      val pre = surv
-        .withColumn("md5h", h)
-        .withColumn("hv", conv(substring(col("md5h"), 1, 8), 16, 10).cast("long"))
-        .join(broadcast(strata), Seq("lang"))
-        .filter(col("hv") < col("cut") * lit(4294967296.0)) // 2^32: prefix cut
-      val w = Window.partitionBy("lang").orderBy(col("md5h").asc, col("doc_id").asc)
-      pre.withColumn("rk", row_number().over(w))
-        .withColumn("n_surv", count(lit(1)).over(Window.partitionBy("lang")))
-        .withColumn("eff_target", col("target") +
-          when(col("n_surv") < col("target"),
-            raise_error(concat(
-              lit("q_mixture_quality: prefilter underflow in stratum "), col("lang"))))
-            .otherwise(lit(0L)))
-        .filter(col("rk") <= col("eff_target"))
-        .select("doc_id", "lang", "source")
+          Sampling.prefixCut(col("target"), col("cnt")).as("cut"))
+      Sampling.stratifiedHashDraw(surv, "lang", "doc_id", strata,
+        "q_mixture_quality")
+    }),
+
+    // Token-budget sampling — fill a fixed per-stream token budget
+    // (512 tokens per (lang, shard) stream) with docs in deterministic
+    // md5-hash order: a doc is kept iff the stream's running total
+    // BEFORE it is under budget (the doc that crosses the line is
+    // kept, split-on-boundary like text_pack). The shard key is the
+    // scale-out: budget filling is inherently sequential, so
+    // production fans out over many streams and each window cumsum
+    // stays bounded — never a global hash sort. Output is the
+    // per-stream funnel.
+    "text_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512
+      val win = Window.partitionBy("lang", "shard")
+        .orderBy(col("md5h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          size(col("w")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string").cast("binary")).as("md5h"))
+        .withColumn("cum", sum("n_tokens").over(win))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_seen"),
+          sum("n_tokens").as("tokens_seen"),
+          sum(when(col("cum") - col("n_tokens") < budget, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("cum") - col("n_tokens") < budget, col("n_tokens"))
+            .otherwise(0L)).as("tokens_kept"))
     }),
 
     // Exact heavy hitters (words above 0.5% of all tokens) in two
@@ -450,6 +467,22 @@ object TextPack extends QueryPack {
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM s)
          |SELECT doc_id, lang, source FROM r, tgt WHERE rk <= tgt.target""".stripMargin,
+    "text_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, doc_id % 8 AS shard,
+         |    CAST(len($wSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang, shard
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT lang, shard, count(*) AS n_seen,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_seen,
+         |  CAST(sum(CASE WHEN cum - n_tokens < 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN cum - n_tokens < 512 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM c GROUP BY lang, shard""".stripMargin,
     "text_heavy_hitters" ->
       s"""WITH w AS (SELECT unnest($wSql) AS word FROM documents),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tokens FROM w),
