@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashBands, NGramHashSet, SimHash64, SortedIntersectSize, SortedLongIntersectSize}
+import graft.functions.{CosineSimilarity, MinHashBands, NGramHashSet, NormalizeNFC, SimHash64, SortedIntersectSize, SortedLongIntersectSize}
 
 /** Library-level Catalyst integration: inject graft's native expressions
   * into every session built with
@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.FunctionArgs.literalInt("ngram_hash_set", "n", es(1)))))
     e.injectFunction(fn("sorted_long_intersect_size",
       es => SortedLongIntersectSize(es(0), es(1))))
+    e.injectFunction(fn("nfc_normalize", es => NormalizeNFC(es.head)))
   }
 }

@@ -74,5 +74,7 @@ object GraftSession {
       "scala_udf")
     reg.createOrReplaceTempFunction("sorted_long_intersect_size",
       es => SortedLongIntersectSize(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => graft.functions.NormalizeNFC(es.head), "scala_udf")
   }
 }

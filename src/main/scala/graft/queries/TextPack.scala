@@ -117,6 +117,24 @@ object TextPack extends QueryPack {
           round(col("n_contam") / col("n_grams"), 4).as("contam_frac"))
     }),
 
+    // Canonical text normalization — the step every hash-keyed op
+    // (exact dedup, fingerprints, contamination) runs first in a real
+    // pipeline: Unicode NFC (native codegen'd expression), lowercase,
+    // whitespace collapse, trim. Output keeps the dump atomic: lengths,
+    // a changed flag, and the md5 of the canonical form (the key
+    // downstream dedup would group on). Pure per-row column math — one
+    // scan, no shuffle, whole-stage codegen end to end.
+    "text_normalize" -> ((s, d) => {
+      import graft.functions.NormalizeExpression.nfcNormalize
+      val norm = trim(regexp_replace(lower(nfcNormalize(col("text"))), "\\s+", " "))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(norm).cast("long").as("n_chars_norm"),
+        (norm =!= col("text")).as("changed"),
+        md5(norm.cast("binary")).as("h_norm"))
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       docs(s, d)
         .filter(size(col("w")) >= 3)
@@ -467,6 +485,14 @@ object TextPack extends QueryPack {
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM s)
          |SELECT doc_id, lang, source FROM r, tgt WHERE rk <= tgt.target""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(n) AS BIGINT) AS n_chars_norm,
+        |  n <> text AS changed, md5(n) AS h_norm
+        |FROM (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS n
+        |  FROM documents)""".stripMargin,
     "text_token_budget" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, doc_id % 8 AS shard,

@@ -20,10 +20,12 @@ class ExtensionsSpec extends SparkSpec {
         """SELECT round(cosine_sim(CAST(array(1.0, 0.0, 1.0) AS ARRAY<FLOAT>),
           |                        CAST(array(1.0, 1.0, 0.0) AS ARRAY<FLOAT>)), 4) AS c,
           |  simhash64(array('a','b')) AS sh,
-          |  sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS n
+          |  sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS n,
+          |  nfc_normalize('café') AS nrm
           |""".stripMargin).collect().head
       assert(r.getDouble(0) === 0.5)
       assert(r.getInt(2) === 2)
+      assert(r.getString(3) === "café")
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -143,6 +143,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rt >= rs, s"trained PQ recall@3 $rt must be >= seeded $rs")
   }
 
+  test("ivfPqTopK composes trained cells + trained codebooks (production path)") {
+    // the oracle-gated ann_ivfpq keeps the first-k layout; this is the
+    // trained composition a production index uses. Structural contract:
+    // k dense ranks per query, ADC ascending within a query, no
+    // self-hits, and every hit's ADC >= the true quantization floor 0.
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val cells = Similarity.trainedCells(emb, 16, maxIter = 3)
+    val cb = Similarity.trainedPqCodebook(emb, 16, 8, maxIter = 2)
+    val out = Similarity.ivfPqTopK(emb, emb.filter($"vec_id" < 5),
+        cells, cb, numSub = 8, k = 3, nprobe = 2)
+      .select($"qid", $"rk", $"vid", $"ad")
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === (0L until 5L).toSet)
+    for ((qid, rows) <- byQ) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === Seq(1, 2, 3), s"qid=$qid ranks")
+      assert(sorted.forall(_._3 != qid), s"qid=$qid self-hit")
+      val ads = sorted.map(_._4).toSeq
+      assert(ads === ads.sorted, s"qid=$qid ADC not ascending: $ads")
+      assert(ads.forall(_ >= 0.0), s"qid=$qid negative ADC distance")
+    }
+  }
+
   test("a persisted IVF index prunes non-probed cells at the scan") {
     // the disk layout for IVF at scale: corpus written hive-partitioned
     // by cell id; probing nprobe cells becomes partition pruning — the

@@ -48,6 +48,46 @@ class TextSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("nfcNormalize composes decomposed sequences and is identity on NFC text") {
+    import graft.functions.NormalizeExpression.nfcNormalize
+    // e + COMBINING ACUTE (U+0065 U+0301) must compose to é (U+00E9);
+    // already-composed and plain-ASCII inputs pass through; null stays null
+    val df = Seq(
+      ("a", "café"), ("b", "café"), ("c", "plain ascii"),
+      ("d", "ḍ̇") // ḋ + dot-below → NFC reorders/composes to ḍ + dot-above
+    ).toDF("id", "t")
+    val got = df.select($"id", nfcNormalize($"t")).as[(String, String)]
+      .collect().toMap
+    assert(got("a") === "café")
+    assert(got("b") === "café")
+    assert(got("c") === "plain ascii")
+    assert(got("d") === java.text.Normalizer.normalize(
+      "ḍ̇", java.text.Normalizer.Form.NFC))
+    val n = df.select(nfcNormalize(lit(null).cast("string"))).collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
+
+  test("nfcNormalize stays inside whole-stage codegen (no fallback severing)") {
+    import graft.functions.NormalizeExpression.nfcNormalize
+    val df = spark.range(10).select(
+      md5(nfcNormalize(lower(concat(lit("x"), $"id".cast("string"))))).as("h"))
+    val plan = df.queryExecution.executedPlan
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, "expected a WholeStageCodegen stage")
+    // the project with the normalize chain must sit INSIDE a codegen
+    // stage, not dangle outside it the way CodegenFallback exprs do
+    val inCodegen = wsc.exists(_.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec
+        if p.projectList.exists(_.find {
+          case _: graft.functions.NormalizeNFC => true; case _ => false
+        }.isDefined) => p
+    }.nonEmpty)
+    assert(inCodegen, "NormalizeNFC fell out of the codegen stage")
+    assert(df.as[String].collect().length === 10)
+  }
+
   test("predictedLang picks max-scoring profile with alphabetical ties") {
     val df = Seq(
       "the cat of the house",  // en hits
