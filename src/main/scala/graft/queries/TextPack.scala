@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -12,6 +12,20 @@ object TextPack extends QueryPack {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("w", words(col("text")))
+
+  /** The engine's one quality-score definition (length, stopword and
+    * punctuation signals, rounded to 6 so every engine agrees at
+    * decision boundaries). Shared by text_quality,
+    * text_filter_adaptive, q_mixture_quality and text_quality_bins —
+    * one formula, one oracle twin. Expects `text` and `w` columns. */
+  private def qualityScore: Column = {
+    val nWords = size(col("w"))
+    val nChars = length(col("text"))
+    val stopR = round(hitCount(col("w"), langProfiles.toMap.apply("en")) / nWords, 6)
+    val punctR = round((nChars - charClassCount(col("text"), "a-zA-Z0-9 ")) / nChars, 6)
+    round(lit(0.5) * least(lit(1.0), nWords / 50.0)
+      + lit(0.3) * stopR + lit(0.2) * (lit(1.0) - punctR), 6)
+  }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -41,8 +55,7 @@ object TextPack extends QueryPack {
         digitR.as("digit_ratio"),
         punctR.as("punct_ratio"),
         stopR.as("stop_ratio"),
-        round(lit(0.5) * least(lit(1.0), nWords / 50.0)
-          + lit(0.3) * stopR + lit(0.2) * (lit(1.0) - punctR), 6).as("quality_score"))
+        qualityScore.as("quality_score"))
     }),
 
     "lang_id" -> ((s, d) => {
@@ -153,10 +166,7 @@ object TextPack extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val nWords = size(col("w"))
       val nChars = length(col("text"))
-      val stopR = round(hitCount(col("w"), langProfiles.toMap.apply("en")) / nWords, 6)
-      val punctR = round((nChars - charClassCount(col("text"), "a-zA-Z0-9 ")) / nChars, 6)
-      val q = round(lit(0.5) * least(lit(1.0), nWords / 50.0)
-        + lit(0.3) * stopR + lit(0.2) * (lit(1.0) - punctR), 6)
+      val q = qualityScore
       docs(s, d).select(col("source"), q.as("q"))
         .withColumn("cut",
           round(expr("percentile(q, 0.1)").over(Window.partitionBy("source")), 6))
@@ -165,6 +175,32 @@ object TextPack extends QueryPack {
           sum(when(col("q") > col("cut"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("q") <= col("cut"), 1L).otherwise(0L)).as("n_dropped"),
           min("cut").as("cut"))
+    }),
+
+    // Curriculum binning: global quality QUARTILE cuts assign every doc
+    // a difficulty/quality bin — the ordering key for curriculum
+    // training schedules (and the audit table for "what does each
+    // quality band look like"). Scale shape: the cuts are ONE
+    // percentile aggregate reduced to a single row and broadcast back
+    // (never a global sort/ntile over the corpus — rank-based ntile
+    // would shuffle every row into one ordered partition); binning is
+    // then a scan-side comparison, and the output agg is 4 rows. At
+    // 100 TB swap the exact percentile for approx_percentile, same
+    // shape.
+    "text_quality_bins" -> ((s, d) => {
+      val scored = docs(s, d).select(col("doc_id"), qualityScore.as("q"))
+      val cuts = scored.agg(
+        round(expr("percentile(q, 0.25)"), 6).as("c1"),
+        round(expr("percentile(q, 0.5)"), 6).as("c2"),
+        round(expr("percentile(q, 0.75)"), 6).as("c3"))
+      scored.join(broadcast(cuts))
+        .withColumn("bin",
+          when(col("q") <= col("c1"), 0L).when(col("q") <= col("c2"), 1L)
+            .when(col("q") <= col("c3"), 2L).otherwise(3L))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("q"), 6).as("avg_q"),
+          min("q").as("min_q"), max("q").as("max_q"))
     }),
 
     // Quality-weighted mixture sampling — the full curation composite:
@@ -185,10 +221,7 @@ object TextPack extends QueryPack {
       import graft.operators.Sampling
       val nWords = size(col("w"))
       val nChars = length(col("text"))
-      val stopR = round(hitCount(col("w"), langProfiles.toMap.apply("en")) / nWords, 6)
-      val punctR = round((nChars - charClassCount(col("text"), "a-zA-Z0-9 ")) / nChars, 6)
-      val q = round(lit(0.5) * least(lit(1.0), nWords / 50.0)
-        + lit(0.3) * stopR + lit(0.2) * (lit(1.0) - punctR), 6)
+      val q = qualityScore
       val surv = docs(s, d)
         .select(col("doc_id"), col("lang"), col("source"), q.as("q"))
         .withColumn("qcut",
@@ -460,6 +493,25 @@ object TextPack extends QueryPack {
          |  CAST(sum(CASE WHEN q <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  min(cut) AS cut
          |FROM c GROUP BY source""".stripMargin,
+    "text_quality_bins" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $wSql AS w, CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($wSql) AS BIGINT) AS n_words
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    round(0.5*least(1.0, n_words/50.0)
+         |      + 0.3*round(${hitSql("w", langProfiles.toMap.apply("en"))}/n_words, 6)
+         |      + 0.2*(1.0 - round((n_chars - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g')))/n_chars, 6)), 6) AS q
+         |  FROM t),
+         |c AS (SELECT round(quantile_cont(q, 0.25), 6) AS c1,
+         |  round(quantile_cont(q, 0.5), 6) AS c2,
+         |  round(quantile_cont(q, 0.75), 6) AS c3 FROM m)
+         |SELECT CAST(CASE WHEN q <= c1 THEN 0 WHEN q <= c2 THEN 1
+         |    WHEN q <= c3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+         |  count(*) AS n_docs, round(avg(q), 6) AS avg_q,
+         |  min(q) AS min_q, max(q) AS max_q
+         |FROM m CROSS JOIN c GROUP BY 1""".stripMargin,
     "q_mixture_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, source, text, $wSql AS w,
