@@ -106,6 +106,48 @@ object StreamingOps {
       .select(col("window.start").as("ws"), col(idCol))
   }
 
+  /** The production ingest loop — the streaming composite of batch
+    * `dedup_incremental`, wired as a `foreachBatch` sink over a
+    * PERSISTED corpus: each micro-batch first resolves its own
+    * near-dup clusters (min-id keeper, `Dedup.applyDedup` over the
+    * blocked sparse pair set — batches are small, so the within-batch
+    * pass is cheap), then probes the corpus at `corpusPath` for exact
+    * and blocked-Jaccard near-dups (`Dedup.incrementalDedup` —
+    * broadcast-probing the corpus, which is scanned, never shuffled),
+    * and APPENDS the accepted docs — so every later batch dedups
+    * against everything accepted before it.
+    *
+    * Why the state lives in a table and not the state store: near-dup
+    * membership needs the full word-set signatures of an unbounded
+    * corpus — watermark eviction (the state-store contract) is exactly
+    * wrong for "have I ever seen this". A parquet corpus keeps stream
+    * state O(1), restarts re-read the store, and the probe cost scales
+    * with the batch, not the corpus. Append is at-least-once on
+    * replayed batches; exactly-once needs a transactional table
+    * format underneath, which is orthogonal to the dedup shape.
+    *
+    * Expects batches with (doc_id, lang, text); returns the sink
+    * function for `writeStream.foreachBatch`. */
+  def incrementalDedupSink(corpusPath: String, ngramN: Int = 1,
+      threshold: Double = 0.6): (DataFrame, Long) => Unit = { (batch, _) =>
+    import graft.operators.Dedup
+    val shaped = batch
+      .select(col("doc_id"), col("lang"),
+        floor(length(col("text")) / 100).as("lb"), col("text"))
+    val withinBatch = Dedup.applyDedup(shaped, "doc_id",
+      Dedup.blockedNgramJaccardSparse(shaped, ngramN, threshold))
+    val corpus = try {
+      Some(batch.sparkSession.read.parquet(corpusPath)
+        .select("doc_id", "lang", "lb", "text"))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val novel = corpus match {
+      case Some(c) =>
+        Dedup.incrementalDedup(withinBatch, c, ngramN, threshold)
+      case None => withinBatch
+    }
+    novel.write.mode("append").parquet(corpusPath)
+  }
+
   /** Stream-stream interval join — the streaming twin of batch
     * `q_range_join`: each purchase is joined to the same user's views
     * from the preceding hour. Both sides are watermarked and the join

@@ -56,6 +56,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedupSink: later batches dedup against the persisted corpus") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("doc_id", "lang", "text")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(StreamingOps.incrementalDedupSink(s"$dir/corpus"))
+      .start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      // batch 1: two distinct docs + an exact within-batch dup of doc 1
+      in.addData((1L, "en", base), (2L, "en", "completely different words here entirely"),
+        (5L, "en", base))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(afterB1 === Set(1L, 2L), "within-batch exact dup must keep min id")
+      // batch 2: an exact dup of doc 1, a near-dup of doc 1 (one word
+      // changed, same length block), and a novel doc
+      in.addData((10L, "en", base),
+        (11L, "en", base.replace("dog", "cat")),
+        (12L, "en", "fresh novel content that matches nothing prior at all"))
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(afterB2 === Set(1L, 2L, 12L),
+        "corpus dups (exact + near) must drop; novel docs must append")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("purchaseViewJoin matches views in the preceding hour, stream-stream") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
