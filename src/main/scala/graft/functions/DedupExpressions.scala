@@ -194,6 +194,46 @@ case class NGramHashSet(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** words array<string> → array<long> of PER-POSITION word n-gram hashes
+  * (element i = the gram starting at word i) in the md5_number_lower
+  * space — the positional twin of NGramHashSet for span-level surgery,
+  * where WHERE a shared gram sits decides which words get trimmed.
+  * Same per-gram hashing, no sort/dedup. Null for docs with <n words. */
+case class NGramHashList(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType)
+
+  // returns null for docs with <n words regardless of input nullability
+  override def nullable: Boolean = true
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  private val space = " ".getBytes
+
+  override def nullSafeEval(v: Any): Any = {
+    val ws = v.asInstanceOf[ArrayData]
+    val nw = ws.numElements()
+    if (nw < n) return null
+    val hs = new Array[Long](nw - n + 1)
+    var i = 0
+    while (i <= nw - n) {
+      md.reset()
+      var g = 0
+      while (g < n) {
+        if (g > 0) md.update(space)
+        md.update(ws.getUTF8String(i + g).getBytes)
+        g += 1
+      }
+      hs(i) = DedupHashing.md5Lower64(md.digest())
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Intersection size of two pre-sorted long arrays via linear merge. */
 case class SortedLongIntersectSize(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -290,6 +330,9 @@ object DedupExpressions {
 
   def ngramHashSet(words: Column, n: Int): Column =
     ExprBridge.column(NGramHashSet(ExprBridge.expression(words), n))
+
+  def ngramHashList(words: Column, n: Int): Column =
+    ExprBridge.column(NGramHashList(ExprBridge.expression(words), n))
 
   def sortedLongIntersectSize(a: Column, b: Column): Column =
     ExprBridge.column(SortedLongIntersectSize(ExprBridge.expression(a), ExprBridge.expression(b)))

@@ -116,6 +116,53 @@ object DedupPack extends QueryPack {
           round(col("n_shared") / col("n_spans"), 4).as("dup_span_frac"))
     }),
 
+    // Span-level text surgery — the ACTION behind exact-substring dedup
+    // (dedup_spans is the measurement): every word covered by a 5-word
+    // span appearing in >= 2 member docs is removed, and the output is
+    // the per-doc kept/trimmed funnel plus the md5 of the trimmed text
+    // (the key downstream exact dedup would group on). Linear shape
+    // like dedup_spans: POSITIONAL gram hashes once per distinct text
+    // (§3a', NGramHashList — position decides which words die), span
+    // doc-frequency by hash agg, coverage = bounded explode of the
+    // 5-wide windows of shared grams, reassembly via array_sort over
+    // (pos, word) per doc — never doc×doc.
+    "dedup_spans_trim" -> ((s, d) => {
+      import graft.functions.DedupExpressions.ngramHashList
+      val hashed = Dedup.withTextHash(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+      val members = hashed.select("doc_id", "h")
+      val mcount = members.groupBy("h").agg(count(lit(1)).as("mc"))
+      val reps = hashed.dropDuplicates("h")
+      val repG = reps
+        .withColumn("gl", ngramHashList(words(col("text")), 5))
+        .filter(col("gl").isNotNull)
+        .select(col("h"), posexplode(col("gl")).as(Seq("pos", "gh")))
+      val dfreq = repG.join(mcount, "h").groupBy("gh").agg(sum("mc").as("df"))
+      val shared = dfreq.filter(col("df") >= 2).select("gh")
+      val cov = repG.join(shared, "gh")
+        .select(col("h"), explode(sequence(col("pos"), col("pos") + 4)).as("cpos"))
+        .distinct()
+      val wpos = reps
+        .select(col("h"), posexplode(words(col("text"))).as(Seq("wp", "word")))
+      val kept = wpos.as("wv")
+        .join(cov.as("cv"),
+          col("wv.h") === col("cv.h") && col("wv.wp") === col("cv.cpos"),
+          "left_anti")
+      val repOut = kept.groupBy("h").agg(
+        count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("wp"), col("word")))),
+            x => x.getField("word")), " ").cast("binary")).as("trimmed_h"))
+      val nWords = reps.select(col("h"), size(words(col("text"))).as("n_words"))
+      members.join(nWords, "h")
+        .join(repOut, Seq("h"), "left")
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_words") - coalesce(col("n_kept"), lit(0L))).cast("long")
+            .as("n_trimmed"),
+          coalesce(col("trimmed_h"), md5(lit("").cast("binary"))).as("trimmed_h"))
+    }),
+
     // n-gram (word-bigram) Jaccard near-dup: order-sensitive, so it
     // catches shuffled-word docs that the word-SET Jaccard calls equal.
     // Same collapsed blocked shape over hashed bigram sets.
@@ -220,6 +267,36 @@ object DedupPack extends QueryPack {
         |  FROM t a JOIN t b
         |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6""".stripMargin,
+    // span trimming: positional grams over distinct texts, member-doc
+    // frequency, 5-wide coverage windows, ordered reassembly
+    "dedup_spans_trim" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h, text FROM documents),
+        |mc AS (SELECT h, count(*) AS mc FROM d GROUP BY h),
+        |rep AS (SELECT h, arg_min(text, doc_id) AS text FROM d GROUP BY h),
+        |rw AS (SELECT h, regexp_split_to_array(text, '\s+') AS ws FROM rep),
+        |g AS (
+        |  SELECT h, i.i AS pos,
+        |    md5_number_lower(array_to_string(ws[i.i:i.i+4], ' ')) AS gh
+        |  FROM rw, unnest(range(1, len(ws) - 3)) i(i)
+        |  WHERE len(ws) >= 5),
+        |df AS (SELECT gh, sum(mc.mc) AS df FROM g JOIN mc USING (h) GROUP BY gh),
+        |sh AS (SELECT gh FROM df WHERE df >= 2),
+        |cov AS (SELECT DISTINCT g.h, c.c AS cpos
+        |  FROM g JOIN sh USING (gh), unnest(range(g.pos, g.pos + 5)) c(c)),
+        |wp AS (SELECT h, generate_subscripts(ws, 1) AS wp, unnest(ws) AS word FROM rw),
+        |kept AS (
+        |  SELECT wp.h, wp.wp, wp.word FROM wp
+        |  LEFT JOIN cov ON cov.h = wp.h AND cov.cpos = wp.wp
+        |  WHERE cov.h IS NULL),
+        |ro AS (SELECT h, count(*) AS n_kept,
+        |  md5(string_agg(word, ' ' ORDER BY wp)) AS trimmed_h
+        |  FROM kept GROUP BY h),
+        |nw AS (SELECT h, len(ws) AS n_words FROM rw)
+        |SELECT d.doc_id, CAST(nw.n_words AS BIGINT) AS n_words,
+        |  CAST(coalesce(ro.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(nw.n_words - coalesce(ro.n_kept, 0) AS BIGINT) AS n_trimmed,
+        |  coalesce(ro.trimmed_h, md5('')) AS trimmed_h
+        |FROM d JOIN nw USING (h) LEFT JOIN ro ON ro.h = d.h""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     // the star-contraction variant computes the same components; one
     // oracle definition keeps both gates pinned to one semantic

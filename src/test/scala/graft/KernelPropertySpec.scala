@@ -66,6 +66,23 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("NGramHashList == per-position md5 hashes; set twin = its sorted distinct") {
+    for (_ <- 1 to 300; n <- 1 to 3) {
+      val ws = randWords(12)
+      val got = graft.functions.NGramHashList(wordsLit(ws), n).eval(null)
+      if (ws.length < n) assert(got == null, s"ws=$ws n=$n")
+      else {
+        val want = ws.sliding(n).map(g => refMd5Lower64(g.mkString(" "))).toArray
+        val gotArr = got.asInstanceOf[ArrayData].toLongArray
+        assert(gotArr.toSeq === want.toSeq, s"ws=$ws n=$n")
+        // consistency with the set kernel: same hash space, positions kept
+        val set = NGramHashSet(wordsLit(ws), n).eval(null)
+          .asInstanceOf[ArrayData].toLongArray
+        assert(gotArr.distinct.sorted.toSeq === set.toSeq, s"ws=$ws n=$n")
+      }
+    }
+  }
+
   test("SortedLongIntersectSize == set intersection size on sorted inputs") {
     for (_ <- 1 to 300) {
       val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted

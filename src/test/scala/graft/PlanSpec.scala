@@ -148,10 +148,12 @@ class PlanSpec extends SparkSpec {
     *   text_tfidf — single-row corpus-count broadcast (in-plan
     *     replacement for an eager count());
     *   text_heavy_hitters — single-row Misra-Gries candidate+total
-    *     broadcast probed with an array_contains residual. */
+    *     broadcast probed with an array_contains residual;
+    *   text_quality_bins — single-row quartile-cuts broadcast (the
+    *     in-plan alternative to a global-sort ntile). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "km_silhouette_exact", "text_tfidf",
-      "text_heavy_hitters")
+      "text_heavy_hitters", "text_quality_bins")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
