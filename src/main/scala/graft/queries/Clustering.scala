@@ -98,6 +98,50 @@ object Clustering extends QueryPack {
       }.reduce(_ unionByName _)
     }),
 
+    // Mini-batch k-means (the Sculley 2010 shape made deterministic):
+    // each round assigns only a ~20% md5-hash-selected batch (a
+    // DIFFERENT deterministic batch per round — the round number is
+    // hashed with the id) and moves each center to the RUNNING weighted
+    // mean of every batch point it has absorbed so far. This is the fit
+    // path when a full-corpus scan per Lloyd iteration is too
+    // expensive: per-round cost is batch-sized, the hash filter is
+    // scan-side (q_sample's shape, no shuffle of non-batch rows), and
+    // center state stays k×2 on the driver. Two rounds, HALF_UP
+    // rounding each round, so the oracle replays the exact trajectory
+    // as chained CTEs.
+    "km_minibatch" -> ((s, d) => {
+      val p = pts(s, d)
+      var cents = seedCentroids(p)
+      val counts = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      def rnd(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      for (b <- 1 to 2) {
+        val h = conv(substring(md5(
+          concat(col("id").cast("string"), lit(s"#$b")).cast("binary")), 1, 4),
+          16, 10).cast("long")
+        val batch = p.filter(h < 13107L) // ~20% of 2^16
+        val upd = KMeansDF.assign(batch, cents).groupBy("cid")
+          .agg(sum("x").as("sx"), sum("y").as("sy"), count(lit(1)).as("m"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+          .toMap
+        cents = cents.map { c =>
+          upd.get(c.cid) match {
+            case Some((sx, sy, m)) =>
+              val n = counts(c.cid)
+              counts(c.cid) = n + m
+              Centroid(c.cid, rnd((n * c.x + sx) / (n + m)),
+                rnd((n * c.y + sy) / (n + m)))
+            case None => c
+          }
+        }.sortBy(_.cid)
+      }
+      val spark = s
+      import spark.implicits._
+      cents.map(c => (c.cid, c.x, c.y, counts(c.cid)))
+        .toDF("cid", "x", "y", "n")
+    }),
+
     // Cluster quality: MLlib's squared-euclidean silhouette (O(n·k),
     // not the O(n²) textbook formula — the at-scale evaluator).
     "km_silhouette" -> ((s, d) => {
@@ -182,6 +226,40 @@ object Clustering extends QueryPack {
     "km_cost" ->
       s"""WITH pts AS ($ptsSql), cent AS ($centSql), a AS ($assignSql)
          |SELECT round(sum(dist),4) AS wssse FROM a""".stripMargin,
+    // both mini-batch rounds replayed: deterministic hash batch, batch
+    // assignment, running-weighted-mean center update with HALF_UP
+    // rounding per round — the same scalars the driver loop produces
+    "km_minibatch" ->
+      s"""WITH pts AS ($ptsSql), cent0 AS (SELECT cid, cx, cy FROM ($centSql) c),
+         |b1 AS (SELECT * FROM pts
+         |  WHERE CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '#1'), 1, 4)) AS INT) < 13107),
+         |a1 AS (SELECT id, x, y, cid FROM (
+         |  SELECT p.id, p.x, p.y, c.cid,
+         |    row_number() OVER (PARTITION BY p.id
+         |      ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+         |  FROM b1 p CROSS JOIN cent0 c) WHERE rn = 1),
+         |u1 AS (SELECT cid, sum(x) AS sx, sum(y) AS sy, count(*) AS m FROM a1 GROUP BY cid),
+         |cent1 AS (
+         |  SELECT c.cid,
+         |    CASE WHEN u.m IS NULL THEN c.cx ELSE round(u.sx/u.m, 6) END AS cx,
+         |    CASE WHEN u.m IS NULL THEN c.cy ELSE round(u.sy/u.m, 6) END AS cy,
+         |    coalesce(u.m, 0) AS n
+         |  FROM cent0 c LEFT JOIN u1 u USING (cid)),
+         |b2 AS (SELECT * FROM pts
+         |  WHERE CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '#2'), 1, 4)) AS INT) < 13107),
+         |a2 AS (SELECT id, x, y, cid FROM (
+         |  SELECT p.id, p.x, p.y, c.cid,
+         |    row_number() OVER (PARTITION BY p.id
+         |      ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+         |  FROM b2 p CROSS JOIN cent1 c) WHERE rn = 1),
+         |u2 AS (SELECT cid, sum(x) AS sx, sum(y) AS sy, count(*) AS m FROM a2 GROUP BY cid)
+         |SELECT c.cid,
+         |  CASE WHEN u.m IS NULL THEN c.cx
+         |    ELSE round((c.n*c.cx + u.sx)/(c.n + u.m), 6) END AS x,
+         |  CASE WHEN u.m IS NULL THEN c.cy
+         |    ELSE round((c.n*c.cy + u.sy)/(c.n + u.m), 6) END AS y,
+         |  CAST(c.n + coalesce(u.m, 0) AS BIGINT) AS n
+         |FROM cent1 c LEFT JOIN u2 u USING (cid)""".stripMargin,
     // every Lloyd iteration replayed as one assign+update CTE stage;
     // per-iteration round(…,6) keeps the trajectory bit-stable across
     // engines despite different summation orders

@@ -177,6 +177,36 @@ object TextPack extends QueryPack {
           min("cut").as("cut"))
     }),
 
+    // Per-doc language-mixture detection — the curation twin of lang_id
+    // (which classifies): docs whose tokens hit SEVERAL language
+    // profiles strongly are code-switched or concatenation artifacts,
+    // and pipelines route them separately or drop them. All signals are
+    // INTEGER profile hit counts (native VocabHitCount probes — one
+    // scan, no shuffle before the output), so the mixture decision
+    // (second-language share ≥ 25%) is exact integer arithmetic with
+    // no cross-engine float boundary at all. Argmax ties break to the
+    // alphabetically first language, predictedLang's convention.
+    "text_langmix" -> ((s, d) => {
+      val profs = langProfiles
+      val entries = array(profs.map { case (l, prof) =>
+        struct((-hitCount(col("w"), prof)).cast("long").as("nh"), lit(l).as("pl"))
+      }: _*)
+      val total = profs.map { case (_, prof) =>
+        hitCount(col("w"), prof).cast("long")
+      }.reduce(_ + _)
+      docs(s, d)
+        .withColumn("sorted", array_sort(entries))
+        .withColumn("total_hits", total)
+        .select(
+          col("doc_id"), col("lang"),
+          col("sorted").getItem(0).getField("pl").as("top_lang"),
+          (-col("sorted").getItem(0).getField("nh")).as("top_hits"),
+          (-col("sorted").getItem(1).getField("nh")).as("second_hits"),
+          col("total_hits"),
+          ((-col("sorted").getItem(1).getField("nh")) * 4 >= col("total_hits")
+            && col("total_hits") > 0).as("is_mixed"))
+    }),
+
     // Curriculum binning: global quality QUARTILE cuts assign every doc
     // a difficulty/quality bin — the ordering key for curriculum
     // training schedules (and the audit table for "what does each
@@ -493,6 +523,34 @@ object TextPack extends QueryPack {
          |  CAST(sum(CASE WHEN q <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  min(cut) AS cut
          |FROM c GROUP BY source""".stripMargin,
+    "text_langmix" -> {
+      val hitCols = langProfiles.map { case (l, prof) =>
+        s"${hitSql("w", prof)} AS s_$l"
+      }.mkString(",\n    ")
+      val unpiv = langProfiles.map { case (l, _) =>
+        s"SELECT doc_id, lang, '$l' AS pl, s_$l AS hits FROM h"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, lang, $wSql AS w FROM documents),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    $hitCols
+         |  FROM t),
+         |u AS (
+         |  $unpiv),
+         |r AS (
+         |  SELECT doc_id, lang, pl, hits,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, pl) AS rk,
+         |    sum(hits) OVER (PARTITION BY doc_id) AS total
+         |  FROM u)
+         |SELECT doc_id, lang,
+         |  max(CASE WHEN rk = 1 THEN pl END) AS top_lang,
+         |  CAST(max(CASE WHEN rk = 1 THEN hits END) AS BIGINT) AS top_hits,
+         |  CAST(max(CASE WHEN rk = 2 THEN hits END) AS BIGINT) AS second_hits,
+         |  CAST(max(total) AS BIGINT) AS total_hits,
+         |  (max(CASE WHEN rk = 2 THEN hits END) * 4 >= max(total)
+         |    AND max(total) > 0) AS is_mixed
+         |FROM r GROUP BY doc_id, lang""".stripMargin
+    },
     "text_quality_bins" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, $wSql AS w, CAST(length(text) AS BIGINT) AS n_chars,
