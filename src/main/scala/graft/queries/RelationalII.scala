@@ -232,7 +232,48 @@ object RelationalII extends QueryPack {
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
-          col("n"), col("sum_value")))
+          col("n"), col("sum_value"))),
+
+    // Ordered conversion funnel (view → click after it → purchase after
+    // that): each stage is first-event-per-user AFTER the prior stage's
+    // first event — the strictly-ordered funnel, not mere event
+    // co-occurrence. Scale shape: per-stage min-ts hash aggs joined on
+    // user_id (co-partitioned equi-joins); each stage's input shrinks,
+    // and no window sorts the raw event stream.
+    "q_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val firstClick = ev.filter(col("event_type") === "click")
+        .join(firstView, "user_id")
+        .filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .join(firstClick, "user_id")
+        .filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      Seq("1_view" -> firstView, "2_click" -> firstClick,
+        "3_purchase" -> firstPurchase)
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(n).as("stage"),
+            col("n_users"))
+        }.reduce(_ unionByName _)
+    }),
+
+    // Cohort retention: cohort = a user's first active epoch-week
+    // (integer µs div — no calendar/timezone conventions to disagree
+    // on), cells = distinct users active at each week offset. Two hash
+    // aggs + one equi-join on user_id; output is cohorts × offsets,
+    // bounded by the time range, not the user count.
+    "q_retention" -> ((s, d) => {
+      val ev = events(s, d)
+      val wk = expr("unix_micros(ts) div 604800000000")
+      val cohort = ev.groupBy("user_id").agg(min(wk).as("cohort"))
+      val active = ev.select(col("user_id"), wk.as("wk")).distinct()
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -256,6 +297,26 @@ object RelationalII extends QueryPack {
         |  UNION ALL
         |  SELECT k, 'no_orders' AS src FROM (SELECT k FROM seg EXCEPT SELECT k FROM buyers))
         |SELECT src, count(*) AS n FROM u GROUP BY src""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN v ON v.user_id = e.user_id AND e.ts > v.v_ts
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN c ON c.user_id = e.user_id AND e.ts > c.c_ts
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
+    "q_retention" ->
+      """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, wk FROM w)
+        |SELECT c.cohort, a.wk - c.cohort AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |GROUP BY c.cohort, a.wk - c.cohort""".stripMargin,
     "q_sql_corr" ->
       """SELECT c_custkey,
         |  (SELECT round(max(o_totalprice), 2) FROM orders

@@ -177,6 +177,33 @@ object TextPack extends QueryPack {
           min("cut").as("cut"))
     }),
 
+    // Perplexity-proxy quality scoring — the CCNet-style LM filter with
+    // a unigram stand-in: score = average negative log corpus frequency
+    // of the doc's token occurrences. Fluent/common text scores low;
+    // gibberish and rare-token-stuffed docs score high, and pipelines
+    // cut on the score like a real LM perplexity. Linear shape: the
+    // corpus unigram table is one token hash agg (counts weighted by
+    // exact-dup member counts), per-doc scoring runs once per distinct
+    // text (§3a'), and the corpus-total is a sanctioned single-row
+    // broadcast (text_tfidf's pattern).
+    "text_ppl_proxy" -> ((s, d) => {
+      val hashed = graft.operators.Dedup.withTextHash(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+      val members = hashed.select("doc_id", "h")
+      val mcount = members.groupBy("h").agg(count(lit(1)).as("mc"))
+      val tokCounts = hashed.dropDuplicates("h")
+        .select(col("h"), explode(words(col("text"))).as("t"))
+        .groupBy("h", "t").agg(count(lit(1)).as("n"))
+      val freq = tokCounts.join(mcount, "h")
+        .groupBy("t").agg(sum(col("n") * col("mc")).as("cnt"))
+      val total = freq.agg(sum("cnt").as("total"))
+      val scored = tokCounts.join(freq, "t").join(broadcast(total))
+        .groupBy("h")
+        .agg(round(sum(col("n") * -log(col("cnt") / col("total")))
+          / sum(col("n")), 4).as("nll"))
+      members.join(scored, "h").select("doc_id", "nll")
+    }),
+
     // Per-doc language-mixture detection — the curation twin of lang_id
     // (which classifies): docs whose tokens hit SEVERAL language
     // profiles strongly are code-switched or concatenation artifacts,
@@ -523,6 +550,18 @@ object TextPack extends QueryPack {
          |  CAST(sum(CASE WHEN q <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  min(cut) AS cut
          |FROM c GROUP BY source""".stripMargin,
+    "text_ppl_proxy" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h, text FROM documents),
+        |mc AS (SELECT h, count(*) AS mc FROM d GROUP BY h),
+        |rep AS (SELECT h, arg_min(text, doc_id) AS text FROM d GROUP BY h),
+        |rt AS (SELECT h, unnest(regexp_split_to_array(text, '\s+')) AS t FROM rep),
+        |tc AS (SELECT h, t, count(*) AS n FROM rt GROUP BY h, t),
+        |freq AS (SELECT t, sum(tc.n * mc.mc) AS cnt FROM tc JOIN mc USING (h) GROUP BY t),
+        |tot AS (SELECT sum(cnt) AS total FROM freq),
+        |sc AS (SELECT tc.h,
+        |  round(sum(tc.n * -ln(freq.cnt / tot.total)) / sum(tc.n), 4) AS nll
+        |  FROM tc JOIN freq USING (t) CROSS JOIN tot GROUP BY tc.h)
+        |SELECT d.doc_id, sc.nll FROM d JOIN sc USING (h)""".stripMargin,
     "text_langmix" -> {
       val hitCols = langProfiles.map { case (l, prof) =>
         s"${hitSql("w", prof)} AS s_$l"

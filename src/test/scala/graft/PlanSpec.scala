@@ -150,10 +150,12 @@ class PlanSpec extends SparkSpec {
     *   text_heavy_hitters — single-row Misra-Gries candidate+total
     *     broadcast probed with an array_contains residual;
     *   text_quality_bins — single-row quartile-cuts broadcast (the
-    *     in-plan alternative to a global-sort ntile). */
+    *     in-plan alternative to a global-sort ntile);
+    *   text_ppl_proxy — single-row corpus-token-total broadcast
+    *     (text_tfidf's pattern). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "km_silhouette_exact", "text_tfidf",
-      "text_heavy_hitters", "text_quality_bins")
+      "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
