@@ -259,6 +259,31 @@ object Similarity {
         (sum("c") - count(when(col("frid").isNull, 1))).as("n_dropped"))
   }
 
+  /** SemDeDup applied: the kept vector ids (one representative — the
+    * min id — per distinct-vector group whose rep is NOT within `tau`
+    * of a lower-id group in its cell). The action twin of [[semDedup]]
+    * (which reports the funnel); downstream joins this against the
+    * corpus to materialize the semantically-deduped training set. Same
+    * blocked shape: pairwise work only within cells over distinct
+    * vectors. */
+  def semDedupApply(corpus: DataFrame, cells: Seq[(Int, Array[Double])],
+      tau: Double): DataFrame = {
+    val emb = corpus.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = KMeansND.assign(emb, cells)
+      .withColumn("vh", vecHash(col("vec")))
+    val groups = base.groupBy("cid", "vh")
+      .agg(min("id").as("rid"), min_by(col("vec"), col("id")).as("vec"))
+    val flagged = groups.as("a")
+      .join(groups.as("b"),
+        col("a.cid") === col("b.cid") && col("a.rid") < col("b.rid")
+          && round(cosineSim(col("a.vec"), col("b.vec")), 4) >= tau)
+      .select(col("b.cid").as("fcid"), col("b.rid").as("frid")).distinct()
+    groups
+      .join(flagged,
+        col("cid") === col("fcid") && col("rid") === col("frid"), "left_anti")
+      .select(col("rid").as("vec_id"), col("cid"))
+  }
+
   /** Approximate top-k: brute force only within each query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 6): DataFrame = {
     val bc = corpus.withColumn("bucket", lshBucket(col("embedding"), numPlanes))

@@ -40,6 +40,17 @@ object SimilarityPack extends QueryPack {
           col("embedding").as("vec")), SemCells), SemTau)
     }),
 
+    // SemDeDup applied — the kept-id set (embed_semdedup reports the
+    // funnel; this materializes the survivors a pipeline joins against
+    // the corpus). Same cells, same tau, same blocked pairwise shape.
+    "embed_semdedup_apply" -> ((s, d) => {
+      import graft.operators.KMeansND
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDedupApply(emb,
+        KMeansND.seed(emb.select(col("vec_id").as("id"),
+          col("embedding").as("vec")), SemCells), SemTau)
+    }),
+
     // Embedding-space outlier detection — the curation step that drops
     // mislabeled/garbage vectors before training: per coarse cell,
     // flag vectors whose centroid distance exceeds mean + 1.5 sigma
@@ -223,6 +234,24 @@ object SimilarityPack extends QueryPack {
          |  CAST(sum(g.c) - (count(*) - count(f.rid)) AS BIGINT) AS n_dropped
          |FROM g LEFT JOIN f ON g.cid = f.cid AND g.rid = f.rid
          |GROUP BY g.cid""".stripMargin,
+    "embed_semdedup_apply" ->
+      s"""WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(id AS INT) AS cid, v AS cv FROM pts WHERE id < $SemCells),
+         |a AS (SELECT id, cid, v FROM (
+         |  SELECT p.id, c.cid, p.v,
+         |    row_number() OVER (PARTITION BY p.id ORDER BY
+         |      (list_dot_product(p.v,p.v) - 2*list_dot_product(p.v,c.cv))
+         |        + list_dot_product(c.cv,c.cv), c.cid) AS rn
+         |  FROM pts p CROSS JOIN cent c) WHERE rn = 1),
+         |g AS (SELECT cid, v, min(id) AS rid FROM a GROUP BY cid, v),
+         |f AS (SELECT DISTINCT b.cid, b.rid
+         |  FROM g x JOIN g b ON x.cid = b.cid AND x.rid < b.rid
+         |    AND round(list_dot_product(x.v,b.v) /
+         |      (sqrt(list_dot_product(x.v,x.v)) * sqrt(list_dot_product(b.v,b.v))), 4)
+         |      >= $SemTau)
+         |SELECT g.rid AS vec_id, g.cid FROM g
+         |LEFT JOIN f ON g.cid = f.cid AND g.rid = f.rid
+         |WHERE f.rid IS NULL""".stripMargin,
     "ann_pq" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cb AS (SELECT CAST(vec_id AS INT) AS code, v FROM emb WHERE vec_id < $NumCodes),
