@@ -148,6 +148,46 @@ object StreamingOps {
     novel.write.mode("append").parquet(corpusPath)
   }
 
+  /** Streaming SEMANTIC dedup ingest loop — the embedding twin of
+    * [[incrementalDedupSink]], over the cell-partitioned corpus layout
+    * (IVF's disk twin): each micro-batch of (vec_id, embedding) rows
+    * first resolves within-batch semantic dups (`semDedupApply` — one
+    * min-id keeper per cosine-tau cluster per cell), then probes ONLY
+    * the corpus cells the batch touches (hive partition pruning — the
+    * probe cost follows the batch's cell footprint, not the corpus),
+    * drops batch vectors within `tau` of any corpus vector in their
+    * cell, and appends the survivors partitioned by cell — keeping the
+    * layout probe-able for the next batch. Cells are a fixed coarse
+    * quantizer (train once with `Similarity.trainedCells`; re-train =
+    * rebuild, as with any IVF index). */
+  def semanticDedupSink(corpusPath: String,
+      cells: Seq[(Int, Array[Double])], tau: Double): (DataFrame, Long) => Unit = {
+    (batch, _) =>
+      import graft.functions.VectorFunctions.cosineSim
+      import graft.operators.{KMeansND, Similarity}
+      val spark = batch.sparkSession
+      val withinKept = Similarity.semDedupApply(batch, cells, tau)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val keptBatch = batch.join(withinKept, "vec_id")
+      val corpus = try {
+        Some(spark.read.parquet(corpusPath))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val novel = corpus match {
+        case Some(c) =>
+          val touched = keptBatch.select("cell").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val probed = c.filter(col("cell").isin(touched: _*))
+          val dupIds = keptBatch.as("b")
+            .join(probed.as("p"),
+              col("b.cell") === col("p.cell") &&
+                round(cosineSim(col("b.embedding"), col("p.embedding")), 4) >= tau)
+            .select(col("b.vec_id").as("dup_id")).distinct()
+          keptBatch.join(dupIds, keptBatch("vec_id") === col("dup_id"), "left_anti")
+        case None => keptBatch
+      }
+      novel.write.mode("append").partitionBy("cell").parquet(corpusPath)
+  }
+
   /** Stream-stream interval join — the streaming twin of batch
     * `q_range_join`: each purchase is joined to the same user's views
     * from the preceding hour. Both sides are watermarked and the join

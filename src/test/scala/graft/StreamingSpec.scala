@@ -90,6 +90,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupSink: cell-partitioned corpus, semantic dups drop across batches") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.operators.KMeansND.seed(
+      emb.select($"vec_id".as("id"), $"embedding".as("vec")), 8)
+    def vec(id: Long): Array[Float] = emb.filter($"vec_id" === id)
+      .select($"embedding").as[Array[Float]].head()
+    val (v42, v7, v13) = (vec(42), vec(7), vec(13))
+    val neg7 = v7.map(-_)
+    // tau 0.8: replicas (cos 1.0) are dups; unrelated corpus vectors sit
+    // far below — verified here so the test can't silently depend on data
+    import graft.functions.VectorFunctions.cosineSim
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      Seq((a, b)).toDF("a", "b").select(cosineSim($"a", $"b")).as[Double].head()
+    assert(math.abs(cos(v13, v42)) < 0.8 && math.abs(cos(v13, v7)) < 0.8,
+      "test vectors must not be semantic dups of each other")
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(StreamingOps.semanticDedupSink(s"$dir/corpus", cents, 0.8))
+      .start()
+    try {
+      // batch 1: v42 twice (within-batch exact dup) + anti-aligned neg7
+      in.addData((1L, v42), (2L, v42), (3L, neg7))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(s"$dir/corpus")
+      assert(afterB1.columns.contains("cell"), "corpus must stay cell-partitioned")
+      assert(afterB1.select("vec_id").as[Long].collect().toSet === Set(1L, 3L),
+        "within-batch exact dup must keep min id")
+      // batch 2: replica of corpus v42 (dup) + genuinely novel v13
+      in.addData((10L, v42), (11L, v13))
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(s"$dir/corpus")
+        .select("vec_id").as[Long].collect().toSet
+      assert(afterB2 === Set(1L, 3L, 11L),
+        "corpus replicas must drop; novel vectors must append")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("purchaseViewJoin matches views in the preceding hour, stream-stream") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
