@@ -24,18 +24,28 @@ import org.apache.spark.sql.types._
   */
 object PQ {
   @inline private[functions] def subDist(
-      v: ArrayData, cb: Array[Array[Double]], code: Int,
+      v: ArrayData, vIsFloat: Boolean, cb: Array[Array[Double]], code: Int,
       base: Int, sub: Int): Double = {
     val cw = cb(code)
     var xx = 0.0; var xc = 0.0; var cc = 0.0
     var i = 0
     while (i < sub) {
-      val x = v.getFloat(base + i).toDouble
+      val x = if (vIsFloat) v.getFloat(base + i).toDouble
+        else v.getDouble(base + i)
       val w = cw(base + i)
       xx += x * x; xc += x * w; cc += w * w
       i += 1
     }
     (xx - 2 * xc) + cc
+  }
+
+  /** Raw float embeddings and double residuals both flow through the PQ
+    * kernels; anything else is a caller error surfaced at analysis. */
+  private[functions] def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"PQ kernels take array<float> or array<double>, got $other")
   }
 }
 
@@ -54,6 +64,7 @@ case class PQEncode(child: Expression, codebook: Seq[Seq[Double]], subspaces: In
   override def dataType: DataType = BinaryType
 
   @transient private lazy val cb = codebook.map(_.toArray).toArray
+  @transient private lazy val vIsFloat = PQ.isFloatArray(child.dataType)
   private val dim = codebook.head.length
   private val sub = dim / subspaces
 
@@ -69,7 +80,7 @@ case class PQEncode(child: Expression, codebook: Seq[Seq[Double]], subspaces: In
       var bc = 0
       var c = 0
       while (c < cb.length) {
-        val d = PQ.subDist(v, cb, c, base, sub)
+        val d = PQ.subDist(v, vIsFloat, cb, c, base, sub)
         if (d < best) { best = d; bc = c } // strict < → lowest code wins
         c += 1
       }
@@ -94,6 +105,7 @@ case class PQADCDist(left: Expression, right: Expression,
   override def dataType: DataType = DoubleType
 
   @transient private lazy val cb = codebook.map(_.toArray).toArray
+  @transient private lazy val qIsFloat = PQ.isFloatArray(left.dataType)
   private val dim = codebook.head.length
   private val sub = dim / subspaces
 
@@ -103,10 +115,10 @@ case class PQADCDist(left: Expression, right: Expression,
     require(q.numElements() == dim && codes.length == subspaces)
     // first term, then += in ascending m: matches the oracle's
     // left-associative t0 + t1 + ... + t7 bit-for-bit
-    var total = PQ.subDist(q, cb, codes(0) & 0xFF, 0, sub)
+    var total = PQ.subDist(q, qIsFloat, cb, codes(0) & 0xFF, 0, sub)
     var m = 1
     while (m < subspaces) {
-      total += PQ.subDist(q, cb, codes(m) & 0xFF, m * sub, sub)
+      total += PQ.subDist(q, qIsFloat, cb, codes(m) & 0xFF, m * sub, sub)
       m += 1
     }
     total

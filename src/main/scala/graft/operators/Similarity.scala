@@ -193,6 +193,52 @@ object Similarity {
         col("t.v").as("vid"), round(col("t.ad"), 4).as("ad"))
   }
 
+  /** Residual-encoding IVF+PQ — the FAISS-style IVFPQ layout: PQ codes
+    * quantize the RESIDUAL v − centroid(cell) instead of the raw
+    * vector. Residuals concentrate near the origin, so one shared
+    * codebook covers every cell far better than raw-space codes (the
+    * raw-space [[ivfPqTopK]] needs its codebook to span the whole
+    * corpus). Query side mirrors it: each probed cell gets its own
+    * query residual, and ADC runs residual-vs-residual-codeword. The
+    * stored row is still (vec_id, cell, codes-bytes); arithmetic stays
+    * in doubles end to end (exact IEEE subtraction — no float
+    * round-trip for the oracle to chase). `codebook` lives in residual
+    * space; centroid cids must be contiguous from 0. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], codebook: Seq[Seq[Double]],
+      numSub: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    import graft.functions.PQExpressions.{pqAdcDist, pqEncode}
+    import graft.functions.TopKAggregate.topk
+    import graft.operators.KMeansND
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.map(_._1) == sorted.indices.map(identity),
+      "residual IVF-PQ expects contiguous cell ids from 0")
+    val centArrD = array(sorted.map { case (_, cv) =>
+      array(cv.toIndexedSeq.map(lit): _*)
+    }: _*)
+    def residual(vec: Column, cell: Column): Column =
+      zip_with(transform(vec, x => x.cast("double")),
+        element_at(centArrD, cell + 1), (a, b) => a - b)
+    val index = corpus
+      .withColumn("cell",
+        KMeansND.nearest(col("embedding"), centroids).getField("cid"))
+      .select(col("vec_id"), col("cell"),
+        pqEncode(residual(col("embedding"), col("cell")), codebook, numSub)
+          .as("codes"))
+    val probed = probeCells(queries, centroids, nprobe)
+      .withColumn("qres", residual(col("qemb"), col("pcell")))
+    val cand = index.as("c")
+      .join(broadcast(probed.as("q")),
+        col("q.pcell") === col("c.cell") && col("q.qid") =!= col("c.vec_id"))
+      .select(col("q.qid").as("qid"), col("c.vec_id").as("vid"),
+        pqAdcDist(col("q.qres"), col("c.codes"), codebook, numSub).as("ad"))
+    cand.groupBy("qid")
+      .agg(topk(struct(col("ad"), col("vid").as("v")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+        col("t.v").as("vid"), round(col("t.ad"), 4).as("ad"))
+  }
+
   /** Production coarse quantizer for IVF: cells fitted with the
     * distributed Lloyd's of `KMeansND.fit` (broadcast centroids +
     * treeAggregate partials — no per-iteration shuffle of the corpus).

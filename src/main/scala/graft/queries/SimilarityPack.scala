@@ -149,6 +149,32 @@ object SimilarityPack extends QueryPack {
         .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < NumQueries),
         cents, cb, NumSub, k = 3, nprobe = 2)
+    }),
+
+    // Residual-encoding IVF+PQ (the FAISS IVFPQ layout): codes quantize
+    // v − centroid(cell) — residuals concentrate near the origin, so a
+    // shared codebook covers every cell. The deterministic codebook is
+    // the residuals of the first-k vectors (assignment computed through
+    // the SAME plan arithmetic as the index side, so the oracle replays
+    // it); exact double subtraction end to end, no float round-trips.
+    "ann_ivfpq_residual" -> ((s, d) => {
+      import graft.operators.KMeansND
+      val emb = Tables.embeddings(s, d)
+      val cents = KMeansND.seed(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")), NumCells)
+      val centMap = cents.toMap
+      val cb: Seq[Seq[Double]] = KMeansND.assign(
+          emb.filter(col("vec_id") < NumCodes)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")), cents)
+        .select(col("id"), col("vec"), col("cid")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val v = r.getSeq[Float](1).map(_.toDouble)
+          val cv = centMap(r.getInt(2))
+          v.zip(cv).map { case (a, b) => a - b }.toSeq
+        }.toSeq
+      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        cents, cb, NumSub, k = 3, nprobe = 2)
     })
   )
 
@@ -188,8 +214,8 @@ object SimilarityPack extends QueryPack {
        | - 2*list_dot_product(e.v[(m.m*$sub+1):(m.m*$sub+$sub)], c.v[(m.m*$sub+1):(m.m*$sub+$sub)]))
        | + list_dot_product(c.v[(m.m*$sub+1):(m.m*$sub+$sub)], c.v[(m.m*$sub+1):(m.m*$sub+$sub)])""".stripMargin
   }
-  private def pqCbJoinsSql: String = (0 until NumSub)
-    .map(m => s"JOIN cb c$m ON c$m.code = d.cs[${m + 1}]").mkString("\n  ")
+  private def pqCbJoinsSql(cbName: String = "cb"): String = (0 until NumSub)
+    .map(m => s"JOIN $cbName c$m ON c$m.code = d.cs[${m + 1}]").mkString("\n  ")
   private def pqAdcTermsSql: String = (0 until NumSub).map { m =>
     s"""((list_dot_product(${sl("q", m)}, ${sl("q", m)})
        |  - 2*list_dot_product(${sl("q", m)}, ${sl(s"c$m", m)}))
@@ -267,7 +293,7 @@ object SimilarityPack extends QueryPack {
          |  SELECT q.vec_id AS qid, d.vec_id AS vid,
          |    $pqAdcTermsSql AS ad
          |  FROM emb q CROSS JOIN codes d
-         |  $pqCbJoinsSql
+         |  ${pqCbJoinsSql()}
          |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id)
          |SELECT qid, rk, vid, round(ad, 4) AS ad FROM (
          |  SELECT qid, vid, ad,
@@ -301,7 +327,48 @@ object SimilarityPack extends QueryPack {
          |  FROM probe q
          |  JOIN cells s ON s.cell = q.cell AND s.vec_id <> q.qid
          |  JOIN codes d ON d.vec_id = s.vec_id
-         |  $pqCbJoinsSql)
+         |  ${pqCbJoinsSql()})
+         |SELECT qid, rk, vid, round(ad, 4) AS ad FROM (
+         |  SELECT qid, vid, ad,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk
+         |  FROM adc) WHERE rk <= 3""".stripMargin,
+    "ann_ivfpq_residual" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),
+         |cells AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (list_dot_product(e.v,e.v) - 2*list_dot_product(e.v,c.cv))
+         |      + list_dot_product(c.cv,c.cv), c.cid) AS rn
+         |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+         |res AS (
+         |  SELECT s.vec_id, s.cell,
+         |    list_transform(range(1, 65), i -> s.v[i] - c.cv[i]) AS v
+         |  FROM cells s JOIN cent c ON c.cid = s.cell),
+         |rcb AS (SELECT CAST(vec_id AS INT) AS code, v FROM res WHERE vec_id < $NumCodes),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT e.vec_id, m.m, c.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, m.m
+         |        ORDER BY $pqEncDistSql, c.code) AS rn
+         |    FROM res e CROSS JOIN range(0, $NumSub) m(m) CROSS JOIN rcb c)
+         |  WHERE rn = 1),
+         |codes AS (SELECT vec_id, list(code ORDER BY m) AS cs FROM enc GROUP BY vec_id),
+         |probe AS (SELECT qid, v, cid AS cell FROM (
+         |  SELECT q.vec_id AS qid, q.v, c.cid, row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY (list_dot_product(q.v,q.v) - 2*list_dot_product(q.v,c.cv))
+         |      + list_dot_product(c.cv,c.cv), c.cid) AS rn
+         |  FROM emb q CROSS JOIN cent c WHERE q.vec_id < $NumQueries) WHERE rn <= 2),
+         |pres AS (
+         |  SELECT p.qid, p.cell,
+         |    list_transform(range(1, 65), i -> p.v[i] - c.cv[i]) AS v
+         |  FROM probe p JOIN cent c ON c.cid = p.cell),
+         |adc AS (
+         |  SELECT q.qid, s.vec_id AS vid,
+         |    $pqAdcTermsSql AS ad
+         |  FROM pres q
+         |  JOIN cells s ON s.cell = q.cell AND s.vec_id <> q.qid
+         |  JOIN codes d ON d.vec_id = s.vec_id
+         |  ${pqCbJoinsSql("rcb")})
          |SELECT qid, rk, vid, round(ad, 4) AS ad FROM (
          |  SELECT qid, vid, ad,
          |    row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk

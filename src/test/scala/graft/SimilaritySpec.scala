@@ -168,6 +168,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ: contiguous-cid contract and well-formed rankings") {
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val cents = graft.operators.KMeansND.seed(
+      emb.select($"vec_id".as("id"), $"embedding".as("vec")), 16)
+    // residual codebook from the oracle-gated query's own construction
+    val out = graft.queries.SimilarityPack.defs("ann_ivfpq_residual")(spark, d)
+      .select($"qid", $"rk", $"vid", $"ad")
+      .as[(Long, Int, Long, Double)].collect()
+    for ((qid, rows) <- out.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === Seq(1, 2, 3), s"qid=$qid ranks")
+      assert(sorted.forall(_._3 != qid), s"qid=$qid self-hit")
+      val ads = sorted.map(_._4).toSeq
+      assert(ads === ads.sorted && ads.forall(_ >= 0.0), s"qid=$qid ADC $ads")
+    }
+    // non-contiguous cell ids must fail loudly, not mis-index centroids
+    val gappy = cents.filterNot(_._1 == 3)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.ivfPqResidualTopK(
+        emb, emb.filter($"vec_id" < 2), gappy,
+        Seq.fill(4)(Seq.fill(64)(0.0)), 8, 3)
+    }
+    assert(e.getMessage.contains("contiguous"))
+  }
+
   test("a persisted IVF index prunes non-probed cells at the scan") {
     // the disk layout for IVF at scale: corpus written hive-partitioned
     // by cell id; probing nprobe cells becomes partition pruning — the
