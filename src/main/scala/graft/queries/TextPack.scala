@@ -177,6 +177,46 @@ object TextPack extends QueryPack {
           min("cut").as("cut"))
     }),
 
+    // Learned quality filtering by DISTILLATION — the model-based
+    // filter pattern (CCNet/fastText-style) on the signal this corpus
+    // actually carries: compress the engine's composite rule score
+    // into a calibrated linear model. Label = "above the global median
+    // quality", model = logistic regression over the RAW component
+    // features (length, stopword/punct/digit ratios, word length) fit
+    // on the even-doc_id half — production swaps the label source for
+    // human/LLM judgments and keeps this exact plumbing. Scale shape:
+    // featurization + scoring are single scans; the median is one
+    // percentile aggregate broadcast back; MLlib's LR keeps k-feature
+    // driver state with treeAggregate gradient passes (the k-means
+    // fits' shape). Rows-gated (MLlib internals, like km_fit_mllib)
+    // with a held-out AUC-floor spec.
+    "text_quality_learned" -> ((s, d) => {
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val nWords = size(col("w"))
+      val nChars = length(col("text"))
+      val scored = docs(s, d).select(
+        col("doc_id"), qualityScore.as("q"),
+        array(
+          least(lit(1.0), nWords / 50.0),
+          round(hitCount(col("w"), langProfiles.toMap.apply("en")) / nWords, 6),
+          round((nChars - charClassCount(col("text"), "a-zA-Z0-9 ")) / nChars, 6),
+          round(charClassCount(col("text"), "0-9") / nChars, 6),
+          round(length(regexp_replace(col("text"), " ", "")) / nWords, 4) / 10.0
+        ).as("farr"))
+      val med = scored.agg(round(expr("percentile(q, 0.5)"), 6).as("med"))
+      val feats = scored.join(broadcast(med))
+        .withColumn("features", array_to_vector(col("farr")))
+        .withColumn("label", when(col("q") > col("med"), 1.0).otherwise(0.0))
+      val train = feats.filter(pmod(col("doc_id"), lit(2)) === 0).cache()
+      val model = try {
+        new LogisticRegression().setMaxIter(25).setRegParam(0.01).fit(train)
+      } finally train.unpersist()
+      model.transform(feats)
+        .select(col("doc_id"), col("label").cast("long").as("above_med"),
+          round(element_at(vector_to_array(col("probability")), 2), 3).as("p_keep"))
+    }),
+
     // Perplexity-proxy quality scoring — the CCNet-style LM filter with
     // a unigram stand-in: score = average negative log corpus frequency
     // of the doc's token occurrences. Fluent/common text scores low;

@@ -48,6 +48,20 @@ class TextSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("text_quality_learned distills the rule score: held-out AUC floor") {
+    val out = graft.queries.TextPack.defs("text_quality_learned")(spark, sfDir)
+      .filter(pmod($"doc_id", lit(2)) === 1) // odd ids never saw training
+      .select($"above_med", $"p_keep").as[(Long, Double)].collect()
+    assert(out.nonEmpty && out.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    val pos = out.filter(_._1 == 1L).map(_._2)
+    val neg = out.filter(_._1 == 0L).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty, "both classes must appear held-out")
+    val auc = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+      .sum / (pos.length.toDouble * neg.length)
+    assert(auc > 0.85, s"held-out AUC was $auc — the distilled filter is not separating")
+  }
+
   test("nfcNormalize composes decomposed sequences and is identity on NFC text") {
     import graft.functions.NormalizeExpression.nfcNormalize
     // e + COMBINING ACUTE (U+0065 U+0301) must compose to é (U+00E9);
