@@ -151,6 +151,45 @@ object SimilarityPack extends QueryPack {
         cents, cb, NumSub, k = 3, nprobe = 2)
     }),
 
+    // PQ with exact re-ranking — the standard recall repair: the cheap
+    // ADC pass shortlists 10 candidates per query from codes alone,
+    // then the exact cosine runs ONLY on the shortlist (10 vector
+    // fetches per query, not a corpus scan) and re-ranks to top-3.
+    // This is how production PQ serves high recall at code-scan cost;
+    // both stages reuse gated arithmetic (ann_pq's ADC, ann_topk's
+    // cosine), so the composite is oracle-replayable.
+    "ann_pq_rerank" -> ((s, d) => {
+      import graft.functions.PQExpressions.{pqAdcDist, pqEncode}
+      import graft.functions.TopKAggregate.topk
+      import graft.functions.VectorFunctions.cosineSim
+      val emb = Tables.embeddings(s, d)
+      val cb: Seq[Seq[Double]] = emb.filter(col("vec_id") < NumCodes)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val codes = emb.select(col("vec_id"),
+        pqEncode(col("embedding"), cb, NumSub).as("codes"))
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val shortlist = codes.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          pqAdcDist(col("qemb"), col("codes"), cb, NumSub).as("ad"))
+        .groupBy("qid")
+        .agg(topk(struct(col("ad"), col("vid").as("v")), 10).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.v").as("vid"))
+      val rer = shortlist
+        .join(emb.select(col("vec_id").as("vid"), col("embedding").as("vemb")), "vid")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("vid"),
+          cosineSim(col("qemb"), col("vemb")).as("cos"))
+      rer.groupBy("qid")
+        .agg(topk(struct((-col("cos")).as("negcos"), col("vid").as("v")), 3).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+          col("t.v").as("vid"), round(-col("t.negcos"), 4).as("cos"))
+    }),
+
     // Residual-encoding IVF+PQ (the FAISS IVFPQ layout): codes quantize
     // v − centroid(cell) — residuals concentrate near the origin, so a
     // shared codebook covers every cell. The deterministic codebook is
@@ -332,6 +371,37 @@ object SimilarityPack extends QueryPack {
          |  SELECT qid, vid, ad,
          |    row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk
          |  FROM adc) WHERE rk <= 3""".stripMargin,
+    "ann_pq_rerank" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, v FROM emb WHERE vec_id < $NumCodes),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT e.vec_id, m.m, c.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, m.m
+         |        ORDER BY $pqEncDistSql, c.code) AS rn
+         |    FROM emb e CROSS JOIN range(0, $NumSub) m(m) CROSS JOIN cb c)
+         |  WHERE rn = 1),
+         |codes AS (SELECT vec_id, list(code ORDER BY m) AS cs FROM enc GROUP BY vec_id),
+         |adc AS (
+         |  SELECT q.vec_id AS qid, d.vec_id AS vid,
+         |    $pqAdcTermsSql AS ad
+         |  FROM emb q CROSS JOIN codes d
+         |  ${pqCbJoinsSql()}
+         |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id),
+         |short AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk
+         |  FROM adc) WHERE rk <= 10),
+         |rer AS (
+         |  SELECT s.qid, s.vid,
+         |    (list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))) AS cos
+         |  FROM short s
+         |  JOIN emb q ON q.vec_id = s.qid
+         |  JOIN emb c ON c.vec_id = s.vid)
+         |SELECT qid, rk, vid, round(cos, 4) AS cos FROM (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |  FROM rer) WHERE rk <= 3""".stripMargin,
     "ann_ivfpq_residual" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),

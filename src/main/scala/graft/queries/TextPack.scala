@@ -177,6 +177,53 @@ object TextPack extends QueryPack {
           min("cut").as("cut"))
     }),
 
+    // The end-to-end curation pipeline as ONE declarative plan — the
+    // composite a training-data team actually ships: normalize (NFC +
+    // lowercase + whitespace collapse) → rule filter (abbreviated
+    // two-rule set; text_filter_pipeline is the full battery) → exact
+    // dedup on the NORMALIZED text (min-id keeper — normalization is
+    // what makes near-identical crawls collapse) → per-lang mixture
+    // draw to the smallest surviving stratum (the shared prefiltered
+    // hash draw). Output is the per-lang funnel through all four
+    // stages. Each stage re-derives from the same scan lineage — at
+    // 100 TB persist the ruled/deduped sets between stages; the shape
+    // per stage is scan + hash agg / bounded window, nothing
+    // quadratic.
+    "text_curate_pipeline" -> ((s, d) => {
+      import graft.functions.NormalizeExpression.nfcNormalize
+      import graft.operators.Sampling
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).select(col("doc_id"), col("lang"),
+        size(col("w")).as("n_words"),
+        round(charClassCount(col("text"), "0-9") / length(col("text")), 6)
+          .as("digit_ratio"),
+        md5(trim(regexp_replace(lower(nfcNormalize(col("text"))), "\\s+", " "))
+          .cast("binary")).as("nh"))
+      val ruled = base.filter(col("n_words") >= 15 && col("digit_ratio") <= 0.2)
+      val deduped = ruled
+        .withColumn("keep_id", min("doc_id").over(Window.partitionBy("nh")))
+        .filter(col("doc_id") === col("keep_id"))
+        .select("doc_id", "lang")
+      val counts = deduped.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val strata = counts
+        .withColumn("target", min("cnt").over(Window.partitionBy()))
+        .select(col("lang"), col("target"),
+          Sampling.prefixCut(col("target"), col("cnt")).as("cut"))
+      val drawn = Sampling.stratifiedHashDraw(deduped, "lang", "doc_id",
+        strata, "text_curate_pipeline")
+      base.groupBy("lang").agg(count(lit(1)).as("n_input"))
+        .join(ruled.groupBy("lang").agg(count(lit(1)).as("n_ruled")),
+          Seq("lang"), "left")
+        .join(deduped.groupBy("lang").agg(count(lit(1)).as("n_deduped")),
+          Seq("lang"), "left")
+        .join(drawn.groupBy("lang").agg(count(lit(1)).as("n_final")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_input"),
+          coalesce(col("n_ruled"), lit(0L)).as("n_ruled"),
+          coalesce(col("n_deduped"), lit(0L)).as("n_deduped"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"))
+    }),
+
     // Learned quality filtering by DISTILLATION — the model-based
     // filter pattern (CCNet/fastText-style) on the signal this corpus
     // actually carries: compress the engine's composite rule score
@@ -590,6 +637,34 @@ object TextPack extends QueryPack {
          |  CAST(sum(CASE WHEN q <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  min(cut) AS cut
          |FROM c GROUP BY source""".stripMargin,
+    "text_curate_pipeline" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len($wSql) AS BIGINT) AS n_words,
+         |    round(length(regexp_replace(text,'[^0-9]','','g'))/length(text), 6) AS digit_ratio,
+         |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS nh
+         |  FROM documents),
+         |ruled AS (SELECT * FROM b WHERE n_words >= 15 AND digit_ratio <= 0.2),
+         |deduped AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY nh) AS keep_id
+         |    FROM ruled) WHERE doc_id = keep_id),
+         |cnt AS (SELECT lang, count(*) AS cnt FROM deduped GROUP BY lang),
+         |tgt AS (SELECT min(cnt) AS target FROM cnt),
+         |r AS (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM deduped),
+         |drawn AS (SELECT doc_id, lang FROM r, tgt WHERE rk <= tgt.target)
+         |SELECT bi.lang, bi.n_input,
+         |  coalesce(ru.n_ruled, 0) AS n_ruled,
+         |  coalesce(de.n_deduped, 0) AS n_deduped,
+         |  coalesce(dr.n_final, 0) AS n_final
+         |FROM (SELECT lang, count(*) AS n_input FROM b GROUP BY lang) bi
+         |LEFT JOIN (SELECT lang, count(*) AS n_ruled FROM ruled GROUP BY lang) ru USING (lang)
+         |LEFT JOIN (SELECT lang, count(*) AS n_deduped FROM deduped GROUP BY lang) de USING (lang)
+         |LEFT JOIN (SELECT lang, count(*) AS n_final FROM drawn GROUP BY lang) dr USING (lang)""".stripMargin,
     "text_ppl_proxy" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h, text FROM documents),
         |mc AS (SELECT h, count(*) AS mc FROM d GROUP BY h),

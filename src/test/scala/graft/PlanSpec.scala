@@ -155,9 +155,9 @@ class PlanSpec extends SparkSpec {
     *     (text_tfidf's pattern);
     *   text_quality_learned — single-row median-label-cut broadcast. */
   private val bnljAllowed: Set[String] =
-    Set("ann_topk", "ann_recall", "ann_pq", "km_silhouette_exact", "text_tfidf",
-      "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy",
-      "text_quality_learned")
+    Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
+      "km_silhouette_exact", "text_tfidf", "text_heavy_hitters",
+      "text_quality_bins", "text_ppl_proxy", "text_quality_learned")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
