@@ -90,6 +90,41 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("min-label and star contraction agree on a power-law dup graph") {
+    // the shape real dup graphs take: a few huge near-dup clusters
+    // (boilerplate hubs) plus a long tail of small components. Both
+    // distributed paths must produce identical labels, and star
+    // contraction must converge within its O(log) round budget even
+    // with hub degrees in the hundreds.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var next = 0L
+    // 3 hubs with power-law-ish sizes 400/150/50: star edges to the hub
+    // plus random chords (the blocked-verify extra edges)
+    for (size <- Seq(400, 150, 50)) {
+      val hub = next; next += 1
+      val members = (0 until size).map(_ => { val m = next; next += 1; m })
+      members.foreach(m => edges += ((hub, m)))
+      for (_ <- 1 to size / 4)
+        edges += ((members(rnd.nextInt(size)), members(rnd.nextInt(size))))
+      }
+    // long tail: 200 chains of length 2-4
+    for (_ <- 1 to 200) {
+      val len = 2 + rnd.nextInt(3)
+      val ids = (0 until len).map(_ => { val m = next; next += 1; m })
+      ids.sliding(2).foreach(p => edges += ((p(0), p(1))))
+    }
+    val pairs = edges.toSeq.filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val minLabel = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star === minLabel, "the two distributed CC paths must agree")
+    // sanity on the component structure itself
+    assert(star.values.toSet.size === 3 + 200, "hubs + tail components")
+  }
+
   test("matches a union-find ground truth on real near-dup pairs") {
     val pairs = graft.queries.DedupPack.defs("dedup_jaccard")(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect()
