@@ -234,6 +234,22 @@ object RelationalII extends QueryPack {
         .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
           col("n"), col("sum_value"))),
 
+    // Time-based RANGE window frame — the "activity in the trailing
+    // hour" shape ROWS frames can't express (peers at equal timestamps
+    // all join the frame; the frame is defined by VALUE bounds, so the
+    // result is deterministic under ties without a tiebreaker column).
+    "q_range_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0) // trailing hour in epoch µs
+      events(s, d)
+        .withColumn("tus", expr("unix_micros(ts)"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", round(sum("value").over(w), 2))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "n_1h", "sum_1h")
+    }),
+
     // Ordered conversion funnel (view → click after it → purchase after
     // that): each stage is first-event-per-user AFTER the prior stage's
     // first event — the strictly-ordered funnel, not mere event
@@ -297,6 +313,15 @@ object RelationalII extends QueryPack {
         |  UNION ALL
         |  SELECT k, 'no_orders' AS src FROM (SELECT k FROM seg EXCEPT SELECT k FROM buyers))
         |SELECT src, count(*) AS n FROM u GROUP BY src""".stripMargin,
+    "q_range_window" ->
+      """SELECT event_id, user_id, n_1h, sum_1h FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    count(*) OVER w AS n_1h,
+        |    round(sum(value) OVER w, 2) AS sum_1h
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase'""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -177,6 +177,24 @@ object TextPack extends QueryPack {
           min("cut").as("cut"))
     }),
 
+    // One-row corpus health report — the operational dashboard a
+    // curation team refreshes per snapshot: sizes, diversity, exact-dup
+    // rate, and token-length quantiles, all from one scan + one global
+    // aggregate (distincts expand to two-phase aggs; everything else is
+    // partial-combined).
+    "text_corpus_report" -> ((s, d) => {
+      docs(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("w"))).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_distinct_texts"),
+        round(lit(1.0) - countDistinct(md5(col("text").cast("binary")))
+          / count(lit(1)), 4).as("dup_frac"),
+        round(expr("percentile(size(w), 0.5)"), 2).as("p50_words"),
+        round(expr("percentile(size(w), 0.9)"), 2).as("p90_words"))
+    }),
+
     // The end-to-end curation pipeline as ONE declarative plan — the
     // composite a training-data team actually ships: normalize (NFC +
     // lowercase + whitespace collapse) → rule filter (abbreviated
@@ -637,6 +655,16 @@ object TextPack extends QueryPack {
          |  CAST(sum(CASE WHEN q <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  min(cut) AS cut
          |FROM c GROUP BY source""".stripMargin,
+    "text_corpus_report" ->
+      s"""SELECT count(*) AS n_docs,
+         |  CAST(sum(len($wSql)) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT source) AS n_sources,
+         |  count(DISTINCT md5(text)) AS n_distinct_texts,
+         |  round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS dup_frac,
+         |  round(quantile_cont(len($wSql), 0.5), 2) AS p50_words,
+         |  round(quantile_cont(len($wSql), 0.9), 2) AS p90_words
+         |FROM documents""".stripMargin,
     "text_curate_pipeline" ->
       s"""WITH b AS (
          |  SELECT doc_id, lang,
