@@ -288,6 +288,18 @@ object StreamingOps {
       .select(col("w.start").as("ws"), col("candidates"), col("n_tokens"))
   }
 
+  /** Streaming nearest-centroid assignment — the reference's map phase
+    * as a stream transform: centroids are plan literals (broadcast by
+    * construction, exactly like batch `km_assign`), so assignment is
+    * stateless per-row column math — no watermark, no state store, any
+    * rate. The online-inference half of a clustering deployment: fit
+    * offline with `KMeansDF.fit`/`KMeansND.fit`, assign the live
+    * stream here. */
+  def assignStream(points: DataFrame,
+      centroids: Seq[graft.operators.KMeansDF.Centroid]): DataFrame =
+    graft.operators.KMeansDF.assign(points, centroids)
+      .select(col("id"), col("cid"))
+
   /** Stateless streaming quality filter — the streaming twin of batch
     * `text_filter_pipeline`'s per-doc rule stage, for ingest-time
     * cleaning: every arriving doc gets the same four keep/drop rules

@@ -90,6 +90,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("assignStream assigns a point stream to literal centroids, stateless") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.KMeansDF.Centroid
+    val in = MemoryStream[(Long, Double, Double)]
+    val cents = Seq(Centroid(0, 0.0, 0.0), Centroid(1, 10.0, 10.0))
+    val q = StreamingOps.assignStream(in.toDF().toDF("id", "x", "y"), cents)
+      .writeStream.format("memory").queryName("assign_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, 0.2, -0.1), (2L, 9.5, 10.2), (3L, 5.1, 5.1))
+      q.processAllAvailable()
+      val rows = spark.table("assign_out").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // (5.1, 5.1) is nearer the (10,10) centroid: 48.02 vs 52.02
+      assert(rows === Map(1L -> 0, 2L -> 1, 3L -> 1))
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+        "centroid assignment must not register a stateful operator")
+    } finally q.stop()
+  }
+
   test("semanticDedupSink: cell-partitioned corpus, semantic dups drop across batches") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sem_").toString
