@@ -32,6 +32,12 @@ object Sampling {
     * (broadcast). Returns `docs`' columns for the selected rows. */
   def stratifiedHashDraw(docs: DataFrame, strataCol: String, idCol: String,
       strata: DataFrame, errTag: String): DataFrame = {
+    val internal = Seq("md5h", "hv", "rk", "n_surv", "eff_target",
+      "target", "cut")
+    val clash = docs.columns.toSeq.intersect(internal)
+    require(clash.isEmpty,
+      s"stratifiedHashDraw reserves columns ${internal.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")} on the input first")
     val outCols = docs.columns.toIndexedSeq
     val h = md5(col(idCol).cast("string").cast("binary"))
     val pre = docs
