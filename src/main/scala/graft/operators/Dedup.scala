@@ -454,6 +454,20 @@ object Dedup {
     result
   }
 
+  /** Incremental component merge — the daily dedup-state update: fold
+    * NEW near-dup pairs into an EXISTING (doc_id, cluster_id) label
+    * table without touching historical pairs. The label table is a
+    * star summary of everything resolved so far (connectivity-
+    * equivalent to the full pair history: doc—cluster edges), so
+    * CC(labels-as-edges ∪ new pairs) equals CC(all pairs ever seen) —
+    * the merge cost scales with |corpus| + |new pairs|, never with the
+    * historical pair count. Output schema matches
+    * [[connectedComponents]]. */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame): DataFrame =
+    connectedComponents(
+      labels.select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+        .unionByName(newPairs.select(col("id_a"), col("id_b"))))
+
   /** End-to-end corpus dedup: resolve near-dup pairs to clusters, keep
     * one canonical doc (min id) per cluster, pass uniques through. The
     * composite a training-data pipeline actually calls: pairs → CC →

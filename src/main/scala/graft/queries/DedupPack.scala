@@ -58,6 +58,25 @@ object DedupPack extends QueryPack {
           floor(col("n_chars") / 100).as("lb"), col("text")),
         ngramN = 1, threshold = 0.6))),
 
+    // Incremental component merge: the "yesterday's labels + today's
+    // pairs" state update. Yesterday = pairs among even doc_ids only,
+    // resolved to labels; today = every other pair, folded in via
+    // mergeComponents. Because the label table is connectivity-
+    // equivalent to the old pair set, the result must equal a full
+    // recompute over ALL pairs — which is exactly what the shared
+    // oracle checks.
+    "dedup_clusters_merge" -> ((s, d) => {
+      val all = Dedup.blockedNgramJaccardSparse(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 100).as("lb"), col("text")),
+        ngramN = 1, threshold = 0.6)
+      val old = all.filter(pmod(col("id_a"), lit(2)) === 0
+        && pmod(col("id_b"), lit(2)) === 0)
+      val fresh = all.filter(!(pmod(col("id_a"), lit(2)) === 0
+        && pmod(col("id_b"), lit(2)) === 0))
+      Dedup.mergeComponents(Dedup.connectedComponents(old), fresh)
+    }),
+
     // End-to-end dedup applied to the corpus: near-dup clusters keep
     // their min-id doc, uniques pass through; per-lang survivor counts.
     // Sparse edges — applyDedup only needs connectivity.
@@ -301,6 +320,8 @@ object DedupPack extends QueryPack {
     // the star-contraction variant computes the same components; one
     // oracle definition keeps both gates pinned to one semantic
     "dedup_clusters_star" -> clustersOracle,
+    // the merge path must equal a full recompute over all pairs
+    "dedup_clusters_merge" -> clustersOracle,
     "dedup_apply" ->
       """WITH RECURSIVE
         |t AS (
