@@ -267,6 +267,63 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelState(vUs: Long, cUs: Long)
+  final case class FunnelOut(user_id: Long, view_us: Long, click_us: Long,
+      purchase_us: Long)
+
+  /** Streaming ordered-funnel tracking — the stateful generalization of
+    * batch `q_funnel`: per user, a view → click-after-it →
+    * purchase-after-that state machine advances on event time, emits a
+    * completion row per finished funnel, and restarts (the batch query
+    * reports first-completion counts; the stream reports every
+    * completion as it happens). State per user is two longs; stale
+    * incomplete funnels are evicted by an event-time timeout one
+    * `horizonMs` past the watermark, so memory is bounded by ACTIVE
+    * users per horizon, not the user universe. */
+  def funnelStream(events: Dataset[Event], watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 60 * 60 * 1000L): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, it, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (v, c) = state.getOption.map(s => (s.vUs, s.cUs))
+              .getOrElse((-1L, -1L))
+            var out = List.empty[FunnelOut]
+            it.toSeq.sortBy(e => epochMicros(e.ts)).foreach { e =>
+              val t = epochMicros(e.ts)
+              e.event_type match {
+                case "view" if v < 0 => v = t
+                case "click" if v >= 0 && c < 0 && t > v => c = t
+                case "purchase" if c >= 0 && t > c =>
+                  out ::= FunnelOut(uid, v, c, t)
+                  v = -1; c = -1 // funnel complete: restart tracking
+                case _ => ()
+              }
+            }
+            if (v >= 0) {
+              state.update(FunnelState(v, c))
+              // anchor the timeout to the funnel's own EVENT time (last
+              // stage reached + horizon), like the sessionizer: a
+              // first-batch watermark of 0 would otherwise mint an
+              // already-expired timeout that kills the state next batch
+              val lastUs = math.max(v, c)
+              state.setTimeoutTimestamp(math.max(
+                math.floorDiv(lastUs + 999L, 1000L) + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            } else if (state.exists) state.remove()
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Windowed streaming heavy hitters — the streaming twin of batch
     * `text_heavy_hitters`: per tumbling event-time window, a mergeable
     * Misra-Gries summary of the token stream. The MG aggregate's state

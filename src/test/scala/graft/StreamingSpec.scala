@@ -90,6 +90,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("funnelStream emits ordered completions and evicts stale state") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.funnelStream(in.toDS(), horizonMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 completes across two batches; user 2 purchases with no
+      // prior click (must NOT emit); user 3 views then goes stale
+      in.addData(
+        Event(1, ts(0), "view", 1.0), Event(1, ts(5), "click", 1.0),
+        Event(2, ts(1), "view", 1.0), Event(2, ts(2), "purchase", 9.0),
+        Event(3, ts(3), "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(1, ts(10), "purchase", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out")
+        .select("user_id").as[Long].collect().toSeq
+      assert(rows === Seq(1L), "only the strictly-ordered funnel completes")
+      // advance the watermark far past user 3's horizon → state evicts
+      in.addData(Event(9, ts(600), "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(9, ts(610), "view", 1.0))
+      q.processAllAvailable()
+      val state = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(state <= 2,
+        s"stale funnels must evict (state rows = $state; expect <= users 9+maybe1)")
+    } finally q.stop()
+  }
+
   test("assignStream assigns a point stream to literal centroids, stateless") {
     implicit val sq = spark.sqlContext
     import graft.operators.KMeansDF.Centroid
