@@ -18,16 +18,22 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failing query must be LOUD in the artifact — a swallowed throw
+    // would record a near-zero time and read as "fast and fine"
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // sweep any blocks a query left behind (kept checkpoints, caches)
-      // so the block manager stays empty across the 66-query run —
+      // so the block manager stays empty across the full run —
       // earlier queries must not degrade later ones via memory pressure
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
-      dt
+      err.toLeft(dt)
     }
     // best of two passes per query: this box shows multi-minute
     // contention windows (observed 5-30x inflation on whatever ran
@@ -38,17 +44,48 @@ object Bench {
     // window is self-evident from the artifact, no re-run needed.
     val pass1 = selected.map { case (name, fn) => name -> timeOnce(fn) }
     val passes = selected.map { case (name, fn) =>
-      val p = List(pass1(name), timeOnce(fn))
-      val disputed = p.max > 3 * p.min && p.max - p.min > 0.5
-      name -> (if (disputed) p :+ timeOnce(fn) else p)
+      pass1(name) match {
+        case Left(e) => name -> Left(e)
+        case Right(t1) =>
+          timeOnce(fn) match {
+            case Left(e) => name -> Left(e)
+            case Right(t2) =>
+              val p = List(t1, t2)
+              val disputed = p.max > 3 * p.min && p.max - p.min > 0.5
+              if (!disputed) name -> Right(p)
+              else timeOnce(fn) match {
+                case Left(e) => name -> Left(e)
+                case Right(t3) => name -> Right(p :+ t3)
+              }
+          }
+      }
     }
-    val results = passes.map { case (name, p) => name -> p.min }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = passes.collect { case (name, Right(p)) => name -> p.min }
+    val errors = passes.collect { case (name, Left(e)) => name -> e }
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val ps = passes.map { case (k, p) => s"\"" + k + "\":" + p.mkString("[", ",", "]") }
+    val ps = passes.collect { case (k, Right(p)) =>
+      jstr(k) + ":" + p.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val es = errors.map { case (k, e) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"errors":$es,"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // the driver's stdout capture truncates long tails — ALSO persist
+    // the full JSON where the repo snapshot keeps it durable
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        line.getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () }
+    if (errors.nonEmpty) {
+      // stderr, not an exit code: the driver must still snapshot the
+      // JSON artifact (which carries the same per-query error markers)
+      System.err.println(s"BENCH ERRORS (${errors.size}): " +
+        errors.map { case (k, e) => s"$k -> $e" }.mkString("; "))
+    }
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -40,13 +41,21 @@ object PQ {
   }
 
   /** Raw float embeddings and double residuals both flow through the PQ
-    * kernels; anything else is a caller error surfaced at analysis. */
+    * kernels. Callers see a bad element type at ANALYSIS time — the
+    * expressions override `checkInputDataTypes` with [[checkVector]] —
+    * so by eval time this match is total. */
   private[functions] def isFloatArray(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"PQ kernels take array<float> or array<double>, got $other")
+    case _ => false
   }
+
+  private[functions] def checkVector(t: DataType, side: String): TypeCheckResult =
+    t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"PQ kernels take array<float> or array<double> $side, got ${other.sql}")
+    }
 }
 
 /** float-array vector → `binary` of per-subspace nearest-codeword ids,
@@ -62,6 +71,9 @@ case class PQEncode(child: Expression, codebook: Seq[Seq[Double]], subspaces: In
   require(codebook.length <= 256, "byte codes address at most 256 codewords")
 
   override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    PQ.checkVector(child.dataType, "as input")
 
   @transient private lazy val cb = codebook.map(_.toArray).toArray
   @transient private lazy val vIsFloat = PQ.isFloatArray(child.dataType)
@@ -103,6 +115,14 @@ case class PQADCDist(left: Expression, right: Expression,
     "codebook rows must share one dimensionality divisible by subspaces")
 
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    PQ.checkVector(left.dataType, "on the query side") match {
+      case TypeCheckResult.TypeCheckSuccess if right.dataType != BinaryType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"ADC codes must be binary, got ${right.dataType.sql}")
+      case r => r
+    }
 
   @transient private lazy val cb = codebook.map(_.toArray).toArray
   @transient private lazy val qIsFloat = PQ.isFloatArray(left.dataType)

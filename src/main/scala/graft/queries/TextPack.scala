@@ -164,8 +164,6 @@ object TextPack extends QueryPack {
     // percentile for approx_percentile — the plan shape is unchanged.
     "text_filter_adaptive" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val nWords = size(col("w"))
-      val nChars = length(col("text"))
       val q = qualityScore
       docs(s, d).select(col("source"), q.as("q"))
         .withColumn("cut",
@@ -381,8 +379,6 @@ object TextPack extends QueryPack {
     "q_mixture_quality" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       import graft.operators.Sampling
-      val nWords = size(col("w"))
-      val nChars = length(col("text"))
       val q = qualityScore
       val surv = docs(s, d)
         .select(col("doc_id"), col("lang"), col("source"), q.as("q"))

@@ -37,6 +37,20 @@ object StreamingOps {
   private def closeSession(userId: Long, s: SessionState): SessionOut =
     SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue)
 
+  /** Corpus-or-none for the ingest sinks, keyed on PATH EXISTENCE, not
+    * on catching AnalysisException: a blanket catch would also swallow
+    * genuine analysis failures on an EXISTING corpus (schema drift, a
+    * column dropped by a layout change, corrupt footer metadata) and
+    * silently disable cross-batch dedup for that batch. Only a missing
+    * directory means "first batch"; anything else must fail the batch
+    * loudly so the operator can fix the corpus before more data lands. */
+  private def corpusIfExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+
   /** Streaming exact dedup — the streaming twin of batch `dedup_exact`:
     * drops rows whose key was already seen within the watermark horizon.
     * State is bounded by the horizon (keys older than the watermark are
@@ -136,10 +150,8 @@ object StreamingOps {
         floor(length(col("text")) / 100).as("lb"), col("text"))
     val withinBatch = Dedup.applyDedup(shaped, "doc_id",
       Dedup.blockedNgramJaccardSparse(shaped, ngramN, threshold))
-    val corpus = try {
-      Some(batch.sparkSession.read.parquet(corpusPath)
-        .select("doc_id", "lang", "lb", "text"))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val corpus = corpusIfExists(batch.sparkSession, corpusPath)
+      .map(_.select("doc_id", "lang", "lb", "text"))
     val novel = corpus match {
       case Some(c) =>
         Dedup.incrementalDedup(withinBatch, c, ngramN, threshold)
@@ -169,9 +181,7 @@ object StreamingOps {
       val withinKept = Similarity.semDedupApply(batch, cells, tau)
         .select(col("vec_id"), col("cid").as("cell"))
       val keptBatch = batch.join(withinKept, "vec_id")
-      val corpus = try {
-        Some(spark.read.parquet(corpusPath))
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val corpus = corpusIfExists(spark, corpusPath)
       val novel = corpus match {
         case Some(c) =>
           val touched = keptBatch.select("cell").distinct()
@@ -267,60 +277,83 @@ object StreamingOps {
       }
   }
 
-  final case class FunnelState(vUs: Long, cUs: Long)
+  final case class PendingEv(tUs: Long, etype: String)
+  final case class FunnelState(vUs: Long, cUs: Long, pending: Seq[PendingEv])
   final case class FunnelOut(user_id: Long, view_us: Long, click_us: Long,
       purchase_us: Long)
 
+  private def ceilMs(us: Long): Long = math.floorDiv(us + 999L, 1000L)
+
   /** Streaming ordered-funnel tracking — the stateful generalization of
     * batch `q_funnel`: per user, a view → click-after-it →
-    * purchase-after-that state machine advances on event time, emits a
+    * purchase-after-that state machine advances on EVENT time, emits a
     * completion row per finished funnel, and restarts (the batch query
     * reports first-completion counts; the stream reports every
-    * completion as it happens). State per user is two longs; stale
-    * incomplete funnels are evicted by an event-time timeout one
-    * `horizonMs` past the watermark, so memory is bounded by ACTIVE
-    * users per horizon, not the user universe. */
+    * completion as it happens).
+    *
+    * Event-time correctness across batches: events are BUFFERED in
+    * state until the watermark passes them, then replayed in event-time
+    * order (ties broken by funnel stage) — so an in-watermark view that
+    * arrives a micro-batch later than its click still completes the
+    * funnel, where a fold-on-arrival machine would drop it. The price
+    * is emission latency of one watermark delay, the standard
+    * deterministic-on-replay trade. State per user is two longs plus
+    * the not-yet-ripe buffer, which the watermark bounds at one
+    * horizon's worth of that user's events; stale incomplete funnels
+    * are evicted by an event-time timeout `horizonMs` past the last
+    * stage reached, so memory is bounded by ACTIVE users per horizon,
+    * not the user universe. */
   def funnelStream(events: Dataset[Event], watermarkDelay: String = "10 minutes",
       horizonMs: Long = 60 * 60 * 1000L): Dataset[FunnelOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, it, state: GroupState[FunnelState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var (v, c) = state.getOption.map(s => (s.vUs, s.cUs))
-              .getOrElse((-1L, -1L))
-            var out = List.empty[FunnelOut]
-            it.toSeq.sortBy(e => epochMicros(e.ts)).foreach { e =>
-              val t = epochMicros(e.ts)
-              e.event_type match {
-                case "view" if v < 0 => v = t
-                case "click" if v >= 0 && c < 0 && t > v => c = t
-                case "purchase" if c >= 0 && t > c =>
-                  out ::= FunnelOut(uid, v, c, t)
-                  v = -1; c = -1 // funnel complete: restart tracking
-                case _ => ()
-              }
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prior = state.getOption.getOrElse(FunnelState(-1L, -1L, Nil))
+          val incoming = it.map(e => PendingEv(epochMicros(e.ts), e.event_type))
+          // ripe = at-or-behind the watermark: no later batch can legally
+          // deliver anything older, so the event-time order is final
+          val (ripe, held) = (prior.pending ++ incoming).partition(_.tUs <= wmUs)
+          var v = prior.vUs
+          var c = prior.cUs
+          var out = List.empty[FunnelOut]
+          ripe.sortBy(p => (p.tUs, stageRank.getOrElse(p.etype, 3))).foreach { p =>
+            p.etype match {
+              case "view" if v < 0 => v = p.tUs
+              case "click" if v >= 0 && c < 0 && p.tUs > v => c = p.tUs
+              case "purchase" if c >= 0 && p.tUs > c =>
+                out ::= FunnelOut(uid, v, c, p.tUs)
+                v = -1L; c = -1L // funnel complete: restart tracking
+              case _ => ()
             }
-            if (v >= 0) {
-              state.update(FunnelState(v, c))
-              // anchor the timeout to the funnel's own EVENT time (last
-              // stage reached + horizon), like the sessionizer: a
-              // first-batch watermark of 0 would otherwise mint an
-              // already-expired timeout that kills the state next batch
-              val lastUs = math.max(v, c)
-              state.setTimeoutTimestamp(math.max(
-                math.floorDiv(lastUs + 999L, 1000L) + horizonMs,
-                state.getCurrentWatermarkMs() + 1))
-            } else if (state.exists) state.remove()
-            out.reverseIterator
           }
+          val lastUs = math.max(v, c)
+          // a timeout with nothing buffered and the horizon passed is
+          // the eviction signal; a timeout with ripe buffer is just the
+          // replay trigger and the funnel stays live
+          val stale = state.hasTimedOut && held.isEmpty && v >= 0 &&
+            wmMs >= ceilMs(lastUs) + horizonMs
+          if ((v < 0 && held.isEmpty) || stale) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(FunnelState(v, c, held))
+            // wake when the oldest buffered event ripens, else at the
+            // eviction horizon; never at-or-behind the current watermark
+            // (a first-batch watermark of 0 would otherwise mint an
+            // already-expired timeout that kills the state next batch)
+            val target =
+              if (held.nonEmpty) held.map(p => ceilMs(p.tUs)).min
+              else ceilMs(lastUs) + horizonMs
+            state.setTimeoutTimestamp(math.max(target, wmMs + 1))
+          }
+          out.reverseIterator
       }
   }
 

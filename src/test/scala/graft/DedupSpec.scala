@@ -53,8 +53,11 @@ class DedupSpec extends SparkSpec {
       (ida, la, ba, wa) <- rows; (idb, lb2, bb, wb) <- rows
       if ida < idb && la == lb2 && ba == bb && wa.size >= 2 && wb.size >= 2
       ga = bigrams(wa); gb = bigrams(wb)
-      j = math.rint(ga.intersect(gb).size.toDouble /
-        (ga.size + gb.size - ga.intersect(gb).size) * 10000) / 10000
+      // HALF_UP to match Spark round() — math.rint is half-to-even and
+      // diverges on exact .5 boundary fractions
+      j = BigDecimal(ga.intersect(gb).size.toDouble /
+        (ga.size + gb.size - ga.intersect(gb).size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       if j >= 0.5
     } yield (ida, idb)).toSet
     val got = graft.queries.DedupPack.defs("dedup_ngram")(spark, sfDir)

@@ -75,4 +75,39 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === api)
   }
+
+  test("clusterDefaults pins the 1000-executor submit preset") {
+    // the preset ships as documentation-in-code for a production
+    // spark-submit; this pins its keys/values against silent drift.
+    // Read the builder's accumulated options reflectively — applying
+    // them to the shared test session would leak 4000 shuffle
+    // partitions into every later suite.
+    val b = GraftSession.clusterDefaults(SparkSession.builder())
+    def optionsOf(o: AnyRef): Map[String, String] = {
+      var c: Class[_] = o.getClass
+      while (c != null) {
+        c.getDeclaredFields.find(_.getName.endsWith("options")).foreach { f =>
+          f.setAccessible(true)
+          return f.get(o).asInstanceOf[scala.collection.mutable.Map[String, String]].toMap
+        }
+        c = c.getSuperclass
+      }
+      fail("SparkSession.Builder no longer carries an options map")
+    }
+    val opts = optionsOf(b)
+    assert(opts("spark.sql.shuffle.partitions") === "4000",
+      "AQE coalesces downward; starting low spills at 100 TB")
+    assert(opts("spark.sql.adaptive.enabled") === "true")
+    assert(opts("spark.sql.adaptive.coalescePartitions.enabled") === "true")
+    assert(opts("spark.sql.adaptive.skewJoin.enabled") === "true")
+    assert(opts("spark.sql.autoBroadcastJoinThreshold") === (64L << 20).toString)
+    assert(opts("spark.sql.files.maxPartitionBytes") === (256L << 20).toString)
+    assert(opts("spark.sql.optimizer.runtime.bloomFilter.enabled") === "true")
+    assert(opts("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      === (64L << 20).toString)
+    assert(opts("spark.serializer") === "org.apache.spark.serializer.KryoSerializer")
+    assert(opts("spark.shuffle.compress") === "true")
+    assert(opts("spark.broadcast.compress") === "true")
+    assert(opts("spark.sql.session.timeZone") === "UTC")
+  }
 }

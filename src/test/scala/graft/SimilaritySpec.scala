@@ -52,6 +52,26 @@ class SimilaritySpec extends SparkSpec {
     zero.foreach(d => assert(math.abs(d) < 1e-9, s"codeword self-ADC must be ~0, got $d"))
   }
 
+  test("PQ kernels reject non-float element types at ANALYSIS, not mid-job") {
+    import graft.functions.PQExpressions.{pqAdcDist, pqEncode}
+    val cb: Seq[Seq[Double]] = Seq(Seq.fill(8)(0.0), Seq.fill(8)(1.0))
+    val bad = Seq((1L, Array(1, 2, 3, 4, 5, 6, 7, 8))).toDF("id", "v")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(pqEncode($"v", cb, 8)).queryExecution.analyzed
+    }
+    assert(e1.getMessage.contains("array<float>"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(pqAdcDist($"v", lit(Array[Byte](0)), cb, 8)).queryExecution.analyzed
+    }
+    assert(e2.getMessage.contains("array<float>"), e2.getMessage)
+    // binary codes are required on the ADC right side
+    val fl = Seq((1L, Array.fill(8)(0.5f), "notbinary")).toDF("id", "v", "c")
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      fl.select(pqAdcDist($"v", $"c", cb, 8)).queryExecution.analyzed
+    }
+    assert(e3.getMessage.toLowerCase.contains("binary"), e3.getMessage)
+  }
+
   test("ivfTopK with KMeansND-TRAINED cells recalls most exact neighbors") {
     // the production path: coarse cells fitted with Lloyd's, not the
     // deterministic first-k seed the oracle uses

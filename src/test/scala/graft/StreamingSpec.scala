@@ -106,17 +106,50 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(Event(1, ts(10), "purchase", 5.0))
       q.processAllAvailable()
-      val rows = spark.table("funnel_out")
-        .select("user_id").as[Long].collect().toSeq
-      assert(rows === Seq(1L), "only the strictly-ordered funnel completes")
-      // advance the watermark far past user 3's horizon → state evicts
+      // buffered-replay contract: nothing emits until the watermark
+      // passes the events — the price of event-time determinism
+      assert(spark.table("funnel_out").isEmpty,
+        "completions must wait for the watermark, not arrival")
+      // advance the watermark far past every event → user 1 completes,
+      // users 2/3 (incomplete, horizon passed) evict
       in.addData(Event(9, ts(600), "view", 1.0))
       q.processAllAvailable()
       in.addData(Event(9, ts(610), "view", 1.0))
       q.processAllAvailable()
+      val rows = spark.table("funnel_out")
+        .select("user_id").as[Long].collect().toSeq
+      assert(rows === Seq(1L), "only the strictly-ordered funnel completes")
       val state = q.lastProgress.stateOperators(0).numRowsTotal
       assert(state <= 2,
         s"stale funnels must evict (state rows = $state; expect <= users 9+maybe1)")
+    } finally q.stop()
+  }
+
+  test("funnelStream replays cross-batch out-of-order events in event-time order") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the click ARRIVES a batch before its in-watermark view — a
+      // fold-on-arrival machine would drop the funnel; event-time
+      // buffering must still complete it
+      in.addData(Event(7, ts(5), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(7, ts(2), "view", 1.0), Event(7, ts(8), "purchase", 3.0))
+      q.processAllAvailable()
+      // ripen everything: watermark past ts(8)
+      in.addData(Event(99, ts(600), "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(99, ts(610), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_ooo").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_us"),
+          r.getAs[Long]("click_us"), r.getAs[Long]("purchase_us")))
+      def us(min: Long) = (1700000000000L + min * 60000L) * 1000L
+      assert(rows.toSeq === Seq((7L, us(2), us(5), us(8))),
+        s"late-arriving view must still anchor the funnel, got ${rows.toSeq}")
     } finally q.stop()
   }
 
