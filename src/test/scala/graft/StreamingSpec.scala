@@ -90,6 +90,91 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedupSink replay: the same batch twice leaves the corpus unchanged") {
+    // a crash between the sink's append and the offset commit makes the
+    // engine re-invoke foreachBatch with the SAME batch — at-least-once.
+    // The dedup semantics must make that replay a no-op: the replayed
+    // docs probe the corpus, find themselves, and drop.
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    try {
+      val sink = StreamingOps.incrementalDedupSink(s"$dir/corpus")
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      val b1 = Seq((1L, "en", base),
+        (2L, "en", "completely different words here entirely"))
+        .toDF("doc_id", "lang", "text")
+      sink(b1, 0L)
+      def snapshot() = spark.read.parquet(s"$dir/corpus")
+        .collect().map(_.toString).sorted.toSeq
+      val afterFirst = snapshot()
+      assert(afterFirst.size === 2)
+      sink(b1, 0L) // the replay
+      assert(snapshot() === afterFirst,
+        "replaying a committed batch must not append duplicate rows")
+      // and the loop keeps working after the replay: novel still lands
+      sink(Seq((7L, "en", "fresh novel content matching nothing prior at all"))
+        .toDF("doc_id", "lang", "text"), 1L)
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 7L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("semanticDedupSink replay: the same batch twice leaves the corpus unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semreplay_").toString
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = graft.operators.KMeansND.seed(
+        emb.select($"vec_id".as("id"), $"embedding".as("vec")), 8)
+      def vec(id: Long): Array[Float] = emb.filter($"vec_id" === id)
+        .select($"embedding").as[Array[Float]].head()
+      val sink = StreamingOps.semanticDedupSink(s"$dir/corpus", cents, 0.8)
+      val b1 = Seq((1L, vec(42)), (3L, vec(7).map(-_)))
+        .toDF("vec_id", "embedding")
+      sink(b1, 0L)
+      def snapshot() = spark.read.parquet(s"$dir/corpus")
+        .select("vec_id", "cell").collect().map(_.toString).sorted.toSeq
+      val afterFirst = snapshot()
+      assert(afterFirst.size === 2)
+      sink(b1, 0L) // the replay: both vectors are their own semantic dups
+      assert(snapshot() === afterFirst,
+        "replaying a committed batch must not append duplicate vectors")
+      sink(Seq((11L, vec(13))).toDF("vec_id", "embedding"), 1L)
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("vec_id").as[Long].collect().toSet === Set(1L, 3L, 11L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("incrementalDedupSink restart: a checkpointed stream resumes without dup appends") {
+    // the weekly-restart path: stop the query, start a NEW query on the
+    // same checkpoint — committed batches must not reprocess, and new
+    // files must flow through the same corpus probe
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart_").toString
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      val schema = Seq((1L, "en", "x")).toDF("doc_id", "lang", "text").schema
+      Seq((1L, "en", base), (2L, "en", "completely different words here entirely"))
+        .toDF("doc_id", "lang", "text").write.parquet(s"$dir/in/b1")
+      def startQuery() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch(StreamingOps.incrementalDedupSink(s"$dir/corpus"))
+        .start()
+      val q1 = startQuery()
+      try { q1.processAllAvailable() } finally q1.stop()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+      // restart from the same checkpoint; drop in a dup of doc 1 + a novel doc
+      Seq((10L, "en", base),
+        (12L, "en", "fresh novel content that matches nothing prior at all"))
+        .toDF("doc_id", "lang", "text").write.parquet(s"$dir/in/b2")
+      val q2 = startQuery()
+      try { q2.processAllAvailable() } finally q2.stop()
+      val docs = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(docs.sorted === Seq(1L, 2L, 12L),
+        s"restart must not re-append batch 1 nor admit the corpus dup, got $docs")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("funnelStream emits ordered completions and evicts stale state") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
