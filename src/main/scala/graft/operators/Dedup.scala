@@ -218,8 +218,17 @@ object Dedup {
     * per-round job scheduling at all. Above the threshold (a 100 TB
     * corpus can yield 10^9+ pairs) it falls back to the distributed
     * min-label loop below. */
+  /** Per-round observability for the CC loops: `round` (1-based),
+    * `shuffledRows` (rows entering that round's exchanges — the scale
+    * cost), and `progress` (min-label: labels still changing; star:
+    * edges remaining after contraction). Wired by the comparison
+    * harness so §3's algorithm-selection rule carries MEASURED numbers;
+    * production calls leave it None and pay nothing. */
+  type CCRoundProbe = (Int, Long, Long) => Unit
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      localEdgeThreshold: Long = 2000000L): DataFrame = {
+      localEdgeThreshold: Long = 2000000L,
+      onRound: Option[CCRoundProbe] = None): DataFrame = {
     val ccDebug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
     def dbg(m: String): Unit =
       if (ccDebug) System.err.println(s"[cc] $m t=${System.nanoTime() / 1e9}")
@@ -246,7 +255,7 @@ object Dedup {
           "(non-numeric id column, or null ids in the pair set)")
     val out =
       if (nEdges <= localEdgeThreshold) localUnionFind(edges1)
-      else distributedMinLabel(edges1, maxIter, dbg)
+      else distributedMinLabel(edges1, maxIter, dbg, onRound)
     edges1.unpersist(false)
     dbg("done")
     out
@@ -296,7 +305,7 @@ object Dedup {
     * round truncates lineage (persist() alone grows the logical plan
     * until analyzer heap exhaustion). */
   private def distributedMinLabel(edges1: DataFrame, maxIter: Int,
-      dbg: String => Unit): DataFrame = {
+      dbg: String => Unit, onRound: Option[CCRoundProbe] = None): DataFrame = {
     val spark = edges1.sparkSession
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = edges1
@@ -304,6 +313,11 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    // every round exchanges the full bidirected edge list (neighbor-min
+    // agg) plus the label table twice (propagate join + pointer jump) —
+    // a FLAT per-round cost, the number the star path's decaying rounds
+    // are compared against. Counted only when a probe asks.
+    val perRoundRows = onRound.map(_ => edges.count() + 2 * labels.count())
     dbg("labels init")
     var changed = 1L
     var iter = 0
@@ -332,6 +346,7 @@ object Dedup {
       labels = next.select("id", "label")
       iter += 1
       dbg(s"round $iter changed=$changed")
+      onRound.foreach(f => f(iter, perRoundRows.get, changed))
     }
     if (changed > 0)
       throw new IllegalStateException(
@@ -378,7 +393,8 @@ object Dedup {
     * is a star per component centered at its min id. Convergence is
     * detected on the (count, order-independent checksum) of the edge
     * set — stable across one full round ⇒ fixpoint. */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25,
+      onRound: Option[CCRoundProbe] = None): DataFrame = {
     val spark = pairs.sparkSession
     val before = spark.sparkContext.getPersistentRDDs.keySet
     // canonicalize (src > dst), drop self-loops, null-check like the
@@ -429,12 +445,19 @@ object Dedup {
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
+      val eBefore = fp._1
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nfp = fingerprint(next)
       converged = nfp == fp
       edges = next
       fp = nfp
       iter += 1
+      // a star round exchanges the bidirected current edges (2E) for
+      // the large-star neighbor-min agg, E for its relink join, and
+      // ~E for the small-star pass — ∝ the CURRENT edge count, which
+      // contraction shrinks geometrically (the whole point vs the
+      // min-label loop's flat rounds)
+      onRound.foreach(f => f(iter, 4 * eBefore, nfp._1))
     }
     if (!converged)
       throw new IllegalStateException(

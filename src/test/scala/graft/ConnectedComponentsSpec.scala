@@ -125,6 +125,76 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(star.values.toSet.size === 3 + 200, "hubs + tail components")
   }
 
+  test("algorithm comparison: star contraction's shuffle decays, min-label's stays flat") {
+    // the §3 rule-10 selection guidance, MEASURED: a deterministic
+    // power-law dup graph — clusters of size 10^2/10^3/10^4 with ~3
+    // redundant pair edges per member, the shape LSH banding actually
+    // emits (every doc collides with several clustermates, not one) —
+    // plus a 512-node chain (worst case for label propagation). A pure
+    // tree would hide the contraction: star's fixpoint keeps |V|-C
+    // edges, so decay only shows when blocking emits redundant pairs,
+    // which at real dup density it always does.
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.newBuilder[(Long, Long)]
+    def cluster(base: Long, size: Int): Unit =
+      (1 until size).foreach { i =>
+        edges += ((base + i, base + rnd.nextInt(i))) // random spanning tree
+        edges += ((base + i, base + rnd.nextInt(i))) // + redundant collisions
+        edges += ((base + i, base + rnd.nextInt(i)))
+      }
+    cluster(1000000L, 10000)
+    cluster(3000000L, 1000)
+    cluster(4000000L, 100)
+    edges += ((1000000L, 3000000L)) // merge the two big clusters
+    (0L until 511L).foreach(i => edges += ((5000000L + i, 5000001L + i)))
+    val pairs = edges.result().toDF("id_a", "id_b")
+
+    final case class Round(round: Int, shuffledRows: Long, progress: Long)
+    val ml = scala.collection.mutable.ArrayBuffer[Round]()
+    val st = scala.collection.mutable.ArrayBuffer[Round]()
+    val mlLabels = Dedup.connectedComponents(pairs, maxIter = 20,
+      localEdgeThreshold = 0L,
+      onRound = Some((r, s, p) => { ml += Round(r, s, p); () }))
+      .as[(Long, Long)].collect().toMap
+    val stLabels = Dedup.connectedComponentsStar(pairs, maxIter = 25,
+      onRound = Some((r, s, p) => { st += Round(r, s, p); () }))
+      .as[(Long, Long)].collect().toMap
+    assert(stLabels === mlLabels, "both algorithms must label identically")
+    assert(mlLabels.values.toSet.size === 3, "hubA+hubB merged, hubC, chain")
+
+    val mlTotal = ml.map(_.shuffledRows).sum
+    val stTotal = st.map(_.shuffledRows).sum
+    info(s"min-label: rounds=${ml.size} perRound=${ml.head.shuffledRows} " +
+      s"total=$mlTotal changed=${ml.map(_.progress).mkString(",")}")
+    info(s"star: rounds=${st.size} total=$stTotal " +
+      s"volumes=${st.map(_.shuffledRows).mkString(",")} " +
+      s"edges=${st.map(_.progress).mkString(",")}")
+    // the structural claims behind §3 rule 10:
+    // 1. min-label's per-round exchange is flat — every round re-ships
+    //    the full bidirected edge list + 2 label tables
+    assert(ml.map(_.shuffledRows).distinct.size === 1)
+    // 2. star contraction's edge set shrinks to the star fixpoint
+    //    (|V| - C edges) and sheds the redundant pair edges within two
+    //    rounds; the per-round volume sequence never grows
+    val stVols = st.map(_.shuffledRows).toSeq
+    assert(stVols.zip(stVols.tail).forall { case (a, b) => b <= a },
+      s"star per-round volume must decay, got $stVols")
+    assert(st.last.progress === mlLabels.size.toLong - 3,
+      "star fixpoint must be one star per component")
+    assert(st(1).progress < mlLabels.size.toLong * 3 / 2,
+      "redundant cluster edges must collapse within two rounds")
+    // 3. chains are why neither loop is O(1) rounds: both need
+    //    O(log diameter) — the 512-chain keeps them in single digits+
+    assert(ml.size <= 12 && st.size <= 12,
+      s"512-chain must converge in O(log d) rounds (ml=${ml.size}, st=${st.size})")
+    // 4. the measured crossover: on a hub-dominated graph the decaying
+    //    star rounds move fewer total rows than the flat min-label
+    //    rounds — the reason §3 rule 10 sends the trillion-edge regime
+    //    to star contraction
+    assert(stTotal < mlTotal,
+      s"star total shuffled rows ($stTotal) must undercut min-label ($mlTotal)")
+  }
+
   test("matches a union-find ground truth on real near-dup pairs") {
     val pairs = graft.queries.DedupPack.defs("dedup_jaccard")(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect()
