@@ -190,6 +190,67 @@ object SimilarityPack extends QueryPack {
           col("t.v").as("vid"), round(-col("t.negcos"), 4).as("cos"))
     }),
 
+    // Recall-vs-cost sweep — the tuning table an ANN deployment reads
+    // before picking its operating point: recall@3 against exact cosine
+    // for the two production knobs at two settings each (PQ-rerank
+    // shortlist 10/32, IVF+PQ nprobe 2/4). The knob IS the unit cost —
+    // shortlist = exact-vector fetches per query, nprobe = cells
+    // scanned per query — so the four rows are the recall/cost
+    // frontier directly. Recall is one exact count over all queries
+    // (matches / 3·|Q| — no per-query float averaging, so the value is
+    // order-independent and oracle-replayable). A tuning query: it
+    // re-encodes the toy corpus per family; at 100 TB the codes/cells
+    // are the persisted index, not recomputed.
+    "ann_recall_sweep" -> ((s, d) => {
+      import graft.functions.PQExpressions.{pqAdcDist, pqEncode}
+      import graft.functions.TopKAggregate.topk
+      import graft.functions.VectorFunctions.cosineSim
+      import graft.operators.KMeansND
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < NumQueries)
+      val truth = Similarity.topK(emb, q, k = 3).select(col("qid"), col("vid"))
+      val cb: Seq[Seq[Double]] = emb.filter(col("vec_id") < NumCodes)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val codes = emb.select(col("vec_id"),
+        pqEncode(col("embedding"), cb, NumSub).as("codes"))
+      val qs = q.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val adc = codes.join(broadcast(qs), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          pqAdcDist(col("qemb"), col("codes"), cb, NumSub).as("ad"))
+      def rerankTop3(shortN: Int): DataFrame = {
+        val shortlist = adc.groupBy("qid")
+          .agg(topk(struct(col("ad"), col("vid").as("v")), shortN).as("top"))
+          .select(col("qid"), explode(col("top")).as("t"))
+          .select(col("qid"), col("t.v").as("vid"))
+        shortlist
+          .join(emb.select(col("vec_id").as("vid"), col("embedding").as("vemb")), "vid")
+          .join(broadcast(qs), "qid")
+          .select(col("qid"), col("vid"),
+            cosineSim(col("qemb"), col("vemb")).as("cos"))
+          .groupBy("qid")
+          .agg(topk(struct((-col("cos")).as("negcos"), col("vid").as("v")), 3).as("top"))
+          .select(col("qid"), explode(col("top")).as("t"))
+          .select(col("qid"), col("t.v").as("vid"))
+      }
+      val cents = KMeansND.seed(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")), NumCells)
+      def ivfpqTop3(np: Int): DataFrame =
+        Similarity.ivfPqTopK(emb, q, cents, cb, NumSub, k = 3, nprobe = np)
+          .select(col("qid"), col("vid"))
+      def recallRow(approx: DataFrame, family: String, knob: Int): DataFrame =
+        truth.as("x").join(broadcast(approx.as("a")),
+            col("x.qid") === col("a.qid") && col("x.vid") === col("a.vid"), "left")
+          .agg(round(count(col("a.vid")) / lit(3.0 * NumQueries), 4).as("recall"))
+          .select(lit(family).as("family"), lit(knob).cast("int").as("knob"),
+            col("recall"))
+      recallRow(rerankTop3(10), "pq_rerank", 10)
+        .unionByName(recallRow(rerankTop3(32), "pq_rerank", 32))
+        .unionByName(recallRow(ivfpqTop3(2), "ivfpq", 2))
+        .unionByName(recallRow(ivfpqTop3(4), "ivfpq", 4))
+    }),
+
     // Residual-encoding IVF+PQ (the FAISS IVFPQ layout): codes quantize
     // v − centroid(cell) — residuals concentrate near the origin, so a
     // shared codebook covers every cell. The deterministic codebook is
@@ -402,6 +463,89 @@ object SimilarityPack extends QueryPack {
          |  SELECT qid, vid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
          |  FROM rer) WHERE rk <= 3""".stripMargin,
+    "ann_recall_sweep" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, v FROM emb WHERE vec_id < $NumCodes),
+         |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT e.vec_id, m.m, c.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, m.m
+         |        ORDER BY $pqEncDistSql, c.code) AS rn
+         |    FROM emb e CROSS JOIN range(0, $NumSub) m(m) CROSS JOIN cb c)
+         |  WHERE rn = 1),
+         |codes AS (SELECT vec_id, list(code ORDER BY m) AS cs FROM enc GROUP BY vec_id),
+         |adc AS (
+         |  SELECT q.vec_id AS qid, d.vec_id AS vid,
+         |    $pqAdcTermsSql AS ad
+         |  FROM emb q CROSS JOIN codes d
+         |  ${pqCbJoinsSql()}
+         |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id),
+         |ranked AS (SELECT qid, vid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS srk FROM adc),
+         |rer AS (
+         |  SELECT s.qid, s.vid, s.srk,
+         |    (list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))) AS cos
+         |  FROM ranked s
+         |  JOIN emb q ON q.vec_id = s.qid
+         |  JOIN emb c ON c.vec_id = s.vid
+         |  WHERE s.srk <= 32),
+         |rer10 AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |  FROM rer WHERE srk <= 10) WHERE rk <= 3),
+         |rer32 AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |  FROM rer) WHERE rk <= 3),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (list_dot_product(e.v,e.v) - 2*list_dot_product(e.v,c.cv))
+         |      + list_dot_product(c.cv,c.cv), c.cid) AS rn
+         |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+         |probe AS (SELECT qid, v, cid AS cell, rn FROM (
+         |  SELECT q.vec_id AS qid, q.v, c.cid, row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY (list_dot_product(q.v,q.v) - 2*list_dot_product(q.v,c.cv))
+         |      + list_dot_product(c.cv,c.cv), c.cid) AS rn
+         |  FROM emb q CROSS JOIN cent c WHERE q.vec_id < $NumQueries) WHERE rn <= 4),
+         |adc2 AS (
+         |  SELECT q.qid, s.vec_id AS vid,
+         |    $pqAdcTermsSql AS ad
+         |  FROM (SELECT qid, v, cell FROM probe WHERE rn <= 2) q
+         |  JOIN cells s ON s.cell = q.cell AND s.vec_id <> q.qid
+         |  JOIN codes d ON d.vec_id = s.vec_id
+         |  ${pqCbJoinsSql()}),
+         |top2 AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk
+         |  FROM adc2) WHERE rk <= 3),
+         |adc4 AS (
+         |  SELECT q.qid, s.vec_id AS vid,
+         |    $pqAdcTermsSql AS ad
+         |  FROM (SELECT qid, v, cell FROM probe) q
+         |  JOIN cells s ON s.cell = q.cell AND s.vec_id <> q.qid
+         |  JOIN codes d ON d.vec_id = s.vec_id
+         |  ${pqCbJoinsSql()}),
+         |top4 AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk
+         |  FROM adc4) WHERE rk <= 3),
+         |excand AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, $cosSql AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < $NumQueries
+         |    AND b.vec_id <> a.vec_id),
+         |ex AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |  FROM excand) WHERE rk <= 3)
+         |SELECT 'pq_rerank' AS family, 10 AS knob,
+         |  round(count(ap.vid)/(3.0*$NumQueries), 4) AS recall
+         |FROM ex LEFT JOIN rer10 ap ON ap.qid = ex.qid AND ap.vid = ex.vid
+         |UNION ALL
+         |SELECT 'pq_rerank', 32, round(count(ap.vid)/(3.0*$NumQueries), 4)
+         |FROM ex LEFT JOIN rer32 ap ON ap.qid = ex.qid AND ap.vid = ex.vid
+         |UNION ALL
+         |SELECT 'ivfpq', 2, round(count(ap.vid)/(3.0*$NumQueries), 4)
+         |FROM ex LEFT JOIN top2 ap ON ap.qid = ex.qid AND ap.vid = ex.vid
+         |UNION ALL
+         |SELECT 'ivfpq', 4, round(count(ap.vid)/(3.0*$NumQueries), 4)
+         |FROM ex LEFT JOIN top4 ap ON ap.qid = ex.qid AND ap.vid = ex.vid""".stripMargin,
     "ann_ivfpq_residual" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),
