@@ -425,6 +425,56 @@ object TextPack extends QueryPack {
             .otherwise(0L)).as("tokens_kept"))
     }),
 
+    // The per-source token-budget mixture as ONE declarative plan —
+    // the sampler composite a curation team actually runs per
+    // snapshot: adaptive quality cut (each source drops its own
+    // bottom decile — text_filter_adaptive's stage) → per-source doc
+    // cap in deterministic md5-hash order (text_source_cap's stage) →
+    // per-source token budget over the capped stream, split-on-
+    // boundary (text_token_budget's stage). Output is the per-source
+    // funnel through all three stages plus final token mass.
+    // Scale shape: the percentile, the cap rank, and the budget
+    // cumsum are all windows over the SOURCE partitioning — one
+    // logical partitioning reused by three stages (cap rank and
+    // budget cumsum even share one window spec, so Catalyst plans
+    // them in a single Window exec), and the cap bounds the budget
+    // window at `cap` rows per source, so no stream's sort exceeds
+    // the cap regardless of corpus size. At 100 TB add the shard key
+    // to the budget stream like text_token_budget if per-source
+    // budgets exceed driver-meaningful row counts.
+    "text_mixture_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 15L
+      val budget = 512L
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("n_tokens"), qualityScore.as("q"),
+        md5(col("doc_id").cast("string").cast("binary")).as("md5h"))
+      val survivors = base.withColumn("cut",
+          round(expr("percentile(q, 0.1)").over(Window.partitionBy("source")), 6))
+        .filter(col("q") > col("cut"))
+      val drawOrder = Window.partitionBy("source")
+        .orderBy(col("md5h"), col("doc_id"))
+      val budgeted = survivors
+        .withColumn("rk", row_number().over(drawOrder))
+        .filter(col("rk") <= cap)
+        .withColumn("cum", sum("n_tokens").over(
+          drawOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("kept", col("cum") - col("n_tokens") < budget)
+      base.groupBy("source").agg(count(lit(1)).as("n_input"))
+        .join(survivors.groupBy("source")
+          .agg(count(lit(1)).as("n_quality")), Seq("source"), "left")
+        .join(budgeted.groupBy("source").agg(
+          count(lit(1)).as("n_capped"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_final"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_final")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_input"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_capped"), lit(0L)).as("n_capped"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+    }),
+
     // Exact heavy hitters (words above 0.5% of all tokens) in two
     // passes: a Misra-Gries sketch pass (k=400 counters per partition,
     // merged associatively — the exchange carries O(k) rows per
@@ -651,6 +701,45 @@ object TextPack extends QueryPack {
          |  CAST(sum(CASE WHEN q <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  min(cut) AS cut
          |FROM c GROUP BY source""".stripMargin,
+    "text_mixture_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text, $wSql AS w,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($wSql) AS BIGINT) AS n_words
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, source, n_words AS n_tokens,
+         |    round(0.5*least(1.0, n_words/50.0)
+         |      + 0.3*round(${hitSql("w", langProfiles.toMap.apply("en"))}/n_words, 6)
+         |      + 0.2*(1.0 - round((n_chars - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g')))/n_chars, 6)), 6) AS q
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens, q,
+         |    round(quantile_cont(q, 0.1) OVER (PARTITION BY source), 6) AS cut
+         |  FROM m),
+         |surv AS (SELECT doc_id, source, n_tokens FROM c WHERE q > cut),
+         |capped AS (SELECT doc_id, source, n_tokens FROM (
+         |  SELECT doc_id, source, n_tokens, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM surv) WHERE rk <= 15),
+         |bud AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM capped)
+         |SELECT i.source, i.n_input,
+         |  coalesce(s.n_quality, 0) AS n_quality,
+         |  coalesce(b.n_capped, 0) AS n_capped,
+         |  coalesce(b.n_final, 0) AS n_final,
+         |  coalesce(b.tokens_final, 0) AS tokens_final
+         |FROM (SELECT source, count(*) AS n_input FROM t GROUP BY source) i
+         |LEFT JOIN (SELECT source, count(*) AS n_quality FROM surv GROUP BY source) s USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n_capped,
+         |    CAST(sum(CASE WHEN cum - n_tokens < 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |    CAST(sum(CASE WHEN cum - n_tokens < 512 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
+         |  FROM bud GROUP BY source) b USING (source)""".stripMargin,
     "text_corpus_report" ->
       s"""SELECT count(*) AS n_docs,
          |  CAST(sum(len($wSql)) AS BIGINT) AS n_tokens,

@@ -141,8 +141,9 @@ class PlanSpec extends SparkSpec {
     * single-row global aggregate), so the nested loop is
     * O(corpus × tiny), never corpus × corpus. Everything else must
     * stay equi-join only.
-    *   ann_topk / ann_recall / ann_pq — hinted ≤10-row query set,
-    *     non-equi (self-exclusion) probe over the corpus;
+    *   ann_topk / ann_recall / ann_pq / ann_recall_sweep — hinted
+    *     ≤10-row query set, non-equi (self-exclusion) probe over the
+    *     corpus;
     *   km_silhouette_exact — k-row cluster-moment broadcast (the
     *     O(n·k) silhouette decomposition);
     *   text_tfidf — single-row corpus-count broadcast (in-plan
@@ -156,8 +157,9 @@ class PlanSpec extends SparkSpec {
     *   text_quality_learned — single-row median-label-cut broadcast. */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
-      "km_silhouette_exact", "text_tfidf", "text_heavy_hitters",
-      "text_quality_bins", "text_ppl_proxy", "text_quality_learned")
+      "ann_recall_sweep", "km_silhouette_exact", "text_tfidf",
+      "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy",
+      "text_quality_learned")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
