@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{encode, transform}
 import graft.multimodal.Multimodal
 
 class MultimodalSpec extends SparkSpec {
@@ -77,5 +78,41 @@ class MultimodalSpec extends SparkSpec {
     val bad = out.join(docs, out("id") === docs("doc_id"))
       .filter($"byte_len" < $"n_chars").count()
     assert(bad === 0)
+  }
+
+  test("mm_semdedup bridges media features into semantic dedup: replicas collapse") {
+    import graft.operators.{KMeansND, Similarity}
+    // the gated query's funnel conserves the corpus on real tables
+    val funnel = graft.queries.MultimodalPack.defs("mm_semdedup")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_dropped")))
+    val n = Tables.documents(spark, sfDir).count()
+    assert(funnel.map(_._1).sum === n, "every media row lands in exactly one cell")
+    funnel.foreach { case (v, k, dr) => assert(k + dr === v, "kept+dropped=seen") }
+    // replica collapse through the SAME path: byte-identical payloads
+    // produce identical feature vectors, so the lower id is kept and
+    // every replica drops — the image-dedup contract
+    // payloads chosen to be byte-DISTRIBUTION distinct (the stub
+    // feature is an 8-bin byte histogram, so two English sentences are
+    // legitimately near-dups — exactly what a crude feature does):
+    // lowercase-heavy, digit-heavy, uppercase-heavy
+    val payloads = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog", // replica of 1
+      3L -> "0123456789012345678901234567890123456789",
+      4L -> "ABCDEFGHIJKLMNOPQRSTUVWXYZABCDEFGHIJKLMNOP")
+    val media = payloads.toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+    val feats = Multimodal.extractFeatures(media, "doc_id", "media").toDF()
+      .select($"id".as("vec_id"),
+        transform($"hist", v => v.cast("float")).as("embedding"))
+    val cells = KMeansND.seed(
+      feats.select($"vec_id".as("id"), $"embedding".as("vec")), 2)
+    val kept = Similarity.semDedupApply(feats, cells, tau = 0.98)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L),
+      s"byte-identical replica must collapse to the min id, kept=$kept")
+    assert(kept.contains(3L) && kept.contains(4L),
+      s"distinct payloads must survive, kept=$kept")
   }
 }
