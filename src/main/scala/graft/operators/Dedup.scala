@@ -637,4 +637,59 @@ object Dedup {
         col("hamming"))
     within.unionByName(across)
   }
+
+  /** Asymmetric containment: for every distinct text, its best
+    * container (the text maximizing |a ∩ b| / |a|; ties → min id).
+    * Catches the near-dup class length-blocked Jaccard deliberately
+    * skips — a short doc wholly embedded in a longer one (boilerplate
+    * wrapper, quote expansion) has low Jaccard but containment ≈ 1.
+    *
+    * Candidates via PREFIX FILTERING (the PPJoin containment-join
+    * scheme): each text indexes its ⌊prefixFrac·|set|⌋+1 RAREST grams
+    * (global df order, hash tiebreak); a pair is generated iff a
+    * container holds one of the contained side's prefix grams —
+    * complete for containment ≥ 1 − prefixFrac, because dropping more
+    * than that fraction cannot remove the whole rarest prefix. At
+    * scale the prefix grams are each set's rarest, so under a Zipfian
+    * vocabulary their posting lists are the short tail; ubiquitous
+    * grams are probed but never pairwise-expanded. Verification is
+    * the exact sorted-hash-set intersect. */
+  def containmentBestContainer(docs: DataFrame, idCol: String,
+      textCol: String, prefixFrac: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DedupExpressions
+    import graft.functions.TextFunctions.words
+    val t = docs
+      .select(col(idCol).as("did"), md5(col(textCol).cast("binary")).as("h"),
+        col(textCol).as("text"))
+      .groupBy("h")
+      .agg(min("did").as("rid"), min_by(col("text"), col("did")).as("text"))
+      .select(col("rid"), col("h"),
+        DedupExpressions.ngramHashSet(words(col("text")), 1).as("w"))
+      .filter(size(col("w")) >= 1)
+    val g = t.select(col("h"), explode(col("w")).as("gh"))
+    val dfc = g.groupBy("gh").agg(count(lit(1)).as("df"))
+    val pref = g.join(dfc, "gh")
+      .join(t.select(col("h"), size(col("w")).as("len")), "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy(col("df"), col("gh"))))
+      .filter(col("rn") <= floor(col("len") * prefixFrac) + 1)
+      .select(col("h").as("ha"), col("gh"))
+    val cand = pref
+      .join(g.select(col("h").as("hb"), col("gh")), "gh")
+      .filter(col("ha") =!= col("hb"))
+      .select("ha", "hb").distinct()
+    val v = cand
+      .join(t.select(col("h").as("ha"), col("rid").as("ra"), col("w").as("wa")), "ha")
+      .join(t.select(col("h").as("hb"), col("rid").as("rb"), col("w").as("wb")), "hb")
+      .select(col("ra"), col("rb"),
+        round(DedupExpressions.sortedLongIntersectSize(col("wa"), col("wb"))
+          / size(col("wa")), 4).as("containment"))
+    v.withColumn("rk", row_number().over(
+        Window.partitionBy("ra")
+          .orderBy(col("containment").desc, col("rb"))))
+      .filter(col("rk") === 1)
+      .select(col("ra").as("doc_id"), col("rb").as("container_id"),
+        col("containment"))
+  }
 }

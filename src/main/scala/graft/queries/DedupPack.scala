@@ -189,7 +189,27 @@ object DedupPack extends QueryPack {
       Dedup.blockedNgramJaccard(
         Tables.documents(s, d).select(col("doc_id"), col("lang"),
           floor(col("n_chars") / 100).as("lb"), col("text")),
-        ngramN = 2, threshold = 0.5))
+        ngramN = 2, threshold = 0.5)),
+
+    // Asymmetric CONTAINMENT detection (round 8) — the near-dup class
+    // Jaccard's length blocking deliberately skips: a short doc wholly
+    // embedded in a longer one (boilerplate wrapper, quote expansion)
+    // has low Jaccard but containment ≈ 1. Candidates come from PREFIX
+    // FILTERING (the PPJoin/containment-join scheme): every distinct
+    // text indexes its ⌊10%·|set|⌋+1 RAREST grams (global df order,
+    // gh tiebreak), and a pair is generated iff a container holds one
+    // of the contained side's prefix grams — complete for containment
+    // ≥ 0.9, because dropping >90% of a set cannot remove its whole
+    // rarest decile. Scale shape: candidate volume is Σ prefix ×
+    // posting length, and prefix grams are by construction each set's
+    // rarest — under any Zipfian vocabulary their postings are the
+    // short tail, while ubiquitous grams are only ever probed, never
+    // expanded pairwise. Verification is the exact sorted-hash-set
+    // intersect; containment(a in b) = inter / |a|. Output: every
+    // text's best container (max containment, ties to min id) —
+    // thresholds are the caller's.
+    "text_containment" -> ((s, d) =>
+      Dedup.containmentBestContainer(Tables.documents(s, d), "doc_id", "text"))
   )
 
   // the deterministic MinHash permutation constants the Spark plan
@@ -440,6 +460,35 @@ object DedupPack extends QueryPack {
         |      (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 4) AS jaccard
         |  FROM g a JOIN g b
         |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
+    "text_containment" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h, text FROM documents),
+        |rep AS (SELECT h, min(doc_id) AS rid, arg_min(text, doc_id) AS text
+        |  FROM d GROUP BY h),
+        |t AS (SELECT rid, h,
+        |  list_distinct(list_transform(regexp_split_to_array(text, '\s+'),
+        |    x -> md5_number_lower(x))) AS w
+        |  FROM rep),
+        |t2 AS (SELECT * FROM t WHERE len(w) >= 1),
+        |g AS (SELECT h, unnest(w) AS gh FROM t2),
+        |dfc AS (SELECT gh, count(*) AS df FROM g GROUP BY gh),
+        |pref AS (SELECT ha, gh FROM (
+        |  SELECT g.h AS ha, g.gh, s.len,
+        |    row_number() OVER (PARTITION BY g.h ORDER BY dfc.df, g.gh) AS rn
+        |  FROM g JOIN dfc USING (gh)
+        |  JOIN (SELECT h, len(w) AS len FROM t2) s ON s.h = g.h)
+        |  WHERE rn <= floor(len * 0.1) + 1),
+        |cand AS (SELECT DISTINCT p.ha, g2.h AS hb
+        |  FROM pref p JOIN g g2 ON g2.gh = p.gh AND g2.h <> p.ha),
+        |v AS (SELECT ta.rid AS ra, tb.rid AS rb,
+        |    round(len(list_intersect(ta.w, tb.w)) / len(ta.w), 4) AS containment
+        |  FROM cand
+        |  JOIN t2 ta ON ta.h = cand.ha
+        |  JOIN t2 tb ON tb.h = cand.hb)
+        |SELECT doc_id, container_id, containment FROM (
+        |  SELECT ra AS doc_id, rb AS container_id, containment,
+        |    row_number() OVER (PARTITION BY ra
+        |      ORDER BY containment DESC, rb) AS rk
+        |  FROM v) WHERE rk = 1""".stripMargin
   )
 }

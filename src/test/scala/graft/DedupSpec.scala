@@ -141,4 +141,37 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(banded === brute)
   }
+
+  test("containment finds the wrapper dup that Jaccard misses") {
+    // the boilerplate-wrapper shape: doc 1's words are fully embedded
+    // in doc 2 (an article plus navigation chrome); doc 3 is unrelated
+    val core = "solar panels convert sunlight into usable electric power efficiently"
+    val chrome = "home about contact subscribe newsletter privacy terms sitemap " +
+      "login register search menu footer header sidebar advertisement click share"
+    val docsDf = Seq(
+      (1L, core),
+      (2L, core + " " + chrome),
+      (3L, "quantum computing relies on entangled qubit states for speedup"))
+      .toDF("doc_id", "text")
+    val best = Dedup.containmentBestContainer(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(best(1L) === ((2L, 1.0)),
+      s"wrapped doc must report full containment in its wrapper, got $best")
+    // the same pair under Jaccard: far below any dedup threshold —
+    // the operator exists precisely because this pair is invisible there
+    val j = Dedup.blockedNgramJaccard(
+      docsDf.select($"doc_id", lit("en").as("lang"), lit(0L).as("lb"), $"text"),
+      ngramN = 1, threshold = 0.0)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard").as[Double].collect()
+    assert(j.headOption.forall(_ < 0.5),
+      s"wrapper pair must be a low-Jaccard pair, got ${j.toSeq}")
+    // docs 2 and 3 are below the ≥0.9 completeness bound everywhere
+    // (2 is mostly chrome, 3 is disjoint): the prefix filter owes them
+    // nothing, and reporting no row for them is the contract working —
+    // but IF a row appears it must be low-containment, never spurious
+    Seq(2L, 3L).foreach(id =>
+      assert(best.get(id).forall(_._2 < 0.5),
+        s"doc $id must not report a high-containment container, got $best"))
+  }
 }
