@@ -289,10 +289,49 @@ object RelationalII extends QueryPack {
       active.join(cohort, "user_id")
         .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
         .agg(countDistinct("user_id").as("n_users"))
+    }),
+
+    // Incremental aggregate maintenance (round 8) — the daily-rollup
+    // merge every warehouse pipeline runs: a persisted per-key summary
+    // is updated with a new batch by MERGING algebraic states (n, sum,
+    // min, max — avg derives at read), never rescanning history. Here
+    // both states build from one table split on a time cutoff, and the
+    // merged output must equal the direct full aggregate — which is
+    // exactly what the oracle computes through the same merge tree.
+    // Merge cost scales with |keys|, not |history|; at 100 TB the
+    // summary is the small side and the batch is one day, so the
+    // update never touches cold data. Distinct counts can't merge this
+    // way — that's what the HLL sketch path (q_approx_distinct) is for.
+    "q_incremental_agg" -> ((s, d) => {
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      def state(df: DataFrame) = df.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("value").as("sv"),
+        min("value").as("mn"), max("value").as("mx"))
+      val summary = state(events(s, d).filter(col("ts") < cutoff))
+      val batch = state(events(s, d).filter(col("ts") >= cutoff))
+      summary.unionByName(batch).groupBy("event_type").agg(
+        sum("n").as("n"), round(sum("sv"), 2).as("sum_value"),
+        round(min("mn"), 2).as("min_value"), round(max("mx"), 2).as("max_value"),
+        round(sum("sv") / sum("n"), 4).as("avg_value"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q_incremental_agg" ->
+      """WITH h AS (
+        |  SELECT event_type, count(*) AS n, sum(value) AS sv,
+        |    min(value) AS mn, max(value) AS mx
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+        |b AS (
+        |  SELECT event_type, count(*) AS n, sum(value) AS sv,
+        |    min(value) AS mn, max(value) AS mx
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+        |u AS (SELECT * FROM h UNION ALL SELECT * FROM b)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |  round(sum(sv), 2) AS sum_value,
+        |  round(min(mn), 2) AS min_value, round(max(mx), 2) AS max_value,
+        |  round(sum(sv) / sum(n), 4) AS avg_value
+        |FROM u GROUP BY event_type""".stripMargin,
     "q_window_funcs" ->
       """SELECT event_id, user_id, prev_value, next_type, rk, cd, pr, quartile FROM (
         |  SELECT event_id, user_id, event_type,
