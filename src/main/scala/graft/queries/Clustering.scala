@@ -87,6 +87,43 @@ object Clustering extends QueryPack {
       KMeansDF.fit(p, K, maxIter = LloydFixedIters, tol = 0.0).toDF()
         .select(col("cid"), col("x").as("nx"), col("y").as("ny"))
     }),
+    // Deterministic farthest-point initialization (round 8) — the
+    // k-center greedy (Gonzalez 1985; the deterministic production
+    // alternative to both the reference's seeded random sample,
+    // random_num_generator.hpp, and k-means++'s D² draw — same spread
+    // goal, no RNG to disagree on): c0 = min-id point, each next
+    // center = the point maximizing min distance to those chosen
+    // (ties → min id). Each round is one broadcast-literal scan +
+    // top-1 (k scans total, k tiny); output centers ride one final
+    // assignment pass for their Voronoi populations. The oracle
+    // replays every selection as a chained CTE — the trajectory is a
+    // pure function of the data.
+    "km_farthest_init" -> ((s, d) => {
+      val p = pts(s, d)
+      val kInit = 4
+      def distTo(cx: Double, cy: Double) =
+        (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy)
+      val first = p.orderBy("id").limit(1).collect().head
+      var centers = Vector((first.getAs[Long]("id"),
+        first.getAs[Double]("x"), first.getAs[Double]("y")))
+      while (centers.size < kInit) {
+        val dd = centers.map(c => distTo(c._2, c._3)).reduce(least(_, _))
+        val nxt = p.select(col("id"), col("x"), col("y"), dd.as("dd"))
+          .orderBy(col("dd").desc, col("id")).limit(1).collect().head
+        centers :+= ((nxt.getLong(0), nxt.getDouble(1), nxt.getDouble(2)))
+      }
+      val asCentroids = centers.zipWithIndex.map { case ((_, x, y), rk) =>
+        Centroid(rk, x, y)
+      }
+      val sizes = KMeansDF.assign(p, asCentroids)
+        .groupBy("cid").agg(count(lit(1)).as("n_points"))
+      import s.implicits._
+      centers.zipWithIndex.map { case ((id, x, y), rk) => (rk, id, x, y) }
+        .toDF("rk", "id", "x", "y")
+        .join(sizes, col("rk") === col("cid"))
+        .select(col("rk"), col("id"), col("x"), col("y"), col("n_points"))
+    }),
+
     // Model selection: WSSSE elbow curve over candidate k — one
     // broadcast-argmin pass per k, unioned. Each pass is the km_cost
     // operator; the oracle reproduces every k from the same seeds.
@@ -198,6 +235,36 @@ object Clustering extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "km_farthest_init" ->
+      s"""WITH pts AS ($ptsSql),
+         |c0 AS (SELECT id, x, y FROM pts ORDER BY id LIMIT 1),
+         |d1 AS (SELECT p.id, p.x, p.y,
+         |  (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y) AS dd FROM pts p, c0 c),
+         |c1 AS (SELECT id, x, y FROM d1 ORDER BY dd DESC, id LIMIT 1),
+         |d2 AS (SELECT p.id, p.x, p.y, least(
+         |    (p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y),
+         |    (p.x-b.x)*(p.x-b.x)+(p.y-b.y)*(p.y-b.y)) AS dd
+         |  FROM pts p, c0 a, c1 b),
+         |c2 AS (SELECT id, x, y FROM d2 ORDER BY dd DESC, id LIMIT 1),
+         |d3 AS (SELECT p.id, p.x, p.y, least(
+         |    (p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y),
+         |    (p.x-b.x)*(p.x-b.x)+(p.y-b.y)*(p.y-b.y),
+         |    (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y)) AS dd
+         |  FROM pts p, c0 a, c1 b, c2 c),
+         |c3 AS (SELECT id, x, y FROM d3 ORDER BY dd DESC, id LIMIT 1),
+         |cent AS (
+         |  SELECT CAST(0 AS INT) AS rk, id, x, y FROM c0
+         |  UNION ALL SELECT 1, id, x, y FROM c1
+         |  UNION ALL SELECT 2, id, x, y FROM c2
+         |  UNION ALL SELECT 3, id, x, y FROM c3),
+         |asg AS (SELECT pid, rk FROM (
+         |  SELECT p.id AS pid, c.rk,
+         |    row_number() OVER (PARTITION BY p.id ORDER BY
+         |      (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y), c.rk) AS rn
+         |  FROM pts p CROSS JOIN cent c) WHERE rn = 1)
+         |SELECT cent.rk, cent.id, cent.x, cent.y, n.n_points
+         |FROM cent JOIN (SELECT rk, count(*) AS n_points FROM asg GROUP BY rk) n
+         |  USING (rk)""".stripMargin,
     "km_assign" ->
       s"""WITH pts AS ($ptsSql), cent AS ($centSql), a AS ($assignSql)
          |SELECT id, cid FROM a""".stripMargin,
