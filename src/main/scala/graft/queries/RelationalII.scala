@@ -291,6 +291,55 @@ object RelationalII extends QueryPack {
         .agg(countDistinct("user_id").as("n_users"))
     }),
 
+    // Single-scan column profiling (round 8) — the data-profiling pass
+    // every pipeline runs before training (the Deequ/TFDV shape): one
+    // aggregate computes every column's stats as an array of structs,
+    // exploded to one row per column. ONE scan however many columns
+    // are profiled — the naive per-column union would scan the table
+    // per column; at 100 TB that difference is the whole job.
+    "q_profile" -> ((s, d) => {
+      def stats(c: String) = struct(
+        lit(c).as("col_name"),
+        count(col(c)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        round(avg(col(c)), 4).as("mean"),
+        round(min(col(c)), 4).as("min_v"),
+        round(max(col(c)), 4).as("max_v"),
+        round(stddev_pop(col(c)), 4).as("stddev"))
+      lineitem(s, d)
+        .agg(array(stats("l_quantity"), stats("l_extendedprice"),
+          stats("l_discount"), stats("l_tax")).as("a"))
+        .select(explode(col("a")).as("s"))
+        .select("s.*")
+    }),
+
+    // Data-quality constraint suite (round 8) — the gate a pipeline
+    // evaluates before publishing a snapshot (Deequ's check shape):
+    // key uniqueness, null fractions, referential integrity, value
+    // ranges — each one scan or one anti-join, reported as
+    // (check, metric, passed) so the caller alerts on any false row.
+    // Declarative end to end: no eager counts, the checks share the
+    // session's scans and the anti-join is bloom-prunable at scale.
+    "q_quality_checks" -> ((s, d) => {
+      val ord = orders(s, d)
+      val chk = (name: String, metric: org.apache.spark.sql.Column) =>
+        (df: DataFrame) => df.agg(round(metric, 6).as("metric"))
+          .select(lit(name).as("check_name"), col("metric"),
+            (col("metric") === 0.0).as("passed"))
+      val pkDups = chk("orders_pk_unique",
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).cast("double"))(ord)
+      val nullFrac = chk("lineitem_qty_null_frac",
+        (sum(when(col("l_quantity").isNull, 1L).otherwise(0L)) /
+          count(lit(1))).cast("double"))(lineitem(s, d))
+      val fkOrphans = chk("orders_fk_customer",
+        count(lit(1)).cast("double"))(
+        ord.join(customer(s, d), col("o_custkey") === col("c_custkey"), "left_anti"))
+      val range = chk("lineitem_discount_range",
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).cast("double"))(lineitem(s, d))
+      pkDups.unionByName(nullFrac).unionByName(fkOrphans).unionByName(range)
+    }),
+
     // Incremental aggregate maintenance (round 8) — the daily-rollup
     // merge every warehouse pipeline runs: a persisted per-key summary
     // is updated with a new batch by MERGING algebraic states (n, sum,
@@ -317,6 +366,50 @@ object RelationalII extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_profile" ->
+      """SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  round(avg(l_quantity), 4) AS mean, round(min(l_quantity), 4) AS min_v,
+        |  round(max(l_quantity), 4) AS max_v, round(stddev_pop(l_quantity), 4) AS stddev
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(l_extendedprice),
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(avg(l_extendedprice), 4), round(min(l_extendedprice), 4),
+        |  round(max(l_extendedprice), 4), round(stddev_pop(l_extendedprice), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(l_discount),
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(avg(l_discount), 4), round(min(l_discount), 4),
+        |  round(max(l_discount), 4), round(stddev_pop(l_discount), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax', count(l_tax),
+        |  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(avg(l_tax), 4), round(min(l_tax), 4),
+        |  round(max(l_tax), 4), round(stddev_pop(l_tax), 4)
+        |FROM lineitem""".stripMargin,
+    "q_quality_checks" ->
+      """WITH m AS (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |    round(CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE), 6) AS metric
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_null_frac',
+        |    round(CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*), 6)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer', round(CAST(count(*) AS DOUBLE), 6)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |    round(CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE), 6)
+        |  FROM lineitem)
+        |SELECT check_name, metric, metric = 0.0 AS passed FROM m""".stripMargin,
     "q_incremental_agg" ->
       """WITH h AS (
         |  SELECT event_type, count(*) AS n, sum(value) AS sv,
