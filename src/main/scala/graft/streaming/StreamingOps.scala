@@ -198,6 +198,46 @@ object StreamingOps {
       novel.write.mode("append").partitionBy("cell").parquet(corpusPath)
   }
 
+  /** Streaming rollup maintenance — the streaming twin of batch
+    * `q_incremental_agg`, wired as a `foreachBatch` sink: each
+    * micro-batch's algebraic partial state (n/sum/min/max per
+    * event_type; avg derives at read) merges into a persisted summary
+    * table — the summary is rewritten per batch, history is never
+    * rescanned.
+    *
+    * REPLAY-SAFE BY BOOKKEEPING, not by semantics: merge arithmetic is
+    * not idempotent (the dedup sinks survive replays because a
+    * replayed doc dedups against itself; a replayed batch here would
+    * DOUBLE-COUNT), so the summary carries the max merged batchId and
+    * a batch at-or-below it is skipped — the at-least-once
+    * `foreachBatch` contract made exactly-once the standard way.
+    * The summary is collected through the driver to break the
+    * read-overwrite cycle on the path: it is keys-sized by
+    * construction (one row per event_type). For per-user-sized keys
+    * put a transactional table format underneath instead. */
+  def incrementalAggSink(summaryPath: String): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val spark = batch.sparkSession
+      val bstate = batch.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("value").as("sv"),
+        min("value").as("mn"), max("value").as("mx"))
+        .withColumn("bid", lit(batchId))
+      corpusIfExists(spark, summaryPath) match {
+        case Some(prev) =>
+          val replay = prev.agg(max("bid")).head().getLong(0) >= batchId
+          if (!replay) {
+            val merged = prev.unionByName(bstate).groupBy("event_type").agg(
+              sum("n").as("n"), sum("sv").as("sv"),
+              min("mn").as("mn"), max("mx").as("mx"), max("bid").as("bid"))
+            val rows = merged.collect().toIndexedSeq
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(rows), merged.schema)
+              .write.mode("overwrite").parquet(summaryPath)
+          }
+        case None => bstate.write.mode("overwrite").parquet(summaryPath)
+      }
+  }
+
   /** Stream-stream interval join — the streaming twin of batch
     * `q_range_join`: each purchase is joined to the same user's views
     * from the preceding hour. Both sides are watermarked and the join
