@@ -639,21 +639,27 @@ object Dedup {
   }
 
   /** Asymmetric containment: for every distinct text, its best
-    * container (the text maximizing |a ∩ b| / |a|; ties → min id).
-    * Catches the near-dup class length-blocked Jaccard deliberately
-    * skips — a short doc wholly embedded in a longer one (boilerplate
-    * wrapper, quote expansion) has low Jaccard but containment ≈ 1.
+    * container (the text maximizing |a ∩ b| / |a| over SHINGLE sets;
+    * ties → min id). Catches the near-dup class length-blocked
+    * Jaccard deliberately skips — a short doc wholly embedded in a
+    * longer one (boilerplate wrapper, quote expansion) has low
+    * Jaccard but containment ≈ 1.
     *
-    * Candidates via PREFIX FILTERING (the PPJoin containment-join
-    * scheme): each text indexes its ⌊prefixFrac·|set|⌋+1 RAREST grams
-    * (global df order, hash tiebreak); a pair is generated iff a
-    * container holds one of the contained side's prefix grams —
-    * complete for containment ≥ 1 − prefixFrac, because dropping more
-    * than that fraction cannot remove the whole rarest prefix. At
-    * scale the prefix grams are each set's rarest, so under a Zipfian
-    * vocabulary their posting lists are the short tail; ubiquitous
-    * grams are probed but never pairwise-expanded. Verification is
-    * the exact sorted-hash-set intersect. */
+    * Sets are BIGRAM SHINGLES (Broder's shingling — order-sensitive,
+    * and the shingle universe is the vocabulary squared, so document
+    * frequencies spread far thinner than unigram dfs; on a
+    * small-vocabulary corpus this is the difference between bounded
+    * postings and a quadratic join). Candidates via PREFIX FILTERING
+    * (the PPJoin containment-join scheme): each text indexes its
+    * ⌊prefixFrac·|set|⌋+1 RAREST shingles (global df order, hash
+    * tiebreak); a pair is generated iff a container holds one of the
+    * contained side's prefix shingles — complete for containment ≥
+    * 1 − prefixFrac, because dropping more than that fraction cannot
+    * remove the whole rarest prefix. Under any Zipfian vocabulary the
+    * prefix postings are the short tail; ubiquitous shingles are
+    * probed but never pairwise-expanded. Verification is the exact
+    * sorted-hash-set intersect. Texts under 2 words have no shingles
+    * and drop out (single-word dups are dedup_exact's regime). */
   def containmentBestContainer(docs: DataFrame, idCol: String,
       textCol: String, prefixFrac: Double = 0.1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -665,14 +671,19 @@ object Dedup {
       .groupBy("h")
       .agg(min("did").as("rid"), min_by(col("text"), col("did")).as("text"))
       .select(col("rid"), col("h"),
-        DedupExpressions.ngramHashSet(words(col("text")), 1).as("w"))
+        DedupExpressions.ngramHashSet(words(col("text")), 2).as("w"))
       .filter(size(col("w")) >= 1)
     val g = t.select(col("h"), explode(col("w")).as("gh"))
     val dfc = g.groupBy("gh").agg(count(lit(1)).as("df"))
+    // tiebreak on the UNSIGNED hash order (sign bit flipped): the
+    // shingle hashes are the same 64 bits in both engines, but Spark
+    // holds them signed and DuckDB unsigned — a raw ORDER BY gh would
+    // pick different prefixes on a df tie
     val pref = g.join(dfc, "gh")
       .join(t.select(col("h"), size(col("w")).as("len")), "h")
       .withColumn("rn", row_number().over(
-        Window.partitionBy("h").orderBy(col("df"), col("gh"))))
+        Window.partitionBy("h")
+          .orderBy(col("df"), col("gh").bitwiseXOR(lit(Long.MinValue)))))
       .filter(col("rn") <= floor(col("len") * prefixFrac) + 1)
       .select(col("h").as("ha"), col("gh"))
     val cand = pref

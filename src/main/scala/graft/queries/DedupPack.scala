@@ -465,10 +465,11 @@ object DedupPack extends QueryPack {
       """WITH d AS (SELECT doc_id, md5(text) AS h, text FROM documents),
         |rep AS (SELECT h, min(doc_id) AS rid, arg_min(text, doc_id) AS text
         |  FROM d GROUP BY h),
+        |tw AS (SELECT rid, h, regexp_split_to_array(text, '\s+') AS ws FROM rep),
         |t AS (SELECT rid, h,
-        |  list_distinct(list_transform(regexp_split_to_array(text, '\s+'),
-        |    x -> md5_number_lower(x))) AS w
-        |  FROM rep),
+        |  list_distinct(list_transform(range(1, len(ws)),
+        |    i -> md5_number_lower(ws[i] || ' ' || ws[i+1]))) AS w
+        |  FROM tw WHERE len(ws) >= 2),
         |t2 AS (SELECT * FROM t WHERE len(w) >= 1),
         |g AS (SELECT h, unnest(w) AS gh FROM t2),
         |dfc AS (SELECT gh, count(*) AS df FROM g GROUP BY gh),
