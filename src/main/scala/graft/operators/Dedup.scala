@@ -645,11 +645,13 @@ object Dedup {
     * longer one (boilerplate wrapper, quote expansion) has low
     * Jaccard but containment ≈ 1.
     *
-    * Sets are BIGRAM SHINGLES (Broder's shingling — order-sensitive,
-    * and the shingle universe is the vocabulary squared, so document
+    * Sets are TRIGRAM SHINGLES (Broder's shingling — order-sensitive,
+    * and the shingle universe is the vocabulary cubed, so document
     * frequencies spread far thinner than unigram dfs; on a
     * small-vocabulary corpus this is the difference between bounded
-    * postings and a quadratic join). Candidates via PREFIX FILTERING
+    * postings and a quadratic join — bigrams measured 25 s at sf0.1,
+    * trigrams collapse the shared-shingle pair space another ~30×).
+    * Candidates via PREFIX FILTERING
     * (the PPJoin containment-join scheme): each text indexes its
     * ⌊prefixFrac·|set|⌋+1 RAREST shingles (global df order, hash
     * tiebreak); a pair is generated iff a container holds one of the
@@ -658,8 +660,8 @@ object Dedup {
     * remove the whole rarest prefix. Under any Zipfian vocabulary the
     * prefix postings are the short tail; ubiquitous shingles are
     * probed but never pairwise-expanded. Verification is the exact
-    * sorted-hash-set intersect. Texts under 2 words have no shingles
-    * and drop out (single-word dups are dedup_exact's regime). */
+    * sorted-hash-set intersect. Texts under 3 words have no shingles
+    * and drop out (short-text dups are dedup_exact's regime). */
   def containmentBestContainer(docs: DataFrame, idCol: String,
       textCol: String, prefixFrac: Double = 0.1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -671,7 +673,7 @@ object Dedup {
       .groupBy("h")
       .agg(min("did").as("rid"), min_by(col("text"), col("did")).as("text"))
       .select(col("rid"), col("h"),
-        DedupExpressions.ngramHashSet(words(col("text")), 2).as("w"))
+        DedupExpressions.ngramHashSet(words(col("text")), 3).as("w"))
       .filter(size(col("w")) >= 1)
     val g = t.select(col("h"), explode(col("w")).as("gh"))
     val dfc = g.groupBy("gh").agg(count(lit(1)).as("df"))

@@ -467,9 +467,9 @@ object DedupPack extends QueryPack {
         |  FROM d GROUP BY h),
         |tw AS (SELECT rid, h, regexp_split_to_array(text, '\s+') AS ws FROM rep),
         |t AS (SELECT rid, h,
-        |  list_distinct(list_transform(range(1, len(ws)),
-        |    i -> md5_number_lower(ws[i] || ' ' || ws[i+1]))) AS w
-        |  FROM tw WHERE len(ws) >= 2),
+        |  list_distinct(list_transform(range(1, len(ws) - 1),
+        |    i -> md5_number_lower(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS w
+        |  FROM tw WHERE len(ws) >= 3),
         |t2 AS (SELECT * FROM t WHERE len(w) >= 1),
         |g AS (SELECT h, unnest(w) AS gh FROM t2),
         |dfc AS (SELECT gh, count(*) AS df FROM g GROUP BY gh),
