@@ -124,6 +124,68 @@ object Clustering extends QueryPack {
         .select(col("rk"), col("id"), col("x"), col("y"), col("n_points"))
     }),
 
+    // k-means++ seeding (Arthur & Vassilvitskii 2007) with the RNG
+    // made deterministic and oracle-exact: each round draws ONE point
+    // with probability ∝ D² via inverse-CDF over an id-ordered
+    // cumulative weight, where the round's uniform draw is the 32-bit
+    // md5 prefix of "kmpp:<round>" (both engines hash the same string)
+    // and D² is quantized to integer weights floor(D²·2²⁰)+1 — every
+    // comparison is exact integer arithmetic, so Spark and DuckDB pick
+    // the same point regardless of summation order (a float cumsum
+    // would be association-dependent). Scale shape: no global-order
+    // window — per-round one scan for 65536-id-block partial sums (a
+    // tiny driver-side prefix walk finds the crossing block), then a
+    // single-block window draws within it. The +1 keeps every point
+    // selectable (pure D² zeroes exact dups of chosen centers).
+    "km_kmeanspp" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = pts(s, d)
+      val kInit = 4
+      def distTo(cx: Double, cy: Double) =
+        (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy)
+      def md5Hex(str: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val first = p.orderBy("id").limit(1).collect().head
+      var centers = Vector((first.getAs[Long]("id"),
+        first.getAs[Double]("x"), first.getAs[Double]("y")))
+      while (centers.size < kInit) {
+        val dd = centers.map(c => distTo(c._2, c._3)).reduce(least(_, _))
+        val weighted = p.select(col("id"), col("x"), col("y"),
+          (floor(dd * lit(1048576.0)).cast("long") + lit(1L)).as("w"),
+          shiftright(col("id"), 16).as("blk"))
+        val blocks = weighted.groupBy("blk").agg(sum("w").as("bw"))
+          .orderBy("blk").collect()
+        val total = blocks.map(r => BigInt(r.getAs[Long]("bw"))).sum
+        val hv = BigInt(md5Hex(s"kmpp:${centers.size}").substring(0, 8), 16)
+        val thr = hv * total / BigInt(4294967296L)
+        var acc = BigInt(0); var crossBlk = -1L; var thrIn = BigInt(0)
+        blocks.iterator.takeWhile(_ => crossBlk < 0).foreach { r =>
+          val bw = BigInt(r.getAs[Long]("bw"))
+          if (acc + bw > thr) { crossBlk = r.getAs[Long]("blk"); thrIn = thr - acc }
+          else acc += bw
+        }
+        val inBlk = Window.partitionBy("blk").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sel = weighted.filter(col("blk") === crossBlk)
+          .withColumn("cum", sum("w").over(inBlk))
+          .filter(col("cum") > thrIn.toLong)
+          .orderBy("id").limit(1).collect().head
+        centers :+= ((sel.getAs[Long]("id"),
+          sel.getAs[Double]("x"), sel.getAs[Double]("y")))
+      }
+      val asCentroids = centers.zipWithIndex.map { case ((_, x, y), rk) =>
+        Centroid(rk, x, y)
+      }
+      val sizes = KMeansDF.assign(p, asCentroids)
+        .groupBy("cid").agg(count(lit(1)).as("n_points"))
+      import s.implicits._
+      centers.zipWithIndex.map { case ((id, x, y), rk) => (rk, id, x, y) }
+        .toDF("rk", "id", "x", "y")
+        .join(sizes, col("rk") === col("cid"))
+        .select(col("rk"), col("id"), col("x"), col("y"), col("n_points"))
+    }),
+
     // Model selection: WSSSE elbow curve over candidate k — one
     // broadcast-argmin pass per k, unioned. Each pass is the km_cost
     // operator; the oracle reproduces every k from the same seeds.
@@ -252,6 +314,62 @@ object Clustering extends QueryPack {
          |    (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y)) AS dd
          |  FROM pts p, c0 a, c1 b, c2 c),
          |c3 AS (SELECT id, x, y FROM d3 ORDER BY dd DESC, id LIMIT 1),
+         |cent AS (
+         |  SELECT CAST(0 AS INT) AS rk, id, x, y FROM c0
+         |  UNION ALL SELECT 1, id, x, y FROM c1
+         |  UNION ALL SELECT 2, id, x, y FROM c2
+         |  UNION ALL SELECT 3, id, x, y FROM c3),
+         |asg AS (SELECT pid, rk FROM (
+         |  SELECT p.id AS pid, c.rk,
+         |    row_number() OVER (PARTITION BY p.id ORDER BY
+         |      (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y), c.rk) AS rn
+         |  FROM pts p CROSS JOIN cent c) WHERE rn = 1)
+         |SELECT cent.rk, cent.id, cent.x, cent.y, n.n_points
+         |FROM cent JOIN (SELECT rk, count(*) AS n_points FROM asg GROUP BY rk) n
+         |  USING (rk)""".stripMargin,
+    // Replays the kmpp draw exactly: integer weights floor(D²·2²⁰)+1,
+    // threshold = md5-32bit("kmpp:<r>") · Σw // 2³², selection = first
+    // id whose id-ordered integer cumsum exceeds it. A global cumsum
+    // here vs the engine's block-partial-sum draw: identical result,
+    // integer sums are association-free.
+    "km_kmeanspp" ->
+      s"""WITH pts AS ($ptsSql),
+         |c0 AS (SELECT id, x, y FROM pts ORDER BY id LIMIT 1),
+         |w1 AS (SELECT p.id, p.x, p.y,
+         |  CAST(floor(((p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y)) * 1048576.0)
+         |    AS BIGINT) + 1 AS w
+         |  FROM pts p, c0 a),
+         |t1 AS (SELECT (CAST(CAST(('0x' || substr(md5('kmpp:1'),1,8)) AS BIGINT)
+         |    AS HUGEINT) * sum(CAST(w AS HUGEINT))) // 4294967296 AS thr FROM w1),
+         |c1 AS (SELECT id, x, y FROM (
+         |  SELECT id, x, y, sum(CAST(w AS HUGEINT)) OVER (ORDER BY id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM w1), t1
+         |  WHERE cum > thr ORDER BY id LIMIT 1),
+         |w2 AS (SELECT p.id, p.x, p.y,
+         |  CAST(floor(least(
+         |    (p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y),
+         |    (p.x-b.x)*(p.x-b.x)+(p.y-b.y)*(p.y-b.y)) * 1048576.0)
+         |    AS BIGINT) + 1 AS w
+         |  FROM pts p, c0 a, c1 b),
+         |t2 AS (SELECT (CAST(CAST(('0x' || substr(md5('kmpp:2'),1,8)) AS BIGINT)
+         |    AS HUGEINT) * sum(CAST(w AS HUGEINT))) // 4294967296 AS thr FROM w2),
+         |c2 AS (SELECT id, x, y FROM (
+         |  SELECT id, x, y, sum(CAST(w AS HUGEINT)) OVER (ORDER BY id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM w2), t2
+         |  WHERE cum > thr ORDER BY id LIMIT 1),
+         |w3 AS (SELECT p.id, p.x, p.y,
+         |  CAST(floor(least(
+         |    (p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y),
+         |    (p.x-b.x)*(p.x-b.x)+(p.y-b.y)*(p.y-b.y),
+         |    (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y)) * 1048576.0)
+         |    AS BIGINT) + 1 AS w
+         |  FROM pts p, c0 a, c1 b, c2 c),
+         |t3 AS (SELECT (CAST(CAST(('0x' || substr(md5('kmpp:3'),1,8)) AS BIGINT)
+         |    AS HUGEINT) * sum(CAST(w AS HUGEINT))) // 4294967296 AS thr FROM w3),
+         |c3 AS (SELECT id, x, y FROM (
+         |  SELECT id, x, y, sum(CAST(w AS HUGEINT)) OVER (ORDER BY id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM w3), t3
+         |  WHERE cum > thr ORDER BY id LIMIT 1),
          |cent AS (
          |  SELECT CAST(0 AS INT) AS rk, id, x, y FROM c0
          |  UNION ALL SELECT 1, id, x, y FROM c1

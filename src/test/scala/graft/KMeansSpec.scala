@@ -87,4 +87,34 @@ class KMeansSpec extends SparkSpec {
     assert(sizes.map(_.getLong(1)).sum === p.count())
     assert(sizes.length <= k)
   }
+
+  test("kmeans++ D² draw lands on the dominant-mass outlier") {
+    // 100 near-origin points plus one far outlier: the outlier holds
+    // >99.999% of the quantized D² mass after c0 = id 0, so the fixed
+    // md5 draw must select it in round 1 — the defining difference
+    // from uniform sampling (1/101 odds) and a direct check that the
+    // weighting, not just the hash, drives the selection.
+    val pts = ((0L until 100L).map(i => (i, i * 1e-4, 0.0)) :+
+      ((100L, 1000.0, 1000.0))).toDF("id", "x", "y")
+    val saved = java.nio.file.Files.createTempDirectory("kmpp").toString
+    pts.select($"id".cast("long").as("vec_id"),
+        array($"x".cast("float"), $"y".cast("float")).as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$saved/embeddings.parquet")
+    val out = graft.queries.Clustering.defs("km_kmeanspp")(spark, saved)
+      .orderBy("rk").collect()
+    assert(out.length === 4)
+    assert(out(0).getAs[Long]("id") === 0L, "c0 is the min-id point")
+    assert(out(1).getAs[Long]("id") === 100L,
+      s"round-1 draw must follow the D² mass to the outlier, got ${out.toSeq}")
+    assert(out.map(_.getAs[Long]("n_points")).sum === 101L)
+  }
+
+  test("km_kmeanspp on real data: 4 distinct centers covering all points") {
+    val p = Tables.points2d(spark, sfDir)
+    val out = graft.queries.Clustering.defs("km_kmeanspp")(spark, sfDir).collect()
+    assert(out.length === 4)
+    assert(out.map(_.getAs[Long]("id")).distinct.length === 4)
+    assert(out.map(_.getAs[Long]("n_points")).sum === p.count())
+  }
 }
