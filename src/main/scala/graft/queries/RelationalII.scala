@@ -291,6 +291,67 @@ object RelationalII extends QueryPack {
         .agg(countDistinct("user_id").as("n_users"))
     }),
 
+    // SCD type-2 history build (round 8) — the warehouse
+    // dimension-maintenance shape: each run of consecutive equal
+    // event_type per user becomes one version row with
+    // [valid_from, valid_to) bounds; the open version is is_current.
+    // One shuffle on user_id serves the change-detect window, the
+    // run rollup, and the validity chaining — the classic
+    // lag→cumsum→group→lead pipeline, all inside one exchange.
+    "q_scd2" -> ((s, d) => {
+      val byUt = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val runs = events(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(byUt))
+        .withColumn("chg",
+          when(col("prev").isNull.or(col("prev") =!= col("event_type")), 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum("chg").over(
+          byUt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val vers = runs.groupBy(col("user_id"), col("ver"), col("event_type"))
+        .agg(min(unix_micros(col("ts"))).as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+      val byVer = Window.partitionBy("user_id").orderBy("ver")
+      vers
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVer))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select("user_id", "ver", "event_type", "valid_from_us",
+          "valid_to_us", "n_events", "is_current")
+    }),
+
+    // MERGE INTO semantics as one declarative plan (round 8) — the
+    // upsert a snapshot-maintenance job runs: target = per-user latest
+    // state before the split instant, source = the same after it; a
+    // full outer join on the key emits insert/update/keep actions.
+    // This is the exact plan a table-format MERGE compiles to (minus
+    // the file rewrite, which belongs to the sink): one shuffle per
+    // side + the key join, no driver state. The split instant is
+    // integer-µs arithmetic so both engines cut identically.
+    "q_upsert" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val bounds = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("sp"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+      def latest(df: DataFrame) = {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      }
+      val t = latest(tagged.filter(col("ts_us") < col("sp")))
+        .select(col("user_id"), col("event_type").as("t_type"),
+          round(col("value"), 2).as("t_value"), col("ts_us").as("t_ts"))
+      val src = latest(tagged.filter(col("ts_us") >= col("sp")))
+        .select(col("user_id"), col("event_type").as("s_type"),
+          round(col("value"), 2).as("s_value"), col("ts_us").as("s_ts"))
+      t.join(src, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("t_ts").isNull, "insert")
+            .when(col("s_ts").isNull, "keep")
+            .otherwise("update").as("action"),
+          coalesce(col("s_type"), col("t_type")).as("event_type"),
+          coalesce(col("s_value"), col("t_value")).as("value"),
+          coalesce(col("s_ts"), col("t_ts")).as("state_ts_us"))
+    }),
+
     // Single-scan column profiling (round 8) — the data-profiling pass
     // every pipeline runs before training (the Deequ/TFDV shape): one
     // aggregate computes every column's stats as an array of structs,
@@ -366,6 +427,46 @@ object RelationalII extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+        |  FROM e),
+        |v AS (
+        |  SELECT user_id, ver, event_type, min(ts_us) AS valid_from_us,
+        |    count(*) AS n_events
+        |  FROM r GROUP BY user_id, ver, event_type)
+        |SELECT user_id, ver, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER wv AS valid_to_us, n_events,
+        |  lead(valid_from_us) OVER wv IS NULL AS is_current
+        |FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY ver)""".stripMargin,
+    "q_upsert" ->
+      """WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS sp FROM ev),
+        |t AS (SELECT user_id, event_type AS t_type, round(value, 2) AS t_value,
+        |    ts_us AS t_ts FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM ev e, b WHERE ts_us < sp) WHERE rn = 1),
+        |s AS (SELECT user_id, event_type AS s_type, round(value, 2) AS s_value,
+        |    ts_us AS s_ts FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM ev e, b WHERE ts_us >= sp) WHERE rn = 1)
+        |SELECT user_id,
+        |  CASE WHEN t_ts IS NULL THEN 'insert'
+        |       WHEN s_ts IS NULL THEN 'keep' ELSE 'update' END AS action,
+        |  coalesce(s_type, t_type) AS event_type,
+        |  coalesce(s_value, t_value) AS value,
+        |  coalesce(s_ts, t_ts) AS state_ts_us
+        |FROM t FULL OUTER JOIN s USING (user_id)""".stripMargin,
     "q_profile" ->
       """SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
         |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

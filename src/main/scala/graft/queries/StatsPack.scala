@@ -118,7 +118,43 @@ object StatsPack extends QueryPack {
     "q_histogram" -> ((s, d) =>
       orders(s, d)
         .groupBy((floor(col("o_totalprice") / 25000) * 25000).cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price")))
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))),
+
+    // Distribution drift (round 8) — the PSI monitor a pipeline runs
+    // between yesterday's corpus and today's before trusting a new
+    // snapshot: events split at the integer-µs mid-instant into
+    // reference/current windows, value binned on fixed 50-wide edges,
+    // population-stability-index per event_type with +1 Laplace
+    // smoothing (empty bins stay finite; both windows densified to all
+    // 10 bins). Scale shape: one grouped count per window, a
+    // 10-row-per-type densify join, a k×10-row PSI fold — no sort, no
+    // per-row state; the windows could be two separate day partitions
+    // without changing the plan.
+    "q_drift" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      val bounds = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("sp"))
+      val binned = ev.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(lit(9L), floor(col("value") / 50.0)).cast("long"))
+        .withColumn("win", when(col("ts_us") < col("sp"), "ref").otherwise("cur"))
+      val cnt = binned.groupBy("event_type", "win", "bin")
+        .agg(count(lit(1)).as("n"))
+      val full = binned.select("event_type", "win").distinct()
+        .crossJoin(s.range(10).select(col("id").as("bin")))
+        .join(cnt, Seq("event_type", "win", "bin"), "left")
+        .na.fill(0L, Seq("n"))
+      val tot = full.groupBy("event_type", "win").agg(sum("n").as("tot"))
+      val prop = full.join(tot, Seq("event_type", "win"))
+        .withColumn("prop", (col("n") + 1.0) / (col("tot") + 10.0))
+      val ref = prop.filter(col("win") === "ref")
+        .select(col("event_type"), col("bin"), col("prop").as("p"))
+      val cur = prop.filter(col("win") === "cur")
+        .select(col("event_type"), col("bin"), col("prop").as("q"))
+      ref.join(cur, Seq("event_type", "bin"))
+        .groupBy("event_type")
+        .agg(round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 4)
+          .as("psi"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -159,6 +195,30 @@ object StatsPack extends QueryPack {
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice/25000)*25000 AS BIGINT) AS bucket,
         |  count(*) AS n, round(avg(o_totalprice),2) AS avg_price
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_drift" ->
+      """WITH ev AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS sp FROM ev),
+        |binned AS (SELECT event_type,
+        |    CASE WHEN ts_us < sp THEN 'ref' ELSE 'cur' END AS win,
+        |    least(9, CAST(floor(value / 50.0) AS BIGINT)) AS bin
+        |  FROM ev, b),
+        |cnt AS (SELECT event_type, win, bin, count(*) AS n
+        |  FROM binned GROUP BY 1, 2, 3),
+        |tw AS (SELECT DISTINCT event_type, win FROM binned),
+        |filled AS (SELECT tw.event_type, tw.win, g.bin, coalesce(c.n, 0) AS n
+        |  FROM tw CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+        |  LEFT JOIN cnt c ON c.event_type = tw.event_type
+        |    AND c.win = tw.win AND c.bin = g.bin),
+        |tot AS (SELECT event_type, win, sum(n) AS tot
+        |  FROM filled GROUP BY 1, 2),
+        |p AS (SELECT f.event_type, f.win, f.bin,
+        |    (f.n + 1.0) / (t.tot + 10.0) AS prop
+        |  FROM filled f JOIN tot t USING (event_type, win))
+        |SELECT r.event_type,
+        |  round(sum((c.prop - r.prop) * ln(c.prop / r.prop)), 4) AS psi
+        |FROM p r JOIN p c ON r.event_type = c.event_type AND r.bin = c.bin
+        |  AND r.win = 'ref' AND c.win = 'cur'
+        |GROUP BY r.event_type""".stripMargin
   )
 }

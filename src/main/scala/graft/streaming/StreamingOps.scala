@@ -418,6 +418,40 @@ object StreamingOps {
       .select(col("w.start").as("ws"), col("candidates"), col("n_tokens"))
   }
 
+  /** Streaming distribution-drift monitor — the streaming twin of
+    * batch `q_drift`, for live snapshot trust: per tumbling event-time
+    * window and event_type, the value stream is binned on the same
+    * fixed 50-wide edges and compared against a REFERENCE bin
+    * distribution (computed offline from the trusted corpus, passed as
+    * plan literals — broadcast by construction) with the same
+    * +1-smoothed PSI. Structured Streaming allows one aggregation per
+    * query, so the 10 bins are conditional-count COLUMNS of a single
+    * windowed agg, and PSI is per-row column math over the finalized
+    * group — state is one row per (window, type), watermark-evicted.
+    * An alerting sink filters on psi over threshold. */
+  def driftMonitorStream(events: DataFrame, refProps: Seq[Double],
+      valueCol: String = "value", tsCol: String = "ts",
+      typeCol: String = "event_type", windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(refProps.length == 10 && math.abs(refProps.sum - 1.0) < 1e-6,
+      s"refProps must be a 10-bin distribution, got $refProps")
+    val bin = least(lit(9L), floor(col(valueCol) / 50.0)).cast("long")
+    val counts = (0 until 10).map(b =>
+      sum(when(bin === b, 1L).otherwise(0L)).as(s"b$b"))
+    val n = (0 until 10).map(b => col(s"b$b")).reduce(_ + _)
+    val psi = (0 until 10).map { b =>
+      val q = (col(s"b$b") + 1.0) / (n + 10.0)
+      val p = lit(refProps(b))
+      (q - p) * log(q / p)
+    }.reduce(_ + _)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(typeCol))
+      .agg(counts.head, counts.tail: _*)
+      .select(col("w.start").as("ws"), col(typeCol),
+        n.as("n_events"), round(psi, 4).as("psi"))
+  }
+
   /** Streaming nearest-centroid assignment — the reference's map phase
     * as a stream transform: centroids are plan literals (broadcast by
     * construction, exactly like batch `km_assign`), so assignment is

@@ -59,4 +59,18 @@ class StatsSpec extends SparkSpec {
         s"$k: approx p90 $a90 vs exact $e90 drifted past the sketch bound")
     }
   }
+
+  test("q_drift PSI is non-negative everywhere and near zero for stationary types") {
+    // every PSI term (q-p)·ln(q/p) is ≥ 0, so any negative value is an
+    // implementation bug, and the synthetic events are time-stationary,
+    // so drift between the two halves must sit near the smoothing floor
+    val psi = SparkEntry.queries("q_drift")(spark, sfDir)
+      .as[(String, Double)].collect().toMap
+    assert(psi.nonEmpty)
+    psi.foreach { case (t, v) =>
+      assert(v >= 0.0, s"$t: PSI must be non-negative, got $v")
+      assert(v < 0.25, s"$t: stationary synthetic data should not read as " +
+        s"drifted (PSI >= 0.25), got $v — binning or windowing is broken")
+    }
+  }
 }

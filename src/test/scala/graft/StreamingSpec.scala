@@ -430,6 +430,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftMonitorStream flags the shifted type and clears the steady one") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val ev = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val uniformRef = Seq.fill(10)(0.1)
+    val q = StreamingOps.driftMonitorStream(ev, uniformRef)
+      .writeStream.format("memory").queryName("drift_mon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // hour-1 window: 'steady' puts one event in each 50-wide bin —
+      // smoothed proportions land exactly on the uniform reference, so
+      // PSI is 0; 'shifted' piles all ten events into bin 9
+      val steady = (0 until 10).map(b =>
+        (b.toLong, ts(b.toLong), "steady", b * 50.0 + 25.0))
+      val shifted = (0 until 10).map(i =>
+        (100L + i, ts(i.toLong), "shifted", 475.0))
+      in.addData(steady ++ shifted)
+      q.processAllAvailable()
+      in.addData((999L, ts(120), "tick", 0.0)) // watermark past window+delay
+      q.processAllAvailable()
+      val rows = spark.table("drift_mon").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("psi"))).toMap
+      assert(rows.contains("steady") && rows.contains("shifted"),
+        s"both hour-1 groups must finalize, got ${rows.keySet}")
+      assert(rows("steady")._1 === 10L)
+      assert(rows("steady")._2 === 0.0,
+        s"uniform data vs uniform reference must read PSI 0, got $rows")
+      assert(rows("shifted")._2 > 0.5,
+        s"single-bin pileup must read as strong drift, got $rows")
+    } finally q.stop()
+  }
+
   test("qualityFilterStream applies the batch filter rules statelessly") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String, String)]
