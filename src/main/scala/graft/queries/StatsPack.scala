@@ -125,35 +125,38 @@ object StatsPack extends QueryPack {
     // snapshot: events split at the integer-µs mid-instant into
     // reference/current windows, value binned on fixed 50-wide edges,
     // population-stability-index per event_type with +1 Laplace
-    // smoothing (empty bins stay finite; both windows densified to all
-    // 10 bins). Scale shape: one grouped count per window, a
-    // 10-row-per-type densify join, a k×10-row PSI fold — no sort, no
-    // per-row state; the windows could be two separate day partitions
-    // without changing the plan.
+    // smoothing (empty bins stay finite — all 10 bins participate by
+    // construction). Scale shape: the SAME single-aggregation plan as
+    // the streaming twin `driftMonitorStream` — the 20 (window × bin)
+    // cells are conditional-count COLUMNS of ONE hash agg keyed on
+    // event_type, PSI is per-row column math over the k finalized
+    // rows; the only join in the plan is the whitelisted single-row
+    // split-instant broadcast. No densify join, no self-join, no sort;
+    // the windows could be two day-partitions without changing it.
     "q_drift" -> ((s, d) => {
       val ev = events(s, d).select(col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
       val bounds = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("sp"))
       val binned = ev.crossJoin(broadcast(bounds))
         .withColumn("bin", least(lit(9L), floor(col("value") / 50.0)).cast("long"))
-        .withColumn("win", when(col("ts_us") < col("sp"), "ref").otherwise("cur"))
-      val cnt = binned.groupBy("event_type", "win", "bin")
-        .agg(count(lit(1)).as("n"))
-      val full = binned.select("event_type", "win").distinct()
-        .crossJoin(s.range(10).select(col("id").as("bin")))
-        .join(cnt, Seq("event_type", "win", "bin"), "left")
-        .na.fill(0L, Seq("n"))
-      val tot = full.groupBy("event_type", "win").agg(sum("n").as("tot"))
-      val prop = full.join(tot, Seq("event_type", "win"))
-        .withColumn("prop", (col("n") + 1.0) / (col("tot") + 10.0))
-      val ref = prop.filter(col("win") === "ref")
-        .select(col("event_type"), col("bin"), col("prop").as("p"))
-      val cur = prop.filter(col("win") === "cur")
-        .select(col("event_type"), col("bin"), col("prop").as("q"))
-      ref.join(cur, Seq("event_type", "bin"))
-        .groupBy("event_type")
-        .agg(round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 4)
-          .as("psi"))
+        .withColumn("isRef", col("ts_us") < col("sp"))
+      val cells =
+        (0 until 10).map(b => sum(when(col("isRef") && col("bin") === b, 1L)
+          .otherwise(0L)).as(s"r$b")) ++
+        (0 until 10).map(b => sum(when(!col("isRef") && col("bin") === b, 1L)
+          .otherwise(0L)).as(s"c$b"))
+      val rTot = (0 until 10).map(b => col(s"r$b")).reduce(_ + _)
+      val cTot = (0 until 10).map(b => col(s"c$b")).reduce(_ + _)
+      val psi = (0 until 10).map { b =>
+        val p = (col(s"r$b") + 1.0) / (rTot + 10.0)
+        val q = (col(s"c$b") + 1.0) / (cTot + 10.0)
+        (q - p) * log(q / p)
+      }.reduce(_ + _)
+      binned.groupBy("event_type").agg(cells.head, cells.tail: _*)
+        // the oracle's ref JOIN cur emits only types seen in BOTH
+        // windows — keep that contract on edge data
+        .filter(rTot > 0 && cTot > 0)
+        .select(col("event_type"), round(psi, 4).as("psi"))
     })
   )
 

@@ -154,12 +154,14 @@ class PlanSpec extends SparkSpec {
     *     in-plan alternative to a global-sort ntile);
     *   text_ppl_proxy — single-row corpus-token-total broadcast
     *     (text_tfidf's pattern);
-    *   text_quality_learned — single-row median-label-cut broadcast. */
+    *   text_quality_learned — single-row median-label-cut broadcast;
+    *   q_drift / q_upsert — single-row split-instant broadcast (the
+    *     integer-µs midpoint both engines cut on). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "km_silhouette_exact", "text_tfidf",
       "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy",
-      "text_quality_learned")
+      "text_quality_learned", "q_drift", "q_upsert")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
