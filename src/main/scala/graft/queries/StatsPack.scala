@@ -157,6 +157,59 @@ object StatsPack extends QueryPack {
         // windows — keep that contract on edge data
         .filter(rTot > 0 && cTot > 0)
         .select(col("event_type"), round(psi, 4).as("psi"))
+    }),
+
+    // Winsorized robust stats (round 8) — the outlier-capping pass a
+    // metrics pipeline runs before averaging heavy-tailed values: per
+    // group, values are clamped into [p05, p95] and the raw vs
+    // winsorized means are reported with the cap count. Two passes by
+    // necessity (the cuts are order statistics of the whole group);
+    // the cuts table is k rows joined back on the group key — a
+    // broadcast hash join at scale, never a global sort.
+    "q_winsorize" -> ((s, d) => {
+      val cuts = events(s, d).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.05)"), 4).as("p05"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      events(s, d).join(broadcast(cuts), "event_type")
+        .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
+        .groupBy("event_type", "p05", "p95")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("p05") or col("value") > col("p95"), 1L)
+            .otherwise(0L)).as("n_capped"),
+          round(avg("value"), 4).as("mean_raw"),
+          round(avg("w"), 4).as("mean_wins"))
+        .select("event_type", "n", "n_capped", "p05", "p95",
+          "mean_raw", "mean_wins")
+    }),
+
+    // Time-series gap fill + forward fill (round 8) — the densify pass
+    // a reporting pipeline runs so every series has a row per period:
+    // per-user daily activity, missing days materialized from each
+    // user's [first, last] day via sequence+explode (integer epoch-day
+    // arithmetic — no calendar conventions), counts zero-filled, and
+    // the last observed daily total carried forward with an
+    // ignoreNulls running window. Scale shape: output ∝ series × time
+    // range (never events²); the window and both aggs share the
+    // user_id partitioning — one exchange serves the whole plan.
+    "q_gap_fill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("value"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("day_total"))
+      val grid = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("is_filled", col("n_events").isNull)
+        .na.fill(0L, Seq("n_events"))
+        .withColumn("ffill_total", last(col("day_total"), ignoreNulls = true).over(w))
+        .select("user_id", "day", "n_events", "day_total", "is_filled",
+          "ffill_total")
     })
   )
 
@@ -222,6 +275,34 @@ object StatsPack extends QueryPack {
         |  round(sum((c.prop - r.prop) * ln(c.prop / r.prop)), 4) AS psi
         |FROM p r JOIN p c ON r.event_type = c.event_type AND r.bin = c.bin
         |  AND r.win = 'ref' AND c.win = 'cur'
-        |GROUP BY r.event_type""".stripMargin
+        |GROUP BY r.event_type""".stripMargin,
+    "q_winsorize" ->
+      """WITH c AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 4) AS p05,
+        |    round(quantile_cont(value, 0.95), 4) AS p95
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN e.value < c.p05 OR e.value > c.p95
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+        |  c.p05, c.p95,
+        |  round(avg(e.value), 4) AS mean_raw,
+        |  round(avg(least(greatest(e.value, c.p05), c.p95)), 4) AS mean_wins
+        |FROM events e JOIN c USING (event_type)
+        |GROUP BY e.event_type, c.p05, c.p95""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n_events, round(sum(value), 2) AS day_total
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(range(min(day), max(day) + 1)) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT g.user_id, g.day,
+        |  CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events, d.day_total,
+        |  d.n_events IS NULL AS is_filled,
+        |  last_value(d.day_total IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_total
+        |FROM grid g LEFT JOIN daily d USING (user_id, day)""".stripMargin
   )
 }
