@@ -291,6 +291,24 @@ object RelationalII extends QueryPack {
         .agg(countDistinct("user_id").as("n_users"))
     }),
 
+    // Markov transition matrix (round 8) — the next-event model behind
+    // path analysis and sequence QA: per user, (event, next event)
+    // pairs from one lead() pass, then counts and the row-normalized
+    // conditional probability p(to | from). One user_id exchange
+    // serves the window; the matrix is k² rows, so the normalizing
+    // window runs over a driver-trivial frame at any data scale.
+    "q_transitions" -> ((s, d) => {
+      val byUt = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(byUt))
+        .filter(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+      val byFrom = Window.partitionBy("from_type")
+      pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") / sum("n").over(byFrom), 4))
+    }),
+
     // SCD type-2 history build (round 8) — the warehouse
     // dimension-maintenance shape: each run of consecutive equal
     // event_type per user becomes one version row with
@@ -427,6 +445,15 @@ object RelationalII extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_transitions" ->
+      """WITH pr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n,
+        |  round(count(*) / sum(count(*)) OVER (PARTITION BY from_type), 4) AS p
+        |FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, event_type,

@@ -210,6 +210,33 @@ object StatsPack extends QueryPack {
         .withColumn("ffill_total", last(col("day_total"), ignoreNulls = true).over(w))
         .select("user_id", "day", "n_events", "day_total", "is_filled",
           "ffill_total")
+    }),
+
+    // Welch two-sample t-test (round 8) — the A/B significance read a
+    // metrics pipeline runs on an experiment: variant = user_id parity
+    // (deterministic, data-derived), metric = purchase value. ONE
+    // conditional aggregation computes both arms' n/mean/variance in a
+    // single scan (no join, no pivot); the t statistic and
+    // Welch–Satterthwaite dof are column math over the 1-row result.
+    "q_ab_test" -> ((s, d) => {
+      val isA = col("user_id") % 2 === 0
+      val arm = events(s, d).filter(col("event_type") === "purchase")
+        .agg(
+          count(when(isA, 1)).as("n_a"),
+          count(when(!isA, 1)).as("n_b"),
+          avg(when(isA, col("value"))).as("m_a"),
+          avg(when(!isA, col("value"))).as("m_b"),
+          var_samp(when(isA, col("value"))).as("v_a"),
+          var_samp(when(!isA, col("value"))).as("v_b"))
+      val sa = col("v_a") / col("n_a")
+      val sb = col("v_b") / col("n_b")
+      val t = (col("m_a") - col("m_b")) / sqrt(sa + sb)
+      val dof = pow(sa + sb, 2) /
+        (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1))
+      arm.select(col("n_a"), col("n_b"),
+        round(col("m_a"), 4).as("mean_a"), round(col("m_b"), 4).as("mean_b"),
+        round(t, 4).as("t_stat"), round(dof, 2).as("dof"),
+        (abs(t) > 1.96).as("significant"))
     })
   )
 
@@ -303,6 +330,21 @@ object StatsPack extends QueryPack {
         |  last_value(d.day_total IGNORE NULLS) OVER (
         |    PARTITION BY g.user_id ORDER BY g.day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_total
-        |FROM grid g LEFT JOIN daily d USING (user_id, day)""".stripMargin
+        |FROM grid g LEFT JOIN daily d USING (user_id, day)""".stripMargin,
+    "q_ab_test" ->
+      """WITH a AS (
+        |  SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+        |    count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_b,
+        |    avg(CASE WHEN user_id % 2 = 0 THEN value END) AS m_a,
+        |    avg(CASE WHEN user_id % 2 <> 0 THEN value END) AS m_b,
+        |    var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS v_a,
+        |    var_samp(CASE WHEN user_id % 2 <> 0 THEN value END) AS v_b
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT n_a, n_b, round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+        |  round((m_a - m_b) / sqrt(v_a/n_a + v_b/n_b), 4) AS t_stat,
+        |  round(pow(v_a/n_a + v_b/n_b, 2) /
+        |    (pow(v_a/n_a, 2)/(n_a - 1) + pow(v_b/n_b, 2)/(n_b - 1)), 2) AS dof,
+        |  abs((m_a - m_b) / sqrt(v_a/n_a + v_b/n_b)) > 1.96 AS significant
+        |FROM a""".stripMargin
   )
 }
