@@ -291,6 +291,32 @@ object RelationalII extends QueryPack {
         .agg(countDistinct("user_id").as("n_users"))
     }),
 
+    // Z-order layout audit (round 8) — the data-layout operator behind
+    // multi-dimensional file skipping: (l_partkey, l_suppkey) normalized
+    // onto a 16-bit grid, bit-interleaved into a 32-bit Morton key
+    // (operators/Layout.zorder16 — pure shift/mask column math), and
+    // bucketed by the key's top 4 bits (16 spatial quadrants = the
+    // file boundaries a z-sorted write would produce). Output = each
+    // bucket's min/max envelope on BOTH dims — exactly the footer
+    // stats a scan prunes on; LayoutSpec contrasts the envelopes with
+    // a linear sort's. At scale the write is repartitionByRange(z) +
+    // sortWithinPartitions(z); the only join here is the whitelisted
+    // 1-row max-bounds broadcast.
+    "q_zorder" -> ((s, d) => {
+      import graft.operators.Layout
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"))
+      val bounds = li.agg(max("l_partkey").as("px"), max("l_suppkey").as("sx"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("xn", Layout.grid16("l_partkey", "px"))
+        .withColumn("yn", Layout.grid16("l_suppkey", "sx"))
+        .withColumn("z", Layout.zorder16(col("xn"), col("yn")))
+        .groupBy(expr("z div 268435456").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+          min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"))
+    }),
+
     // Markov transition matrix (round 8) — the next-event model behind
     // path analysis and sequence QA: per user, (event, next event)
     // pairs from one lead() pass, then counts and the row-normalized
@@ -445,6 +471,24 @@ object RelationalII extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_zorder" -> {
+      // the same 32 interleave terms as Layout.zorder16, unrolled in
+      // DuckDB's bit-operator dialect
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"((xn >> $i) & 1) * ${1L << (2 * i)}",
+        s"((yn >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString(" + ")
+      s"""WITH b AS (SELECT max(l_partkey) AS px, max(l_suppkey) AS sx
+         |    FROM lineitem),
+         |t AS (SELECT l_partkey, l_suppkey,
+         |    (CAST(l_partkey AS BIGINT) * 65536) // (CAST(px AS BIGINT) + 1) AS xn,
+         |    (CAST(l_suppkey AS BIGINT) * 65536) // (CAST(sx AS BIGINT) + 1) AS yn
+         |  FROM lineitem, b),
+         |z AS (SELECT l_partkey, l_suppkey, $terms AS z FROM t)
+         |SELECT z // 268435456 AS bucket, count(*) AS n,
+         |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+         |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+         |FROM z GROUP BY 1""".stripMargin
+    },
     "q_transitions" ->
       """WITH pr AS (
         |  SELECT event_type AS from_type,

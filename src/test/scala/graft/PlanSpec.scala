@@ -156,12 +156,13 @@ class PlanSpec extends SparkSpec {
     *     (text_tfidf's pattern);
     *   text_quality_learned — single-row median-label-cut broadcast;
     *   q_drift / q_upsert — single-row split-instant broadcast (the
-    *     integer-µs midpoint both engines cut on). */
+    *     integer-µs midpoint both engines cut on);
+    *   q_zorder — single-row max-bounds broadcast (the grid scale). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "km_silhouette_exact", "text_tfidf",
       "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy",
-      "text_quality_learned", "q_drift", "q_upsert")
+      "text_quality_learned", "q_drift", "q_upsert", "q_zorder")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
