@@ -238,6 +238,61 @@ object StreamingOps {
       }
   }
 
+  /** Streaming ONLINE k-means — the continual-fit face of the
+    * reference's clustering loop (fit offline / assign online is
+    * `assignStream`; this sink keeps FITTING as data arrives): each
+    * micro-batch is one minibatch step (Sculley, WWW'10). Assignment
+    * is the same broadcast-literal distributed map phase as batch
+    * `km_assign` (centroids are k rows of driver state, points never
+    * shuffle); the update folds the batch's per-cluster sums into the
+    * running per-center counts with the 1/(n+m) learning rate — so a
+    * centroid's inertia grows with the points it has absorbed, exactly
+    * like batch `km_minibatch`.
+    *
+    * State = k (cid, x, y, n, bid) rows in parquet, seeded from the
+    * first batch's k lowest-id points (`KMeansDF.initFirstK` — the
+    * deterministic init every km_* query shares). Replayed batches are
+    * skipped by the recorded bid, so a checkpoint restart cannot
+    * double-count a minibatch (same bookkeeping as
+    * [[incrementalAggSink]]). */
+  def kmeansSink(statePath: String, k: Int = 4): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      import graft.operators.KMeansDF
+      import KMeansDF.Centroid
+      val spark = batch.sparkSession
+      def rnd(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val prev = corpusIfExists(spark, statePath)
+      val replay = prev.exists(_.agg(max("bid")).head().getLong(0) >= batchId)
+      if (!replay) {
+        val (cents, counts) = prev match {
+          case Some(st) =>
+            val rows = st.collect()
+            (rows.map(r => Centroid(r.getAs[Int]("cid"),
+              r.getAs[Double]("x"), r.getAs[Double]("y"))).sortBy(_.cid).toSeq,
+              rows.map(r => r.getAs[Int]("cid") -> r.getAs[Long]("n")).toMap)
+          case None => (KMeansDF.initFirstK(batch, k), Map.empty[Int, Long])
+        }
+        val upd = KMeansDF.assign(batch, cents).groupBy("cid")
+          .agg(sum("x").as("sx"), sum("y").as("sy"), count(lit(1)).as("m"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+          .toMap
+        val next = cents.map { c =>
+          val n = counts.getOrElse(c.cid, 0L)
+          upd.get(c.cid) match {
+            case Some((sx, sy, m)) =>
+              (c.cid, rnd((n * c.x + sx) / (n + m)),
+                rnd((n * c.y + sy) / (n + m)), n + m)
+            case None => (c.cid, c.x, c.y, n)
+          }
+        }
+        import spark.implicits._
+        next.toDF("cid", "x", "y", "n").withColumn("bid", lit(batchId))
+          .coalesce(1).write.mode("overwrite").parquet(statePath)
+      }
+  }
+
   /** Stream-stream interval join — the streaming twin of batch
     * `q_range_join`: each purchase is joined to the same user's views
     * from the preceding hour. Both sides are watermarked and the join

@@ -216,6 +216,50 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("kmeansSink fits online: centroids track the stream, replays are skipped") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_okm_").toString
+    try {
+      val in = MemoryStream[(Long, Double, Double)]
+      val q = in.toDF().toDF("id", "x", "y")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch(StreamingOps.kmeansSink(s"$dir/cents", k = 2))
+        .start()
+      def state() = spark.read.parquet(s"$dir/cents")
+        .collect().map(r => r.getAs[Int]("cid") ->
+          (r.getAs[Double]("x"), r.getAs[Double]("y"), r.getAs[Long]("n"))).toMap
+      try {
+        // batch 0: two tight clusters around (0,0) and (10,10); seeds =
+        // two lowest ids (one in each cluster by construction)
+        in.addData((1L, 0.0, 0.0), (2L, 10.0, 10.0),
+          (3L, 0.2, 0.0), (4L, 10.2, 10.0))
+        q.processAllAvailable()
+        val s0 = state()
+        assert(s0.keySet === Set(0, 1) && s0.values.map(_._3).sum === 4L)
+        assert(s0(0)._1 === 0.1 && s0(1)._1 === 10.1,
+          s"each centroid must average its own cluster, got $s0")
+        // batch 1: cluster 1 drifts toward (12, 10); cluster 0 sits out
+        in.addData((5L, 12.0, 10.0), (6L, 12.0, 10.0))
+        q.processAllAvailable()
+        val s1 = state()
+        assert(s1(0) === s0(0), "an unassigned centroid must not move")
+        assert(s1(1)._1 > s0(1)._1 && s1(1)._1 < 12.0,
+          s"the minibatch update must move centroid 1 toward the new " +
+            s"mass but damp it by its running count, got ${s1(1)}")
+        assert(s1(1)._3 === 4L)
+        // replay guard: re-delivering batch 1 must not move anything —
+        // the 1/(n+m) fold is not idempotent, the bid bookkeeping is
+        val sink = StreamingOps.kmeansSink(s"$dir/cents", k = 2)
+        sink(Seq((5L, 12.0, 10.0), (6L, 12.0, 10.0)).toDF("id", "x", "y"), 1L)
+        assert(state() === s1, "replayed minibatch must be skipped")
+        // and a genuinely new batch still folds in
+        sink(Seq((7L, 0.4, 0.0)).toDF("id", "x", "y"), 2L)
+        assert(state()(0)._3 === 3L)
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("funnelStream emits ordered completions and evicts stale state") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
