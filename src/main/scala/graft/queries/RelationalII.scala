@@ -335,6 +335,26 @@ object RelationalII extends QueryPack {
         .withColumn("p", round(col("n") / sum("n").over(byFrom), 4))
     }),
 
+    // Top user journeys (round 8) — the path-frequency readout next to
+    // q_transitions' next-event model: each user's first 5 events in
+    // time order become a '>'-joined path string, counted across
+    // users. Determinism: collect_list order is shuffle-dependent, so
+    // the path is rebuilt from array_sort over (rank, type) structs —
+    // the engine-stable idiom every array aggregation here uses. One
+    // user_id exchange serves the ranking window and the per-user agg.
+    "q_paths" -> ((s, d) => {
+      val byUt = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(byUt))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("rn"), col("event_type"))))
+          .as("a"))
+        .select(concat_ws(">", expr("transform(a, s -> s.event_type)"))
+          .as("journey"))
+        .groupBy("journey").agg(count(lit(1)).as("n_users"))
+    }),
+
     // SCD type-2 history build (round 8) — the warehouse
     // dimension-maintenance shape: each run of consecutive equal
     // event_type per user becomes one version row with
@@ -489,6 +509,17 @@ object RelationalII extends QueryPack {
          |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
          |FROM z GROUP BY 1""".stripMargin
     },
+    "q_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |j AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS journey
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT journey, count(*) AS n_users FROM j GROUP BY 1""".stripMargin,
     "q_transitions" ->
       """WITH pr AS (
         |  SELECT event_type AS from_type,
