@@ -49,6 +49,29 @@ class SinksSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    // the 100 TB star-join shape: the fact table is partitioned on the
+    // join key, the dim filter's matching keys are only known at
+    // runtime — DPP turns the broadcast side into a partition filter
+    // on the fact scan, so the job reads 1 partition, not all of them
+    val dir = tmp("graft_dpp_")
+    try {
+      val cust = Tables.customer(spark, sfDir)
+      Sinks.writePartitioned(cust, s"$dir/cust", "c_nationkey")
+      val fact = spark.read.parquet(s"$dir/cust")
+      val dim = Tables.nation(spark, sfDir).filter($"n_name" === "NATION_7")
+      val j = fact.join(dim, $"c_nationkey" === $"n_nationkey")
+        .select("c_custkey", "c_name", "n_name")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("dynamicpruning"),
+        s"the fact scan must carry a runtime pruning subquery, got:\n$p")
+      val want = cust.join(Tables.nation(spark, sfDir)
+          .filter($"n_name" === "NATION_7"),
+        $"c_nationkey" === $"n_nationkey").count()
+      assert(j.count() === want && want > 0)
+    } finally rm(dir)
+  }
+
   test("partitioned parquet prunes non-matching partitions at plan time") {
     val dir = tmp("graft_part_")
     try {
