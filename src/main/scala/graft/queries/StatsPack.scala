@@ -237,6 +237,38 @@ object StatsPack extends QueryPack {
         round(col("m_a"), 4).as("mean_a"), round(col("m_b"), 4).as("mean_b"),
         round(t, 4).as("t_stat"), round(dof, 2).as("dof"),
         (abs(t) > 1.96).as("significant"))
+    }),
+
+    // Per-group OLS trend (round 8) — the metric-trend readout: value
+    // regressed on time (fractional epoch-days) per event_type with
+    // the native regr_* aggregates — single-scan, codegen'd, no window
+    // and no self-join; slope units = value per day.
+    "q_ols" -> ((s, d) => {
+      val x = unix_micros(col("ts")) / lit(86400000000.0)
+      events(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(regr_slope(col("value"), x), 6).as("slope"),
+        round(regr_intercept(col("value"), x), 4).as("intercept"),
+        round(regr_r2(col("value"), x), 6).as("r2"))
+    }),
+
+    // k-anonymity audit (round 8) — the governance gate a dataset
+    // passes before publication: quasi-identifier = (nation, market
+    // segment); rows whose QI group has fewer than k members are
+    // re-identifiable. Two hash aggs (group sizes, then the risk
+    // rollup) — group count is bounded by the QI domain, never rows.
+    "q_k_anon" -> ((s, d) => {
+      val k = 5
+      customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("gsize"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum("gsize").as("n_rows"),
+          sum(when(col("gsize") < k, 1L).otherwise(0L)).as("n_groups_lt_k"),
+          sum(when(col("gsize") < k, col("gsize")).otherwise(0L))
+            .as("n_rows_at_risk"),
+          min("gsize").as("min_gsize"))
+        .withColumn("k", lit(k.toLong))
     })
   )
 
@@ -345,6 +377,25 @@ object StatsPack extends QueryPack {
         |  round(pow(v_a/n_a + v_b/n_b, 2) /
         |    (pow(v_a/n_a, 2)/(n_a - 1) + pow(v_b/n_b, 2)/(n_b - 1)), 2) AS dof,
         |  abs((m_a - m_b) / sqrt(v_a/n_a + v_b/n_b)) > 1.96 AS significant
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "q_ols" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6) AS slope,
+        |  round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4)
+        |    AS intercept,
+        |  round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_k_anon" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS gsize
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(gsize) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_lt_k,
+        |  CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  min(gsize) AS min_gsize, CAST(5 AS BIGINT) AS k
+        |FROM g""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -235,6 +236,54 @@ object StreamingOps {
               .write.mode("overwrite").parquet(summaryPath)
           }
         case None => bstate.write.mode("overwrite").parquet(summaryPath)
+      }
+  }
+
+  /** Streaming MERGE/upsert sink — the continuous face of batch
+    * `q_upsert`: per-key latest state maintained in a parquet table
+    * PARTITIONED BY key bucket, so each micro-batch rewrites only the
+    * buckets it touches (dynamic partition overwrite — the same
+    * footprint-follows-the-batch contract as `semanticDedupSink`'s
+    * cell-partitioned corpus). Merge is by EVENT time (ts, then
+    * event_id), not arrival order: a late event older than the stored
+    * state row cannot regress it. Replayed batch ids are skipped via
+    * the recorded bid, so checkpoint restarts cannot re-merge.
+    *
+    * At scale: state scan cost per batch ∝ touched buckets, write
+    * cost ∝ touched buckets — never the whole table. A transactional
+    * table format would replace the localCheckpoint+overwrite with a
+    * MERGE commit; the dataflow (and `q_upsert`'s gated plan) is
+    * exactly what that MERGE compiles to. */
+  def upsertSink(statePath: String, nBuckets: Int = 32): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val spark = batch.sparkSession
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      def latestPerKey(df: DataFrame) =
+        df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      val latest = latestPerKey(batch
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int")))
+      val prev = corpusIfExists(spark, statePath)
+      val replay = prev.exists(_.agg(max("bid")).head().getLong(0) >= batchId)
+      if (!replay) {
+        val merged = prev match {
+          case Some(p) =>
+            val touched = latest.select("bucket").distinct()
+              .collect().map(_.getInt(0)).toSeq
+            latestPerKey(p.filter(col("bucket").isin(touched: _*)).drop("bid")
+              .unionByName(latest))
+          case None => latest
+        }
+        merged.withColumn("bid", lit(batchId))
+          // state is being read from statePath — cut the lineage before
+          // overwriting the same directory
+          .localCheckpoint()
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket").parquet(statePath)
       }
   }
 

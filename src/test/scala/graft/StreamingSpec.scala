@@ -216,6 +216,46 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("upsertSink merges by event time into bucketed state, replays are skipped") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups_").toString
+    try {
+      val in = MemoryStream[(Long, Timestamp, String, Double, Long)]
+      val q = in.toDF().toDF("user_id", "ts", "event_type", "value", "event_id")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch(StreamingOps.upsertSink(s"$dir/state", nBuckets = 4))
+        .start()
+      def state() = spark.read.parquet(s"$dir/state")
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+      try {
+        // batch 0: user 1 twice (later ts must win within the batch)
+        in.addData((1L, ts(5), "view", 1.0, 10L), (1L, ts(10), "click", 2.0, 11L),
+          (2L, ts(20), "view", 3.0, 12L))
+        q.processAllAvailable()
+        assert(state() === Map(1L -> (("click", 2.0)), 2L -> (("view", 3.0))))
+        // batch 1: a LATE event for user 2 older than its state row
+        // (must not regress), plus a new user
+        in.addData((2L, ts(15), "error", 9.0, 13L), (3L, ts(30), "signup", 4.0, 14L))
+        q.processAllAvailable()
+        val s1 = state()
+        assert(s1 === Map(1L -> (("click", 2.0)), 2L -> (("view", 3.0)),
+          3L -> (("signup", 4.0))),
+          s"event-time merge must keep user 2's newer state row, got $s1")
+        // replay guard: re-delivering batch 1 changes nothing
+        val sink = StreamingOps.upsertSink(s"$dir/state", nBuckets = 4)
+        sink(Seq((2L, ts(15), "error", 9.0, 13L))
+          .toDF("user_id", "ts", "event_type", "value", "event_id"), 1L)
+        assert(state() === s1, "replayed batch must be skipped")
+        // a genuinely newer event still updates
+        sink(Seq((1L, ts(60), "purchase", 8.0, 15L))
+          .toDF("user_id", "ts", "event_type", "value", "event_id"), 2L)
+        assert(state()(1L) === (("purchase", 8.0)))
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("kmeansSink fits online: centroids track the stream, replays are skipped") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_okm_").toString
