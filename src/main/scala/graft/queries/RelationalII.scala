@@ -335,6 +335,26 @@ object RelationalII extends QueryPack {
         .withColumn("p", round(col("n") / sum("n").over(byFrom), 4))
     }),
 
+    // Longest activity streak (round 8) — gaps-and-islands, the one
+    // classic relational pattern the surface lacked: consecutive
+    // active days collapse to islands via the day − row_number trick
+    // (consecutive days share a constant difference), then two hash
+    // aggs roll islands up to per-user streak stats. Everything after
+    // the distinct runs inside one user_id exchange; output is one
+    // row per user.
+    "q_streak" -> ((s, d) => {
+      val byU = Window.partitionBy("user_id").orderBy("day")
+      events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(byU))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(
+          sum("len").as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max("len").as("longest_streak"))
+    }),
+
     // Top user journeys (round 8) — the path-frequency readout next to
     // q_transitions' next-event model: each user's first 5 events in
     // time order become a '>'-joined path string, counted across
@@ -509,6 +529,20 @@ object RelationalII extends QueryPack {
          |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
          |FROM z GROUP BY 1""".stripMargin
     },
+    "q_streak" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d),
+        |s AS (
+        |  SELECT user_id, grp, count(*) AS len
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks, max(len) AS longest_streak
+        |FROM s GROUP BY 1""".stripMargin,
     "q_paths" ->
       """WITH r AS (
         |  SELECT user_id, event_type,
