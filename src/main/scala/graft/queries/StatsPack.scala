@@ -252,6 +252,38 @@ object StatsPack extends QueryPack {
         round(regr_r2(col("value"), x), 6).as("r2"))
     }),
 
+    // RFM segmentation (round 8) — the classic customer-value cut:
+    // per-user recency (latest purchase instant, integer µs),
+    // frequency, monetary over purchases, each scored 1-3 against
+    // GLOBAL tercile cuts. The cuts are one 6-value row (the
+    // text_quality_bins pattern — a whitelisted 1-row broadcast, the
+    // scale-safe alternative to a global-sort ntile); scoring is
+    // per-row column math.
+    "q_rfm" -> ((s, d) => {
+      val pur = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(
+          max(unix_micros(col("ts"))).as("r_us"),
+          count(lit(1)).as("f"),
+          round(sum("value"), 2).as("m"))
+      val cuts = pur.agg(
+        round(expr("percentile(r_us, 0.3333333333333333)"), 4).as("r1"),
+        round(expr("percentile(r_us, 0.6666666666666666)"), 4).as("r2"),
+        round(expr("percentile(f, 0.3333333333333333)"), 4).as("f1"),
+        round(expr("percentile(f, 0.6666666666666666)"), 4).as("f2"),
+        round(expr("percentile(m, 0.3333333333333333)"), 4).as("m1"),
+        round(expr("percentile(m, 0.6666666666666666)"), 4).as("m2"))
+      def score(v: org.apache.spark.sql.Column, c1: org.apache.spark.sql.Column,
+          c2: org.apache.spark.sql.Column) =
+        when(v <= c1, 1L).when(v <= c2, 2L).otherwise(3L)
+      pur.join(broadcast(cuts))
+        .select(col("user_id"), col("r_us"), col("f"), col("m"),
+          score(col("r_us"), col("r1"), col("r2")).as("r_score"),
+          score(col("f"), col("f1"), col("f2")).as("f_score"),
+          score(col("m"), col("m1"), col("m2")).as("m_score"))
+        .withColumn("rfm", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
+    }),
+
     // k-anonymity audit (round 8) — the governance gate a dataset
     // passes before publication: quasi-identifier = (nation, market
     // segment); rows whose QI group has fewer than k members are
@@ -385,6 +417,31 @@ object StatsPack extends QueryPack {
         |    AS intercept,
         |  round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
         |FROM events GROUP BY 1""".stripMargin,
+    "q_rfm" ->
+      """WITH pur AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS r_us, count(*) AS f,
+        |    round(sum(value), 2) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (
+        |  SELECT round(quantile_cont(r_us, 0.3333333333333333), 4) AS r1,
+        |    round(quantile_cont(r_us, 0.6666666666666666), 4) AS r2,
+        |    round(quantile_cont(f, 0.3333333333333333), 4) AS f1,
+        |    round(quantile_cont(f, 0.6666666666666666), 4) AS f2,
+        |    round(quantile_cont(m, 0.3333333333333333), 4) AS m1,
+        |    round(quantile_cont(m, 0.6666666666666666), 4) AS m2
+        |  FROM pur),
+        |s AS (
+        |  SELECT user_id, r_us, f, m,
+        |    CASE WHEN r_us <= r1 THEN 1 WHEN r_us <= r2 THEN 2 ELSE 3 END
+        |      AS r_score,
+        |    CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2 ELSE 3 END AS f_score,
+        |    CASE WHEN m <= m1 THEN 1 WHEN m <= m2 THEN 2 ELSE 3 END AS m_score
+        |  FROM pur, c)
+        |SELECT user_id, r_us, CAST(f AS BIGINT) AS f, m,
+        |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  r_score || '' || f_score || '' || m_score AS rfm
+        |FROM s""".stripMargin,
     "q_k_anon" ->
       """WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, count(*) AS gsize

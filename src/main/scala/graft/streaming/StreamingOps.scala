@@ -425,6 +425,61 @@ object StreamingOps {
   final case class FunnelState(vUs: Long, cUs: Long, pending: Seq[PendingEv])
   final case class FunnelOut(user_id: Long, view_us: Long, click_us: Long,
       purchase_us: Long)
+  final case class TransState(lastUs: Long, lastType: String,
+      pending: Seq[PendingEv])
+  final case class TransOut(user_id: Long, from_type: String, to_type: String,
+      to_us: Long)
+
+  /** Streaming next-event transitions — the live face of batch
+    * `q_transitions`: per user, each event pairs with its predecessor
+    * in EVENT-time order, feeding the same (from, to) matrix
+    * downstream (a windowed count over this output is the live
+    * transition monitor). Cross-batch ordering uses the same
+    * buffer-until-watermark discipline as [[funnelStream]]: events
+    * ahead of the watermark are held in state and replayed once no
+    * earlier event can legally arrive, so an out-of-order delivery
+    * cannot flip a pair. State per user = last emitted event + the
+    * held buffer, watermark-bounded; idle users evict one horizon
+    * after their last event. */
+  def transitionsStream(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 60 * 60 * 1000L): Dataset[TransOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, it, state: GroupState[TransState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prior = state.getOption.getOrElse(TransState(-1L, "", Nil))
+          val incoming = it.map(e => PendingEv(epochMicros(e.ts), e.event_type))
+          val (ripe, held) = (prior.pending ++ incoming).partition(_.tUs <= wmUs)
+          var lastUs = prior.lastUs
+          var lastType = prior.lastType
+          var out = List.empty[TransOut]
+          // ties break on type rank so both engines of a replay agree
+          ripe.sortBy(p => (p.tUs, p.etype)).foreach { p =>
+            if (lastUs >= 0) out ::= TransOut(uid, lastType, p.etype, p.tUs)
+            lastUs = p.tUs
+            lastType = p.etype
+          }
+          val stale = state.hasTimedOut && held.isEmpty &&
+            lastUs >= 0 && wmMs >= ceilMs(lastUs) + horizonMs
+          if ((lastUs < 0 && held.isEmpty) || stale) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(TransState(lastUs, lastType, held))
+            val target =
+              if (held.nonEmpty) held.map(p => ceilMs(p.tUs)).min
+              else ceilMs(lastUs) + horizonMs
+            state.setTimeoutTimestamp(math.max(target, wmMs + 1))
+          }
+          out.reverseIterator
+      }
+  }
 
   private def ceilMs(us: Long): Long = math.floorDiv(us + 999L, 1000L)
 

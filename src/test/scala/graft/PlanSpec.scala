@@ -157,12 +157,14 @@ class PlanSpec extends SparkSpec {
     *   text_quality_learned — single-row median-label-cut broadcast;
     *   q_drift / q_upsert — single-row split-instant broadcast (the
     *     integer-µs midpoint both engines cut on);
-    *   q_zorder — single-row max-bounds broadcast (the grid scale). */
+    *   q_zorder — single-row max-bounds broadcast (the grid scale);
+    *   q_rfm — single-row tercile-cuts broadcast (text_quality_bins'
+    *     pattern). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "km_silhouette_exact", "text_tfidf",
       "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy",
-      "text_quality_learned", "q_drift", "q_upsert", "q_zorder")
+      "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

@@ -335,6 +335,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionsStream pairs events in event-time order across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.transitionsStream(in.toDS())
+      .writeStream.format("memory").queryName("trans_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the click ARRIVES a batch before the earlier-timestamped view —
+      // arrival-order pairing would emit view→click backwards or not
+      // at all; event-time buffering must produce view→click→purchase
+      in.addData(Event(7, ts(5), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(7, ts(2), "view", 1.0), Event(7, ts(8), "purchase", 3.0))
+      q.processAllAvailable()
+      // ripen everything: watermark far past ts(8)
+      in.addData(Event(99, ts(600), "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(99, ts(610), "view", 1.0))
+      q.processAllAvailable()
+      def us(min: Long) = (1700000000000L + min * 60000L) * 1000L
+      val rows = spark.table("trans_ooo").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("from_type"),
+          r.getAs[String]("to_type"), r.getAs[Long]("to_us"))).sortBy(_._4)
+      assert(rows.filter(_._1 == 7L).toSeq === Seq(
+        (7L, "view", "click", us(5)), (7L, "click", "purchase", us(8))),
+        s"pairs must follow event time, not arrival order, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("funnelStream replays cross-batch out-of-order events in event-time order") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
