@@ -382,24 +382,26 @@ object RelationalII extends QueryPack {
     // One shuffle on user_id serves the change-detect window, the
     // run rollup, and the validity chaining — the classic
     // lag→cumsum→group→lead pipeline, all inside one exchange.
-    "q_scd2" -> ((s, d) => {
-      val byUt = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val runs = events(s, d)
-        .withColumn("prev", lag(col("event_type"), 1).over(byUt))
-        .withColumn("chg",
-          when(col("prev").isNull.or(col("prev") =!= col("event_type")), 1L)
-            .otherwise(0L))
-        .withColumn("ver", sum("chg").over(
-          byUt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val vers = runs.groupBy(col("user_id"), col("ver"), col("event_type"))
-        .agg(min(unix_micros(col("ts"))).as("valid_from_us"),
-          count(lit(1)).as("n_events"))
-      val byVer = Window.partitionBy("user_id").orderBy("ver")
-      vers
-        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVer))
-        .withColumn("is_current", col("valid_to_us").isNull)
-        .select("user_id", "ver", "event_type", "valid_from_us",
-          "valid_to_us", "n_events", "is_current")
+    "q_scd2" -> ((s, d) => scd2(s, d)),
+
+    // Point-in-time dimension lookup (round 8) — the consumer of
+    // q_scd2's versioned dimension: every event joins to the version
+    // row VALID AT its own timestamp ([valid_from, valid_to) with an
+    // open current version). The join keys on user_id (co-partitioned
+    // hash join — the validity bounds are residual predicates, never a
+    // cross product) and every event matches exactly one version, so
+    // output = events, verified by the n_versions distinct rollup.
+    "q_temporal_join" -> ((s, d) => {
+      val dim = scd2(s, d)
+        .select(col("user_id"), col("ver"), col("event_type").as("state_type"),
+          col("valid_from_us"), col("valid_to_us"))
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      ev.join(dim, Seq("user_id"))
+        .filter(col("ts_us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+        .groupBy(col("user_id"), col("state_type"))
+        .agg(count(lit(1)).as("n_events"), countDistinct("ver").as("n_versions"))
     }),
 
     // MERGE INTO semantics as one declarative plan (round 8) — the
@@ -510,6 +512,29 @@ object RelationalII extends QueryPack {
     })
   )
 
+  // the SCD type-2 dimension build, shared by q_scd2 (the gated audit
+  // of the build itself) and q_temporal_join (its point-in-time
+  // consumer): lag→cumsum→group→lead, all inside one user_id exchange
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    val byUt = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = events(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(byUt))
+      .withColumn("chg",
+        when(col("prev").isNull.or(col("prev") =!= col("event_type")), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum("chg").over(
+        byUt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val vers = runs.groupBy(col("user_id"), col("ver"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val byVer = Window.partitionBy("user_id").orderBy("ver")
+    vers
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVer))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select("user_id", "ver", "event_type", "valid_from_us",
+        "valid_to_us", "n_events", "is_current")
+  }
+
   def oracles: Map[String, String] = Map(
     "q_zorder" -> {
       // the same 32 interleave terms as Layout.zorder16, unrolled in
@@ -582,6 +607,32 @@ object RelationalII extends QueryPack {
         |  lead(valid_from_us) OVER wv AS valid_to_us, n_events,
         |  lead(valid_from_us) OVER wv IS NULL AS is_current
         |FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY ver)""".stripMargin,
+    "q_temporal_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+        |  FROM e),
+        |v AS (
+        |  SELECT user_id, ver, event_type, min(ts_us) AS valid_from_us
+        |  FROM r GROUP BY user_id, ver, event_type),
+        |dim AS (
+        |  SELECT user_id, ver, event_type AS state_type, valid_from_us,
+        |    lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
+        |      AS valid_to_us
+        |  FROM v),
+        |ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT ev.user_id, dim.state_type, count(*) AS n_events,
+        |  count(DISTINCT dim.ver) AS n_versions
+        |FROM ev JOIN dim ON ev.user_id = dim.user_id
+        |  AND ev.ts_us >= dim.valid_from_us
+        |  AND (dim.valid_to_us IS NULL OR ev.ts_us < dim.valid_to_us)
+        |GROUP BY 1, 2""".stripMargin,
     "q_upsert" ->
       """WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
         |    event_id FROM events),
