@@ -660,6 +660,39 @@ object TextPack extends QueryPack {
         .join(members, "h")
         .select(col("doc_id"), (col("i") + 1).cast("int").as("rk"),
           col("t.wd").as("word"), (-col("t.negs")).as("score"))
+    }),
+
+    // PMI collocations (round 8) — corpus-level co-occurrence mining:
+    // adjacent word pairs scored by pointwise mutual information
+    // log(p(x,y) / (p(x)·p(y))), the collocation detector behind
+    // phrase induction and tokenizer-merge candidates. Scale shape:
+    // bigrams come from an in-array transform (no self-join), unigram
+    // and bigram counts are hash aggs shuffling words not documents,
+    // the count-vector join keys on the word, and the two corpus
+    // totals ride the whitelisted 1-row broadcast. Support floor 20
+    // keeps the output collocation-sized.
+    "text_cooc" -> ((s, d) => {
+      val base = docs(s, d).select(words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val big = base.select(explode(expr(
+        "transform(sequence(1, size(ws)-1), " +
+          "i -> struct(element_at(ws, i) AS x, element_at(ws, i+1) AS y))"))
+        .as("b"))
+        .select(col("b.x").as("x"), col("b.y").as("y"))
+      val uni = base.select(explode(col("ws")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val pair = big.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 20)
+      val tot = pair.agg(sum("c_xy").as("n2"))
+        .crossJoin(broadcast(uni.agg(sum("c").as("n1"))))
+      pair
+        .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+        .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
+        .crossJoin(broadcast(tot))
+        .select(col("x"), col("y"), col("c_xy"),
+          round(log((col("c_xy") / col("n2")) /
+            ((col("c_x") / col("n1")) * (col("c_y") / col("n1")))), 4)
+            .as("pmi"))
     })
   )
 
@@ -959,6 +992,28 @@ object TextPack extends QueryPack {
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  round(avg(n_tokens),4) AS avg_tokens, max(n_tokens) AS max_tokens
          |FROM t GROUP BY lang""".stripMargin,
+    "text_cooc" ->
+      s"""WITH base AS (
+         |  SELECT $wSql AS ws FROM documents WHERE len($wSql) >= 2),
+         |big AS (
+         |  SELECT unnest(list_transform(range(1, len(ws)),
+         |    i -> struct_pack(x := ws[i], y := ws[i+1]))) AS b
+         |  FROM base),
+         |pair AS (
+         |  SELECT b.x AS x, b.y AS y, count(*) AS c_xy
+         |  FROM big GROUP BY 1, 2 HAVING count(*) >= 20),
+         |uni AS (
+         |  SELECT t, count(*) AS c
+         |  FROM (SELECT unnest(ws) AS t FROM base) GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(c_xy) AS DOUBLE) FROM pair) AS n2,
+         |    (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS n1)
+         |SELECT p.x, p.y, p.c_xy,
+         |  round(ln((p.c_xy / n2) / ((ux.c / n1) * (uy.c / n1))), 4) AS pmi
+         |FROM pair p
+         |JOIN uni ux ON ux.t = p.x
+         |JOIN uni uy ON uy.t = p.y
+         |CROSS JOIN tot""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, $wSql AS w, CAST(length(text) AS BIGINT) AS n_chars,

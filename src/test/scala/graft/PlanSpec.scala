@@ -159,12 +159,15 @@ class PlanSpec extends SparkSpec {
     *     integer-µs midpoint both engines cut on);
     *   q_zorder — single-row max-bounds broadcast (the grid scale);
     *   q_rfm — single-row tercile-cuts broadcast (text_quality_bins'
+    *     pattern);
+    *   text_cooc — single-row corpus-totals broadcast (text_tfidf's
     *     pattern). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "km_silhouette_exact", "text_tfidf",
       "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy",
-      "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm")
+      "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm",
+      "text_cooc")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
