@@ -252,6 +252,25 @@ object StatsPack extends QueryPack {
         round(regr_r2(col("value"), x), 6).as("r2"))
     }),
 
+    // Benford first-digit audit (round 8) — the fabricated-data smell
+    // test: observed first-significant-digit shares of order totals vs
+    // the Benford expectation log10(1+1/d). First digit via
+    // floor→string (identical truncation in both engines — a log10
+    // formulation risks cross-engine rounding at power-of-10 edges).
+    // One scan, one 9-row hash agg; the total rides the 9-row window.
+    "q_benford" -> ((s, d) => {
+      val digit = substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int")
+      val byAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      orders(s, d)
+        .filter(col("o_totalprice") >= 1.0)
+        .groupBy(digit.as("d")).agg(count(lit(1)).as("n"))
+        .withColumn("obs_frac", round(col("n") / sum("n").over(byAll), 6))
+        .withColumn("benford_frac",
+          round(log10(lit(1.0) + lit(1.0) / col("d")), 6))
+        .select("d", "n", "obs_frac", "benford_frac")
+    }),
+
     // RFM segmentation (round 8) — the classic customer-value cut:
     // per-user recency (latest purchase instant, integer µs),
     // frequency, monetary over purchases, each scored 1-3 against
@@ -417,6 +436,15 @@ object StatsPack extends QueryPack {
         |    AS intercept,
         |  round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
         |FROM events GROUP BY 1""".stripMargin,
+    "q_benford" ->
+      """WITH b AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS d, count(*) AS n
+        |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1)
+        |SELECT d, n,
+        |  round(n / (SELECT CAST(sum(n) AS DOUBLE) FROM b), 6) AS obs_frac,
+        |  round(log10(1.0 + 1.0 / d), 6) AS benford_frac
+        |FROM b""".stripMargin,
     "q_rfm" ->
       """WITH pur AS (
         |  SELECT user_id, max(epoch_us(ts)) AS r_us, count(*) AS f,
