@@ -14,6 +14,30 @@ import graft.functions.VectorFunctions.cosineSim
   */
 object Similarity {
 
+  /** Mean-vector drift between two halves of an embedding corpus: per
+    * group, the cosine between the mean vectors of the `half` = 0 and
+    * `half` = 1 rows — the vector twin of the scalar PSI monitor (a
+    * shifted embedding space reads cos < 1 before any downstream model
+    * notices). Expects (groupCol, half, embedding); one posexplode →
+    * map-side-combined hash agg down to groups×2×dim partials → a
+    * group-keyed join over those partials. No whole vector crosses the
+    * wire after the explode. */
+  def meanVectorDrift(emb: DataFrame, groupCol: String): DataFrame = {
+    val e = emb.select(col(groupCol), col("half"),
+      posexplode(col("embedding")).as(Seq("i", "v")))
+    val m = e.groupBy(groupCol, "half", "i").agg(avg("v").as("mv"))
+    val r = m.filter(col("half") === 0)
+      .select(col(groupCol), col("i"), col("mv").as("p"))
+    val c = m.filter(col("half") === 1)
+      .select(col(groupCol), col("i"), col("mv").as("q"))
+    r.join(c, Seq(groupCol, "i"))
+      .groupBy(groupCol)
+      .agg(round(sum(col("p") * col("q")) /
+        (sqrt(sum(col("p") * col("p"))) * sqrt(sum(col("q") * col("q")))), 6)
+        .as("cos_ref_cur"),
+        count(lit(1)).as("n_dims"))
+  }
+
   /** Exact cosine top-k: broadcast the (small) query set against the
     * corpus, then the bounded-heap TopKStructs aggregate per query —
     * only k candidates per query per partition reach the shuffle (a

@@ -23,6 +23,18 @@ object SimilarityPack extends QueryPack {
     "embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.35)),
 
+    // Embedding drift (round 8) — the vector twin of q_drift: per
+    // label, the cosine between the mean vectors of the two snapshot
+    // halves (vec_id parity — deterministic, data-derived). Semantics
+    // spec'd on constructed halves in SimilaritySpec (identical → 1,
+    // orthogonal → 0); scale shape documented on the shared operator.
+    "embed_drift" -> ((s, d) =>
+      Similarity.meanVectorDrift(
+        Tables.embeddings(s, d)
+          .select(col("label"), pmod(col("vec_id"), lit(2)).as("half"),
+            col("embedding")),
+        "label")),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
     // embedding space. Coarse k-means cells block the pairwise search
     // (deterministic first-k seed so the oracle replays the layout;
@@ -323,6 +335,23 @@ object SimilarityPack extends QueryPack {
   }.mkString("\n + ")
 
   def oracles: Map[String, String] = Map(
+    "embed_drift" ->
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(range(0, 64)) AS i
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, half, i, avg(v) AS mv
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT r.label,
+        |  round(sum(r.mv * c.mv) /
+        |    (sqrt(sum(r.mv * r.mv)) * sqrt(sum(c.mv * c.mv))), 6)
+        |    AS cos_ref_cur,
+        |  count(*) AS n_dims
+        |FROM m r JOIN m c ON r.label = c.label AND r.i = c.i
+        |  AND r.half = 0 AND c.half = 1
+        |GROUP BY 1""".stripMargin,
     "embed_outliers" ->
       s"""WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cent AS (SELECT CAST(id AS INT) AS cid, v AS cv FROM pts WHERE id < $SemCells),

@@ -252,6 +252,41 @@ object StatsPack extends QueryPack {
         round(regr_r2(col("value"), x), 6).as("r2"))
     }),
 
+    // Changepoint scan (round 8) — where did the metric move? For each
+    // event_type, the split day maximizing |mean_before − mean_after|
+    // (the exhaustive two-segment scan; CUSUM's batch twin). Candidate
+    // evaluation is O(days) via cumulative sums over the DAILY
+    // aggregate — the raw stream is reduced once, the scan never
+    // touches it again, so the window frames hold ≤ range rows per
+    // type. The gap is rounded to 6 BEFORE the argmax so float
+    // summation order cannot flip the winner across engines.
+    "q_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      val byDay = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy("event_type")
+      val c = daily
+        .withColumn("cn", sum("n").over(byDay))
+        .withColumn("cs", sum("sv").over(byDay))
+        .withColumn("tn", sum("n").over(whole))
+        .withColumn("ts_", sum("sv").over(whole))
+        .filter(col("cn") < col("tn"))
+        .withColumn("gap", round(abs(col("cs") / col("cn") -
+          (col("ts_") - col("cs")) / (col("tn") - col("cn"))), 6))
+      c.withColumn("rk", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("gap").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          round(col("cs") / col("cn"), 4).as("mean_before"),
+          round((col("ts_") - col("cs")) / (col("tn") - col("cn")), 4)
+            .as("mean_after"),
+          col("gap"))
+    }),
+
     // Benford first-digit audit (round 8) — the fabricated-data smell
     // test: observed first-significant-digit shares of order totals vs
     // the Benford expectation log10(1+1/d). First digit via
@@ -436,6 +471,29 @@ object StatsPack extends QueryPack {
         |    AS intercept,
         |  round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
         |FROM events GROUP BY 1""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n, sum(value) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day,
+        |    sum(n) OVER w AS cn, sum(sv) OVER w AS cs,
+        |    sum(n) OVER t AS tn, sum(sv) OVER t AS ts_
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    t AS (PARTITION BY event_type)),
+        |g AS (
+        |  SELECT *, round(abs(cs/cn - (ts_-cs)/(tn-cn)), 6) AS gap
+        |  FROM c WHERE cn < tn),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gap DESC, day) AS rk FROM g)
+        |SELECT event_type, day AS split_day,
+        |  round(cs/cn, 4) AS mean_before,
+        |  round((ts_-cs)/(tn-cn), 4) AS mean_after, gap
+        |FROM r WHERE rk = 1""".stripMargin,
     "q_benford" ->
       """WITH b AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)

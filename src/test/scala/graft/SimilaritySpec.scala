@@ -420,4 +420,37 @@ class SimilaritySpec extends SparkSpec {
       assert(d2 === 2 * v1 - k1, s"cell $cid: drops must absorb all replicas")
     }
   }
+
+  test("meanVectorDrift: identical halves read 1, orthogonal halves read 0") {
+    // group 0: both halves hold the SAME two vectors → mean vectors
+    // coincide → cosine exactly 1. group 1: half 0 lives on +x, half 1
+    // on +y → mean vectors orthogonal → cosine exactly 0.
+    def vx(a: Float, b: Float) = Array(a, b, 0f, 0f)
+    val rows = Seq(
+      (0, 0, vx(1f, 2f)), (0, 0, vx(3f, 1f)),
+      (0, 1, vx(1f, 2f)), (0, 1, vx(3f, 1f)),
+      (1, 0, vx(2f, 0f)), (1, 0, vx(4f, 0f)),
+      (1, 1, Array(0f, 3f, 0f, 0f)), (1, 1, Array(0f, 5f, 0f, 0f)))
+    val df = rows.toDF("label", "half", "embedding")
+    val out = graft.operators.Similarity.meanVectorDrift(df, "label")
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Double]("cos_ref_cur"), r.getAs[Long]("n_dims"))).toMap
+    assert(out(0) === ((1.0, 4L)), s"identical halves must read cos 1, got $out")
+    assert(out(1) === ((0.0, 4L)), s"orthogonal halves must read cos 0, got $out")
+  }
+
+  test("embed_drift joins every dimension and stays in cosine bounds") {
+    // the synthetic embeddings are NOT clustered by label (per-label
+    // means are noise around zero), so the table read only pins the
+    // invariants: all 64 dims join per label, cosine within [-1, 1],
+    // one row per label present in the table
+    val rows = SparkEntry.queries("embed_drift")(spark, sfDir)
+      .collect().map(r => (r.getAs[Int]("label"),
+        r.getAs[Double]("cos_ref_cur"), r.getAs[Long]("n_dims")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (l, cos, nd) =>
+      assert(nd === 64L, s"label $l: every dimension must join, got $nd")
+      assert(math.abs(cos) <= 1.0 + 1e-9, s"label $l: cosine out of bounds: $cos")
+    }
+  }
 }
