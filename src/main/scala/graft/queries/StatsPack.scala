@@ -252,6 +252,37 @@ object StatsPack extends QueryPack {
         round(regr_r2(col("value"), x), 6).as("r2"))
     }),
 
+    // Poisson bootstrap CI (round 8) — the bootstrap that scales: a
+    // classic resample would shuffle the data B times; Poisson(1)
+    // weights make each replicate a WEIGHTED mean computable in the
+    // same scan (Google's production bootstrap), so all 32 replicates
+    // are conditional-sum COLUMNS of one hash agg. Weights are exact
+    // inverse-CDF draws from the shared 16-bit md5 idiom (integer
+    // thresholds — engine-identical), replicate means round to 6
+    // before the sort, and the CI is the 2nd/31st order statistic of
+    // the 32 replicates (≈ 94% coverage).
+    "q_bootstrap" -> ((s, d) => {
+      val B = 32
+      // cumulative Poisson(1) CDF × 2^16, floored: P(k ≤ 0..6)
+      val cums = Seq(24109L, 48226L, 60281L, 64299L, 65304L, 65497L, 65530L)
+      def wgt(b: Int): org.apache.spark.sql.Column = {
+        val h = conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(s":$b")).cast("binary")), 1, 4), 16, 10).cast("long")
+        cums.zipWithIndex.foldLeft(when(h < cums.head, 0L)) {
+          case (acc, (c, i)) => if (i == 0) acc else acc.when(h < c, i.toLong)
+        }.otherwise(7L)
+      }
+      val aggs = (0 until B).flatMap(b => Seq(
+        sum(wgt(b) * col("value")).as(s"s$b"), sum(wgt(b)).as(s"w$b")))
+      val head +: tail = aggs :+ count(lit(1)).as("n") :+
+        round(avg("value"), 4).as("mean")
+      val reps = array_sort(array((0 until B).map(b =>
+        round(col(s"s$b") / col(s"w$b"), 6)): _*))
+      events(s, d).groupBy("event_type").agg(head, tail: _*)
+        .select(col("event_type"), col("n"), col("mean"),
+          element_at(reps, 2).as("boot_lo"), element_at(reps, 31).as("boot_hi"))
+    }),
+
     // Changepoint scan (round 8) — where did the metric move? For each
     // event_type, the split day maximizing |mean_before − mean_after|
     // (the exhaustive two-segment scan; CUSUM's batch twin). Candidate
@@ -471,6 +502,29 @@ object StatsPack extends QueryPack {
         |    AS intercept,
         |  round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
         |FROM events GROUP BY 1""".stripMargin,
+    "q_bootstrap" -> {
+      // the same 32 Poisson-weight conditional sums, generated in
+      // DuckDB's dialect from the same integer thresholds
+      val cums = Seq(24109, 48226, 60281, 64299, 65304, 65497, 65530)
+      def w(b: Int): String = {
+        val h = s"CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) " +
+          s"|| ':$b'), 1, 4)) AS INT)"
+        val whens = cums.zipWithIndex
+          .map { case (c, k) => s"WHEN $h < $c THEN $k" }.mkString(" ")
+        s"(CASE $whens ELSE 7 END)"
+      }
+      val sums = (0 until 32).map(b =>
+        s"sum(${w(b)} * value) AS s$b, sum(${w(b)}) AS w$b").mkString(",\n")
+      val reps = (0 until 32).map(b => s"round(s$b / w$b, 6)").mkString(", ")
+      s"""WITH a AS (
+         |  SELECT event_type, count(*) AS n, round(avg(value), 4) AS mean,
+         |$sums
+         |  FROM events GROUP BY 1),
+         |r AS (SELECT event_type, n, mean,
+         |    list_sort([$reps]) AS reps FROM a)
+         |SELECT event_type, n, mean, reps[2] AS boot_lo, reps[31] AS boot_hi
+         |FROM r""".stripMargin
+    },
     "q_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
