@@ -611,6 +611,40 @@ object StreamingOps {
         n.as("n_events"), round(psi, 4).as("psi"))
   }
 
+  /** Streaming embedding-drift monitor — the vector twin of
+    * [[driftMonitorStream]] and the live face of batch `embed_drift`:
+    * per tumbling event-time window and label, the window's MEAN
+    * vector is compared (cosine) against a REFERENCE mean trained
+    * offline on the trusted corpus and passed as plan literals. The
+    * one allowed streaming aggregation computes the per-dimension
+    * sums as `dim` conditional columns; the mean, the label's
+    * reference lookup, and the cosine are per-row math over the
+    * finalized group — state is one row per (window, label),
+    * watermark-evicted. A space shift reads cos < 1 here before any
+    * downstream model notices. */
+  def embedDriftStream(vecs: DataFrame, refMeans: Map[Int, Seq[Double]],
+      dim: Int = 64, tsCol: String = "ts", labelCol: String = "label",
+      vecCol: String = "embedding", windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(refMeans.nonEmpty && refMeans.values.forall(_.length == dim),
+      s"refMeans must map labels to $dim-dim vectors")
+    val sums = (0 until dim).map(i =>
+      sum(col(vecCol)(i)).as(s"s$i")) :+ count(lit(1)).as("n")
+    val mean = array((0 until dim).map(i => col(s"s$i") / col("n")): _*)
+    val ref = element_at(
+      typedlit(refMeans.map { case (k, v) => k -> v.toArray }),
+      col(labelCol))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val cos = dot(mean, ref) / (sqrt(dot(mean, mean)) * sqrt(dot(ref, ref)))
+    vecs
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(labelCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("w.start").as("ws"), col(labelCol), col("n"),
+        round(cos, 6).as("cos_ref"))
+  }
+
   /** Streaming nearest-centroid assignment — the reference's map phase
     * as a stream transform: centroids are plan literals (broadcast by
     * construction, exactly like batch `km_assign`), so assignment is

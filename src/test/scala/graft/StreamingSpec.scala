@@ -543,6 +543,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedDriftStream reads 1 on-reference and below on a shifted space") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Int, Array[Double])]
+    val refs = Map(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0))
+    val q = StreamingOps.embedDriftStream(
+      in.toDF().toDF("vec_id", "ts", "label", "embedding"), refs, dim = 4)
+      .writeStream.format("memory").queryName("emb_drift")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // label 0's window mean sits exactly on its reference direction;
+      // label 1's mean has rotated 90° away from its reference
+      in.addData(
+        (1L, ts(0), 0, Array(2.0, 0.0, 0.0, 0.0)),
+        (2L, ts(1), 0, Array(4.0, 0.0, 0.0, 0.0)),
+        (3L, ts(0), 1, Array(3.0, 0.0, 0.0, 0.0)),
+        (4L, ts(1), 1, Array(5.0, 0.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      in.addData((9L, ts(120), 0, Array(1.0, 0.0, 0.0, 0.0))) // finalize hour 1
+      q.processAllAvailable()
+      val rows = spark.table("emb_drift").collect()
+        .map(r => r.getAs[Int]("label") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("cos_ref"))).toMap
+      assert(rows(0) === ((2L, 1.0)),
+        s"on-reference window must read cosine 1, got $rows")
+      assert(rows(1)._2 === 0.0,
+        s"an orthogonally-shifted space must read cosine 0, got $rows")
+    } finally q.stop()
+  }
+
   test("driftMonitorStream flags the shifted type and clears the steady one") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String, Double)]
