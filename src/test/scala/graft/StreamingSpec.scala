@@ -175,6 +175,43 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("upsertSink restart: a checkpointed stream resumes without re-merging") {
+    // the weekly-restart path for the CDC state table: committed
+    // batches must not re-merge (the event-time keep rule makes a
+    // re-merge TODAY invisible, but the bid guard is what makes that
+    // guaranteed rather than incidental), and post-restart batches
+    // must keep merging by event time
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsrestart_").toString
+    try {
+      val schema = Seq((1L, ts(0), "view", 1.0, 1L))
+        .toDF("user_id", "ts", "event_type", "value", "event_id").schema
+      Seq((1L, ts(10), "click", 2.0, 11L), (2L, ts(20), "view", 3.0, 12L))
+        .toDF("user_id", "ts", "event_type", "value", "event_id")
+        .write.parquet(s"$dir/in/b1")
+      def startQuery() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch(StreamingOps.upsertSink(s"$dir/state", nBuckets = 4))
+        .start()
+      def state() = spark.read.parquet(s"$dir/state")
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+      val q1 = startQuery()
+      try { q1.processAllAvailable() } finally q1.stop()
+      assert(state() === Map(1L -> (("click", 2.0)), 2L -> (("view", 3.0))))
+      // restart on the same checkpoint with a late (older) event for
+      // user 2 and a genuinely newer one for user 1
+      Seq((2L, ts(15), "error", 9.0, 13L), (1L, ts(60), "purchase", 8.0, 14L))
+        .toDF("user_id", "ts", "event_type", "value", "event_id")
+        .write.parquet(s"$dir/in/b2")
+      val q2 = startQuery()
+      try { q2.processAllAvailable() } finally q2.stop()
+      assert(state() === Map(1L -> (("purchase", 8.0)), 2L -> (("view", 3.0))),
+        s"restart must not re-merge batch 1; late data must not regress, " +
+          s"new data must land, got ${state()}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("incrementalAggSink merges batches exactly-once, skips replays") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup_").toString
