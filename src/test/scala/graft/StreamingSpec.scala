@@ -337,6 +337,41 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("kmeansSink restart: a checkpointed stream resumes without double-counting") {
+    // restart on the same checkpoint replays the last batch to the
+    // sink; the 1/(n+m) fold is NOT idempotent, so only the bid guard
+    // keeps the centroid inertia correct across restarts
+    val dir = java.nio.file.Files.createTempDirectory("graft_okmrestart_").toString
+    try {
+      val schema = Seq((1L, 0.0, 0.0)).toDF("id", "x", "y").schema
+      Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, 0.2, 0.0), (4L, 10.2, 10.0))
+        .toDF("id", "x", "y").coalesce(1).write.parquet(s"$dir/in/b1")
+      def startQuery() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch(StreamingOps.kmeansSink(s"$dir/cents", k = 2))
+        .start()
+      def state() = spark.read.parquet(s"$dir/cents")
+        .collect().map(r => r.getAs[Int]("cid") ->
+          (r.getAs[Double]("x"), r.getAs[Long]("n"))).toMap
+      val q1 = startQuery()
+      try { q1.processAllAvailable() } finally q1.stop()
+      val s1 = state()
+      assert(s1(0) === ((0.1, 2L)) && s1(1) === ((10.1, 2L)))
+      // restart; a new minibatch pulls centroid 1 with DAMPED weight —
+      // correct only if batch 1 wasn't folded twice (n would be 4+2)
+      Seq((5L, 12.0, 10.0), (6L, 12.0, 10.0))
+        .toDF("id", "x", "y").coalesce(1).write.parquet(s"$dir/in/b2")
+      val q2 = startQuery()
+      try { q2.processAllAvailable() } finally q2.stop()
+      val s2 = state()
+      assert(s2(0) === s1(0), "untouched centroid must not move on restart")
+      assert(s2(1) === ((11.05, 4L)),
+        s"restart must fold batch 2 exactly once onto n=2 inertia " +
+          s"((2*10.1+24)/4 = 11.05), got $s2")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("funnelStream emits ordered completions and evicts stale state") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
