@@ -146,19 +146,23 @@ object StreamingOps {
   def incrementalDedupSink(corpusPath: String, ngramN: Int = 1,
       threshold: Double = 0.6): (DataFrame, Long) => Unit = { (batch, _) =>
     import graft.operators.Dedup
-    val shaped = batch
-      .select(col("doc_id"), col("lang"),
-        floor(length(col("text")) / 100).as("lb"), col("text"))
-    val withinBatch = Dedup.applyDedup(shaped, "doc_id",
-      Dedup.blockedNgramJaccardSparse(shaped, ngramN, threshold))
-    val corpus = corpusIfExists(batch.sparkSession, corpusPath)
-      .map(_.select("doc_id", "lang", "lb", "text"))
-    val novel = corpus match {
-      case Some(c) =>
-        Dedup.incrementalDedup(withinBatch, c, ngramN, threshold)
-      case None => withinBatch
+    // empty-trigger guard: a first empty batch would mint a footerless
+    // corpus dir that breaks the next batch's schema inference
+    if (batch.head(1).nonEmpty) {
+      val shaped = batch
+        .select(col("doc_id"), col("lang"),
+          floor(length(col("text")) / 100).as("lb"), col("text"))
+      val withinBatch = Dedup.applyDedup(shaped, "doc_id",
+        Dedup.blockedNgramJaccardSparse(shaped, ngramN, threshold))
+      val corpus = corpusIfExists(batch.sparkSession, corpusPath)
+        .map(_.select("doc_id", "lang", "lb", "text"))
+      val novel = corpus match {
+        case Some(c) =>
+          Dedup.incrementalDedup(withinBatch, c, ngramN, threshold)
+        case None => withinBatch
+      }
+      novel.write.mode("append").parquet(corpusPath)
     }
-    novel.write.mode("append").parquet(corpusPath)
   }
 
   /** Streaming SEMANTIC dedup ingest loop — the embedding twin of
@@ -178,25 +182,29 @@ object StreamingOps {
     (batch, _) =>
       import graft.functions.VectorFunctions.cosineSim
       import graft.operators.{KMeansND, Similarity}
-      val spark = batch.sparkSession
-      val withinKept = Similarity.semDedupApply(batch, cells, tau)
-        .select(col("vec_id"), col("cid").as("cell"))
-      val keptBatch = batch.join(withinKept, "vec_id")
-      val corpus = corpusIfExists(spark, corpusPath)
-      val novel = corpus match {
-        case Some(c) =>
-          val touched = keptBatch.select("cell").distinct()
-            .collect().map(_.getInt(0)).toSeq
-          val probed = c.filter(col("cell").isin(touched: _*))
-          val dupIds = keptBatch.as("b")
-            .join(probed.as("p"),
-              col("b.cell") === col("p.cell") &&
-                round(cosineSim(col("b.embedding"), col("p.embedding")), 4) >= tau)
-            .select(col("b.vec_id").as("dup_id")).distinct()
-          keptBatch.join(dupIds, keptBatch("vec_id") === col("dup_id"), "left_anti")
-        case None => keptBatch
+      // empty-trigger guard: a first empty batch would mint a
+      // footerless corpus dir that breaks the next batch's read
+      if (batch.head(1).nonEmpty) {
+        val spark = batch.sparkSession
+        val withinKept = Similarity.semDedupApply(batch, cells, tau)
+          .select(col("vec_id"), col("cid").as("cell"))
+        val keptBatch = batch.join(withinKept, "vec_id")
+        val corpus = corpusIfExists(spark, corpusPath)
+        val novel = corpus match {
+          case Some(c) =>
+            val touched = keptBatch.select("cell").distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val probed = c.filter(col("cell").isin(touched: _*))
+            val dupIds = keptBatch.as("b")
+              .join(probed.as("p"),
+                col("b.cell") === col("p.cell") &&
+                  round(cosineSim(col("b.embedding"), col("p.embedding")), 4) >= tau)
+              .select(col("b.vec_id").as("dup_id")).distinct()
+            keptBatch.join(dupIds, keptBatch("vec_id") === col("dup_id"), "left_anti")
+          case None => keptBatch
+        }
+        novel.write.mode("append").partitionBy("cell").parquet(corpusPath)
       }
-      novel.write.mode("append").partitionBy("cell").parquet(corpusPath)
   }
 
   /** Streaming rollup maintenance — the streaming twin of batch
@@ -219,23 +227,27 @@ object StreamingOps {
   def incrementalAggSink(summaryPath: String): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val spark = batch.sparkSession
-      val bstate = batch.groupBy("event_type").agg(
-        count(lit(1)).as("n"), sum("value").as("sv"),
-        min("value").as("mn"), max("value").as("mx"))
-        .withColumn("bid", lit(batchId))
-      corpusIfExists(spark, summaryPath) match {
-        case Some(prev) =>
-          val replay = prev.agg(max("bid")).head().getLong(0) >= batchId
-          if (!replay) {
-            val merged = prev.unionByName(bstate).groupBy("event_type").agg(
-              sum("n").as("n"), sum("sv").as("sv"),
-              min("mn").as("mn"), max("mx").as("mx"), max("bid").as("bid"))
-            val rows = merged.collect().toIndexedSeq
-            spark.createDataFrame(
-              spark.sparkContext.parallelize(rows), merged.schema)
-              .write.mode("overwrite").parquet(summaryPath)
-          }
-        case None => bstate.write.mode("overwrite").parquet(summaryPath)
+      // empty-trigger guard: a first empty batch would write a
+      // zero-row summary whose read breaks the next batch's merge
+      if (batch.head(1).nonEmpty) {
+        val bstate = batch.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("value").as("sv"),
+          min("value").as("mn"), max("value").as("mx"))
+          .withColumn("bid", lit(batchId))
+        corpusIfExists(spark, summaryPath) match {
+          case Some(prev) =>
+            val replay = prev.agg(max("bid")).head().getLong(0) >= batchId
+            if (!replay) {
+              val merged = prev.unionByName(bstate).groupBy("event_type").agg(
+                sum("n").as("n"), sum("sv").as("sv"),
+                min("mn").as("mn"), max("mx").as("mx"), max("bid").as("bid"))
+              val rows = merged.collect().toIndexedSeq
+              spark.createDataFrame(
+                spark.sparkContext.parallelize(rows), merged.schema)
+                .write.mode("overwrite").parquet(summaryPath)
+            }
+          case None => bstate.write.mode("overwrite").parquet(summaryPath)
+        }
       }
   }
 
@@ -256,34 +268,39 @@ object StreamingOps {
     * exactly what that MERGE compiles to. */
   def upsertSink(statePath: String, nBuckets: Int = 32): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
-      val spark = batch.sparkSession
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts_us").desc, col("event_id").desc)
-      def latestPerKey(df: DataFrame) =
-        df.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-      val latest = latestPerKey(batch
-        .select(col("user_id"), col("event_type"), col("value"),
-          unix_micros(col("ts")).as("ts_us"), col("event_id"))
-        .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int")))
-      val prev = corpusIfExists(spark, statePath)
-      val replay = prev.exists(_.agg(max("bid")).head().getLong(0) >= batchId)
-      if (!replay) {
-        val merged = prev match {
-          case Some(p) =>
-            val touched = latest.select("bucket").distinct()
-              .collect().map(_.getInt(0)).toSeq
-            latestPerKey(p.filter(col("bucket").isin(touched: _*)).drop("bid")
-              .unionByName(latest))
-          case None => latest
+      // an empty trigger must not touch state: writing an empty first
+      // batch would mint a parquet dir with no footers, and the next
+      // batch's state read would fail on schema inference
+      if (batch.head(1).nonEmpty) {
+        val spark = batch.sparkSession
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        def latestPerKey(df: DataFrame) =
+          df.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+        val latest = latestPerKey(batch
+          .select(col("user_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int")))
+        val prev = corpusIfExists(spark, statePath)
+        val replay = prev.exists(_.agg(max("bid")).head().getLong(0) >= batchId)
+        if (!replay) {
+          val merged = prev match {
+            case Some(p) =>
+              val touched = latest.select("bucket").distinct()
+                .collect().map(_.getInt(0)).toSeq
+              latestPerKey(p.filter(col("bucket").isin(touched: _*)).drop("bid")
+                .unionByName(latest))
+            case None => latest
+          }
+          merged.withColumn("bid", lit(batchId))
+            // state is being read from statePath — cut the lineage before
+            // overwriting the same directory
+            .localCheckpoint()
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(statePath)
         }
-        merged.withColumn("bid", lit(batchId))
-          // state is being read from statePath — cut the lineage before
-          // overwriting the same directory
-          .localCheckpoint()
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket").parquet(statePath)
       }
   }
 
@@ -313,7 +330,9 @@ object StreamingOps {
         BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val prev = corpusIfExists(spark, statePath)
       val replay = prev.exists(_.agg(max("bid")).head().getLong(0) >= batchId)
-      if (!replay) {
+      // empty-trigger guard: seeding from an empty batch would write a
+      // zero-centroid state file (and a footerless dir on first batch)
+      if (!replay && batch.head(1).nonEmpty) {
         val (cents, counts) = prev match {
           case Some(st) =>
             val rows = st.collect()

@@ -253,6 +253,45 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("sinks survive an empty first trigger (no footerless state dir)") {
+    // an empty batch 0 must leave NO state behind — otherwise the next
+    // batch's corpus/state read fails schema inference on a dir with
+    // no parquet footers
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
+    try {
+      val emptyEv = Seq.empty[(Long, Timestamp, String, Double, Long)]
+        .toDF("user_id", "ts", "event_type", "value", "event_id")
+      val ups = StreamingOps.upsertSink(s"$dir/ups", nBuckets = 4)
+      ups(emptyEv, 0L)
+      assert(!new java.io.File(s"$dir/ups").exists(),
+        "an empty trigger must not create the state dir")
+      ups(Seq((1L, ts(5), "view", 1.0, 10L))
+        .toDF("user_id", "ts", "event_type", "value", "event_id"), 1L)
+      assert(spark.read.parquet(s"$dir/ups").count() === 1L)
+
+      val km = StreamingOps.kmeansSink(s"$dir/km", k = 2)
+      km(Seq.empty[(Long, Double, Double)].toDF("id", "x", "y"), 0L)
+      assert(!new java.io.File(s"$dir/km").exists())
+      km(Seq((1L, 0.0, 0.0), (2L, 4.0, 0.0)).toDF("id", "x", "y"), 1L)
+      assert(spark.read.parquet(s"$dir/km").count() === 2L)
+
+      val agg = StreamingOps.incrementalAggSink(s"$dir/agg")
+      agg(emptyEv.select("user_id", "ts", "event_type", "value"), 0L)
+      assert(!new java.io.File(s"$dir/agg").exists())
+      agg(Seq((1L, ts(5), "view", 1.0, 10L))
+        .toDF("user_id", "ts", "event_type", "value", "event_id")
+        .select("user_id", "ts", "event_type", "value"), 1L)
+      assert(spark.read.parquet(s"$dir/agg").count() === 1L)
+
+      val ded = StreamingOps.incrementalDedupSink(s"$dir/ded")
+      ded(Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text"), 0L)
+      assert(!new java.io.File(s"$dir/ded").exists())
+      ded(Seq((1L, "en", "some novel words entirely here"))
+        .toDF("doc_id", "lang", "text"), 1L)
+      assert(spark.read.parquet(s"$dir/ded").count() === 1L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("upsertSink merges by event time into bucketed state, replays are skipped") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ups_").toString
