@@ -662,6 +662,31 @@ object TextPack extends QueryPack {
           col("t.wd").as("word"), (-col("t.negs")).as("score"))
     }),
 
+    // Quality-WEIGHTED sampling without replacement (round 8) — the
+    // probabilistic mixing primitive between q_sample's uniform draw
+    // and text_filter_adaptive's hard cut: each doc's selection
+    // probability scales with its quality score, via the A-ES
+    // weighted-reservoir key ln(u)/w (Efraimidis & Spirakis 2006)
+    // with u from the shared md5 draw (32-bit here — key granularity)
+    // — seedless, engine-replayable, stable under repartitioning. Top
+    // 50 keys per lang; at 100 TB the per-stratum rank swaps for the
+    // bounded-heap TopKStructs aggregate (q_topk_agg's shape) so only
+    // m candidates per partition reach the shuffle.
+    "text_weighted_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 8), 16, 10).cast("long")
+      val u = (h + lit(1.0)) / lit(4294967296.0)
+      val key = log(u) / (qualityScore + lit(0.01))
+      val byLang = Window.partitionBy("lang")
+        .orderBy(col("key").desc, col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), key.as("key"))
+        .withColumn("rk", row_number().over(byLang).cast("long"))
+        .filter(col("rk") <= 50)
+        .select("doc_id", "lang", "rk")
+    }),
+
     // PMI collocations (round 8) — corpus-level co-occurrence mining:
     // adjacent word pairs scored by pointwise mutual information
     // log(p(x,y) / (p(x)·p(y))), the collocation detector behind
@@ -992,6 +1017,31 @@ object TextPack extends QueryPack {
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  round(avg(n_tokens),4) AS avg_tokens, max(n_tokens) AS max_tokens
          |FROM t GROUP BY lang""".stripMargin,
+    "text_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, $wSql AS w,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($wSql) AS BIGINT) AS n_words
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    round((n_chars - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g')))/n_chars, 6) AS punct_ratio,
+         |    round(${hitSql("w", langProfiles.toMap.apply("en"))}/n_words, 6) AS stop_ratio,
+         |    n_words
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    round(0.5*least(1.0, n_words/50.0) + 0.3*stop_ratio
+         |      + 0.2*(1.0-punct_ratio), 6) AS qs
+         |  FROM m),
+         |k AS (
+         |  SELECT doc_id, lang,
+         |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) + 1.0) / 4294967296.0) / (qs + 0.01) AS key
+         |  FROM q)
+         |SELECT doc_id, lang, CAST(row_number() OVER (
+         |    PARTITION BY lang ORDER BY key DESC, doc_id) AS BIGINT) AS rk
+         |FROM k QUALIFY rk <= 50""".stripMargin,
     "text_cooc" ->
       s"""WITH base AS (
          |  SELECT $wSql AS ws FROM documents WHERE len($wSql) >= 2),
