@@ -282,15 +282,23 @@ object StreamingOps {
           .select(col("user_id"), col("event_type"), col("value"),
             unix_micros(col("ts")).as("ts_us"), col("event_id"))
           .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int")))
-        val prev = corpusIfExists(spark, statePath)
-        val replay = prev.exists(_.agg(max("bid")).head().getLong(0) >= batchId)
+        val touched = latest.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        // the replay check reads only the TOUCHED buckets (partition
+        // pruning): a replayed batch is byte-identical, so it touches
+        // the same buckets, and those carry the bid it wrote — the
+        // whole sink, check included, scales with the batch footprint,
+        // never the table. An all-new bucket set yields a null max →
+        // not a replay.
+        val prevTouched = corpusIfExists(spark, statePath)
+          .map(_.filter(col("bucket").isin(touched: _*)))
+        val replay = prevTouched.exists { p =>
+          val m = p.agg(max("bid")).head()
+          !m.isNullAt(0) && m.getLong(0) >= batchId
+        }
         if (!replay) {
-          val merged = prev match {
-            case Some(p) =>
-              val touched = latest.select("bucket").distinct()
-                .collect().map(_.getInt(0)).toSeq
-              latestPerKey(p.filter(col("bucket").isin(touched: _*)).drop("bid")
-                .unionByName(latest))
+          val merged = prevTouched match {
+            case Some(p) => latestPerKey(p.drop("bid").unionByName(latest))
             case None => latest
           }
           merged.withColumn("bid", lit(batchId))
