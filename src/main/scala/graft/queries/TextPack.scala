@@ -668,23 +668,25 @@ object TextPack extends QueryPack {
     // probability scales with its quality score, via the A-ES
     // weighted-reservoir key ln(u)/w (Efraimidis & Spirakis 2006)
     // with u from the shared md5 draw (32-bit here — key granularity)
-    // — seedless, engine-replayable, stable under repartitioning. Top
-    // 50 keys per lang; at 100 TB the per-stratum rank swaps for the
-    // bounded-heap TopKStructs aggregate (q_topk_agg's shape) so only
-    // m candidates per partition reach the shuffle.
+    // — seedless, engine-replayable, stable under repartitioning.
+    // Top 50 keys per lang through the bounded-heap TopKStructs
+    // aggregate (q_topk_agg's shape): only 50 candidates per partition
+    // per stratum reach the shuffle — a rank window would sort-shuffle
+    // every scored doc. (-key, doc_id) ascending = key desc, id tie.
     "text_weighted_sample" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TopKAggregate.topk
       val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
         1, 8), 16, 10).cast("long")
       val u = (h + lit(1.0)) / lit(4294967296.0)
       val key = log(u) / (qualityScore + lit(0.01))
-      val byLang = Window.partitionBy("lang")
-        .orderBy(col("key").desc, col("doc_id"))
       docs(s, d)
         .select(col("doc_id"), col("lang"), key.as("key"))
-        .withColumn("rk", row_number().over(byLang).cast("long"))
-        .filter(col("rk") <= 50)
-        .select("doc_id", "lang", "rk")
+        .groupBy("lang")
+        .agg(topk(struct((-col("key")).as("negk"), col("doc_id").as("id")), 50)
+          .as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("t.id").as("doc_id"), col("lang"),
+          (col("i") + 1).cast("long").as("rk"))
     }),
 
     // PMI collocations (round 8) — corpus-level co-occurrence mining:
