@@ -29,6 +29,24 @@ object DedupPack extends QueryPack {
           floor(col("n_chars") / 100).as("lb"), col("text")),
         ngramN = 1, threshold = 0.6)),
 
+    // Threshold-sensitivity sweep (round 8) — THE practical dedup
+    // tuning question: how many pairs does each candidate τ admit?
+    // One pair pass at the loosest τ (0.5 — the size-ratio prefilter
+    // loosens with it, so every tighter band is a subset), then the
+    // five bands as conditional-count COLUMNS of one aggregate (§3
+    // rule 13). Both engines compare the same round-4 jaccard against
+    // the same double literals, so the bands cut identically.
+    "dedup_sweep" -> ((s, d) => {
+      val pairs = Dedup.blockedNgramJaccard(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 100).as("lb"), col("text")),
+        ngramN = 1, threshold = 0.5)
+      val bands = Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(t =>
+        sum(when(col("jaccard") >= t, 1L).otherwise(0L))
+          .as(s"n_${(t * 100).toInt}"))
+      pairs.agg(bands.head, bands.tail: _*)
+    }),
+
     // MinHash(128) + LSH(32×4) candidates, exact-Jaccard verified.
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", 0.5)),
@@ -306,6 +324,24 @@ object DedupPack extends QueryPack {
         |  FROM t a JOIN t b
         |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6""".stripMargin,
+    "dedup_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
+        |    list_distinct(list_transform(regexp_split_to_array(text, '\s+'),
+        |      x -> md5_number_lower(x))) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT round(len(list_intersect(a.w, b.w)) /
+        |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 4) AS j
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_50,
+        |  CAST(sum(CASE WHEN j >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_60,
+        |  CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_70,
+        |  CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_80,
+        |  CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_90
+        |FROM p""".stripMargin,
     // span trimming: positional grams over distinct texts, member-doc
     // frequency, 5-wide coverage windows, ordered reassembly
     "dedup_spans_trim" ->
