@@ -138,7 +138,11 @@ object StatsPack extends QueryPack {
         unix_micros(col("ts")).as("ts_us"))
       val bounds = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("sp"))
       val binned = ev.crossJoin(broadcast(bounds))
-        .withColumn("bin", least(lit(9L), floor(col("value") / 50.0)).cast("long"))
+        // clamp BOTH sides: a one-sided least(9, ...) sends negative
+        // values to a bin matching no count column — silently excluded
+        // from the PSI, so a downward shift past 0 would be invisible
+        .withColumn("bin", greatest(lit(0L),
+          least(lit(9L), floor(col("value") / 50.0))).cast("long"))
         .withColumn("isRef", col("ts_us") < col("sp"))
       val cells =
         (0 until 10).map(b => sum(when(col("isRef") && col("bin") === b, 1L)
@@ -433,7 +437,7 @@ object StatsPack extends QueryPack {
         |b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS sp FROM ev),
         |binned AS (SELECT event_type,
         |    CASE WHEN ts_us < sp THEN 'ref' ELSE 'cur' END AS win,
-        |    least(9, CAST(floor(value / 50.0) AS BIGINT)) AS bin
+        |    greatest(0, least(9, CAST(floor(value / 50.0) AS BIGINT))) AS bin
         |  FROM ev, b),
         |cnt AS (SELECT event_type, win, bin, count(*) AS n
         |  FROM binned GROUP BY 1, 2, 3),

@@ -52,6 +52,86 @@ object StreamingOps {
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
+  /** VERSIONED single-copy state for the rewrite-per-batch sinks
+    * ([[incrementalAggSink]], [[kmeansSink]]). A plain
+    * `mode("overwrite")` on one path is delete-then-write — a crash in
+    * the window leaves the path empty, the restart sees "no state",
+    * and the replayed batch silently reseeds: all merged history gone
+    * with no error. Instead each batch COMMITS `root/v<batchId>` (the
+    * `_SUCCESS` marker is the commit record) and only then deletes
+    * older versions; readers take the newest COMPLETE version. Every
+    * crash point recovers: mid-write of vN → no `_SUCCESS`, reader
+    * falls back to the intact predecessor and the replayed batch N
+    * re-merges from it; between commit and GC → two complete versions,
+    * reader takes the max and the next commit sweeps both. The replay
+    * guard is the version number itself — no null-prone max("bid")
+    * scan over possibly-truncated rows. */
+  private val versionName = "^v(\\d{12})$".r
+
+  private def stateFs(spark: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Newest complete (committed) version under `root`, as
+    * (batchId, frame). Fails loudly — never "no state" — if `root`
+    * exists but holds anything other than version dirs: silent
+    * reseeding over unreadable state is the failure mode this layout
+    * exists to prevent. */
+  def latestVersionedState(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[(Long, DataFrame)] = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = stateFs(spark, root)
+    if (!fs.exists(rootP)) None
+    else {
+      val children = fs.listStatus(rootP).toSeq
+      val versions = children.collect {
+        case st if st.isDirectory =>
+          st.getPath.getName match {
+            case versionName(bid) => Some(bid.toLong -> st.getPath)
+            case _ => None
+          }
+        case _ => None
+      }.flatten
+      require(children.isEmpty || versions.nonEmpty,
+        s"state dir $root exists but holds no v<batchId> versions — " +
+          "refusing to reseed over unreadable state")
+      val complete = versions.filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
+      // incomplete versions without any committed predecessor mean the
+      // FIRST batch crashed mid-write: reseeding from its replay is
+      // exactly right, so None is correct (not an error) here
+      complete.sortBy(-_._1).headOption.map { case (bid, p) =>
+        bid -> spark.read.parquet(p.toString)
+      }
+    }
+  }
+
+  /** The committed state a downstream reader should consume (specs and
+    * serving jobs read through this, never the raw path). */
+  def readState(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame =
+    latestVersionedState(spark, root)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed state version under $root"))._2
+
+  /** Commit `df` as version `batchId`, then sweep every other version
+    * (older commits and crash-truncated partials). mode("overwrite")
+    * inside the fresh version dir makes a re-write of the SAME
+    * version (crash-then-replay) safe. */
+  private def writeVersioned(df: DataFrame, root: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val fs = stateFs(spark, root)
+    val vdir = new org.apache.hadoop.fs.Path(root, f"v$batchId%012d")
+    df.write.mode("overwrite").parquet(vdir.toString)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
+      if (st.getPath.getName != vdir.getName &&
+        versionName.pattern.matcher(st.getPath.getName).matches())
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** Streaming exact dedup — the streaming twin of batch `dedup_exact`:
     * drops rows whose key was already seen within the watermark horizon.
     * State is bounded by the horizon (keys older than the watermark are
@@ -217,13 +297,15 @@ object StreamingOps {
     * REPLAY-SAFE BY BOOKKEEPING, not by semantics: merge arithmetic is
     * not idempotent (the dedup sinks survive replays because a
     * replayed doc dedups against itself; a replayed batch here would
-    * DOUBLE-COUNT), so the summary carries the max merged batchId and
-    * a batch at-or-below it is skipped — the at-least-once
-    * `foreachBatch` contract made exactly-once the standard way.
-    * The summary is collected through the driver to break the
-    * read-overwrite cycle on the path: it is keys-sized by
-    * construction (one row per event_type). For per-user-sized keys
-    * put a transactional table format underneath instead. */
+    * DOUBLE-COUNT), so the summary lives in the VERSIONED state layout
+    * ([[latestVersionedState]]) — the committed version number IS the
+    * max merged batchId, and a batch at-or-below it is skipped: the
+    * at-least-once `foreachBatch` contract made exactly-once the
+    * standard way, with every crash point covered (a torn write has no
+    * `_SUCCESS`, so the restart re-merges from the intact
+    * predecessor). Versioning also breaks the read-rewrite cycle on
+    * the path for free: each batch reads v(i) and writes v(i+1), so no
+    * driver-side collect is needed. */
   def incrementalAggSink(summaryPath: String): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val spark = batch.sparkSession
@@ -233,20 +315,15 @@ object StreamingOps {
         val bstate = batch.groupBy("event_type").agg(
           count(lit(1)).as("n"), sum("value").as("sv"),
           min("value").as("mn"), max("value").as("mx"))
-          .withColumn("bid", lit(batchId))
-        corpusIfExists(spark, summaryPath) match {
-          case Some(prev) =>
-            val replay = prev.agg(max("bid")).head().getLong(0) >= batchId
-            if (!replay) {
+        latestVersionedState(spark, summaryPath) match {
+          case Some((prevBid, prev)) =>
+            if (prevBid < batchId) {
               val merged = prev.unionByName(bstate).groupBy("event_type").agg(
                 sum("n").as("n"), sum("sv").as("sv"),
-                min("mn").as("mn"), max("mx").as("mx"), max("bid").as("bid"))
-              val rows = merged.collect().toIndexedSeq
-              spark.createDataFrame(
-                spark.sparkContext.parallelize(rows), merged.schema)
-                .write.mode("overwrite").parquet(summaryPath)
+                min("mn").as("mn"), max("mx").as("mx"))
+              writeVersioned(merged, summaryPath, batchId)
             }
-          case None => bstate.write.mode("overwrite").parquet(summaryPath)
+          case None => writeVersioned(bstate, summaryPath, batchId)
         }
       }
   }
@@ -288,13 +365,21 @@ object StreamingOps {
         // pruning): a replayed batch is byte-identical, so it touches
         // the same buckets, and those carry the bid it wrote — the
         // whole sink, check included, scales with the batch footprint,
-        // never the table. An all-new bucket set yields a null max →
-        // not a replay.
+        // never the table. The check is PER BUCKET, not a global max:
+        // dynamic partition overwrite is not atomic across buckets, so
+        // a crash mid-write can leave some touched buckets at this bid
+        // and others behind — skipping on a global max would drop the
+        // unwritten buckets' updates forever. Re-merging a
+        // partially-written batch is safe (the event-time latestPerKey
+        // keep rule is idempotent — a state row re-merged with the
+        // event that produced it is unchanged), so the skip fires only
+        // when EVERY touched bucket already committed this batch.
         val prevTouched = corpusIfExists(spark, statePath)
           .map(_.filter(col("bucket").isin(touched: _*)))
         val replay = prevTouched.exists { p =>
-          val m = p.agg(max("bid")).head()
-          !m.isNullAt(0) && m.getLong(0) >= batchId
+          val bids = p.groupBy("bucket").agg(min("bid").as("mb")).collect()
+          bids.length == touched.length &&
+            bids.forall(r => !r.isNullAt(1) && r.getLong(1) >= batchId)
         }
         if (!replay) {
           val merged = prevTouched match {
@@ -323,11 +408,14 @@ object StreamingOps {
     * centroid's inertia grows with the points it has absorbed, exactly
     * like batch `km_minibatch`.
     *
-    * State = k (cid, x, y, n, bid) rows in parquet, seeded from the
-    * first batch's k lowest-id points (`KMeansDF.initFirstK` — the
-    * deterministic init every km_* query shares). Replayed batches are
-    * skipped by the recorded bid, so a checkpoint restart cannot
-    * double-count a minibatch (same bookkeeping as
+    * State = k (cid, x, y, n) rows in the VERSIONED parquet layout
+    * ([[latestVersionedState]]), seeded from the first batch's k
+    * lowest-id points (`KMeansDF.initFirstK` — the deterministic init
+    * every km_* query shares). The committed version number is the
+    * last merged batchId: replayed batches are skipped, a checkpoint
+    * restart cannot double-count a minibatch, and a crash mid-rewrite
+    * leaves the predecessor version intact instead of an empty path
+    * that would silently reseed (same bookkeeping as
     * [[incrementalAggSink]]). */
   def kmeansSink(statePath: String, k: Int = 4): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
@@ -336,13 +424,13 @@ object StreamingOps {
       val spark = batch.sparkSession
       def rnd(v: Double) =
         BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val prev = corpusIfExists(spark, statePath)
-      val replay = prev.exists(_.agg(max("bid")).head().getLong(0) >= batchId)
+      val prev = latestVersionedState(spark, statePath)
+      val replay = prev.exists(_._1 >= batchId)
       // empty-trigger guard: seeding from an empty batch would write a
       // zero-centroid state file (and a footerless dir on first batch)
       if (!replay && batch.head(1).nonEmpty) {
         val (cents, counts) = prev match {
-          case Some(st) =>
+          case Some((_, st)) =>
             val rows = st.collect()
             (rows.map(r => Centroid(r.getAs[Int]("cid"),
               r.getAs[Double]("x"), r.getAs[Double]("y"))).sortBy(_.cid).toSeq,
@@ -364,8 +452,8 @@ object StreamingOps {
           }
         }
         import spark.implicits._
-        next.toDF("cid", "x", "y", "n").withColumn("bid", lit(batchId))
-          .coalesce(1).write.mode("overwrite").parquet(statePath)
+        writeVersioned(next.toDF("cid", "x", "y", "n").coalesce(1),
+          statePath, batchId)
       }
   }
 
@@ -621,7 +709,11 @@ object StreamingOps {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     require(refProps.length == 10 && math.abs(refProps.sum - 1.0) < 1e-6,
       s"refProps must be a 10-bin distribution, got $refProps")
-    val bin = least(lit(9L), floor(col(valueCol) / 50.0)).cast("long")
+    // clamp BOTH sides: without the floor at 0, negative values land in
+    // a bin no count column matches and vanish from n_events and the
+    // PSI — a downward shift past 0 would be invisible to the monitor
+    val bin = greatest(lit(0L),
+      least(lit(9L), floor(col(valueCol) / 50.0))).cast("long")
     val counts = (0 until 10).map(b =>
       sum(when(bin === b, 1L).otherwise(0L)).as(s"b$b"))
     val n = (0 until 10).map(b => col(s"b$b")).reduce(_ + _)

@@ -230,7 +230,7 @@ class StreamingSpec extends SparkSpec {
         in.addData(Event(3, ts(3), "view", 6.0), Event(3, ts(4), "purchase", 8.0))
         q.processAllAvailable()
       } finally q.stop()
-      def summary() = spark.read.parquet(s"$dir/summary")
+      def summary() = StreamingOps.readState(spark, s"$dir/summary")
         .select("event_type", "n", "sv", "mn", "mx")
         .collect().map(r => r.getString(0) ->
           (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
@@ -250,6 +250,48 @@ class StreamingSpec extends SparkSpec {
       // and a genuinely new batch still merges
       sink(Seq(Event(9, ts(5), "view", 100.0)).toDS().toDF(), 2L)
       assert(summary()("view") === ((4L, 112.0, 2.0, 100.0)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("versioned state: a torn rewrite falls back to the committed " +
+    "predecessor and the replay re-merges") {
+    // the crash window a plain overwrite-in-place cannot survive: the
+    // delete happened, the write didn't. In the versioned layout the
+    // torn version has no _SUCCESS commit marker, so the reader ignores
+    // it, the replayed batch re-merges from the intact predecessor, and
+    // no history is lost — verified end-to-end here
+    val dir = java.nio.file.Files.createTempDirectory("graft_torn_").toString
+    try {
+      import java.nio.file.{Files, Paths}
+      val sink = StreamingOps.incrementalAggSink(s"$dir/s")
+      def ev(u: Long, t: Int, v: Double) =
+        Seq((u, ts(t), "view", v)).toDF("user_id", "ts", "event_type", "value")
+      sink(ev(1, 0, 2.0), 0L)
+      sink(ev(2, 1, 4.0), 1L)
+      def summary() = StreamingOps.readState(spark, s"$dir/s")
+        .select("n", "sv").head()
+      assert(summary().getLong(0) === 2L && summary().getDouble(1) === 6.0)
+      // simulate a crash mid-write of batch 2: version dir present,
+      // truncated garbage inside, NO _SUCCESS marker
+      val torn = Paths.get(s"$dir/s/v000000000002")
+      Files.createDirectory(torn)
+      Files.write(torn.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+      assert(summary().getLong(0) === 2L,
+        "reader must ignore the uncommitted torn version")
+      // the replayed batch must RE-MERGE (not skip on seeing v2, not
+      // reseed from scratch) and commit a clean v2 over the torn one
+      sink(ev(3, 2, 6.0), 2L)
+      assert(summary().getLong(0) === 3L && summary().getDouble(1) === 12.0,
+        "replay after a torn write must merge onto the intact predecessor")
+      // a state root holding something other than version dirs must
+      // fail loudly, never read as "no state" (silent reseed)
+      val junk = java.nio.file.Files.createTempDirectory("graft_junk_")
+      try {
+        Files.write(junk.resolve("stray.parquet"), Array[Byte](1))
+        intercept[IllegalArgumentException] {
+          StreamingOps.latestVersionedState(spark, junk.toString)
+        }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(junk.toFile)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
@@ -273,7 +315,7 @@ class StreamingSpec extends SparkSpec {
       km(Seq.empty[(Long, Double, Double)].toDF("id", "x", "y"), 0L)
       assert(!new java.io.File(s"$dir/km").exists())
       km(Seq((1L, 0.0, 0.0), (2L, 4.0, 0.0)).toDF("id", "x", "y"), 1L)
-      assert(spark.read.parquet(s"$dir/km").count() === 2L)
+      assert(StreamingOps.readState(spark, s"$dir/km").count() === 2L)
 
       val agg = StreamingOps.incrementalAggSink(s"$dir/agg")
       agg(emptyEv.select("user_id", "ts", "event_type", "value"), 0L)
@@ -281,7 +323,7 @@ class StreamingSpec extends SparkSpec {
       agg(Seq((1L, ts(5), "view", 1.0, 10L))
         .toDF("user_id", "ts", "event_type", "value", "event_id")
         .select("user_id", "ts", "event_type", "value"), 1L)
-      assert(spark.read.parquet(s"$dir/agg").count() === 1L)
+      assert(StreamingOps.readState(spark, s"$dir/agg").count() === 1L)
 
       val ded = StreamingOps.incrementalDedupSink(s"$dir/ded")
       ded(Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text"), 0L)
@@ -342,7 +384,7 @@ class StreamingSpec extends SparkSpec {
         .option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch(StreamingOps.kmeansSink(s"$dir/cents", k = 2))
         .start()
-      def state() = spark.read.parquet(s"$dir/cents")
+      def state() = StreamingOps.readState(spark, s"$dir/cents")
         .collect().map(r => r.getAs[Int]("cid") ->
           (r.getAs[Double]("x"), r.getAs[Double]("y"), r.getAs[Long]("n"))).toMap
       try {
@@ -390,7 +432,7 @@ class StreamingSpec extends SparkSpec {
         .writeStream.option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch(StreamingOps.kmeansSink(s"$dir/cents", k = 2))
         .start()
-      def state() = spark.read.parquet(s"$dir/cents")
+      def state() = StreamingOps.readState(spark, s"$dir/cents")
         .collect().map(r => r.getAs[Int]("cid") ->
           (r.getAs[Double]("x"), r.getAs[Long]("n"))).toMap
       val q1 = startQuery()
