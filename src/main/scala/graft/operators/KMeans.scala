@@ -170,4 +170,39 @@ object KMeansDF {
       cs
     } finally pinned.unpersist(blocking = false)
   }
+
+  /** [[fitReference]] from an EXPLICIT init (the CLI's seeded draw,
+    * kmeans_with_mapreduce-cuda.cu:75), with a cycle early-exit:
+    * `stepInt` is deterministic, so the trajectory is eventually
+    * periodic — usually a fixpoint, occasionally a short limit cycle
+    * (integer means can oscillate between two partitions). On
+    * revisiting a state the remaining rounds are resolved by
+    * arithmetic ((iterations − i) mod period extra steps), so the
+    * result is IDENTICAL to running the reference's full fixed count,
+    * at a fraction of the rounds. State history is ≤ iterations × k
+    * tiny case classes — driver-trivial. */
+  def fitReferenceFrom(points: DataFrame, init: Seq[Centroid],
+      iterations: Int): Seq[Centroid] = {
+    val pinned = points.persist()
+    try {
+      val seen = scala.collection.mutable.HashMap[Seq[Centroid], Int]()
+      var cs = init.sortBy(_.cid)
+      var i = 0
+      var done = false
+      while (i < iterations && !done) {
+        seen.get(cs) match {
+          case Some(j) => // entered a cycle of period i-j at round j
+            val rem = (iterations - i) % (i - j)
+            var r = 0
+            while (r < rem) { cs = stepInt(pinned, cs); r += 1 }
+            done = true
+          case None =>
+            seen(cs) = i
+            cs = stepInt(pinned, cs)
+            i += 1
+        }
+      }
+      cs
+    } finally pinned.unpersist(blocking = false)
+  }
 }
