@@ -133,10 +133,16 @@ object Clustering extends QueryPack {
     // comparison is exact integer arithmetic, so Spark and DuckDB pick
     // the same point regardless of summation order (a float cumsum
     // would be association-dependent). Scale shape: no global-order
-    // window — per-round one scan for 65536-id-block partial sums (a
-    // tiny driver-side prefix walk finds the crossing block), then a
-    // single-block window draws within it. The +1 keeps every point
-    // selectable (pure D² zeroes exact dups of chosen centers).
+    // window — a TWO-LEVEL block hierarchy bounds what the driver ever
+    // sees: per round one scan yields 2³²-id SUPER-block sums (driver
+    // collects O(n/2³²) rows — 256 at 10¹² points), the prefix walk
+    // opens ONE super-block for its ≤2¹⁶ 65536-id block sums, and a
+    // single-block window draws within the crossing block. Collected
+    // rows per round ≤ n/2³² + 2¹⁶ regardless of n; the draw
+    // arithmetic is unchanged (the walk visits blocks in the same blk
+    // order, so the crossing point is bit-identical to a flat walk).
+    // The +1 keeps every point selectable (pure D² zeroes exact dups
+    // of chosen centers).
     "km_kmeanspp" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val p = pts(s, d)
@@ -153,13 +159,27 @@ object Clustering extends QueryPack {
         val dd = centers.map(c => distTo(c._2, c._3)).reduce(least(_, _))
         val weighted = p.select(col("id"), col("x"), col("y"),
           (floor(dd * lit(1048576.0)).cast("long") + lit(1L)).as("w"),
-          shiftright(col("id"), 16).as("blk"))
-        val blocks = weighted.groupBy("blk").agg(sum("w").as("bw"))
-          .orderBy("blk").collect()
-        val total = blocks.map(r => BigInt(r.getAs[Long]("bw"))).sum
+          shiftright(col("id"), 16).as("blk"),
+          shiftright(col("id"), 32).as("sblk"))
+        // level 1: super-block sums — the ONLY full-data aggregate the
+        // driver sees, O(n/2^32) rows
+        val supers = weighted.groupBy("sblk").agg(sum("w").as("sw"))
+          .orderBy("sblk").collect()
+        val total = supers.map(r => BigInt(r.getAs[Long]("sw"))).sum
         val hv = BigInt(md5Hex(s"kmpp:${centers.size}").substring(0, 8), 16)
         val thr = hv * total / BigInt(4294967296L)
-        var acc = BigInt(0); var crossBlk = -1L; var thrIn = BigInt(0)
+        var acc = BigInt(0); var crossS = -1L
+        supers.iterator.takeWhile(_ => crossS < 0).foreach { r =>
+          val sw = BigInt(r.getAs[Long]("sw"))
+          if (acc + sw > thr) crossS = r.getAs[Long]("sblk") else acc += sw
+        }
+        // level 2: open the crossing super-block for its ≤2^16 block
+        // sums; blk order within a super-block continues the same
+        // global prefix order, so acc carries over unchanged
+        val blocks = weighted.filter(col("sblk") === crossS)
+          .groupBy("blk").agg(sum("w").as("bw"))
+          .orderBy("blk").collect()
+        var crossBlk = -1L; var thrIn = BigInt(0)
         blocks.iterator.takeWhile(_ => crossBlk < 0).foreach { r =>
           val bw = BigInt(r.getAs[Long]("bw"))
           if (acc + bw > thr) { crossBlk = r.getAs[Long]("blk"); thrIn = thr - acc }
