@@ -328,22 +328,81 @@ object StreamingOps {
       }
   }
 
+  /** Write-side seam for [[upsertSink]]: the MERGE dataflow
+    * (event-time latestPerKey over the touched buckets) is
+    * table-format-agnostic — only how state is read back and how the
+    * merged result commits differs. [[ParquetBucketStore]] is the
+    * self-contained default (hand-rolled bucket overwrite + bid
+    * bookkeeping); a transactional table format (Delta, Iceberg)
+    * implements the same three methods as metadata reads + a MERGE
+    * commit — see SURVEY.md "Migration: transactional table formats"
+    * for the method-by-method mapping. */
+  trait UpsertStateStore {
+    /** State rows for the touched buckets; None before the first
+      * commit. Cost contract: ∝ touched buckets, never the table. */
+    def read(spark: org.apache.spark.sql.SparkSession,
+        touched: Seq[Int]): Option[DataFrame]
+    /** True iff `batchId` already committed for EVERY touched bucket —
+      * the replay guard. A format with an atomic commit log answers
+      * this from metadata (or simply always false, if replayed
+      * re-merges are cheap: the merge itself is idempotent). */
+    def alreadyCommitted(spark: org.apache.spark.sql.SparkSession,
+        touched: Seq[Int], batchId: Long): Boolean
+    /** Commit the merged per-key state for the touched buckets. */
+    def commit(merged: DataFrame, batchId: Long): Unit
+  }
+
+  /** Default [[UpsertStateStore]]: parquet PARTITIONED BY key bucket,
+    * dynamic partition overwrite, a bid column as the commit record.
+    * The replay check is PER BUCKET, not a global max: dynamic
+    * partition overwrite is not atomic across buckets, so a crash
+    * mid-write can leave some touched buckets at this bid and others
+    * behind — skipping on a global max would drop the unwritten
+    * buckets' updates forever. Re-merging a partially-written batch
+    * is safe (latestPerKey is idempotent), so the skip fires only
+    * when EVERY touched bucket already committed this batch. */
+  final class ParquetBucketStore(statePath: String) extends UpsertStateStore {
+    def read(spark: org.apache.spark.sql.SparkSession,
+        touched: Seq[Int]): Option[DataFrame] =
+      corpusIfExists(spark, statePath)
+        .map(_.filter(col("bucket").isin(touched: _*)).drop("bid"))
+    def alreadyCommitted(spark: org.apache.spark.sql.SparkSession,
+        touched: Seq[Int], batchId: Long): Boolean =
+      corpusIfExists(spark, statePath)
+        .map(_.filter(col("bucket").isin(touched: _*))).exists { p =>
+          val bids = p.groupBy("bucket").agg(min("bid").as("mb")).collect()
+          bids.length == touched.length &&
+            bids.forall(r => !r.isNullAt(1) && r.getLong(1) >= batchId)
+        }
+    def commit(merged: DataFrame, batchId: Long): Unit =
+      merged.withColumn("bid", lit(batchId))
+        // state may be being read from statePath — cut the lineage
+        // before overwriting the same directory
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(statePath)
+  }
+
   /** Streaming MERGE/upsert sink — the continuous face of batch
-    * `q_upsert`: per-key latest state maintained in a parquet table
-    * PARTITIONED BY key bucket, so each micro-batch rewrites only the
-    * buckets it touches (dynamic partition overwrite — the same
+    * `q_upsert`: per-key latest state maintained in bucketed state so
+    * each micro-batch rewrites only the buckets it touches (the same
     * footprint-follows-the-batch contract as `semanticDedupSink`'s
     * cell-partitioned corpus). Merge is by EVENT time (ts, then
     * event_id), not arrival order: a late event older than the stored
     * state row cannot regress it. Replayed batch ids are skipped via
-    * the recorded bid, so checkpoint restarts cannot re-merge.
+    * the store's commit record, so checkpoint restarts cannot
+    * re-merge.
     *
     * At scale: state scan cost per batch ∝ touched buckets, write
-    * cost ∝ touched buckets — never the whole table. A transactional
-    * table format would replace the localCheckpoint+overwrite with a
-    * MERGE commit; the dataflow (and `q_upsert`'s gated plan) is
-    * exactly what that MERGE compiles to. */
-  def upsertSink(statePath: String, nBuckets: Int = 32): (DataFrame, Long) => Unit = {
+    * cost ∝ touched buckets — never the whole table. The dataflow
+    * (and `q_upsert`'s gated plan) is exactly what a transactional
+    * MERGE compiles to; swap the [[UpsertStateStore]] to commit
+    * through one. */
+  def upsertSink(statePath: String, nBuckets: Int = 32): (DataFrame, Long) => Unit =
+    upsertSink(new ParquetBucketStore(statePath), nBuckets)
+
+  def upsertSink(store: UpsertStateStore, nBuckets: Int): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       // an empty trigger must not touch state: writing an empty first
       // batch would mint a parquet dir with no footers, and the next
@@ -361,38 +420,16 @@ object StreamingOps {
           .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int")))
         val touched = latest.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
-        // the replay check reads only the TOUCHED buckets (partition
-        // pruning): a replayed batch is byte-identical, so it touches
-        // the same buckets, and those carry the bid it wrote — the
-        // whole sink, check included, scales with the batch footprint,
-        // never the table. The check is PER BUCKET, not a global max:
-        // dynamic partition overwrite is not atomic across buckets, so
-        // a crash mid-write can leave some touched buckets at this bid
-        // and others behind — skipping on a global max would drop the
-        // unwritten buckets' updates forever. Re-merging a
-        // partially-written batch is safe (the event-time latestPerKey
-        // keep rule is idempotent — a state row re-merged with the
-        // event that produced it is unchanged), so the skip fires only
-        // when EVERY touched bucket already committed this batch.
-        val prevTouched = corpusIfExists(spark, statePath)
-          .map(_.filter(col("bucket").isin(touched: _*)))
-        val replay = prevTouched.exists { p =>
-          val bids = p.groupBy("bucket").agg(min("bid").as("mb")).collect()
-          bids.length == touched.length &&
-            bids.forall(r => !r.isNullAt(1) && r.getLong(1) >= batchId)
-        }
-        if (!replay) {
-          val merged = prevTouched match {
-            case Some(p) => latestPerKey(p.drop("bid").unionByName(latest))
+        // both the replay check and the state read cover only the
+        // TOUCHED buckets (partition pruning): a replayed batch is
+        // byte-identical, so it touches the same buckets — the whole
+        // sink scales with the batch footprint, never the table
+        if (!store.alreadyCommitted(spark, touched, batchId)) {
+          val merged = store.read(spark, touched) match {
+            case Some(p) => latestPerKey(p.unionByName(latest))
             case None => latest
           }
-          merged.withColumn("bid", lit(batchId))
-            // state is being read from statePath — cut the lineage before
-            // overwriting the same directory
-            .localCheckpoint()
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket").parquet(statePath)
+          store.commit(merged, batchId)
         }
       }
   }

@@ -374,6 +374,56 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("upsertSink store seam: a transactional-format adapter receives " +
+    "the same MERGE dataflow") {
+    // the three-method surface a Delta/Iceberg adapter implements
+    // (SURVEY "Migration: transactional table formats") — prove the
+    // sink drives it correctly with a commit-log-style in-memory store:
+    // read(touched) → event-time merge → commit, replay answered from
+    // the commit log alone
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    class MemStore extends StreamingOps.UpsertStateStore {
+      var rows: Seq[Row] = Nil
+      var schema: StructType = _
+      var commitLog = Set.empty[Long] // the format's atomic commit record
+      def read(sp: org.apache.spark.sql.SparkSession,
+          touched: Seq[Int]): Option[org.apache.spark.sql.DataFrame] =
+        if (rows.isEmpty) None
+        else Some(sp.createDataFrame(sp.sparkContext.parallelize(rows), schema)
+          .filter(col("bucket").isin(touched: _*)))
+      def alreadyCommitted(sp: org.apache.spark.sql.SparkSession,
+          touched: Seq[Int], batchId: Long): Boolean = commitLog.contains(batchId)
+      def commit(merged: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val m = merged.localCheckpoint()
+        schema = m.schema
+        val touched = m.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+        rows = rows.filterNot(r => touched(r.getAs[Int]("bucket"))) ++ m.collect()
+        commitLog += batchId
+      }
+    }
+    val store = new MemStore
+    val sink = StreamingOps.upsertSink(store, nBuckets = 4)
+    def state() = rowsToMap(store.rows)
+    def rowsToMap(rs: Seq[Row]) = rs.map(r => r.getAs[Long]("user_id") ->
+      (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+    sink(Seq((1L, ts(5), "view", 1.0, 10L), (1L, ts(10), "click", 2.0, 11L),
+      (2L, ts(20), "view", 3.0, 12L))
+      .toDF("user_id", "ts", "event_type", "value", "event_id"), 0L)
+    assert(state() === Map(1L -> (("click", 2.0)), 2L -> (("view", 3.0))))
+    // late event must not regress; new user lands
+    sink(Seq((2L, ts(15), "error", 9.0, 13L), (3L, ts(30), "signup", 4.0, 14L))
+      .toDF("user_id", "ts", "event_type", "value", "event_id"), 1L)
+    val s1 = state()
+    assert(s1 === Map(1L -> (("click", 2.0)), 2L -> (("view", 3.0)),
+      3L -> (("signup", 4.0))))
+    // replay answered from the commit log — no state read needed
+    sink(Seq((2L, ts(15), "error", 9.0, 13L))
+      .toDF("user_id", "ts", "event_type", "value", "event_id"), 1L)
+    assert(state() === s1, "commit-logged batch must be skipped")
+    assert(store.commitLog === Set(0L, 1L))
+  }
+
   test("kmeansSink fits online: centroids track the stream, replays are skipped") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_okm_").toString
