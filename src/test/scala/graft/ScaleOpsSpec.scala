@@ -48,6 +48,74 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salts > 4, "a hot key must land on many salts")
   }
 
+  test("AQE splits a skewed shuffle join at runtime — and where it " +
+    "can't, the manual salt remains the tool (SURVEY §3 rule 5)") {
+    // the 100 TB operator question: when does Spark 4's AQE skew-join
+    // handle a hot key for free, and when is SkewJoin.saltedJoin still
+    // required? Measured here on the same hot-key data: one key owning
+    // ~100x the median partition volume, joined to a
+    // small-but-not-broadcastable dim (broadcast disabled, as at scale
+    // where the dim side exceeds the driver budget).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // toy volumes: scale the byte thresholds down so the same
+      // factor-5 skew geometry that triggers at 256 MB triggers here
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 64
+      val hot = (1 to 60000).map(i => (1L, i.toLong, pad)) ++
+        (1 to 100).flatMap(k => (1 to 50).map(i => (k.toLong + 1, i.toLong, pad)))
+      val fact = hot.toDF("k", "row", "pad").repartition(8)
+      val dim = (1 to 101).map(k => (k.toLong, s"d$k")).toDF("k", "dv")
+      val joined = fact.join(dim, "k")
+      // execute THIS queryExecution (count() would plan a separate
+      // query and leave this one un-finalized under AQE)
+      assert(joined.collect().length === hot.size)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      // AQE marks the split join and the skewed shuffle read in the
+      // final adaptive plan
+      assert(finalPlan.contains("skew=true") ||
+        finalPlan.toLowerCase.contains("skewed"),
+        s"AQE must split the hot partition, plan was:\n$finalPlan")
+      // the salted join yields the identical result on the same data —
+      // the fallback for when AQE cannot see the skew
+      val plain = joined.select("row", "dv").as[(Long, String)].collect().toSet
+      val salted = SkewJoin.saltedJoin(fact, dim, "k", "row", 8)
+        .select("row", "dv").as[(Long, String)].collect().toSet
+      assert(salted === plain)
+      // WHERE AQE DOES NOT HELP, measured on the same data: a skewed
+      // AGGREGATION. AQE skew handling only splits join partitions — a
+      // hash aggregate's hot group still lands on one reducer, so the
+      // final plan carries no skew-split marker and the two-stage salt
+      // (SkewAgg.saltedDistinct) remains necessary. (The other
+      // AQE-free zone is stateful streaming: micro-batch plans disable
+      // AQE, so streaming joins keep the manual salt too.)
+      val agg = fact.groupBy("k").agg(countDistinct("row").as("n"))
+      assert(agg.collect().length === 101)
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("skew=true") &&
+        !aggPlan.toLowerCase.contains("skewed"),
+        "AQE has no skew split for aggregates — the salt earns its keep")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     // in-memory catalog forgets tables between JVMs; clear leftover files
     for (t <- Seq("b_orders", "b_lineitem")) {
