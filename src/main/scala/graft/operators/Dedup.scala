@@ -503,6 +503,30 @@ object Dedup {
     docs.join(nonKeepers, docs(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /** [[applyDedup]] with a PRIORITY keeper: within each near-dup
+    * cluster the kept member maximizes `priorityCol` (ties → min id)
+    * instead of being the min id — the production keeper rule when
+    * cluster members differ in value (keep the longest copy, the
+    * highest quality score, the preferred source; drop the rest).
+    * Same sparse-pair contract as applyDedup: the keeper choice adds
+    * one window over cluster MEMBERS only (rows ∝ docs appearing in
+    * clusters, never the corpus — partitioned by cluster_id, so no
+    * global sort), and the drop set stays broadcast-sized. */
+  def applyDedupPriority(docs: DataFrame, idCol: String,
+      priorityCol: String, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = connectedComponents(pairs)
+      .join(docs.select(col(idCol).as("doc_id"), col(priorityCol).as("_p")),
+        "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("_p").desc, col("doc_id"))
+    val nonKeepers = members
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select(col("doc_id").as("_drop_id"))
+    docs.join(nonKeepers, docs(idCol) === col("_drop_id"), "left_anti")
+  }
+
   /** Incremental (ingest-time) dedup: drop incoming docs that are exact
     * or blocked-Jaccard near-duplicates of an EXISTING corpus — the
     * daily-ingestion shape, where the corpus side is orders of

@@ -108,6 +108,21 @@ object DedupPack extends QueryPack {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("chars_kept"))),
 
+    // Priority-keeper dedup (round 9): same clusters as dedup_apply,
+    // but the kept member is the LONGEST doc (n_chars desc, tie min
+    // id), not the min id — the production rule when near-dup members
+    // differ in value (a truncated mirror should lose to the full
+    // copy). Keeper choice is one window over cluster members only.
+    "dedup_apply_priority" -> ((s, d) =>
+      Dedup.applyDedupPriority(Tables.documents(s, d), "doc_id", "n_chars",
+          Dedup.blockedNgramJaccardSparse(
+            Tables.documents(s, d).select(col("doc_id"), col("lang"),
+              floor(col("n_chars") / 100).as("lb"), col("text")),
+            ngramN = 1, threshold = 0.6))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))),
+
     // Incremental ingest-time dedup: odd doc_ids are the "incoming
     // batch", even doc_ids the existing corpus; incoming docs that are
     // exact or blocked-Jaccard near-dups of the corpus are dropped.
@@ -402,6 +417,39 @@ object DedupPack extends QueryPack {
         |  SELECT id AS doc_id FROM (
         |    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
         |  WHERE id <> cluster_id)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |GROUP BY lang""".stripMargin,
+    // same recursive cluster replay as dedup_apply; only the keeper
+    // rule differs (longest member, tie min id)
+    "dedup_apply_priority" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars/100) AS BIGINT) AS lb,
+        |    list_distinct(list_transform(regexp_split_to_array(text, '\s+'),
+        |      x -> md5_number_lower(x))) AS w
+        |  FROM documents),
+        |jp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.w, b.w)) /
+        |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 4) >= 0.6),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM n
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM e JOIN reach ON reach.id = e.dst),
+        |memb AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |rk AS (
+        |  SELECT m.id AS doc_id,
+        |    row_number() OVER (PARTITION BY m.cluster_id
+        |      ORDER BY d.n_chars DESC, m.id) AS krk
+        |  FROM memb m JOIN documents d ON d.doc_id = m.id),
+        |drops AS (SELECT doc_id FROM rk WHERE krk > 1)
         |SELECT lang, count(*) AS n_kept,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)

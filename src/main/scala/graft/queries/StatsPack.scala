@@ -68,6 +68,25 @@ object StatsPack extends QueryPack {
         .select("doc_id", "lang")
     }),
 
+    // Deterministic stratified train/val/test split (round 9): the
+    // assignment every training pipeline runs before anything else. A
+    // doc's split is a pure function of its id (q_sample's 16-bit md5
+    // prefix draw: <80% → train, <90% → val, else test), so the split
+    // is stable across runs, engines, repartitions, and corpus GROWTH
+    // (a new doc never moves an old one — the property date-modulo or
+    // row-number splits lack). Assignment is per-row scan math, the
+    // per-stratum report one hash agg; at 100 TB nothing shuffles but
+    // the k×3 report rows.
+    "q_split" -> ((s, d) => {
+      val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+        16, 10).cast("long")
+      documents(s, d)
+        .withColumn("split",
+          when(h < 52429L, "train").when(h < 58982L, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    }),
+
     // Deterministic mixture rebalance — the domain-mixing primitive:
     // downsample every stratum (lang) to EXACTLY the size of the
     // smallest one, selecting members by md5-hash rank (a seedless,
@@ -412,6 +431,16 @@ object StatsPack extends QueryPack {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
         |  < CASE WHEN lang = 'en' THEN 26214 ELSE 13107 END""".stripMargin,
+    "q_split" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS hv
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN hv < 52429 THEN 'train'
+        |       WHEN hv < 58982 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM h GROUP BY 1, 2""".stripMargin,
     "q_mixture" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
         |t AS (SELECT min(cnt) AS target FROM c),

@@ -85,6 +85,23 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(22L, 23L), s"got $kept")
   }
 
+  test("applyDedupPriority keeps the highest-priority cluster member, " +
+    "not the min id") {
+    // cluster {1,2,3} where the LONGEST doc (id 2) must win; {7,8} tie
+    // on priority → min id 7 wins; 9 is unpaired and passes through
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 30L), (7L, 20L), (8L, 20L), (9L, 5L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.applyDedupPriority(docs, "doc_id", "n_chars", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 7L, 9L), s"got $kept")
+    // min-id rule on the same input keeps 1 instead of 2
+    val minId = Dedup.applyDedup(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId === Set(1L, 7L, 9L))
+  }
+
   test("incrementalDedup flags change the plan, never the result") {
     def side(parity: Int) = Tables.documents(spark, sfDir)
       .filter(pmod($"doc_id", lit(2)) === parity)

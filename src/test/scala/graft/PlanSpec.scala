@@ -161,10 +161,13 @@ class PlanSpec extends SparkSpec {
     *   q_rfm — single-row tercile-cuts broadcast (text_quality_bins'
     *     pattern);
     *   text_cooc — single-row corpus-totals broadcast (text_tfidf's
-    *     pattern). */
+    *     pattern);
+    *   ann_trained_recall — ann_recall_sweep's pattern: the ≤10-row
+    *     query-vector broadcast probed with the non-equi
+    *     self-exclusion predicate. */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
-      "ann_recall_sweep", "km_silhouette_exact", "text_tfidf",
+      "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
       "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy",
       "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm",
       "text_cooc")
