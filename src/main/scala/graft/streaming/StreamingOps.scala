@@ -813,6 +813,22 @@ object StreamingOps {
     graft.operators.KMeansDF.assign(points, centroids)
       .select(col("id"), col("cid"))
 
+  /** Stateless streaming train/val/test routing — the streaming twin
+    * of batch `q_split`, for ingest-time dataset assignment: every
+    * arriving doc gets its split from the same 16-bit md5-prefix draw
+    * over its id (80/10/10), so the stream and any later batch rerun
+    * agree on every doc forever (the split is a pure function of the
+    * id — replays, restarts, and corpus growth cannot move a doc).
+    * Per-row column math only: no watermark, no state store, any
+    * rate; route with `.filter(col("split") === ...)` per sink or
+    * `partitionBy("split")` in one. */
+  def splitStream(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+    docs.withColumn("split",
+      when(h < 52429L, "train").when(h < 58982L, "val").otherwise("test"))
+  }
+
   /** Stateless streaming quality filter — the streaming twin of batch
     * `text_filter_pipeline`'s per-doc rule stage, for ingest-time
     * cleaning: every arriving doc gets the same four keep/drop rules

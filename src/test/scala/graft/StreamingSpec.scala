@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import org.apache.spark.sql.functions.{col, count, lit, session_window}
+import org.apache.spark.sql.functions.{col, conv, count, lit, md5, session_window, substring, when}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamingOps
@@ -805,6 +805,40 @@ class StreamingSpec extends SparkSpec {
         s"uniform data vs uniform reference must read PSI 0, got $rows")
       assert(rows("shifted")._2 > 0.5,
         s"single-bin pileup must read as strong drift, got $rows")
+    } finally q.stop()
+  }
+
+  test("splitStream assigns the batch q_split split statelessly and " +
+    "agrees with the batch expression on every doc") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.splitStream(docs)
+      .writeStream.format("memory").queryName("split_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((0L until 200L).map(i => (i, s"doc $i")): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("split_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      // the batch twin's expression over the same ids
+      val batch = (0L until 200L).toDF("doc_id")
+        .withColumn("h", conv(substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+          .cast("long"))
+        .withColumn("split", when(col("h") < 52429L, "train")
+          .when(col("h") < 58982L, "val").otherwise("test"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+        .toMap
+      assert(streamed === batch,
+        "stream and batch must assign identical splits per doc")
+      val byBucket = streamed.values.groupBy(identity).view.mapValues(_.size).toMap
+      assert(byBucket("train") > 130 && byBucket.getOrElse("val", 0) > 0 &&
+        byBucket.getOrElse("test", 0) > 0,
+        s"80/10/10 must roughly hold on 200 ids, got $byBucket")
+      // stateless contract: routing adds no state store
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+        "split routing must not register a stateful operator")
     } finally q.stop()
   }
 
