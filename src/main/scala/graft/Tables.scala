@@ -19,16 +19,25 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default; read nanos as long and truncate to the session's µs
-    * precision (identical truncation to DuckDB's epoch_us on the same
-    * file, so oracles agree). */
+  /** `events.ts` arrives in whichever parquet flavor the generator
+    * used: TIMESTAMP(NANOS) (Spark 4 rejects it by default — read
+    * nanos as long, truncate to µs; identical truncation to DuckDB's
+    * epoch_us on the same file) or plain µs TIMESTAMP (possibly NTZ —
+    * cast to the session type; the session is pinned UTC in both
+    * engines, so the wall-clock mapping is the identity). Adapting on
+    * the OBSERVED schema keeps every query and oracle working across
+    * generator versions without touching call sites. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    val raw = table(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
       // integer `div`: epoch nanos (~1.7e18) overflow double precision
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
