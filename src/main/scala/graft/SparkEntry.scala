@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.DedupPack,
     graft.queries.SimilarityPack,
     graft.queries.MultimodalPack,
-    graft.queries.StatsPack
+    graft.queries.StatsPack,
+    graft.queries.AnalyticsPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
