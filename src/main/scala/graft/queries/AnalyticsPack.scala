@@ -18,45 +18,59 @@ import graft.Tables._
   */
 object AnalyticsPack extends QueryPack {
 
+  /** PageRank (damping 0.85) over the bipartite part↔supplier
+    * co-occurrence graph from lineitem. The rank unit is integer (1e9
+    * per node), per-edge contribution is floor division by out-degree
+    * and the damping step is (85·s) div 100 — exact integer math,
+    * identical in any engine and any partition order (float PageRank
+    * sums are association-dependent). Plan shape at scale: edges
+    * localCheckpointed once (reused by the degree agg and every
+    * iteration), each iteration is one co-partitioned equi-join + one
+    * hash agg keyed on node — the Pregel step as two shuffles;
+    * nothing ever collects. The rank table is ALSO localCheckpointed
+    * every round: the unrolled lineage's whole-stage-codegen compile
+    * cost grows superlinearly with rounds (measured 48.8 s cold at 3
+    * unrolled rounds, r9) while each checkpointed round is a
+    * constant-size plan; the rank table is node-count rows × 3
+    * columns — partition-resident at any scale. Top-20 via
+    * TakeOrderedAndProject (sort+limit), never a global window. */
+  private def pagerankPlan(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val e0 = lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val edges = e0.select(
+        concat(lit("p"), col("p").cast("string")).as("src"),
+        concat(lit("s"), col("sk").cast("string")).as("dst"))
+      .union(e0.select(
+        concat(lit("s"), col("sk").cast("string")).as("src"),
+        concat(lit("p"), col("p").cast("string")).as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    var pr = deg.select(col("node"), col("deg"), lit(1000000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val cin = pr.join(edges, pr("node") === edges("src"))
+        .select(col("dst").as("node"), expr("pr div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("cin"))
+      // undirected graph: every node has in-edges, inner join keeps all
+      pr = deg.join(cin, "node")
+        .select(col("node"), col("deg"),
+          (lit(150000000L) + expr("(85 * cin) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    val top = pr.orderBy(col("pr").desc, col("node")).limit(20)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("pr").desc, col("node"))))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // PageRank (3 iterations, damping 0.85) over the bipartite
-    // part↔supplier co-occurrence graph from lineitem. The rank unit
-    // is integer (1e9 per node), per-edge contribution is floor
-    // division by out-degree and the damping step is (85·s) div 100 —
-    // exact integer math, identical in any engine and any partition
-    // order (float PageRank sums are association-dependent). Plan
-    // shape at scale: edges localCheckpointed once (reused by the
-    // degree agg and every iteration), each iteration is one
-    // co-partitioned equi-join + one hash agg keyed on node — the
-    // Pregel step as two shuffles; nothing ever collects. Top-20 via
-    // TakeOrderedAndProject (sort+limit), never a global window.
-    "q_pagerank" -> ((s, d) => {
-      val e0 = lineitem(s, d)
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-      val edges = e0.select(
-          concat(lit("p"), col("p").cast("string")).as("src"),
-          concat(lit("s"), col("sk").cast("string")).as("dst"))
-        .union(e0.select(
-          concat(lit("s"), col("sk").cast("string")).as("src"),
-          concat(lit("p"), col("p").cast("string")).as("dst")))
-        .localCheckpoint()
-      val deg = edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-      var pr = deg.select(col("node"), col("deg"), lit(1000000000L).as("pr"))
-      for (_ <- 1 to 3) {
-        val cin = pr.join(edges, pr("node") === edges("src"))
-          .select(col("dst").as("node"), expr("pr div deg").as("c"))
-          .groupBy("node").agg(sum("c").as("cin"))
-        // undirected graph: every node has in-edges, inner join keeps all
-        pr = deg.join(cin, "node")
-          .select(col("node"), col("deg"),
-            (lit(150000000L) + expr("(85 * cin) div 100")).as("pr"))
-      }
-      val top = pr.orderBy(col("pr").desc, col("node")).limit(20)
-      top.withColumn("rk",
-        row_number().over(Window.orderBy(col("pr").desc, col("node"))))
-    }),
+    "q_pagerank" -> ((s, d) => pagerankPlan(s, d, 3)),
+
+    // Deeper replay of the same integer Pregel loop: 8 rounds, far
+    // enough for the damped ranks to differentiate hubs from leaves.
+    // Exercises the checkpoint-per-round discipline (constant
+    // per-round plan, no lineage growth) that iters=3 barely probes.
+    "q_pagerank_iter" -> ((s, d) => pagerankPlan(s, d, 8)),
 
     // Exponentially weighted daily series (α=1/2) per event type — the
     // smoothed-trend readout monitoring dashboards draw. Weights are
@@ -89,28 +103,42 @@ object AnalyticsPack extends QueryPack {
 
     // Robust anomaly ranking: modified z-score (Iglewicz–Hoaglin,
     // 0.6745·(x−med)/MAD) per event type, top-5 most anomalous events
-    // each. Median and MAD are order statistics (no association
-    // boundary), rounded to 4 before scoring so every downstream
-    // comparison sees identical doubles. Two tiny keyed aggregates
-    // broadcast back over the scan; the per-type top-5 is a
-    // rank-window over rows that already carry their scores — at
-    // scale the window input can be pre-pruned by a per-partition
-    // top-5, but the partition count (k types) keeps it cheap.
+    // each. The value is pre-quantized to integer 1e-4 units so the
+    // median/MAD order statistics interpolate between INTEGERS: every
+    // midpoint is an exact dyadic double (x.0/x.5, then x.25 grains
+    // for the MAD), bit-identical across engines — no implementation-
+    // defined interpolation arithmetic near a rounding boundary. The
+    // scale factor cancels in z (numerator and denominator both carry
+    // the 1e4), so z is unchanged up to the quantization grain. Two
+    // tiny keyed aggregates broadcast back over the scan; the
+    // per-type top-5 runs through the bounded-heap TopKStructs
+    // aggregate (the q_topk_agg idiom): k rows per type per partition
+    // cross the exchange, so a hot event_type never lands its full
+    // event stream on one reducer the way a rank window would. At
+    // 100 TB the exact percentile() aggregates (which hold per-group
+    // value arrays) swap for approx_percentile, the same documented
+    // trade as q_winsorize/text_quality_bins.
     "q_anomaly" -> ((s, d) => {
-      val ev = events(s, d).select("event_id", "event_type", "value")
+      import graft.functions.TopKAggregate.topk
+      val ev = events(s, d).select(col("event_id"), col("event_type"),
+        col("value"), floor(col("value") * 10000).cast("long").as("q"))
       val med = ev.groupBy("event_type")
-        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+        .agg(expr("percentile(q, 0.5)").as("med"))
       val mad = ev.join(broadcast(med), "event_type")
         .groupBy("event_type", "med")
-        .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+        .agg(expr("percentile(abs(q - med), 0.5)").as("mad"))
         .where(col("mad") =!= 0.0)
       val z = ev.join(broadcast(mad), "event_type")
         .withColumn("z",
-          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
-      val w = Window.partitionBy("event_type")
-        .orderBy(abs(col("z")).desc, col("event_id"))
-      z.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
-        .select("event_type", "rk", "event_id", "value", "z")
+          round(lit(0.6745) * (col("q") - col("med")) / col("mad"), 4))
+      z.groupBy("event_type")
+        .agg(topk(struct((-abs(col("z"))).as("negaz"),
+          col("event_id").as("eid"), col("value").as("v"),
+          col("z").as("zz")), 5).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("event_type"), (col("i") + 1).cast("int").as("rk"),
+          col("t.eid").as("event_id"), col("t.v").as("value"),
+          col("t.zz").as("z"))
     }),
 
     // Categorical column entropy profile — the data-quality twin of
@@ -119,21 +147,30 @@ object AnalyticsPack extends QueryPack {
     // one stacked scan per table. A collapsed (entropy→0, top_share→1)
     // column is the classic silent-upstream-failure signal. Value
     // counts partial-aggregate map-side, so hot values never skew the
-    // exchange; the per-column rollup is k rows.
+    // exchange; per-column totals are a k-row aggregate broadcast
+    // back over the counts (no `partition by col_name` window — a
+    // mistakenly-profiled high-cardinality column would land its
+    // whole distinct-value set on one reducer). Each −p·log2(p) term
+    // is quantized to integer 1e-12 units BEFORE the cross-row sum,
+    // so the sum is exact and partition-order-independent in both
+    // engines (the per-term doubles are identical per-row; only the
+    // float SUM's association differed) — upholding the pack's
+    // "floats only in final per-row projections" rule.
     "q_entropy" -> ((s, d) => {
       val docs = documents(s, d)
       val cats = docs.select(lit("documents.lang").as("col_name"), col("lang").as("val"))
         .union(docs.select(lit("documents.source"), col("source")))
         .union(events(s, d).select(lit("events.event_type"), col("event_type")))
       val counts = cats.groupBy("col_name", "val").agg(count(lit(1)).as("n"))
-      val t = sum("n").over(Window.partitionBy("col_name"))
+      val totals = counts.groupBy("col_name").agg(sum("n").as("t"))
       val p = col("n").cast("double") / col("t")
-      counts.withColumn("t", t)
+      counts.join(broadcast(totals), "col_name")
+        .withColumn("eterm", floor(-(p * log2(p)) * 1e12).cast("long"))
         .groupBy("col_name")
         .agg(
           max("t").as("n_rows"),
           count(lit(1)).as("n_distinct"),
-          round(-sum(p * log2(p)), 6).as("entropy"),
+          round(sum("eterm").cast("double") / 1e12, 6).as("entropy"),
           round(max("n").cast("double") / max("t"), 6).as("top_share"))
         .withColumn("norm_entropy",
           when(col("n_distinct") > 1,
@@ -179,27 +216,34 @@ object AnalyticsPack extends QueryPack {
          |    FROM $prev r JOIN edges e ON r.node = e.src GROUP BY 1) c
          |  USING (node))""".stripMargin
 
+    def pagerankSql(iters: Int): String = {
+      val rounds = (1 to iters).map(i => prRound(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+         |edges AS (
+         |  SELECT 'p' || CAST(p AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst FROM e0
+         |  UNION ALL
+         |  SELECT 's' || CAST(sk AS VARCHAR), 'p' || CAST(p AS VARCHAR) FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, deg, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+         |$rounds
+         |SELECT node, deg, pr,
+         |  CAST(row_number() OVER (ORDER BY pr DESC, node) AS INT) AS rk
+         |FROM r$iters QUALIFY rk <= 20""".stripMargin
+    }
+
     Map(
-      "q_pagerank" ->
-        s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
-           |edges AS (
-           |  SELECT 'p' || CAST(p AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst FROM e0
-           |  UNION ALL
-           |  SELECT 's' || CAST(sk AS VARCHAR), 'p' || CAST(p AS VARCHAR) FROM e0),
-           |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
-           |r0 AS (SELECT node, deg, CAST(1000000000 AS BIGINT) AS pr FROM deg),
-           |${prRound("r0", "r1")},
-           |${prRound("r1", "r2")},
-           |${prRound("r2", "r3")}
-           |SELECT node, deg, pr,
-           |  CAST(row_number() OVER (ORDER BY pr DESC, node) AS INT) AS rk
-           |FROM r3 QUALIFY rk <= 20""".stripMargin,
+      "q_pagerank" -> pagerankSql(3),
+      "q_pagerank_iter" -> pagerankSql(8),
 
       "q_ewma" -> {
         val lags = (1 to 7).map(j => s"lag(dq, $j) OVER w AS l$j").mkString(",\n|    ")
-        val num = "CAST(dq AS BIGINT) * 128 + " +
+        // j=0 term NULL-guarded exactly like the Spark side's
+        // when(dq.isNotNull, ...): a NULL daily sum (all-NULL values
+        // that day) drops out of BOTH numerator and denominator
+        // instead of propagating NULL against a denominator of 128.
+        val num = "coalesce(CAST(dq AS BIGINT), 0) * 128 + " +
           (1 to 7).map(j => s"coalesce(l$j, 0) * ${1L << (7 - j)}").mkString(" + ")
-        val den = "128 + " +
+        val den = "CASE WHEN dq IS NULL THEN 0 ELSE 128 END + " +
           (1 to 7).map(j => s"CASE WHEN l$j IS NULL THEN 0 ELSE ${1L << (7 - j)} END")
             .mkString(" + ")
         s"""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -215,14 +259,15 @@ object AnalyticsPack extends QueryPack {
       },
 
       "q_anomaly" ->
-        """WITH ev AS (SELECT event_id, event_type, value FROM events),
-          |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        """WITH ev AS (SELECT event_id, event_type, value,
+          |    CAST(floor(value * 10000) AS BIGINT) AS q FROM events),
+          |med AS (SELECT event_type, quantile_cont(q, 0.5) AS med
           |  FROM ev GROUP BY 1),
           |mad AS (SELECT event_type, med,
-          |    round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+          |    quantile_cont(abs(q - med), 0.5) AS mad
           |  FROM ev JOIN med USING (event_type) GROUP BY 1, 2),
           |z AS (SELECT event_id, event_type, value,
-          |    round(0.6745 * (value - med) / mad, 4) AS z
+          |    round(0.6745 * (q - med) / mad, 4) AS z
           |  FROM ev JOIN mad USING (event_type) WHERE mad <> 0)
           |SELECT event_type,
           |  CAST(row_number() OVER (PARTITION BY event_type
@@ -236,11 +281,15 @@ object AnalyticsPack extends QueryPack {
           |  UNION ALL SELECT 'documents.source', source FROM documents
           |  UNION ALL SELECT 'events.event_type', event_type FROM events),
           |counts AS (SELECT col_name, val, count(*) AS n FROM cats GROUP BY 1, 2),
-          |wt AS (SELECT col_name, n,
-          |    sum(n) OVER (PARTITION BY col_name) AS t FROM counts),
+          |totals AS (SELECT col_name, CAST(sum(n) AS BIGINT) AS t
+          |  FROM counts GROUP BY 1),
+          |wt AS (SELECT col_name, n, t,
+          |    CAST(floor(-((CAST(n AS DOUBLE)/t) * log2(CAST(n AS DOUBLE)/t))
+          |      * 1000000000000) AS BIGINT) AS eterm
+          |  FROM counts JOIN totals USING (col_name)),
           |agg AS (SELECT col_name,
           |    CAST(max(t) AS BIGINT) AS n_rows, count(*) AS n_distinct,
-          |    round(-sum((CAST(n AS DOUBLE)/t) * log2(CAST(n AS DOUBLE)/t)), 6) AS entropy,
+          |    round(CAST(sum(eterm) AS DOUBLE) / 1000000000000, 6) AS entropy,
           |    round(CAST(max(n) AS DOUBLE) / max(t), 6) AS top_share
           |  FROM wt GROUP BY 1)
           |SELECT col_name, n_rows, n_distinct, entropy, top_share,

@@ -220,6 +220,23 @@ class PlanSpec extends SparkSpec {
       "no full per-group sort should survive in the aggregate variant")
   }
 
+  test("q_anomaly ranks per-type top-5 through the bounded heap — no rank window") {
+    val p = plan("q_anomaly")
+    assert(p.contains("partial_topkstructs") || p.contains("TopKStructs"),
+      "per-type top-5 must run through the TopKStructs heap aggregate")
+    assert(!p.contains("Window"),
+      "no rank window may survive — a hot event_type would full-sort its " +
+        "entire event stream on one reducer")
+  }
+
+  test("q_entropy totals are a k-row broadcast join — no per-column window") {
+    val p = plan("q_entropy")
+    assert(!p.contains("Window"),
+      "per-column totals must be a k-row broadcast join, not a window — " +
+        "a high-cardinality column would land its distinct set on one reducer")
+    assert(p.contains("BroadcastHashJoin"), "totals side must broadcast")
+  }
+
   test("q_asof_join is one partitioned window pass — no join at all") {
     val p = plan("q_asof_join")
     assert(!p.contains("Join"), "as-of must be a carry-forward window, not a join")
