@@ -801,6 +801,42 @@ object StreamingOps {
         round(cos, 6).as("cos_ref"))
   }
 
+  /** Streaming anomaly monitor — the live face of batch `q_anomaly`
+    * (the same modified z-score, Iglewicz–Hoaglin 0.6745·(x−med)/MAD):
+    * per tumbling event-time window and event type, counts events
+    * whose |z| against a REFERENCE median/MAD (trained offline by the
+    * batch query, passed as plan literals — `driftMonitorStream`'s
+    * broadcast-reference shape) exceeds `threshold`, and reports the
+    * window's worst score. The per-row z is stateless column math;
+    * the ONE allowed streaming aggregation holds a single
+    * (n_events, n_anom, max_abs_z) row per (window, type),
+    * watermark-evicted — state ∝ types × open windows, never events.
+    * An event type ABSENT from the reference surfaces as a row with
+    * NULL z fields and n_events > 0 (a brand-new type is itself the
+    * anomaly), never silently dropped. */
+  def anomalyMonitorStream(events: DataFrame,
+      refStats: Map[String, (Double, Double)], threshold: Double = 3.5,
+      valueCol: String = "value", tsCol: String = "ts",
+      typeCol: String = "event_type", windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(refStats.nonEmpty && refStats.values.forall(_._2 > 0),
+      s"refStats must map types to (median, MAD>0), got $refStats")
+    val med = element_at(
+      typedlit(refStats.map { case (k, (m, _)) => k -> m }), col(typeCol))
+    val mad = element_at(
+      typedlit(refStats.map { case (k, (_, d)) => k -> d }), col(typeCol))
+    val z = round(lit(0.6745) * (col(valueCol) - med) / mad, 4)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("z", z)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("z")) > threshold, 1L).otherwise(0L)).as("n_anom"),
+        round(max(abs(col("z"))), 4).as("max_abs_z"))
+      .select(col("w.start").as("ws"), col(typeCol),
+        col("n_events"), col("n_anom"), col("max_abs_z"))
+  }
+
   /** Streaming nearest-centroid assignment — the reference's map phase
     * as a stream transform: centroids are plan literals (broadcast by
     * construction, exactly like batch `km_assign`), so assignment is

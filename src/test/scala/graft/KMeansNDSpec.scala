@@ -42,6 +42,34 @@ class KMeansNDSpec extends SparkSpec {
       === viaStep.map { case (c, v) => c -> v.toSeq })
   }
 
+  test("MLlib fit and KMeansND.fit converge to comparable WSSSE on " +
+    "the same embeddings (cross-check of the two fit paths)") {
+    // km_fit_mllib is a rows-only gate (MLlib internals aren't
+    // SQL-replayable) — this pins its QUALITY instead: two completely
+    // independent Lloyd implementations (MLlib's and the repo's
+    // treeAggregate loop), different seeding, same data and k, must
+    // land within a small factor of each other's converged cost. A
+    // regression in either fit path (bad init, broken update, early
+    // exit) shows up as a cost gap long before a user would notice.
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 8
+    val emb = Tables.embeddings(spark, sfDir)
+    val feat = emb.select($"vec_id", array_to_vector($"embedding").as("features"))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
+      .setInitMode("random").fit(feat)
+    val mllibCost = model.summary.trainingCost
+    val p = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cs = KMeansND.fit(p, k, maxIter = 20)
+    val ndCost = KMeansND.assign(p, cs)
+      .agg(sum("dist")).as[Double].head()
+    assert(mllibCost > 0 && ndCost > 0)
+    val ratio = math.max(mllibCost / ndCost, ndCost / mllibCost)
+    assert(ratio < 1.25,
+      s"the two fit paths must agree on converged quality: " +
+        s"mllib=$mllibCost nd=$ndCost ratio=$ratio")
+  }
+
   test("step leaves empty clusters unchanged") {
     val cs = Seq(0 -> Array(0.0, 0.0, 0.0), 1 -> Array(1000.0, 0.0, 0.0))
     val next = KMeansND.step(tiny, cs).toMap

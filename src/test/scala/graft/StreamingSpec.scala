@@ -1044,4 +1044,343 @@ class StreamingSpec extends SparkSpec {
       assert(rows === Set((1L, 2L, 3.0), (2L, 1L, 9.0)))
     } finally q.stop()
   }
+
+  test("anomalyMonitorStream reads z=0 on reference-matching data and " +
+    "flags an injected spike") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val ev = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    // (median, MAD) per type, as batch q_anomaly fits them offline
+    val ref = Map("steady" -> ((100.0, 10.0)), "spiky" -> ((50.0, 5.0)))
+    val q = StreamingOps.anomalyMonitorStream(ev, ref)
+      .writeStream.format("memory").queryName("anom_mon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // hour-1 window: every 'steady' event sits exactly on its
+      // reference median (modified z = 0); 'spiky' has four tame rows
+      // and one 20-MAD pileup (z = 0.6745·100/5 = 13.49); 'brand_new'
+      // is absent from the reference entirely
+      val steady = (0 until 5).map(i => (i.toLong, ts(i.toLong), "steady", 100.0))
+      val tame = (10 until 14).map(i => (i.toLong, ts(i.toLong), "spiky", 50.0))
+      val spike = Seq((99L, ts(14), "spiky", 150.0))
+      val novel = Seq((200L, ts(15), "brand_new", 7.0))
+      in.addData(steady ++ tame ++ spike ++ novel: _*)
+      q.processAllAvailable()
+      in.addData((999L, ts(120), "steady", 100.0)) // watermark past window+delay
+      q.processAllAvailable()
+      val rows = spark.table("anom_mon").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("n_anom"),
+            Option(r.getAs[java.lang.Double]("max_abs_z")).map(_.doubleValue))))
+        .toMap
+      assert(rows("steady") === ((5L, 0L, Some(0.0))),
+        s"reference-matching data must read z=0 and flag nothing, got $rows")
+      assert(rows("spiky")._1 === 5L && rows("spiky")._2 === 1L,
+        s"the injected spike must be flagged, got $rows")
+      assert(rows("spiky")._3.exists(_ > 13.0))
+      assert(rows("brand_new") === ((1L, 0L, None)),
+        "a type absent from the reference must surface with NULL score, " +
+          s"never vanish, got $rows")
+    } finally q.stop()
+  }
+
+  test("anomalyMonitorStream state is bounded: watermark evicts closed windows") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val ev = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val ref = (0 until 40).map(i => s"t$i" -> ((10.0, 1.0))).toMap
+    val q = StreamingOps.anomalyMonitorStream(ev, ref)
+      .writeStream.format("memory").queryName("anom_bounded")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 40 types populate 40 (window, type) state rows in hour 1
+      in.addData((0 until 40).map(i => (i.toLong, ts(i.toLong % 50), s"t$i", 10.0)): _*)
+      q.processAllAvailable()
+      // event time jumps 10 h past the horizon: hour-1 rows finalize
+      // and must leave the store, not accumulate under new arrivals
+      in.addData((1000L, ts(600), "t0", 10.0))
+      q.processAllAvailable()
+      in.addData((1001L, ts(610), "t1", 10.0))
+      q.processAllAvailable()
+      val state = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(state < 40,
+        s"closed (window, type) rows must evict with the watermark, saw $state")
+    } finally q.stop()
+  }
+
+  test("rate source: live-clock micro-batches drive the stateless " +
+    "split+quality pipeline") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.concat_ws
+    // format("rate") is a real continuous source under the wall clock —
+    // the closest no-network stand-in for a broker: offsets advance on
+    // their own, triggers fire on a cadence, nothing is hand-fed
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "200").load()
+    val docs = rate.select(col("value").as("doc_id"),
+      concat_ws(" ", lit("live"), lit("document"), col("value")).as("text"),
+      lit("en").as("lang"))
+    val piped = StreamingOps.qualityFilterStream(StreamingOps.splitStream(docs))
+    val q = piped.writeStream.format("memory").queryName("rate_pipe")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def committed = q.recentProgress.count(_.numInputRows > 0)
+      while ((committed < 5 ||
+          spark.table("rate_pipe").count() < 100) &&
+          System.currentTimeMillis() < deadline && q.exception.isEmpty)
+        Thread.sleep(200)
+      assert(q.exception.isEmpty, s"soak must stay healthy: ${q.exception}")
+      assert(committed >= 5, "the live clock must keep delivering micro-batches")
+      val out = spark.table("rate_pipe")
+      assert(out.count() >= 100)
+      assert(out.filter(!col("split").isin("train", "val", "test")).isEmpty,
+        "every live row must route to a valid split")
+      assert(out.filter(col("keep").isNull).isEmpty,
+        "every live row must carry a computed keep decision")
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+        "the stateless pipeline must register no state store under a live clock")
+    } finally q.stop()
+  }
+
+  test("rate source soak: the watermarked monitor survives no-data triggers " +
+    "and finalizes windows under a live clock") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.concat
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "100").load()
+    val ev = rate.select(col("timestamp").as("ts"),
+      concat(lit("t"), col("value") % 2).as("event_type"),
+      (col("value") % 10).cast("double").as("value"))
+    val mon = StreamingOps.anomalyMonitorStream(ev,
+      Map("t0" -> ((4.0, 2.0)), "t1" -> ((5.0, 2.0))),
+      windowLen = "2 seconds", watermarkDelay = "1 second")
+    val q = mon.writeStream.format("memory").queryName("rate_mon")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      // rate offsets advance once per second but triggers fire every
+      // 100 ms: most triggers see no new data, and with a watermark to
+      // advance the engine RUNS them as empty micro-batches — exactly
+      // the empty-trigger regime a live deployment idles through
+      def empties = q.recentProgress.count(_.numInputRows == 0)
+      while ((spark.table("rate_mon").count() < 3 || empties < 2) &&
+          System.currentTimeMillis() < deadline && q.exception.isEmpty)
+        Thread.sleep(200)
+      assert(q.exception.isEmpty, s"soak must stay healthy: ${q.exception}")
+      assert(empties >= 2,
+        "no-data triggers must run (watermark advancement) and be survived")
+      assert(spark.table("rate_mon").count() >= 3,
+        "tumbling windows must finalize on the live clock")
+      // state ∝ types × open windows — 2 types, 2 s windows, 1 s delay
+      val state = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(state <= 20,
+        s"monitor state must stay at types×open-windows rows, saw $state")
+    } finally q.stop()
+  }
+
+  test("rate source soak: upsertSink state stays key-bounded under " +
+    "continuous live input") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_ratesink_").toString
+    try {
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", "50").load()
+      val ev = rate.select((col("value") % 8).as("user_id"),
+        col("timestamp").as("ts"), lit("tick").as("event_type"),
+        col("value").cast("double").as("value"), col("value").as("event_id"))
+      val q = ev.writeStream
+        .option("checkpointLocation", s"$dir/ck")
+        .foreachBatch(StreamingOps.upsertSink(s"$dir/state", nBuckets = 4))
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        def committed = q.recentProgress.count(_.numInputRows > 0)
+        while (committed < 3 && System.currentTimeMillis() < deadline &&
+            q.exception.isEmpty)
+          Thread.sleep(200)
+        assert(q.exception.isEmpty, s"soak must stay healthy: ${q.exception}")
+        assert(committed >= 3)
+        def state() = spark.read.parquet(s"$dir/state")
+        val rows1 = state().collect()
+        assert(rows1.nonEmpty && rows1.length <= 8,
+          s"state rows are KEYS (8 users), not events, saw ${rows1.length}")
+        // keep streaming: more batches must not grow the state table
+        val mark = committed
+        while (committed < mark + 2 && System.currentTimeMillis() < deadline &&
+            q.exception.isEmpty)
+          Thread.sleep(200)
+        val rows2 = state().collect()
+        assert(rows2.length <= 8,
+          s"state must stay key-bounded as input flows, saw ${rows2.length}")
+        assert(rows2.forall(r =>
+          r.getAs[Long]("event_id") % 8 === r.getAs[Long]("user_id")),
+          "each key's stored row must belong to that key")
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("upsertSink crash matrix: a crash between bucket commits replays " +
+    "to the correct state, then skips once fully committed") {
+    // ParquetBucketStore's dynamic partition overwrite commits bucket
+    // dirs one at a time — this store reproduces that non-atomicity
+    // exactly (per-bucket bid rides with the data) and injects the
+    // crash between bucket A's commit and bucket B's
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    class PerBucketStore extends StreamingOps.UpsertStateStore {
+      var buckets = Map.empty[Int, (Long, Seq[Row])] // bucket -> (bid, rows)
+      var schema: StructType = _
+      var crashAfterFirstBucket = false
+      var commits = 0
+      def read(sp: org.apache.spark.sql.SparkSession,
+          touched: Seq[Int]): Option[org.apache.spark.sql.DataFrame] =
+        if (buckets.isEmpty) None
+        else Some(sp.createDataFrame(
+          sp.sparkContext.parallelize(
+            touched.flatMap(b => buckets.get(b).map(_._2).getOrElse(Nil))),
+          schema))
+      def alreadyCommitted(sp: org.apache.spark.sql.SparkSession,
+          touched: Seq[Int], batchId: Long): Boolean =
+        touched.nonEmpty &&
+          touched.forall(b => buckets.get(b).exists(_._1 >= batchId))
+      def commit(merged: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val m = merged.localCheckpoint()
+        schema = m.schema
+        var first = true
+        m.collect().groupBy(_.getAs[Int]("bucket")).toSeq.sortBy(_._1)
+          .foreach { case (b, rows) =>
+            buckets += b -> ((batchId, rows.toSeq))
+            commits += 1
+            if (first && crashAfterFirstBucket) {
+              crashAfterFirstBucket = false
+              throw new RuntimeException(s"injected crash after bucket $b")
+            }
+            first = false
+          }
+      }
+    }
+    val store = new PerBucketStore
+    val sink = StreamingOps.upsertSink(store, nBuckets = 4)
+    def df(rows: (Long, Timestamp, String, Double, Long)*) =
+      rows.toDF("user_id", "ts", "event_type", "value", "event_id")
+    def state() = store.buckets.values.flatMap(_._2)
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[String]("event_type"), r.getAs[Double]("value")))).toMap
+    // batch 0: users 1 (bucket 1) and 2 (bucket 2), commits clean
+    sink(df((1L, ts(5), "view", 1.0, 10L), (2L, ts(6), "view", 2.0, 11L)), 0L)
+    assert(state() === Map(1L -> (("view", 1.0)), 2L -> (("view", 2.0))))
+    // batch 1 touches both buckets; the crash lands between them
+    store.crashAfterFirstBucket = true
+    intercept[RuntimeException] {
+      sink(df((1L, ts(10), "click", 3.0, 12L),
+        (2L, ts(11), "purchase", 4.0, 13L)), 1L)
+    }
+    val bids = store.buckets.map { case (b, (bid, _)) => b -> bid }
+    assert(bids.values.toSet === Set(0L, 1L),
+      s"the crash must leave buckets at MIXED bids (the torn window), got $bids")
+    // replay: one bucket behind ⇒ alreadyCommitted is false ⇒ re-merge;
+    // the already-written bucket re-merges idempotently
+    sink(df((1L, ts(10), "click", 3.0, 12L),
+      (2L, ts(11), "purchase", 4.0, 13L)), 1L)
+    assert(state() === Map(1L -> (("click", 3.0)), 2L -> (("purchase", 4.0))),
+      s"replay after the torn commit must complete the merge, got ${state()}")
+    assert(store.buckets.values.forall(_._1 === 1L))
+    // second replay: every touched bucket now carries bid 1 ⇒ skipped
+    val commitsBefore = store.commits
+    sink(df((1L, ts(10), "click", 3.0, 12L),
+      (2L, ts(11), "purchase", 4.0, 13L)), 1L)
+    assert(store.commits === commitsBefore,
+      "a fully-committed batch must be skipped on replay, not re-merged")
+  }
+
+  test("upsertSink crash matrix: a crash between data commit and the " +
+    "commit-log record replays idempotently") {
+    // the OTHER non-atomic seam: a transactional-format adapter whose
+    // data commit and commit-log append are separate operations (the
+    // MemStore shape) — killed between the two, the replay re-merges
+    // (idempotent) and finally records the log entry
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    class LoggedStore extends StreamingOps.UpsertStateStore {
+      var rows: Seq[Row] = Nil
+      var schema: StructType = _
+      var commitLog = Set.empty[Long]
+      var crashBeforeLog = false
+      def read(sp: org.apache.spark.sql.SparkSession,
+          touched: Seq[Int]): Option[org.apache.spark.sql.DataFrame] =
+        if (rows.isEmpty) None
+        else Some(sp.createDataFrame(sp.sparkContext.parallelize(rows), schema)
+          .filter(col("bucket").isin(touched: _*)))
+      def alreadyCommitted(sp: org.apache.spark.sql.SparkSession,
+          touched: Seq[Int], batchId: Long): Boolean = commitLog.contains(batchId)
+      def commit(merged: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val m = merged.localCheckpoint()
+        schema = m.schema
+        val touched = m.select("bucket").distinct().collect()
+          .map(_.getInt(0)).toSet
+        rows = rows.filterNot(r => touched(r.getAs[Int]("bucket"))) ++ m.collect()
+        if (crashBeforeLog) {
+          crashBeforeLog = false
+          throw new RuntimeException("injected crash before commit-log append")
+        }
+        commitLog += batchId
+      }
+    }
+    val store = new LoggedStore
+    val sink = StreamingOps.upsertSink(store, nBuckets = 4)
+    def df(rows: (Long, Timestamp, String, Double, Long)*) =
+      rows.toDF("user_id", "ts", "event_type", "value", "event_id")
+    def state() = store.rows.map(r => r.getAs[Long]("user_id") ->
+      ((r.getAs[String]("event_type"), r.getAs[Double]("value")))).toMap
+    sink(df((1L, ts(5), "view", 1.0, 10L)), 0L)
+    store.crashBeforeLog = true
+    intercept[RuntimeException] {
+      sink(df((1L, ts(10), "click", 3.0, 12L)), 1L)
+    }
+    // data landed, log didn't — the torn window
+    assert(state() === Map(1L -> (("click", 3.0))))
+    assert(store.commitLog === Set(0L))
+    // replay re-merges the same rows (event-time keep rule makes it a
+    // no-op) and this time records the commit
+    sink(df((1L, ts(10), "click", 3.0, 12L)), 1L)
+    assert(state() === Map(1L -> (("click", 3.0))),
+      "the idempotent re-merge must not change state")
+    assert(store.commitLog === Set(0L, 1L))
+  }
+
+  test("versioned state: a crash between commit and GC leaves two complete " +
+    "versions — reader takes the newest, the next commit sweeps both") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gccrash_").toString
+    try {
+      val sink = StreamingOps.incrementalAggSink(s"$dir/s")
+      def ev(u: Long, t: Int, v: Double) =
+        Seq((u, ts(t.toLong), "view", v)).toDF("user_id", "ts", "event_type", "value")
+      sink(ev(1, 0, 2.0), 0L)
+      sink(ev(2, 1, 4.0), 1L)
+      // simulate the kill between v1's commit and the sweep of v0: put
+      // a COMPLETE (committed, _SUCCESS-marked) stale v0 back beside v1
+      Seq(("view", 99L, 99.0, 99.0, 99.0))
+        .toDF("event_type", "n", "sv", "mn", "mx")
+        .write.parquet(s"$dir/s/v000000000000")
+      def versions() = new java.io.File(s"$dir/s").listFiles()
+        .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+      assert(versions() === Seq("v000000000000", "v000000000001"))
+      // the reader must take the NEWEST complete version, not the stale one
+      val s1 = StreamingOps.readState(spark, s"$dir/s")
+        .select("n", "sv").head()
+      assert(s1.getLong(0) === 2L && s1.getDouble(1) === 6.0,
+        "reader must ignore the stale committed predecessor")
+      // the next batch merges from v1 and its commit sweeps BOTH old
+      // versions — the GC debt clears itself
+      sink(ev(3, 2, 6.0), 2L)
+      assert(versions() === Seq("v000000000002"),
+        s"commit must sweep every older version, got ${versions()}")
+      val s2 = StreamingOps.readState(spark, s"$dir/s")
+        .select("n", "sv").head()
+      assert(s2.getLong(0) === 3L && s2.getDouble(1) === 12.0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
