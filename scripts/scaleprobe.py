@@ -80,6 +80,10 @@ pq.write_table(pa.concat_tables(parts), f"{OUT}/events.parquet")
 for name in ["documents", "embeddings", "events", "orders", "lineitem"]:
     n = con.sql(f"SELECT count(*) FROM '{OUT}/{name}.parquet'").fetchall()[0][0]
     print(f"{name}: {n}")
+# the replica must preserve the SOURCE's timestamp flavor exactly —
+# Tables.events adapts on the observed schema (ns-as-long, µs, or NTZ),
+# so the only wrong outcome is the probe table silently changing flavor
+src_ts = pq.read_schema(f"{SF}/events.parquet").field("ts").type
 ts_type = pq.read_schema(f"{OUT}/events.parquet").field("ts").type
-assert str(ts_type) == "timestamp[ns]", f"events ts must stay ns, got {ts_type}"
+assert ts_type == src_ts, f"events ts must stay {src_ts}, got {ts_type}"
 print("probe tables ready at", OUT)
