@@ -62,6 +62,32 @@ object AnalyticsPack extends QueryPack {
       row_number().over(Window.orderBy(col("pr").desc, col("node"))))
   }
 
+  /** `q_ewma`'s whole computation over any events-shaped frame
+    * (event_type, ts, value): daily 1e-4-quantized integer sums, then
+    * the dyadic-weight EWMA over the trailing 8 OBSERVED days. Public
+    * so `ewmaStream`'s agreement spec can run the REAL batch plan on
+    * its own data rather than a re-typed copy of the expression. */
+  def ewmaDaily(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 10000).cast("long").as("q"))
+      .groupBy("event_type", "day")
+      .agg(sum("q").as("dq"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val terms = (0 to 7).map { j =>
+      val x = if (j == 0) col("dq") else lag(col("dq"), j).over(w)
+      val wt = lit(1L << (7 - j))
+      (when(x.isNotNull, x * wt).otherwise(lit(0L)),
+        when(x.isNotNull, wt).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    daily
+      .withColumn("ewma", round(num.cast("double") / den / lit(10000.0), 4))
+      .select("event_type", "day", "n", "ewma")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_pagerank" -> ((s, d) => pagerankPlan(s, d, 3)),
@@ -80,26 +106,7 @@ object AnalyticsPack extends QueryPack {
     // final division, identical per row in both engines. One hash agg
     // to days + one partitioned window pass; series length is bounded
     // by the time range, never the event count.
-    "q_ewma" -> ((s, d) => {
-      val daily = events(s, d)
-        .select(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"),
-          floor(col("value") * 10000).cast("long").as("q"))
-        .groupBy("event_type", "day")
-        .agg(sum("q").as("dq"), count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-      val terms = (0 to 7).map { j =>
-        val x = if (j == 0) col("dq") else lag(col("dq"), j).over(w)
-        val wt = lit(1L << (7 - j))
-        (when(x.isNotNull, x * wt).otherwise(lit(0L)),
-          when(x.isNotNull, wt).otherwise(lit(0L)))
-      }
-      val num = terms.map(_._1).reduce(_ + _)
-      val den = terms.map(_._2).reduce(_ + _)
-      daily
-        .withColumn("ewma", round(num.cast("double") / den / lit(10000.0), 4))
-        .select("event_type", "day", "n", "ewma")
-    }),
+    "q_ewma" -> ((s, d) => ewmaDaily(events(s, d))),
 
     // Robust anomaly ranking: modified z-score (Iglewicz–Hoaglin,
     // 0.6745·(x−med)/MAD) per event type, top-5 most anomalous events

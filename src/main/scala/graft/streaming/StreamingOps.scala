@@ -801,6 +801,84 @@ object StreamingOps {
         round(cos, 6).as("cos_ref"))
   }
 
+  final case class EwmaOpen(day: Long, dq: Long, n: Long)
+  final case class EwmaDone(day: Long, dq: Long)
+  final case class EwmaState(open: Seq[EwmaOpen], done: Seq[EwmaDone])
+  final case class EwmaOut(event_type: String, day: Long, n: Long, ewma: Double)
+
+  /** Streaming EWMA — the live face of batch `q_ewma` (the last
+    * analytics key without a streaming twin): per event type, the
+    * dyadic-weight (2^(7−j), trailing 8 OBSERVED days) exponentially
+    * weighted daily series, emitted as each day FINALIZES (watermark
+    * past its end — no later batch can legally add to it, so the
+    * day's quantized integer sum and its position in the
+    * observed-day lag order are settled; same buffer-until-watermark
+    * reasoning as `funnelStream`). Emitted rows are bit-identical to
+    * the batch query's on the same events: the day sum is the same
+    * floor(value·1e4) integer fold, the weights the same BIGINTs, and
+    * the one float op replicates Spark's round() exactly
+    * (BigDecimal.valueOf HALF_UP).
+    *
+    * State per type = open (not-yet-final) day sums — bounded by the
+    * watermark horizon — plus the trailing ≤8 finalized (day, dq)
+    * pairs the NEXT day's lags need. The trailing window is
+    * observed-ROW lags (the batch semantics), so it is retained
+    * across quiet gaps rather than time-evicted: eviction would make
+    * a returning type diverge from the batch replay. Total state is
+    * O(types × 8) rows — the same "k rows per key" contract as
+    * `kmeansSink`'s centroids. */
+  def ewmaStream(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayUs = 86400000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (etype, it, state: GroupState[EwmaState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(EwmaState(Nil, Nil))
+          val openMap = scala.collection.mutable.Map[Long, (Long, Long)](
+            prior.open.map(o => o.day -> ((o.dq, o.n))).toSeq: _*)
+          it.foreach { e =>
+            val d = math.floorDiv(epochMicros(e.ts), dayUs)
+            val q = math.floor(e.value * 10000).toLong
+            val (dq, n) = openMap.getOrElse(d, (0L, 0L))
+            openMap(d) = (dq + q, n + 1)
+          }
+          val (ripe, held) = openMap.toSeq.partition {
+            case (d, _) => (d + 1) * dayUs <= wmUs
+          }
+          var done = prior.done
+          val out = ripe.sortBy(_._1).map { case (d, (dq, n)) =>
+            done = EwmaDone(d, dq) +: done
+            val terms = done.take(8).zipWithIndex // j=0 = this day
+            val num = terms.map { case (t, j) => t.dq * (1L << (7 - j)) }.sum
+            val den = terms.map { case (_, j) => 1L << (7 - j) }.sum
+            // Spark's round(double, 4): BigDecimal.valueOf + HALF_UP —
+            // valueOf (decimal string repr), NOT the exact binary
+            // expansion, or boundary values round differently
+            val ewma = java.math.BigDecimal
+              .valueOf(num.toDouble / den / 10000.0)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            EwmaOut(etype, d, n, ewma)
+          }
+          state.update(EwmaState(
+            held.map { case (d, (dq, n)) => EwmaOpen(d, dq, n) }.sortBy(_.day),
+            done.take(8)))
+          if (held.nonEmpty) {
+            // wake when the oldest open day can finalize, even if the
+            // type sees no further events; never at-or-behind the wm
+            val target = ceilMs(held.map(_._1).min * dayUs + dayUs)
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming anomaly monitor — the live face of batch `q_anomaly`
     * (the same modified z-score, Iglewicz–Hoaglin 0.6745·(x−med)/MAD):
     * per tumbling event-time window and event type, counts events

@@ -1045,6 +1045,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream emits finalized days bit-identical to the batch " +
+    "q_ewma plan, across batches and past the 8-day lag window") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.ewmaStream(in.toDS())
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode(OutputMode.Append()).start()
+    def dts(day: Long, min: Long) = new Timestamp(day * 86400000L + min * 60000L)
+    // 'a' has a day that grows ACROSS batches; 'c' runs 12 consecutive
+    // days so the trailing-8 observed-day window actually saturates;
+    // 'b' is a single early day followed by a long quiet gap
+    val wave1 = Seq(
+      Event(1, dts(100, 10), "a", 1.2345), Event(2, dts(100, 50), "a", 2.5),
+      Event(3, dts(100, 30), "b", 10.125), Event(4, dts(101, 20), "a", 3.75)) ++
+      (100L to 101L).map(d => Event(d, dts(d, 10), "c", d * 0.1))
+    // wave-1 watermark = day101 00:20 − 10 min, so every wave-2 event
+    // (earliest: day101 00:40) is on-time, never late-dropped
+    val wave2 = Seq(
+      Event(5, dts(101, 40), "a", 0.5), Event(6, dts(102, 10), "a", 7.0)) ++
+      (102L to 111L).map(d => Event(d, dts(d, 10), "c", d * 0.1))
+    val tick = Seq(Event(9, dts(125, 0), "b", 10.125))
+    try {
+      in.addData(wave1: _*)
+      q.processAllAvailable()
+      in.addData(wave2: _*)
+      q.processAllAvailable()
+      in.addData(tick: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_stream")
+        .select("event_type", "day", "n", "ewma").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // the REAL batch plan over the same events, restricted to the
+      // days the stream could finalize (everything before the tick's)
+      val batchEv = (wave1 ++ wave2 ++ tick)
+        .map(e => (e.user_id, e.ts, e.event_type, e.value))
+        .toDF("user_id", "ts", "event_type", "value")
+      val expected = graft.queries.AnalyticsPack.ewmaDaily(batchEv)
+        .filter(col("day") < 125).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed === expected,
+        s"stream must replay the batch series exactly:\n got $streamed\n want $expected")
+      // cross-batch continuity: day 101 of 'a' spans both waves (n=2)
+      assert(streamed.exists(t => t._1 == "a" && t._2 == 101L && t._3 == 2L))
+      // 'c' emitted all 12 days — days 8..11 scored through the CAPPED
+      // trailing window, agreeing with the batch lag-7 horizon
+      assert(streamed.count(_._1 == "c") === 12)
+      // state = one row per TYPE (each ≤ 8 trailing days + open days)
+      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 3,
+        "state must be per-type rows, not per-event")
+    } finally q.stop()
+  }
+
   test("anomalyMonitorStream reads z=0 on reference-matching data and " +
     "flags an injected spike") {
     implicit val sq = spark.sqlContext
