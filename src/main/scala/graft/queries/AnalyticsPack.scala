@@ -35,28 +35,47 @@ object AnalyticsPack extends QueryPack {
     * columns — partition-resident at any scale. Top-20 via
     * TakeOrderedAndProject (sort+limit), never a global window. */
   private def pagerankPlan(s: SparkSession, d: String, iters: Int): DataFrame = {
-    val e0 = lineitem(s, d)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-    val edges = e0.select(
-        concat(lit("p"), col("p").cast("string")).as("src"),
-        concat(lit("s"), col("sk").cast("string")).as("dst"))
-      .union(e0.select(
-        concat(lit("s"), col("sk").cast("string")).as("src"),
-        concat(lit("p"), col("p").cast("string")).as("dst")))
-      .localCheckpoint()
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-    var pr = deg.select(col("node"), col("deg"), lit(1000000000L).as("pr"))
-    for (_ <- 1 to iters) {
-      val cin = pr.join(edges, pr("node") === edges("src"))
-        .select(col("dst").as("node"), expr("pr div deg").as("c"))
-        .groupBy("node").agg(sum("c").as("cin"))
-      // undirected graph: every node has in-edges, inner join keeps all
-      pr = deg.join(cin, "node")
-        .select(col("node"), col("deg"),
-          (lit(150000000L) + expr("(85 * cin) div 100")).as("pr"))
+    // The whole loop runs with AQE OFF so every localCheckpoint
+    // CAPTURES its hash partitioning (AdaptiveSparkPlanExec reports
+    // unknown partitioning at checkpoint time — ScaleOpsSpec proves
+    // static capture retains the layout and AQE-planned consumers
+    // reuse it). With edges partitioned on src, deg and pr on node —
+    // and node values = src values under the same hash — EVERY
+    // per-round equi-join is co-partitioned with NO exchange; the only
+    // per-round shuffle is the map-side-combined contribution trickle
+    // (≤ V×partitions partial sums) into the node agg. That is the
+    // minimal Pregel round: at the 10^12-edge regime nothing
+    // edge-sized ever crosses the wire after the one-time layout.
+    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val pr = try {
+      val e0 = lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val edges = e0.select(
+          concat(lit("p"), col("p").cast("string")).as("src"),
+          concat(lit("s"), col("sk").cast("string")).as("dst"))
+        .union(e0.select(
+          concat(lit("s"), col("sk").cast("string")).as("src"),
+          concat(lit("p"), col("p").cast("string")).as("dst")))
+        .repartition(col("src"))
         .localCheckpoint()
-    }
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      var state = deg.select(col("node"), col("deg"), lit(1000000000L).as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val cin = state.join(edges, state("node") === edges("src"))
+          .select(col("dst").as("node"), expr("pr div deg").as("c"))
+          .groupBy("node").agg(sum("c").as("cin"))
+        // undirected graph: every node has in-edges, inner join keeps all
+        state = deg.join(cin, "node")
+          .select(col("node"), col("deg"),
+            (lit(150000000L) + expr("(85 * cin) div 100")).as("pr"))
+          .localCheckpoint()
+      }
+      state
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
     val top = pr.orderBy(col("pr").desc, col("node")).limit(20)
     top.withColumn("rk",
       row_number().over(Window.orderBy(col("pr").desc, col("node"))))

