@@ -303,67 +303,91 @@ object Dedup {
     * is bounded state: joins on (id) with partial-agg min; nothing is
     * collected except the convergence counter. localCheckpoint per
     * round truncates lineage (persist() alone grows the logical plan
-    * until analyzer heap exhaustion). */
+    * until analyzer heap exhaustion).
+    *
+    * Layout (round 10, the q_pagerank idiom): edges are checkpointed
+    * hash-partitioned on dst ONCE and the label table is maintained
+    * hash-partitioned on id across rounds (captures run with AQE off —
+    * ScaleOpsSpec proves capture + AQE-consumer reuse), so the
+    * edge⋈label and label⋈neighborMin joins are co-partitioned with no
+    * exchange: the bidirected edge list NEVER crosses the wire after
+    * the one-time layout. Per-round exchanged volume drops from
+    * O(E + V) to O(V) — two label-table exchanges (pointer-jump
+    * re-key + the maintained id layout) plus the map-side-combined
+    * neighbor-min trickle. The trade: a co-partitioned join cannot be
+    * AQE-skew-split, so a hub node's partition is processed whole —
+    * the same documented trade every co-located iteration makes, and
+    * the min() aggregate itself stays partial/skew-immune. */
   private def distributedMinLabel(edges1: DataFrame, maxIter: Int,
       dbg: String => Unit, onRound: Option[CCRoundProbe] = None): DataFrame = {
     val spark = edges1.sparkSession
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val edges = edges1
-      .union(edges1.select(col("dst"), col("src")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
-    // every round exchanges the full bidirected edge list (neighbor-min
-    // agg) plus the label table twice (propagate join + pointer jump) —
-    // a FLAT per-round cost, the number the star path's decaying rounds
-    // are compared against. Counted only when a probe asks.
-    val perRoundRows = onRound.map(_ => edges.count() + 2 * labels.count())
-    dbg("labels init")
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("nid"))
-        .agg(min("label").as("nlabel"))
-      val prop = labels
-        .join(neighborMin, labels("id") === col("nid"), "left")
-        .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // pointer jumping: resolve each node's propagated label through
-      // the propagated label of that label-node, contracting chains
-      // exponentially (labels are monotone-decreasing node ids within
-      // the component, so the composition stays in-component)
-      val jump = prop.select(col("id").as("j_id"), col("label").as("j_label"))
-      val next = prop.as("p")
-        .join(jump, col("p.label") === col("j_id"), "left")
-        .select(col("p.id"), col("p.old_label"),
-          least(col("p.label"), coalesce(col("j_label"), col("p.label"))).as("label"))
+    val aqeSaved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = edges1
+        .union(edges1.select(col("dst"), col("src")))
+        .repartition(col("dst"))
         .localCheckpoint(true)
-      // convergence count is a scan of the materialized round, not
-      // another shuffle join against prior state
-      changed = next.filter(col("label") =!= col("old_label")).count()
-      labels = next.select("id", "label")
-      iter += 1
-      dbg(s"round $iter changed=$changed")
-      onRound.foreach(f => f(iter, perRoundRows.get, changed))
-    }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing); raise maxIter")
-    // re-materialize the small final state, then free every intermediate
-    // checkpoint block (they'd otherwise occupy the block manager for
-    // the rest of the session)
-    val result = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .localCheckpoint(true)
-    val sc = spark.sparkContext
-    val ids = sc.getPersistentRDDs.keySet.toSet -- before
-    val keep = if (ids.nonEmpty) ids.max else -1
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (ids.contains(id) && id != keep) rdd.unpersist(false)
-    }
-    result
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .repartition(col("id"))
+        .localCheckpoint(true)
+      // per-round EXCHANGED rows under the captured layout: the label
+      // table moves twice (pointer-jump re-key on label + the
+      // maintained id layout) and the neighbor-min partial rows
+      // (≤ one per node) trickle into the agg — edges never move.
+      // Flat across rounds; the number the star path's decaying
+      // rounds are compared against. Counted only when a probe asks.
+      val perRoundRows = onRound.map(_ => 3 * labels.count())
+      dbg("labels init")
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src").as("nid"))
+          .agg(min("label").as("nlabel"))
+        val prop = labels
+          .join(neighborMin, labels("id") === col("nid"), "left")
+          .select(col("id"), col("label").as("old_label"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        // pointer jumping: resolve each node's propagated label through
+        // the propagated label of that label-node, contracting chains
+        // exponentially (labels are monotone-decreasing node ids within
+        // the component, so the composition stays in-component)
+        val jump = prop.select(col("id").as("j_id"), col("label").as("j_label"))
+        val next = prop.as("p")
+          .join(jump, col("p.label") === col("j_id"), "left")
+          .select(col("p.id"), col("p.old_label"),
+            least(col("p.label"), coalesce(col("j_label"), col("p.label"))).as("label"))
+          .repartition(col("p.id"))
+          .localCheckpoint(true)
+        // convergence count is a scan of the materialized round, not
+        // another shuffle join against prior state
+        changed = next.filter(col("label") =!= col("old_label")).count()
+        labels = next.select("id", "label")
+        iter += 1
+        dbg(s"round $iter changed=$changed")
+        onRound.foreach(f => f(iter, perRoundRows.get, changed))
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            s"($changed labels still changing); raise maxIter")
+      // re-materialize the small final state, then free every intermediate
+      // checkpoint block (they'd otherwise occupy the block manager for
+      // the rest of the session)
+      val result = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .localCheckpoint(true)
+      val sc = spark.sparkContext
+      val ids = sc.getPersistentRDDs.keySet.toSet -- before
+      val keep = if (ids.nonEmpty) ids.max else -1
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (ids.contains(id) && id != keep) rdd.unpersist(false)
+      }
+      result
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeSaved)
   }
 
   /** Connected components by alternating large-star / small-star

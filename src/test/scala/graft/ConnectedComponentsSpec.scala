@@ -169,10 +169,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     info(s"star: rounds=${st.size} total=$stTotal " +
       s"volumes=${st.map(_.shuffledRows).mkString(",")} " +
       s"edges=${st.map(_.progress).mkString(",")}")
-    // the structural claims behind §3 rule 10:
-    // 1. min-label's per-round exchange is flat — every round re-ships
-    //    the full bidirected edge list + 2 label tables
+    // the structural claims behind §3 rule 10 (round-10 numbers):
+    // 1. min-label's per-round exchange is flat at 3V — the captured
+    //    layout parks the edge list, so only the label table (twice)
+    //    and the neighbor-min trickle move; E appears nowhere
     assert(ml.map(_.shuffledRows).distinct.size === 1)
+    val mlPerRound = ml.head.shuffledRows
+    assert(mlPerRound === 3L * mlLabels.size,
+      s"min-label per-round volume must be 3V, got $mlPerRound for V=${mlLabels.size}")
     // 2. star contraction's edge set shrinks to the star fixpoint
     //    (|V| - C edges) and sheds the redundant pair edges within two
     //    rounds; the per-round volume sequence never grows
@@ -187,12 +191,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     //    O(log diameter) — the 512-chain keeps them in single digits+
     assert(ml.size <= 12 && st.size <= 12,
       s"512-chain must converge in O(log d) rounds (ml=${ml.size}, st=${st.size})")
-    // 4. the measured crossover: on a hub-dominated graph the decaying
-    //    star rounds move fewer total rows than the flat min-label
-    //    rounds — the reason §3 rule 10 sends the trillion-edge regime
-    //    to star contraction
-    assert(stTotal < mlTotal,
-      s"star total shuffled rows ($stTotal) must undercut min-label ($mlTotal)")
+    // 4. the measured round-10 crossover: with the edge list parked,
+    //    min-label's 3V rounds undercut star's decaying edge re-ships
+    //    even on this hub-dominated graph — star's remaining regime is
+    //    per-NODE state pressure and AQE-skew-splittable rounds
+    //    (§3 rule 10's updated guidance)
+    assert(mlTotal < stTotal,
+      s"co-located min-label ($mlTotal) must undercut star ($stTotal) here")
+    // ...while star's early rounds carry the E-sized canonicalization
+    // cost min-label no longer pays anywhere
+    assert(stVols.head > mlPerRound,
+      "star's first round carries the E-sized cost")
   }
 
   test("matches a union-find ground truth on real near-dup pairs") {
