@@ -23,6 +23,40 @@ object SimilarityPack extends QueryPack {
     "embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "label", 0.35)),
 
+    // Per-dimension embedding health profile (round 10) — the dead/
+    // collapsed/saturated-dimension detector a vector pipeline runs
+    // before trusting its index: mean, spread, range, and near-zero
+    // share per dimension (a dimension whose std→0 or dead_frac→1 is
+    // the embedding-space twin of q_entropy's collapsed column).
+    // Values quantized to integer 1e-6 units so every cross-row sum
+    // is exact and partition-order-independent; the squared sums
+    // accumulate in DECIMAL(38) (a BIGINT sum of q² overflows around
+    // 1e6 quantized units × ~1e6 rows/dim × 100-TB row counts —
+    // DuckDB's HUGEINT sum never overflows, so the decimal keeps the
+    // engines aligned instead of ANSI-failing at scale). Float math
+    // happens once per DIM row from identical integers. One
+    // posexplode + one 64-group hash agg (map-side combined) —
+    // vectors never shuffle.
+    "embed_dimstats" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("q"))
+      val n = count(lit(1))
+      val s1 = sum(col("q").cast("decimal(38,0)")).cast("double")
+      val s2 = sum((col("q") * col("q")).cast("decimal(38,0)")).cast("double")
+      val mean = s1 / lit(1000000.0) / n
+      val ex2 = s2 / lit(1000000000000.0) / n
+      e.groupBy("dim").agg(
+        n.as("n"),
+        round(mean, 6).as("mean"),
+        round(sqrt(greatest(lit(0.0), ex2 - mean * mean)), 6).as("std"),
+        round(min("q").cast("double") / lit(1000000.0), 6).as("mn"),
+        round(max("q").cast("double") / lit(1000000.0), 6).as("mx"),
+        round(sum(when(abs(col("q")) < 1000, 1L).otherwise(0L)).cast("double") / n, 6)
+          .as("dead_frac"))
+    }),
+
     // Embedding drift (round 8) — the vector twin of q_drift: per
     // label, the cosine between the mean vectors of the two snapshot
     // halves (vec_id parity — deterministic, data-derived). Semantics
@@ -445,6 +479,25 @@ object SimilarityPack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "ann_trained_recall" -> trainedRecallSql,
+    "embed_dimstats" ->
+      """WITH e AS (
+        |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(range(0, 64)) AS i
+        |  FROM embeddings),
+        |qv AS (SELECT i + 1 AS dim, CAST(floor(v * 1000000) AS BIGINT) AS q FROM e),
+        |a AS (SELECT dim, count(*) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS s1, CAST(sum(q*q) AS DOUBLE) AS s2,
+        |    CAST(min(q) AS DOUBLE) AS mnq, CAST(max(q) AS DOUBLE) AS mxq,
+        |    CAST(sum(CASE WHEN abs(q) < 1000 THEN 1 ELSE 0 END) AS DOUBLE) AS nd
+        |  FROM qv GROUP BY 1),
+        |m AS (SELECT dim, n, s1/1000000.0/n AS mean,
+        |    s2/1000000000000.0/n AS ex2, mnq, mxq, nd FROM a)
+        |SELECT dim, n, round(mean, 6) AS mean,
+        |  round(sqrt(greatest(0.0, ex2 - mean*mean)), 6) AS std,
+        |  round(mnq/1000000.0, 6) AS mn, round(mxq/1000000.0, 6) AS mx,
+        |  round(nd/n, 6) AS dead_frac
+        |FROM m""".stripMargin,
+
     "embed_drift" ->
       """WITH e AS (
         |  SELECT label, vec_id % 2 AS half,
