@@ -21,19 +21,32 @@ object Similarity {
     * notices). Expects (groupCol, half, embedding); one posexplode →
     * map-side-combined hash agg down to groups×2×dim partials → a
     * group-keyed join over those partials. No whole vector crosses the
-    * wire after the explode. */
+    * wire after the explode.
+    *
+    * Determinism (round 10, §4): components quantize to integer 1e-6
+    * units before the per-dim mean sums, and the mean itself
+    * quantizes to 1e-9 before the cross-dim cosine sums — every
+    * cross-row accumulation is an exact DECIMAL integer sum, never a
+    * float sum over an unordered group (avg(double) was the
+    * association-boundary class the r9 ADVICE flagged); the identical
+    * 1e18 scale in numerator and denominator cancels in the ratio. */
   def meanVectorDrift(emb: DataFrame, groupCol: String): DataFrame = {
     val e = emb.select(col(groupCol), col("half"),
       posexplode(col("embedding")).as(Seq("i", "v")))
-    val m = e.groupBy(groupCol, "half", "i").agg(avg("v").as("mv"))
+    val mv = sum(floor(col("v").cast("double") * 1000000).cast("long")
+        .cast("decimal(38,0)")).cast("double") / lit(1000000.0) / count(lit(1))
+    val m = e.groupBy(groupCol, "half", "i")
+      .agg(floor(mv * lit(1000000000.0)).cast("long").as("mq"))
     val r = m.filter(col("half") === 0)
-      .select(col(groupCol), col("i"), col("mv").as("p"))
+      .select(col(groupCol), col("i"), col("mq").as("p"))
     val c = m.filter(col("half") === 1)
-      .select(col(groupCol), col("i"), col("mv").as("q"))
+      .select(col(groupCol), col("i"), col("mq").as("q"))
+    def dd(a: Column, b: Column) =
+      sum((a.cast("decimal(38,0)") * b.cast("decimal(38,0)"))).cast("double")
     r.join(c, Seq(groupCol, "i"))
       .groupBy(groupCol)
-      .agg(round(sum(col("p") * col("q")) /
-        (sqrt(sum(col("p") * col("p"))) * sqrt(sum(col("q") * col("q")))), 6)
+      .agg(round(dd(col("p"), col("q")) /
+        (sqrt(dd(col("p"), col("p"))) * sqrt(dd(col("q"), col("q")))), 6)
         .as("cos_ref_cur"),
         count(lit(1)).as("n_dims"))
   }

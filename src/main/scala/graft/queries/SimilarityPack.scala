@@ -103,18 +103,29 @@ object SimilarityPack extends QueryPack {
     // (the synthetic corpus has a bounded tail; real corpora tune the z
     // cut per source).
     // One assignment scan (broadcast-literal centroid fold), one k-row
-    // stats agg broadcast back — no pairwise work at any scale. Stats
-    // are rounded to 6 before the z-score so both engines agree at the
-    // decision boundary.
+    // stats agg broadcast back — no pairwise work at any scale.
+    // Distances are quantized to integer 1e-6 units before the
+    // mean/stddev sums (round 10, the §4 rule: float sums over
+    // unordered groups are association-dependent across engines —
+    // avg/stddev_pop over raw doubles was the class the r9 ADVICE
+    // flagged on q_entropy); the moments derive from exact DECIMAL(38)
+    // integer sums, then round to 6 before the z-score so both engines
+    // agree at the decision boundary.
     "embed_outliers" -> ((s, d) => {
       import graft.operators.KMeansND
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val assigned = KMeansND.assign(emb, KMeansND.seed(emb, SemCells))
-        .select(col("id"), col("cid"), col("dist"))
+        .select(col("id"), col("cid"), col("dist"),
+          floor(col("dist") * 1000000).cast("long").as("qd"))
+      val n = count(lit(1))
+      val s1 = sum(col("qd").cast("decimal(38,0)")).cast("double")
+      val s2 = sum((col("qd") * col("qd")).cast("decimal(38,0)")).cast("double")
+      val mu = s1 / lit(1000000.0) / n
+      val ex2 = s2 / lit(1000000000000.0) / n
       val stats = assigned.groupBy("cid").agg(
-        round(avg("dist"), 6).as("mu"),
-        round(stddev_pop("dist"), 6).as("sigma"))
+        round(mu, 6).as("mu"),
+        round(sqrt(greatest(lit(0.0), ex2 - mu * mu)), 6).as("sigma"))
       assigned.join(broadcast(stats), "cid")
         .withColumn("z", round((col("dist") - col("mu")) / col("sigma"), 4))
         .filter(col("z") > 1.5)
@@ -505,11 +516,14 @@ object SimilarityPack extends QueryPack {
         |    unnest(range(0, 64)) AS i
         |  FROM embeddings),
         |m AS (
-        |  SELECT label, half, i, avg(v) AS mv
+        |  SELECT label, half, i,
+        |    CAST(floor((CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
+        |      / 1000000.0 / count(*)) * 1000000000.0) AS BIGINT) AS mq
         |  FROM e GROUP BY 1, 2, 3)
         |SELECT r.label,
-        |  round(sum(r.mv * c.mv) /
-        |    (sqrt(sum(r.mv * r.mv)) * sqrt(sum(c.mv * c.mv))), 6)
+        |  round(CAST(sum(CAST(r.mq AS HUGEINT) * c.mq) AS DOUBLE) /
+        |    (sqrt(CAST(sum(CAST(r.mq AS HUGEINT) * r.mq) AS DOUBLE)) *
+        |     sqrt(CAST(sum(CAST(c.mq AS HUGEINT) * c.mq) AS DOUBLE))), 6)
         |    AS cos_ref_cur,
         |  count(*) AS n_dims
         |FROM m r JOIN m c ON r.label = c.label AND r.i = c.i
@@ -526,8 +540,13 @@ object SimilarityPack extends QueryPack {
          |      (list_dot_product(p.v,p.v) - 2*list_dot_product(p.v,c.cv))
          |        + list_dot_product(c.cv,c.cv), c.cid) AS rn
          |  FROM pts p CROSS JOIN cent c) WHERE rn = 1),
-         |st AS (SELECT cid, round(avg(dist), 6) AS mu,
-         |  round(stddev_pop(dist), 6) AS sigma FROM a GROUP BY cid)
+         |qa AS (SELECT id, cid, dist,
+         |  CAST(floor(dist * 1000000) AS BIGINT) AS qd FROM a),
+         |ag AS (SELECT cid, count(*) AS n, CAST(sum(qd) AS DOUBLE) AS s1,
+         |  CAST(sum(qd*qd) AS DOUBLE) AS s2 FROM qa GROUP BY 1),
+         |st AS (SELECT cid, round(s1/1000000.0/n, 6) AS mu,
+         |  round(sqrt(greatest(0.0, s2/1000000000000.0/n
+         |    - (s1/1000000.0/n)*(s1/1000000.0/n))), 6) AS sigma FROM ag)
          |SELECT a.id AS vec_id, a.cid, round(a.dist, 4) AS dist,
          |  round((a.dist - st.mu) / st.sigma, 4) AS z
          |FROM a JOIN st USING (cid)
