@@ -438,6 +438,42 @@ object RelationalII extends QueryPack {
           coalesce(col("s_ts"), col("t_ts")).as("state_ts_us"))
     }),
 
+    // Snapshot reconciliation diff (round 10) — the backfill/CDC
+    // verification pass: given two versions of a table, report what
+    // was added, removed, and changed, with the money delta per
+    // class. The snapshots derive deterministically from one scan
+    // (modulus carve-outs + a price bump), the diff is ONE full-outer
+    // join on the key with scan-side comparison — at 100 TB both
+    // sides bucket on the key and the join co-locates; nothing is
+    // ever collected. The delta sums integer CENTS (the §4 quantized
+    // discipline: a float money sum at this magnitude carries
+    // association error near the 0.01 rounding grain).
+    "q_snapshot_diff" -> ((s, d) => {
+      // all money in integer CENTS end to end: the 10% bump is an
+      // integer floor division, never a float round (Spark's
+      // BigDecimal-string HALF_UP and DuckDB's double rounding
+      // disagree by a cent at .xx5 boundaries — caught by the gate)
+      val o = orders(s, d).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("q"))
+      val old = o.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+        .select(col("o_orderkey"), col("q").as("q_old"))
+      val nw = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(7)) === 0,
+            expr("(q * 110) div 100")).otherwise(col("q")).as("q_new"))
+      old.join(nw, Seq("o_orderkey"), "full_outer")
+        .select(
+          when(col("q_old").isNull, "added")
+            .when(col("q_new").isNull, "removed")
+            .when(col("q_old") =!= col("q_new"), "changed")
+            .otherwise("unchanged").as("change_type"),
+          (coalesce(col("q_new"), lit(0L)) - coalesce(col("q_old"), lit(0L)))
+            .as("dq"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("dq").cast("double") / 100, 2).as("delta"))
+    }),
+
     // Single-scan column profiling (round 8) — the data-profiling pass
     // every pipeline runs before training (the Deequ/TFDV shape): one
     // aggregate computes every column's stats as an array of structs,
@@ -633,6 +669,23 @@ object RelationalII extends QueryPack {
         |  AND ev.ts_us >= dim.valid_from_us
         |  AND (dim.valid_to_us IS NULL OR ev.ts_us < dim.valid_to_us)
         |GROUP BY 1, 2""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS q FROM orders),
+        |old AS (SELECT o_orderkey, q AS q_old FROM o WHERE o_orderkey % 89 <> 0),
+        |nw AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN CAST((q * 110) // 100 AS BIGINT)
+        |         ELSE q END AS q_new
+        |  FROM o WHERE o_orderkey % 97 <> 0),
+        |j AS (SELECT q_old, q_new,
+        |    coalesce(q_new, 0) - coalesce(q_old, 0) AS dq
+        |  FROM old FULL OUTER JOIN nw USING (o_orderkey))
+        |SELECT CASE WHEN q_old IS NULL THEN 'added'
+        |    WHEN q_new IS NULL THEN 'removed'
+        |    WHEN q_old <> q_new THEN 'changed'
+        |    ELSE 'unchanged' END AS change_type,
+        |  count(*) AS n, round(CAST(sum(dq) AS DOUBLE) / 100, 2) AS delta
+        |FROM j GROUP BY 1""".stripMargin,
     "q_upsert" ->
       """WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
         |    event_id FROM events),
