@@ -1099,6 +1099,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream property: random seeded event sets agree with the " +
+    "batch plan however the waves land") {
+    // the handpicked agreement test's stronger sibling: 300 random
+    // events over 4 types × 25 days (fixed seed — deterministic),
+    // split into three day-partitioned waves so no event is
+    // late-dropped, must replay the batch series EXACTLY
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(1234)
+    val evs = (1 to 300).map { i =>
+      val day = 100L + rnd.nextInt(25)
+      Event(i.toLong, new Timestamp(day * 86400000L + rnd.nextInt(1440) * 60000L),
+        s"t${rnd.nextInt(4)}", math.rint(rnd.nextDouble() * 2000) / 100 - 5.0)
+    }.sortBy(_.ts.getTime)
+    val waves = Seq(
+      evs.filter(_.ts.getTime < 108L * 86400000L),
+      evs.filter(e => e.ts.getTime >= 108L * 86400000L &&
+        e.ts.getTime < 117L * 86400000L),
+      evs.filter(_.ts.getTime >= 117L * 86400000L))
+    val in = MemoryStream[Event]
+    val q = StreamingOps.ewmaStream(in.toDS())
+      .writeStream.format("memory").queryName("ewma_prop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      waves.foreach { w =>
+        if (w.nonEmpty) { in.addData(w: _*); q.processAllAvailable() }
+      }
+      in.addData(Event(999L, new Timestamp(200L * 86400000L), "t0", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_prop")
+        .select("event_type", "day", "n", "ewma").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batchEv = (evs :+ Event(999L, new Timestamp(200L * 86400000L), "t0", 0.0))
+        .map(e => (e.user_id, e.ts, e.event_type, e.value))
+        .toDF("user_id", "ts", "event_type", "value")
+      val expected = graft.queries.AnalyticsPack.ewmaDaily(batchEv)
+        .filter(col("day") < 200).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed === expected,
+        s"random series must replay exactly; sizes ${streamed.size} vs ${expected.size}")
+      assert(streamed.size >= 50, "the draw must actually cover many (type, day) cells")
+    } finally q.stop()
+  }
+
   test("anomalyMonitorStream reads z=0 on reference-matching data and " +
     "flags an injected spike") {
     implicit val sq = spark.sqlContext
