@@ -46,17 +46,29 @@ object AnalyticsPack extends QueryPack {
     // (≤ V×partitions partial sums) into the node agg. That is the
     // minimal Pregel round: at the 10^12-edge regime nothing
     // edge-sized ever crosses the wire after the one-time layout.
+    //
+    // NOTE (shared-session contract): the AQE toggle is session-global.
+    // Pack queries are sequential by contract (Verify/Bench run them
+    // one at a time); running this concurrently with other queries on
+    // the SAME SparkSession could capture a checkpoint with AQE
+    // re-enabled (losing the co-partitioning) or briefly disable AQE
+    // for an unrelated plan. Concurrent callers must use
+    // `spark.newSession()` per query, which scopes the conf.
     val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     val pr = try {
       val e0 = lineitem(s, d)
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk")).distinct()
+      // tagged-long node ids: part key → k·2, supplier key → k·2+1.
+      // A long join key keeps every per-round exchange and the parked
+      // edge layout at 8 fixed bytes per key instead of a "p"/"s"-
+      // prefixed decimal string (~2× narrower rows, cheaper hashing);
+      // the display string is projected only for the final top-20.
       val edges = e0.select(
-          concat(lit("p"), col("p").cast("string")).as("src"),
-          concat(lit("s"), col("sk").cast("string")).as("dst"))
+          (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
         .union(e0.select(
-          concat(lit("s"), col("sk").cast("string")).as("src"),
-          concat(lit("p"), col("p").cast("string")).as("dst")))
+          (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
         .repartition(col("src"))
         .localCheckpoint()
       val deg = edges.groupBy(col("src").as("node"))
@@ -76,20 +88,34 @@ object AnalyticsPack extends QueryPack {
       }
       state
     } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    // top-20 on the long ids (tie-break: pr desc, id asc), THEN project
+    // the human-readable node label — 20 string concats total, not V
     val top = pr.orderBy(col("pr").desc, col("node")).limit(20)
     top.withColumn("rk",
-      row_number().over(Window.orderBy(col("pr").desc, col("node"))))
+        row_number().over(Window.orderBy(col("pr").desc, col("node"))))
+      .withColumn("node",
+        concat(when(col("node") % 2 === 0, lit("p")).otherwise(lit("s")),
+          expr("node div 2").cast("string")))
   }
 
   /** `q_ewma`'s whole computation over any events-shaped frame
     * (event_type, ts, value): daily 1e-4-quantized integer sums, then
     * the dyadic-weight EWMA over the trailing 8 OBSERVED days. Public
     * so `ewmaStream`'s agreement spec can run the REAL batch plan on
-    * its own data rather than a re-typed copy of the expression. */
+    * its own data rather than a re-typed copy of the expression.
+    *
+    * Day bucketing is FLOOR division of epoch micros (calendar-correct
+    * for pre-1970 timestamps), matching `ewmaStream`'s math.floorDiv
+    * exactly. Neither Spark's `div` nor DuckDB's `//` floors (both
+    * truncate toward zero — verified: DuckDB `SELECT -7 // 2` → −3),
+    * so BOTH engines carry an explicit negative-remainder correction
+    * rather than an implicit post-1970 domain assumption. */
   def ewmaDaily(ev: DataFrame): DataFrame = {
     val daily = ev
       .select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("unix_micros(ts) div 86400000000 + " +
+          "(case when unix_micros(ts) % 86400000000 < 0 then -1 else 0 end)")
+          .as("day"),
         floor(col("value") * 10000).cast("long").as("q"))
       .groupBy("event_type", "day")
       .agg(sum("q").as("dq"), count(lit(1)).as("n"))
@@ -105,6 +131,31 @@ object AnalyticsPack extends QueryPack {
     daily
       .withColumn("ewma", round(num.cast("double") / den / lit(10000.0), 4))
       .select("event_type", "day", "n", "ewma")
+  }
+
+  /** Per-type (median, MAD) reference stats in RAW `value` units — the
+    * unit contract `streaming.StreamingOps.anomalyMonitorStream`
+    * consumes. This is the SAME fit as batch `q_anomaly` (order
+    * statistics over the 1e-4-quantized integer grid, so the result is
+    * engine- and partition-order-exact), rescaled back to value units:
+    * the 1e4 factor cancels inside q_anomaly's z, but the streaming
+    * monitor applies stats to raw values, so handing it the quantized
+    * integers would inflate every z by ~10⁴. Always derive monitor
+    * stats through this helper; types whose MAD is 0 are dropped
+    * (z undefined), mirroring q_anomaly's `mad <> 0` filter. */
+  def anomalyRefStats(ev: DataFrame): Map[String, (Double, Double)] = {
+    val q = ev.select(col("event_type"),
+      floor(col("value") * 10000).cast("long").as("q"))
+    val med = q.groupBy("event_type")
+      .agg(expr("percentile(q, 0.5)").as("med"))
+    q.join(broadcast(med), "event_type")
+      .groupBy("event_type", "med")
+      .agg(expr("percentile(abs(q - med), 0.5)").as("mad"))
+      .where(col("mad") =!= 0.0)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1) / 10000.0, r.getDouble(2) / 10000.0)))
+      .toMap
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -244,15 +295,20 @@ object AnalyticsPack extends QueryPack {
 
     def pagerankSql(iters: Int): String = {
       val rounds = (1 to iters).map(i => prRound(s"r${i - 1}", s"r$i")).mkString(",\n")
-      s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+      // tagged-long ids mirror the Spark plan: part → k·2, supplier →
+      // k·2+1; the display string materializes only for the top-20
+      s"""WITH e0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+         |    CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
          |edges AS (
-         |  SELECT 'p' || CAST(p AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst FROM e0
+         |  SELECT p * 2 AS src, sk * 2 + 1 AS dst FROM e0
          |  UNION ALL
-         |  SELECT 's' || CAST(sk AS VARCHAR), 'p' || CAST(p AS VARCHAR) FROM e0),
+         |  SELECT sk * 2 + 1, p * 2 FROM e0),
          |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
          |r0 AS (SELECT node, deg, CAST(1000000000 AS BIGINT) AS pr FROM deg),
          |$rounds
-         |SELECT node, deg, pr,
+         |SELECT (CASE WHEN node % 2 = 0 THEN 'p' ELSE 's' END)
+         |    || CAST(node // 2 AS VARCHAR) AS node,
+         |  deg, pr,
          |  CAST(row_number() OVER (ORDER BY pr DESC, node) AS INT) AS rk
          |FROM r$iters QUALIFY rk <= 20""".stripMargin
     }
@@ -272,7 +328,9 @@ object AnalyticsPack extends QueryPack {
         val den = "CASE WHEN dq IS NULL THEN 0 ELSE 128 END + " +
           (1 to 7).map(j => s"CASE WHEN l$j IS NULL THEN 0 ELSE ${1L << (7 - j)} END")
             .mkString(" + ")
-        s"""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        s"""WITH ev AS (SELECT event_type,
+           |    epoch_us(ts) // 86400000000 + (CASE WHEN
+           |      epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END) AS day,
            |    CAST(floor(value * 10000) AS BIGINT) AS q FROM events),
            |daily AS (SELECT event_type, day, CAST(sum(q) AS BIGINT) AS dq,
            |    count(*) AS n FROM ev GROUP BY 1, 2),

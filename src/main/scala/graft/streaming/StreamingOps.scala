@@ -882,10 +882,18 @@ object StreamingOps {
   /** Streaming anomaly monitor — the live face of batch `q_anomaly`
     * (the same modified z-score, Iglewicz–Hoaglin 0.6745·(x−med)/MAD):
     * per tumbling event-time window and event type, counts events
-    * whose |z| against a REFERENCE median/MAD (trained offline by the
-    * batch query, passed as plan literals — `driftMonitorStream`'s
-    * broadcast-reference shape) exceeds `threshold`, and reports the
-    * window's worst score. The per-row z is stateless column math;
+    * whose |z| against a REFERENCE median/MAD (passed as plan literals
+    * — `driftMonitorStream`'s broadcast-reference shape) exceeds
+    * `threshold`, and reports the window's worst score.
+    *
+    * UNIT CONTRACT: `refStats` must be in RAW `value` units — this
+    * monitor applies them to the unscaled `value` column. Batch
+    * `q_anomaly` fits its med/MAD on a 1e-4-quantized integer grid
+    * (the factor cancels inside ITS z); wiring those integers in here
+    * raw would inflate every z by ~10⁴ and flag the whole stream.
+    * Derive stats with `graft.queries.AnalyticsPack.anomalyRefStats`,
+    * which runs the identical engine-exact fit and rescales to value
+    * units (StreamingSpec gates the round trip end-to-end). The per-row z is stateless column math;
     * the ONE allowed streaming aggregation holds a single
     * (n_events, n_anom, max_abs_z) row per (window, type),
     * watermark-evicted — state ∝ types × open windows, never events.

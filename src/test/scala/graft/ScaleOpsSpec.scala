@@ -162,16 +162,16 @@ class ScaleOpsSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      // the exact loop shapes of pagerankPlan, small input
+      // the exact loop shapes of pagerankPlan, small input — tagged-long
+      // node ids (k·2 / k·2+1), the round-11 narrow-key layout
       val e0 = Tables.orders(spark, sfDir)
-        .select(col("o_custkey").as("p"), (col("o_orderkey") % 10).as("sk"))
+        .select(col("o_custkey").cast("long").as("p"),
+          (col("o_orderkey") % 10).cast("long").as("sk"))
         .distinct()
       val edges = e0.select(
-          concat(lit("p"), col("p").cast("string")).as("src"),
-          concat(lit("s"), col("sk").cast("string")).as("dst"))
+          (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
         .union(e0.select(
-          concat(lit("s"), col("sk").cast("string")).as("src"),
-          concat(lit("p"), col("p").cast("string")).as("dst")))
+          (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
         .repartition(col("src"))
         .localCheckpoint()
       val deg = edges.groupBy(col("src").as("node"))
