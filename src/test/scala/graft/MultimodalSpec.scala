@@ -1,86 +1,118 @@
 package graft
 
-import org.apache.spark.sql.functions.{encode, transform}
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions.transform
 import graft.multimodal.Multimodal
 
 class MultimodalSpec extends SparkSpec {
   private val s = TestSession.spark
   import s.implicits._
 
-  test("stubDecode parses the fake header deterministically") {
-    val bytes = "hello world".getBytes("UTF-8")
-    val m1 = Multimodal.stubDecode(7L, bytes)
-    val m2 = Multimodal.stubDecode(7L, bytes)
-    assert(m1 === m2)
-    assert(m1.byte_len === 11)
-    assert(m1.width >= 1 && m1.height >= 1 && m1.channels >= 1 && m1.channels <= 4)
-    assert(m1.checksum === "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    bos.toByteArray
   }
 
-  test("stubDecode handles empty payloads") {
-    val m = Multimodal.stubDecode(1L, Array.emptyByteArray)
-    assert(m.byte_len === 0 && m.width === 1 && m.height === 1)
+  test("a known 2x2 image decodes to its exact RGB values (png and bmp)") {
+    // the round-10 verdict's done-criterion: hand-set pixels, real
+    // encode, real decode, EXACT channel sums — for both JDK codecs
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000) // red
+    img.setRGB(1, 0, 0x00FF00) // green
+    img.setRGB(0, 1, 0x0000FF) // blue
+    img.setRGB(1, 1, 0x102030)
+    for (fmt <- Seq("png", "bmp")) {
+      val df = Seq((9L, encode(img, fmt))).toDF("id", "media")
+      val d = Multimodal.decodeMeta(df, "id", "media").collect().head
+      assert(d.fmt === fmt)
+      assert((d.width, d.height) === ((2, 2)))
+      assert(d.sum_r === 255L + 0x10, s"$fmt red sum")
+      assert(d.sum_g === 255L + 0x20, s"$fmt green sum")
+      assert(d.sum_b === 255L + 0x30, s"$fmt blue sum")
+    }
   }
 
-  test("extractFeatures emits normalized fixed-width features") {
-    val df = Seq((1L, "aaaa".getBytes("UTF-8")), (2L, Array.emptyByteArray))
-      .toDF("id", "media")
-    val got = Multimodal.extractFeatures(df, "id", "media")
-      .collect().map(f => f.id -> f).toMap
-    // 'a' = 0x61 → bin 3; all mass in one bin, L1-normalized
-    assert(got(1L).byte_len === 4)
-    assert(got(1L).hist.toSeq === Seq(0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
-    assert(got(2L).hist.toSeq === Seq.fill(8)(0.0))
+  test("the synthetic corpus round-trips: real encode -> real decode matches the generator") {
+    for (id <- Seq(0L, 1L, 7L, 38L, 499L)) {
+      val (w, h) = Multimodal.synthDims(id)
+      val df = Seq((id, Multimodal.imageBytes(id))).toDF("id", "media")
+      val d = Multimodal.decodeMeta(df, "id", "media").collect().head
+      assert(d.fmt === (if (id % 2 == 0) "png" else "bmp"))
+      assert((d.width, d.height) === ((w, h)))
+      def want(c: Int): Long = (for { x <- 0 until w; y <- 0 until h }
+        yield Multimodal.pixel(id, 0, x, y, c).toLong).sum
+      assert(d.sum_r === want(0) && d.sum_g === want(1) && d.sum_b === want(2),
+        s"id=$id decoded sums must equal the generator's")
+    }
   }
 
-  test("sampleFrames emits one row per stride with stable hashes") {
-    val payload = Array.tabulate[Byte](200)(_.toByte)
-    val df = Seq((5L, payload)).toDF("id", "media")
-    val frames = Multimodal.sampleFrames(df, "id", "media", stride = 64)
+  test("resizeNN reads the exact nearest-neighbor source pixels") {
+    // 4x4 image with distinct per-pixel values; half-box NN must read
+    // source pixels (0,0),(2,0),(0,2),(2,2)
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, (y * 4 + x) << 16) // red channel encodes position
+    val out = Multimodal.resizeNN(
+      Seq((1L, encode(img, "png"))).toDF("id", "media"), "id", "media")
+      .collect().head
+    assert((out.dst_w, out.dst_h) === ((2, 2)))
+    assert(out.sum_r === (0 + 2 + 8 + 10), "NN must sample (0,0),(2,0),(0,2),(2,2)")
+    assert(out.sum_g === 0L && out.sum_b === 0L)
+  }
+
+  test("the GFV1 container samples every other frame with real per-frame decode") {
+    val id = 38L // 1 + 38%5 = 4 frames -> sampled 0, 2
+    val (w, h) = Multimodal.synthDims(id)
+    val frames = Multimodal.sampleFrames(
+      Seq((id, Multimodal.videoBytes(id))).toDF("id", "media"), "id", "media")
       .collect().sortBy(_.frame_idx)
-    assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2))
-    // frame hash = md5 of the 16 bytes at the stride offset
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val want = md.digest(java.util.Arrays.copyOfRange(payload, 64, 80))
-      .map("%02x".format(_)).mkString
-    assert(frames(1).frame_hash === want)
-    // short payloads still emit one frame
-    val one = Multimodal.sampleFrames(
-      Seq((6L, "tiny".getBytes("UTF-8"))).toDF("id", "media"), "id", "media")
-    assert(one.count() === 1)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2))
+    def want(f: Int, c: Int): Long = (for { x <- 0 until w; y <- 0 until h }
+      yield Multimodal.pixel(id, f, x, y, c).toLong).sum
+    frames.foreach { fr =>
+      assert((fr.width, fr.height) === ((w, h)))
+      assert(fr.sum_r === want(fr.frame_idx, 0))
+      assert(fr.sum_g === want(fr.frame_idx, 1))
+      assert(fr.sum_b === want(fr.frame_idx, 2))
+    }
+    // stride=1 decodes all frames
+    assert(Multimodal.sampleFrames(
+      Seq((id, Multimodal.videoBytes(id))).toDF("id", "media"),
+      "id", "media", stride = 1).count() === 4)
   }
 
-  test("resize preserves aspect ratio and never upscales") {
-    // header bytes chosen for a 1025×513 source (mild 2:1 aspect)
-    val big = Array.tabulate[Byte](4096)(i => (i * 31).toByte)
-    big(0) = 64; big(1) = 0; big(2) = 32; big(3) = 0
-    val out = Multimodal.resize(
-      Seq((1L, big)).toDF("id", "media"), "id", "media", 64, 64)
-      .collect().head
-    assert(out.dst_w <= 64 && out.dst_h <= 64)
-    val srcRatio = out.src_w.toDouble / out.src_h
-    val dstRatio = out.dst_w.toDouble / out.dst_h
-    assert(math.abs(srcRatio - dstRatio) / srcRatio < 0.1,
-      "aspect ratio preserved within integer rounding")
-    assert(out.out_len <= big.length, "downscale must not grow the payload")
-    // deterministic: same input → same checksum
-    val again = Multimodal.resize(
-      Seq((1L, big)).toDF("id", "media"), "id", "media", 64, 64)
-      .collect().head
-    assert(again.checksum === out.checksum)
+  test("channelHistogram counts real pixels and featureVectors normalize to 1 per channel") {
+    val id = 7L
+    val (w, h) = Multimodal.synthDims(id)
+    val df = Seq((id, Multimodal.imageBytes(id))).toDF("id", "media")
+    val bins = Multimodal.channelHistogram(df, "id", "media").collect()
+    assert(bins.map(_.cnt).sum === 3L * w * h, "every pixel lands in one bin per channel")
+    val wantR = (for { x <- 0 until w; y <- 0 until h }
+      yield Multimodal.pixel(id, 0, x, y, 0) / 64)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotR = bins.filter(_.channel == 0).map(b => b.bin -> b.cnt).toMap
+    assert(gotR === wantR, "red histogram must match the generator's")
+    val vec = Multimodal.featureVectors(df, "id", "media").collect().head.hist
+    assert(vec.length === 12)
+    for (c <- 0 until 3)
+      assert(math.abs(vec.slice(c * 4, c * 4 + 4).sum - 1.0) < 1e-3,
+        s"channel $c mass must L1-normalize to 1")
   }
 
-  test("decodeMeta runs distributed over the documents table") {
-    val out = Multimodal.documentsAsMedia(spark, sfDir)
-    val docs = Tables.documents(spark, sfDir)
-    assert(out.count() === docs.count())
-    // utf-8 payload can never be shorter than the char count
-    val bad = out.join(docs, out("id") === docs("doc_id"))
-      .filter($"byte_len" < $"n_chars").count()
-    assert(bad === 0)
+  test("undecodable payloads fail loudly, not silently") {
+    val bad = Seq((1L, "not an image".getBytes("UTF-8"))).toDF("id", "media")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMeta(bad, "id", "media").collect()
+    }
+    assert(e.getMessage.contains("undecodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("undecodable")))
   }
 
-  test("mm_semdedup bridges media features into semantic dedup: replicas collapse") {
+  test("mm_semdedup bridges real image features into semantic dedup: replicas collapse") {
     import graft.operators.{KMeansND, Similarity}
     // the gated query's funnel conserves the corpus on real tables
     val funnel = graft.queries.MultimodalPack.defs("mm_semdedup")(spark, sfDir)
@@ -89,21 +121,20 @@ class MultimodalSpec extends SparkSpec {
     val n = Tables.documents(spark, sfDir).count()
     assert(funnel.map(_._1).sum === n, "every media row lands in exactly one cell")
     funnel.foreach { case (v, k, dr) => assert(k + dr === v, "kept+dropped=seen") }
-    // replica collapse through the SAME path: byte-identical payloads
-    // produce identical feature vectors, so the lower id is kept and
-    // every replica drops — the image-dedup contract
-    // payloads chosen to be byte-DISTRIBUTION distinct (the stub
-    // feature is an 8-bin byte histogram, so two English sentences are
-    // legitimately near-dups — exactly what a crude feature does):
-    // lowercase-heavy, digit-heavy, uppercase-heavy
-    val payloads = Seq(
-      1L -> "the quick brown fox jumps over the lazy dog",
-      2L -> "the quick brown fox jumps over the lazy dog", // replica of 1
-      3L -> "0123456789012345678901234567890123456789",
-      4L -> "ABCDEFGHIJKLMNOPQRSTUVWXYZABCDEFGHIJKLMNOP")
-    val media = payloads.toDF("doc_id", "text")
-      .select($"doc_id", encode($"text", "UTF-8").as("media"))
-    val feats = Multimodal.extractFeatures(media, "doc_id", "media").toDF()
+    // replica collapse through the SAME path: byte-identical image
+    // payloads produce identical feature vectors, so the lower id is
+    // kept and the replica drops; single-color images occupy disjoint
+    // histogram bins, so the distinct ones survive tau=0.98
+    def solid(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      encode(img, "png")
+    }
+    val media = Seq(
+      1L -> solid(0xFF0000), 2L -> solid(0xFF0000), // replica pair
+      3L -> solid(0x00FF00), 4L -> solid(0x0000FF))
+      .toDF("doc_id", "media")
+    val feats = Multimodal.featureVectors(media, "doc_id", "media").toDF()
       .select($"id".as("vec_id"),
         transform($"hist", v => v.cast("float")).as("embedding"))
     val cells = KMeansND.seed(
