@@ -111,7 +111,16 @@ object KMeansDF {
 
   /** Full Lloyd's to convergence (max centroid movement < tol), bounded
     * iterations like the reference's ITERATIONS cap (config.cuh:11). */
-  def fit(points: DataFrame, k: Int, maxIter: Int = 25, tol: Double = 1e-4): Seq[Centroid] = {
+  def fit(points: DataFrame, k: Int, maxIter: Int = 25, tol: Double = 1e-4): Seq[Centroid] =
+    fitWithIters(points, k, maxIter, tol)._1
+
+  /** [[fit]] plus the number of Lloyd iterations actually performed —
+    * the convergent trajectory is deterministic (per-round HALF_UP
+    * rounding, strict-< tie-break), so exposing the count lets an
+    * oracle replay the SAME trajectory as a fixed chain of
+    * assign+update stages (km_lloyd's hash gate, round 11). */
+  def fitWithIters(points: DataFrame, k: Int, maxIter: Int = 25,
+      tol: Double = 1e-4): (Seq[Centroid], Int) = {
     // iterative refinement re-scans the points every round: pin the
     // two coordinate columns (MEMORY_AND_DISK) for the duration
     val rdd = points.select(col("x"), col("y"))
@@ -131,7 +140,7 @@ object KMeansDF {
         if (sys.env.contains("SPARK_GRAFT_KM_DEBUG"))
           System.err.println(s"[km] iter $iter moved=$moved t=${System.nanoTime() / 1e9}")
       }
-      cs
+      (cs, iter)
     } finally rdd.unpersist(blocking = false)
   }
 

@@ -18,6 +18,16 @@ object Clustering extends QueryPack {
   val K = 15 // reference NUM_OUTPUT (config.cuh:14)
   val LloydFixedIters = 5 // fixed-iteration mode (reference ITERATIONS shape)
 
+  /** Iterations the CONVERGENT `km_lloyd` fit performs at sf0.01 — the
+    * correctness gate's scale. The tol-gated trajectory is
+    * deterministic (per-round round-6 HALF_UP, strict-< tie-break), so
+    * replaying exactly this many fixed stages reproduces it bit-for-
+    * bit, which is what flips km_lloyd from rows-only to hash-gated
+    * (round 11). Pinned by ClusteringSpec via `fitWithIters`, so a
+    * testdata or step-arithmetic change fails loudly in ScalaTest
+    * instead of silently hash-mismatching in the driver. */
+  val LloydConvergedItersSf001 = 14
+
   /** Deterministic seed centroids: points with id < K, cid = id. */
   def seedCentroids(points: DataFrame): Seq[Centroid] =
     points.filter(col("id") < K).collect()
@@ -316,6 +326,32 @@ object Clustering extends QueryPack {
     })
   )
 
+  /** `iters` Lloyd stages as chained CTEs (assign by strict-< argmin,
+    * update with round-6 means, empty clusters unchanged) + a caller-
+    * supplied final projection — shared by km_lloyd_fixed and the
+    * convergent km_lloyd replay. Every stage CTE is MATERIALIZED:
+    * DuckDB otherwise INLINES each reference, and cent_{i+1} refers to
+    * cent_i twice, so a 14-stage chain would expand to ~2^14 copies of
+    * the base parquet scan (observed: "Too many open files"). */
+  private def lloydReplaySql(iters: Int, finalSelect: String): String = {
+    val stages = (0 until iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT id, x, y, cid FROM (
+         |  SELECT p.id, p.x, p.y, c.cid,
+         |    row_number() OVER (PARTITION BY p.id
+         |      ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+         |  FROM pts p CROSS JOIN cent$i c) WHERE rn = 1),
+         |cent${i + 1} AS MATERIALIZED (
+         |  SELECT c.cid, coalesce(u.nx, c.cx) AS cx, coalesce(u.ny, c.cy) AS cy
+         |  FROM cent$i c LEFT JOIN (
+         |    SELECT cid, round(avg(x),6) AS nx, round(avg(y),6) AS ny
+         |    FROM a$i GROUP BY cid) u USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS MATERIALIZED ($ptsSql),
+       |cent0 AS MATERIALIZED (SELECT CAST(id AS INT) AS cid, x AS cx, y AS cy FROM pts WHERE id < $K),
+       |$stages
+       |$finalSelect""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "km_farthest_init" ->
       s"""WITH pts AS ($ptsSql),
@@ -468,24 +504,15 @@ object Clustering extends QueryPack {
     // every Lloyd iteration replayed as one assign+update CTE stage;
     // per-iteration round(…,6) keeps the trajectory bit-stable across
     // engines despite different summation orders
-    "km_lloyd_fixed" -> {
-      val stages = (0 until LloydFixedIters).map { i =>
-        s"""a$i AS (SELECT id, x, y, cid FROM (
-           |  SELECT p.id, p.x, p.y, c.cid,
-           |    row_number() OVER (PARTITION BY p.id
-           |      ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
-           |  FROM pts p CROSS JOIN cent$i c) WHERE rn = 1),
-           |cent${i + 1} AS (
-           |  SELECT c.cid, coalesce(u.nx, c.cx) AS cx, coalesce(u.ny, c.cy) AS cy
-           |  FROM cent$i c LEFT JOIN (
-           |    SELECT cid, round(avg(x),6) AS nx, round(avg(y),6) AS ny
-           |    FROM a$i GROUP BY cid) u USING (cid))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pts AS ($ptsSql),
-         |cent0 AS (SELECT CAST(id AS INT) AS cid, x AS cx, y AS cy FROM pts WHERE id < $K),
-         |$stages
-         |SELECT cid, cx AS nx, cy AS ny FROM cent$LloydFixedIters""".stripMargin
-    },
+    "km_lloyd_fixed" -> lloydReplaySql(LloydFixedIters,
+      s"SELECT cid, cx AS nx, cy AS ny FROM cent$LloydFixedIters"),
+    // the CONVERGENT fit's replay: the tol gate stopped after exactly
+    // LloydConvergedItersSf001 rounds at the gate's scale (pinned by
+    // ClusteringSpec), so the same fixed chain reproduces its
+    // trajectory; only the final projection rounds to 4
+    "km_lloyd" -> lloydReplaySql(LloydConvergedItersSf001,
+      s"SELECT cid, round(cx, 4) AS x, round(cy, 4) AS y " +
+        s"FROM cent$LloydConvergedItersSf001"),
     "km_silhouette_exact" ->
       s"""WITH pts AS ($ptsSql), cent AS ($centSql), a AS ($assignSql),
          |q AS (SELECT id, x, y, cid, x*x + y*y AS q FROM a),

@@ -110,6 +110,20 @@ class KMeansSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_points")).sum === 101L)
   }
 
+  test("the convergent km_lloyd fit performs exactly the pinned iteration count at sf0.01") {
+    // km_lloyd's hash gate replays the convergent trajectory as a FIXED
+    // chain of LloydConvergedItersSf001 oracle stages — that is only
+    // sound while the tol-gated fit actually stops there. Pin it here
+    // so a testdata or step-arithmetic change fails in ScalaTest with
+    // this message instead of as an opaque driver hash mismatch.
+    val p = Tables.points2d(spark, "/root/testdata/sf0.01")
+    val (_, iters) = graft.operators.KMeansDF.fitWithIters(
+      p, graft.queries.Clustering.K)
+    assert(iters === graft.queries.Clustering.LloydConvergedItersSf001,
+      "update Clustering.LloydConvergedItersSf001 (and the km_lloyd " +
+        s"oracle stage count) — the sf0.01 fit now takes $iters rounds")
+  }
+
   test("km_kmeanspp on real data: 4 distinct centers covering all points") {
     val p = Tables.points2d(spark, sfDir)
     val out = graft.queries.Clustering.defs("km_kmeanspp")(spark, sfDir).collect()
