@@ -10,6 +10,11 @@ import graft.functions.TextFunctions._
   * Single-pass, shuffle only for the final small aggregations. */
 object TextPack extends QueryPack {
 
+  /** Gated BPE training depth (round 11: 3 → 16). The oracle replays
+    * every round as a MATERIALIZED CTE pair, so this is also the
+    * oracle's stage count. */
+  val BpeTrainRounds = 16
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("w", words(col("text")))
 
@@ -623,7 +628,7 @@ object TextPack extends QueryPack {
     }),
 
     // BPE merge TRAINING (Sennrich et al., ACL 2016) — the tokenizer-
-    // training op beside text_bpe's tokenize pass: learn the first 3
+    // training op beside text_bpe's tokenize pass: learn the first 16
     // merge rules from corpus word frequencies. Scale shape: the
     // corpus is scanned ONCE (word-frequency hash agg, map-side
     // combined); every merge round then operates on the VOCAB table
@@ -631,13 +636,17 @@ object TextPack extends QueryPack {
     // production trainers work (a word-freq dict, never the raw text).
     // Per round: one vocab-sized adjacent-pair agg, a 1-ROW driver
     // argmax (the kmeans-centroid k-row-driver-state contract), and a
-    // vocab-sized space-bounded string rewrite (boundary-safe: every
-    // token is space-delimited, and left-to-right non-overlapping
-    // replace() IS the BPE greedy merge order in both engines).
+    // DELTA-INDEXED rewrite (round 11): only rows whose seq CONTAINS
+    // the merged pair run the regexp; untouched rows union back as-is
+    // — at production merge counts most of the vocab is untouched per
+    // round, so the rewrite cost tracks the pair's support, not |V|.
+    // Merge semantics: every token is space-delimited and replace()
+    // runs left-to-right non-overlapping IN BOTH ENGINES, so they
+    // agree exactly — but note the shared-delimiter deviation from
+    // canonical Sennrich BPE: the match consumes its trailing space,
+    // so immediately adjacent repeats ("a b a b") merge only
+    // alternately within one round (the next round catches the rest).
     // Determinism: integer pair counts, ties on the pair string asc.
-    // At production merge counts (~50k) the rewrite goes delta-indexed
-    // (only words containing the merged pair rewrite); the 3-round
-    // reference shape keeps the oracle replayable as chained CTEs.
     "text_bpe_train" -> ((s, d) => {
       import s.implicits._
       // the vocab table is CHECKPOINTED once: without it, every
@@ -653,7 +662,9 @@ object TextPack extends QueryPack {
           col("cnt"))
         .localCheckpoint()
       val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (round <- 1 to 3) {
+      var round = 1
+      var exhausted = false
+      while (round <= BpeTrainRounds && !exhausted) {
         val toks = split(trim(col("seq")), " ")
         val top = seqs
           .where(size(toks) >= 2)
@@ -662,15 +673,27 @@ object TextPack extends QueryPack {
               element_at(toks, i + 2)))).as("pair"), col("cnt"))
           .groupBy("pair").agg(sum("cnt").as("pc"))
           .orderBy(col("pc").desc, col("pair")).limit(1)
-          .collect()(0)
-        val (bp, pc) = (top.getString(0), top.getLong(1))
-        val merged = bp.replace(" ", "")
-        merges += ((round, bp, merged, pc))
-        seqs = seqs.withColumn("seq",
-          regexp_replace(col("seq"),
-            lit(java.util.regex.Pattern.quote(" " + bp + " ")),
-            lit(java.util.regex.Matcher.quoteReplacement(" " + merged + " "))))
-          .localCheckpoint()
+          .collect()
+        if (top.isEmpty) {
+          // degenerate corpus: no word has >= 2 symbols left — stop
+          // with the merges learned so far instead of throwing
+          exhausted = true
+        } else {
+          val (bp, pc) = (top(0).getString(0), top(0).getLong(1))
+          val merged = bp.replace(" ", "")
+          merges += ((round, bp, merged, pc))
+          val delim = " " + bp + " "
+          // delta index: the contains() pre-filter is a cheap scan of
+          // the checkpointed vocab; the regexp runs only on hits
+          val hit = seqs.where(col("seq").contains(delim))
+            .withColumn("seq",
+              regexp_replace(col("seq"),
+                lit(java.util.regex.Pattern.quote(delim)),
+                lit(java.util.regex.Matcher.quoteReplacement(s" $merged "))))
+          seqs = hit.unionByName(seqs.where(!col("seq").contains(delim)))
+            .localCheckpoint()
+          round += 1
+        }
       }
       merges.result().toDF("round", "pair", "merged", "cnt")
     }),
@@ -1146,31 +1169,35 @@ object TextPack extends QueryPack {
     },
     "text_bpe_train" -> {
       // one merge round: pair counts over the current vocab seqs, the
-      // (count desc, pair asc) argmax, then the boundary-safe rewrite
+      // (count desc, pair asc) argmax, then the boundary-safe rewrite.
+      // Every CTE is MATERIALIZED: s$n references $prev twice (pair agg
+      // + rewrite), so inlining would expand the 16-round chain to
+      // ~2^16 scans of the base corpus (the km_lloyd lesson).
       def bpeRound(prev: String, n: Int): String =
-        s"""p$n AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+        s"""p$n AS MATERIALIZED (SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
            |    SELECT unnest(list_transform(
            |      range(1, len(string_split(trim(seq), ' '))),
            |      i -> string_split(trim(seq), ' ')[i] || ' ' ||
            |           string_split(trim(seq), ' ')[i+1])) AS pair, cnt
            |    FROM $prev) GROUP BY 1),
-           |b$n AS (SELECT pair, pc FROM p$n ORDER BY pc DESC, pair LIMIT 1),
-           |s$n AS (SELECT replace(seq, ' ' || b$n.pair || ' ',
+           |b$n AS MATERIALIZED (SELECT pair, pc FROM p$n ORDER BY pc DESC, pair LIMIT 1),
+           |s$n AS MATERIALIZED (SELECT replace(seq, ' ' || b$n.pair || ' ',
            |    ' ' || replace(b$n.pair, ' ', '') || ' ') AS seq, cnt
            |  FROM $prev, b$n)""".stripMargin
-      s"""WITH s0 AS (
+      val rounds = (1 to TextPack.BpeTrainRounds)
+        .map(n => bpeRound(s"s${n - 1}", n)).mkString(",\n")
+      val selects = (1 to TextPack.BpeTrainRounds).map(n =>
+        s"SELECT CAST($n AS INT) AS round, pair, " +
+          s"replace(pair, ' ', '') AS merged, pc AS cnt FROM b$n")
+        .mkString("\nUNION ALL ")
+      s"""WITH s0 AS MATERIALIZED (
          |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq,
          |    count(*) AS cnt
          |  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
          |        FROM documents)
          |  GROUP BY 1),
-         |${bpeRound("s0", 1)},
-         |${bpeRound("s1", 2)},
-         |${bpeRound("s2", 3)}
-         |SELECT CAST(1 AS INT) AS round, pair,
-         |  replace(pair, ' ', '') AS merged, pc AS cnt FROM b1
-         |UNION ALL SELECT CAST(2 AS INT), pair, replace(pair, ' ', ''), pc FROM b2
-         |UNION ALL SELECT CAST(3 AS INT), pair, replace(pair, ' ', ''), pc FROM b3""".stripMargin
+         |$rounds
+         |$selects""".stripMargin
     },
     "text_tfidf" ->
       s"""WITH w AS (SELECT doc_id, unnest($wSql) AS word FROM documents),
