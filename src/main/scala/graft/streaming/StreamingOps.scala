@@ -22,6 +22,28 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming face of batch `q_session_window` — the SAME built-in
+    * `session_window` operator (30-min default gap) under a watermark,
+    * emitting exactly the batch query's schema (user_id, ss_us, se_us,
+    * n_events, sess_value; epoch-micro bounds). Provisional sessions
+    * that later events bridge are MERGED by the state store before
+    * anything is emitted (Append mode: a session row appears only once
+    * its window can no longer grow — watermark past session end), and
+    * closed-session state is evicted; StreamingSpec asserts both the
+    * merge and the eviction via `stateOperators.numRowsTotal`. State
+    * is one row per OPEN session, bounded by the watermark horizon ×
+    * active users — never by stream length. */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sess_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("ss_us"),
+        unix_micros(col("sw.end")).as("se_us"),
+        col("n_events"), col("sess_value"))
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   /** start/last are epoch MICROS — the same unit the batch pack emits
     * (unix_micros), so streaming/batch parity holds below the

@@ -972,28 +972,52 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
-  test("session_window runs under streaming: closed sessions append once final") {
+  test("sessionWindowStream merges bridged sessions before emission and evicts closed state") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
-    val q = in.toDF()
-      .withWatermark("ts", "10 minutes")
-      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("user_id"), col("sw.start").as("ss"), col("n"))
-      .writeStream.format("memory").queryName("sw_sessions")
+    // 45-min watermark delay: the minute-20 bridge event must still be
+    // INSIDE the lateness horizon when the stream has seen minute 40
+    // (a 10-min delay would drop it as late — wm 30 > 20)
+    val q = StreamingOps.sessionWindowStream(in.toDF(),
+        watermarkDelay = "45 minutes")
+      .writeStream.format("memory").queryName("sw_stream")
       .outputMode(OutputMode.Append()).start()
     try {
-      in.addData(
-        Event(1, ts(0), "view", 1.0), Event(1, ts(10), "view", 1.0),
-        Event(2, ts(5), "view", 1.0))
+      // two provisional user-1 sessions, 40 min apart (> the 30-min gap)
+      in.addData(Event(1, ts(0), "view", 1.0), Event(1, ts(40), "view", 2.0))
       q.processAllAvailable()
-      // watermark far past session end finalizes both sessions
-      in.addData(Event(3, ts(600), "view", 1.0))
+      // a bridging event at minute 20 lands INSIDE both gaps — the
+      // state store must merge the three into ONE session before any
+      // Append-mode emission (nothing has finalized yet: wm too early)
+      in.addData(Event(1, ts(20), "view", 4.0))
       q.processAllAvailable()
-      val rows = spark.table("sw_sessions").collect()
-        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"))).toSet
-      assert(rows === Set((1L, 2L), (2L, 1L)),
-        s"the same session_window operator must close sessions under streaming, got $rows")
+      assert(spark.table("sw_stream").isEmpty,
+        "no session may emit before the watermark passes its end")
+      // advance the watermark far past user-1's session end → exactly
+      // one MERGED session emits (3 events, value 7.0, spanning 0..70)
+      in.addData(Event(2, ts(600), "view", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sess_value"),
+          r.getAs[Long]("se_us") - r.getAs[Long]("ss_us"))).toSet
+      assert(rows === Set((1L, 3L, 7.0, 70L * 60000000L)),
+        s"bridged provisional sessions must merge into one emission, got $rows")
+      // batch parity on the same data: the q_session_window operator
+      // over the union of all four events produces the same user-1 row
+      val batch = Seq(
+        Event(1, ts(0), "view", 1.0), Event(1, ts(40), "view", 2.0),
+        Event(1, ts(20), "view", 4.0), Event(2, ts(600), "view", 9.0))
+        .toDF()
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .where(col("user_id") === 1L).collect()
+      assert(batch.length === 1 && batch.head.getAs[Long]("n_events") === 3L)
+      // eviction: user-1's closed session must leave the state store;
+      // only user-2's open session remains
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows === 1L,
+        s"closed sessions must evict from state, got $stateRows rows")
     } finally q.stop()
   }
 
