@@ -367,6 +367,119 @@ object Similarity {
       .select(col("rid").as("vec_id"), col("cid"))
   }
 
+  /** Graph ANN: partition-local navigable-small-world index + greedy
+    * beam search (Malkov & Yashunin 2016, arXiv:1603.09320 — the NSW
+    * base layer; deterministic insertion order stands in for the level
+    * draw, so no RNG crosses engines). Completes the ANN taxonomy next
+    * to IVF/PQ/LSH with the in-memory industry default.
+    *
+    * Distribution model is SHARDED-HNSW serving: every partition
+    * builds an independent graph over ITS vectors (embarrassingly
+    * parallel — zero build shuffle at any scale), each query fans out
+    * to all shards (broadcast, bounded query set), each shard answers
+    * from its graph walk, and a bounded-heap top-k merges shard
+    * answers. At 100 TB: executor memory holds shard_size × m edge
+    * ints (not vectors²); recall is governed by efSearch exactly as in
+    * single-node HNSW because the merge of per-shard EXACT-ish top-k
+    * is itself exact over the union of walked candidates. Rows-only
+    * gate (the graph walk is imperative); SimilaritySpec pins its
+    * recall@3 against exact cosine at/above the IVF+PQ nprobe=2 point
+    * from ann_recall_sweep at equal probe cost.
+    *
+    * Build: insert by ascending vec_id; each insert beam-searches the
+    * current graph (ef = efConstruction) from the min-id entry point,
+    * links bidirectionally to the m nearest found, and prunes any
+    * neighbor list that exceeds 2m back to the m most similar — the
+    * paper's simple neighbor-selection heuristic. */
+  def nswTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      efConstruction: Int = 32, efSearch: Int = 32): DataFrame = {
+    import graft.functions.TopKAggregate.topk
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // bounded query-set collect — the same benchmark-size contract as
+    // every other ANN query side (codebooks, probes)
+    val qs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bq = spark.sparkContext.broadcast(qs)
+    val cand = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val pts = it.toArray.sortBy(_._1)
+        if (pts.isEmpty) Iterator.empty
+        else {
+          val n = pts.length
+          val vecs = pts.map(_._2.map(_.toDouble))
+          val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+          def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double = {
+            var s = 0.0; var i = 0
+            while (i < a.length) { s += a(i) * b(i); i += 1 }
+            if (na == 0 || nb == 0) 0.0 else s / (na * nb)
+          }
+          val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+          // beam search over the graph built so far: best-first from the
+          // entry, keep the ef most similar visited, stop when the best
+          // open candidate is worse than the worst kept result
+          def search(qv: Array[Double], qn: Double, ef: Int, bound: Int): Array[Int] = {
+            val visited = new java.util.BitSet(bound)
+            // results: min-heap on sim (head = worst kept)
+            val results = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+              Ordering.by[(Double, Int), Double](_._1).reverse)
+            // candidates: max-heap on sim
+            val candQ = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+              Ordering.by[(Double, Int), Double](_._1))
+            val s0 = cos(qv, qn, vecs(0), norms(0))
+            visited.set(0); candQ.enqueue((s0, 0)); results.enqueue((s0, 0))
+            while (candQ.nonEmpty &&
+              (results.size < ef || candQ.head._1 > results.head._1)) {
+              val (_, u) = candQ.dequeue()
+              adj(u).foreach { v =>
+                if (v < bound && !visited.get(v)) {
+                  visited.set(v)
+                  val sv = cos(qv, qn, vecs(v), norms(v))
+                  if (results.size < ef || sv > results.head._1) {
+                    candQ.enqueue((sv, v)); results.enqueue((sv, v))
+                    if (results.size > ef) results.dequeue()
+                  }
+                }
+              }
+            }
+            val ordered = scala.collection.mutable.ArrayBuffer.empty[Int]
+            while (results.nonEmpty) ordered += results.dequeue()._2
+            ordered.reverse.toArray // most similar first
+          }
+          var i = 1
+          while (i < n) {
+            val found = search(vecs(i), norms(i), efConstruction, i)
+            found.take(m).foreach { j =>
+              adj(i) += j; adj(j) += i
+              if (adj(j).length > 2 * m) {
+                val pruned = adj(j).distinct
+                  .sortBy(v => -cos(vecs(j), norms(j), vecs(v), norms(v)))
+                  .take(m)
+                adj(j).clear(); adj(j) ++= pruned
+              }
+            }
+            i += 1
+          }
+          bq.value.iterator.flatMap { case (qid, qf) =>
+            val qv = qf.map(_.toDouble)
+            val qn = math.sqrt(qv.map(x => x * x).sum)
+            search(qv, qn, efSearch, n).iterator
+              .filter(v => pts(v)._1 != qid)
+              .take(k)
+              .map(v => (qid, pts(v)._1,
+                math.rint(cos(qv, qn, vecs(v), norms(v)) * 10000) / 10000))
+          }
+        }
+      }
+      .toDF("qid", "vid", "cos")
+    cand.groupBy("qid")
+      .agg(topk(struct((-col("cos")).as("negcos"), col("vid").as("v")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+        col("t.v").as("vid"), round(-col("t.negcos"), 4).as("cos"))
+  }
+
   /** Approximate top-k: brute force only within each query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 6): DataFrame = {
     val bc = corpus.withColumn("bucket", lshBucket(col("embedding"), numPlanes))

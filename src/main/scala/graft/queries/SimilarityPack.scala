@@ -355,6 +355,20 @@ object SimilarityPack extends QueryPack {
           lit(32).cast("int").as("knob"), col("recall"))
     }),
 
+    // Graph ANN (round 11) — the NSW/HNSW family completing the index
+    // taxonomy beside IVF/PQ/LSH: partition-local navigable-small-world
+    // graphs (Malkov & Yashunin 2016), sharded-serving fan-out, bounded
+    // top-k merge. Build is zero-shuffle (each partition indexes its
+    // own vectors); search cost per query per shard is the beam walk
+    // (efSearch candidates), not the shard scan. Rows-only gate: the
+    // graph walk is imperative; SimilaritySpec pins recall@3 >= the
+    // ann_recall_sweep IVF+PQ nprobe=2 point at equal probe cost and
+    // >= 0.8 absolute.
+    "ann_hnsw" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.nswTopK(emb, emb.filter(col("vec_id") < NumQueries), k = 3)
+    }),
+
     // Residual-encoding IVF+PQ (the FAISS IVFPQ layout): codes quantize
     // v − centroid(cell) — residuals concentrate near the origin, so a
     // shared codebook covers every cell. The deterministic codebook is

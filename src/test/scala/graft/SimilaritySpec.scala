@@ -93,6 +93,50 @@ class SimilaritySpec extends SparkSpec {
       s"trained-cell IVF recall@3 vs exact cosine was $recall — probing is broken")
   }
 
+  test("nswTopK recall@3 meets the IVF+PQ nprobe=2 frontier point and the 0.8 floor") {
+    // the ann_hnsw gate: the graph walk (efSearch=32 beam per shard)
+    // must recall at least as well as the recall-sweep's IVF+PQ
+    // nprobe=2 operating point at comparable per-query probe cost,
+    // and clear the 0.8 absolute production floor
+    import graft.operators.KMeansND
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.topK(emb, q, 3).select($"qid", $"vid")
+      .as[(Long, Long)].collect().toSet
+    val nsw = Similarity.nswTopK(emb, q, 3)
+      .select($"qid", $"vid").as[(Long, Long)].collect().toSet
+    val nswRecall = exact.intersect(nsw).size.toDouble / exact.size
+    // the same IVF+PQ nprobe=2 configuration ann_recall_sweep gates
+    val cents = KMeansND.seed(
+      emb.select($"vec_id".as("id"), $"embedding".as("vec")), 16)
+    val cb: Seq[Seq[Double]] = emb.filter($"vec_id" < 16)
+      .select($"vec_id", $"embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val ivfpq = Similarity.ivfPqTopK(emb, q, cents, cb, 8, k = 3, nprobe = 2)
+      .select($"qid", $"vid").as[(Long, Long)].collect().toSet
+    val ivfpqRecall = exact.intersect(ivfpq).size.toDouble / exact.size
+    info(s"nsw recall@3=$nswRecall vs ivfpq nprobe=2 recall@3=$ivfpqRecall")
+    assert(nswRecall >= ivfpqRecall,
+      s"graph ANN recall $nswRecall must meet the IVF+PQ point $ivfpqRecall")
+    assert(nswRecall >= 0.8, s"graph ANN recall $nswRecall below the 0.8 floor")
+    // every query answers with a full top-3
+    assert(nsw.groupBy(_._1).forall(_._2.size == 3))
+  }
+
+  test("nswTopK survives tiny and skewed partitions") {
+    // 1-vector partitions, an empty-partition repartition, and a
+    // corpus smaller than m must all still answer
+    val tiny = (0L until 5L).map(i =>
+      (i, Array.tabulate(4)(j => (i + j).toFloat)))
+      .toDF("vec_id", "embedding").repartition(8)
+    val out = Similarity.nswTopK(tiny, tiny.filter($"vec_id" === 0L), k = 2)
+      .collect()
+    assert(out.length === 2, s"expected a full top-2, got ${out.toSeq}")
+    assert(out.forall(_.getAs[Long]("vid") !== 0L), "no self-match")
+  }
+
   test("trained IVF cells: Lloyd descent beats the first-k seed on sf0.01") {
     // KMeansND.fit starts from the same first-k seed the oracle layout
     // uses, so Lloyd's monotone SSE descent GUARANTEES lower mean
