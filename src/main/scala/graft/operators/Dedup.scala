@@ -228,7 +228,8 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       localEdgeThreshold: Long = 2000000L,
-      onRound: Option[CCRoundProbe] = None): DataFrame = {
+      onRound: Option[CCRoundProbe] = None,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val ccDebug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
     def dbg(m: String): Unit =
       if (ccDebug) System.err.println(s"[cc] $m t=${System.nanoTime() / 1e9}")
@@ -255,7 +256,7 @@ object Dedup {
           "(non-numeric id column, or null ids in the pair set)")
     val out =
       if (nEdges <= localEdgeThreshold) localUnionFind(edges1)
-      else distributedMinLabel(edges1, maxIter, dbg, onRound)
+      else distributedMinLabel(edges1, maxIter, dbg, onRound, ckpt)
     edges1.unpersist(false)
     dbg("done")
     out
@@ -319,20 +320,19 @@ object Dedup {
     * the same documented trade every co-located iteration makes, and
     * the min() aggregate itself stays partial/skew-immune. */
   private def distributedMinLabel(edges1: DataFrame, maxIter: Int,
-      dbg: String => Unit, onRound: Option[CCRoundProbe] = None): DataFrame = {
+      dbg: String => Unit, onRound: Option[CCRoundProbe] = None,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val spark = edges1.sparkSession
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val aqeSaved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val edges = edges1
+      val edges = ckpt(edges1
         .union(edges1.select(col("dst"), col("src")))
-        .repartition(col("dst"))
-        .localCheckpoint(true)
-      var labels = edges.select(col("src").as("id")).distinct()
+        .repartition(col("dst")))
+      var labels = ckpt(edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
-        .repartition(col("id"))
-        .localCheckpoint(true)
+        .repartition(col("id")))
       // per-round EXCHANGED rows under the captured layout: the label
       // table moves twice (pointer-jump re-key on label + the
       // maintained id layout) and the neighbor-min partial rows
@@ -357,12 +357,11 @@ object Dedup {
         // exponentially (labels are monotone-decreasing node ids within
         // the component, so the composition stays in-component)
         val jump = prop.select(col("id").as("j_id"), col("label").as("j_label"))
-        val next = prop.as("p")
+        val next = ckpt(prop.as("p")
           .join(jump, col("p.label") === col("j_id"), "left")
           .select(col("p.id"), col("p.old_label"),
             least(col("p.label"), coalesce(col("j_label"), col("p.label"))).as("label"))
-          .repartition(col("p.id"))
-          .localCheckpoint(true)
+          .repartition(col("p.id")))
         // convergence count is a scan of the materialized round, not
         // another shuffle join against prior state
         changed = next.filter(col("label") =!= col("old_label")).count()
@@ -378,8 +377,8 @@ object Dedup {
       // re-materialize the small final state, then free every intermediate
       // checkpoint block (they'd otherwise occupy the block manager for
       // the rest of the session)
-      val result = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-        .localCheckpoint(true)
+      val result = ckpt(
+        labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
       val sc = spark.sparkContext
       val ids = sc.getPersistentRDDs.keySet.toSet -- before
       val keep = if (ids.nonEmpty) ids.max else -1

@@ -34,7 +34,9 @@ object AnalyticsPack extends QueryPack {
     * constant-size plan; the rank table is node-count rows × 3
     * columns — partition-resident at any scale. Top-20 via
     * TakeOrderedAndProject (sort+limit), never a global window. */
-  private def pagerankPlan(s: SparkSession, d: String, iters: Int): DataFrame = {
+  private[graft] def pagerankPlan(s: SparkSession, d: String, iters: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
     // The whole loop runs with AQE OFF so every localCheckpoint
     // CAPTURES its hash partitioning (AdaptiveSparkPlanExec reports
     // unknown partitioning at checkpoint time — ScaleOpsSpec proves
@@ -65,26 +67,23 @@ object AnalyticsPack extends QueryPack {
       // edge layout at 8 fixed bytes per key instead of a "p"/"s"-
       // prefixed decimal string (~2× narrower rows, cheaper hashing);
       // the display string is projected only for the final top-20.
-      val edges = e0.select(
+      val edges = ckpt(e0.select(
           (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
         .union(e0.select(
           (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
-        .repartition(col("src"))
-        .localCheckpoint()
-      val deg = edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      var state = deg.select(col("node"), col("deg"), lit(1000000000L).as("pr"))
-        .localCheckpoint()
+        .repartition(col("src")))
+      val deg = ckpt(edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")))
+      var state = ckpt(
+        deg.select(col("node"), col("deg"), lit(1000000000L).as("pr")))
       for (_ <- 1 to iters) {
         val cin = state.join(edges, state("node") === edges("src"))
           .select(col("dst").as("node"), expr("pr div deg").as("c"))
           .groupBy("node").agg(sum("c").as("cin"))
         // undirected graph: every node has in-edges, inner join keeps all
-        state = deg.join(cin, "node")
+        state = ckpt(deg.join(cin, "node")
           .select(col("node"), col("deg"),
-            (lit(150000000L) + expr("(85 * cin) div 100")).as("pr"))
-          .localCheckpoint()
+            (lit(150000000L) + expr("(85 * cin) div 100")).as("pr")))
       }
       state
     } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)

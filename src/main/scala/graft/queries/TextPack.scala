@@ -18,6 +18,63 @@ object TextPack extends QueryPack {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("w", words(col("text")))
 
+  /** The `text_bpe_train` plan body (see the defs entry's docstring for
+    * semantics). `ckpt` is the iterative-state seam
+    * ([[graft.operators.CheckpointStrategy]]): each round's vocab
+    * re-materialization goes through it, so a reliable-checkpoint run
+    * survives executor loss at the cost of a vocab-sized write per
+    * round. CheckpointStrategySpec gates Local/Reliable equality. */
+  def bpeTrain(s: SparkSession, d: String, rounds: Int = BpeTrainRounds,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    import s.implicits._
+    // the vocab table is CHECKPOINTED once: without it, every
+    // round's argmax action re-executes the full corpus word-count
+    // through lineage (measured 12.1 s → 2.5 s at the 10× probe);
+    // with it the corpus is scanned exactly once and each round's
+    // rewrite re-materializes only the vocab-sized table
+    var seqs = ckpt(docs(s, d)
+      .select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        concat_ws(" ", split(col("word"), "")), lit(" ")).as("seq"),
+        col("cnt")))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val toks = split(trim(col("seq")), " ")
+      val top = seqs
+        .where(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(0), size(toks) - 2),
+          i => concat(element_at(toks, i + 1), lit(" "),
+            element_at(toks, i + 2)))).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) {
+        // degenerate corpus: no word has >= 2 symbols left — stop
+        // with the merges learned so far instead of throwing
+        exhausted = true
+      } else {
+        val (bp, pc) = (top(0).getString(0), top(0).getLong(1))
+        val merged = bp.replace(" ", "")
+        merges += ((round, bp, merged, pc))
+        val delim = " " + bp + " "
+        // delta index: the contains() pre-filter is a cheap scan of
+        // the checkpointed vocab; the regexp runs only on hits
+        val hit = seqs.where(col("seq").contains(delim))
+          .withColumn("seq",
+            regexp_replace(col("seq"),
+              lit(java.util.regex.Pattern.quote(delim)),
+              lit(java.util.regex.Matcher.quoteReplacement(s" $merged "))))
+        seqs = ckpt(hit.unionByName(seqs.where(!col("seq").contains(delim))))
+        round += 1
+      }
+    }
+    merges.result().toDF("round", "pair", "merged", "cnt")
+  }
+
   /** The engine's one quality-score definition (length, stopword and
     * punctuation signals, rounded to 6 so every engine agrees at
     * decision boundaries). Shared by text_quality,
@@ -647,56 +704,7 @@ object TextPack extends QueryPack {
     // so immediately adjacent repeats ("a b a b") merge only
     // alternately within one round (the next round catches the rest).
     // Determinism: integer pair counts, ties on the pair string asc.
-    "text_bpe_train" -> ((s, d) => {
-      import s.implicits._
-      // the vocab table is CHECKPOINTED once: without it, every
-      // round's argmax action re-executes the full corpus word-count
-      // through lineage (measured 12.1 s → 2.5 s at the 10× probe);
-      // with it the corpus is scanned exactly once and each round's
-      // rewrite re-materializes only the vocab-sized table
-      var seqs = docs(s, d)
-        .select(explode(col("w")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .select(concat(lit(" "),
-          concat_ws(" ", split(col("word"), "")), lit(" ")).as("seq"),
-          col("cnt"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      var round = 1
-      var exhausted = false
-      while (round <= BpeTrainRounds && !exhausted) {
-        val toks = split(trim(col("seq")), " ")
-        val top = seqs
-          .where(size(toks) >= 2)
-          .select(explode(transform(sequence(lit(0), size(toks) - 2),
-            i => concat(element_at(toks, i + 1), lit(" "),
-              element_at(toks, i + 2)))).as("pair"), col("cnt"))
-          .groupBy("pair").agg(sum("cnt").as("pc"))
-          .orderBy(col("pc").desc, col("pair")).limit(1)
-          .collect()
-        if (top.isEmpty) {
-          // degenerate corpus: no word has >= 2 symbols left — stop
-          // with the merges learned so far instead of throwing
-          exhausted = true
-        } else {
-          val (bp, pc) = (top(0).getString(0), top(0).getLong(1))
-          val merged = bp.replace(" ", "")
-          merges += ((round, bp, merged, pc))
-          val delim = " " + bp + " "
-          // delta index: the contains() pre-filter is a cheap scan of
-          // the checkpointed vocab; the regexp runs only on hits
-          val hit = seqs.where(col("seq").contains(delim))
-            .withColumn("seq",
-              regexp_replace(col("seq"),
-                lit(java.util.regex.Pattern.quote(delim)),
-                lit(java.util.regex.Matcher.quoteReplacement(s" $merged "))))
-          seqs = hit.unionByName(seqs.where(!col("seq").contains(delim)))
-            .localCheckpoint()
-          round += 1
-        }
-      }
-      merges.result().toDF("round", "pair", "merged", "cnt")
-    }),
+    "text_bpe_train" -> ((s, d) => bpeTrain(s, d)),
 
     // TF-IDF with per-doc top-3 terms: corpus DF via distinct-count,
     // per-doc ranking via the bounded-heap TopKStructs aggregate.
