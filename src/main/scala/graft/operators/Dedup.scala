@@ -312,13 +312,24 @@ object Dedup {
     * ScaleOpsSpec proves capture + AQE-consumer reuse), so the
     * edge⋈label and label⋈neighborMin joins are co-partitioned with no
     * exchange: the bidirected edge list NEVER crosses the wire after
-    * the one-time layout. Per-round exchanged volume drops from
-    * O(E + V) to O(V) — two label-table exchanges (pointer-jump
-    * re-key + the maintained id layout) plus the map-side-combined
-    * neighbor-min trickle. The trade: a co-partitioned join cannot be
-    * AQE-skew-split, so a hub node's partition is processed whole —
-    * the same documented trade every co-located iteration makes, and
-    * the min() aggregate itself stays partial/skew-immune. */
+    * the one-time layout. Per-round exchanged volume is edge-
+    * independent — two label-table exchanges (pointer-jump re-key +
+    * the maintained id layout) plus the neighbor-min trickle, which
+    * MEASURES at ~5V/round on 32 partitions (partials multiply with
+    * the partition count; the old ≤V claim undercounted). The trade:
+    * a co-partitioned join cannot be AQE-skew-split, so a hub node's
+    * partition is processed whole, and the min() aggregate itself
+    * stays partial/skew-immune.
+    *
+    * MEASURED comparison (round 11, task-metrics listener in
+    * ConnectedComponentsSpec): on a redundant-pair power-law dup graph
+    * this path's total shuffle (~1.05M records) LOSES to star
+    * contraction (~0.65M) at both tested densities — star's round-0
+    * distinct() absorbs redundancy as cheaply as the parked layout
+    * does. Prefer [[connectedComponentsStar]] for raw volume; this
+    * path's surviving property is bounded, FLAT per-round volume
+    * (predictable round cost, no E-sized early spikes) and it is kept
+    * as the default for that predictability on pathological inputs. */
   private def distributedMinLabel(edges1: DataFrame, maxIter: Int,
       dbg: String => Unit, onRound: Option[CCRoundProbe] = None,
       ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
@@ -333,12 +344,17 @@ object Dedup {
       var labels = ckpt(edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
         .repartition(col("id")))
-      // per-round EXCHANGED rows under the captured layout: the label
-      // table moves twice (pointer-jump re-key on label + the
-      // maintained id layout) and the neighbor-min partial rows
-      // (≤ one per node) trickle into the agg — edges never move.
-      // Flat across rounds; the number the star path's decaying
-      // rounds are compared against. Counted only when a probe asks.
+      // per-round exchanged rows under the captured layout — an
+      // ANALYTIC ESTIMATE, not a measurement: the label table moves
+      // twice (pointer-jump re-key on label + the maintained id
+      // layout) and the neighbor-min rows trickle into the agg as
+      // map-side partials (≤ V rows post-combine; ≤ V×partitions
+      // partials pre-combine) — edges never move. Flat across rounds
+      // by construction. The MEASURED check lives in
+      // ConnectedComponentsSpec, which wraps both CC paths in a task-
+      // metrics listener and compares actual shuffle-write records;
+      // this estimate only labels the probe rows. Computed only when a
+      // probe asks.
       val perRoundRows = onRound.map(_ => 3 * labels.count())
       dbg("labels init")
       var changed = 1L

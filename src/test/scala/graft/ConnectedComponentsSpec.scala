@@ -127,56 +127,94 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("algorithm comparison: star contraction's shuffle decays, min-label's stays flat") {
     // the §3 rule-10 selection guidance, MEASURED: a deterministic
-    // power-law dup graph — clusters of size 10^2/10^3/10^4 with ~3
-    // redundant pair edges per member, the shape LSH banding actually
-    // emits (every doc collides with several clustermates, not one) —
-    // plus a 512-node chain (worst case for label propagation). A pure
-    // tree would hide the contraction: star's fixpoint keeps |V|-C
-    // edges, so decay only shows when blocking emits redundant pairs,
-    // which at real dup density it always does.
-    val rnd = new scala.util.Random(42)
-    val edges = Seq.newBuilder[(Long, Long)]
-    def cluster(base: Long, size: Int): Unit =
-      (1 until size).foreach { i =>
-        edges += ((base + i, base + rnd.nextInt(i))) // random spanning tree
-        edges += ((base + i, base + rnd.nextInt(i))) // + redundant collisions
-        edges += ((base + i, base + rnd.nextInt(i)))
-      }
-    cluster(1000000L, 10000)
-    cluster(3000000L, 1000)
-    cluster(4000000L, 100)
-    edges += ((1000000L, 3000000L)) // merge the two big clusters
-    (0L until 511L).foreach(i => edges += ((5000000L + i, 5000001L + i)))
-    val pairs = edges.result().toDF("id_a", "id_b")
+    // power-law dup graph — clusters of size 10^2/10^3/10^4 with
+    // `redundancy` pair edges per member, the shape LSH banding
+    // actually emits (every doc collides with several clustermates,
+    // not one) — plus a 512-node chain (worst case for label
+    // propagation). A pure tree would hide the contraction: star's
+    // fixpoint keeps |V|-C edges, so decay only shows when blocking
+    // emits redundant pairs, which at real dup density it always does.
+    // Built at TWO redundancy levels (same V, ~3× E) so the density-
+    // sensitivity claim below is measured, not asserted.
+    def buildPairs(redundancy: Int) = {
+      val rnd = new scala.util.Random(42)
+      val edges = Seq.newBuilder[(Long, Long)]
+      def cluster(base: Long, size: Int): Unit =
+        (1 until size).foreach { i =>
+          (0 until redundancy).foreach { _ =>
+            edges += ((base + i, base + rnd.nextInt(i)))
+          }
+        }
+      cluster(1000000L, 10000)
+      cluster(3000000L, 1000)
+      cluster(4000000L, 100)
+      edges += ((1000000L, 3000000L)) // merge the two big clusters
+      (0L until 511L).foreach(i => edges += ((5000000L + i, 5000001L + i)))
+      edges.result().toDF("id_a", "id_b")
+    }
+    val pairs = buildPairs(3)
 
     final case class Round(round: Int, shuffledRows: Long, progress: Long)
     val ml = scala.collection.mutable.ArrayBuffer[Round]()
     val st = scala.collection.mutable.ArrayBuffer[Round]()
-    val mlLabels = Dedup.connectedComponents(pairs, maxIter = 20,
-      localEdgeThreshold = 0L,
-      onRound = Some((r, s, p) => { ml += Round(r, s, p); () }))
-      .as[(Long, Long)].collect().toMap
-    val stLabels = Dedup.connectedComponentsStar(pairs, maxIter = 25,
-      onRound = Some((r, s, p) => { st += Round(r, s, p); () }))
-      .as[(Long, Long)].collect().toMap
+    // MEASURED shuffle volume (round 11, closing the r10 advice): a
+    // task-metrics listener counts actual shuffle-write records over
+    // each whole CC run — the in-code 3V probe value is an analytic
+    // per-round label, not evidence; the crossover claim below rests
+    // on these listener totals
+    def measuredShuffleRows(body: => Unit): Long = {
+      val rec = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            rec.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.GraftSparkTestBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      rec.get()
+    }
+    var mlLabels: Map[Long, Long] = null
+    val mlMeasured = measuredShuffleRows {
+      mlLabels = Dedup.connectedComponents(pairs, maxIter = 20,
+        localEdgeThreshold = 0L,
+        onRound = Some((r, s, p) => { ml += Round(r, s, p); () }))
+        .as[(Long, Long)].collect().toMap
+    }
+    var stLabels: Map[Long, Long] = null
+    val stMeasured = measuredShuffleRows {
+      stLabels = Dedup.connectedComponentsStar(pairs, maxIter = 25,
+        onRound = Some((r, s, p) => { st += Round(r, s, p); () }))
+        .as[(Long, Long)].collect().toMap
+    }
     assert(stLabels === mlLabels, "both algorithms must label identically")
     assert(mlLabels.values.toSet.size === 3, "hubA+hubB merged, hubC, chain")
 
     val mlTotal = ml.map(_.shuffledRows).sum
     val stTotal = st.map(_.shuffledRows).sum
-    info(s"min-label: rounds=${ml.size} perRound=${ml.head.shuffledRows} " +
-      s"total=$mlTotal changed=${ml.map(_.progress).mkString(",")}")
-    info(s"star: rounds=${st.size} total=$stTotal " +
+    info(s"min-label: rounds=${ml.size} perRoundEstimate=${ml.head.shuffledRows} " +
+      s"analyticTotal=$mlTotal MEASURED=$mlMeasured " +
+      s"changed=${ml.map(_.progress).mkString(",")}")
+    info(s"star: rounds=${st.size} analyticTotal=$stTotal MEASURED=$stMeasured " +
       s"volumes=${st.map(_.shuffledRows).mkString(",")} " +
       s"edges=${st.map(_.progress).mkString(",")}")
-    // the structural claims behind §3 rule 10 (round-10 numbers):
-    // 1. min-label's per-round exchange is flat at 3V — the captured
-    //    layout parks the edge list, so only the label table (twice)
-    //    and the neighbor-min trickle move; E appears nowhere
-    assert(ml.map(_.shuffledRows).distinct.size === 1)
+    // the structural claims behind §3 rule 10:
+    // 1. the probe's per-round label is the ANALYTIC estimate 3V (flat
+    //    by construction — asserting it against the formula would be
+    //    circular, so no such assertion); what IS asserted: the
+    //    MEASURED whole-run volume stays within the analytic model's
+    //    ballpark (per-round joins/aggs + the one-time layout cost,
+    //    bounded here by 4 model units), i.e. nothing edge-sized
+    //    secretly moves per round
     val mlPerRound = ml.head.shuffledRows
-    assert(mlPerRound === 3L * mlLabels.size,
-      s"min-label per-round volume must be 3V, got $mlPerRound for V=${mlLabels.size}")
+    assert(mlMeasured < 4L * (mlTotal + 3 * pairs.count()),
+      s"measured min-label shuffle $mlMeasured blows past the analytic " +
+        s"model ($mlTotal + one-time layout) — something edge-sized is " +
+        "moving per round")
     // 2. star contraction's edge set shrinks to the star fixpoint
     //    (|V| - C edges) and sheds the redundant pair edges within two
     //    rounds; the per-round volume sequence never grows
@@ -191,17 +229,44 @@ class ConnectedComponentsSpec extends SparkSpec {
     //    O(log diameter) — the 512-chain keeps them in single digits+
     assert(ml.size <= 12 && st.size <= 12,
       s"512-chain must converge in O(log d) rounds (ml=${ml.size}, st=${st.size})")
-    // 4. the measured round-10 crossover: with the edge list parked,
-    //    min-label's 3V rounds undercut star's decaying edge re-ships
-    //    even on this hub-dominated graph — star's remaining regime is
-    //    per-NODE state pressure and AQE-skew-splittable rounds
-    //    (§3 rule 10's updated guidance)
-    assert(mlTotal < stTotal,
-      s"co-located min-label ($mlTotal) must undercut star ($stTotal) here")
     // ...while star's early rounds carry the E-sized canonicalization
-    // cost min-label no longer pays anywhere
+    // cost min-label's parked layout never pays per round
     assert(stVols.head > mlPerRound,
       "star's first round carries the E-sized cost")
+    // 4. the MEASURED verdict (round 11 — this REVERSES round 10's
+    //    'min-label total undercuts star' guidance, which rested on
+    //    the circular 3V probe label; real task metrics refute it):
+    //    star contraction is CHEAPER end to end on this redundant-pair
+    //    power-law graph at BOTH densities — measured ml ≈ 1.05M vs
+    //    star ≈ 0.65M records at redundancy 3, ×1.32 vs ×1.27 growth
+    //    at redundancy 9. Two causes the analytic model missed:
+    //    star's round-0 distinct() absorbs redundant pairs as cheaply
+    //    as min-label's one-time layout, and min-label's neighbor-min
+    //    partials multiply with the partition count (~5V/round here,
+    //    not ≤V). Min-label's surviving property is BOUNDEDNESS, not
+    //    cheapness: per-round volume is flat and edge-independent
+    //    (assertion 1), where star's early rounds spike with E.
+    val pairs3x = buildPairs(9) // same V, ~3x the redundant pairs
+    val ml3x = measuredShuffleRows {
+      Dedup.connectedComponents(pairs3x, maxIter = 20,
+        localEdgeThreshold = 0L).count()
+    }
+    val st3x = measuredShuffleRows {
+      Dedup.connectedComponentsStar(pairs3x, maxIter = 25).count()
+    }
+    val mlGrowth = ml3x.toDouble / mlMeasured
+    val stGrowth = st3x.toDouble / stMeasured
+    info(s"3x density: min-label $mlMeasured -> $ml3x (x$mlGrowth), " +
+      s"star $stMeasured -> $st3x (x$stGrowth)")
+    assert(stMeasured < mlMeasured,
+      s"§3 rule 10 rests on this measurement: star (measured $stMeasured) " +
+        s"beat min-label (measured $mlMeasured) at redundancy 3 — if this " +
+        "flips, update the guidance again")
+    assert(st3x < ml3x,
+      s"...and at redundancy 9 (star $st3x vs min-label $ml3x)")
+    assert(mlGrowth < 1.6,
+      s"with edges parked, 3x redundant pairs may only add the one-time " +
+        s"layout cost, got x$mlGrowth")
   }
 
   test("matches a union-find ground truth on real near-dup pairs") {
