@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.SimilarityPack,
     graft.queries.MultimodalPack,
     graft.queries.StatsPack,
-    graft.queries.AnalyticsPack
+    graft.queries.AnalyticsPack,
+    graft.queries.GraphPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Graph topology pack (round 11) — the two classic MapReduce graph
+  * kernels the pagerank/CC family doesn't cover: triangle counting
+  * (clustering-coefficient numerator, community-density readout) and
+  * multi-source BFS (reachability / hop-distance profile).
+  *
+  * Determinism (SURVEY §4): both kernels are pure integer counting over
+  * integer node ids — no float exists anywhere, so results are exact in
+  * any engine and any partition order.
+  */
+object GraphPack extends QueryPack {
+
+  /** Distinct co-purchase edges: parts appearing in the same order,
+    * canonicalized u < v. The pair generator is a SELF-JOIN ON THE
+    * ORDER KEY — co-partitioned, and per-order baskets are tiny
+    * (TPC-H-ish ≤ 7 lineitems), so pairs-per-key is C(basket,2) ≈ 21
+    * max: bounded fan-out by construction, the same blocked-pair
+    * discipline as the dedup pack (§3 rule 3). A pathological mega-
+    * basket upstream would need a basket cap before the self-join —
+    * the cap is a filter on a pre-counted `count(*) OVER order`, noted
+    * here rather than built because the schema bounds baskets. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+  }
+
+  /** Triangle counting over the part co-purchase graph — the
+    * degree-ordered node-iterator algorithm (Schank 2007; the MapReduce
+    * formulation is Suri & Vassilvitskii, WWW 2011): orient every
+    * undirected edge from its lower-(degree, id) endpoint to its
+    * higher one, enumerate wedges only from each node's OUT-edges, and
+    * close each wedge against the oriented edge set. Orientation is
+    * what makes this scale: out-degree under the total order
+    * (deg, id) is O(√E) for any graph, so the wedge table — the only
+    * intermediate bigger than the edge list — is Σ C(outdeg, 2) ≤
+    * O(E^1.5) instead of the un-oriented Σ C(deg, 2), which a single
+    * hub node can blow to deg² (a 1e6-degree hub = 5e11 wedges
+    * un-oriented vs ≤ E oriented). Every triangle is counted exactly
+    * once (its (deg,id)-minimal vertex owns it). All joins are
+    * equi-joins on node ids; per-node participation comes from
+    * exploding each triangle's 3 corners into a hash agg. Output:
+    * top-20 parts by triangle participation (tie-break id asc) plus
+    * the global triangle count on every row. */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val und = copurchaseEdges(s, d)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val du = deg.select(col("node").as("u"), col("dg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("dg").as("dv"))
+    val swap = struct(col("dv"), col("v")) < struct(col("du"), col("u"))
+    val dir = und.join(du, "u").join(dv, "v")
+      .select(when(swap, col("v")).otherwise(col("u")).as("f"),
+        when(swap, col("u")).otherwise(col("v")).as("t"))
+    val dird = dir.join(deg.select(col("node").as("t"), col("dg").as("td")), "t")
+      .select("f", "t", "td")
+    val wedges = dird.as("e1").join(dird.as("e2"),
+        col("e1.f") === col("e2.f") &&
+          struct(col("e1.td"), col("e1.t")) < struct(col("e2.td"), col("e2.t")))
+      .select(col("e1.f").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    val tri = wedges.join(dir,
+        wedges("b") === dir("f") && wedges("c") === dir("t"))
+      .select("a", "b", "c")
+    val perNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    val total = tri.agg(count(lit(1)).as("total_tri"))
+    // top-20 via sort+limit (TakeOrderedAndProject), never a global
+    // window; the rank window then orders 20 rows. total_tri is a
+    // whitelisted 1-row broadcast.
+    perNode.orderBy(col("tri").desc, col("node")).limit(20)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("tri").desc, col("node"))))
+      .crossJoin(broadcast(total))
+      .select(col("rk").cast("int").as("rk"), col("node").as("l_partkey"),
+        col("tri"), col("total_tri"))
+  }
+
+  /** Multi-source BFS over the bipartite part↔supplier graph (tagged-
+    * long node ids, `pagerankPlan`'s encoding): hop-distance profile
+    * from the seed set {parts with key ≤ 2}. Each round is one
+    * co-partitioned frontier⋈edges expansion + one anti-join against
+    * the visited set — the frontier/visited tables are node-sized and
+    * re-materialized per round via the checkpoint seam (lineage stays
+    * constant-size; strategy Local here, Reliable(dir) in production —
+    * Checkpointing.scala). Output is the hop histogram (dist →
+    * n_nodes) with the not-reached remainder as dist = −1: the
+    * connectivity audit run before trusting any propagation result on
+    * a new graph snapshot. */
+  private def reach(s: SparkSession, d: String, rounds: Int = 4,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e0 = lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk")).distinct()
+      val edges = ckpt(e0.select(
+          (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(e0.select(
+          (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+        .repartition(col("src")))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var frontier = ckpt(nodes
+        .filter(col("node") % 2 === 0 && expr("node div 2") <= 2)
+        .repartition(col("node")))
+      var visited = frontier.withColumn("dist", lit(0))
+      for (r <- 1 to rounds) {
+        val next = ckpt(edges
+          .join(frontier, edges("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .repartition(col("node")))
+        visited = visited.union(next.withColumn("dist", lit(r)))
+        frontier = next
+      }
+      val vd = ckpt(visited)
+      val unreached = nodes
+        .join(vd.select("node"), Seq("node"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(-1).as("dist"), col("n_nodes"))
+      vd.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .unionByName(unreached.filter(col("n_nodes") > 0))
+        .select(col("dist").cast("int").as("dist"), col("n_nodes"))
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangles" -> ((s, d) => triangles(s, d)),
+    "q_reach" -> ((s, d) => reach(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, count(*) AS dg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |dir AS (SELECT
+        |    CASE WHEN (dv.dg, v) < (du.dg, u) THEN v ELSE u END AS f,
+        |    CASE WHEN (dv.dg, v) < (du.dg, u) THEN u ELSE v END AS t
+        |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        |dird AS (SELECT f, t, deg.dg AS td FROM dir JOIN deg ON deg.node = t),
+        |tri AS (SELECT e1.f AS a, e1.t AS b, e2.t AS c
+        |  FROM dird e1 JOIN dird e2
+        |    ON e1.f = e2.f AND (e1.td, e1.t) < (e2.td, e2.t)
+        |  JOIN dir e3 ON e3.f = e1.t AND e3.t = e2.t),
+        |pern AS (SELECT node, count(*) AS tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |top AS (SELECT node, tri FROM pern ORDER BY tri DESC, node LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY tri DESC, node) AS INT) AS rk,
+        |  node AS l_partkey, tri, (SELECT count(*) FROM tri) AS total_tri
+        |FROM top""".stripMargin,
+
+    "q_reach" -> {
+      val rounds = 4
+      val steps = (1 to rounds).map { r =>
+        s"""f$r AS (SELECT DISTINCT e.dst AS node FROM edges e
+           |  JOIN f${r - 1} ON e.src = f${r - 1}.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM l${r - 1} v
+           |                    WHERE v.node = e.dst)),
+           |l$r AS (SELECT node, dist FROM l${r - 1}
+           |  UNION ALL SELECT node, $r FROM f$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+         |    FROM lineitem),
+         |edges AS (SELECT p * 2 AS src, sk * 2 + 1 AS dst FROM e0
+         |  UNION ALL SELECT sk * 2 + 1, p * 2 FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |f0 AS (SELECT node FROM nodes WHERE node % 2 = 0 AND node // 2 <= 2),
+         |l0 AS (SELECT node, 0 AS dist FROM f0),
+         |$steps,
+         |hist AS (SELECT CAST(dist AS INT) AS dist, count(*) AS n_nodes
+         |  FROM l$rounds GROUP BY 1
+         |  UNION ALL
+         |  SELECT -1, count(*) FROM nodes n
+         |  WHERE NOT EXISTS (SELECT 1 FROM l$rounds v WHERE v.node = n.node)
+         |  HAVING count(*) > 0)
+         |SELECT dist, n_nodes FROM hist""".stripMargin
+    }
+  )
+}
