@@ -51,7 +51,26 @@ object GraphPack extends QueryPack {
     * top-20 parts by triangle participation (tie-break id asc) plus
     * the global triangle count on every row. */
   private def triangles(s: SparkSession, d: String): DataFrame = {
-    val und = copurchaseEdges(s, d)
+    val perNode = perNodeTriangles(copurchaseEdges(s, d))
+    // total derives from the per-node counts (each triangle contributes
+    // exactly 3 corner rows) — the wedge join runs ONCE; a separate
+    // count over `tri` would re-enumerate it. Whitelisted 1-row
+    // broadcast.
+    val total = perNode.agg(expr("sum(tri) div 3").as("total_tri"))
+    // top-20 via sort+limit (TakeOrderedAndProject), never a global
+    // window; the rank window then orders 20 rows.
+    perNode.orderBy(col("tri").desc, col("node")).limit(20)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("tri").desc, col("node"))))
+      .crossJoin(broadcast(total))
+      .select(col("rk").cast("int").as("rk"), col("node").as("l_partkey"),
+        col("tri"), col("total_tri"))
+  }
+
+  /** Per-node triangle participation counts over an undirected edge
+    * set (`u` < `v`, distinct). Public to the test JVM so the spec can
+    * gate the kernel against brute-force enumeration on hand graphs. */
+  private[graft] def perNodeTriangles(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -70,20 +89,10 @@ object GraphPack extends QueryPack {
     val tri = wedges.join(dir,
         wedges("b") === dir("f") && wedges("c") === dir("t"))
       .select("a", "b", "c")
-    val perNode = tri.select(col("a").as("node"))
+    tri.select(col("a").as("node"))
       .union(tri.select(col("b").as("node")))
       .union(tri.select(col("c").as("node")))
       .groupBy("node").agg(count(lit(1)).as("tri"))
-    val total = tri.agg(count(lit(1)).as("total_tri"))
-    // top-20 via sort+limit (TakeOrderedAndProject), never a global
-    // window; the rank window then orders 20 rows. total_tri is a
-    // whitelisted 1-row broadcast.
-    perNode.orderBy(col("tri").desc, col("node")).limit(20)
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("tri").desc, col("node"))))
-      .crossJoin(broadcast(total))
-      .select(col("rk").cast("int").as("rk"), col("node").as("l_partkey"),
-        col("tri"), col("total_tri"))
   }
 
   /** Multi-source BFS over the bipartite part↔supplier graph (tagged-
@@ -163,7 +172,8 @@ object GraphPack extends QueryPack {
         |    UNION ALL SELECT c FROM tri) GROUP BY 1),
         |top AS (SELECT node, tri FROM pern ORDER BY tri DESC, node LIMIT 20)
         |SELECT CAST(row_number() OVER (ORDER BY tri DESC, node) AS INT) AS rk,
-        |  node AS l_partkey, tri, (SELECT count(*) FROM tri) AS total_tri
+        |  node AS l_partkey, tri,
+        |  (SELECT CAST(sum(tri) // 3 AS BIGINT) FROM pern) AS total_tri
         |FROM top""".stripMargin,
 
     "q_reach" -> {

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.GraphPack
+
+/** Graph kernels: triangle counting vs brute force, BFS vs a
+  * driver-side reference walk. */
+class GraphPackSpec extends SparkSpec {
+  private val s = TestSession.spark
+  import s.implicits._
+
+  test("perNodeTriangles matches brute-force enumeration on a hand graph") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + a pendant 5-1 +
+    // a disjoint triangle {6,7,8} + an isolated edge 9-10
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (6L, 7L), (6L, 8L), (7L, 8L), (9L, 10L)
+    ).toDF("u", "v")
+    val got = GraphPack.perNodeTriangles(edges)
+      .as[(Long, Long)].collect().toMap
+    val es = edges.as[(Long, Long)].collect().toSet
+    def adj(a: Long, b: Long) = es.contains((a min b, a max b))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = (for {
+      a <- nodes; b <- nodes if a < b && adj(a, b)
+      c <- nodes if b < c && adj(b, c) && adj(a, c)
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === brute)
+    assert(got.values.sum / 3 === 5L) // 4 in K4 + 1 disjoint
+  }
+
+  test("perNodeTriangles on a hub star is wedge-bounded (zero triangles)") {
+    // star K1,50: un-oriented wedge count at the hub is C(50,2); the
+    // oriented kernel must still return an EMPTY result (no triangles)
+    val star = (1 to 50).map(i => (0L, i.toLong)).toDF("u", "v")
+    assert(GraphPack.perNodeTriangles(star).count() === 0L)
+  }
+
+  test("q_triangles top-20 agrees with recount on sf0.001") {
+    val df = SparkEntry.queries("q_triangles")(s, sfDir).collect()
+    assert(df.length === 20)
+    val total = df.head.getAs[Long]("total_tri")
+    assert(df.forall(_.getAs[Long]("total_tri") === total))
+    assert(total > 0)
+    // ranks are 1..20 and tri non-increasing
+    val tris = df.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("tri"))
+    assert(tris.zip(tris.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_reach hop histogram matches a driver-side reference BFS") {
+    val got = SparkEntry.queries("q_reach")(s, sfDir)
+      .as[(Int, Long)].collect().toMap
+    // reference BFS over the same bipartite graph, driver-side
+    val ps = Tables.lineitem(s, sfDir)
+      .select(col("l_partkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, List[Long]]()
+      .withDefaultValue(Nil)
+    ps.foreach { case (p, sk) =>
+      adj(p * 2) ::= sk * 2 + 1; adj(sk * 2 + 1) ::= p * 2
+    }
+    val dist = scala.collection.mutable.Map[Long, Int]()
+    var frontier = adj.keys.filter(n => n % 2 == 0 && n / 2 <= 2).toSet
+    frontier.foreach(dist(_) = 0)
+    for (r <- 1 to 4) {
+      frontier = frontier.flatMap(adj).filterNot(dist.contains)
+      frontier.foreach(dist(_) = r)
+    }
+    val expect = dist.values.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong
+    } ++ {
+      val unreached = adj.size - dist.size
+      if (unreached > 0) Map(-1 -> unreached.toLong) else Map.empty
+    }
+    assert(got === expect)
+  }
+}
