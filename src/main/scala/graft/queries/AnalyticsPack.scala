@@ -157,9 +157,99 @@ object AnalyticsPack extends QueryPack {
       .toMap
   }
 
+  /** Shared daily event-count series with the floor-corrected day
+    * bucketing (`ewmaDaily`'s idiom — calendar-correct pre-1970). */
+  private def dailyCounts(ev: DataFrame): DataFrame = ev
+    .select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000 + " +
+        "(case when unix_micros(ts) % 86400000000 < 0 then -1 else 0 end)")
+        .as("day"))
+    .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_pagerank" -> ((s, d) => pagerankPlan(s, d, 3)),
+
+    // Autocorrelation function (lags 1..7) of the daily event-count
+    // series per type — the periodicity detector (a weekly cycle shows
+    // as a lag-7 peak) run before trusting any trend/anomaly readout.
+    // The series is mean-centered WITHOUT leaving integers: with nd
+    // days and total sn, the centered value is c_t = nd·n_t − sn
+    // (= nd² × the usual (n_t − mean)), and the nd² factor cancels in
+    // r_k = Σc_t·c_{t−k} / Σc_t² — so every sum is an exact BIGINT in
+    // any partition order and the only float op is the final division
+    // (float ACF is association-dependent). One hash agg to days, one
+    // partitioned window pass for the 7 lags, one k-row agg; series
+    // length is bounded by the time range, never event count. At a
+    // 1e9-events/day × decade regime the BIGINT products approach
+    // overflow — the documented swap is DECIMAL(38) accumulation, the
+    // embed_dimstats trade.
+    "q_acf" -> ((s, d) => {
+      val daily = dailyCounts(events(s, d))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum("n").as("sn"))
+      val c = daily.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("day"),
+          (col("nd") * col("n") - col("sn")).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = (1 to 7).foldLeft(c)((df, k) =>
+        df.withColumn(s"c$k", lag(col("c"), k).over(w)))
+      val aggs = sum(col("c") * col("c")).as("den") +:
+        (1 to 7).map(k => sum(when(col(s"c$k").isNotNull,
+          col("c") * col(s"c$k")).otherwise(lit(0L))).as(s"num$k"))
+      lagged.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+        .where(col("den") > 0)
+        .select(col("event_type"), explode(array((1 to 7).map(k =>
+          struct(lit(k).as("lg"), col(s"num$k").as("num"))): _*)).as("t"),
+          col("den"))
+        .select(col("event_type"), col("t.lg").cast("int").as("lag"),
+          round(col("t.num").cast("double") / col("den"), 4).as("r"))
+    }),
+
+    // Theil–Sen robust trend (median of pairwise slopes) of the daily
+    // count series per type — the outlier-immune alternative to
+    // q_ols's least-squares slope (one wild day moves OLS, not the
+    // median slope). Slopes are quantized to integer 1e-6 units with
+    // truncating integer division (Spark `div` and DuckDB `//` agree:
+    // both truncate toward zero), so the median interpolates between
+    // INTEGERS — exact dyadic midpoints, the q_anomaly idiom. The
+    // pairwise self-join runs on the DAILY table (the raw stream is
+    // reduced first): O(days²) pairs per type, bounded by the time
+    // range squared — 3650 days = 6.7M pairs — never by event count.
+    "q_theilsen" -> ((s, d) => {
+      val daily = dailyCounts(events(s, d))
+      daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          (col("b.n") - col("a.n")).as("dn"),
+          (col("b.day") - col("a.day")).as("dd"))
+        .select(col("event_type"), expr("(1000000 * dn) div dd").as("sq"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"), expr("percentile(sq, 0.5)").as("m"))
+        .select(col("event_type"), col("n_pairs"),
+          round(col("m") / 1e6, 6).as("slope"))
+    }),
+
+    // Day-of-week seasonal profile per event type: the seasonal index
+    // 7·n_dow/total (1.0 = flat week) — the calendar-cycle readout
+    // feeding capacity planning and the seasonality-adjustment step of
+    // any daily monitor. Day-of-week derives from the epoch-day
+    // INTEGER ((day+3) mod 7, Monday=0, non-negative mod both engines)
+    // — never from engine date functions, whose week conventions
+    // (Sunday=0 vs 1, locale) differ. One scan-side hash agg to
+    // (type, dow) partials; totals are a k-row broadcast back.
+    "q_seasonality" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type"),
+        expr("pmod(unix_micros(ts) div 86400000000 + " +
+          "(case when unix_micros(ts) % 86400000000 < 0 then -1 else 0 end)" +
+          " + 3, 7)").as("dow"))
+      val counts = e.groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy("event_type").agg(sum("n").as("t"))
+      counts.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow").cast("int").as("dow"), col("n"),
+          round(lit(7.0) * col("n") / col("t"), 4).as("idx"))
+    }),
 
     // Deeper replay of the same integer Pregel loop: 8 rounds, far
     // enough for the damped ranks to differentiate hubs from leaves.
@@ -340,6 +430,60 @@ object AnalyticsPack extends QueryPack {
            |  round(CAST($num AS DOUBLE) / ($den) / 10000.0, 4) AS ewma
            |FROM lagd""".stripMargin
       },
+
+      "q_acf" -> {
+        val lags = (1 to 7).map(j => s"lag(c, $j) OVER w AS c$j").mkString(",\n|    ")
+        val nums = (1 to 7).map(j =>
+          s"CAST(sum(CASE WHEN c$j IS NULL THEN 0 ELSE c * c$j END) AS BIGINT) AS num$j")
+          .mkString(",\n|    ")
+        val rows = (1 to 7).map(j =>
+          s"SELECT event_type, CAST($j AS INT) AS lag," +
+            s" round(CAST(num$j AS DOUBLE) / den, 4) AS r FROM a WHERE den > 0")
+          .mkString("\n|UNION ALL ")
+        s"""WITH ev AS (SELECT event_type,
+           |    epoch_us(ts) // 86400000000 + (CASE WHEN
+           |      epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END) AS day
+           |  FROM events),
+           |daily AS (SELECT event_type, day, count(*) AS n FROM ev GROUP BY 1, 2),
+           |tot AS (SELECT event_type, count(*) AS nd, CAST(sum(n) AS BIGINT) AS sn
+           |  FROM daily GROUP BY 1),
+           |c AS (SELECT event_type, day, CAST(nd * n - sn AS BIGINT) AS c
+           |  FROM daily JOIN tot USING (event_type)),
+           |lagd AS (SELECT event_type, c,
+           |    $lags
+           |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+           |a AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS den,
+           |    $nums
+           |  FROM lagd GROUP BY 1)
+           |$rows""".stripMargin
+      },
+
+      "q_theilsen" ->
+        """WITH ev AS (SELECT event_type,
+          |    epoch_us(ts) // 86400000000 + (CASE WHEN
+          |      epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END) AS day
+          |  FROM events),
+          |daily AS (SELECT event_type, day, count(*) AS n FROM ev GROUP BY 1, 2),
+          |p AS (SELECT a.event_type,
+          |    CAST((1000000 * (b.n - a.n)) // (b.day - a.day) AS BIGINT) AS sq
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type AND a.day < b.day)
+          |SELECT event_type, count(*) AS n_pairs,
+          |  round(quantile_cont(sq, 0.5) / 1e6, 6) AS slope
+          |FROM p GROUP BY 1""".stripMargin,
+
+      "q_seasonality" ->
+        """WITH ev AS (SELECT event_type,
+          |    ((epoch_us(ts) // 86400000000 + (CASE WHEN
+          |      epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END) + 3)
+          |      % 7 + 7) % 7 AS dow
+          |  FROM events),
+          |counts AS (SELECT event_type, dow, count(*) AS n FROM ev GROUP BY 1, 2),
+          |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+          |  FROM counts GROUP BY 1)
+          |SELECT event_type, CAST(dow AS INT) AS dow, n,
+          |  round(7.0 * n / t, 4) AS idx
+          |FROM counts JOIN tot USING (event_type)""".stripMargin,
 
       "q_anomaly" ->
         """WITH ev AS (SELECT event_id, event_type, value,
