@@ -28,6 +28,12 @@ object Clustering extends QueryPack {
     * instead of silently hash-mismatching in the driver. */
   val LloydConvergedItersSf001 = 14
 
+  /** DBSCAN parameters: chosen so sf0.01 shows real structure (≈200
+    * cores in ≈17 clusters, ≈290 border/noise — not one blob, not all
+    * noise). */
+  val DbscanEps = 0.02
+  val DbscanMinPts = 5
+
   /** Deterministic seed centroids: points with id < K, cid = id. */
   def seedCentroids(points: DataFrame): Seq[Centroid] =
     points.filter(col("id") < K).collect()
@@ -52,7 +58,74 @@ object Clustering extends QueryPack {
       |      ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
       |  FROM pts p CROSS JOIN cent c) WHERE rn = 1""".stripMargin
 
+  /** Grid-blocked DBSCAN (Ester et al. 1996) over 2-D points — the
+    * density-based complement to the k-means family: finds arbitrarily
+    * shaped clusters and a NOISE class, with no k to choose. The
+    * neighbor search is the blocked-pair discipline (§3 rule 3): cell
+    * side = eps, each point probes only its 3×3 cell neighborhood
+    * (|Δx| ≤ eps ⇒ adjacent cells), so candidate pairs are bounded by
+    * local density × 9 — never n². A pathologically dense cell floods
+    * C(cell, 2) like any hot block; the mitigation is the dedup pack's
+    * block cap / salting, not a different algorithm. Core points
+    * (≥ minPts within eps, self included) cluster via the GATED
+    * connected-components operator over core-core eps-edges
+    * (cluster id = min core id — deterministic); border points take
+    * the min cluster among their adjacent cores; the rest is noise.
+    * Distances compare as (dx²+dy²) ≤ eps² with identical double
+    * arithmetic in both engines. Output: per point (id, n_nb, role,
+    * cluster). */
+  private[graft] def dbscanGrid(points: DataFrame, eps: Double = DbscanEps,
+      minPts: Int = DbscanMinPts): DataFrame = {
+    val offs = Seq(-1L, 0L, 1L)
+    val p = points.select(col("id"), col("x"), col("y"),
+      floor(col("x") / eps).cast("long").as("cx"),
+      floor(col("y") / eps).cast("long").as("cy"))
+    val probes = p.select(col("id").as("ib"), col("x").as("xb"),
+        col("y").as("yb"),
+        explode(array(offs.flatMap(dx => offs.map(dy =>
+          struct((col("cx") + dx).as("px"), (col("cy") + dy).as("py"))))
+          : _*)).as("c"))
+      .select(col("ib"), col("xb"), col("yb"), col("c.px"), col("c.py"))
+    val dx = col("x") - col("xb")
+    val dy = col("y") - col("yb")
+    // materialized once: the pair set feeds the count, the core-core
+    // edge set, and the border adjacency
+    val nbp = p.join(probes,
+        col("cx") === col("px") && col("cy") === col("py") &&
+          col("id") =!= col("ib"))
+      .where(dx * dx + dy * dy <= lit(eps * eps))
+      .select(col("id").as("ia"), col("ib"))
+      .localCheckpoint(true)
+    val nb = p.select("id")
+      .join(nbp.groupBy(col("ia").as("id")).agg(count(lit(1)).as("nn")),
+        Seq("id"), "left")
+      .select(col("id"), (coalesce(col("nn"), lit(0L)) + 1).as("n_nb"))
+    val core = nb.where(col("n_nb") >= minPts).select("id")
+    val coreEdges = nbp
+      .join(core.select(col("id").as("ia")), "ia")
+      .join(core.select(col("id").as("ib")), "ib")
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+    val cc = graft.operators.Dedup.connectedComponents(coreEdges)
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val coreCl = core
+      .join(cc.withColumnRenamed("doc_id", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("ccl"))
+    val adjCore = nbp
+      .join(coreCl.select(col("id").as("ib"), col("ccl")), "ib")
+      .groupBy(col("ia").as("id")).agg(min("ccl").as("bcl"))
+    nb.join(coreCl, Seq("id"), "left")
+      .join(adjCore, Seq("id"), "left")
+      .select(col("id"), col("n_nb"),
+        when(col("ccl").isNotNull, lit("core"))
+          .when(col("bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("ccl"), col("bcl"), lit(-1L)).as("cluster"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dbscan_grid" -> ((s, d) => dbscanGrid(pts(s, d))),
+
     "km_assign" -> ((s, d) => {
       val p = pts(s, d)
       KMeansDF.assign(p, seedCentroids(p)).select("id", "cid")
@@ -353,6 +426,37 @@ object Clustering extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // Brute-force n² neighbor pairs (the oracle checks SEMANTICS, not
+    // plan shape — the Spark side's cell blocking must agree with the
+    // unblocked ground truth, which also proves no pair is lost at a
+    // cell boundary) + recursive-CTE min-label closure over core-core
+    // edges, the same min-id cluster convention as the gated CC
+    // operator. eps/eps² literals interpolate from the SAME Scala
+    // constants the Spark plan uses, so both engines compare identical
+    // doubles.
+    "dbscan_grid" ->
+      s"""WITH RECURSIVE pts AS ($ptsSql),
+         |nbp AS (SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+         |  ON a.id <> b.id
+         |  AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= ${DbscanEps * DbscanEps}),
+         |nb AS (SELECT id, coalesce(n, 0) + 1 AS n_nb FROM pts
+         |  LEFT JOIN (SELECT ia, count(*) AS n FROM nbp GROUP BY 1) ON id = ia),
+         |core AS (SELECT id FROM nb WHERE n_nb >= $DbscanMinPts),
+         |ce AS (SELECT ia AS a, ib AS b FROM nbp
+         |  WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+         |lab AS (SELECT id, id AS label FROM core
+         |  UNION SELECT ce.b, lab.label FROM lab JOIN ce ON ce.a = lab.id),
+         |cl AS (SELECT id, min(label) AS ccl FROM lab GROUP BY 1),
+         |adj AS (SELECT nbp.ia AS id, min(cl.ccl) AS bcl FROM nbp
+         |  JOIN cl ON nbp.ib = cl.id GROUP BY 1)
+         |SELECT nb.id, nb.n_nb,
+         |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+         |       WHEN adj.bcl IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  coalesce(cl.ccl, adj.bcl, -1) AS cluster
+         |FROM nb LEFT JOIN cl ON nb.id = cl.id
+         |  LEFT JOIN adj ON nb.id = adj.id""".stripMargin,
+
     "km_farthest_init" ->
       s"""WITH pts AS ($ptsSql),
          |c0 AS (SELECT id, x, y FROM pts ORDER BY id LIMIT 1),

@@ -1,0 +1,67 @@
+package graft
+
+import graft.queries.Clustering
+
+/** Grid-blocked DBSCAN vs hand-computed ground truth. */
+class DbscanSpec extends SparkSpec {
+  private val s = TestSession.spark
+  import s.implicits._
+
+  private def run(pts: Seq[(Long, Double, Double)], eps: Double, minPts: Int) =
+    Clustering.dbscanGrid(pts.toDF("id", "x", "y"), eps, minPts)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("two blobs + noise: roles and min-id cluster labels") {
+    // blob A: 5 points within eps=1 of each other around (0,0);
+    // blob B: 5 points around (10,10); one far-away noise point
+    val a = Seq((1L, 0.0, 0.0), (2L, 0.5, 0.0), (3L, 0.0, 0.5),
+      (4L, -0.5, 0.0), (5L, 0.0, -0.5))
+    val b = Seq((11L, 10.0, 10.0), (12L, 10.5, 10.0), (13L, 10.0, 10.5),
+      (14L, 9.5, 10.0), (15L, 10.0, 9.5))
+    val noise = Seq((99L, 50.0, 50.0))
+    val got = run(a ++ b ++ noise, eps = 1.0, minPts = 4)
+    // centers see all 5 blob-mates; arms see center + 2 adjacent arms
+    // (dist 1.0 > diag 0.707... arms at (0.5,0)&(0,0.5) are 0.707 apart,
+    // (0.5,0)&(-0.5,0) are 1.0 apart => each arm sees all blob-mates
+    // within eps=1.0 except none excluded -> all 5 are core
+    a.map(_._1).foreach(id => assert(got(id)._2 === "core", s"id $id"))
+    b.map(_._1).foreach(id => assert(got(id)._2 === "core", s"id $id"))
+    assert(got(99L) === ((1L, "noise", -1L)))
+    a.map(_._1).foreach(id => assert(got(id)._3 === 1L))
+    b.map(_._1).foreach(id => assert(got(id)._3 === 11L))
+  }
+
+  test("border point attaches to its core's cluster; pair across a cell boundary survives") {
+    // core cluster {1,2,3,4} tightly packed just LEFT of the x=1.0 cell
+    // boundary (eps=1 => cells are unit squares); border point 5 sits
+    // just RIGHT of the boundary, within eps of core 2 but with only
+    // 2 neighbors itself
+    val pts = Seq(
+      (1L, 0.6, 0.5), (2L, 0.9, 0.5), (3L, 0.6, 0.6), (4L, 0.75, 0.4),
+      (5L, 1.8, 0.5)) // within eps only of core 2 (0.9) => 2 neighbors
+    val got = run(pts, eps = 1.0, minPts = 4)
+    assert(got(2L)._2 === "core")
+    assert(got(5L)._2 === "border", s"got ${got(5L)}")
+    assert(got(5L)._3 === 1L)
+  }
+
+  test("sf0.001 roles partition the point set and clusters are min-id-labeled") {
+    val rows = SparkEntry.queries("dbscan_grid")(s, sfDir)
+      .as[(Long, Long, String, Long)].collect()
+    assert(rows.length === Tables.points2d(s, sfDir).count())
+    rows.foreach { case (id, n, role, cl) =>
+      assert(n >= 1)
+      role match {
+        case "core" => assert(cl >= 0 && cl <= id)
+        case "border" => assert(cl >= 0)
+        case "noise" => assert(cl === -1L)
+        case other => fail(s"unknown role $other")
+      }
+    }
+    // every cluster label is itself a core point's id in that cluster
+    val coreIds = rows.filter(_._3 == "core")
+    val labels = coreIds.map(_._4).toSet
+    assert(labels.subsetOf(coreIds.map(_._1).toSet))
+  }
+}
