@@ -409,8 +409,70 @@ object StatsPack extends QueryPack {
             .as("n_rows_at_risk"),
           min("gsize").as("min_gsize"))
         .withColumn("k", lit(k.toLong))
+    }),
+
+    // l-diversity audit (round 11) — k-anonymity's necessary
+    // companion: a QI group can be k-large yet reveal everyone's
+    // sensitive value if the group is sensitive-homogeneous. Per
+    // (nation, segment) QI group: size, count of DISTINCT sensitive
+    // values (account-balance band), and the at-risk flag
+    // (distinct < l). Two hash aggs; output bounded by the QI domain,
+    // never rows — same scale shape as q_k_anon.
+    "q_l_diversity" -> ((s, d) => {
+      val l = 3
+      customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("gsize"),
+          countDistinct("band").as("n_sens"))
+        .withColumn("l", lit(l.toLong))
+        .withColumn("at_risk", col("n_sens") < l)
+    }),
+
+    // Differentially-private count release (round 11) — the geometric
+    // mechanism (Ghosh–Roughgarden–Sundararajan 2009): per-nation
+    // customer counts + two-sided-geometric noise, the DISCRETE
+    // Laplace that makes ε-DP exact on integers. The draw is the
+    // shared 16-bit md5 idiom (u16 of 'dp:'||key) compared against
+    // inverse-CDF THRESHOLD LITERALS computed once in Scala and
+    // inlined into BOTH plans (the ann codebook trick) — noise is
+    // pure integer branching, bit-identical in any engine; no ln/exp
+    // ever evaluates inside either engine. Per-row column math over a
+    // k-row aggregate; released value clamps at 0. (The md5 draw
+    // makes the release REPLAYABLE for the gate; a production release
+    // would swap in a secret seed — same plan, different literal.)
+    "q_dp_count" -> ((s, d) => {
+      val noise = dpNoiseThresholds // (threshold, k) ascending
+      val u = expr("conv(substring(md5(cast(concat('dp:', " +
+        "cast(c_nationkey as string)) as binary)), 1, 4), 16, 10)")
+        .cast("long")
+      val noiseCol = noise.init.foldRight(lit(noise.last._2.toLong)) {
+        case ((t, k), e) => when(u < t, k.toLong).otherwise(e)
+      }
+      customer(s, d)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .withColumn("noise", noiseCol)
+        .withColumn("n_noisy", greatest(lit(0L), col("n") + col("noise")))
     })
   )
+
+  /** Inverse-CDF thresholds for the two-sided geometric (discrete
+    * Laplace) mechanism at ε = 0.5, on the 16-bit grid: noise = k for
+    * the FIRST threshold t with u16 < t, else +20 (tails clamped at
+    * ±20 — beyond 8σ, identically in both engines). Computed once
+    * here; both the Spark plan and the DuckDB oracle inline these
+    * exact longs. */
+  private[graft] lazy val dpNoiseThresholds: Seq[(Long, Int)] = {
+    val eps = 0.5
+    val alpha = math.exp(-eps)
+    val p0 = (1 - alpha) / (1 + alpha)
+    var cdf = 0.0
+    (-20 to 19).map { k =>
+      cdf += p0 * math.pow(alpha, math.abs(k))
+      (math.floor(cdf * 65536).toLong, k)
+    } :+ ((65536L, 20))
+  }
 
   def oracles: Map[String, String] = Map(
     "q_percentile" ->
@@ -626,6 +688,33 @@ object StatsPack extends QueryPack {
         |  CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
         |    AS n_rows_at_risk,
         |  min(gsize) AS min_gsize, CAST(5 AS BIGINT) AS k
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS gsize,
+        |  count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS n_sens,
+        |  CAST(3 AS BIGINT) AS l,
+        |  count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) < 3 AS at_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "q_dp_count" -> {
+      // the SAME inverse-CDF threshold literals as the Spark plan
+      val cases = dpNoiseThresholds.init
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString("\n|    ")
+      s"""WITH cnt AS (SELECT c_nationkey, count(*) AS n
+         |  FROM customer GROUP BY 1),
+         |draw AS (SELECT c_nationkey, n,
+         |    CAST(('0x' || substr(md5('dp:' || CAST(c_nationkey AS VARCHAR)),
+         |      1, 4)) AS INT) AS u
+         |  FROM cnt),
+         |noised AS (SELECT c_nationkey, n, CAST(CASE
+         |    $cases
+         |    ELSE 20 END AS BIGINT) AS noise
+         |  FROM draw)
+         |SELECT c_nationkey, n, noise,
+         |  greatest(0, n + noise) AS n_noisy
+         |FROM noised""".stripMargin
+    }
   )
 }
