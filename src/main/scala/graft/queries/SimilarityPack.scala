@@ -133,6 +133,47 @@ object SimilarityPack extends QueryPack {
           round(col("dist"), 4).as("dist"), col("z"))
     }),
 
+    // SQ8 scalar-quantization ANN (round 11) — the 4× compression
+    // point on the memory/recall frontier between raw floats (1×) and
+    // PQ (32×): every dimension quantizes independently to a byte
+    // against trained per-dim [lo, hi] ranges, so the corpus ranking
+    // scans 64-byte codes with near-exact fidelity (FAISS SQ8 / the
+    // int8-embedding layout). Training is ONE corpus min/max pass (64
+    // bounded rows collected); the (lo, scale) artifact is baked into
+    // both plans as exact double literals via the trained-codebook
+    // stash. Distance is the (|q|²−2q·v̂)+|v̂|² identity with
+    // sequential dots — bit-identical to the oracle's
+    // list_dot_product. Constant dims guard scale=1 (code 0, exact
+    // decode bias lo+0.5·1 — consistent in both engines).
+    "ann_sq8" -> ((s, d) => {
+      import graft.functions.SQExpressions.{sq8AdcDist, sq8Encode}
+      import graft.functions.TopKAggregate.topk
+      val emb = Tables.embeddings(s, d)
+      val st = emb
+        .select(posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("i"), col("v").cast("double").as("v"))
+        .groupBy("i").agg(min("v").as("lo"), max("v").as("hi"))
+        .collect().sortBy(_.getInt(0))
+      val lo = st.map(_.getDouble(1)).toSeq
+      val sc = st.map(r => {
+        val w = r.getDouble(2) - r.getDouble(1)
+        if (w > 0) w / 255.0 else 1.0
+      }).toSeq
+      sqParams = Some((lo, sc))
+      val codes = emb.select(col("vec_id"),
+        sq8Encode(col("embedding"), lo, sc).as("codes"))
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      codes.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          sq8AdcDist(col("qemb"), col("codes"), lo, sc).as("ad"))
+        .groupBy("qid")
+        .agg(topk(struct(col("ad"), col("vid").as("v")), 3).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+          col("t.v").as("vid"), round(col("t.ad"), 4).as("ad"))
+    }),
+
     "ann_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < NumQueries), k = 3)
@@ -415,6 +456,10 @@ object SimilarityPack extends QueryPack {
   // compare honest instead of vacuously passing.
   @volatile private var trainedCb: Option[Seq[Seq[Double]]] = None
 
+  // ann_sq8's trained (lo, scale) artifact, stashed at query run time
+  // like trainedCb; the oracle inlines the exact doubles.
+  @volatile private var sqParams: Option[(Seq[Double], Seq[Double])] = None
+
   // the exact hyperplane doubles the Spark plan bakes in, inlined as
   // round-trip literals (Double.toString → DuckDB parse is bit-exact)
   private def planesSql: String =
@@ -447,6 +492,36 @@ object SimilarityPack extends QueryPack {
        |  - 2*list_dot_product(${sl("q", m)}, ${sl(s"c$m", m)}))
        |  + list_dot_product(${sl(s"c$m", m)}, ${sl(s"c$m", m)}))""".stripMargin
   }.mkString("\n + ")
+
+  // ann_sq8's oracle: decode every corpus vector from its per-dim byte
+  // code using the STASHED (lo, scale) literals (encode and midpoint
+  // decode fused into one indexed list_transform), then the same
+  // (|q|²−2q·v̂)+|v̂|² ADC identity with sequential dots.
+  private def sq8Sql: String = sqParams match {
+    case None =>
+      // query never ran in this process: impossible row → loud failure
+      "SELECT CAST(0 AS BIGINT) AS qid, CAST(0 AS INT) AS rk, " +
+        "CAST(0 AS BIGINT) AS vid, 0.0 AS ad WHERE 1 = 0"
+    case Some((lo, sc)) =>
+      s"""WITH parms AS (SELECT CAST([${lo.mkString(", ")}] AS DOUBLE[]) AS lo,
+         |    CAST([${sc.mkString(", ")}] AS DOUBLE[]) AS sc),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dec AS (SELECT vec_id,
+         |    list_transform(v, (x, i) -> lo[i] +
+         |      (least(255.0, greatest(0.0, floor((x - lo[i]) / sc[i]))) + 0.5)
+         |        * sc[i]) AS vh
+         |  FROM emb CROSS JOIN parms),
+         |adc AS (SELECT q.vec_id AS qid, d.vec_id AS vid,
+         |    (list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, d.vh))
+         |      + list_dot_product(d.vh, d.vh) AS ad
+         |  FROM emb q CROSS JOIN dec d
+         |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id)
+         |SELECT qid, rk, vid, round(ad, 4) AS ad FROM (
+         |  SELECT qid, vid, ad,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS INT)
+         |      AS rk
+         |  FROM adc) WHERE rk <= 3""".stripMargin
+  }
 
   // ann_trained_recall's oracle: the sweep's pq_rerank@32 pipeline with
   // the codebook CTE replaced by the stashed TRAINED codewords as
@@ -504,6 +579,7 @@ object SimilarityPack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "ann_trained_recall" -> trainedRecallSql,
+    "ann_sq8" -> sq8Sql,
     "embed_dimstats" ->
       """WITH e AS (
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,

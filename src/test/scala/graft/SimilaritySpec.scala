@@ -483,6 +483,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) === ((0.0, 4L)), s"orthogonal halves must read cos 0, got $out")
   }
 
+  test("ann_sq8: recall@3 vs exact L2 is near-perfect at 4x compression") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("ann_sq8")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact squared-L2 ground truth, driver-side
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var hit = 0; var total = 0
+    got.keys.foreach { qid =>
+      val truth = vecs.collect { case (vid, v) if vid != qid =>
+        (l2(vecs(qid), v), vid)
+      }.toSeq.sorted.take(3).map(_._2).toSet
+      hit += got(qid).intersect(truth).size
+      total += 3
+    }
+    assert(got.size > 0 && got.forall(_._2.size == 3))
+    val recall = hit.toDouble / total
+    assert(recall >= 0.9, s"SQ8 recall@3 degraded: $recall")
+  }
+
   test("embed_drift joins every dimension and stays in cosine bounds") {
     // the synthetic embeddings are NOT clustered by label (per-label
     // means are noise around zero), so the table read only pins the
