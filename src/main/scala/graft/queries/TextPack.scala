@@ -101,6 +101,37 @@ object TextPack extends QueryPack {
           max("n_tokens").as("max_tokens"))
     }),
 
+    // Heaps-law vocabulary-growth audit (round 11) — the corpus-health
+    // curve V(n): cumulative distinct vocabulary vs cumulative tokens
+    // over doc_id-ordered 100-doc prefixes. A natural corpus grows
+    // vocabulary sub-linearly (V ≈ K·n^β, β≈0.5); a flat curve means
+    // template/duplicated content, a linear one means synthetic noise
+    // — both pre-training red flags no per-doc quality score catches.
+    // The heavy step is ONE word→min(bucket) hash agg (map-side
+    // combined, shuffles distinct words once — the §3a′ per-distinct
+    // collapse); the cumulative readout is a window over the BUCKET
+    // table (rows = corpus/100 docs, bounded), never over words. All
+    // counts integer-exact.
+    "text_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dw = docs(s, d)
+        .select(expr("doc_id div 100").as("b"), explode(col("w")).as("word"))
+        .where(col("word") =!= "")
+      val wf = dw.groupBy("word").agg(min("b").as("fb"))
+      val vh = wf.groupBy(col("fb").as("b")).agg(count(lit(1)).as("nv"))
+      val tb = dw.groupBy("b").agg(count(lit(1)).as("toks"))
+      val db = Tables.documents(s, d)
+        .select(expr("doc_id div 100").as("b"))
+        .groupBy("b").agg(count(lit(1)).as("nd"))
+      val w0 = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      db.join(tb, Seq("b"), "left").join(vh, Seq("b"), "left")
+        .select(col("b").as("bucket"),
+          sum("nd").over(w0).as("n_docs"),
+          sum(coalesce(col("toks"), lit(0L))).over(w0).as("cum_tokens"),
+          sum(coalesce(col("nv"), lit(0L))).over(w0).as("vocab"))
+    }),
+
     "text_quality" -> ((s, d) => {
       val nWords = size(col("w"))
       val nChars = length(col("text"))
@@ -1103,6 +1134,23 @@ object TextPack extends QueryPack {
          |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  round(avg(n_tokens),4) AS avg_tokens, max(n_tokens) AS max_tokens
          |FROM t GROUP BY lang""".stripMargin,
+    "text_vocab_growth" ->
+      s"""WITH dw AS (
+         |  SELECT doc_id // 100 AS b, unnest($wSql) AS word FROM documents),
+         |dwf AS (SELECT b, word FROM dw WHERE word <> ''),
+         |wf AS (SELECT word, min(b) AS fb FROM dwf GROUP BY 1),
+         |vh AS (SELECT fb AS b, count(*) AS nv FROM wf GROUP BY 1),
+         |tb AS (SELECT b, count(*) AS toks FROM dwf GROUP BY 1),
+         |db AS (SELECT doc_id // 100 AS b, count(*) AS nd
+         |  FROM documents GROUP BY 1)
+         |SELECT CAST(db.b AS BIGINT) AS bucket,
+         |  CAST(sum(db.nd) OVER w AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(tb.toks, 0)) OVER w AS BIGINT) AS cum_tokens,
+         |  CAST(sum(coalesce(vh.nv, 0)) OVER w AS BIGINT) AS vocab
+         |FROM db LEFT JOIN tb ON db.b = tb.b LEFT JOIN vh ON db.b = vh.b
+         |WINDOW w AS (ORDER BY db.b
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "text_weighted_sample" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, text, $wSql AS w,

@@ -149,4 +149,23 @@ class TextSpec extends SparkSpec {
     assert(got(1) === "de")
     assert(got(2) === "de")
   }
+
+  test("text_vocab_growth: cumulative curves are monotone, vocab <= tokens, and sub-linear") {
+    val rows = SparkEntry.queries("text_vocab_growth")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDocs, cumToks, vocab) =>
+      assert(vocab >= 1 && vocab <= cumToks && nDocs >= 1)
+    }
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b._2 > a._2 && b._3 > a._3 && b._4 >= a._4, s"non-monotone: $a -> $b")
+    }
+    // Heaps sub-linearity on the shared-vocab synthetic corpus: the
+    // second half of the corpus must add fewer NEW words than the first
+    if (rows.length >= 2) {
+      val mid = rows(rows.length / 2 - 1)._4
+      assert(rows.last._4 - mid <= mid,
+        s"vocabulary still growing linearly: ${rows.map(_._4).mkString(",")}")
+    }
+  }
 }
