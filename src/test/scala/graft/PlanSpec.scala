@@ -164,13 +164,19 @@ class PlanSpec extends SparkSpec {
     *     pattern);
     *   ann_trained_recall — ann_recall_sweep's pattern: the ≤10-row
     *     query-vector broadcast probed with the non-equi
-    *     self-exclusion predicate. */
+    *     self-exclusion predicate;
+    *   ann_sq8 — the same ≤10-row query broadcast + non-equi
+    *     self-exclusion probe (ann_pq's shape, over SQ8 codes);
+    *   q_triangles — single-row global-triangle-count broadcast
+    *     (text_tfidf's pattern: the in-plan alternative to an eager
+    *     count, derived from the per-node agg so the wedge join runs
+    *     once). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
       "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy",
       "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm",
-      "text_cooc")
+      "text_cooc", "ann_sq8", "q_triangles")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
