@@ -120,6 +120,80 @@ object Multimodal {
       .toDF("id", "media")
   }
 
+  /** Mirror corpus for perceptual dedup: doc ids 2c and 2c+1 carry the
+    * SAME pixel content (key c = id div 2) through DIFFERENT real
+    * containers — PNG for even ids, BMP for odd. Byte-level dedup sees
+    * two unrelated blobs; a perceptual hash sees one image twice. This
+    * is the recompressed-copy regime image dedup exists for. */
+  def mirrorCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(synthFrame(id / 2, 0),
+            if (id % 2 == 0) "png" else "bmp", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("id", "media")
+  }
+
+  final case class MediaHash(id: Long, ahash: Long, bytes_md5: String,
+      width: Int, height: Int)
+
+  /** Perceptual average-hash (aHash) over the REAL decoded pixels:
+    * nearest-neighbor downsample to 8×8 (the canonical sx = (dx·w)
+    * div 8 mapping — every sample is a real decoded pixel), integer
+    * grayscale g = (r+g+b) div 3, threshold at the integer mean
+    * (div 64), bit (dy·8+dx) set iff g > mean. Every step is integer
+    * arithmetic on decoded pixel values, so the oracle replays the
+    * hash bit-exactly from the generator lattice — through the real
+    * encode→decode round trip. Also emits md5 of the CONTAINER bytes
+    * (the byte-level identity a naive dedup would key on). */
+  def averageHash(df: DataFrame, idCol: String, binCol: String): Dataset[MediaHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable media payload for id=$id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = new Array[Int](64)
+          var sum = 0L
+          var dy = 0
+          while (dy < 8) {
+            var dx = 0
+            while (dx < 8) {
+              val rgb = img.getRGB(dx * w / 8, dy * h / 8)
+              val v = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+              g(dy * 8 + dx) = v
+              sum += v
+              dx += 1
+            }
+            dy += 1
+          }
+          val mean = sum / 64
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (g(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          md.reset()
+          val dig = md.digest(bytes)
+          MediaHash(id, hash, dig.map("%02x".format(_)).mkString, w, h)
+        }
+      }
+  }
+
   final case class DecodedImage(id: Long, fmt: String, width: Int,
       height: Int, channels: Int, sum_r: Long, sum_g: Long, sum_b: Long)
 

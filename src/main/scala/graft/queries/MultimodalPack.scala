@@ -62,6 +62,55 @@ object MultimodalPack extends QueryPack {
       val cells = KMeansND.seed(
         feats.select(col("vec_id").as("id"), col("embedding").as("vec")), 4)
       Similarity.semDedup(feats, cells, tau = 0.98)
+    }),
+
+    // Perceptual-hash dedup over the REAL codec (round 11) — the
+    // recompressed-copy regime image dedup exists for: the mirror
+    // corpus stores each pixel content TWICE through different real
+    // containers (PNG even ids, BMP odd), so byte-level identity
+    // (md5 of the container) finds nothing while the average-hash of
+    // the DECODED pixels collapses every mirror pair at Hamming 0.
+    // Candidate pairs come from 4×16-bit banding over DISTINCT hashes
+    // (complete for Hamming ≤ 3 by pigeonhole — dedup_simhash's
+    // blocking, so the oracle is brute-force pairwise popcount over
+    // its replayed hashes); members expand afterwards (§3 rule 3a).
+    // same_bytes is measured from real container md5s on the Spark
+    // side and DERIVED on the oracle side (same format ∧ same pixel
+    // lattice ⟺ cid ≡ mod 256 ∧ equal dims) — the gate thereby also
+    // proves the JDK encoders are deterministic functions of the
+    // raster.
+    "mm_ahash_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ah = Multimodal.averageHash(
+        Multimodal.mirrorCorpus(s, d), "id", "media").toDF()
+      val hs = ah.select("ahash").distinct()
+      val banded = hs.select(col("ahash"), explode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL))
+            + lit(b.toLong << 16)): _*)).as("band_val"))
+      val hashPairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_val") === col("b.band_val")
+            && col("a.ahash") < col("b.ahash"))
+        .select(col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+        .dropDuplicates("ha", "hb")
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+        .filter(col("hamming") <= 3)
+      val m = ah.select(col("id"), col("ahash"), col("bytes_md5"))
+      val within = m.as("x")
+        .join(m.as("y"),
+          col("x.ahash") === col("y.ahash") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          lit(0).cast("int").as("hamming"),
+          (col("x.bytes_md5") === col("y.bytes_md5")).as("same_bytes"))
+      val across = hashPairs
+        .join(m.as("ma"), col("ha") === col("ma.ahash"))
+        .join(m.as("mb"), col("hb") === col("mb.ahash"))
+        .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+          greatest(col("ma.id"), col("mb.id")).as("id_b"),
+          col("hamming"),
+          (col("ma.bytes_md5") === col("mb.bytes_md5")).as("same_bytes"))
+      within.unionByName(across)
     })
   )
 
@@ -118,6 +167,38 @@ object MultimodalPack extends QueryPack {
          |  CAST(sum(${gen("f", 0)}) AS BIGINT) AS sum_r,
          |  CAST(sum(${gen("f", 1)}) AS BIGINT) AS sum_g,
          |  CAST(sum(${gen("f", 2)}) AS BIGINT) AS sum_b
-         |FROM px GROUP BY id, f, w, h""".stripMargin
+         |FROM px GROUP BY id, f, w, h""".stripMargin,
+
+    // replay the aHash from the generator lattice: content key
+    // cid = id // 2, NN sample sx = (dx·w)//8, integer grayscale,
+    // integer-mean threshold; banding is complete for Hamming ≤ 3 so
+    // the oracle is brute-force pairwise popcount; same_bytes derives
+    // from raster identity (same format ∧ same dims ∧ cid ≡ mod 256
+    // — 31 is invertible mod 256, so equal offset ⟺ equal cid mod
+    // 256; lossless deterministic encoders ⇒ equal bytes)
+    "mm_ahash_dedup" ->
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id // 2 AS BIGINT) AS cid FROM documents),
+        |d2 AS (SELECT id, cid, CAST(4 + cid % 13 AS BIGINT) AS w,
+        |    CAST(4 + cid % 11 AS BIGINT) AS h FROM m),
+        |gpx AS (SELECT id, dx.range AS dx, dy.range AS dy,
+        |    (((cid*31 + ((dx.range*w)//8)*7 + ((dy.range*h)//8)*13) % 256)
+        |     + ((cid*31 + ((dx.range*w)//8)*7 + ((dy.range*h)//8)*13 + 101) % 256)
+        |     + ((cid*31 + ((dx.range*w)//8)*7 + ((dy.range*h)//8)*13 + 202) % 256)
+        |    ) // 3 AS g
+        |  FROM d2, range(8) dx, range(8) dy),
+        |mn AS (SELECT id, sum(g) // 64 AS mean FROM gpx GROUP BY id),
+        |hs AS (SELECT g.id,
+        |    CAST(sum(CASE WHEN g.g > mn.mean
+        |      THEN 1::UBIGINT << CAST(g.dy*8 + g.dx AS INT)
+        |      ELSE 0::UBIGINT END) AS UBIGINT) AS ahash
+        |  FROM gpx g JOIN mn ON mn.id = g.id GROUP BY g.id)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming,
+        |  (da.id % 2 = db.id % 2 AND da.w = db.w AND da.h = db.h
+        |   AND da.cid % 256 = db.cid % 256) AS same_bytes
+        |FROM hs a JOIN hs b ON a.id < b.id
+        |JOIN d2 da ON da.id = a.id JOIN d2 db ON db.id = b.id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin
   )
 }

@@ -146,4 +146,27 @@ class MultimodalSpec extends SparkSpec {
     assert(kept.contains(3L) && kept.contains(4L),
       s"distinct payloads must survive, kept=$kept")
   }
+
+  test("mm_ahash_dedup: perceptual hash collapses cross-format mirrors byte dedup misses") {
+    val sfDir = "/root/testdata/sf0.001"
+    val pairs = graft.queries.MultimodalPack.defs("mm_ahash_dedup")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"), r.getAs[Boolean]("same_bytes")))
+    // every mirror pair (2c png, 2c+1 bmp) must collapse at Hamming 0:
+    // the decoded rasters are identical, so the perceptual hash cannot
+    // tell the containers apart
+    val ids = Tables.documents(spark, sfDir)
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    val mirror = ids.filter(id => id % 2 == 0 && ids.contains(id + 1))
+      .map(id => (id, id + 1))
+    val ham0 = pairs.collect { case (a, b, 0, _) => (a, b) }.toSet
+    assert(mirror.subsetOf(ham0),
+      s"missing mirror pairs: ${(mirror -- ham0).take(5)}")
+    // ...while the container bytes differ on every one of them (PNG vs
+    // BMP): byte-level dedup finds NOTHING here
+    val mirrorRows = pairs.filter(p => mirror.contains((p._1, p._2)))
+    assert(mirrorRows.nonEmpty && mirrorRows.forall(!_._4),
+      "mirror pairs must be byte-distinct (different containers)")
+  }
 }
