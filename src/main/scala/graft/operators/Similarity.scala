@@ -14,6 +14,88 @@ import graft.functions.VectorFunctions.cosineSim
   */
 object Similarity {
 
+  /** Dominant-direction audit via power iteration (round 11) — the
+    * embedding-anisotropy readout: the top principal direction of the
+    * uncentered second-moment matrix and its explained-energy share.
+    * A healthy embedding space spreads energy across dimensions; a
+    * dominant common direction (share ≫ 1/dims) is the anisotropy
+    * pathology all-but-the-top post-processing removes (Mu &
+    * Viswanath 2018) and a cheap upstream red flag for collapsed
+    * encoders.
+    *
+    * `iters` von-Mises power iterations, fully DECLARATIVE — no
+    * collect anywhere: each iteration is one corpus scan (per-row dot
+    * s = x·v via zip_with against the 1-row broadcast direction, then
+    * a posexplode to a dims-group map-side-combined agg for
+    * u = Σ s·x), and the normalize step is dims-row column math. The
+    * Gram matrix is never materialized (G·v = Xᵀ(Xv) — two narrow
+    * passes fused into one scan), which is what makes this the
+    * 100 TB plan: nothing wider than `dims` rows ever shuffles.
+    *
+    * Exactness (§4): x quantized to integer 1e-6 units; per-row dots
+    * are exact BIGINTs, cross-row u/norm/trace sums accumulate in
+    * DECIMAL(38) (HUGEINT oracle-side); each normalize re-quantizes
+    * via floor((du·1e6)/sqrt(n2)) on identical doubles, so every
+    * iteration's direction is the SAME integer vector in both
+    * engines and the trajectory replays as chained CTEs. λ and the
+    * share are exact-integer ratios evaluated in one fixed double
+    * expression. v0 = uniform 1/8 (exactly dyadic for dims=64).
+    * Output: (dim, v, lambda, share) — `dims` rows. */
+  def dominantDirection(emb: DataFrame, dims: Int = 64,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need at least one power iteration, got $iters")
+    val q6 = (x: Column) => floor(x.cast("double") * lit(1000000.0)).cast("long")
+    // one power step: direction column vq (array<long>) already on
+    // the row → next direction as a dims-row (dim, qv) table
+    def step(withV: DataFrame): DataFrame = {
+      val dot = aggregate(
+        zip_with(col("embedding"), col("vq"), (x, qv) => q6(x) * qv),
+        lit(0L), (a, t) => a + t)
+      val u = withV.select(col("embedding"), dot.as("s"))
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("s"))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          (q6(col("x")) * col("s")).cast("decimal(38,0)").as("su"))
+        .groupBy("dim").agg(sum("su").as("u"))
+      val du = u.select(col("dim"),
+        expr("CAST(u div 1000000000000 AS BIGINT)").as("du"))
+      val n2 = du.agg(sum(col("du").cast("decimal(38,0)") * col("du")).as("n2"))
+      du.crossJoin(broadcast(n2))
+        .select(col("dim"),
+          floor((col("du") * lit(1000000L)).cast("double")
+            / sqrt(col("n2").cast("double"))).cast("long").as("qv"))
+    }
+    // (dim, qv) table → 1-row array in dim order (array_sort over
+    // structs — collect_list order is shuffle-dependent, §4)
+    def vArr(v: DataFrame): DataFrame =
+      v.agg(transform(array_sort(collect_list(struct(col("dim"), col("qv")))),
+        t => t.getField("qv")).as("vq"))
+    // exactly-representable uniform start for power-of-two dims;
+    // any fixed integer vector works for others
+    val seed = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
+    var v = step(emb.withColumn("vq", typedlit(Seq.fill(dims)(seed))))
+    for (_ <- 2 to iters) v = step(emb.crossJoin(broadcast(vArr(v))))
+    // Rayleigh quotient under the FINAL direction + energy share
+    val s4 = emb.crossJoin(broadcast(vArr(v)))
+      .select(aggregate(
+        zip_with(col("embedding"), col("vq"), (x, qv) => q6(x) * qv),
+        lit(0L), (a, t) => a + t).as("s"))
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("sn"),
+        count(lit(1)).as("n"))
+    val nqv = v.agg(sum(col("qv").cast("decimal(38,0)") * col("qv")).as("nv"))
+    val tr = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(q6(col("x")).as("q"))
+      .agg(sum(col("q").cast("decimal(38,0)") * col("q")).as("t"))
+    v.crossJoin(broadcast(s4)).crossJoin(broadcast(nqv))
+      .crossJoin(broadcast(tr))
+      .select(col("dim"),
+        round(col("qv").cast("double") / lit(1000000.0), 6).as("v"),
+        round(col("sn").cast("double")
+          / (col("nv").cast("double") * lit(1000000000000.0) * col("n")), 6)
+          .as("lambda"),
+        round(col("sn").cast("double")
+          / (col("nv").cast("double") * col("t").cast("double")), 6).as("share"))
+  }
+
   /** Mean-vector drift between two halves of an embedding corpus: per
     * group, the cosine between the mean vectors of the `half` = 0 and
     * `half` = 1 rows — the vector twin of the scalar PSI monitor (a

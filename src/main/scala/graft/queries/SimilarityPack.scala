@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Similarity
@@ -37,6 +37,33 @@ object SimilarityPack extends QueryPack {
     // happens once per DIM row from identical integers. One
     // posexplode + one 64-group hash agg (map-side combined) —
     // vectors never shuffle.
+    // Dominant-direction audit via power iteration (round 11) — the
+    // embedding-anisotropy readout: the top principal direction of the
+    // uncentered second-moment matrix and its explained-energy share.
+    // A healthy embedding space spreads energy across dimensions; a
+    // dominant common direction (share ≫ 1/64) is the anisotropy
+    // pathology all-but-the-top post-processing removes (Mu &
+    // Viswanath 2018) and a cheap upstream red flag for collapsed
+    // encoders. THREE von-Mises power iterations, fully DECLARATIVE —
+    // no collect anywhere: each iteration is one corpus scan (per-row
+    // dot s = x·v via zip_with against the 1-row broadcast direction,
+    // then a posexplode to a 64-group map-side-combined agg for
+    // u = Σ s·x), and the normalize step is 64-row column math. The
+    // Gram matrix is never materialized (G·v = Xᵀ(Xv) — two narrow
+    // passes fused into one scan), which is what makes this the
+    // 100 TB plan: nothing wider than 64 rows ever shuffles.
+    // Exactness: x quantized to integer 1e-6 units; per-row dots are
+    // exact BIGINTs, cross-row u/norm/trace sums accumulate in
+    // DECIMAL(38) (HUGEINT oracle-side); each normalize re-quantizes
+    // via floor((du·1e6)/sqrt(n2)) on identical doubles, so every
+    // iteration's direction is the SAME integer vector in both
+    // engines and the trajectory replays as chained CTEs. λ and the
+    // share are exact-integer ratios evaluated in one fixed double
+    // expression. v0 = uniform 1/8 (exactly dyadic).
+    "embed_power_iter" -> ((s, d) =>
+      Similarity.dominantDirection(
+        Tables.embeddings(s, d).select(col("embedding")))),
+
     "embed_dimstats" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -580,6 +607,47 @@ object SimilarityPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "ann_trained_recall" -> trainedRecallSql,
     "ann_sq8" -> sq8Sql,
+    // replay the quantized power-iteration trajectory: each round is
+    // (per-id dot) → (per-dim HUGEINT u) → (du = u // 1e12, trunc
+    // toward zero = Spark div) → floor-requantized unit direction;
+    // every cross-row sum is exact, the only floats are the per-round
+    // sqrt/divide on identical inputs
+    "embed_power_iter" -> {
+      def round(i: Int, prevV: String): String =
+        s"""s$i AS (SELECT id, sum(q * $prevV) AS s
+           |  FROM qx ${if (i == 1) "" else s"JOIN v${i - 1} USING (dim)"}
+           |  GROUP BY id),
+           |u$i AS (SELECT dim, sum(CAST(q AS HUGEINT) * s$i.s) AS u
+           |  FROM qx JOIN s$i USING (id) GROUP BY dim),
+           |d$i AS (SELECT dim, CAST(u // 1000000000000 AS BIGINT) AS du FROM u$i),
+           |n$i AS (SELECT sum(CAST(du AS HUGEINT) * du) AS n2 FROM d$i),
+           |v$i AS (SELECT dim, CAST(floor(CAST(du * 1000000 AS DOUBLE)
+           |    / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS qv FROM d$i, n$i)"""
+          .stripMargin
+      s"""WITH qx AS (SELECT id, i + 1 AS dim,
+         |    CAST(floor(v * 1000000) AS BIGINT) AS q
+         |  FROM (SELECT vec_id AS id,
+         |      unnest(CAST(embedding AS DOUBLE[])) AS v,
+         |      unnest(range(0, 64)) AS i
+         |    FROM embeddings)),
+         |${round(1, "125000")},
+         |${round(2, "qv")},
+         |${round(3, "qv")},
+         |s4 AS (SELECT id, sum(q * qv) AS s
+         |  FROM qx JOIN v3 USING (dim) GROUP BY id),
+         |sn AS (SELECT sum(CAST(s AS HUGEINT) * s) AS sn, count(*) AS n
+         |  FROM s4),
+         |nq AS (SELECT sum(CAST(qv AS HUGEINT) * qv) AS nv FROM v3),
+         |tr AS (SELECT sum(CAST(q AS HUGEINT) * q) AS t FROM qx)
+         |SELECT dim, round(CAST(qv AS DOUBLE) / 1000000.0, 6) AS v,
+         |  round(CAST(sn AS DOUBLE)
+         |      / (CAST(nv AS DOUBLE) * 1000000000000.0 * n), 6)
+         |    AS lambda,
+         |  round(CAST(sn AS DOUBLE) / (CAST(nv AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+         |    AS share
+         |FROM v3, sn, nq, tr""".stripMargin
+    },
+
     "embed_dimstats" ->
       """WITH e AS (
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,

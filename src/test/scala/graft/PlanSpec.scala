@@ -170,13 +170,17 @@ class PlanSpec extends SparkSpec {
     *   q_triangles — single-row global-triangle-count broadcast
     *     (text_tfidf's pattern: the in-plan alternative to an eager
     *     count, derived from the per-node agg so the wedge join runs
-    *     once). */
+    *     once);
+    *   embed_power_iter — per-iteration single-row direction/norm
+    *     broadcasts (the declarative power step: 1-row vq array,
+    *     1-row n2, and the final λ/share scalars — every crossed side
+    *     is one row by construction). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
       "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy",
       "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm",
-      "text_cooc", "ann_sq8", "q_triangles")
+      "text_cooc", "ann_sq8", "q_triangles", "embed_power_iter")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

@@ -522,4 +522,35 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(cos) <= 1.0 + 1e-9, s"label $l: cosine out of bounds: $cos")
     }
   }
+
+  test("dominantDirection recovers a planted principal axis") {
+    // 20 vectors along e1 with ±3..±1 magnitudes plus a small e2
+    // ripple: the top principal direction of the second-moment matrix
+    // is ±e1 and carries nearly all the energy
+    val vecs = (0 until 20).map { i =>
+      val a = (1 + i % 3).toFloat * (if (i % 2 == 0) 1f else -1f)
+      Array(a, 0.05f * (if (i % 4 < 2) 1f else -1f), 0.0f, 0.0f)
+    }
+    val df = vecs.toDF("embedding")
+    val out = graft.operators.Similarity.dominantDirection(df, dims = 4)
+      .collect().map(r => (r.getAs[Long]("dim"), r.getAs[Double]("v"),
+        r.getAs[Double]("lambda"), r.getAs[Double]("share")))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    val v = out.map(_._2)
+    assert(math.abs(math.abs(v(0)) - 1.0) < 1e-3,
+      s"direction must align with e1, got ${v.toSeq}")
+    assert(math.abs(v(2)) < 1e-3 && math.abs(v(3)) < 1e-3,
+      s"zero dims must stay zero, got ${v.toSeq}")
+    val (_, _, lambda, share) = out.head
+    // exact second moment along e1: mean of a_i^2 over the 20 vectors
+    val expect = vecs.map(a => a(0).toDouble * a(0)).sum / 20
+    assert(lambda >= 0.95 * expect && lambda <= 1.01 * expect,
+      s"Rayleigh estimate $lambda vs planted $expect")
+    assert(share > 0.99 && share <= 1.0 + 1e-9,
+      s"planted axis must carry ~all energy, share=$share")
+    // the unit-direction invariant: sum v^2 ~ 1 (floor-quantized below)
+    val n2 = v.map(x => x * x).sum
+    assert(n2 <= 1.0 + 1e-6 && n2 > 0.99, s"direction not unit: $n2")
+  }
 }
