@@ -75,4 +75,23 @@ class GraphPackSpec extends SparkSpec {
     }
     assert(got === expect)
   }
+
+  test("kcoreProfile peels a hand graph to its known cores") {
+    // triangle {1,2,3} + tail 3-4-5: the 2-core is the triangle (the
+    // tail cascades off over two rounds), the 3-core is empty
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = GraphPack.kcoreProfile(und, Seq(2, 3), rounds = 4)
+      .collect()
+      .map(r => ((r.getAs[Int]("k"), r.getAs[Int]("round")),
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))).toMap
+    // k=2 round 1: node 5 (deg 1) peels, edge 4-5 drops
+    assert(got((2, 1)) === ((4L, 4L)))
+    // k=2 round 2: node 4 (now deg 1) peels → triangle only; stable after
+    assert(got((2, 2)) === ((3L, 3L)))
+    assert(got((2, 3)) === ((3L, 3L)) && got((2, 4)) === ((3L, 3L)),
+      "fixpoint rounds must be no-ops")
+    // k=3: every node has degree < 3 after the tail drops → empty
+    assert(got((3, 2)) === ((0L, 0L)) && got((3, 4)) === ((0L, 0L)))
+  }
 }
