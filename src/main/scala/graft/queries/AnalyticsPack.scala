@@ -184,6 +184,51 @@ object AnalyticsPack extends QueryPack {
     // 1e9-events/day × decade regime the BIGINT products approach
     // overflow — the documented swap is DECIMAL(38) accumulation, the
     // embed_dimstats trade.
+    // Lead–lag cross-correlation between event streams (round 11):
+    // exact Pearson r between every type pair's daily-count series at
+    // lags −3..+3 — the readout that finds "clicks follow views by a
+    // day" causality candidates q_acf (same-series) cannot see. The
+    // series align on the FULL day grid (sequence over the global
+    // span, absent days = 0): correlating only on jointly-active days
+    // would bias r upward exactly when activity is bursty. All five
+    // Pearson sums are exact BIGINTs over the grid join; r evaluates
+    // in one fixed double expression; zero-variance pairs drop (r
+    // undefined). Scale: the grid is types × span-days (time-range
+    // bounded, never event-count), the join is equi on day with a
+    // type-pair residual — per-day fan-out is types² × lags, a
+    // constant. At a 1e9-events/day decade the BIGINT squares near
+    // overflow — DECIMAL(38) swap, the q_acf/embed_dimstats trade.
+    "q_xcorr" -> ((s, d) => {
+      val daily = dailyCounts(events(s, d))
+      val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      val grid = daily.select("event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val full = grid.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val b = full.select(col("event_type").as("tb"), col("day").as("dayb"),
+          col("n").as("nb"))
+        .withColumn("l", explode(array((-3 to 3).map(x => lit(x)): _*)))
+        .select(col("tb"), (col("dayb") - col("l")).as("dayj"), col("nb"), col("l"))
+      val j = full.select(col("event_type").as("ta"), col("day"),
+          col("n").as("na"))
+        .join(b, col("day") === col("dayj") && col("ta") < col("tb"))
+        .select(col("ta"), col("tb"), col("l"), col("na"), col("nb"))
+      val agg = j.groupBy("ta", "tb", "l")
+        .agg(count(lit(1)).as("k"), sum("na").as("sa"), sum("nb").as("sb"),
+          sum(col("na") * col("na")).as("saa"),
+          sum(col("nb") * col("nb")).as("sbb"),
+          sum(col("na") * col("nb")).as("sab"))
+      val va = col("k") * col("saa") - col("sa") * col("sa")
+      val vb = col("k") * col("sbb") - col("sb") * col("sb")
+      agg.where(va > 0 && vb > 0)
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("l").cast("int").as("lag"), col("k").as("n_days"),
+          round((col("k") * col("sab") - col("sa") * col("sb")).cast("double")
+            / (sqrt(va.cast("double")) * sqrt(vb.cast("double"))), 4).as("r"))
+    }),
+
     "q_acf" -> ((s, d) => {
       val daily = dailyCounts(events(s, d))
       val tot = daily.groupBy("event_type")
@@ -430,6 +475,35 @@ object AnalyticsPack extends QueryPack {
            |  round(CAST($num AS DOUBLE) / ($den) / 10000.0, 4) AS ewma
            |FROM lagd""".stripMargin
       },
+
+      "q_xcorr" ->
+        """WITH ev AS (SELECT event_type,
+          |    epoch_us(ts) // 86400000000 + (CASE WHEN
+          |      epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END) AS day
+          |  FROM events),
+          |daily AS (SELECT event_type, day, count(*) AS n FROM ev GROUP BY 1, 2),
+          |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+          |grid AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+          |  FROM (SELECT DISTINCT event_type FROM daily), span),
+          |f AS (SELECT g.event_type, g.day, coalesce(daily.n, 0) AS n
+          |  FROM grid g LEFT JOIN daily USING (event_type, day)),
+          |b AS (SELECT event_type AS tb, day - l.l AS day, n AS nb, l.l
+          |  FROM f, (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS l) l),
+          |j AS (SELECT a.event_type AS ta, b.tb, b.l, a.n AS na, b.nb
+          |  FROM f a JOIN b ON a.day = b.day AND a.event_type < b.tb),
+          |agg AS (SELECT ta, tb, l, count(*) AS k,
+          |    CAST(sum(na) AS BIGINT) AS sa, CAST(sum(nb) AS BIGINT) AS sb,
+          |    CAST(sum(na * na) AS BIGINT) AS saa,
+          |    CAST(sum(nb * nb) AS BIGINT) AS sbb,
+          |    CAST(sum(na * nb) AS BIGINT) AS sab
+          |  FROM j GROUP BY 1, 2, 3)
+          |SELECT ta AS type_a, tb AS type_b, CAST(l AS INT) AS lag,
+          |  CAST(k AS BIGINT) AS n_days,
+          |  round(CAST(k * sab - sa * sb AS DOUBLE)
+          |    / (sqrt(CAST(k * saa - sa * sa AS DOUBLE))
+          |       * sqrt(CAST(k * sbb - sb * sb AS DOUBLE))), 4) AS r
+          |FROM agg
+          |WHERE k * saa - sa * sa > 0 AND k * sbb - sb * sb > 0""".stripMargin,
 
       "q_acf" -> {
         val lags = (1 to 7).map(j => s"lag(c, $j) OVER w AS c$j").mkString(",\n|    ")

@@ -400,6 +400,53 @@ object TextPack extends QueryPack {
       members.join(scored, "h").select("doc_id", "nll")
     }),
 
+    // Bigram-LM perplexity proxy (round 11) — text_ppl_proxy's unigram
+    // scorer upgraded to the conditional model the CCNet-style filter
+    // actually approximates: per doc, mean −log2 p(w_t | w_{t−1})
+    // under add-1 smoothing (p = (c(w1,w2)+1)/(c(w1)+|V|)). Scrambled
+    // or stitched text scores high here even when its unigram mix is
+    // normal — word ORDER is what a bigram model sees and a unigram
+    // model cannot. Shapes: bigrams come from array zips on the
+    // distinct-text rep (no window, no shuffle before the count agg —
+    // §3a′); corpus counts are two chained hash aggs (c2 → c1 margin);
+    // |V| is a 1-row broadcast; every log term is floor-quantized to
+    // integer 1e-12 units BEFORE the cross-row sum (q_entropy's
+    // idiom) and multiplied by its exact integer count after, so the
+    // per-doc sum is partition-order-independent. Docs without a
+    // bigram (< 2 tokens) drop out (inner join) — a one-word doc has
+    // no conditional to score.
+    "text_ppl_bigram" -> ((s, d) => {
+      val hashed = graft.operators.Dedup.withTextHash(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+      val members = hashed.select("doc_id", "h")
+      val mc = members.groupBy("h").agg(count(lit(1)).as("mc"))
+      val reps = hashed.dropDuplicates("h")
+        .select(col("h"), words(col("text")).as("ws"))
+      val n1 = greatest(size(col("ws")) - 1, lit(0))
+      val bgc = reps.select(col("h"),
+          explode(zip_with(
+            slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+        .select(col("h"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("h", "w1", "w2").agg(count(lit(1)).as("n"))
+      val c2 = bgc.join(mc, "h")
+        .groupBy("w1", "w2").agg(sum(col("n") * col("mc")).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      val vocab = reps.select(explode(col("ws")).as("w")).distinct()
+        .agg(count(lit(1)).as("v"))
+      val scored = bgc.join(c2, Seq("w1", "w2")).join(c1, "w1")
+        .crossJoin(broadcast(vocab))
+        .withColumn("lq",
+          floor(log2((col("c1") + col("v")).cast("double")
+            / (col("c2") + lit(1L)).cast("double")) * 1e12).cast("long"))
+        .groupBy("h")
+        .agg(sum(col("lq") * col("n")).as("nllq"), sum("n").as("nb"))
+      members.join(scored, "h")
+        .select(col("doc_id"), col("nb").as("n_bigrams"),
+          round((col("nllq").cast("double") / lit(1e12)) / col("nb"), 4)
+            .as("nll_bits"))
+    }),
+
     // Per-doc language-mixture detection — the curation twin of lang_id
     // (which classifies): docs whose tokens hit SEVERAL language
     // profiles strongly are code-switched or concatenation artifacts,
@@ -965,6 +1012,35 @@ object TextPack extends QueryPack {
         |  round(sum(tc.n * -ln(freq.cnt / tot.total)) / sum(tc.n), 4) AS nll
         |  FROM tc JOIN freq USING (t) CROSS JOIN tot GROUP BY tc.h)
         |SELECT d.doc_id, sc.nll FROM d JOIN sc USING (h)""".stripMargin,
+
+    // bigrams via list_zip on the rep's word array (second operand
+    // sliced from position 2; the padded-NULL tail row is filtered),
+    // then the same weighted count + quantized-log2 replay as Spark
+    "text_ppl_bigram" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h, text FROM documents),
+        |mc AS (SELECT h, count(*) AS mc FROM d GROUP BY h),
+        |rep AS (SELECT h, arg_min(text, doc_id) AS text FROM d GROUP BY h),
+        |rw AS (SELECT h, regexp_split_to_array(text, '\s+') AS ws FROM rep),
+        |bgr AS (SELECT h, z[1] AS w1, z[2] AS w2 FROM (
+        |    SELECT h, unnest(list_zip(ws, ws[2:])) AS z FROM rw)
+        |  WHERE z[2] IS NOT NULL),
+        |bgc AS (SELECT h, w1, w2, count(*) AS n FROM bgr GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, sum(bgc.n * mc.mc) AS c2
+        |  FROM bgc JOIN mc USING (h) GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |vcb AS (SELECT count(DISTINCT w) AS v FROM (
+        |    SELECT unnest(ws) AS w FROM rw)),
+        |sc AS (SELECT bgc.h,
+        |    sum(CAST(floor(log2(CAST(c1.c1 + vcb.v AS DOUBLE)
+        |        / CAST(c2.c2 + 1 AS DOUBLE)) * 1000000000000) AS BIGINT)
+        |      * bgc.n) AS nllq,
+        |    sum(bgc.n) AS nb
+        |  FROM bgc JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  CROSS JOIN vcb GROUP BY bgc.h)
+        |SELECT d.doc_id, CAST(sc.nb AS BIGINT) AS n_bigrams,
+        |  round((CAST(sc.nllq AS DOUBLE) / 1000000000000) / sc.nb, 4)
+        |    AS nll_bits
+        |FROM d JOIN sc USING (h)""".stripMargin,
     "text_langmix" -> {
       val hitCols = langProfiles.map { case (l, prof) =>
         s"${hitSql("w", prof)} AS s_$l"

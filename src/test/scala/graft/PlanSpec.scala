@@ -154,6 +154,12 @@ class PlanSpec extends SparkSpec {
     *     in-plan alternative to a global-sort ntile);
     *   text_ppl_proxy — single-row corpus-token-total broadcast
     *     (text_tfidf's pattern);
+    *   text_ppl_bigram — single-row vocabulary-size broadcast (the
+    *     add-1 smoothing denominator, text_tfidf's pattern);
+    *   q_kcore — per-round single-row stats cross (n_nodes × n_edges
+    *     1-row aggregates of the checkpointed round table);
+    *   q_xcorr — single-row global day-span broadcast (the grid
+    *     bounds, q_drift's split-instant pattern);
     *   text_quality_learned — single-row median-label-cut broadcast;
     *   q_drift / q_upsert — single-row split-instant broadcast (the
     *     integer-µs midpoint both engines cut on);
@@ -180,7 +186,8 @@ class PlanSpec extends SparkSpec {
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
       "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy",
       "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm",
-      "text_cooc", "ann_sq8", "q_triangles", "embed_power_iter")
+      "text_cooc", "ann_sq8", "q_triangles", "embed_power_iter",
+      "text_ppl_bigram", "q_kcore", "q_xcorr")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

@@ -168,4 +168,24 @@ class TextSpec extends SparkSpec {
         s"vocabulary still growing linearly: ${rows.map(_._4).mkString(",")}")
     }
   }
+
+  test("text_ppl_bigram: scrambled word order scores worse than natural text") {
+    // a synthetic corpus of one repeated natural sentence + one
+    // scramble of the same words: unigram statistics are nearly
+    // identical, but the scramble's CONDITIONAL transitions are unseen
+    // — only a bigram model separates them
+    val natural = "the cat sat on the mat and the dog sat on the rug"
+    val scramble = "mat the on dog the and sat rug the cat on sat the"
+    val docs = ((0 until 20).map(i => (i.toLong, natural)) :+
+      (100L, scramble)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pplbg").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextPack.defs("text_ppl_bigram")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll_bits"))).toMap
+    assert(got(0L)._1 === 12L && got(100L)._1 === 12L)
+    assert(got(100L)._2 > got(0L)._2 + 1.0,
+      s"scramble must score clearly worse: ${got(100L)._2} vs ${got(0L)._2}")
+  }
 }

@@ -42,4 +42,29 @@ class TimeSeriesSpec extends SparkSpec {
       assert(!slope.isNaN && !slope.isInfinite)
     }
   }
+
+  test("q_xcorr recovers a planted one-day lead-lag") {
+    // type "a": bursts on even days; type "b": the same bursts one day
+    // LATER (b(t+1) = a(t)) plus a flat floor — the pair's r must peak
+    // exactly at lag +1 and the peak must be strong
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 40).flatMap { day =>
+      val burst = if (day % 2 == 0) 5 else 1
+      Seq.fill(burst)(("a", day.toLong)) ++
+        Seq.fill(if ((day - 1) % 2 == 0) 5 else 1)(("b", day.toLong))
+    }
+    val ev = rows.toDF("event_type", "dayno")
+      .select(col("event_type"),
+        timestamp_micros(col("dayno") * 86400000000L + 1000L).as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("xcorr").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_xcorr")(s, dir)
+      .collect().map(r => (r.getAs[Int]("lag"),
+        (r.getAs[Long]("n_days"), r.getAs[Double]("r")))).toMap
+    assert(got.keySet === (-3 to 3).toSet)
+    // a(t) vs b(t+l): the planted relation is b(t+1) = a(t) → lag +1
+    assert(got(1)._2 > 0.95, s"planted lag must read r~1: ${got.toSeq.sortBy(_._1)}")
+    assert(got(0)._2 < -0.5, s"aligned days anti-correlate: ${got(0)._2}")
+    assert(got.values.map(_._2).max === got(1)._2, "peak must sit at lag +1")
+  }
 }
