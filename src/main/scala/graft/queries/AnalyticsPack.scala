@@ -184,6 +184,66 @@ object AnalyticsPack extends QueryPack {
     // 1e9-events/day × decade regime the BIGINT products approach
     // overflow — the documented swap is DECIMAL(38) accumulation, the
     // embed_dimstats trade.
+    // Kaplan–Meier time-to-conversion survival (round 11, Kaplan &
+    // Meier 1958) — the funnel-latency readout with the censoring done
+    // RIGHT: at each observed waiting time t (days from a user's first
+    // event to their first purchase), the probability of still being
+    // unconverted past t. Users who never purchase are CENSORED at the
+    // span end — dropping them (what a naive avg-time-to-convert does)
+    // biases conversion fast, the exact bias KM removes. Per-user
+    // first-event/first-purchase day is ONE user-keyed hash agg;
+    // everything after lives on the tiny distinct-waiting-time table:
+    // deaths/censored per t, at-risk via a reverse cumulative window
+    // (censored users count in the risk set AT their censor time, the
+    // standard convention), and S(t) = Π(1 − d/n) accumulated as
+    // floor-quantized 1e-12 ln terms (q_entropy's idiom — the
+    // cross-row sum is exact-integer; exp of identical doubles at the
+    // end). A risk set that converts out entirely (d = n) zeroes S
+    // from that t on — flagged through a cumulative max rather than
+    // ln(0). Scale: one user-count-bounded agg + k-row windows; the
+    // span end is a 1-row broadcast.
+    "q_survival" -> ((s, d) => {
+      val dayExpr = expr("unix_micros(ts) div 86400000000 + " +
+        "(case when unix_micros(ts) % 86400000000 < 0 then -1 else 0 end)")
+      val perUser = events(s, d)
+        .select(col("user_id"), dayExpr.as("day"),
+          (col("event_type") === "purchase").as("isp"))
+        .groupBy("user_id")
+        .agg(min("day").as("d0"),
+          min(when(col("isp"), col("day"))).as("dc"),
+          max("day").as("dl"))
+      val span = perUser.agg(max("dl").as("d_end"))
+      val lt = perUser.crossJoin(broadcast(span))
+        .select(
+          coalesce(col("dc") - col("d0"), col("d_end") - col("d0")).as("t"),
+          col("dc").isNull.cast("long").as("cens"))
+      val byT = lt.groupBy("t")
+        .agg(count(lit(1)).as("n_at_t"), sum("cens").as("n_censored"),
+          (count(lit(1)) - sum("cens")).as("n_death"))
+      val w = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrev = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = byT
+        .crossJoin(broadcast(lt.agg(count(lit(1)).as("n_users"))))
+        .withColumn("n_risk",
+          col("n_users") - coalesce(sum("n_at_t").over(wPrev), lit(0L)))
+      val term = when(col("n_death") === 0, lit(0L))
+        .when(col("n_death") < col("n_risk"),
+          floor(log((col("n_risk") - col("n_death")).cast("double")
+            / col("n_risk").cast("double")) * 1e12).cast("long"))
+        .otherwise(lit(0L))
+      risk
+        .withColumn("zeroed",
+          max((col("n_death") === col("n_risk")).cast("int")).over(w))
+        .withColumn("lnq", sum(term).over(w))
+        .select(col("t").cast("long").as("t_days"), col("n_risk"),
+          col("n_death"), col("n_censored"),
+          when(col("zeroed") === 1, lit(0.0))
+            .otherwise(round(exp(col("lnq").cast("double") / lit(1e12)), 4))
+            .as("surv"))
+    }),
+
     // Lead–lag cross-correlation between event streams (round 11):
     // exact Pearson r between every type pair's daily-count series at
     // lags −3..+3 — the readout that finds "clicks follow views by a
@@ -475,6 +535,47 @@ object AnalyticsPack extends QueryPack {
            |  round(CAST($num AS DOUBLE) / ($den) / 10000.0, 4) AS ewma
            |FROM lagd""".stripMargin
       },
+
+      "q_survival" ->
+        """WITH ev AS (SELECT user_id, event_type,
+          |    epoch_us(ts) // 86400000000 + (CASE WHEN
+          |      epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END) AS day
+          |  FROM events),
+          |pu AS (SELECT user_id, min(day) AS d0,
+          |    min(CASE WHEN event_type = 'purchase' THEN day END) AS dc,
+          |    max(day) AS dl
+          |  FROM ev GROUP BY 1),
+          |span AS (SELECT max(dl) AS dend FROM pu),
+          |lt AS (SELECT coalesce(dc - d0, dend - d0) AS t,
+          |    CAST(dc IS NULL AS BIGINT) AS cens
+          |  FROM pu, span),
+          |byt AS (SELECT t, count(*) AS n_at_t,
+          |    CAST(sum(cens) AS BIGINT) AS n_censored,
+          |    CAST(count(*) - sum(cens) AS BIGINT) AS n_death
+          |  FROM lt GROUP BY 1),
+          |tot AS (SELECT count(*) AS n_users FROM lt),
+          |r AS (SELECT byt.*, tot.n_users - coalesce(sum(n_at_t) OVER (
+          |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND 1 PRECEDING), 0) AS n_risk
+          |  FROM byt, tot),
+          |r2 AS (SELECT *,
+          |    CASE WHEN n_death = 0 THEN 0
+          |      WHEN n_death < n_risk THEN CAST(floor(
+          |        ln(CAST(n_risk - n_death AS DOUBLE)
+          |           / CAST(n_risk AS DOUBLE)) * 1000000000000) AS BIGINT)
+          |      ELSE 0 END AS term,
+          |    max(CASE WHEN n_death = n_risk THEN 1 ELSE 0 END) OVER (
+          |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS zeroed
+          |  FROM r),
+          |r3 AS (SELECT *, sum(term) OVER (ORDER BY t ROWS BETWEEN
+          |    UNBOUNDED PRECEDING AND CURRENT ROW) AS lnq FROM r2)
+          |SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+          |  n_death, n_censored,
+          |  CASE WHEN zeroed = 1 THEN 0.0
+          |    ELSE round(exp(CAST(lnq AS DOUBLE) / 1000000000000), 4)
+          |  END AS surv
+          |FROM r3""".stripMargin,
 
       "q_xcorr" ->
         """WITH ev AS (SELECT event_type,

@@ -67,4 +67,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(0)._2 < -0.5, s"aligned days anti-correlate: ${got(0)._2}")
     assert(got.values.map(_._2).max === got(1)._2, "peak must sit at lag +1")
   }
+
+  test("q_survival matches a hand-computed Kaplan-Meier curve") {
+    import org.apache.spark.sql.functions._
+    // 10 users: 5 convert at t=2, 3 at t=5, 2 never purchase (censored
+    // at span end - first day = 9). Hand KM:
+    //   t=2: S = 1 - 5/10            = 0.5
+    //   t=5: S = 0.5 * (1 - 3/5)     = 0.2
+    //   t=9: censored only, S stays    0.2
+    val rows =
+      (1 to 5).flatMap(u => Seq((u.toLong, 0L, "view"), (u.toLong, 2L, "purchase"))) ++
+        (6 to 8).flatMap(u => Seq((u.toLong, 0L, "view"), (u.toLong, 5L, "purchase"))) ++
+        (9 to 10).flatMap(u => Seq((u.toLong, 11L, "view"), (u.toLong, 20L, "view")))
+    val ev = rows.toDF("user_id", "dayno", "event_type")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("dayno") * 86400000000L + 1000L).as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("surv").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_survival")(s, dir)
+      .collect().map(r => (r.getAs[Long]("t_days"),
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_death"),
+          r.getAs[Long]("n_censored"), r.getAs[Double]("surv")))).toMap
+    assert(got.keySet === Set(2L, 5L, 9L))
+    assert(got(2L) === ((10L, 5L, 0L, 0.5)))
+    assert(got(5L) === ((5L, 3L, 0L, 0.2)))
+    assert(got(9L) === ((2L, 0L, 2L, 0.2)))
+  }
 }
