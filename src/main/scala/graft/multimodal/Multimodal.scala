@@ -125,6 +125,15 @@ object Multimodal {
     * containers — PNG for even ids, BMP for odd. Byte-level dedup sees
     * two unrelated blobs; a perceptual hash sees one image twice. This
     * is the recompressed-copy regime image dedup exists for. */
+  /** One mirror-corpus payload: content `id div 2` through the PNG
+    * writer (even ids) or BMP writer (odd ids). */
+  def mirrorBytes(id: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(synthFrame(id / 2, 0),
+      if (id % 2 == 0) "png" else "bmp", bos)
+    bos.toByteArray
+  }
+
   def mirrorCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -132,12 +141,7 @@ object Multimodal {
       .as[Long]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
-        it.map { id =>
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(synthFrame(id / 2, 0),
-            if (id % 2 == 0) "png" else "bmp", bos)
-          (id, bos.toByteArray)
-        }
+        it.map(id => (id, mirrorBytes(id)))
       }
       .toDF("id", "media")
   }

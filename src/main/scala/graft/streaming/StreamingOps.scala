@@ -1003,4 +1003,73 @@ object StreamingOps {
       .withColumn("keep",
         !(col("r_short") || col("r_digit") || col("r_stop") || col("r_rep")))
   }
+
+  /** Streaming media ingest (round 11) — the multimodal pack's live
+    * face: every arriving (id, media) payload goes through the REAL
+    * `javax.imageio` decode once, emitting the batch pack's decode
+    * statistics (`Multimodal.decodeMeta` schema) plus the perceptual
+    * average-hash (`mm_ahash_dedup`'s aHash) in the same pass — so a
+    * downstream `dropDuplicatesWithinWatermark(ahash)` dedups
+    * recompressed copies at ingest exactly like the batch operator
+    * (the simhash stream-dedup pattern over image content). Pure
+    * typed mapPartitions with per-partition codec state: no
+    * watermark, no state store, and the emitted rows are BIT-
+    * IDENTICAL to the batch decode on the same payloads
+    * (StreamingSpec proves both: zero stateful operators in the
+    * executed plan, and row equality against `decodeMeta` +
+    * `averageHash`). */
+  def mediaDecodeStream(media: DataFrame, idCol: String = "id",
+      binCol: String = "media"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable media payload for id=$id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+              sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val g = new Array[Int](64)
+          var sum = 0L
+          var dy = 0
+          while (dy < 8) {
+            var dx = 0
+            while (dx < 8) {
+              val rgb = img.getRGB(dx * w / 8, dy * h / 8)
+              val v = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF)
+                + (rgb & 0xFF)) / 3
+              g(dy * 8 + dx) = v
+              sum += v
+              dx += 1
+            }
+            dy += 1
+          }
+          val mean = sum / 64
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (g(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          (id, graft.multimodal.Multimodal.sniffFormat(bytes),
+            w, h, img.getColorModel.getNumComponents, sr, sg, sb, hash)
+        }
+      }
+      .toDF("id", "fmt", "width", "height", "channels",
+        "sum_r", "sum_g", "sum_b", "ahash")
+  }
 }

@@ -615,6 +615,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mediaDecodeStream: real codec on a stream, stateless, bit-identical to batch") {
+    implicit val sq = spark.sqlContext
+    import graft.multimodal.Multimodal
+    val ids = Seq(3L, 4L, 10L, 11L)
+    val payloads = ids.map(id => id -> Multimodal.mirrorBytes(id))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingOps.mediaDecodeStream(in.toDF().toDF("id", "media"))
+      .writeStream.format("memory").queryName("media_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(payloads: _*)
+      q.processAllAvailable()
+      val got = spark.table("media_out").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[String]("fmt"), r.getAs[Int]("width"),
+            r.getAs[Int]("height"), r.getAs[Long]("sum_r"),
+            r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b"),
+            r.getAs[Long]("ahash")))).toMap
+      // batch twins on the SAME payloads: decode stats + aHash
+      val batchDf = payloads.toDF("id", "media")
+      val meta = Multimodal.decodeMeta(batchDf, "id", "media").collect()
+        .map(m => m.id -> m).toMap
+      val hash = Multimodal.averageHash(batchDf, "id", "media").collect()
+        .map(h => h.id -> h.ahash).toMap
+      assert(got.keySet === ids.toSet)
+      ids.foreach { id =>
+        val m = meta(id)
+        assert(got(id) === ((m.fmt, m.width, m.height,
+          m.sum_r, m.sum_g, m.sum_b, hash(id))),
+          s"stream row for id=$id diverges from the batch decode")
+      }
+      // mirror payloads (same pixel content, PNG vs BMP container)
+      // collide on ahash — the ingest-dedup key works on the stream
+      assert(got(10L)._7 === got(11L)._7,
+        "cross-format mirrors must share the perceptual hash")
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+        "media decode must not register a stateful operator")
+    } finally q.stop()
+  }
+
   test("semanticDedupSink: cell-partitioned corpus, semantic dups drop across batches") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sem_").toString
