@@ -26,19 +26,31 @@ object TextPack extends QueryPack {
     * round. CheckpointStrategySpec gates Local/Reliable equality. */
   def bpeTrain(s: SparkSession, d: String, rounds: Int = BpeTrainRounds,
       ckpt: graft.operators.CheckpointStrategy =
-        graft.operators.CheckpointStrategy.Local): DataFrame = {
+        graft.operators.CheckpointStrategy.Local,
+      vocabPartitions: Int = 1): DataFrame = {
     import s.implicits._
     // the vocab table is CHECKPOINTED once: without it, every
     // round's argmax action re-executes the full corpus word-count
     // through lineage (measured 12.1 s → 2.5 s at the 10× probe);
     // with it the corpus is scanned exactly once and each round's
-    // rewrite re-materializes only the vocab-sized table
+    // rewrite re-materializes only the vocab-sized table.
+    // The vocab then lives at `vocabPartitions` (the corpus agg stays
+    // fully parallel — this is a post-agg exchange of vocab-sized
+    // rows): a distinct-WORD table is orders of magnitude smaller
+    // than its corpus, and the training loop's cost is per-round
+    // STAGE overhead × rounds, not data — at 32 partitions the
+    // 16-round loop spent 37 s scheduling ~2,000 near-empty tasks for
+    // a 31-word vocab (measured sf0.1; 2.5 s at 1 partition). A
+    // billion-word-corpus vocab (~10M rows) still fits a handful of
+    // partitions; raise this only when one partition's rewrite
+    // becomes the bottleneck.
     var seqs = ckpt(docs(s, d)
       .select(explode(col("w")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(concat(lit(" "),
         concat_ws(" ", split(col("word"), "")), lit(" ")).as("seq"),
-        col("cnt")))
+        col("cnt"))
+      .repartition(vocabPartitions))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -68,7 +80,10 @@ object TextPack extends QueryPack {
             regexp_replace(col("seq"),
               lit(java.util.regex.Pattern.quote(delim)),
               lit(java.util.regex.Matcher.quoteReplacement(s" $merged "))))
-        seqs = ckpt(hit.unionByName(seqs.where(!col("seq").contains(delim))))
+        // coalesce pins the partition count (the union of two
+        // seqs-derived branches would double it every round)
+        seqs = ckpt(hit.unionByName(seqs.where(!col("seq").contains(delim)))
+          .coalesce(vocabPartitions))
         round += 1
       }
     }
