@@ -216,10 +216,79 @@ object GraphPack extends QueryPack {
     perK.reduce(_.unionByName(_))
   }
 
+  /** Frequent itemsets with A-Priori candidate pruning (Agrawal &
+    * Srikant 1994, round 11) — the market-basket kernel behind the
+    * co-purchase graph: all 2-itemsets with support ≥ 2 (plus lift
+    * and best-direction confidence), and all 3-itemsets with
+    * support ≥ 2 generated ONLY from frequent-pair wedges
+    * (downward closure: every subset of a frequent set is frequent —
+    * the prune that makes candidate generation tractable; un-pruned
+    * triple enumeration is C(basket,3) × orders of mostly-infrequent
+    * noise). Counts are exact integers; lift/confidence are
+    * single-division doubles over exact counts (lift =
+    * sup(ab)·N / (sup(a)·sup(b)) — > 1 means genuinely associated,
+    * the co-occurrence-vs-popularity readout). Shapes: item/pair
+    * supports are hash aggs over the order-keyed self-join (bounded
+    * fan-out per basket, §3 rule 3); triple verification joins pair
+    * OCCURRENCES (order × frequent pair — support-pruned, never the
+    * raw pair explosion) back to the basket with two frequency
+    * semi-joins; the order total is a 1-row broadcast. Output: one
+    * row per frequent itemset, k = 2 or 3 (item_c null for pairs). */
+  private def itemsets(s: SparkSession, d: String,
+      minSupport: Int = 2): DataFrame =
+    itemsetsFrom(lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct(),
+      minSupport)
+
+  /** The A-Priori kernel over any distinct (o, p) basket table —
+    * public to the test JVM for the hand-basket gate. */
+  private[graft] def itemsetsFrom(baskets: DataFrame,
+      minSupport: Int): DataFrame = {
+    val li = baskets
+      .localCheckpoint(true) // scanned five times below; one scan total
+    val nOrders = li.select("o").distinct().agg(count(lit(1)).as("n"))
+    val item = li.groupBy(col("p")).agg(count(lit(1)).as("sup1"))
+    val pairOcc = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.o").as("o"), col("a.p").as("u"), col("b.p").as("v"))
+    val pairs = pairOcc.groupBy("u", "v").agg(count(lit(1)).as("sup2"))
+      .where(col("sup2") >= minSupport)
+      .localCheckpoint(true) // feeds output + wedge gen + both semi-joins
+    val pairRows = pairs
+      .join(item.select(col("p").as("u"), col("sup1").as("su")), "u")
+      .join(item.select(col("p").as("v"), col("sup1").as("sv")), "v")
+      .crossJoin(broadcast(nOrders))
+      .select(lit(2).as("k"), col("u").as("item_a"), col("v").as("item_b"),
+        lit(null).cast("long").as("item_c"), col("sup2").as("support"),
+        round(col("sup2").cast("double") * col("n")
+          / (col("su") * col("sv")), 4).as("lift"),
+        round(col("sup2").cast("double")
+          / least(col("su"), col("sv")), 4).as("confidence"))
+    // A-Priori triples: occurrences of a frequent pair (u, v) extend
+    // with a third basket item w > v, kept only when (u, w) AND
+    // (v, w) are themselves frequent (downward closure)
+    val freqPairOcc = pairOcc.join(pairs.select("u", "v"), Seq("u", "v"),
+      "left_semi")
+    val tri = freqPairOcc
+      .join(li.select(col("o"), col("p").as("w")), "o")
+      .where(col("w") > col("v"))
+      .join(pairs.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+      .join(pairs.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"),
+        "left_semi")
+      .groupBy("u", "v", "w").agg(count(lit(1)).as("sup3"))
+      .where(col("sup3") >= minSupport)
+      .select(lit(3).as("k"), col("u").as("item_a"), col("v").as("item_b"),
+        col("w").as("item_c"), col("sup3").as("support"),
+        lit(null).cast("double").as("lift"),
+        lit(null).cast("double").as("confidence"))
+    pairRows.unionByName(tri)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_reach" -> ((s, d) => reach(s, d)),
-    "q_kcore" -> ((s, d) => kcore(s, d))
+    "q_kcore" -> ((s, d) => kcore(s, d)),
+    "q_itemsets" -> ((s, d) => itemsets(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -275,6 +344,41 @@ object GraphPack extends QueryPack {
          |  HAVING count(*) > 0)
          |SELECT dist, n_nodes FROM hist""".stripMargin
     },
+
+    "q_itemsets" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |    FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS n FROM li),
+        |it AS MATERIALIZED (SELECT p, count(*) AS sup1 FROM li GROUP BY 1),
+        |po AS MATERIALIZED (SELECT a.o, a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |pr AS MATERIALIZED (SELECT u, v, count(*) AS sup2 FROM po
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |pres AS (SELECT 2 AS k, pr.u AS item_a, pr.v AS item_b,
+        |    CAST(NULL AS BIGINT) AS item_c, sup2 AS support,
+        |    round(CAST(sup2 AS DOUBLE) * n.n / (su.sup1 * sv.sup1), 4)
+        |      AS lift,
+        |    round(CAST(sup2 AS DOUBLE) / least(su.sup1, sv.sup1), 4)
+        |      AS confidence
+        |  FROM pr JOIN it su ON su.p = pr.u JOIN it sv ON sv.p = pr.v
+        |  CROSS JOIN n),
+        |fpo AS (SELECT po.o, po.u, po.v FROM po
+        |  WHERE EXISTS (SELECT 1 FROM pr
+        |                WHERE pr.u = po.u AND pr.v = po.v)),
+        |tric AS (SELECT fpo.u, fpo.v, li.p AS w FROM fpo
+        |  JOIN li ON li.o = fpo.o
+        |  WHERE li.p > fpo.v
+        |    AND EXISTS (SELECT 1 FROM pr
+        |                WHERE pr.u = fpo.u AND pr.v = li.p)
+        |    AND EXISTS (SELECT 1 FROM pr
+        |                WHERE pr.u = fpo.v AND pr.v = li.p)),
+        |tres AS (SELECT 3 AS k, u AS item_a, v AS item_b, w AS item_c,
+        |    count(*) AS support, CAST(NULL AS DOUBLE) AS lift,
+        |    CAST(NULL AS DOUBLE) AS confidence
+        |  FROM tric GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+        |SELECT k, item_a, item_b, item_c, CAST(support AS BIGINT) AS support,
+        |  lift, confidence
+        |FROM (SELECT * FROM pres UNION ALL SELECT * FROM tres)""".stripMargin,
 
     "q_kcore" -> {
       val ks = Seq(50, 95)

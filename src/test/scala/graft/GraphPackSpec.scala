@@ -76,6 +76,31 @@ class GraphPackSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("itemsetsFrom matches hand-computed supports, lift, and A-Priori triples") {
+    // baskets: {1,2,3} x2, {1,2,4}, {2,3}
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 4L),
+      (13L, 2L), (13L, 3L)).toDF("o", "p")
+    val got = GraphPack.itemsetsFrom(baskets, minSupport = 2).collect()
+      .map(r => ((r.getAs[Int]("k"), r.getAs[Long]("item_a"),
+        r.getAs[Long]("item_b"), Option(r.getAs[Any]("item_c"))),
+        (r.getAs[Long]("support"), Option(r.getAs[Any]("lift")),
+          Option(r.getAs[Any]("confidence"))))).toMap
+    // frequent pairs: (1,2) s=3, (1,3) s=2, (2,3) s=3; (x,4) infrequent
+    // item sups 1:3 2:4 3:3 4:1, N=4
+    assert(got.keySet === Set(
+      (2, 1L, 2L, None), (2, 1L, 3L, None), (2, 2L, 3L, None),
+      (3, 1L, 2L, Some(3L))))
+    assert(got((2, 1L, 2L, None)) === ((3L, Some(1.0), Some(1.0))))
+    assert(got((2, 1L, 3L, None)) === ((2L, Some(0.8889), Some(0.6667))))
+    assert(got((2, 2L, 3L, None)) === ((3L, Some(1.0), Some(1.0))))
+    // the only A-Priori triple: {1,2,3}, present in 2 baskets; {1,2,4}
+    // never generates because (1,4)/(2,4) are infrequent
+    assert(got((3, 1L, 2L, Some(3L))) === ((2L, None, None)))
+  }
+
   test("kcoreProfile peels a hand graph to its known cores") {
     // triangle {1,2,3} + tail 3-4-5: the 2-core is the triangle (the
     // tail cascades off over two rounds), the 3-core is empty
