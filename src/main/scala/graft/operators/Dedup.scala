@@ -76,6 +76,66 @@ object Dedup {
     within.unionByName(across)
   }
 
+  /** LSH index-quality evaluation (round 11) — "measure, don't
+    * guess" applied to the dedup index itself: at the REP level (one
+    * per distinct text; pair counts are member-independent), compare
+    * the MinHash 32×4 banding's CANDIDATE pair set against the exact
+    * ground truth (all rep pairs with unigram word-hash Jaccard ≥
+    * threshold) and report banding precision (verified / candidates —
+    * wasted verify work) and recall (truth found / truth — dups the
+    * index misses). Truth is COMPLETE without an all-pairs scan:
+    * Jaccard ≥ 0.5 forces |A|/|B| ∈ [0.5, 2], so binary-magnitude
+    * buckets (exact integer bit-length of the distinct-set size —
+    * float log2 at a power-of-two boundary could mis-bucket) with
+    * neighbor-probe expansion cover every qualifying pair, the
+    * 1-D form of the dbscan grid block. The oracle brute-forces
+    * truth (blocking completeness is therefore ITSELF hash-gated) and
+    * replays the banding. Output: one row of exact counts + the two
+    * ratios. */
+  def lshEval(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold >= 0.5,
+      s"size buckets probe one neighbor — complete only for t >= 0.5, got $threshold")
+    val base = withTextHash(docs.select(col(idCol).as("id"),
+        col(textCol).as("text"), words(col(textCol)).as("w")), "text")
+      .drop("text")
+      .filter(size(col("w")) >= 3)
+    val reps = base.dropDuplicates("h").localCheckpoint(true) // read 3×
+    val bands = reps.withColumn("band_val",
+        explode(graft.functions.DedupExpressions
+          .minhashBands(col("w"), NumHashes, Bands)))
+      .select(col("id"), col("band_val"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true) // counted AND verified below
+    val wd = reps.select(col("id"),
+        graft.functions.DedupExpressions.ngramHashSet(col("w"), 1).as("wd"))
+      .withColumn("bk", length(conv(size(col("wd")), 10, 2)).cast("long"))
+    val sideB = wd.select(col("id").as("ib"),
+      explode(array(col("bk"), col("bk") + lit(1L))).as("bk"))
+    val candTruth = wd.select(col("id").as("ia"), col("bk")).join(sideB, "bk")
+      .where(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val repW = reps.select(col("id"), col("w"))
+    val truth = verifyJaccard(candTruth, repW, threshold)
+    val tp = verifyJaccard(cand, repW, threshold)
+    reps.agg(count(lit(1)).as("n_reps"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+      .select(col("n_reps"), col("n_truth"), col("n_cand"), col("n_tp"),
+        when(col("n_cand") > 0,
+          round(col("n_tp").cast("double") / col("n_cand"), 4))
+          .as("band_precision"),
+        when(col("n_truth") > 0,
+          round(col("n_tp").cast("double") / col("n_truth"), 4))
+          .as("band_recall"))
+  }
+
   /** Join candidate (id_a, id_b) pairs back to per-doc distinct
     * word-hash sets and keep exact Jaccard ≥ threshold. Hash sets are
     * sorted once per doc so the per-pair intersection is a linear merge

@@ -191,4 +191,31 @@ class DedupSpec extends SparkSpec {
       assert(best.get(id).forall(_._2 < 0.5),
         s"doc $id must not report a high-containment container, got $best"))
   }
+
+  test("lshEval separates order-preserving dups (found) from scrambles (missed)") {
+    // the eval's defining property: the MinHash index bands TRIGRAM
+    // shingles but truth is UNIGRAM Jaccard — an order-preserving
+    // near-dup is caught, a word-scramble of the same vocabulary is
+    // truth the index structurally cannot see. Corpus: a near-dup
+    // pair (1,2) sharing word ORDER, a scramble (3) of doc 1's words,
+    // and unrelated docs for ballast.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      1L -> base,
+      2L -> (base + " lambda"), // order-preserving near-dup of 1
+      3L -> "kappa iota theta eta zeta epsilon delta gamma beta alpha",
+      4L -> "one two three four five six seven eight nine ten",
+      5L -> "red orange yellow green blue indigo violet black white gray")
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup.lshEval(corpus, "doc_id", "text", 0.5)
+      .collect().head
+    assert(r.getAs[Long]("n_reps") === 5L)
+    // truth: (1,2) unigram j = 10/11, (1,3) and (2,3) j = 1.0 and 10/11
+    assert(r.getAs[Long]("n_truth") === 3L,
+      s"expected the near-dup and both scramble pairs in truth, got $r")
+    // the banding catches the order-preserving pair but cannot catch
+    // the scramble (trigram shingle sets are disjoint)
+    assert(r.getAs[Long]("n_tp") === 1L, s"got $r")
+    assert(r.getAs[Double]("band_recall") === 0.3333, s"got $r")
+  }
 }

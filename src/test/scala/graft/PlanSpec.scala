@@ -164,6 +164,8 @@ class PlanSpec extends SparkSpec {
     *     (censor horizon + risk-set base, the same pattern);
     *   q_itemsets — single-row order-total broadcast (the lift
     *     denominator, text_tfidf's pattern);
+    *   dedup_eval — three single-row count broadcasts (truth /
+    *     candidate / true-positive totals of the eval);
     *   text_quality_learned — single-row median-label-cut broadcast;
     *   q_drift / q_upsert — single-row split-instant broadcast (the
     *     integer-µs midpoint both engines cut on);
@@ -191,7 +193,8 @@ class PlanSpec extends SparkSpec {
       "text_heavy_hitters", "text_quality_bins", "text_ppl_proxy",
       "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm",
       "text_cooc", "ann_sq8", "q_triangles", "embed_power_iter",
-      "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets")
+      "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets",
+      "dedup_eval")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
