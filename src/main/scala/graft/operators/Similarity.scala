@@ -44,49 +44,18 @@ object Similarity {
   def dominantDirection(emb: DataFrame, dims: Int = 64,
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"need at least one power iteration, got $iters")
-    val q6 = (x: Column) => floor(x.cast("double") * lit(1000000.0)).cast("long")
-    // one power step: direction column vq (array<long>) already on
-    // the row → next direction as a dims-row (dim, qv) table
-    def step(withV: DataFrame): DataFrame = {
-      val dot = aggregate(
-        zip_with(col("embedding"), col("vq"), (x, qv) => q6(x) * qv),
-        lit(0L), (a, t) => a + t)
-      val u = withV.select(col("embedding"), dot.as("s"))
-        .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("s"))
-        .select((col("pos") + 1).cast("long").as("dim"),
-          (q6(col("x")) * col("s")).cast("decimal(38,0)").as("su"))
-        .groupBy("dim").agg(sum("su").as("u"))
-      val du = u.select(col("dim"),
-        expr("CAST(u div 1000000000000 AS BIGINT)").as("du"))
-      val n2 = du.agg(sum(col("du").cast("decimal(38,0)") * col("du")).as("n2"))
-      du.crossJoin(broadcast(n2))
-        .select(col("dim"),
-          floor((col("du") * lit(1000000L)).cast("double")
-            / sqrt(col("n2").cast("double"))).cast("long").as("qv"))
-    }
-    // (dim, qv) table → 1-row array in dim order (array_sort over
-    // structs — collect_list order is shuffle-dependent, §4)
-    def vArr(v: DataFrame): DataFrame =
-      v.agg(transform(array_sort(collect_list(struct(col("dim"), col("qv")))),
-        t => t.getField("qv")).as("vq"))
     // exactly-representable uniform start for power-of-two dims;
     // any fixed integer vector works for others
     val seed = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
-    var v = step(emb.withColumn("vq", typedlit(Seq.fill(dims)(seed))))
-    for (_ <- 2 to iters) v = step(emb.crossJoin(broadcast(vArr(v))))
+    var v = normalizeDir(rawU(emb.withColumn("vq",
+      typedlit(Seq.fill(dims)(seed)))))
+    for (_ <- 2 to iters) v =
+      normalizeDir(rawU(emb.crossJoin(broadcast(vArr(v)))))
     // Rayleigh quotient under the FINAL direction + energy share
-    val s4 = emb.crossJoin(broadcast(vArr(v)))
-      .select(aggregate(
-        zip_with(col("embedding"), col("vq"), (x, qv) => q6(x) * qv),
-        lit(0L), (a, t) => a + t).as("s"))
-      .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("sn"),
-        count(lit(1)).as("n"))
+    val s4 = rayleigh(emb, v)
     val nqv = v.agg(sum(col("qv").cast("decimal(38,0)") * col("qv")).as("nv"))
-    val tr = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(q6(col("x")).as("q"))
-      .agg(sum(col("q").cast("decimal(38,0)") * col("q")).as("t"))
     v.crossJoin(broadcast(s4)).crossJoin(broadcast(nqv))
-      .crossJoin(broadcast(tr))
+      .crossJoin(broadcast(trace(emb)))
       .select(col("dim"),
         round(col("qv").cast("double") / lit(1000000.0), 6).as("v"),
         round(col("sn").cast("double")
@@ -94,6 +63,127 @@ object Similarity {
           .as("lambda"),
         round(col("sn").cast("double")
           / (col("nv").cast("double") * col("t").cast("double")), 6).as("share"))
+  }
+
+  private def q6(x: Column): Column =
+    floor(x.cast("double") * lit(1000000.0)).cast("long")
+
+  /** One un-normalized power iterate: the quantized G·v integers
+    * (dim, du), computed as Xᵀ(Xv) in a single scan. */
+  private def rawU(withV: DataFrame): DataFrame = {
+    val dot = aggregate(
+      zip_with(col("embedding"), col("vq"), (x, qv) => q6(x) * qv),
+      lit(0L), (a, t) => a + t)
+    withV.select(col("embedding"), dot.as("s"))
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("s"))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        // decimal BEFORE the multiply: q·s alone can pass Long.Max
+        // (q ≤ 6e6 × s ≤ 4e14) — the sum was always decimal, the
+        // per-term product must be too
+        (q6(col("x")).cast("decimal(38,0)") * col("s")).as("su"))
+      .groupBy("dim").agg(sum("su").as("u"))
+      .select(col("dim"),
+        expr("CAST(u div 1000000000000 AS BIGINT)").as("du"))
+  }
+
+  /** Floor-requantize (dim, du) to the 1e6 unit sphere. */
+  private def normalizeDir(du: DataFrame): DataFrame = {
+    val n2 = du.agg(sum(col("du").cast("decimal(38,0)") * col("du")).as("n2"))
+    du.crossJoin(broadcast(n2))
+      .select(col("dim"),
+        floor((col("du") * lit(1000000L)).cast("double")
+          / sqrt(col("n2").cast("double"))).cast("long").as("qv"))
+  }
+
+  /** (dim, qv) table → 1-row array in dim order (array_sort over
+    * structs — collect_list order is shuffle-dependent, §4). */
+  private def vArr(v: DataFrame): DataFrame =
+    v.agg(transform(array_sort(collect_list(struct(col("dim"), col("qv")))),
+      t => t.getField("qv")).as("vq"))
+
+  /** 1-row (sn = Σ(x·v)² in q-units, n) under direction `v`. */
+  private def rayleigh(emb: DataFrame, v: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(vArr(v)))
+      .select(aggregate(
+        zip_with(col("embedding"), col("vq"), (x, qv) => q6(x) * qv),
+        lit(0L), (a, t) => a + t).as("s"))
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("sn"),
+        count(lit(1)).as("n"))
+
+  /** 1-row total second moment Σ q² (q-units). */
+  private def trace(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(q6(col("x")).as("q"))
+      .agg(sum(col("q").cast("decimal(38,0)") * col("q")).as("t"))
+
+  /** Top-2 spectrum audit (round 11) — `dominantDirection` extended
+    * by one DEFLATED power iteration: after v1 converges, a second
+    * direction iterates under the orthogonal-complement operator
+    * (each iterate G·w is projected off v1 in EXACT integers:
+    * du′ = du − (qv1·p) div q with p = qv1ᵀdu, q = qv1ᵀqv1 — the
+    * truncating division is identical in both engines, so the whole
+    * two-direction trajectory still replays as chained CTEs). Output
+    * per dim: both directions, both energy shares, and the measured
+    * |cos(v1, v2)| as a self-audit (≈0 by construction — a large
+    * value means the deflation failed). share1+share2 vs 2/64 is the
+    * two-direction anisotropy readout: how much of the space's energy
+    * lives in a plane. Same scan/shuffle shape as dominantDirection —
+    * 2×iters+2 corpus scans, nothing wider than 64 rows ever
+    * shuffles, no driver state. On a NEAR-DEGENERATE spectrum
+    * (λ1 ≈ λ2, e.g. isotropic noise) the share ORDERING between the
+    * two reported directions is not meaningful — `iters` rounds
+    * cannot separate nearly-equal eigenvalues (power-iteration
+    * convergence ∝ (λ2/λ1)^iters); the orthogonality audit and the
+    * plane share share1+share2 remain valid regardless. */
+  def spectrum(emb: DataFrame, dims: Int = 64, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need at least one power iteration, got $iters")
+    val seed = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
+    var v1 = normalizeDir(rawU(emb.withColumn("vq",
+      typedlit(Seq.fill(dims)(seed)))))
+    for (_ <- 2 to iters) v1 =
+      normalizeDir(rawU(emb.crossJoin(broadcast(vArr(v1)))))
+    val v1t = v1.withColumnRenamed("qv", "qv1").localCheckpoint(true)
+    def deflate(du: DataFrame): DataFrame = {
+      val j = du.join(broadcast(v1t), "dim")
+      val pq = j.agg(
+        sum(col("qv1").cast("decimal(38,0)") * col("du")).as("p"),
+        sum(col("qv1").cast("decimal(38,0)") * col("qv1")).as("q"))
+      j.crossJoin(broadcast(pq))
+        .select(col("dim"),
+          (col("du") - expr(
+            "CAST((CAST(qv1 AS DECIMAL(38,0)) * p) div q AS BIGINT)"))
+            .as("du"))
+    }
+    // alternating-sign start: fixed, not parallel to the uniform seed
+    val w0 = Seq.tabulate(dims)(i => if (i % 2 == 0) seed else -seed)
+    var v2 = normalizeDir(deflate(rawU(
+      emb.withColumn("vq", typedlit(w0)))))
+    for (_ <- 2 to iters) v2 =
+      normalizeDir(deflate(rawU(emb.crossJoin(broadcast(vArr(v2))))))
+    val v2t = v2.withColumnRenamed("qv", "qv2")
+    val s1 = rayleigh(emb, v1t.withColumnRenamed("qv1", "qv"))
+      .withColumnRenamed("sn", "sn1")
+    val s2 = rayleigh(emb, v2t.withColumnRenamed("qv2", "qv"))
+      .select(col("sn").as("sn2"))
+    val joined = v1t.join(v2t, "dim").localCheckpoint(true)
+    val norms = joined.agg(
+      sum(col("qv1").cast("decimal(38,0)") * col("qv1")).as("nv1"),
+      sum(col("qv2").cast("decimal(38,0)") * col("qv2")).as("nv2"),
+      sum(col("qv1").cast("decimal(38,0)") * col("qv2")).as("dot12"))
+    joined.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .crossJoin(broadcast(norms)).crossJoin(broadcast(trace(emb)))
+      .select(col("dim"),
+        round(col("qv1").cast("double") / lit(1000000.0), 6).as("v1"),
+        round(col("qv2").cast("double") / lit(1000000.0), 6).as("v2"),
+        round(col("sn1").cast("double")
+          / (col("nv1").cast("double") * col("t").cast("double")), 6)
+          .as("share1"),
+        round(col("sn2").cast("double")
+          / (col("nv2").cast("double") * col("t").cast("double")), 6)
+          .as("share2"),
+        round(abs(col("dot12").cast("double"))
+          / (sqrt(col("nv1").cast("double"))
+            * sqrt(col("nv2").cast("double"))), 6).as("abs_cos12"))
   }
 
   /** Mean-vector drift between two halves of an embedding corpus: per

@@ -64,6 +64,16 @@ object SimilarityPack extends QueryPack {
       Similarity.dominantDirection(
         Tables.embeddings(s, d).select(col("embedding")))),
 
+    // Top-2 spectrum audit (round 11): dominantDirection + one
+    // DEFLATED iteration chain — both directions, both energy shares,
+    // and the measured |cos(v1,v2)| self-audit (≈0 or the deflation
+    // failed). share1+share2 vs 2/64 reads how much of the space's
+    // energy lives in a PLANE — the step past "is there a dominant
+    // direction" toward the spectrum profile whitening needs.
+    "embed_spectrum" -> ((s, d) =>
+      Similarity.spectrum(
+        Tables.embeddings(s, d).select(col("embedding")))),
+
     "embed_dimstats" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -646,6 +656,78 @@ object SimilarityPack extends QueryPack {
          |  round(CAST(sn AS DOUBLE) / (CAST(nv AS DOUBLE) * CAST(t AS DOUBLE)), 6)
          |    AS share
          |FROM v3, sn, nq, tr""".stripMargin
+    },
+
+    // the two-direction replay: the v-chain is embed_power_iter's,
+    // the w-chain adds the exact-integer projection off v3 per round
+    // (p = v3ᵀdu, q = v3ᵀv3, du′ = du − (qv·p) // q — truncating
+    // division = Spark div)
+    "embed_spectrum" -> {
+      def vround(i: Int, prevV: String): String =
+        s"""s$i AS (SELECT id, sum(q * $prevV) AS s
+           |  FROM qx ${if (i == 1) "" else s"JOIN v${i - 1} USING (dim)"}
+           |  GROUP BY id),
+           |u$i AS (SELECT dim, sum(CAST(q AS HUGEINT) * s$i.s) AS u
+           |  FROM qx JOIN s$i USING (id) GROUP BY dim),
+           |d$i AS (SELECT dim, CAST(u // 1000000000000 AS BIGINT) AS du FROM u$i),
+           |n$i AS (SELECT sum(CAST(du AS HUGEINT) * du) AS n2 FROM d$i),
+           |v$i AS MATERIALIZED (SELECT dim, CAST(floor(CAST(du * 1000000 AS DOUBLE)
+           |    / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS qv FROM d$i, n$i)"""
+          .stripMargin
+      def wround(i: Int, prevW: String): String =
+        s"""ws$i AS (SELECT id, sum(q * $prevW) AS s
+           |  FROM qx ${if (i == 1) "" else s"JOIN w${i - 1} USING (dim)"}
+           |  GROUP BY id),
+           |wu$i AS (SELECT dim, sum(CAST(q AS HUGEINT) * ws$i.s) AS u
+           |  FROM qx JOIN ws$i USING (id) GROUP BY dim),
+           |wd$i AS MATERIALIZED (SELECT dim,
+           |    CAST(u // 1000000000000 AS BIGINT) AS du FROM wu$i),
+           |wpq$i AS (SELECT sum(CAST(v3.qv AS HUGEINT) * wd$i.du) AS p,
+           |    sum(CAST(v3.qv AS HUGEINT) * v3.qv) AS q
+           |  FROM wd$i JOIN v3 USING (dim)),
+           |wp$i AS MATERIALIZED (SELECT wd$i.dim,
+           |    wd$i.du - CAST((CAST(v3.qv AS HUGEINT) * wpq$i.p)
+           |      // wpq$i.q AS BIGINT) AS du
+           |  FROM wd$i JOIN v3 USING (dim), wpq$i),
+           |wn$i AS (SELECT sum(CAST(du AS HUGEINT) * du) AS n2 FROM wp$i),
+           |w$i AS MATERIALIZED (SELECT dim, CAST(floor(CAST(du * 1000000 AS DOUBLE)
+           |    / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS qv FROM wp$i, wn$i)"""
+          .stripMargin
+      val w0 = "(CASE WHEN dim % 2 = 1 THEN 125000 ELSE -125000 END)"
+      s"""WITH qx AS (SELECT id, i + 1 AS dim,
+         |    CAST(floor(v * 1000000) AS BIGINT) AS q
+         |  FROM (SELECT vec_id AS id,
+         |      unnest(CAST(embedding AS DOUBLE[])) AS v,
+         |      unnest(range(0, 64)) AS i
+         |    FROM embeddings)),
+         |${vround(1, "125000")},
+         |${vround(2, "qv")},
+         |${vround(3, "qv")},
+         |${wround(1, w0)},
+         |${wround(2, "qv")},
+         |${wround(3, "qv")},
+         |sa AS (SELECT id, sum(q * qv) AS s FROM qx JOIN v3 USING (dim)
+         |  GROUP BY id),
+         |fn1 AS (SELECT sum(CAST(s AS HUGEINT) * s) AS sn1 FROM sa),
+         |sb AS (SELECT id, sum(q * qv) AS s FROM qx JOIN w3 USING (dim)
+         |  GROUP BY id),
+         |fn2 AS (SELECT sum(CAST(s AS HUGEINT) * s) AS sn2 FROM sb),
+         |nrm AS (SELECT sum(CAST(v3.qv AS HUGEINT) * v3.qv) AS nv1,
+         |    sum(CAST(w3.qv AS HUGEINT) * w3.qv) AS nv2,
+         |    sum(CAST(v3.qv AS HUGEINT) * w3.qv) AS dot12
+         |  FROM v3 JOIN w3 USING (dim)),
+         |tr AS (SELECT sum(CAST(q AS HUGEINT) * q) AS t FROM qx)
+         |SELECT v3.dim,
+         |  round(CAST(v3.qv AS DOUBLE) / 1000000.0, 6) AS v1,
+         |  round(CAST(w3.qv AS DOUBLE) / 1000000.0, 6) AS v2,
+         |  round(CAST(sn1 AS DOUBLE)
+         |    / (CAST(nv1 AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS share1,
+         |  round(CAST(sn2 AS DOUBLE)
+         |    / (CAST(nv2 AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS share2,
+         |  round(abs(CAST(dot12 AS DOUBLE))
+         |    / (sqrt(CAST(nv1 AS DOUBLE)) * sqrt(CAST(nv2 AS DOUBLE))), 6)
+         |    AS abs_cos12
+         |FROM v3 JOIN w3 USING (dim), fn1, fn2, nrm, tr""".stripMargin
     },
 
     "embed_dimstats" ->

@@ -186,7 +186,10 @@ class PlanSpec extends SparkSpec {
     *   embed_power_iter — per-iteration single-row direction/norm
     *     broadcasts (the declarative power step: 1-row vq array,
     *     1-row n2, and the final λ/share scalars — every crossed side
-    *     is one row by construction). */
+    *     is one row by construction);
+    *   embed_spectrum — the same per-iteration 1-row broadcasts for
+    *     BOTH direction chains plus the 1-row deflation (p, q)
+    *     scalars. */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -194,7 +197,7 @@ class PlanSpec extends SparkSpec {
       "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm",
       "text_cooc", "ann_sq8", "q_triangles", "embed_power_iter",
       "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets",
-      "dedup_eval")
+      "dedup_eval", "embed_spectrum")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

@@ -553,4 +553,32 @@ class SimilaritySpec extends SparkSpec {
     val n2 = v.map(x => x * x).sum
     assert(n2 <= 1.0 + 1e-6 && n2 > 0.99, s"direction not unit: $n2")
   }
+
+  test("spectrum recovers a planted two-axis plane with orthogonal directions") {
+    // vectors in span{e1, e2}: strong e1 energy, weaker e2 — the
+    // deflated second direction must find e2, orthogonal to v1
+    val vecs = (0 until 24).map { i =>
+      val a = (2 + i % 3).toFloat * (if (i % 2 == 0) 1f else -1f)
+      val b = 0.5f * (if (i % 4 < 2) 1f else -1f)
+      Array(a, b, 0.0f, 0.0f)
+    }
+    val out = graft.operators.Similarity.spectrum(
+        vecs.toDF("embedding"), dims = 4)
+      .collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Double]("v1"), r.getAs[Double]("v2"),
+          r.getAs[Double]("share1"), r.getAs[Double]("share2"),
+          r.getAs[Double]("abs_cos12")))).toMap
+    val (v11, v21, s1, s2, c) = out(1L)
+    assert(math.abs(math.abs(v11) - 1.0) < 1e-3, s"v1 must be ±e1: $out")
+    assert(math.abs(math.abs(out(2L)._2) - 1.0) < 1e-3, s"v2 must be ±e2: $out")
+    assert(math.abs(v21) < 1e-3, "v2 has no e1 component")
+    assert(c < 1e-3, s"directions must be orthogonal, cos=$c")
+    // exact plane energies: share1 = sum a^2 / total, share2 the rest
+    val ea = vecs.map(v => v(0).toDouble * v(0)).sum
+    val eb = vecs.map(v => v(1).toDouble * v(1)).sum
+    assert(math.abs(s1 - ea / (ea + eb)) < 0.01, s"share1=$s1 vs ${ea / (ea + eb)}")
+    assert(math.abs(s2 - eb / (ea + eb)) < 0.01, s"share2=$s2 vs ${eb / (ea + eb)}")
+    assert(math.abs(s1 + s2 - 1.0) < 0.01, "the plane carries all energy")
+  }
 }
