@@ -82,6 +82,10 @@ object Similarity {
         // per-term product must be too
         (q6(col("x")).cast("decimal(38,0)") * col("s")).as("su"))
       .groupBy("dim").agg(sum("su").as("u"))
+      // dims-row table: single-task reduce (§3 rule 14 — map-side
+      // partials stay corpus-parallel; every downstream stage of the
+      // direction pipeline is dims-sized)
+      .coalesce(1)
       .select(col("dim"),
         expr("CAST(u div 1000000000000 AS BIGINT)").as("du"))
   }
