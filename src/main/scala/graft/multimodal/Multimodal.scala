@@ -149,15 +149,51 @@ object Multimodal {
   final case class MediaHash(id: Long, ahash: Long, bytes_md5: String,
       width: Int, height: Int)
 
-  /** Perceptual average-hash (aHash) over the REAL decoded pixels:
-    * nearest-neighbor downsample to 8×8 (the canonical sx = (dx·w)
-    * div 8 mapping — every sample is a real decoded pixel), integer
-    * grayscale g = (r+g+b) div 3, threshold at the integer mean
-    * (div 64), bit (dy·8+dx) set iff g > mean. Every step is integer
-    * arithmetic on decoded pixel values, so the oracle replays the
-    * hash bit-exactly from the generator lattice — through the real
-    * encode→decode round trip. Also emits md5 of the CONTAINER bytes
-    * (the byte-level identity a naive dedup would key on). */
+  /** THE aHash definition — shared by the batch operator and
+    * `StreamingOps.mediaDecodeStream` so the two faces cannot drift:
+    * nearest-neighbor downsample to 8×8 (sx = (dx·w) div 8 — every
+    * sample a real decoded pixel), integer grayscale (r+g+b) div 3,
+    * threshold at the integer mean (div 64), bit (dy·8+dx) set iff
+    * g > mean. All integer, so the oracle replays it bit-exactly
+    * from the generator lattice through the encode→decode round
+    * trip. */
+  private[graft] def ahashOf(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = new Array[Int](64)
+    var sum = 0L
+    var dy = 0
+    while (dy < 8) {
+      var dx = 0
+      while (dx < 8) {
+        val rgb = img.getRGB(dx * w / 8, dy * h / 8)
+        val v = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+        g(dy * 8 + dx) = v
+        sum += v
+        dx += 1
+      }
+      dy += 1
+    }
+    val mean = sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (g(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Decode a payload or fail loudly — the single `ImageIO.read`
+    * entry both batch and stream go through. */
+  private[graft] def decodeImage(id: Long, bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable media payload for id=$id")
+    img
+  }
+
+  /** Perceptual average-hash over the REAL decoded pixels
+    * ([[ahashOf]]), plus md5 of the CONTAINER bytes (the byte-level
+    * identity a naive dedup would key on). */
   def averageHash(df: DataFrame, idCol: String, binCol: String): Dataset[MediaHash] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -167,33 +203,11 @@ object Multimodal {
         ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
-          val img = ImageIO.read(new ByteArrayInputStream(bytes))
-          require(img != null, s"undecodable media payload for id=$id")
-          val (w, h) = (img.getWidth, img.getHeight)
-          val g = new Array[Int](64)
-          var sum = 0L
-          var dy = 0
-          while (dy < 8) {
-            var dx = 0
-            while (dx < 8) {
-              val rgb = img.getRGB(dx * w / 8, dy * h / 8)
-              val v = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-              g(dy * 8 + dx) = v
-              sum += v
-              dx += 1
-            }
-            dy += 1
-          }
-          val mean = sum / 64
-          var hash = 0L
-          var i = 0
-          while (i < 64) {
-            if (g(i) > mean) hash |= (1L << i)
-            i += 1
-          }
+          val img = decodeImage(id, bytes)
           md.reset()
           val dig = md.digest(bytes)
-          MediaHash(id, hash, dig.map("%02x".format(_)).mkString, w, h)
+          MediaHash(id, ahashOf(img), dig.map("%02x".format(_)).mkString,
+            img.getWidth, img.getHeight)
         }
       }
   }
@@ -209,9 +223,14 @@ object Multimodal {
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
     else "unknown"
 
-  private def decodeOne(id: Long, bytes: Array[Byte]): DecodedImage = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    require(img != null, s"undecodable media payload for id=$id")
+  private[graft] def decodeOne(id: Long, bytes: Array[Byte]): DecodedImage =
+    statsOf(id, sniffFormat(bytes), decodeImage(id, bytes))
+
+  /** Per-image decode statistics over an already-decoded raster — the
+    * single stats kernel batch `decodeMeta` and the streaming face
+    * share. */
+  private[graft] def statsOf(id: Long, fmt: String,
+      img: BufferedImage): DecodedImage = {
     val (w, h) = (img.getWidth, img.getHeight)
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
@@ -224,7 +243,7 @@ object Multimodal {
       }
       y += 1
     }
-    DecodedImage(id, sniffFormat(bytes),
+    DecodedImage(id, fmt,
       w, h, img.getColorModel.getNumComponents, sr, sg, sb)
   }
 

@@ -1022,51 +1022,19 @@ object StreamingOps {
       binCol: String = "media"): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    import graft.multimodal.Multimodal
     media.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"undecodable media payload for id=$id")
-          val (w, h) = (img.getWidth, img.getHeight)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
-              sb += rgb & 0xFF
-              x += 1
-            }
-            y += 1
-          }
-          val g = new Array[Int](64)
-          var sum = 0L
-          var dy = 0
-          while (dy < 8) {
-            var dx = 0
-            while (dx < 8) {
-              val rgb = img.getRGB(dx * w / 8, dy * h / 8)
-              val v = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF)
-                + (rgb & 0xFF)) / 3
-              g(dy * 8 + dx) = v
-              sum += v
-              dx += 1
-            }
-            dy += 1
-          }
-          val mean = sum / 64
-          var hash = 0L
-          var i = 0
-          while (i < 64) {
-            if (g(i) > mean) hash |= (1L << i)
-            i += 1
-          }
-          (id, graft.multimodal.Multimodal.sniffFormat(bytes),
-            w, h, img.getColorModel.getNumComponents, sr, sg, sb, hash)
+          // the SAME decode/stat/hash kernels as the batch operators —
+          // shared definitions, so the bit-identity the spec asserts
+          // is structural, not coincidental; one decode feeds both
+          val img = Multimodal.decodeImage(id, bytes)
+          val d = Multimodal.statsOf(id, Multimodal.sniffFormat(bytes), img)
+          (id, d.fmt, d.width, d.height, d.channels,
+            d.sum_r, d.sum_g, d.sum_b, Multimodal.ahashOf(img))
         }
       }
       .toDF("id", "fmt", "width", "height", "channels",
