@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.MultimodalPack,
     graft.queries.StatsPack,
     graft.queries.AnalyticsPack,
-    graft.queries.GraphPack
+    graft.queries.GraphPack,
+    graft.queries.SketchPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

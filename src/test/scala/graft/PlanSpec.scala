@@ -189,7 +189,9 @@ class PlanSpec extends SparkSpec {
     *     is one row by construction);
     *   embed_spectrum — the same per-iteration 1-row broadcasts for
     *     BOTH direction chains plus the 1-row deflation (p, q)
-    *     scalars. */
+    *     scalars;
+    *   q_hll — per-column single-row register-sum × exact-count
+    *     crossJoin (both sides 1 row by construction). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -197,7 +199,7 @@ class PlanSpec extends SparkSpec {
       "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm",
       "text_cooc", "ann_sq8", "q_triangles", "embed_power_iter",
       "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets",
-      "dedup_eval", "embed_spectrum")
+      "dedup_eval", "embed_spectrum", "q_hll")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
