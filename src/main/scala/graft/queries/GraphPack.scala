@@ -284,11 +284,70 @@ object GraphPack extends QueryPack {
     pairRows.unionByName(tri)
   }
 
+  /** Fixed label-propagation rounds — enough for the ~3.5k-edge
+    * support-2 affinity graph to settle into stable communities, and
+    * exactly the round count the oracle replays. */
+  private val LabelPropRounds = 4
+
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007): every node starts as its own label; each
+    * round it adopts the most frequent label among its neighbors AND
+    * itself (self-inclusion is the retention damping that keeps the
+    * synchronous variant from 2-cycling on bipartite structure), ties
+    * to the smallest label. FIXED rounds, not convergence-detected:
+    * the trajectory is then a pure function of the graph and the
+    * oracle replays every round as chained MATERIALIZED CTEs — the
+    * same replay discipline as q_kcore/pagerank. The argmax is
+    * encoded so ONE integer `min` does (count desc, label asc):
+    * key = (2^20 − cnt)·2^32 + lbl — cnt < 2^20 (bounded by degree),
+    * lbl < 2^32, key < 2^52, exact in a long in both engines (no
+    * struct-comparison semantics to align). Per round: one
+    * co-keyed edges⋈labels join + two hash aggs — 2E+V rows through
+    * the exchange; labels re-materialize through the checkpoint seam
+    * so lineage stays constant-size. Output: top-20 communities by
+    * size (ties to smaller label) with the global community count. */
+  private def labelProp(s: SparkSession, d: String,
+      rounds: Int = LabelPropRounds,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame =
+    labelPropFrom(copurchaseEdges(s, d, minSupport = 2), rounds, ckpt)
+
+  /** The propagation loop over any undirected (`u` < `v`, distinct)
+    * edge set — public to the test JVM for the hand-graph gate. */
+  private[graft] def labelPropFrom(und: DataFrame, rounds: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val edges = ckpt(und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val nb = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("lbl"))
+        .unionByName(labels) // self-inclusion (retention damping)
+      labels = ckpt(nb.groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min((lit(1048576L) - col("c")) * lit(4294967296L) + col("lbl"))
+          .as("mk"))
+        .select(col("node"), pmod(col("mk"), lit(4294967296L)).as("lbl")))
+    }
+    val comms = labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+    val total = comms.agg(count(lit(1)).as("n_communities"))
+    comms.orderBy(col("n_nodes").desc, col("lbl")).limit(20)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n_nodes").desc, col("lbl"))))
+      .crossJoin(broadcast(total))
+      .select(col("rk").cast("int").as("rk"), col("lbl").as("community"),
+        col("n_nodes"), col("n_communities"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_reach" -> ((s, d) => reach(s, d)),
     "q_kcore" -> ((s, d) => kcore(s, d)),
-    "q_itemsets" -> ((s, d) => itemsets(s, d))
+    "q_itemsets" -> ((s, d) => itemsets(s, d)),
+    "q_label_prop" -> ((s, d) => labelProp(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -379,6 +438,37 @@ object GraphPack extends QueryPack {
         |SELECT k, item_a, item_b, item_c, CAST(support AS BIGINT) AS support,
         |  lift, confidence
         |FROM (SELECT * FROM pres UNION ALL SELECT * FROM tres)""".stripMargin,
+
+    "q_label_prop" -> {
+      val steps = (1 to LabelPropRounds).map { r =>
+        s"""nb$r AS (SELECT e.dst AS node, l.lbl FROM edges e
+           |    JOIN l${r - 1} l ON l.node = e.src
+           |  UNION ALL SELECT node, lbl FROM l${r - 1}),
+           |l$r AS MATERIALIZED (SELECT node,
+           |    CAST(mk % 4294967296 AS BIGINT) AS lbl
+           |  FROM (SELECT node, min((1048576 - c) * 4294967296 + lbl) AS mk
+           |    FROM (SELECT node, lbl, count(*) AS c FROM nb$r GROUP BY 1, 2)
+           |    GROUP BY node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |und AS (SELECT a.p AS u, b.p AS v
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+         |edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl
+         |  FROM edges),
+         |$steps,
+         |comms AS MATERIALIZED (SELECT lbl, count(*) AS n_nodes
+         |  FROM l$LabelPropRounds GROUP BY 1),
+         |top AS (SELECT lbl, n_nodes FROM comms
+         |  ORDER BY n_nodes DESC, lbl LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY n_nodes DESC, lbl) AS INT)
+         |    AS rk, lbl AS community, n_nodes,
+         |  (SELECT count(*) FROM comms) AS n_communities
+         |FROM top""".stripMargin
+    },
 
     "q_kcore" -> {
       val ks = Seq(50, 95)

@@ -13,11 +13,86 @@ object SimilarityPack extends QueryPack {
 
   private val NumQueries = 10
 
+  /** Johnson–Lindenstrauss target dimensionality: 64 → 16. √16 = 4 is
+    * exactly representable, so the 1/√t projection scale never
+    * introduces a cross-engine rounding seam. */
+  private val JlDim = 16
+
+  /** ±1 sign for projection cell (i, j): parity of the pack's portable
+    * u32 md5 hash, computed in the JVM — bit-identical to the Spark
+    * `conv(substring(md5(…),1,8),16,10)` and DuckDB
+    * `CAST('0x'||substr(md5(…),1,8) AS BIGINT)` forms of the same
+    * hash, which the oracle recomputes as the cross-check. */
+  private def jlSign(i: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1L else -1L
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.topK(emb, emb.filter(col("vec_id") < NumQueries), k = 5)
+    }),
+
+    // Johnson–Lindenstrauss random-projection distortion audit
+    // (round 11) — measure what a 64→16 sign projection (Achlioptas
+    // 2003: ±1 entries are as good as Gaussians and stay integer)
+    // does to pairwise L2 distances BEFORE committing the cheap index
+    // to it: per consecutive-id pair, ratio = ‖y_a−y_b‖²/‖x_a−x_b‖²
+    // (expectation 1 by the JL lemma), reported as a ratio histogram
+    // + the mean. The sign matrix s_ij = parity of the portable u32
+    // md5 hash of (i, j) — seedless, reproducible anywhere — is only
+    // 64×16, so it's inlined as a LITERAL array and the projection is
+    // pure per-row column math (km_assign's broadcast-literal fold
+    // discipline): vectors never explode and never shuffle; the only
+    // exchange is the consecutive-id pair join. The ORACLE recomputes
+    // every sign from the md5 hash itself, so the gate also proves the
+    // inlined literals match the portable hash. Exactness: x quantized
+    // to integer 1e-6 units; projected coords y = Σ ±q and both
+    // squared distances are exact BIGINT sums (order-free) whose
+    // quantization scales CANCEL in the ratio — one float division
+    // per pair (+ the 1e-6-quantized mean, q_entropy's idiom). First
+    // measured as a posexplode × t-explode plan: 9.4 s at the 10×
+    // probe; this per-row shape cut the 51M-row expansion entirely.
+    // At 100 TB the mean sum moves to DECIMAL(38) (embed_dimstats'
+    // rule) — noted, not needed at 2^53/1e6 pairs.
+    "embed_jl" -> ((s, d) => {
+      val t = JlDim
+      val signLit = array((0 until 64).map(i =>
+        array((0 until t).map(j => lit(jlSign(i, j))): _*)): _*)
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * lit(1e6)).cast("long")).as("qa"))
+        .withColumn("ya", transform(sequence(lit(0), lit(t - 1)), j =>
+          aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
+            acc + element_at(element_at(signLit, i + 1), j + 1)
+              * element_at(col("qa"), i + 1))))
+      val a = base.filter(pmod(col("vec_id"), lit(2L)) === 0)
+        .select(col("vec_id").as("pid"), col("qa"), col("ya"))
+      val b = base.filter(pmod(col("vec_id"), lit(2L)) === 1)
+        .select((col("vec_id") - 1).as("pid"), col("qa").as("qb"),
+          col("ya").as("yb"))
+      def sq2(u: Column, v: Column): Column =
+        aggregate(zip_with(u, v, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, e) => acc + e)
+      val ratio = a.join(b, Seq("pid"))
+        .select(col("pid"), sq2(col("qa"), col("qb")).as("do2"),
+          sq2(col("ya"), col("yb")).as("dp2"))
+        .filter(col("do2") > 0)
+        .select(col("pid"),
+          (col("dp2").cast("double") / (lit(t.toDouble) * col("do2")))
+            .as("r"))
+      val summary = ratio.agg(
+        count(lit(1)).as("n_pairs_total"),
+        round(sum(floor(col("r") * lit(1e6)).cast("long")).cast("double")
+          / count(lit(1)) / lit(1e6), 4).as("mean_ratio"))
+      ratio.groupBy(floor(col("r") * 10).cast("int").as("ratio_bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(summary))
     }),
 
     "embed_neardup" -> ((s, d) =>
@@ -617,6 +692,37 @@ object SimilarityPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "ann_trained_recall" -> trainedRecallSql,
     "ann_sq8" -> sq8Sql,
+
+    // replay the quantized JL projection: same u32-parity signs, same
+    // exact-integer distances, one float division per pair
+    "embed_jl" ->
+      s"""WITH qt AS MATERIALIZED (SELECT vec_id, i,
+         |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS x,
+         |      unnest(range(0, len(embedding))) AS i FROM embeddings)),
+         |proj AS (SELECT vec_id, j,
+         |    sum(CASE WHEN CAST(('0x'||substr(md5('jl:'||CAST(i AS VARCHAR)
+         |        ||':'||CAST(j AS VARCHAR)),1,8)) AS BIGINT) % 2 = 0
+         |      THEN q ELSE -q END) AS y
+         |  FROM qt, range(0, $JlDim) t(j) GROUP BY 1, 2),
+         |do2 AS (SELECT a.vec_id AS pid, sum((a.q - b.q) * (a.q - b.q)) AS d
+         |  FROM qt a JOIN qt b
+         |    ON b.vec_id = a.vec_id + 1 AND b.i = a.i AND a.vec_id % 2 = 0
+         |  GROUP BY 1),
+         |dp2 AS (SELECT a.vec_id AS pid, sum((a.y - b.y) * (a.y - b.y)) AS d
+         |  FROM proj a JOIN proj b
+         |    ON b.vec_id = a.vec_id + 1 AND b.j = a.j AND a.vec_id % 2 = 0
+         |  GROUP BY 1),
+         |ratio AS MATERIALIZED (SELECT do2.pid,
+         |    CAST(dp2.d AS DOUBLE) / ($JlDim.0 * do2.d) AS r
+         |  FROM do2 JOIN dp2 USING (pid) WHERE do2.d > 0),
+         |summary AS (SELECT count(*) AS n_pairs_total,
+         |    round(CAST(sum(CAST(floor(r * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000.0, 4) AS mean_ratio
+         |  FROM ratio)
+         |SELECT CAST(floor(r * 10) AS INT) AS ratio_bin,
+         |  count(*) AS n_pairs, n_pairs_total, mean_ratio
+         |FROM ratio CROSS JOIN summary GROUP BY 1, 3, 4""".stripMargin,
     // replay the quantized power-iteration trajectory: each round is
     // (per-id dot) → (per-dim HUGEINT u) → (du = u // 1e12, trunc
     // toward zero = Spark div) → floor-requantized unit direction;

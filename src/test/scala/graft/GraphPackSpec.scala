@@ -119,4 +119,32 @@ class GraphPackSpec extends SparkSpec {
     // k=3: every node has degree < 3 after the tail drops → empty
     assert(got((3, 2)) === ((0L, 0L)) && got((3, 4)) === ((0L, 0L)))
   }
+
+  test("labelPropFrom matches a driver-side reference propagation") {
+    // two triangles joined by a bridge + a disjoint edge: communities
+    // must resolve to the triangle minima and the edge minimum
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 10L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)
+    ).toDF("u", "v")
+    val es = edges.as[(Long, Long)].collect()
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    val nodes = adj.keys.toSeq.sorted
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lbl = nodes.map { n =>
+        val votes = (adj(n).map(lbl) :+ lbl(n))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        n -> votes.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }.toMap
+    }
+    val wantComms = lbl.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val rows = GraphPack.labelPropFrom(edges, rounds = 4).collect()
+    val gotComms = rows
+      .map(r => r.getAs[Long]("community") -> r.getAs[Long]("n_nodes")).toMap
+    assert(gotComms === wantComms)
+    assert(rows.head.getAs[Long]("n_communities") === wantComms.size.toLong)
+  }
 }

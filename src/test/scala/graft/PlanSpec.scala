@@ -191,7 +191,11 @@ class PlanSpec extends SparkSpec {
     *     BOTH direction chains plus the 1-row deflation (p, q)
     *     scalars;
     *   q_hll — per-column single-row register-sum × exact-count
-    *     crossJoin (both sides 1 row by construction). */
+    *     crossJoin (both sides 1 row by construction);
+    *   q_label_prop — single-row community-count broadcast
+    *     (q_triangles' pattern);
+    *   embed_jl — single-row (n_pairs_total, mean_ratio) summary
+    *     broadcast onto the histogram rows. */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -199,7 +203,7 @@ class PlanSpec extends SparkSpec {
       "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm",
       "text_cooc", "ann_sq8", "q_triangles", "embed_power_iter",
       "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets",
-      "dedup_eval", "embed_spectrum", "q_hll")
+      "dedup_eval", "embed_spectrum", "q_hll", "q_label_prop", "embed_jl")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

@@ -581,4 +581,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(s2 - eb / (ea + eb)) < 0.01, s"share2=$s2 vs ${eb / (ea + eb)}")
     assert(math.abs(s1 + s2 - 1.0) < 0.01, "the plane carries all energy")
   }
+
+  test("embed_jl: distortion ratios concentrate around 1 (JL lemma)") {
+    val rows = SparkEntry.queries("embed_jl")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // unbiasedness: E[‖y_a−y_b‖²/‖x_a−x_b‖²] = 1 for ±1 projections
+    val mean = rows.head.getAs[Double]("mean_ratio")
+    assert(math.abs(mean - 1.0) < 0.15, s"mean_ratio $mean")
+    // concentration: at t=16, σ(ratio) ≈ √(2/t) ≈ 0.35 — well over
+    // half the pairs must land within ±0.5 of 1 (measured ~90%)
+    val total = rows.head.getAs[Long]("n_pairs_total")
+    val within = rows.filter { r =>
+      val b = r.getAs[Int]("ratio_bin"); b >= 5 && b <= 14
+    }.map(_.getAs[Long]("n_pairs")).sum
+    assert(within.toDouble / total > 0.6,
+      s"only $within/$total pairs within [0.5, 1.5)")
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === total)
+  }
 }
