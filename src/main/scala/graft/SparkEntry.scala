@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.StatsPack,
     graft.queries.AnalyticsPack,
     graft.queries.GraphPack,
-    graft.queries.SketchPack
+    graft.queries.SketchPack,
+    graft.queries.LearnPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

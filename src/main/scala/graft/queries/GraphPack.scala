@@ -342,12 +342,159 @@ object GraphPack extends QueryPack {
         col("n_nodes"), col("n_communities"))
   }
 
+  /** Fixed relaxation rounds — BFS diameter of the part↔supplier
+    * bipartite graph is ~4 at every SF (q_reach's histogram), so 6
+    * weighted rounds reach the Bellman–Ford fixpoint with slack; the
+    * oracle replays exactly these rounds. */
+  private val SsspRounds = 6
+
+  /** Single-source weighted shortest paths by synchronous Bellman–Ford
+    * relaxation (Bellman 1958; the MapReduce formulation is the
+    * textbook iterated relax — Lin & Dyer 2010 ch.5) — the weighted
+    * companion to `q_reach`'s hop-count BFS: nearest suppliers/parts
+    * from part 1 by CHEAPEST route, not fewest hops. Graph: the
+    * part↔supplier bipartite graph under tagged-long ids (p·2 /
+    * sk·2+1, pagerankPlan's encoding), edge weight = the MINIMUM
+    * observed lineitem price for the pair in integer cents
+    * (floor(price·100) — AnalyticsPack's cents discipline), so every
+    * distance is an exact BIGINT sum and the result hashes identically
+    * in any engine. Each round relaxes every edge out of the reached
+    * set: candidates = edges ⋈ dist (co-partitioned equi-join on src)
+    * unioned with the standing distances, then a hash-agg `min` per
+    * node — dist-table-sized state through the checkpoint seam,
+    * lineage constant. Rounds are FIXED (relaxation is monotone and
+    * idempotent at its fixpoint — extra rounds are no-ops), so the
+    * trajectory is a pure function of the graph and the oracle replays
+    * it as chained MATERIALIZED CTEs. Output: top-20 nearest nodes by
+    * (dist, node) + the reached-node count on every row. */
+  private def sssp(s: SparkSession, d: String, rounds: Int = SsspRounds,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val w0 = lineitem(s, d)
+        .groupBy(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk"))
+        .agg(min(floor(col("l_extendedprice") * 100).cast("long")).as("w"))
+      val directed = w0.select(
+          (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"), col("w"))
+        .union(w0.select(
+          (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst"), col("w")))
+      ssspFrom(directed, source = 2L, rounds, ckpt)
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+  }
+
+  /** The relaxation loop over any directed weighted (`src`, `dst`, `w`)
+    * edge set — public to the test JVM so the spec can gate it against
+    * a driver-side reference Dijkstra. */
+  private[graft] def ssspFrom(directed: DataFrame, source: Long,
+      rounds: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val s = directed.sparkSession
+    val edges = ckpt(directed.repartition(col("src")))
+    var dist = ckpt(s.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .repartition(col("node")))
+    for (_ <- 1 to rounds) {
+      val relaxed = edges
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = ckpt(relaxed.unionByName(dist)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .repartition(col("node")))
+    }
+    val total = dist.agg(count(lit(1)).as("n_reached"))
+    dist.orderBy(col("dist"), col("node")).limit(20)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("dist"), col("node"))))
+      .crossJoin(broadcast(total))
+      .select(col("rk").cast("int").as("rk"), col("node"),
+        col("dist").as("dist_cents"), col("n_reached"))
+  }
+
+  /** Fixed mutual-reinforcement rounds; scores effectively stabilize in
+    * 3 on the supply graph, and the oracle replays exactly these. */
+  private val HitsRounds = 3
+
+  /** Integer mass each normalization rescales to — scores are then
+    * "parts per million of the total" and every rank comparison is an
+    * exact integer one. */
+  private val HitsMass = 1000000L
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over the directed
+    * supplier→part supply graph — the asymmetric-role companion to
+    * pagerank's single score: a good HUB (supplier) stocks many good
+    * authorities; a good AUTHORITY (part) is stocked by many good
+    * hubs. The float-free re-expression: scores are integer mass,
+    * initialized to [[HitsMass]] per supplier; each half-round is one
+    * co-partitioned edges⋈scores equi-join + a hash agg (sum), then an
+    * L1 renormalization back to ~[[HitsMass]] total, computed as
+    * `raw · 10⁶ div Σraw` — the multiply runs in DECIMAL(38,0)
+    * (embed_dimstats' discipline: a BIGINT product overflows once raw
+    * mass exceeds ~9·10¹², i.e. whenever max-degree · 10⁶ · 10⁶ does)
+    * and the truncating integral divide is identical in Spark (`div`)
+    * and DuckDB (HUGEINT `//`) for the all-positive mass here, so the
+    * whole trajectory is exact and the oracle replays it as chained
+    * MATERIALIZED CTEs. Normalization state is a 1-row broadcast.
+    * Output: top-10 hubs and top-10 authorities (side, rk, key,
+    * score). */
+  private def hits(s: SparkSession, d: String, rounds: Int = HitsRounds,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      hitsFrom(lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("sk"),
+          col("l_partkey").cast("long").as("p")).distinct(), rounds, ckpt)
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+  }
+
+  /** The mutual-reinforcement loop over any directed (`sk` hub-side,
+    * `p` authority-side) distinct edge set — public to the test JVM so
+    * the spec can gate it against a driver-side integer replay. */
+  private[graft] def hitsFrom(directed: DataFrame, rounds: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val edges = ckpt(directed.repartition(col("sk")))
+    def renorm(raw: DataFrame, key: String, v: String): DataFrame = {
+      val tot = raw.agg(sum(v).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(key),
+          expr(s"(cast($v as decimal(38,0)) * $HitsMass)" +
+            s" div cast(tot as decimal(38,0))").as(v))
+    }
+    var hub = ckpt(edges.select("sk").distinct()
+      .withColumn("h", lit(HitsMass)))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      auth = ckpt(renorm(
+        edges.join(hub, Seq("sk"))
+          .groupBy("p").agg(sum("h").as("a")), "p", "a"))
+      hub = ckpt(renorm(
+        edges.join(auth, Seq("p"))
+          .groupBy("sk").agg(sum("a").as("h")), "sk", "h"))
+    }
+    def top10(df: DataFrame, key: String, v: String, side: String) =
+      df.orderBy(col(v).desc, col(key)).limit(10)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col(v).desc, col(key))))
+        .select(lit(side).as("side"), col("rk").cast("int").as("rk"),
+          col(key).as("node_key"), col(v).as("score"))
+    top10(hub, "sk", "h", "hub")
+      .unionByName(top10(auth, "p", "a", "auth"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_reach" -> ((s, d) => reach(s, d)),
     "q_kcore" -> ((s, d) => kcore(s, d)),
     "q_itemsets" -> ((s, d) => itemsets(s, d)),
-    "q_label_prop" -> ((s, d) => labelProp(s, d))
+    "q_label_prop" -> ((s, d) => labelProp(s, d)),
+    "q_sssp" -> ((s, d) => sssp(s, d)),
+    "q_hits" -> ((s, d) => hits(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -468,6 +615,63 @@ object GraphPack extends QueryPack {
          |    AS rk, lbl AS community, n_nodes,
          |  (SELECT count(*) FROM comms) AS n_communities
          |FROM top""".stripMargin
+    },
+
+    "q_sssp" -> {
+      val steps = (1 to SsspRounds).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           |    SELECT e.dst AS node, d.dist + e.w AS dist
+           |    FROM edges e JOIN d${r - 1} d ON e.src = d.node
+           |  UNION ALL SELECT node, dist FROM d${r - 1}) GROUP BY 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH w0 AS (SELECT l_partkey AS p, l_suppkey AS sk,
+         |    min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS w
+         |  FROM lineitem GROUP BY 1, 2),
+         |edges AS MATERIALIZED (SELECT p * 2 AS src, sk * 2 + 1 AS dst, w
+         |    FROM w0
+         |  UNION ALL SELECT sk * 2 + 1, p * 2, w FROM w0),
+         |d0 AS (SELECT CAST(2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+         |$steps,
+         |top AS (SELECT node, dist FROM d$SsspRounds
+         |  ORDER BY dist, node LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY dist, node) AS INT) AS rk,
+         |  node, dist AS dist_cents,
+         |  (SELECT count(*) FROM d$SsspRounds) AS n_reached
+         |FROM top""".stripMargin
+    },
+
+    "q_hits" -> {
+      val steps = (1 to HitsRounds).map { r =>
+        s"""ar$r AS (SELECT p, sum(h) AS a FROM edges e
+           |  JOIN h${r - 1} USING (sk) GROUP BY 1),
+           |a$r AS MATERIALIZED (SELECT p, CAST(
+           |    CAST(a AS HUGEINT) * $HitsMass
+           |      // (SELECT CAST(sum(a) AS HUGEINT) FROM ar$r)
+           |  AS BIGINT) AS a FROM ar$r),
+           |hr$r AS (SELECT sk, sum(a) AS h FROM edges e
+           |  JOIN a$r USING (p) GROUP BY 1),
+           |h$r AS MATERIALIZED (SELECT sk, CAST(
+           |    CAST(h AS HUGEINT) * $HitsMass
+           |      // (SELECT CAST(sum(h) AS HUGEINT) FROM hr$r)
+           |  AS BIGINT) AS h FROM hr$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS MATERIALIZED (SELECT DISTINCT l_suppkey AS sk,
+         |    l_partkey AS p FROM lineitem),
+         |h0 AS (SELECT DISTINCT sk, CAST($HitsMass AS BIGINT) AS h
+         |  FROM edges),
+         |$steps,
+         |toph AS (SELECT sk, h FROM h$HitsRounds ORDER BY h DESC, sk
+         |  LIMIT 10),
+         |topa AS (SELECT p, a FROM a$HitsRounds ORDER BY a DESC, p
+         |  LIMIT 10)
+         |SELECT 'hub' AS side,
+         |  CAST(row_number() OVER (ORDER BY h DESC, sk) AS INT) AS rk,
+         |  sk AS node_key, h AS score FROM toph
+         |UNION ALL
+         |SELECT 'auth',
+         |  CAST(row_number() OVER (ORDER BY a DESC, p) AS INT),
+         |  p, a FROM topa""".stripMargin
     },
 
     "q_kcore" -> {

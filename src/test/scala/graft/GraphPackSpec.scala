@@ -147,4 +147,100 @@ class GraphPackSpec extends SparkSpec {
     assert(gotComms === wantComms)
     assert(rows.head.getAs[Long]("n_communities") === wantComms.size.toLong)
   }
+
+  test("ssspFrom prefers the cheap 2-hop route over the expensive direct edge") {
+    // 1→2 (10) →3 (10) vs direct 1→3 (100); 4 hangs off 3; 6→1 makes 6
+    // a source-only node, unreachable FROM 1
+    val edges = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 100L), (3L, 4L, 5L),
+      (6L, 1L, 1L)
+    ).toDF("src", "dst", "w")
+    val rows = GraphPack.ssspFrom(edges, source = 1L, rounds = 6).collect()
+    val dist = rows.map(r =>
+      r.getAs[Long]("node") -> r.getAs[Long]("dist_cents")).toMap
+    assert(dist === Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 25L))
+    assert(rows.head.getAs[Long]("n_reached") === 4L)
+    // rk orders by (dist, node)
+    val byRk = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("node"))
+    assert(byRk.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("q_sssp matches a driver-side Bellman-Ford on sf0.001") {
+    val got = SparkEntry.queries("q_sssp")(s, sfDir).collect()
+    // reference: same graph, same weights, driver-side relaxation
+    val w = Tables.lineitem(s, sfDir)
+      .groupBy(col("l_partkey").cast("long").as("p"),
+        col("l_suppkey").cast("long").as("sk"))
+      .agg(min(floor(col("l_extendedprice") * 100).cast("long")).as("w"))
+      .as[(Long, Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, List[(Long, Long)]]()
+      .withDefaultValue(Nil)
+    w.foreach { case (p, sk, c) =>
+      adj(p * 2) ::= ((sk * 2 + 1, c)); adj(sk * 2 + 1) ::= ((p * 2, c))
+    }
+    // strictly SYNCHRONOUS rounds (relax from a frozen snapshot) — the
+    // Spark loop and the oracle both run 6 synchronous rounds, and an
+    // in-round (Gauss–Seidel) mutation here could propagate further
+    // than 6 hops in an order-dependent way
+    var dist = Map[Long, Long](2L -> 0L)
+    for (_ <- 1 to 6) {
+      val relaxed = dist.toSeq.flatMap { case (n, dn) =>
+        adj(n).map { case (m, c) => m -> (dn + c) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    assert(got.head.getAs[Long]("n_reached") === dist.size.toLong)
+    val wantTop = dist.toSeq.map { case (n, d) => (d, n) }.sorted.take(20)
+    val gotTop = got.sortBy(_.getAs[Int]("rk"))
+      .map(r => (r.getAs[Long]("dist_cents"), r.getAs[Long]("node")))
+    assert(gotTop.toSeq === wantTop)
+  }
+
+  test("hitsFrom matches a driver-side integer HITS replay on a hand graph") {
+    // hubs {1,2,3} over auths {10,11,12}: hub 1 covers everything, hub 2
+    // the popular pair, hub 3 only the niche auth 12
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L), (3L, 12L)
+    ).toDF("sk", "p")
+    val es = edges.as[(Long, Long)].collect()
+    val M = BigInt(1000000L)
+    var hub = es.map(_._1).distinct.map(_ -> M).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      val ar = es.groupBy(_._2).view.mapValues(_.map(e => hub(e._1)).sum).toMap
+      val at = ar.values.sum
+      auth = ar.view.mapValues(v => v * M / at).toMap
+      val hr = es.groupBy(_._1).view.mapValues(_.map(e => auth(e._2)).sum).toMap
+      val ht = hr.values.sum
+      hub = hr.view.mapValues(v => v * M / ht).toMap
+    }
+    val rows = GraphPack.hitsFrom(edges, rounds = 3).collect()
+    val gotHub = rows.filter(_.getAs[String]("side") == "hub")
+      .map(r => r.getAs[Long]("node_key") -> BigInt(r.getAs[Long]("score")))
+      .toMap
+    val gotAuth = rows.filter(_.getAs[String]("side") == "auth")
+      .map(r => r.getAs[Long]("node_key") -> BigInt(r.getAs[Long]("score")))
+      .toMap
+    assert(gotHub === hub)
+    assert(gotAuth === auth)
+    // the full-coverage hub must outrank the niche one
+    assert(gotHub(1L) > gotHub(3L))
+    assert(gotAuth(10L) > gotAuth(12L) === (auth(10L) > auth(12L)))
+  }
+
+  test("q_hits emits 10 hubs + 10 auths with conserved integer mass") {
+    val rows = SparkEntry.queries("q_hits")(s, sfDir).collect()
+    val hubs = rows.filter(_.getAs[String]("side") == "hub")
+    val auths = rows.filter(_.getAs[String]("side") == "auth")
+    assert(hubs.length === 10 && auths.length === 10)
+    for (side <- Seq(hubs, auths)) {
+      val byRk = side.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq === (1 to 10))
+      val scores = byRk.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(s => s > 0 && s <= 1000000L),
+        "every normalized score is a positive ppm share")
+    }
+  }
 }

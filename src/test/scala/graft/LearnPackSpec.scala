@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.LearnPack
+
+/** Learned-model kernels: NB on a separable hand corpus, item-item CF
+  * and the stump search against driver-side recounts on sf0.001. */
+class LearnPackSpec extends SparkSpec {
+  private val s = TestSession.spark
+  import s.implicits._
+
+  test("naiveBayesFrom classifies a separable hand corpus perfectly") {
+    // two languages with DISJOINT vocabularies; ids ending in 0/5 are
+    // the held-out test rows (doc_id % 5 == 0)
+    val docs = Seq(
+      (1L, "aa", "alpha beta alpha"), (2L, "aa", "beta beta gamma0"),
+      (3L, "aa", "alpha alpha"), (5L, "aa", "beta alpha beta"),
+      (10L, "aa", "alpha beta"),
+      (11L, "bb", "delta epsilon"), (12L, "bb", "epsilon delta delta"),
+      (13L, "bb", "delta zeta"), (15L, "bb", "epsilon zeta"),
+      (20L, "bb", "delta delta epsilon")
+    ).toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"),
+        split(col("text"), "\\s+").as("w"))
+    val got = LearnPack.naiveBayesFrom(docs).collect()
+      .map(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang"))
+        -> r.getAs[Long]("n_docs")).toMap
+    // test docs: 5, 10 (aa) and 15, 20 (bb) — all on the diagonal
+    assert(got === Map(("aa", "aa") -> 2L, ("bb", "bb") -> 2L))
+  }
+
+  test("naiveBayes prior breaks ties for unseen-vocab documents") {
+    // class "big" has 3 train docs, "sml" has 1, but both have SIX
+    // train tokens, so the Laplace unseen-token likelihood
+    // 1/(tot+V) is identical and a test doc of entirely unseen
+    // tokens must fall to the higher prior (and the integer-key
+    // argmax must not overflow)
+    val docs = Seq(
+      (1L, "big", "x y"), (2L, "big", "x z"), (3L, "big", "y z"),
+      (4L, "sml", "q r q r q r"),
+      (5L, "big", "unseen1 unseen2 unseen3")
+    ).toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"),
+        split(col("text"), "\\s+").as("w"))
+    val got = LearnPack.naiveBayesFrom(docs).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[String]("pred_lang") === "big")
+  }
+
+  test("q_naive_bayes confusion matrix covers exactly the held-out docs") {
+    val rows = SparkEntry.queries("q_naive_bayes")(s, sfDir).collect()
+    val nTest = Tables.documents(s, sfDir)
+      .where(col("doc_id") % 5 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nTest)
+    // predictions are train-class languages only
+    val trainLangs = Tables.documents(s, sfDir)
+      .where(col("doc_id") % 5 =!= 0).select("lang").distinct()
+      .as[String].collect().toSet
+    assert(rows.map(_.getAs[String]("pred_lang")).toSet.subsetOf(trainLangs))
+  }
+
+  test("q_recs_itemitem matches a driver-side cosine recount on sf0.001") {
+    val got = SparkEntry.queries("q_recs_itemitem")(s, sfDir).collect()
+    val baskets = Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(Tables.lineitem(s, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("p")),
+        "o_orderkey")
+      .select("c", "p").distinct().as[(Long, Long)].collect()
+    val byC = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .filter(_._2.size <= 256).toMap
+    val cnt = byC.values.toSeq.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val co = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    byC.values.foreach { ps =>
+      val v = ps.toSeq.sorted
+      for (i <- v.indices; j <- i + 1 until v.size)
+        co((v(i), v(j))) += 1
+    }
+    val anchors = cnt.toSeq.map { case (p, n) => (-n, p) }.sorted.take(10)
+      .map(_._2)
+    val wantRows = anchors.flatMap { a =>
+      val neigh = co.toSeq.collect {
+        case ((u, v), c) if c >= 2 && u == a => (v, c)
+        case ((u, v), c) if c >= 2 && v == a => (u, c)
+      }.map { case (r, c) =>
+        val score = BigDecimal(c / math.sqrt(cnt(a).toDouble * cnt(r)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        (r, c, score)
+      }
+      neigh.sortBy { case (r, _, sc) => (-sc, r) }.take(5)
+        .zipWithIndex.map { case ((r, c, sc), i) => (a, i + 1, r, c, sc) }
+    }.toSet
+    val gotRows = got.map(r => (r.getAs[Long]("anchor"), r.getAs[Int]("rk"),
+      r.getAs[Long]("rec"), r.getAs[Long]("co"),
+      BigDecimal(r.getAs[Double]("score")))).toSet
+    assert(gotRows === wantRows)
+  }
+
+  test("q_stump best split matches a driver-side exhaustive search") {
+    val got = SparkEntry.queries("q_stump")(s, sfDir).collect()
+      .sortBy(_.getAs[Int]("rk"))
+    val li = Tables.lineitem(s, sfDir)
+      .select(floor(col("l_quantity")).cast("long"),
+        floor(col("l_discount") * 100).cast("long"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      .as[(Long, Long, Long)].collect()
+    def bestGain(vals: Seq[(Long, Long)]): Double = {
+      val n = vals.size.toDouble
+      val pos = vals.map(_._2).sum.toDouble
+      def gini(p: Double, m: Double) =
+        1.0 - (p / m) * (p / m) - ((m - p) / m) * ((m - p) / m)
+      val parent = gini(pos, n)
+      vals.map(_._1).distinct.sorted.dropRight(1).map { t =>
+        val l = vals.filter(_._1 <= t)
+        val nl = l.size.toDouble
+        val pl = l.map(_._2).sum.toDouble
+        parent - nl / n * gini(pl, nl) -
+          (n - nl) / n * gini(pos - pl, n - nl)
+      }.max
+    }
+    val want = math.max(
+      bestGain(li.map(r => (r._1, r._3))),
+      bestGain(li.map(r => (r._2, r._3))))
+    assert(math.abs(got.head.getAs[Double]("gain") - want) < 1e-6)
+    // every candidate's children partition the node, and gain >= 0
+    // (Gini is concave: no split can increase weighted impurity)
+    got.foreach { r =>
+      assert(r.getAs[Long]("nl") + r.getAs[Long]("nr") === li.size.toLong)
+      assert(r.getAs[Double]("gain") >= 0.0)
+    }
+  }
+}

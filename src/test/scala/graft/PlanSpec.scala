@@ -195,7 +195,14 @@ class PlanSpec extends SparkSpec {
     *   q_label_prop — single-row community-count broadcast
     *     (q_triangles' pattern);
     *   embed_jl — single-row (n_pairs_total, mean_ratio) summary
-    *     broadcast onto the histogram rows. */
+    *     broadcast onto the histogram rows;
+    *   q_sssp — single-row reached-count broadcast onto the top-20
+    *     (q_triangles' pattern);
+    *   q_naive_bayes — 1-row vocab-size / total-docs broadcasts into
+    *     the vocab-sized model build, and the |classes|-row (5 here,
+    *     bounded by the label domain) class-stats broadcast that fans
+    *     each test token out to one row per class — the fan-out IS
+    *     the operator's semantics and is class-count-bounded. */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -203,7 +210,8 @@ class PlanSpec extends SparkSpec {
       "text_quality_learned", "q_drift", "q_upsert", "q_zorder", "q_rfm",
       "text_cooc", "ann_sq8", "q_triangles", "embed_power_iter",
       "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets",
-      "dedup_eval", "embed_spectrum", "q_hll", "q_label_prop", "embed_jl")
+      "dedup_eval", "embed_spectrum", "q_hll", "q_label_prop", "embed_jl",
+      "q_sssp", "q_naive_bayes")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
