@@ -897,8 +897,109 @@ object TextPack extends QueryPack {
           round(log((col("c_xy") / col("n2")) /
             ((col("c_x") / col("n1")) * (col("c_y") / col("n1")))), 4)
             .as("pmi"))
-    })
+    }),
+
+    // RAKE keyword extraction (Rose et al. 2010, round 11) — the
+    // multi-word keyword readout beside text_cooc's PMI collocations:
+    // candidate phrases are the maximal stopword-free token runs
+    // (stopword set = the engine's own "en" function-word profile, so
+    // phrase boundaries and lang_id share one vocabulary); each word
+    // scores deg(w)/freq(w) (deg = Σ phrase length over its
+    // occurrences — favors words living in long phrases), a phrase
+    // scores the sum of its member-word scores. Determinism: the
+    // word ratio is quantized ONCE in the vocab-sized word table as
+    // ⌊2²⁰·deg/freq⌋ — computed in DECIMAL(38,0) (deg·2²⁰ overflows a
+    // BIGINT once deg > 8.8e12) with the truncating integral divide
+    // identical in both engines — and every reduction after that is
+    // exact integer addition; identical phrase texts provably carry
+    // identical scores (the score depends only on member words), so
+    // the phrase-level min() is a no-op aggregator, not a choice.
+    // Scale shape: one posexplode scan; phrase-run ids via a per-doc
+    // cumulative-sum window (doc-partitioned, never global); word
+    // stats a vocab-sized hash agg; top-20 via sort+limit then a
+    // 20-row rank window.
+    "text_rake" -> ((s, d) => rakeFrom(docs(s, d))),
+
+    // Zipf rank-frequency slope audit (Zipf 1949; the log-log OLS fit
+    // is the standard corpus-health check beside text_vocab_growth's
+    // Heaps law, round 11): fit ln(freq) = slope·ln(rank) + b over the
+    // top-100 tokens — natural text reads slope ≈ −1; a synthetic or
+    // template-heavy corpus bends away from it, and r² says how well
+    // the power law holds at all. Determinism: ln terms are
+    // floor-quantized to 2²⁰ integer units PER ROW (two floats total
+    // per row, identical expression both engines), so the OLS moment
+    // sums are exact integers in any partition order and slope/
+    // intercept/r² are single float expressions over six exact sums.
+    // Scale shape: corpus scan → vocab-sized freq agg → top-100 via
+    // sort+limit (never a global rank window) → 100-row window + 1-row
+    // agg.
+    "text_zipf" -> ((s, d) =>
+      zipfFrom(docs(s, d).select(explode(col("w")).as("tok"))))
   )
+
+  /** The RAKE pipeline over any (doc_id, w[]) frame — public to the
+    * test JVM for the hand-document gate. */
+  private[graft] def rakeFrom(docsW: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = langProfiles.toMap.apply("en")
+    val toks = docsW
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .withColumn("stop", col("tok").isInCollection(stop))
+    val grp = toks.withColumn("g",
+      sum(when(col("stop"), 1L).otherwise(0L))
+        .over(Window.partitionBy("doc_id").orderBy("pos")))
+    val members = grp.where(!col("stop"))
+      .withColumn("len",
+        count(lit(1)).over(Window.partitionBy("doc_id", "g")))
+      .localCheckpoint(true) // feeds word stats + phrase build + score
+    val wordQ = members.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .select(col("tok"),
+        expr("(cast(deg as decimal(38,0)) * 1048576)" +
+          " div cast(freq as decimal(38,0))").as("rq"))
+    val phrases = members.groupBy("doc_id", "g")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos").as("p"),
+          col("tok").as("t")))), x => x.getField("t")), " ").as("phrase"))
+    val scoreQ = members.join(wordQ, "tok")
+      .groupBy("doc_id", "g").agg(sum("rq").as("sq"))
+    val perPhrase = phrases.join(scoreQ, Seq("doc_id", "g"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), min("sq").as("sq"))
+    perPhrase.orderBy(col("sq").desc, col("phrase")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("sq").desc, col("phrase"))))
+      .select(col("rk").cast("int").as("rk"), col("phrase"),
+        col("n_occ"), round(col("sq") / lit(1048576.0), 4).as("score"))
+  }
+
+  /** The quantized log-log OLS over any (tok) occurrence frame —
+    * public to the test JVM for the driver-side replay gate. */
+  private[graft] def zipfFrom(occurrences: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = occurrences
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(100)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
+      .select(floor(log(col("rank").cast("double")) * 1048576L)
+        .cast("long").as("xq"),
+        floor(log(col("freq").cast("double")) * 1048576L)
+          .cast("long").as("yq"))
+    val sums = top.agg(count(lit(1)).as("n"), sum("xq").as("sx"),
+      sum("yq").as("sy"), sum(col("xq") * col("yq")).as("sxy"),
+      sum(col("xq") * col("xq")).as("sxx"),
+      sum(col("yq") * col("yq")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    sums.select(col("n"),
+      round(num.cast("double") / denx, 4).as("slope"),
+      round((col("sy") - (num.cast("double") / denx) * col("sx"))
+        / col("n") / lit(1048576.0), 4).as("intercept"),
+      round(num.cast("double") * num / (denx.cast("double") * deny), 4)
+        .as("r2"))
+  }
 
   // --- DuckDB oracles ------------------------------------------------
 
@@ -1404,6 +1505,63 @@ object TextPack extends QueryPack {
          |g AS (SELECT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
          |      FROM t, UNNEST(range(1, len(w)-1)) AS u(i)
          |      WHERE len(w) >= 3)
-         |SELECT doc_id, min(h) AS fp FROM g GROUP BY doc_id""".stripMargin
+         |SELECT doc_id, min(h) AS fp FROM g GROUP BY doc_id""".stripMargin,
+
+    "text_rake" -> {
+      val stopList = langProfiles.toMap.apply("en")
+        .map("'" + _ + "'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $wSql AS ws FROM documents),
+         |toks AS (SELECT doc_id, unnest(ws) AS tok,
+         |    unnest(range(0, len(ws))) AS pos FROM d),
+         |flagged AS (SELECT doc_id, pos, tok,
+         |    tok IN ($stopList) AS stop FROM toks),
+         |grp AS (SELECT doc_id, pos, tok, stop,
+         |    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM flagged),
+         |members AS MATERIALIZED (SELECT doc_id, g, pos, tok,
+         |    count(*) OVER (PARTITION BY doc_id, g) AS len
+         |  FROM grp WHERE NOT stop),
+         |wordq AS (SELECT tok, CAST(CAST(sum(len) AS HUGEINT) * 1048576
+         |    // count(*) AS BIGINT) AS rq
+         |  FROM members GROUP BY 1),
+         |phrases AS (SELECT doc_id, g,
+         |    string_agg(tok, ' ' ORDER BY pos) AS phrase
+         |  FROM members GROUP BY 1, 2),
+         |scoreq AS (SELECT m.doc_id, m.g, sum(w.rq) AS sq
+         |  FROM members m JOIN wordq w USING (tok) GROUP BY 1, 2),
+         |per AS (SELECT phrase, count(*) AS n_occ, min(sq) AS sq
+         |  FROM phrases JOIN scoreq USING (doc_id, g) GROUP BY 1),
+         |top AS (SELECT phrase, n_occ, sq FROM per
+         |  ORDER BY sq DESC, phrase LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY sq DESC, phrase) AS INT)
+         |    AS rk, phrase, n_occ,
+         |  round(CAST(sq AS BIGINT) / 1048576.0, 4) AS score
+         |FROM top""".stripMargin
+    },
+
+    "text_zipf" ->
+      s"""WITH tf AS (SELECT tok, count(*) AS freq FROM (
+         |    SELECT unnest($wSql) AS tok FROM documents) GROUP BY 1),
+         |top AS (SELECT freq, CAST(row_number()
+         |      OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank
+         |  FROM (SELECT * FROM tf ORDER BY freq DESC, tok LIMIT 100)),
+         |q AS (SELECT
+         |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1048576) AS BIGINT) AS xq,
+         |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1048576) AS BIGINT) AS yq
+         |  FROM top),
+         |s AS (SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+         |    sum(xq * yq) AS sxy, sum(xq * xq) AS sxx, sum(yq * yq) AS syy
+         |  FROM q)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / (n * sxx - sx * sx), 4) AS slope,
+         |  round((sy - (CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / (n * sxx - sx * sx)) * sx) / n / 1048576.0, 4)
+         |    AS intercept,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)
+         |    / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 4)
+         |    AS r2
+         |FROM s""".stripMargin
   )
 }

@@ -188,4 +188,55 @@ class TextSpec extends SparkSpec {
     assert(got(100L)._2 > got(0L)._2 + 1.0,
       s"scramble must score clearly worse: ${got(100L)._2} vs ${got(0L)._2}")
   }
+
+  test("rakeFrom scores a hand document per the RAKE paper's formula") {
+    // stopwords here: "the", "of" (both in the en profile). Candidate
+    // runs: "deep learning" x2, "neural nets" x1.
+    // freq: deep 2, learning 2, neural 1, nets 1
+    // deg (sum of phrase length over occurrences): deep 4, learning 4,
+    //   neural 2, nets 2 → every ratio = 2.0 exactly
+    // phrase scores: "deep learning" = 4.0 (2 occ), "neural nets" = 4.0
+    // (1 occ) — tie broken by phrase text asc
+    val docs = Seq(
+      (1L, Seq("deep", "learning", "of", "deep", "learning",
+        "the", "neural", "nets"))
+    ).toDF("doc_id", "w")
+    val rows = graft.queries.TextPack.rakeFrom(docs).collect()
+      .sortBy(_.getAs[Int]("rk"))
+    val got = rows.map(r => (r.getAs[String]("phrase"),
+      r.getAs[Long]("n_occ"), r.getAs[Double]("score")))
+    assert(got.toSeq === Seq(("deep learning", 2L, 4.0),
+      ("neural nets", 1L, 4.0)))
+  }
+
+  test("text_zipf matches a driver-side quantized OLS replay; near -1 on a planted Zipf corpus") {
+    // exact replay on the real corpus
+    val got = SparkEntry.queries("text_zipf")(spark, sfDir).collect().head
+    val freqs = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy("tok").count().as[(String, Long)].collect()
+    val top = freqs.sortBy { case (t, f) => (-f, t) }.take(100)
+    val q = top.zipWithIndex.map { case ((_, f), i) =>
+      (math.floor(math.log(i + 1.0) * 1048576L).toLong,
+        math.floor(math.log(f.toDouble) * 1048576L).toLong)
+    }
+    val n = q.length.toLong
+    val (sx, sy) = (q.map(_._1).sum, q.map(_._2).sum)
+    val sxy = q.map(p => p._1 * p._2).sum
+    val sxx = q.map(p => p._1 * p._1).sum
+    val num = (n * sxy - sx * sy).toDouble
+    val denx = n * sxx - sx * sx
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("n") === n)
+    assert(got.getAs[Double]("slope") === r4(num / denx))
+    assert(got.getAs[Double]("r2") > 0.0 && got.getAs[Double]("r2") <= 1.0)
+    // planted corpus with freq(token_i) = ceil(60/i): slope ≈ -1
+    val planted = (1 to 20).flatMap(i =>
+      Seq.fill(math.ceil(60.0 / i).toInt)(f"tok$i%02d"))
+      .map(Tuple1(_)).toDF("tok")
+    val ps = graft.queries.TextPack.zipfFrom(planted).collect().head
+    assert(math.abs(ps.getAs[Double]("slope") + 1.0) < 0.1,
+      s"planted 1/rank corpus must fit slope ~ -1: ${ps.getAs[Double]("slope")}")
+  }
 }
