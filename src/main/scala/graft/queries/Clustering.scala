@@ -43,6 +43,37 @@ object Clustering extends QueryPack {
 
   private def pts(s: SparkSession, d: String): DataFrame = Tables.points2d(s, d)
 
+  /** Bisecting k-means split levels / Lloyd iterations per split —
+    * also the oracle's replay depth. */
+  val BisectLevels = 3
+  val BisectIters = 3
+
+  /** The bisecting loop over any (id, x, y) frame — public to the test
+    * JVM for the separated-blobs gate. See the `km_bisect` defs entry
+    * for semantics. */
+  private[graft] def bisectFrom(points: DataFrame,
+      levels: Int = BisectLevels, iters: Int = BisectIters): DataFrame = {
+    var asn = points.select(col("id"), col("x"), col("y"))
+      .withColumn("lbl", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to levels) {
+      val target = asn.groupBy("lbl").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lbl")).limit(1)
+        .collect()(0).getLong(0)
+      val members = asn.where(col("lbl") === target).select("id", "x", "y")
+      var cents = KMeansDF.initFirstK(members, 2)
+      for (_ <- 1 to iters) cents = KMeansDF.step(members, cents)
+      val assigned = KMeansDF.assign(members, cents)
+        .select(col("id"), col("x"), col("y"),
+          (lit(target * 2 + 1) + col("cid")).as("lbl"))
+      asn = asn.where(col("lbl") =!= target)
+        .select("id", "x", "y", "lbl")
+        .unionByName(assigned).localCheckpoint(true)
+    }
+    asn.groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        round(avg("x"), 4).as("cx"), round(avg("y"), 4).as("cy"))
+  }
+
   // SQL fragments shared by every clustering oracle.
   private val ptsSql =
     "SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y FROM embeddings"
@@ -170,6 +201,22 @@ object Clustering extends QueryPack {
       KMeansDF.fit(p, K, maxIter = LloydFixedIters, tol = 0.0).toDF()
         .select(col("cid"), col("x").as("nx"), col("y").as("ny"))
     }),
+    // Bisecting k-means (Steinbach, Karypis & Kumar, KDD-W 2000;
+    // MLlib's BisectingKMeans is the same shape) — the hierarchical
+    // member of the k-means family: repeatedly 2-means-split the
+    // LARGEST cluster (ties to the smaller label), three levels → four
+    // leaves, binary-tree labels (root 0, children 2l+1 / 2l+2).
+    // Deterministic end to end: the split target is (count desc, lbl
+    // asc); the 2-means init is the two lowest member ids (initFirstK,
+    // the pack's seed-free data-driven rule); each of the three fixed
+    // Lloyd iterations uses the SAME round-6 HALF_UP means and
+    // strict-< argmin as every other Lloyd key, so the oracle replays
+    // the full tree as chained MATERIALIZED CTEs (lloydReplaySql's
+    // discipline, one chain per level, the target chosen by an ORDER
+    // BY/LIMIT-1 scalar subquery). Driver collects are the k-row size
+    // table + 2-row centroids per iteration — bounded. Output: leaf
+    // label, size, round-4 centroid.
+    "km_bisect" -> ((s, d) => bisectFrom(pts(s, d))),
     // Deterministic farthest-point initialization (round 8) — the
     // k-center greedy (Gonzalez 1985; the deterministic production
     // alternative to both the reference's seeded random sample,
@@ -425,7 +472,55 @@ object Clustering extends QueryPack {
        |$finalSelect""".stripMargin
   }
 
+  /** The bisecting-tree replay: one Lloyd chain per level over the
+    * level's member set, the split target picked by an ORDER BY /
+    * LIMIT-1 scalar subquery — every stage MATERIALIZED
+    * (lloydReplaySql's rationale). */
+  private def bisectSql(levels: Int, iters: Int): String = {
+    def argmin(src: String, cent: String) =
+      s"""SELECT id, x, y, cid FROM (
+         |    SELECT p.id, p.x, p.y, c.cid,
+         |      row_number() OVER (PARTITION BY p.id
+         |        ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid)
+         |        AS rn
+         |    FROM $src p CROSS JOIN $cent c) WHERE rn = 1"""
+    val lvls = (1 to levels).map { l =>
+      val lloyd = (0 until iters).map { i =>
+        s"""a${l}_$i AS MATERIALIZED (${argmin(s"mem$l", s"c${l}_$i")}),
+           |c${l}_${i + 1} AS MATERIALIZED (
+           |  SELECT c.cid, coalesce(u.nx, c.cx) AS cx, coalesce(u.ny, c.cy) AS cy
+           |  FROM c${l}_$i c LEFT JOIN (
+           |    SELECT cid, round(avg(x),6) AS nx, round(avg(y),6) AS ny
+           |    FROM a${l}_$i GROUP BY cid) u USING (cid))"""
+      }.mkString(",\n")
+      s"""tgt$l AS (SELECT lbl FROM (SELECT lbl, count(*) AS n
+         |    FROM asn${l - 1} GROUP BY 1) ORDER BY n DESC, lbl LIMIT 1),
+         |mem$l AS MATERIALIZED (SELECT a.id, p.x, p.y FROM asn${l - 1} a
+         |  JOIN pts p ON p.id = a.id
+         |  WHERE a.lbl = (SELECT lbl FROM tgt$l)),
+         |c${l}_0 AS MATERIALIZED (SELECT
+         |    CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
+         |    x AS cx, y AS cy
+         |  FROM (SELECT id, x, y FROM mem$l ORDER BY id LIMIT 2)),
+         |$lloyd,
+         |fa$l AS (${argmin(s"mem$l", s"c${l}_$iters")}),
+         |asn$l AS MATERIALIZED (
+         |  SELECT id, lbl FROM asn${l - 1}
+         |    WHERE lbl != (SELECT lbl FROM tgt$l)
+         |  UNION ALL
+         |  SELECT id, (SELECT lbl FROM tgt$l) * 2 + 1 + cid AS lbl
+         |  FROM fa$l)"""
+    }.mkString(",\n")
+    s"""WITH pts AS MATERIALIZED ($ptsSql),
+       |asn0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS lbl FROM pts),
+       |$lvls
+       |SELECT lbl AS cluster, count(*) AS n_points,
+       |  round(avg(x), 4) AS cx, round(avg(y), 4) AS cy
+       |FROM asn$levels JOIN pts USING (id) GROUP BY 1""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "km_bisect" -> bisectSql(BisectLevels, BisectIters),
     // Brute-force n² neighbor pairs (the oracle checks SEMANTICS, not
     // plan shape — the Spark side's cell blocking must agree with the
     // unblocked ground truth, which also proves no pair is lost at a

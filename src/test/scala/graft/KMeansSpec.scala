@@ -131,4 +131,34 @@ class KMeansSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("id")).distinct.length === 4)
     assert(out.map(_.getAs[Long]("n_points")).sum === p.count())
   }
+
+  test("bisectFrom separates four well-spaced blobs into pure leaves") {
+    // four blobs far apart, ids planted so the two-lowest-ids init of
+    // every split straddles the natural boundary (ids 0..3 are the
+    // four blob corners): level 1 splits left {A,C} from right {B,D}
+    // (seeds 0∈A, 1∈B), level 2 splits A from C (seeds 0∈A, 2∈C),
+    // level 3 takes the 8-vs-8 size tie to the SMALLER label — the
+    // {B,D} side — and splits it (seeds 1∈B, 3∈D). Blob sizes
+    // 8/6/4/2.
+    def blob(x0: Double, y0: Double, n: Int, corner: Long, base: Long) =
+      (corner, x0, y0) +: (1 until n).map(i =>
+        (base + i, x0 + (i % 2) * 0.5, y0 + (i / 2) * 0.5))
+    val pts = (blob(0, 0, 8, 0L, 10L) ++ blob(100, 0, 6, 1L, 20L) ++
+      blob(0, 100, 4, 2L, 30L) ++ blob(100, 100, 2, 3L, 40L))
+      .toDF("id", "x", "y")
+    val got = graft.queries.Clustering.bisectFrom(pts).collect()
+    assert(got.length === 4)
+    val byLbl = got.map(r => r.getAs[Long]("cluster") ->
+      ((r.getAs[Long]("n_points"),
+        r.getAs[Double]("cx"), r.getAs[Double]("cy")))).toMap
+    // the tree: 0 → {1: left, 2: right}; 1 → {3: A, 4: C};
+    // 2 → {5: B, 6: D}
+    assert(byLbl.keySet === Set(3L, 4L, 5L, 6L))
+    def near(c: (Long, Double, Double), n: Long, bx: Double, by: Double) =
+      c._1 === n && math.abs(c._2 - bx) <= 1.0 && math.abs(c._3 - by) <= 1.0
+    assert(near(byLbl(3L), 8L, 0.0, 0.0))
+    assert(near(byLbl(4L), 4L, 0.0, 100.0))
+    assert(near(byLbl(5L), 6L, 100.0, 0.0))
+    assert(near(byLbl(6L), 2L, 100.0, 100.0))
+  }
 }
