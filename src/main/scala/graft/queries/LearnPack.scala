@@ -158,27 +158,23 @@ object LearnPack extends QueryPack {
     naiveBayesFrom(documents(s, d)
       .select(col("doc_id"), col("lang"), words(col("text")).as("w")))
 
-  /** The train/score kernel over any (doc_id, lang, w[]) frame —
-    * public to the test JVM so the spec can gate it on a separable
-    * hand corpus. */
-  private[graft] def naiveBayesFrom(docsW: DataFrame): DataFrame = {
-    val toks = docsW
-      .select(col("doc_id"), col("lang"), explode(col("w")).as("tok"))
-      .localCheckpoint(true) // feeds model build + test scoring
-    val train = toks.where(col("doc_id") % 5 =!= 0)
-    val test = toks.where(col("doc_id") % 5 === 0)
+  /** Train the NB model from a (doc_id, lang, tok) occurrence frame:
+    * returns (model, classStats) — model(cls, tok, q) with the
+    * quantized log-likelihood per OBSERVED (class, token), and
+    * classStats(cls, cls_idx, q_unseen, prior_q) with the per-class
+    * unseen-token default and log-prior. Both are exactly what the
+    * streaming scorer ([[graft.streaming.StreamingOps.nbScoreStream]])
+    * consumes — train offline, serve online, one arithmetic. */
+  private[graft] def nbModel(train: DataFrame): (DataFrame, DataFrame) = {
     val vocabN = train.select("tok").distinct().agg(count(lit(1)).as("vn"))
     val classes = train.select(col("lang").as("cls")).distinct()
       .withColumn("cls_idx",
         row_number().over(Window.orderBy("cls")).cast("long"))
-      .localCheckpoint(true) // tiny dim, scanned by model + argmax join
     val totals = train.groupBy(col("lang").as("cls"))
       .agg(count(lit(1)).as("tot"))
     val priorsRaw = train.select("doc_id", "lang").distinct()
       .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("nd"))
     val ndocs = priorsRaw.agg(sum("nd").as("ndt"))
-    // the model: quantized log-likelihood per observed (class, token),
-    // plus the per-class unseen default and log-prior
     val model = train.groupBy(col("lang").as("cls"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .join(totals, "cls").crossJoin(broadcast(vocabN))
@@ -188,15 +184,29 @@ object LearnPack extends QueryPack {
       .localCheckpoint(true)
     val classStats = totals.crossJoin(broadcast(vocabN))
       .join(priorsRaw, "cls").crossJoin(broadcast(ndocs))
-      .select(col("cls"),
+      .join(classes, "cls")
+      .select(col("cls"), col("cls_idx"),
         floor(log2(lit(1.0) / (col("tot") + col("vn"))) * NbGrain)
           .cast("long").as("q_unseen"),
         floor(log2(col("nd").cast("double") / col("ndt")) * NbGrain)
           .cast("long").as("prior_q"))
+      .localCheckpoint(true)
+    (model, classStats)
+  }
+
+  /** Per-document predictions over the held-out split: (doc_id, lang,
+    * pred). Public so the streaming spec can assert batch/stream
+    * prediction equality document by document. */
+  private[graft] def nbPredictions(docsW: DataFrame): DataFrame = {
+    val toks = docsW
+      .select(col("doc_id"), col("lang"), explode(col("w")).as("tok"))
+      .localCheckpoint(true) // feeds model build + test scoring
+    val (model, classStats) = nbModel(toks.where(col("doc_id") % 5 =!= 0))
+    val test = toks.where(col("doc_id") % 5 === 0)
     val testCounts = test.groupBy("doc_id", "lang", "tok")
       .agg(count(lit(1)).as("n"))
     val scored = testCounts
-      .crossJoin(broadcast(classStats.join(classes, "cls")))
+      .crossJoin(broadcast(classStats))
       .join(model, Seq("cls", "tok"), "left")
       .groupBy(col("doc_id"), col("lang"), col("cls"), col("cls_idx"),
         col("prior_q"))
@@ -204,14 +214,21 @@ object LearnPack extends QueryPack {
       .select(col("doc_id"), col("lang"),
         ((lit(70368744177664L) - col("prior_q") - col("ll")) * 8
           + col("cls_idx")).as("key"))
-    val pred = scored.groupBy("doc_id", "lang")
+    scored.groupBy("doc_id", "lang")
       .agg(min("key").as("mk"))
       .select(col("doc_id"), col("lang"),
         pmod(col("mk"), lit(8L)).as("cls_idx"))
-      .join(broadcast(classes), "cls_idx")
-    pred.groupBy(col("lang").as("true_lang"), col("cls").as("pred_lang"))
-      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(classStats.select("cls", "cls_idx")), "cls_idx")
+      .select(col("doc_id"), col("lang"), col("cls").as("pred"))
   }
+
+  /** The train/score kernel over any (doc_id, lang, w[]) frame —
+    * public to the test JVM so the spec can gate it on a separable
+    * hand corpus. */
+  private[graft] def naiveBayesFrom(docsW: DataFrame): DataFrame =
+    nbPredictions(docsW)
+      .groupBy(col("lang").as("true_lang"), col("pred").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_recs_itemitem" -> ((s, d) => recsItemItem(s, d)),

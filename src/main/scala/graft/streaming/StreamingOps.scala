@@ -1040,4 +1040,60 @@ object StreamingOps {
       .toDF("id", "fmt", "width", "height", "channels",
         "sum_r", "sum_g", "sum_b", "ahash")
   }
+
+  /** Score a DOCUMENT STREAM with a batch-trained Naive Bayes model
+    * (LearnPack.nbModel) — the train-offline / serve-online shape: the
+    * model table is a STATIC side (stream-static broadcast join on the
+    * token), per-class stats arrive as a driver-collected list (≤ 8
+    * classes by the batch key's argmax encoding — q_anomaly's
+    * refStats pattern, the model table itself stays distributed).
+    *
+    * Shape constraints drive the plan: scoring needs Σ-per-(doc,class)
+    * then an argmax — two aggregations, but Structured Streaming
+    * allows ONE stateful agg per query. So the class dimension is
+    * UNPIVOTED INTO COLUMNS before the agg: the static model is
+    * pre-widened to one q-column per class (vocab-sized, built once),
+    * the stream explodes tokens, broadcast-joins the wide model, and
+    * the single windowed groupBy(doc) sums each class column; the
+    * argmax is then a PER-ROW integer-key fold over ≤ 8 sum columns —
+    * the batch key's exact arithmetic (score = prior_q + Σ n·q,
+    * key = (2⁴⁶−score)·8+idx, min key, unseen tokens at q_unseen), so
+    * stream and batch predictions are bit-identical by construction
+    * (StreamingSpec asserts per-document equality). */
+  def nbScoreStream(docs: DataFrame, model: DataFrame,
+      classes: Seq[(String, Long, Long, Long)],
+      tsCol: String = "ts", idCol: String = "doc_id",
+      textCol: String = "text", windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(classes.nonEmpty && classes.size <= 8 &&
+      classes.map(_._2).forall(i => i >= 0 && i < 8),
+      s"class stats must carry at most 8 classes with idx < 8: $classes")
+    // static side, built once: (tok, q_<idx>... ) wide model
+    val qCols = classes.map { case (cls, idx, _, _) =>
+      max(when(col("cls") === cls, col("q"))).as(s"q_$idx")
+    }
+    val wide = model.groupBy("tok").agg(qCols.head, qCols.tail: _*)
+    val toks = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(idCol),
+        explode(split(col(textCol), "\\s+")).as("tok"))
+    val joined = toks.join(broadcast(wide), Seq("tok"), "left")
+    // ONE stateful aggregation: per-class quantized log-likelihood sums
+    val sums = joined
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        classes.map { case (_, idx, qUnseen, _) =>
+          sum(coalesce(col(s"q_$idx"), lit(qUnseen))).as(s"ll_$idx")
+        }: _*)
+    // per-row argmax over the class columns — the batch key arithmetic
+    val key = classes.map { case (_, idx, _, priorQ) =>
+      (lit(70368744177664L) - lit(priorQ) - col(s"ll_$idx")) * 8 + lit(idx)
+    }.reduce(least(_, _))
+    val pred = classes.map { case (cls, idx, _, _) =>
+      when(pmod(key, lit(8L)) === idx, lit(cls))
+    }.reduceRight(_.otherwise(_)) // right-nested CASE — each arm gets
+                                  // its otherwise exactly once
+    sums.select(col("w.start").as("ws"), col(idCol), col("n_tokens"),
+      pred.as("pred"))
+  }
 }

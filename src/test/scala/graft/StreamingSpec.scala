@@ -13,6 +13,42 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
 
+  test("nbScoreStream predictions are bit-identical to the batch scorer") {
+    implicit val sq = spark.sqlContext
+    // the REAL corpus at sf0.001: train the model on the batch split,
+    // stream the held-out docs, compare per-document predictions
+    val docsW = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        org.apache.spark.sql.functions.split(col("text"), "\\s+").as("w"))
+    val batchPred = graft.queries.LearnPack.nbPredictions(docsW)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred"))
+      .toMap
+    val toksTrain = docsW.where(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        org.apache.spark.sql.functions.explode(col("w")).as("tok"))
+    val (model, classStats) = graft.queries.LearnPack.nbModel(toksTrain)
+    val classes = classStats.collect().map(r => (r.getAs[String]("cls"),
+      r.getAs[Long]("cls_idx"), r.getAs[Long]("q_unseen"),
+      r.getAs[Long]("prior_q"))).toSeq
+    val testDocs = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (ts(0), r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.nbScoreStream(
+      in.toDF().toDF("ts", "doc_id", "text"), model, classes)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(testDocs.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("nb_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred")).toMap
+      assert(got.keySet === batchPred.keySet)
+      assert(got === batchPred)
+    } finally q.stop()
+  }
+
   test("windowedAgg aggregates tumbling windows from a stream") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
