@@ -312,9 +312,11 @@ object GraphPack extends QueryPack {
         graft.operators.CheckpointStrategy.Local): DataFrame =
     labelPropFrom(copurchaseEdges(s, d, minSupport = 2), rounds, ckpt)
 
-  /** The propagation loop over any undirected (`u` < `v`, distinct)
-    * edge set — public to the test JVM for the hand-graph gate. */
-  private[graft] def labelPropFrom(und: DataFrame, rounds: Int,
+  /** The label table after `rounds` of synchronous propagation over
+    * any undirected (`u` < `v`, distinct) edge set: (node, lbl).
+    * Shared by `q_label_prop`'s readout and `q_modularity`'s quality
+    * audit — one propagation definition, one oracle twin. */
+  private[graft] def labelTable(und: DataFrame, rounds: Int,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
     val edges = ckpt(und.select(col("u").as("src"), col("v").as("dst"))
@@ -332,6 +334,15 @@ object GraphPack extends QueryPack {
           .as("mk"))
         .select(col("node"), pmod(col("mk"), lit(4294967296L)).as("lbl")))
     }
+    labels
+  }
+
+  /** The propagation loop over any undirected (`u` < `v`, distinct)
+    * edge set — public to the test JVM for the hand-graph gate. */
+  private[graft] def labelPropFrom(und: DataFrame, rounds: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val labels = labelTable(und, rounds, ckpt)
     val comms = labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
     val total = comms.agg(count(lit(1)).as("n_communities"))
     comms.orderBy(col("n_nodes").desc, col("lbl")).limit(20)
@@ -509,6 +520,147 @@ object GraphPack extends QueryPack {
       .unionByName(top10(auth, "p", "a", "auth"))
   }
 
+  /** Newman modularity of the LPA communities (Newman & Girvan 2004;
+    * Q = Σ_c [e_c/m − (deg_c/2m)²]) — the quality audit run AFTER
+    * community detection: Q ≈ 0 means the partition is no better than
+    * random wiring, Q ≳ 0.3 real structure. Runs the SAME 4-round
+    * propagation as `q_label_prop` (shared [[labelTable]], shared
+    * oracle CTE chain) and audits it. Float discipline: NO unordered
+    * float sums — the global Q folds to two integer aggregates
+    * (A = Σ_c e_c intra-edges, B = Σ_c deg_c², the latter accumulated
+    * in DECIMAL(38,0) since deg_c² sums overflow BIGINT at ~10⁹-edge
+    * scale) and TWO float ops at the end; the per-community
+    * contribution column is per-row float over exact integers. Output:
+    * top-5 communities by size with their contribution + the global Q
+    * and community count on every row. */
+  private def modularity(s: SparkSession, d: String): DataFrame =
+    modularityFrom(copurchaseEdges(s, d, minSupport = 2), LabelPropRounds)
+
+  private[graft] def modularityFrom(und0: DataFrame, rounds: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val und = ckpt(und0) // feeds the propagation + degrees + intra count
+    val labels = ckpt(labelTable(und, rounds, ckpt))
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val degC = deg.join(labels, "node").groupBy("lbl")
+      .agg(sum("dg").as("deg_c"), count(lit(1)).as("n_nodes"))
+    val intra = und
+      .join(labels.select(col("node").as("u"), col("lbl").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("lbl").as("lv")), "v")
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("e_c"))
+    val per = degC.join(intra, Seq("lbl"), "left")
+      .select(col("lbl"), col("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("deg_c"))
+      .localCheckpoint(true) // feeds the global fold + the top-5 readout
+    val glob = per.agg(sum("e_c").as("aa"),
+      sum(expr("cast(deg_c as decimal(38,0)) * deg_c")).as("bb"),
+      count(lit(1)).as("n_comms"))
+    per.orderBy(col("n_nodes").desc, col("lbl")).limit(5)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_nodes").desc, col("lbl"))))
+      .crossJoin(broadcast(glob))
+      .crossJoin(broadcast(m))
+      .select(col("rk").cast("int").as("rk"), col("lbl").as("community"),
+        col("n_nodes"), col("e_c").as("intra_edges"), col("deg_c"),
+        round(col("e_c") / col("m")
+          - (col("deg_c") / (lit(2.0) * col("m")))
+            * (col("deg_c") / (lit(2.0) * col("m"))), 6).as("contribution"),
+        col("n_comms"),
+        round(col("aa").cast("double") / col("m")
+          - col("bb").cast("double") / (lit(4.0) * col("m") * col("m")), 6)
+          .as("q_modularity"))
+  }
+
+  /** Degree assortativity (Newman, PRL 2002) — does the graph wire
+    * hub-to-hub (r > 0, social-style) or hub-to-leaf (r < 0,
+    * technological/dependency-style)? The one-row topology audit
+    * beside q_kcore. Pearson r over edge-endpoint degree pairs,
+    * symmetrized: with S_jk = Σ j·k, S_+ = Σ (j+k), S_² = Σ (j²+k²)
+    * over edges (all exact integers, the squares accumulated in
+    * DECIMAL(38,0)), r = (S_jk/M − (S_+/2M)²) / (S_²/2M − (S_+/2M)²)
+    * — four float ops at the end, no unordered float sums. */
+  private def assortativity(s: SparkSession, d: String): DataFrame =
+    assortativityFrom(copurchaseEdges(s, d, minSupport = 2))
+
+  private[graft] def assortativityFrom(und0: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint(true)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val e = und
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+    val sums = e.agg(count(lit(1)).as("m"),
+      sum(expr("cast(du as decimal(38,0)) * dv")).as("sjk"),
+      sum(col("du") + col("dv")).as("ssum"),
+      sum(expr("cast(du as decimal(38,0)) * du + cast(dv as decimal(38,0)) * dv"))
+        .as("ssq"))
+    val mu = col("ssum") / (lit(2.0) * col("m"))
+    sums.select(col("m").as("m_edges"),
+      round((col("sjk").cast("double") / col("m") - mu * mu)
+        / (col("ssq").cast("double") / (lit(2.0) * col("m")) - mu * mu), 6)
+        .as("assortativity"))
+  }
+
+  /** Per-center degree cap for the wedge generator — a hub center
+    * contributes C(deg,2) candidate pairs, quadratic noise on exactly
+    * the least-predictive centers (a shared hub says little; the
+    * RAREST shared neighbor says the most — the same reasoning as
+    * Adamic–Adar's 1/ln(deg) weighting, taken to its limit). Dormant
+    * at gate scale (max affinity degree ≈ 40) and documented like
+    * dedup's frequent-key cap. */
+  private val LinkPredMaxDeg = 1024
+
+  /** Link prediction scores over the affinity graph (Liben-Nowell &
+    * Kleinberg, CIKM 2003): for node pairs at distance 2 (sharing ≥ 1
+    * neighbor, NOT currently edges), the three classic scores —
+    * common-neighbor count, Jaccard cn/(d_u+d_v−cn), Adamic–Adar
+    * Σ_centers 1/ln(deg_center). Determinism: the AA term is
+    * quantized PER CENTER in the vocab-sized degree table
+    * (⌊2²⁰/ln(deg)⌋ — one float division per center, never a float
+    * sum), pair scores are exact integer sums of those terms, ranking
+    * on (aa_q desc, u, v); Jaccard is one float division per output
+    * row. Scale: wedge enumeration per center under [[LinkPredMaxDeg]]
+    * (bounded fan-out, §3 rule 3); degree-1 centers drop BEFORE the
+    * quantizer (they cannot center a wedge, and ln(1) = 0 makes their
+    * AA term undefined — ANSI division-by-zero otherwise); existing
+    * edges drop via one anti-join. Output: top-20 predicted links. */
+  private def linkPred(s: SparkSession, d: String): DataFrame =
+    linkPredFrom(copurchaseEdges(s, d, minSupport = 2))
+
+  private[graft] def linkPredFrom(und0: DataFrame,
+      maxDeg: Int = LinkPredMaxDeg): DataFrame = {
+    val und = und0.localCheckpoint(true)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true) // feeds the cap, the AA terms, the Jaccard
+    val adj = und.select(col("u").as("c"), col("v").as("leaf"))
+      .union(und.select(col("v").as("c"), col("u").as("leaf")))
+      .join(deg.where(col("dg") <= maxDeg && col("dg") >= 2)
+        .select(col("node").as("c"),
+          floor(lit(1048576.0) / log(col("dg").cast("double")))
+            .cast("long").as("aaq")), "c")
+    val scored = adj.as("a").join(adj.as("b"),
+        col("a.c") === col("b.c") && col("a.leaf") < col("b.leaf"))
+      .groupBy(col("a.leaf").as("u"), col("b.leaf").as("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("a.aaq")).as("aa_q"))
+      .join(und, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+    scored.orderBy(col("aa_q").desc, col("u"), col("v")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("aa_q").desc, col("u"), col("v"))))
+      .select(col("rk").cast("int").as("rk"), col("u"), col("v"),
+        col("cn"), round(col("cn") / (col("du") + col("dv") - col("cn")), 4)
+          .as("jaccard"),
+        round(col("aa_q") / lit(1048576.0), 4).as("adamic_adar"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_reach" -> ((s, d) => reach(s, d)),
@@ -516,8 +668,38 @@ object GraphPack extends QueryPack {
     "q_itemsets" -> ((s, d) => itemsets(s, d)),
     "q_label_prop" -> ((s, d) => labelProp(s, d)),
     "q_sssp" -> ((s, d) => sssp(s, d)),
-    "q_hits" -> ((s, d) => hits(s, d))
+    "q_hits" -> ((s, d) => hits(s, d)),
+    "q_modularity" -> ((s, d) => modularity(s, d)),
+    "q_assortativity" -> ((s, d) => assortativity(s, d)),
+    "q_link_pred" -> ((s, d) => linkPred(s, d))
   )
+
+  /** The LPA oracle prelude + round chain — li/und/edges/l0 through
+    * l{rounds} over the support-2 affinity graph. Shared verbatim by
+    * `q_label_prop` and `q_modularity` so the two keys provably audit
+    * the same propagation. */
+  private def lpaChainSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""nb$r AS (SELECT e.dst AS node, l.lbl FROM edges e
+         |    JOIN l${r - 1} l ON l.node = e.src
+         |  UNION ALL SELECT node, lbl FROM l${r - 1}),
+         |l$r AS MATERIALIZED (SELECT node,
+         |    CAST(mk % 4294967296 AS BIGINT) AS lbl
+         |  FROM (SELECT node, min((1048576 - c) * 4294967296 + lbl) AS mk
+         |    FROM (SELECT node, lbl, count(*) AS c FROM nb$r GROUP BY 1, 2)
+         |    GROUP BY node))""".stripMargin
+    }.mkString(",\n")
+    s"""li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |    FROM lineitem),
+       |und AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+       |edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+       |  UNION ALL SELECT v, u FROM und),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl
+       |  FROM edges),
+       |$steps""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q_triangles" ->
@@ -608,27 +790,8 @@ object GraphPack extends QueryPack {
         |  lift, confidence
         |FROM (SELECT * FROM pres UNION ALL SELECT * FROM tres)""".stripMargin,
 
-    "q_label_prop" -> {
-      val steps = (1 to LabelPropRounds).map { r =>
-        s"""nb$r AS (SELECT e.dst AS node, l.lbl FROM edges e
-           |    JOIN l${r - 1} l ON l.node = e.src
-           |  UNION ALL SELECT node, lbl FROM l${r - 1}),
-           |l$r AS MATERIALIZED (SELECT node,
-           |    CAST(mk % 4294967296 AS BIGINT) AS lbl
-           |  FROM (SELECT node, min((1048576 - c) * 4294967296 + lbl) AS mk
-           |    FROM (SELECT node, lbl, count(*) AS c FROM nb$r GROUP BY 1, 2)
-           |    GROUP BY node))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-         |    FROM lineitem),
-         |und AS (SELECT a.p AS u, b.p AS v
-         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
-         |  GROUP BY a.p, b.p HAVING count(*) >= 2),
-         |edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
-         |  UNION ALL SELECT v, u FROM und),
-         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl
-         |  FROM edges),
-         |$steps,
+    "q_label_prop" ->
+      s"""WITH ${lpaChainSql(LabelPropRounds)},
          |comms AS MATERIALIZED (SELECT lbl, count(*) AS n_nodes
          |  FROM l$LabelPropRounds GROUP BY 1),
          |top AS (SELECT lbl, n_nodes FROM comms
@@ -636,8 +799,92 @@ object GraphPack extends QueryPack {
          |SELECT CAST(row_number() OVER (ORDER BY n_nodes DESC, lbl) AS INT)
          |    AS rk, lbl AS community, n_nodes,
          |  (SELECT count(*) FROM comms) AS n_communities
-         |FROM top""".stripMargin
-    },
+         |FROM top""".stripMargin,
+
+    "q_modularity" ->
+      s"""WITH ${lpaChainSql(LabelPropRounds)},
+         |m AS (SELECT count(*) AS m FROM und),
+         |deg AS (SELECT node, count(*) AS dg FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY 1),
+         |degc AS (SELECT lbl, sum(dg) AS deg_c, count(*) AS n_nodes
+         |  FROM deg JOIN l$LabelPropRounds l ON l.node = deg.node
+         |  GROUP BY 1),
+         |intra AS (SELECT lu.lbl, count(*) AS e_c FROM und
+         |  JOIN l$LabelPropRounds lu ON lu.node = und.u
+         |  JOIN l$LabelPropRounds lv ON lv.node = und.v
+         |  WHERE lu.lbl = lv.lbl GROUP BY 1),
+         |per AS MATERIALIZED (SELECT d.lbl, d.n_nodes,
+         |    coalesce(i.e_c, 0) AS e_c, d.deg_c
+         |  FROM degc d LEFT JOIN intra i ON i.lbl = d.lbl),
+         |gm AS (SELECT sum(e_c) AS aa,
+         |    sum(CAST(deg_c AS HUGEINT) * deg_c) AS bb,
+         |    count(*) AS n_comms FROM per),
+         |top AS (SELECT * FROM per ORDER BY n_nodes DESC, lbl LIMIT 5)
+         |SELECT CAST(row_number() OVER (ORDER BY n_nodes DESC, lbl) AS INT)
+         |    AS rk, lbl AS community, n_nodes,
+         |  CAST(e_c AS BIGINT) AS intra_edges, CAST(deg_c AS BIGINT) AS deg_c,
+         |  round(e_c / m - (deg_c / (2.0 * m)) * (deg_c / (2.0 * m)), 6)
+         |    AS contribution,
+         |  n_comms,
+         |  round(CAST(aa AS DOUBLE) / m
+         |    - CAST(bb AS DOUBLE) / (4.0 * m * m), 6) AS q_modularity
+         |FROM top CROSS JOIN gm CROSS JOIN m""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |    FROM lineitem),
+        |und AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*) AS dg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |e AS (SELECT du.dg AS du, dv.dg AS dv FROM und
+        |  JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v),
+        |s AS (SELECT count(*) AS m,
+        |    sum(CAST(du AS HUGEINT) * dv) AS sjk,
+        |    sum(du + dv) AS ssum,
+        |    sum(CAST(du AS HUGEINT) * du + CAST(dv AS HUGEINT) * dv) AS ssq
+        |  FROM e)
+        |SELECT CAST(m AS BIGINT) AS m_edges,
+        |  round((CAST(sjk AS DOUBLE) / m
+        |      - (ssum / (2.0 * m)) * (ssum / (2.0 * m)))
+        |    / (CAST(ssq AS DOUBLE) / (2.0 * m)
+        |      - (ssum / (2.0 * m)) * (ssum / (2.0 * m))), 6) AS assortativity
+        |FROM s""".stripMargin,
+
+    "q_link_pred" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |    FROM lineitem),
+         |und AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+         |deg AS MATERIALIZED (SELECT node, count(*) AS dg FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY 1),
+         |adj AS MATERIALIZED (SELECT a.c, a.leaf,
+         |    CAST(floor(1048576.0 / ln(CAST(dg AS DOUBLE))) AS BIGINT) AS aaq
+         |  FROM (SELECT u AS c, v AS leaf FROM und
+         |        UNION ALL SELECT v, u FROM und) a
+         |  JOIN deg ON deg.node = a.c
+         |  WHERE deg.dg <= $LinkPredMaxDeg AND deg.dg >= 2),
+         |sc AS (SELECT a.leaf AS u, b.leaf AS v, count(*) AS cn,
+         |    sum(a.aaq) AS aa_q
+         |  FROM adj a JOIN adj b ON a.c = b.c AND a.leaf < b.leaf
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT sc.u, sc.v, sc.cn, sc.aa_q, du.dg AS du,
+         |    dv.dg AS dv
+         |  FROM sc JOIN deg du ON du.node = sc.u
+         |  JOIN deg dv ON dv.node = sc.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM und
+         |                    WHERE und.u = sc.u AND und.v = sc.v)),
+         |top AS (SELECT * FROM cand ORDER BY aa_q DESC, u, v LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY aa_q DESC, u, v) AS INT)
+         |    AS rk, u, v, CAST(cn AS BIGINT) AS cn,
+         |  round(cn / (du + dv - cn), 4) AS jaccard,
+         |  round(CAST(aa_q AS BIGINT) / 1048576.0, 4) AS adamic_adar
+         |FROM top""".stripMargin,
 
     "q_sssp" -> {
       val steps = (1 to SsspRounds).map { r =>

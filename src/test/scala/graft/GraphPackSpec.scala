@@ -229,6 +229,44 @@ class GraphPackSpec extends SparkSpec {
     assert(gotAuth(10L) > gotAuth(12L) === (auth(10L) > auth(12L)))
   }
 
+  test("modularityFrom scores two disjoint triangles at Q = 0.5") {
+    // LPA resolves each triangle to its min label; m = 6, each
+    // community has e_c = 3, deg_c = 6 → per-community contribution
+    // 3/6 − (6/12)² = 0.25, Q = 0.5 (the textbook two-clique value)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("u", "v")
+    val rows = GraphPack.modularityFrom(und, rounds = 4).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[Double]("q_modularity") === 0.5))
+    assert(rows.forall(_.getAs[Double]("contribution") === 0.25))
+    assert(rows.forall(_.getAs[Long]("intra_edges") === 3L))
+    assert(rows.head.getAs[Long]("n_comms") === 2L)
+  }
+
+  test("assortativityFrom reads -1 on a star (perfect hub-leaf wiring)") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    val r = GraphPack.assortativityFrom(star).collect().head
+    assert(r.getAs[Long]("m_edges") === 3L)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+  }
+
+  test("linkPredFrom scores the open pair of a path by its shared center") {
+    // path 1-2-3: the only distance-2 pair is (1,3) through center 2
+    // (deg 2): cn = 1, jaccard = 1/(1+1-1) = 1,
+    // AA = floor(2^20/ln 2)/2^20 ≈ 1.4427
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val rows = GraphPack.linkPredFrom(path).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getAs[Long]("u"), r.getAs[Long]("v")) === ((1L, 3L)))
+    assert(r.getAs[Long]("cn") === 1L)
+    assert(r.getAs[Double]("jaccard") === 1.0)
+    assert(r.getAs[Double]("adamic_adar") === 1.4427)
+    // an existing edge must never be predicted
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    assert(GraphPack.linkPredFrom(tri).count() === 0L)
+  }
+
   test("q_hits emits 10 hubs + 10 auths with conserved integer mass") {
     val rows = SparkEntry.queries("q_hits")(s, sfDir).collect()
     val hubs = rows.filter(_.getAs[String]("side") == "hub")

@@ -198,6 +198,9 @@ class PlanSpec extends SparkSpec {
     *     broadcast onto the histogram rows;
     *   q_sssp — single-row reached-count broadcast onto the top-20
     *     (q_triangles' pattern);
+    *   q_modularity — single-row global fold (Σe_c, Σdeg_c², m)
+    *     broadcast onto the top-5 community rows (q_triangles'
+    *     pattern, twice: the gm and m scalars);
     *   q_naive_bayes — 1-row vocab-size / total-docs broadcasts into
     *     the vocab-sized model build, and the |classes|-row (5 here,
     *     bounded by the label domain) class-stats broadcast that fans
@@ -211,7 +214,7 @@ class PlanSpec extends SparkSpec {
       "text_cooc", "ann_sq8", "q_triangles", "embed_power_iter",
       "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets",
       "dedup_eval", "embed_spectrum", "q_hll", "q_label_prop", "embed_jl",
-      "q_sssp", "q_naive_bayes")
+      "q_sssp", "q_naive_bayes", "q_modularity")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
