@@ -100,18 +100,38 @@ object LearnPack extends QueryPack {
       floor(col("l_quantity")).cast("long").as("qty"),
       floor(col("l_discount") * 100).cast("long").as("disc"),
       when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
-    val feats = li.select(lit("quantity").as("feature"),
+    val feats = li
+      .select(lit("root").as("branch"), lit("quantity").as("feature"),
         col("qty").as("v"), col("y"))
-      .union(li.select(lit("discount"), col("disc"), col("y")))
-    val hist = feats.groupBy("feature", "v")
+      .union(li.select(lit("root"), lit("discount"), col("disc"), col("y")))
+    val nr = col("nt") - col("nl")
+    val posr = col("post") - col("posl")
+    splitGains(feats)
+      .orderBy(col("gain").desc, col("feature"), col("v")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gain").desc, col("feature"), col("v"))))
+      .select(col("rk").cast("int").as("rk"), col("feature"),
+        col("v").as("threshold"), col("nl"), nr.as("nr"),
+        col("posl"), posr.as("posr"), col("gain"))
+  }
+
+  /** Histogram split-candidate table for [[stump]]/[[tree2]]: per
+    * (branch, feature, bin value) the cumulative left counts and the
+    * branch totals, gain-scored. Counts are exact integers; the Gini
+    * gain is the identical expression tree in both engines over those
+    * integers, rounded to 8 places for ranking. The window partitions
+    * by (branch, feature) — bins-sized, never rows-sized. */
+  private def splitGains(feats: DataFrame): DataFrame = {
+    val hist = feats.groupBy("branch", "feature", "v")
       .agg(count(lit(1)).as("n"), sum("y").as("pos"))
-    val w = Window.partitionBy("feature").orderBy("v")
+    val w = Window.partitionBy("branch", "feature").orderBy("v")
+    val wt = Window.partitionBy("branch", "feature")
     val cum = hist
       .withColumn("nl", sum("n").over(w))
       .withColumn("posl", sum("pos").over(w))
-      .withColumn("nt", sum("n").over(Window.partitionBy("feature")))
-      .withColumn("post", sum("pos").over(Window.partitionBy("feature")))
-      .where(col("nl") < col("nt")) // right side must be non-empty
+      .withColumn("nt", sum("n").over(wt))
+      .withColumn("post", sum("pos").over(wt))
+      .where(col("nl") < col("nt"))
     def gini(p: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       lit(1.0) - (p / n) * (p / n) - ((n - p) / n) * ((n - p) / n)
     val nr = col("nt") - col("nl")
@@ -120,12 +140,57 @@ object LearnPack extends QueryPack {
       (col("nl") / col("nt")) * gini(col("posl"), col("nl")) -
       (nr / col("nt")) * gini(posr, nr)
     cum.withColumn("gain", round(gain, 8))
-      .orderBy(col("gain").desc, col("feature"), col("v")).limit(10)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("gain").desc, col("feature"), col("v"))))
-      .select(col("rk").cast("int").as("rk"), col("feature"),
-        col("v").as("threshold"), col("nl"), nr.as("nr"),
-        col("posl"), posr.as("posr"), col("gain"))
+  }
+
+  /** Depth-2 greedy CART tree (Breiman et al. 1984) — `q_stump`'s
+    * split search applied RECURSIVELY, the shape every tree learner
+    * repeats: find the best root split over the binned features, send
+    * every row down its side, and re-run the search independently
+    * inside each branch. Output: the three split nodes (root, left,
+    * right) with their chosen (feature, threshold), partition counts
+    * and gain. Fully declarative — the root pick is an ORDER BY/LIMIT-1
+    * single row CROSS-JOINED back onto the data (km_bisect's
+    * scalar-subquery idiom; no driver collect anywhere), so the second
+    * level's branch column is one broadcast comparison per row. Scale:
+    * two corpus scans (root histogram, branch histograms); only
+    * bins × branches rows ever cross an exchange; the windows
+    * partition by (branch, feature). Determinism: q_stump's — exact
+    * integer counts, identical gain expression, rounded-gain ranking
+    * with (feature, v) tie-breaks at every pick. */
+  private def tree2(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(
+      floor(col("l_quantity")).cast("long").as("qty"),
+      floor(col("l_discount") * 100).cast("long").as("disc"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .localCheckpoint(true) // scanned by the root and branch searches
+    tree2From(li)
+  }
+
+  /** The kernel over any (qty, disc, y) frame — public to the test JVM
+    * for the planted-tree gate. */
+  private[graft] def tree2From(li: DataFrame): DataFrame = {
+    def feats(df: DataFrame) = df
+      .select(col("branch"), lit("quantity").as("feature"),
+        col("qty").as("v"), col("y"))
+      .union(df.select(col("branch"), lit("discount"),
+        col("disc"), col("y")))
+    val root = splitGains(feats(li.withColumn("branch", lit("root"))))
+      .orderBy(col("gain").desc, col("feature"), col("v")).limit(1)
+      .localCheckpoint(true) // 1 row: feeds the branch column + output
+    val branched = li.crossJoin(broadcast(
+        root.select(col("feature").as("rf"), col("v").as("rt"))))
+      .withColumn("branch",
+        when(when(col("rf") === "quantity", col("qty"))
+          .otherwise(col("disc")) <= col("rt"), "left").otherwise("right"))
+    val best = splitGains(feats(branched))
+      .withColumn("rk", row_number().over(Window.partitionBy("branch")
+        .orderBy(col("gain").desc, col("feature"), col("v"))))
+      .where(col("rk") === 1)
+    val out = root.withColumn("rk", lit(1)).unionByName(best)
+    out.select(col("branch").as("node"), col("feature"),
+      col("v").as("threshold"), col("nl"),
+      (col("nt") - col("nl")).as("nr"), col("posl"),
+      (col("post") - col("posl")).as("posr"), col("gain"))
   }
 
   /** Quantization grain for NB log-probabilities: 2^20 units per bit.
@@ -233,8 +298,25 @@ object LearnPack extends QueryPack {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_recs_itemitem" -> ((s, d) => recsItemItem(s, d)),
     "q_stump" -> ((s, d) => stump(s, d)),
+    "q_tree2" -> ((s, d) => tree2(s, d)),
     "q_naive_bayes" -> ((s, d) => naiveBayes(s, d))
   )
+
+  /** The Gini gain over (nl, posl, nt, post) cumulative-count columns —
+    * ONE string shared by the q_stump and q_tree2 oracles, mirroring
+    * the one [[splitGains]] expression both Spark plans share. Integer
+    * `/` is double division in DuckDB as in Spark. */
+  private val giniGainSql: String =
+    """round(
+      |      (1.0 - (post / nt) * (post / nt)
+      |           - ((nt - post) / nt) * ((nt - post) / nt))
+      |      - (nl / nt) * (1.0 - (posl / nl) * (posl / nl)
+      |           - ((nl - posl) / nl) * ((nl - posl) / nl))
+      |      - ((nt - nl) / nt)
+      |        * (1.0 - ((post - posl) / (nt - nl)) * ((post - posl) / (nt - nl))
+      |           - (((nt - nl) - (post - posl)) / (nt - nl))
+      |             * (((nt - nl) - (post - posl)) / (nt - nl))), 8)"""
+      .stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_recs_itemitem" ->
@@ -263,7 +345,7 @@ object LearnPack extends QueryPack {
         |FROM rk WHERE rk <= 5""".stripMargin,
 
     "q_stump" ->
-      """WITH li AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS qty,
+      s"""WITH li AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS qty,
         |    CAST(floor(l_discount * 100) AS BIGINT) AS disc,
         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
         |  FROM lineitem),
@@ -279,15 +361,7 @@ object LearnPack extends QueryPack {
         |  FROM hist),
         |gains AS (SELECT feature, v, nl, nt - nl AS nr, posl,
         |    post - posl AS posr,
-        |    round(
-        |      (1.0 - (post / nt) * (post / nt)
-        |           - ((nt - post) / nt) * ((nt - post) / nt))
-        |      - (nl / nt) * (1.0 - (posl / nl) * (posl / nl)
-        |           - ((nl - posl) / nl) * ((nl - posl) / nl))
-        |      - ((nt - nl) / nt)
-        |        * (1.0 - ((post - posl) / (nt - nl)) * ((post - posl) / (nt - nl))
-        |           - (((nt - nl) - (post - posl)) / (nt - nl))
-        |             * (((nt - nl) - (post - posl)) / (nt - nl))), 8) AS gain
+        |    $giniGainSql AS gain
         |  FROM cum WHERE nl < nt),
         |top AS (SELECT * FROM gains ORDER BY gain DESC, feature, v LIMIT 10)
         |SELECT CAST(row_number() OVER (ORDER BY gain DESC, feature, v) AS INT)
@@ -295,6 +369,59 @@ object LearnPack extends QueryPack {
         |  CAST(nr AS BIGINT) AS nr, CAST(posl AS BIGINT) AS posl,
         |  CAST(posr AS BIGINT) AS posr, gain
         |FROM top""".stripMargin,
+
+    "q_tree2" ->
+      s"""WITH li AS MATERIALIZED (SELECT
+        |    CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS disc,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |f0 AS (SELECT 'quantity' AS feature, qty AS v, y FROM li
+        |  UNION ALL SELECT 'discount', disc, y FROM li),
+        |h0 AS (SELECT feature, v, count(*) AS n, sum(y) AS pos
+        |  FROM f0 GROUP BY 1, 2),
+        |c0 AS (SELECT feature, v,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY v) AS nl,
+        |    sum(pos) OVER (PARTITION BY feature ORDER BY v) AS posl,
+        |    sum(n) OVER (PARTITION BY feature) AS nt,
+        |    sum(pos) OVER (PARTITION BY feature) AS post
+        |  FROM h0),
+        |g0 AS (SELECT feature, v, nl, posl, nt, post,
+        |    $giniGainSql AS gain
+        |  FROM c0 WHERE nl < nt),
+        |root AS MATERIALIZED (SELECT * FROM g0
+        |  ORDER BY gain DESC, feature, v LIMIT 1),
+        |br AS MATERIALIZED (SELECT li.*,
+        |    CASE WHEN (CASE WHEN root.feature = 'quantity' THEN li.qty
+        |               ELSE li.disc END) <= root.v
+        |      THEN 'left' ELSE 'right' END AS branch
+        |  FROM li CROSS JOIN root),
+        |f1 AS (SELECT branch, 'quantity' AS feature, qty AS v, y FROM br
+        |  UNION ALL SELECT branch, 'discount', disc, y FROM br),
+        |h1 AS (SELECT branch, feature, v, count(*) AS n, sum(y) AS pos
+        |  FROM f1 GROUP BY 1, 2, 3),
+        |c1 AS (SELECT branch, feature, v,
+        |    sum(n) OVER (PARTITION BY branch, feature ORDER BY v) AS nl,
+        |    sum(pos) OVER (PARTITION BY branch, feature ORDER BY v) AS posl,
+        |    sum(n) OVER (PARTITION BY branch, feature) AS nt,
+        |    sum(pos) OVER (PARTITION BY branch, feature) AS post
+        |  FROM h1),
+        |g1 AS (SELECT branch, feature, v, nl, posl, nt, post,
+        |    $giniGainSql AS gain
+        |  FROM c1 WHERE nl < nt),
+        |bb AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY branch ORDER BY gain DESC, feature, v) AS rk
+        |  FROM g1) WHERE rk = 1)
+        |SELECT 'root' AS node, feature, v AS threshold,
+        |  CAST(nl AS BIGINT) AS nl, CAST(nt - nl AS BIGINT) AS nr,
+        |  CAST(posl AS BIGINT) AS posl,
+        |  CAST(post - posl AS BIGINT) AS posr, gain
+        |FROM root
+        |UNION ALL
+        |SELECT branch, feature, v, CAST(nl AS BIGINT),
+        |  CAST(nt - nl AS BIGINT), CAST(posl AS BIGINT),
+        |  CAST(post - posl AS BIGINT), gain
+        |FROM bb""".stripMargin,
 
     "q_naive_bayes" ->
       s"""WITH toks AS (SELECT doc_id, lang, unnest(regexp_split_to_array(

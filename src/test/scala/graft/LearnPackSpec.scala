@@ -98,6 +98,28 @@ class LearnPackSpec extends SparkSpec {
     assert(gotRows === wantRows)
   }
 
+  test("tree2From recovers a planted depth-2 tree") {
+    // root must split on quantity at 5 (gain .125): the global discount
+    // histogram is engineered flat (disc=3 carries 6 pos + 6 neg,
+    // disc=8 carries 2+2 -> zero root gain) while each branch's
+    // discount split is PURE (gain .375) -- the pattern a stump cannot
+    // see and a depth-2 tree exists for
+    val rows =
+      Seq.fill(6)((5L, 3L, 1L)) ++ Seq.fill(2)((5L, 8L, 0L)) ++
+      Seq.fill(2)((15L, 8L, 1L)) ++ Seq.fill(6)((15L, 3L, 0L))
+    val got = LearnPack.tree2From(rows.toDF("qty", "disc", "y"))
+      .collect()
+      .map(r => r.getAs[String]("node") ->
+        ((r.getAs[String]("feature"), r.getAs[Long]("threshold"),
+          r.getAs[Long]("nl"), r.getAs[Long]("nr"),
+          r.getAs[Long]("posl"), r.getAs[Long]("posr"),
+          r.getAs[Double]("gain")))).toMap
+    assert(got.keySet === Set("root", "left", "right"))
+    assert(got("root") === (("quantity", 5L, 8L, 8L, 6L, 2L, 0.125)))
+    assert(got("left") === (("discount", 3L, 6L, 2L, 6L, 0L, 0.375)))
+    assert(got("right") === (("discount", 3L, 6L, 2L, 0L, 2L, 0.375)))
+  }
+
   test("q_stump best split matches a driver-side exhaustive search") {
     val got = SparkEntry.queries("q_stump")(s, sfDir).collect()
       .sortBy(_.getAs[Int]("rk"))

@@ -201,6 +201,9 @@ class PlanSpec extends SparkSpec {
     *   q_modularity — single-row global fold (Σe_c, Σdeg_c², m)
     *     broadcast onto the top-5 community rows (q_triangles'
     *     pattern, twice: the gm and m scalars);
+    *   q_tree2 — the 1-row root-split pick cross-joined back onto
+    *     the corpus to derive the branch column (km_bisect's
+    *     scalar-subquery idiom, declarative second level);
     *   q_naive_bayes — 1-row vocab-size / total-docs broadcasts into
     *     the vocab-sized model build, and the |classes|-row (5 here,
     *     bounded by the label domain) class-stats broadcast that fans
@@ -214,7 +217,7 @@ class PlanSpec extends SparkSpec {
       "text_cooc", "ann_sq8", "q_triangles", "embed_power_iter",
       "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets",
       "dedup_eval", "embed_spectrum", "q_hll", "q_label_prop", "embed_jl",
-      "q_sssp", "q_naive_bayes", "q_modularity")
+      "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
