@@ -154,8 +154,109 @@ object Clustering extends QueryPack {
         coalesce(col("ccl"), col("bcl"), lit(-1L)).as("cluster"))
   }
 
+  /** Soft k-means / isotropic-EM parameters (km_gmm): k components,
+    * fixed EM rounds, stiffness β = 1/(2σ²) (MacKay ITILA §20.1 calls
+    * β the stiffness; β=20 ⇒ σ≈0.16, the embedding-projection cluster
+    * scale). Responsibilities quantize to 2²⁰ units so every cross-row
+    * reduction is exact integer addition. */
+  val GmmK = 4
+  val GmmIters = 3
+  val GmmBeta = 20.0
+  private val GmmGrain = 1048576L
+
+  /** Soft k-means by EM (MacKay, ITILA 2003 §20.1 — the fixed-equal-
+    * isotropic-covariance Gaussian mixture; Dempster et al. 1977 for
+    * EM itself): the SOFT-assignment member of the clustering family —
+    * k-means commits each point to one centroid, the E-step spreads it
+    * as responsibilities r_k ∝ exp(−β·d²_k) and the M-step takes
+    * responsibility-weighted means. Output per component: final mean,
+    * soft count Σr (the effective mass EM actually averaged over) and
+    * the hard argmin count — soft_n ≠ hard_n on the overlap points,
+    * which is the readout the operator exists for.
+    *
+    * Determinism (§4): coordinates floor-quantize ONCE to integer 1e-6
+    * units; each round's per-point float work (d², the min-shifted
+    * exp, the fixed-left-assoc denominator e0+…+e_{k−1}, r_k/den) is
+    * the identical expression tree over identical doubles in both
+    * engines, and r_k floor-quantizes to integer 2²⁰ units BEFORE the
+    * cross-row sums — Σrq, Σrq·xq (DECIMAL(38,0): the product already
+    * nears BIGINT at 10⁹-row scale) are exact in any partition order.
+    * New means = two casts + two IEEE divisions on those exact sums;
+    * empty components carry their old mean (the reference's
+    * empty-cluster carry, kmeans_mapreduce_core.cu's behavior). Scale:
+    * each EM round is ONE corpus scan — the means are broadcast
+    * LITERALS (km_assign's fold discipline), the per-round reduction
+    * is a map-side-combined 4k-column partial agg, driver state is one
+    * k-component row per round (bounded). The oracle replays every
+    * round as chained MATERIALIZED CTEs from the same pivoted 1-row
+    * means table. */
+  private[graft] def gmmFrom(points: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    val pq = points.select(col("id"),
+        floor(col("x") * 1e6).cast("long").as("xq"),
+        floor(col("y") * 1e6).cast("long").as("yq"))
+      .localCheckpoint(true) // scanned once per EM round
+    var means: IndexedSeq[(Double, Double)] = pq.filter(col("id") < GmmK)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("xq") / 1e6, r.getAs[Long]("yq") / 1e6))
+      .toIndexedSeq
+    var lastAgg: DataFrame = null
+    for (_ <- 1 to GmmIters) {
+      var df = pq
+        .withColumn("x", col("xq") / lit(1e6))
+        .withColumn("y", col("yq") / lit(1e6))
+      for (k <- 0 until GmmK) {
+        val (mx, my) = means(k)
+        df = df.withColumn(s"d$k",
+          (col("x") - mx) * (col("x") - mx) +
+            (col("y") - my) * (col("y") - my))
+      }
+      df = df.withColumn("dmin",
+        (0 until GmmK).map(k => col(s"d$k")).reduce(least(_, _)))
+      for (k <- 0 until GmmK)
+        df = df.withColumn(s"e$k",
+          exp(lit(-GmmBeta) * (col(s"d$k") - col("dmin"))))
+      df = df.withColumn("den",
+        (0 until GmmK).map(k => col(s"e$k")).reduce(_ + _))
+      for (k <- 0 until GmmK)
+        df = df.withColumn(s"rq$k",
+          floor(col(s"e$k") / col("den") * lit(GmmGrain.toDouble))
+            .cast("long"))
+      df = df.withColumn("hard",
+        (0 until GmmK - 1).foldLeft(when(lit(false), -1)) { (acc, k) =>
+          acc.when(((k + 1) until GmmK).map(j => col(s"d$k") <= col(s"d$j"))
+            .reduce(_ && _), k)
+        }.otherwise(GmmK - 1))
+      val aggCols = (0 until GmmK).flatMap { k =>
+        Seq(sum(col(s"rq$k")).as(s"s$k"),
+          sum(col(s"rq$k").cast("decimal(38,0)") * col("xq")).as(s"sx$k"),
+          sum(col(s"rq$k").cast("decimal(38,0)") * col("yq")).as(s"sy$k"),
+          sum(when(col("hard") === k, 1L).otherwise(0L)).as(s"h$k"))
+      }
+      lastAgg = df.agg(aggCols.head, aggCols.tail: _*).localCheckpoint(true)
+      val row = lastAgg.collect().head
+      means = (0 until GmmK).map { k =>
+        val sk = row.getAs[Long](s"s$k")
+        if (sk == 0L) means(k)
+        else (row.getAs[java.math.BigDecimal](s"sx$k").doubleValue
+                / sk.toDouble / 1e6,
+              row.getAs[java.math.BigDecimal](s"sy$k").doubleValue
+                / sk.toDouble / 1e6)
+      }
+    }
+    (0 until GmmK).map { k =>
+      lastAgg.select(lit(k).as("k"),
+        round(col(s"s$k").cast("double") / lit(GmmGrain.toDouble), 3)
+          .as("soft_n"),
+        col(s"h$k").as("hard_n"),
+        round(lit(means(k)._1), 6).as("mx"),
+        round(lit(means(k)._2), 6).as("my"))
+    }.reduce(_ unionByName _)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dbscan_grid" -> ((s, d) => dbscanGrid(pts(s, d))),
+    "km_gmm" -> ((s, d) => gmmFrom(pts(s, d))),
 
     "km_assign" -> ((s, d) => {
       val p = pts(s, d)
@@ -519,7 +620,53 @@ object Clustering extends QueryPack {
        |FROM asn$levels JOIN pts USING (id) GROUP BY 1""".stripMargin
   }
 
+  /** The km_gmm oracle: every EM round replayed as chained MATERIALIZED
+    * CTEs from the same pivoted 1-row means table the Spark side
+    * inlines as literals — identical d²/exp/den/floor expressions,
+    * exact HUGEINT sums, the same empty-component carry. */
+  private def gmmSql(kk: Int, iters: Int): String = {
+    val ks = 0 until kk
+    val rounds = (1 to iters).map { r =>
+      val hardCase = "CASE " + (0 until kk - 1).map { k =>
+        s"WHEN ${((k + 1) until kk).map(j => s"d$k <= d$j").mkString(" AND ")} THEN $k"
+      }.mkString(" ") + s" ELSE ${kk - 1} END"
+      s"""d$r AS (SELECT p.id, p.xq, p.yq,
+         |    ${ks.map(k => s"(p.xq/1e6 - m.mx$k)*(p.xq/1e6 - m.mx$k) + (p.yq/1e6 - m.my$k)*(p.yq/1e6 - m.my$k) AS d$k").mkString(",\n    ")}
+         |  FROM pts p CROSS JOIN m${r - 1} m),
+         |w$r AS (SELECT *, least(${ks.map(k => s"d$k").mkString(", ")}) AS dmin FROM d$r),
+         |q$r AS (SELECT *, ${ks.map(k => s"exp(-$GmmBeta*(d$k - dmin)) AS e$k").mkString(", ")} FROM w$r),
+         |v$r AS (SELECT *, ${ks.map(k => s"e$k").mkString(" + ")} AS den FROM q$r),
+         |z$r AS (SELECT *,
+         |    ${ks.map(k => s"CAST(floor(e$k/den*$GmmGrain.0) AS BIGINT) AS rq$k").mkString(",\n    ")},
+         |    $hardCase AS hard
+         |  FROM v$r),
+         |a$r AS MATERIALIZED (SELECT
+         |    ${ks.map(k => s"sum(rq$k) AS s$k, sum(CAST(rq$k AS HUGEINT)*xq) AS sx$k, sum(CAST(rq$k AS HUGEINT)*yq) AS sy$k, sum(CASE WHEN hard = $k THEN 1 ELSE 0 END) AS h$k").mkString(",\n    ")}
+         |  FROM z$r),
+         |m$r AS MATERIALIZED (SELECT
+         |    ${ks.map(k => s"CASE WHEN a.s$k = 0 THEN m.mx$k ELSE CAST(a.sx$k AS DOUBLE)/CAST(a.s$k AS DOUBLE)/1e6 END AS mx$k, CASE WHEN a.s$k = 0 THEN m.my$k ELSE CAST(a.sy$k AS DOUBLE)/CAST(a.s$k AS DOUBLE)/1e6 END AS my$k").mkString(",\n    ")}
+         |  FROM a$r a CROSS JOIN m${r - 1} m)""".stripMargin
+    }.mkString(",\n")
+    val out = ks.map { k =>
+      s"""SELECT CAST($k AS INT) AS k,
+         |  round(CAST(s$k AS DOUBLE)/$GmmGrain.0, 3) AS soft_n,
+         |  CAST(h$k AS BIGINT) AS hard_n,
+         |  round(mx$k, 6) AS mx, round(my$k, 6) AS my
+         |FROM a$iters CROSS JOIN m$iters""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pts AS MATERIALIZED (SELECT vec_id AS id,
+       |    CAST(floor(embedding[1]*1e6) AS BIGINT) AS xq,
+       |    CAST(floor(embedding[2]*1e6) AS BIGINT) AS yq
+       |  FROM embeddings),
+       |m0 AS MATERIALIZED (SELECT
+       |    ${ks.map(k => s"max(CASE WHEN id = $k THEN xq/1e6 END) AS mx$k, max(CASE WHEN id = $k THEN yq/1e6 END) AS my$k").mkString(",\n    ")}
+       |  FROM pts WHERE id < $kk),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "km_gmm" -> gmmSql(GmmK, GmmIters),
     "km_bisect" -> bisectSql(BisectLevels, BisectIters),
     // Brute-force n² neighbor pairs (the oracle checks SEMANTICS, not
     // plan shape — the Spark side's cell blocking must agree with the

@@ -161,4 +161,32 @@ class KMeansSpec extends SparkSpec {
     assert(near(byLbl(5L), 6L, 100.0, 0.0))
     assert(near(byLbl(6L), 2L, 100.0, 100.0))
   }
+
+  test("gmmFrom spreads overlap mass softly while hard counts stay integral") {
+    // two tight blobs at (0,0) and (0.5,0.5); seeds 0,1 start in A and
+    // 2,3 in B; one point at the exact midpoint carries responsibility
+    // to BOTH sides, so soft counts differ from hard counts there
+    val a = (0 until 10).map(i =>
+      (i.toLong * 2, 0.01 * (i % 3), 0.01 * (i % 2)))
+    val b = (0 until 10).map(i =>
+      (i.toLong * 2 + 1, 0.5 + 0.01 * (i % 3), 0.5 + 0.01 * (i % 2)))
+    // seeds: ids 0,2 in A... ids < 4 are 0,1,2,3 -> 0,2 from a; 1,3 from b
+    val pts = (a ++ b :+ (100L, 0.25, 0.25)).toDF("id", "x", "y")
+    val got = graft.queries.Clustering.gmmFrom(pts).collect()
+    assert(got.length === graft.queries.Clustering.GmmK)
+    val hard = got.map(_.getAs[Long]("hard_n")).sum
+    assert(hard === 21L)
+    val soft = got.map(_.getAs[Double]("soft_n")).sum
+    // quantization drops at most GmmK units per point
+    assert(math.abs(soft - 21.0) < 0.1)
+    // every final mean sits inside the data's bounding box
+    got.foreach { r =>
+      assert(r.getAs[Double]("mx") >= -0.01 && r.getAs[Double]("mx") <= 0.53)
+      assert(r.getAs[Double]("my") >= -0.01 && r.getAs[Double]("my") <= 0.53)
+    }
+    // the overlap signature: some component's soft mass differs from
+    // its hard count by a visible margin (the midpoint point spreads)
+    assert(got.exists(r =>
+      math.abs(r.getAs[Double]("soft_n") - r.getAs[Long]("hard_n")) > 0.2))
+  }
 }
