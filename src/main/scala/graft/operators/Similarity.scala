@@ -190,6 +190,116 @@ object Similarity {
             * sqrt(col("nv2").cast("double"))), 6).as("abs_cos12"))
   }
 
+  /** All-but-the-top whitening audit (Mu & Viswanath, ICLR 2018) —
+    * the REPAIR step for the anisotropy `dominantDirection` detects:
+    * center the corpus (remove the common mean) and project off the
+    * top principal direction of the CENTERED second moment; report
+    * what the surgery achieves. Output per dim: the removed mean μ,
+    * the removed direction v1, the residual's new top direction v2,
+    * their centered-energy shares, the |cos(v1,v2)| deflation audit,
+    * and `iso_gain` = share1/share2 — how much flatter the spectrum
+    * got (≈1 means the space was already isotropic and the surgery
+    * buys nothing; ≫1 means a common direction was eating the space).
+    *
+    * Exactness: coordinates quantize to 1e-6 integers ONCE; the
+    * per-dim mean is a truncating integer division (identical `div`),
+    * so the CENTERED vectors are exact integers and both power chains
+    * (v1, then the v1-deflated v2 — spectrum's exact-integer
+    * projection) replay as chained CTEs; shares and iso_gain are
+    * single fixed double expressions over exact HUGEINT sums.
+    * Scale: centering is a PROJECTION (zip_with against the 1-row
+    * broadcast mean), never a materialized copy of the corpus; each
+    * iteration is one corpus scan; nothing wider than `dims` rows
+    * shuffles. */
+  def whiten(emb: DataFrame, dims: Int = 64, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need at least one power iteration, got $iters")
+    val qemb = emb.select(transform(col("embedding"), x => q6(x)).as("qe"))
+    val mu = qemb.select(posexplode(col("qe")).as(Seq("pos", "q")))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(expr("CAST(sum(CAST(q AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+        .as("mq"))
+      .coalesce(1).localCheckpoint(true) // dims rows
+    val muArr = mu.agg(transform(
+      array_sort(collect_list(struct(col("dim"), col("mq")))),
+      t => t.getField("mq")).as("mv"))
+    val cent = qemb.crossJoin(broadcast(muArr))
+      .select(zip_with(col("qe"), col("mv"), (q, m) => q - m).as("cq"))
+    // one un-normalized centered power iterate: (dim, du) = Cᵀ(Cv)
+    def rawUc(withV: DataFrame): DataFrame = {
+      val dot = aggregate(
+        zip_with(col("cq"), col("vq"), (c, v) => c * v),
+        lit(0L), (a, t) => a + t)
+      withV.select(col("cq"), dot.as("s"))
+        .select(posexplode(col("cq")).as(Seq("pos", "c")), col("s"))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          (col("c").cast("decimal(38,0)") * col("s")).as("su"))
+        .groupBy("dim").agg(sum("su").as("u"))
+        .coalesce(1)
+        .select(col("dim"),
+          expr("CAST(u div 1000000000000 AS BIGINT)").as("du"))
+    }
+    def rayleighC(v: DataFrame): DataFrame =
+      cent.crossJoin(broadcast(vArr(v)))
+        .select(aggregate(
+          zip_with(col("cq"), col("vq"), (c, qv) => c * qv),
+          lit(0L), (a, t) => a + t).as("s"))
+        .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("sn"))
+    val seed = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
+    var v1 = normalizeDir(rawUc(cent.withColumn("vq",
+      typedlit(Seq.fill(dims)(seed)))))
+    for (_ <- 2 to iters) v1 =
+      normalizeDir(rawUc(cent.crossJoin(broadcast(vArr(v1)))))
+    val v1t = v1.withColumnRenamed("qv", "qv1").localCheckpoint(true)
+    def deflate(du: DataFrame): DataFrame = {
+      val j = du.join(broadcast(v1t), "dim")
+      val pq = j.agg(
+        sum(col("qv1").cast("decimal(38,0)") * col("du")).as("p"),
+        sum(col("qv1").cast("decimal(38,0)") * col("qv1")).as("q"))
+      j.crossJoin(broadcast(pq))
+        .select(col("dim"),
+          (col("du") - expr(
+            "CAST((CAST(qv1 AS DECIMAL(38,0)) * p) div q AS BIGINT)"))
+            .as("du"))
+    }
+    val w0 = Seq.tabulate(dims)(i => if (i % 2 == 0) seed else -seed)
+    var v2 = normalizeDir(deflate(rawUc(cent.withColumn("vq",
+      typedlit(w0)))))
+    for (_ <- 2 to iters) v2 =
+      normalizeDir(deflate(rawUc(cent.crossJoin(broadcast(vArr(v2))))))
+    val v2t = v2.withColumnRenamed("qv", "qv2")
+    val s1 = rayleighC(v1t.withColumnRenamed("qv1", "qv"))
+      .withColumnRenamed("sn", "sn1")
+    val s2 = rayleighC(v2t.withColumnRenamed("qv2", "qv"))
+      .select(col("sn").as("sn2"))
+    val tc = cent.select(posexplode(col("cq")).as(Seq("pos", "c")))
+      .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("t"))
+    val joined = mu.join(v1t, "dim").join(v2t, "dim").localCheckpoint(true)
+    val norms = joined.agg(
+      sum(col("qv1").cast("decimal(38,0)") * col("qv1")).as("nv1"),
+      sum(col("qv2").cast("decimal(38,0)") * col("qv2")).as("nv2"),
+      sum(col("qv1").cast("decimal(38,0)") * col("qv2")).as("dot12"))
+    joined.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .crossJoin(broadcast(norms)).crossJoin(broadcast(tc))
+      .select(col("dim"),
+        round(col("mq").cast("double") / lit(1000000.0), 6).as("mu"),
+        round(col("qv1").cast("double") / lit(1000000.0), 6).as("v1"),
+        round(col("qv2").cast("double") / lit(1000000.0), 6).as("v2"),
+        round(col("sn1").cast("double")
+          / (col("nv1").cast("double") * col("t").cast("double")), 6)
+          .as("share1"),
+        round(col("sn2").cast("double")
+          / (col("nv2").cast("double") * col("t").cast("double")), 6)
+          .as("share2"),
+        round(abs(col("dot12").cast("double"))
+          / (sqrt(col("nv1").cast("double"))
+            * sqrt(col("nv2").cast("double"))), 6).as("abs_cos12"),
+        when(col("sn2") === 0, lit(null).cast("double"))
+          .otherwise(round((col("sn1").cast("double")
+              * col("nv2").cast("double"))
+            / (col("sn2").cast("double") * col("nv1").cast("double")), 4))
+          .as("iso_gain"))
+  }
+
   /** Mean-vector drift between two halves of an embedding corpus: per
     * group, the cosine between the mean vectors of the `half` = 0 and
     * `half` = 1 rows — the vector twin of the scalar PSI monitor (a

@@ -149,6 +149,22 @@ object SimilarityPack extends QueryPack {
       Similarity.spectrum(
         Tables.embeddings(s, d).select(col("embedding")))),
 
+    // All-but-the-top whitening audit (Mu & Viswanath ICLR 2018,
+    // round 11) — the REPAIR for the anisotropy embed_power_iter
+    // detects: remove the common mean + the top direction of the
+    // CENTERED second moment; report the removed μ/v1, the residual's
+    // new top direction, both centered-energy shares, the deflation
+    // orthogonality audit, and iso_gain = share1/share2 (≈1: the
+    // space was already isotropic; ≫1: a common direction was eating
+    // it). Centering is a zip_with projection against the 1-row
+    // broadcast integer mean — never a materialized corpus copy; the
+    // per-dim mean is a truncating integer division so the centered
+    // vectors are exact integers and the whole two-chain trajectory
+    // replays as chained CTEs, spectrum's discipline.
+    "embed_whiten" -> ((s, d) =>
+      Similarity.whiten(
+        Tables.embeddings(s, d).select(col("embedding")))),
+
     "embed_dimstats" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -834,6 +850,88 @@ object SimilarityPack extends QueryPack {
          |    / (sqrt(CAST(nv1 AS DOUBLE)) * sqrt(CAST(nv2 AS DOUBLE))), 6)
          |    AS abs_cos12
          |FROM v3 JOIN w3 USING (dim), fn1, fn2, nrm, tr""".stripMargin
+    },
+
+    // embed_spectrum's two-chain replay run over the CENTERED integer
+    // table cx (q − per-dim truncating-div mean), plus the μ column
+    // and the iso_gain ratio — the all-but-the-top surgery audit.
+    "embed_whiten" -> {
+      def vround(i: Int, prevV: String): String =
+        s"""s$i AS (SELECT id, sum(q * $prevV) AS s
+           |  FROM cx ${if (i == 1) "" else s"JOIN v${i - 1} USING (dim)"}
+           |  GROUP BY id),
+           |u$i AS (SELECT dim, sum(CAST(q AS HUGEINT) * s$i.s) AS u
+           |  FROM cx JOIN s$i USING (id) GROUP BY dim),
+           |d$i AS (SELECT dim, CAST(u // 1000000000000 AS BIGINT) AS du FROM u$i),
+           |n$i AS (SELECT sum(CAST(du AS HUGEINT) * du) AS n2 FROM d$i),
+           |v$i AS MATERIALIZED (SELECT dim, CAST(floor(CAST(du * 1000000 AS DOUBLE)
+           |    / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS qv FROM d$i, n$i)"""
+          .stripMargin
+      def wround(i: Int, prevW: String): String =
+        s"""ws$i AS (SELECT id, sum(q * $prevW) AS s
+           |  FROM cx ${if (i == 1) "" else s"JOIN w${i - 1} USING (dim)"}
+           |  GROUP BY id),
+           |wu$i AS (SELECT dim, sum(CAST(q AS HUGEINT) * ws$i.s) AS u
+           |  FROM cx JOIN ws$i USING (id) GROUP BY dim),
+           |wd$i AS MATERIALIZED (SELECT dim,
+           |    CAST(u // 1000000000000 AS BIGINT) AS du FROM wu$i),
+           |wpq$i AS (SELECT sum(CAST(v3.qv AS HUGEINT) * wd$i.du) AS p,
+           |    sum(CAST(v3.qv AS HUGEINT) * v3.qv) AS q
+           |  FROM wd$i JOIN v3 USING (dim)),
+           |wp$i AS MATERIALIZED (SELECT wd$i.dim,
+           |    wd$i.du - CAST((CAST(v3.qv AS HUGEINT) * wpq$i.p)
+           |      // wpq$i.q AS BIGINT) AS du
+           |  FROM wd$i JOIN v3 USING (dim), wpq$i),
+           |wn$i AS (SELECT sum(CAST(du AS HUGEINT) * du) AS n2 FROM wp$i),
+           |w$i AS MATERIALIZED (SELECT dim, CAST(floor(CAST(du * 1000000 AS DOUBLE)
+           |    / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS qv FROM wp$i, wn$i)"""
+          .stripMargin
+      val w0 = "(CASE WHEN dim % 2 = 1 THEN 125000 ELSE -125000 END)"
+      s"""WITH qx AS (SELECT id, i + 1 AS dim,
+         |    CAST(floor(v * 1000000) AS BIGINT) AS q
+         |  FROM (SELECT vec_id AS id,
+         |      unnest(CAST(embedding AS DOUBLE[])) AS v,
+         |      unnest(range(0, 64)) AS i
+         |    FROM embeddings)),
+         |mu AS MATERIALIZED (SELECT dim,
+         |    CAST(sum(CAST(q AS HUGEINT)) // count(*) AS BIGINT) AS mq
+         |  FROM qx GROUP BY dim),
+         |cx AS MATERIALIZED (SELECT id, qx.dim, q - mq AS q
+         |  FROM qx JOIN mu USING (dim)),
+         |${vround(1, "125000")},
+         |${vround(2, "qv")},
+         |${vround(3, "qv")},
+         |${wround(1, w0)},
+         |${wround(2, "qv")},
+         |${wround(3, "qv")},
+         |sa AS (SELECT id, sum(q * qv) AS s FROM cx JOIN v3 USING (dim)
+         |  GROUP BY id),
+         |fn1 AS (SELECT sum(CAST(s AS HUGEINT) * s) AS sn1 FROM sa),
+         |sb AS (SELECT id, sum(q * qv) AS s FROM cx JOIN w3 USING (dim)
+         |  GROUP BY id),
+         |fn2 AS (SELECT sum(CAST(s AS HUGEINT) * s) AS sn2 FROM sb),
+         |nrm AS (SELECT sum(CAST(v3.qv AS HUGEINT) * v3.qv) AS nv1,
+         |    sum(CAST(w3.qv AS HUGEINT) * w3.qv) AS nv2,
+         |    sum(CAST(v3.qv AS HUGEINT) * w3.qv) AS dot12
+         |  FROM v3 JOIN w3 USING (dim)),
+         |tr AS (SELECT sum(CAST(q AS HUGEINT) * q) AS t FROM cx)
+         |SELECT v3.dim,
+         |  round(CAST(mq AS DOUBLE) / 1000000.0, 6) AS mu,
+         |  round(CAST(v3.qv AS DOUBLE) / 1000000.0, 6) AS v1,
+         |  round(CAST(w3.qv AS DOUBLE) / 1000000.0, 6) AS v2,
+         |  round(CAST(sn1 AS DOUBLE)
+         |    / (CAST(nv1 AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS share1,
+         |  round(CAST(sn2 AS DOUBLE)
+         |    / (CAST(nv2 AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS share2,
+         |  round(abs(CAST(dot12 AS DOUBLE))
+         |    / (sqrt(CAST(nv1 AS DOUBLE)) * sqrt(CAST(nv2 AS DOUBLE))), 6)
+         |    AS abs_cos12,
+         |  CASE WHEN sn2 = 0 THEN NULL
+         |    ELSE round((CAST(sn1 AS DOUBLE) * CAST(nv2 AS DOUBLE))
+         |      / (CAST(sn2 AS DOUBLE) * CAST(nv1 AS DOUBLE)), 4) END
+         |    AS iso_gain
+         |FROM v3 JOIN w3 USING (dim) JOIN mu USING (dim),
+         |  fn1, fn2, nrm, tr""".stripMargin
     },
 
     "embed_dimstats" ->

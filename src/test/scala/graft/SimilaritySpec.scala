@@ -582,6 +582,38 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(s1 + s2 - 1.0) < 0.01, "the plane carries all energy")
   }
 
+  test("whiten removes a planted common mean + top direction (all-but-the-top)") {
+    // every vector = common mean 0.3·e1 + ±0.2·e2 (the dominant
+    // CENTERED direction) + a weak ±0.05·e3 ripple: after centering,
+    // v1 must be ±e2, the residual's top direction ±e3, and the
+    // energy ratio iso_gain ≈ (0.2/0.05)² = 16
+    val vecs = (0 until 24).map { i =>
+      Array(0.3f,
+        0.2f * (if (i % 2 == 0) 1f else -1f),
+        0.05f * (if (i % 4 < 2) 1f else -1f), 0.0f)
+    }
+    val out = graft.operators.Similarity.whiten(vecs.toDF("embedding"),
+        dims = 4)
+      .collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Double]("mu"), r.getAs[Double]("v1"),
+          r.getAs[Double]("v2"), r.getAs[Double]("share1"),
+          r.getAs[Double]("share2"), r.getAs[Double]("abs_cos12"),
+          r.getAs[Double]("iso_gain")))).toMap
+    assert(math.abs(out(1L)._1 - 0.3) < 1e-3, s"mean must be 0.3 e1: $out")
+    assert(math.abs(out(2L)._1) < 1e-3 && math.abs(out(3L)._1) < 1e-3)
+    assert(math.abs(math.abs(out(2L)._2) - 1.0) < 1e-3,
+      s"v1 must be ±e2 after centering: $out")
+    assert(math.abs(out(1L)._2) < 1e-3, "v1 has no e1 component (mean removed)")
+    assert(math.abs(math.abs(out(3L)._3) - 1.0) < 1e-3,
+      s"residual top direction must be ±e3: $out")
+    val (_, _, _, s1, s2, c, gain) = out(1L)
+    assert(c < 1e-3, s"deflation must stay orthogonal, cos=$c")
+    assert(math.abs(s1 - 16.0 / 17.0) < 0.01, s"share1=$s1")
+    assert(math.abs(s2 - 1.0 / 17.0) < 0.01, s"share2=$s2")
+    assert(gain > 14.0 && gain < 18.0, s"iso_gain=$gain vs planted 16")
+  }
+
   test("embed_jl: distortion ratios concentrate around 1 (JL lemma)") {
     val rows = SparkEntry.queries("embed_jl")(spark, sfDir).collect()
     assert(rows.nonEmpty)
