@@ -457,6 +457,55 @@ object AnalyticsPack extends QueryPack {
     // footer stats stay tight). Byte sizes are exact integers (scaled
     // cents), the cumsum is one partitioned window pass, and the bin
     // rollup is a hash agg — output rows ∝ total bytes / bin size.
+    // Multi-touch conversion attribution (the four classic rule-based
+    // credit models marketing analytics runs before any data-driven
+    // one — first-touch, last-touch, linear, U-shaped/position-based
+    // 40/20/40; Shao & Li KDD 2011 frames them as the baselines):
+    // conversion = each user's FIRST purchase; touchpoints = their
+    // non-purchase events in the strict 7-day lookback before it,
+    // ordered by (ts, event_id). Credit is INTEGER millionths of a
+    // conversion so every cross-row sum is exact in any partition
+    // order: per-touch shares come from truncating `div` on the
+    // per-user touch count (quantization under-credits a conversion
+    // by < n·1e-6 — documented, identical in both engines), and the
+    // U-shape pays 40/40 to the endpoints and 20 split across the
+    // middle (n=1 → 100, n=2 → 50/50). Scale: one equi-join on
+    // user_id (conversions side is user-count rows), ONE per-user
+    // window over the 7-day touch set (lookback-bounded, never
+    // history-bounded), one hash agg to channels. Output per channel:
+    // touch count + credited conversions under all four models.
+    "q_attribution" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("unix_micros(ts)").as("tus"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("tus").as("cts"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .join(conv, "user_id")
+        .where(col("tus") < col("cts") &&
+          col("tus") >= col("cts") - lit(604800000000L))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val wc = Window.partitionBy("user_id")
+      val credited = touches
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .withColumn("ft", when(col("rk") === 1, 1000000L).otherwise(0L))
+        .withColumn("lt",
+          when(col("rk") === col("cnt"), 1000000L).otherwise(0L))
+        .withColumn("lin", expr("1000000 div cnt"))
+        .withColumn("ush",
+          when(col("cnt") === 1, 1000000L)
+            .when(col("rk") === 1 || col("rk") === col("cnt"),
+              when(col("cnt") === 2, 500000L).otherwise(400000L))
+            .otherwise(expr("200000 div (cnt - 2)")))
+      credited.groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum("ft") / 1000000.0, 3).as("first_touch"),
+          round(sum("lt") / 1000000.0, 3).as("last_touch"),
+          round(sum("lin") / 1000000.0, 3).as("linear"),
+          round(sum("ush") / 1000000.0, 3).as("u_shaped"))
+    }),
+
     "q_compaction" -> ((s, d) => {
       val files = lineitem(s, d)
         .groupBy(col("l_returnflag").as("part"),
@@ -698,6 +747,34 @@ object AnalyticsPack extends QueryPack {
           |  CASE WHEN n_distinct > 1 THEN round(entropy / log2(n_distinct), 6) END
           |    AS norm_entropy
           |FROM agg""".stripMargin,
+
+      "q_attribution" ->
+        """WITH ev AS (SELECT event_id, user_id, event_type,
+          |    epoch_us(ts) AS tus FROM events),
+          |conv AS MATERIALIZED (SELECT user_id, min(tus) AS cts
+          |  FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+          |touches AS (SELECT e.* FROM ev e JOIN conv c USING (user_id)
+          |  WHERE e.event_type != 'purchase' AND e.tus < c.cts
+          |    AND e.tus >= c.cts - 604800000000),
+          |cr AS (SELECT event_type,
+          |    CASE WHEN rk = 1 THEN 1000000 ELSE 0 END AS ft,
+          |    CASE WHEN rk = cnt THEN 1000000 ELSE 0 END AS lt,
+          |    1000000 // cnt AS lin,
+          |    CASE WHEN cnt = 1 THEN 1000000
+          |      WHEN rk = 1 OR rk = cnt THEN
+          |        (CASE WHEN cnt = 2 THEN 500000 ELSE 400000 END)
+          |      ELSE 200000 // (cnt - 2) END AS ush
+          |  FROM (SELECT event_type,
+          |      row_number() OVER (PARTITION BY user_id
+          |        ORDER BY tus, event_id) AS rk,
+          |      count(*) OVER (PARTITION BY user_id) AS cnt
+          |    FROM touches))
+          |SELECT event_type AS channel, count(*) AS n_touches,
+          |  round(sum(ft) / 1000000.0, 3) AS first_touch,
+          |  round(sum(lt) / 1000000.0, 3) AS last_touch,
+          |  round(sum(lin) / 1000000.0, 3) AS linear,
+          |  round(sum(ush) / 1000000.0, 3) AS u_shaped
+          |FROM cr GROUP BY 1""".stripMargin,
 
       "q_compaction" ->
         """WITH files AS (SELECT l_returnflag AS part, CAST(l_shipdate AS DATE) AS day,

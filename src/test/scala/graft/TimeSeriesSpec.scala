@@ -93,4 +93,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(5L) === ((5L, 3L, 0L, 0.2)))
     assert(got(9L) === ((2L, 0L, 2L, 0.2)))
   }
+
+  test("q_attribution allocates hand-computed credit under all four models") {
+    // u1: view d4, click d5, signup d9 -> purchase d10  (3 touches)
+    // u2: click d9 -> purchase d10                      (1 touch)
+    // u3: view d1 -> purchase d10   (outside the 7-day lookback)
+    // u4: view d2, no purchase      (never credited)
+    // u5: view d5, click d6 -> purchase d10             (2 touches)
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, 1L, 4L, "view"), (2L, 1L, 5L, "click"), (3L, 1L, 9L, "signup"),
+      (4L, 1L, 10L, "purchase"),
+      (5L, 2L, 9L, "click"), (6L, 2L, 10L, "purchase"),
+      (7L, 3L, 1L, "view"), (8L, 3L, 10L, "purchase"),
+      (9L, 4L, 2L, "view"),
+      (10L, 5L, 5L, "view"), (11L, 5L, 6L, "click"),
+      (12L, 5L, 10L, "purchase"))
+    val ev = rows.toDF("event_id", "user_id", "dayno", "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("dayno") * 86400000000L + col("user_id"))
+          .as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("attrib").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_attribution")(s, dir)
+      .collect().map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Double]("first_touch"),
+          r.getAs[Double]("last_touch"), r.getAs[Double]("linear"),
+          r.getAs[Double]("u_shaped")))).toMap
+    assert(got.keySet === Set("view", "click", "signup"))
+    assert(got("view") === ((2L, 2.0, 0.0, 0.833, 0.9)))
+    assert(got("click") === ((3L, 1.0, 2.0, 1.833, 1.7)))
+    assert(got("signup") === ((1L, 0.0, 1.0, 0.333, 0.4)))
+  }
 }
