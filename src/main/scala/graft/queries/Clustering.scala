@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.KMeansDF
@@ -154,6 +155,107 @@ object Clustering extends QueryPack {
         coalesce(col("ccl"), col("bcl"), lit(-1L)).as("cluster"))
   }
 
+  /** LOF parameters: neighborhood radius cap (the grid cell side) and
+    * the k of k-nearest-neighbors. */
+  val LofEps = 0.03
+  val LofK = 5
+
+  /** Radius-capped Local Outlier Factor (Breunig et al., SIGMOD 2000)
+    * over 2-D points — the DEGREE-of-outlierness companion to
+    * [[dbscanGrid]]'s binary noise flag: LOF ≈ 1 means the point's
+    * local density matches its neighbors'; LOF ≫ 1 means it sits in a
+    * sparser region than the points it is near (the boundary case a
+    * global z-score cannot see). kNN search is the SAME 3×3 grid
+    * block as DBSCAN — candidates bounded by local density × 9, never
+    * n² — which CAPS the neighborhood at radius eps: points with
+    * fewer than k in-radius neighbors are `sparse` (no LOF; they are
+    * outliers by construction and reported as a count), and a sparse
+    * NEIGHBOR contributes the capped k-distance eps / the capped
+    * density 1/eps (one-directional, slightly understates its
+    * neighbors' LOF — documented; canonical LOF on the dense
+    * interior, capped at the rim; production picks eps above the
+    * expected k-distance quantile so the interior covers the mass).
+    *
+    * Determinism: the k-neighbor set is exactly k rows under the
+    * (d², id) tie-break (canonical LOF keeps distance ties — a
+    * documented simplification both engines replay identically);
+    * per-pair reach distances floor-quantize to integer 1e-9 units
+    * and per-point densities to integer lrd units BEFORE any
+    * cross-row sum, so Σreach and Σlrd are exact in any partition
+    * order; one float division per point at each stage, identical
+    * expressions both engines. A coincident pile-up (Σreach = 0)
+    * caps at lrd = k·10¹⁵ units via greatest(srq, 1). Output: top-20
+    * by (lof desc, id) + the dense/sparse census on every row. */
+  private[graft] def lofGrid(points: DataFrame, eps: Double = LofEps,
+      k: Int = LofK): DataFrame = {
+    val offs = Seq(-1L, 0L, 1L)
+    val p = points.select(col("id"), col("x"), col("y"),
+      floor(col("x") / eps).cast("long").as("cx"),
+      floor(col("y") / eps).cast("long").as("cy"))
+      .localCheckpoint(true)
+    val probes = p.select(col("id").as("ib"), col("x").as("xb"),
+        col("y").as("yb"),
+        explode(array(offs.flatMap(dx => offs.map(dy =>
+          struct((col("cx") + dx).as("px"), (col("cy") + dy).as("py"))))
+          : _*)).as("c"))
+      .select(col("ib"), col("xb"), col("yb"), col("c.px"), col("c.py"))
+    val dx = col("x") - col("xb")
+    val dy = col("y") - col("yb")
+    val pairs = p.join(probes,
+        col("cx") === col("px") && col("cy") === col("py") &&
+          col("id") =!= col("ib"))
+      .where(dx * dx + dy * dy <= lit(eps * eps))
+      .select(col("ib").as("cid"), col("id").as("nid"),
+        (dx * dx + dy * dy).as("d2"))
+      .localCheckpoint(true) // feeds counts, kNN, reach, lof
+    val nnb = pairs.groupBy(col("cid").as("id"))
+      .agg(count(lit(1)).as("n_nb"))
+    val w = Window.partitionBy("cid").orderBy(col("d2"), col("nid"))
+    val ranked = pairs.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .localCheckpoint(true)
+    val kd = ranked.where(col("rk") === k)
+      .select(col("cid").as("id"), sqrt(col("d2")).as("kd"))
+    // capped k-distance for EVERY point: eps when sparse
+    val kdc = p.select(col("id")).join(kd, Seq("id"), "left")
+      .select(col("id"), coalesce(col("kd"), lit(eps)).as("kdc"))
+    val dense = kd.select(col("id").as("cid"))
+    val knn = ranked.join(dense, "cid") // exactly k rows per dense point
+    val srq = knn
+      .join(kdc.select(col("id").as("nid"), col("kdc")), "nid")
+      .select(col("cid"),
+        floor(greatest(col("kdc"), sqrt(col("d2"))) * lit(1e9))
+          .cast("long").as("rq"))
+      .groupBy("cid").agg(sum("rq").as("srq"))
+    val lrdDense = srq.select(col("cid").as("id"),
+      floor(lit(k.toDouble * 1e15)
+        / greatest(col("srq"), lit(1L)).cast("double")).cast("long")
+        .as("lrdq"))
+    val lrdAll = p.select(col("id")).join(lrdDense, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("lrdq"), lit(math.floor(1e6 / eps).toLong))
+          .as("lrdq"))
+    val lof = knn
+      .join(lrdAll.select(col("id").as("nid"), col("lrdq").as("nlrdq")),
+        "nid")
+      .groupBy("cid").agg(sum("nlrdq").as("slrd"))
+      .join(lrdDense.select(col("id").as("cid"), col("lrdq")), "cid")
+      .join(nnb.select(col("id").as("cid"), col("n_nb")), "cid")
+      .select(col("cid").as("id"), col("n_nb"),
+        round(col("slrd").cast("double")
+          / (lit(k.toDouble) * col("lrdq").cast("double")), 4).as("lof"))
+    val census = p.select(col("id")).join(dense.select(col("cid").as("id"))
+        .withColumn("dn", lit(1L)), Seq("id"), "left")
+      .agg(sum(coalesce(col("dn"), lit(0L))).as("n_dense"),
+        sum(when(col("dn").isNull, 1L).otherwise(0L)).as("n_sparse"))
+    lof.orderBy(col("lof").desc, col("id")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("lof").desc, col("id"))))
+      .crossJoin(broadcast(census))
+      .select(col("rk").cast("int").as("rk"), col("id"), col("n_nb"),
+        col("lof"), col("n_dense"), col("n_sparse"))
+  }
+
   /** Soft k-means / isotropic-EM parameters (km_gmm): k components,
     * fixed EM rounds, stiffness β = 1/(2σ²) (MacKay ITILA §20.1 calls
     * β the stiffness; β=20 ⇒ σ≈0.16, the embedding-projection cluster
@@ -257,6 +359,7 @@ object Clustering extends QueryPack {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dbscan_grid" -> ((s, d) => dbscanGrid(pts(s, d))),
     "km_gmm" -> ((s, d) => gmmFrom(pts(s, d))),
+    "q_lof" -> ((s, d) => lofGrid(pts(s, d))),
 
     "km_assign" -> ((s, d) => {
       val p = pts(s, d)
@@ -665,8 +768,58 @@ object Clustering extends QueryPack {
        |$out""".stripMargin
   }
 
+  /** q_lof oracle: brute-force n² in-radius pairs (semantics, not plan
+    * shape — the grid blocking must agree with unblocked ground truth,
+    * dbscan's discipline), then the same quantized reach/lrd/lof
+    * chain. */
+  private def lofSql(eps: Double, k: Int): String = {
+    val eps2 = eps * eps
+    val kNum = k.toDouble * 1e15
+    val sparseLrd = math.floor(1e6 / eps).toLong
+    s"""WITH pts AS MATERIALIZED ($ptsSql),
+       |pr AS MATERIALIZED (SELECT a.id AS cid, b.id AS nid,
+       |    (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) AS d2
+       |  FROM pts a JOIN pts b ON a.id != b.id
+       |  WHERE (b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) <= $eps2),
+       |nnb AS (SELECT cid AS id, count(*) AS n_nb FROM pr GROUP BY 1),
+       |rkt AS MATERIALIZED (SELECT cid, nid, d2, row_number() OVER (
+       |    PARTITION BY cid ORDER BY d2, nid) AS rk FROM pr),
+       |kd AS MATERIALIZED (SELECT cid AS id, sqrt(d2) AS kd
+       |  FROM rkt WHERE rk = $k),
+       |kdc AS (SELECT p.id, coalesce(kd.kd, $eps) AS kdc
+       |  FROM pts p LEFT JOIN kd ON kd.id = p.id),
+       |knn AS MATERIALIZED (SELECT r.* FROM rkt r
+       |  JOIN kd ON kd.id = r.cid WHERE r.rk <= $k),
+       |srq AS (SELECT cid, sum(CAST(floor(
+       |      greatest(kdc.kdc, sqrt(knn.d2)) * 1e9) AS BIGINT)) AS srq
+       |  FROM knn JOIN kdc ON kdc.id = knn.nid GROUP BY cid),
+       |lrdd AS MATERIALIZED (SELECT cid AS id,
+       |    CAST(floor($kNum / CAST(greatest(srq, 1) AS DOUBLE))
+       |      AS BIGINT) AS lrdq
+       |  FROM srq),
+       |lrda AS (SELECT p.id, coalesce(l.lrdq, $sparseLrd) AS lrdq
+       |  FROM pts p LEFT JOIN lrdd l ON l.id = p.id),
+       |lofv AS (SELECT knn.cid AS id, sum(a.lrdq) AS slrd
+       |  FROM knn JOIN lrda a ON a.id = knn.nid GROUP BY 1),
+       |lf AS (SELECT lofv.id, n.n_nb,
+       |    round(CAST(slrd AS DOUBLE)
+       |      / (${k.toDouble} * CAST(d.lrdq AS DOUBLE)), 4) AS lof
+       |  FROM lofv JOIN lrdd d ON d.id = lofv.id
+       |  JOIN nnb n ON n.id = lofv.id),
+       |cen AS (SELECT
+       |    sum(CASE WHEN kd.id IS NOT NULL THEN 1 ELSE 0 END) AS n_dense,
+       |    sum(CASE WHEN kd.id IS NULL THEN 1 ELSE 0 END) AS n_sparse
+       |  FROM pts p LEFT JOIN kd ON kd.id = p.id),
+       |top AS (SELECT * FROM lf ORDER BY lof DESC, id LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY lof DESC, id) AS INT)
+       |    AS rk, id, n_nb, lof, CAST(n_dense AS BIGINT) AS n_dense,
+       |  CAST(n_sparse AS BIGINT) AS n_sparse
+       |FROM top CROSS JOIN cen""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "km_gmm" -> gmmSql(GmmK, GmmIters),
+    "q_lof" -> lofSql(LofEps, LofK),
     "km_bisect" -> bisectSql(BisectLevels, BisectIters),
     // Brute-force n² neighbor pairs (the oracle checks SEMANTICS, not
     // plan shape — the Spark side's cell blocking must agree with the

@@ -64,4 +64,25 @@ class DbscanSpec extends SparkSpec {
     val labels = coreIds.map(_._4).toSet
     assert(labels.subsetOf(coreIds.map(_._1).toSet))
   }
+
+  test("lofGrid ranks the rim point far above the blob interior") {
+    // 3x3 blob at 0.1 spacing, a rim point 0.8 away (in-radius of the
+    // blob so it is DENSE, but its local density is ~6x sparser), and
+    // one far-away point with no neighbors at all (sparse, unranked)
+    val blob = for (i <- 0 until 3; j <- 0 until 3)
+      yield ((i * 3 + j + 1).toLong, 0.1 * i, 0.1 * j)
+    val pts = blob ++ Seq((99L, 1.0, 0.1), (50L, 5.0, 5.0))
+    val got = Clustering.lofGrid(pts.toDF("id", "x", "y"),
+        eps = 1.0, k = 3).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("rk"), r.getAs[Double]("lof"),
+          r.getAs[Long]("n_dense"), r.getAs[Long]("n_sparse")))).toMap
+    assert(got.keySet === (1L to 9L).toSet + 99L, s"ranked set: $got")
+    assert(got(99L)._1 === 1, s"rim point must rank first: $got")
+    assert(got(99L)._2 > 3.0, s"rim LOF must be >>1: ${got(99L)}")
+    (1L to 9L).foreach { id =>
+      assert(got(id)._2 < 1.5, s"blob interior LOF ~1: $id -> ${got(id)}")
+    }
+    assert(got(99L)._3 === 10L && got(99L)._4 === 1L)
+  }
 }

@@ -190,6 +190,8 @@ class PlanSpec extends SparkSpec {
     *   embed_spectrum — the same per-iteration 1-row broadcasts for
     *     BOTH direction chains plus the 1-row deflation (p, q)
     *     scalars;
+    *   embed_whiten — embed_spectrum's broadcasts plus the 1-row
+    *     integer-mean array the centering projects against;
     *   q_hll — per-column single-row register-sum × exact-count
     *     crossJoin (both sides 1 row by construction);
     *   q_label_prop — single-row community-count broadcast
@@ -204,6 +206,8 @@ class PlanSpec extends SparkSpec {
     *   q_tree2 — the 1-row root-split pick cross-joined back onto
     *     the corpus to derive the branch column (km_bisect's
     *     scalar-subquery idiom, declarative second level);
+    *   q_lof — the 1-row dense/sparse census broadcast onto the
+    *     top-20 outlier rows (q_triangles' pattern);
     *   q_naive_bayes — 1-row vocab-size / total-docs broadcasts into
     *     the vocab-sized model build, and the |classes|-row (5 here,
     *     bounded by the label domain) class-stats broadcast that fans
@@ -217,7 +221,8 @@ class PlanSpec extends SparkSpec {
       "text_cooc", "ann_sq8", "q_triangles", "embed_power_iter",
       "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets",
       "dedup_eval", "embed_spectrum", "q_hll", "q_label_prop", "embed_jl",
-      "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2")
+      "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2", "q_lof",
+      "embed_whiten")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
