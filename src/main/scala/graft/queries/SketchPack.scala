@@ -147,12 +147,12 @@ object SketchPack extends QueryPack {
     * matter the row count, map-side combined — the distinct-count
     * operator that never shuffles data, only registers. */
   private def hllOne(rows: DataFrame, key: Column, label: String): DataFrame = {
+    // per-row register update through the SHARED kernel
+    // (graft.functions.Hll) — hllStream sketches with the same
+    // expressions, so stream and batch registers are bit-identical
+    val (idx, rk) = graft.functions.Hll.idxRank(key)
     val regs = rows
-      .select(u32(concat(lit("hll:"), key.cast("string"))).as("hv"))
-      .select(pmod(col("hv"), lit(256L)).as("idx"), expr("hv div 256").as("wv"))
-      .select(col("idx"),
-        (1 to 24).foldRight(lit(25): Column)((r, rest) =>
-          when(col("wv") >= (1L << (24 - r)), lit(r)).otherwise(rest)).as("rk"))
+      .select(idx.as("idx"), rk.as("rk"))
       .groupBy("idx").agg(max("rk").as("mr"))
     val est = regs
       .agg(sum(expr("shiftleft(cast(1 as bigint), 25 - mr)")).as("sp"),

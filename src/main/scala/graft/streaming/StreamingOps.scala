@@ -1096,4 +1096,31 @@ object StreamingOps {
     sums.select(col("w.start").as("ws"), col(idCol), col("n_tokens"),
       pred.as("pred"))
   }
+
+  /** Streaming distinct-count sketch — the batch `q_hll` register
+    * build run per tumbling window under a watermark, through the
+    * SHARED kernel ([[graft.functions.Hll]]): per row one (idx, rank)
+    * projection, then ONE stateful aggregation max-merging registers
+    * per (window, idx). The register merge is an element-wise max —
+    * order-free and idempotent — so the emitted registers are
+    * BIT-IDENTICAL to a batch build over the same rows regardless of
+    * arrival order or batch boundaries (StreamingSpec asserts exact
+    * register equality, then finalizes both through `Hll.estimate`).
+    * State: ≤ 256 rows per OPEN window (the sketch bound — never the
+    * key cardinality, which is the whole point of sketching a
+    * distinct count on a stream); closed windows emit once (Append)
+    * and evict. Downstream finalizes registers → estimate with
+    * `Hll.estimate` (batch side) or merges windows by another max —
+    * registers compose, estimates don't. */
+  def hllStream(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val (idx, rk) = graft.functions.Hll.idxRank(col(keyCol))
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), idx.as("idx"), rk.as("rk"))
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("idx"))
+      .agg(max("rk").as("mr"))
+      .select(col("w.start").as("ws"), col("idx"), col("mr"))
+  }
 }

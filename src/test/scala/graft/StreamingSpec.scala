@@ -49,6 +49,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllStream registers are bit-identical to the batch sketch and finalize") {
+    implicit val sq = spark.sqlContext
+    // window 0: users 1..120 (some twice), scrambled across two
+    // triggers — the register merge is an order-free max, so the
+    // emitted registers must EQUAL a batch build over the same rows.
+    // The epoch-hour-aligned window boundary falls at minute 46:40 of
+    // the test clock, so every event stays under minute 45
+    val w0 = (1 to 120).map(u => Event(u, ts(u % 45), "view", 1.0)) ++
+      (1 to 30).map(u => Event(u, ts(45), "view", 1.0))
+    val scrambled = w0.sortBy(_.user_id % 7)
+    val in = MemoryStream[Event]
+    val q = StreamingOps.hllStream(in.toDF(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(scrambled.take(70))
+      q.processAllAvailable()
+      in.addData(scrambled.drop(70))
+      q.processAllAvailable()
+      // a far-future event closes window 0 (watermark past its end)
+      in.addData(Event(999, ts(300), "view", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("hll_stream").collect()
+      assert(emitted.map(_.getAs[Timestamp]("ws")).distinct.length === 1,
+        "all test events must land in one tumbling window")
+      val got = emitted
+        .map(r => r.getAs[Long]("idx") -> r.getAs[Int]("mr")).toMap
+      val (idx, rk) = graft.functions.Hll.idxRank(col("user_id"))
+      val batch = w0.toDF().select(idx.as("idx"), rk.as("rk"))
+        .groupBy("idx").agg(org.apache.spark.sql.functions.max("rk").as("mr"))
+      val want = batch.collect()
+        .map(r => r.getAs[Long]("idx") -> r.getAs[Int]("mr")).toMap
+      assert(got === want, "stream registers must equal the batch sketch")
+      // shared finalize: the estimate lands near the true 120 distinct
+      val est = graft.functions.Hll.estimate(
+        spark.table("hll_stream").select("idx", "mr"), Seq.empty)
+        .collect().head.getAs[Double]("n_est")
+      assert(math.abs(est - 120.0) / 120.0 < 0.15, s"estimate $est vs 120")
+    } finally q.stop()
+  }
+
   test("windowedAgg aggregates tumbling windows from a stream") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
