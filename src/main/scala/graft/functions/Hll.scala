@@ -19,7 +19,7 @@ object Hll {
   val Registers = 256L
 
   /** u32 of the first 8 md5 hex chars — the portable hash. */
-  private def u32(c: Column): Column =
+  private[graft] def u32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** Per-row (idx, rk) register update for a key column. */

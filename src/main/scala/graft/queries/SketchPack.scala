@@ -229,8 +229,10 @@ object SketchPack extends QueryPack {
     * corpus size, map-side combined; the exact top-20 exists here as
     * ground truth for the gate — at 100 TB the sketch REPLACES it. */
   private def cms(s: SparkSession, d: String): DataFrame = {
-    def bkt(dd: Int): Column =
-      pmod(u32(concat(lit(s"cms$dd:"), col("tok"))), lit(CmsW.toLong))
+    // bucket through the SHARED kernel (graft.functions.Cms) —
+    // cmsStream sketches with the same expressions, so stream and
+    // batch cells are bit-identical
+    def bkt(dd: Int): Column = graft.functions.Cms.bucket(dd, col("tok"))
     val cnt = Tables.documents(s, d)
       .select(explode(words(col("text"))).as("tok"))
       .filter(col("tok") =!= "")

@@ -1123,4 +1123,33 @@ object StreamingOps {
       .agg(max("rk").as("mr"))
       .select(col("w.start").as("ws"), col("idx"), col("mr"))
   }
+
+  /** Streaming Count-Min frequency sketch — the batch `text_cms`
+    * cells built per tumbling window under a watermark, through the
+    * SHARED kernel ([[graft.functions.Cms]]): tokenize, explode each
+    * token into its D (row, bucket) coordinates, ONE stateful agg
+    * counting per (window, dd, bkt). Every cell is an integer SUM —
+    * order-free and mergeable — so the emitted cells are
+    * BIT-IDENTICAL to a batch sketch over the same rows regardless of
+    * arrival order or trigger boundaries, and cells from adjacent
+    * windows ADD if a coarser horizon is wanted (sketches compose;
+    * their min-query estimates don't). State: ≤ D·W = 96 cells per
+    * OPEN window — the sketch bound, never the vocabulary. Point
+    * queries downstream take min over the D cells a token hashes to
+    * (never undercounts — Cormode & Muthukrishnan 2005). */
+  def cmsStream(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        explode(graft.functions.TextFunctions.words(col(textCol)))
+          .as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col(tsCol), graft.functions.Cms.cells(col("tok")).as("e"))
+      .select(col(tsCol), col("e.dd").as("dd"), col("e.bkt").as("bkt"))
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("dd"),
+        col("bkt"))
+      .agg(count(lit(1)).as("cell"))
+      .select(col("w.start").as("ws"), col("dd"), col("bkt"), col("cell"))
 }

@@ -90,6 +90,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsStream cells are bit-identical to the batch sketch and never undercount") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{explode, sum => fsum}
+    val texts = (0 until 40).map { i =>
+      (ts(i % 45), s"alpha beta${i % 5} gamma${i % 3} alpha")
+    }
+    val scrambled = texts.sortBy(_._2.length % 3)
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps.cmsStream(in.toDF().toDF("ts", "text"),
+        watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(scrambled.take(17))
+      q.processAllAvailable()
+      in.addData(scrambled.drop(17))
+      q.processAllAvailable()
+      in.addData((ts(300), "closer"))
+      q.processAllAvailable()
+      val got = spark.table("cms_stream").collect()
+        .map(r => (r.getAs[Int]("dd"), r.getAs[Long]("bkt")) ->
+          r.getAs[Long]("cell")).toMap
+      val toks = texts.toDF("ts", "text")
+        .select(explode(graft.functions.TextFunctions.words(col("text")))
+          .as("tok"))
+        .filter(col("tok") =!= "")
+      val want = toks
+        .select(graft.functions.Cms.cells(col("tok")).as("e"))
+        .groupBy(col("e.dd").as("dd"), col("e.bkt").as("bkt"))
+        .agg(count(lit(1)).as("cell")).collect()
+        .map(r => (r.getAs[Int]("dd"), r.getAs[Long]("bkt")) ->
+          r.getAs[Long]("cell")).toMap
+      assert(got === want, "stream cells must equal the batch sketch")
+      // the CMS invariant on a point query: min over rows >= true count
+      val trueAlpha = 80L // "alpha" appears twice in each of 40 docs
+      val est = (1 to graft.functions.Cms.D).map { dd =>
+        val b = toks.limit(1).select(
+          graft.functions.Cms.bucket(dd, lit("alpha"))).collect().head
+          .getLong(0)
+        got((dd, b))
+      }.min
+      assert(est >= trueAlpha, s"CMS must never undercount: $est")
+    } finally q.stop()
+  }
+
   test("windowedAgg aggregates tumbling windows from a stream") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
