@@ -212,6 +212,96 @@ object Multimodal {
       }
   }
 
+  /** Quantized DCT-II cosine weights for a 16-sample row:
+    * wq(u)(x) = ⌊cos(π(2x+1)u/32)·2¹⁴⌋. Computed ONCE here and
+    * INLINED into the oracle SQL as a VALUES literal (the
+    * trained-artifact stash), so both engines multiply the same
+    * integers — the whole DCT is exact integer arithmetic. */
+  private[graft] val DctW: Array[Array[Long]] =
+    Array.tabulate(8, 16)((u, x) =>
+      math.floor(math.cos(math.Pi * (2 * x + 1) * u / 32.0) * 16384.0)
+        .toLong)
+
+  final case class DctProfile(id: Long, phash: Long, dc: Long,
+      e_low: Long, e_high: Long)
+
+  /** THE pHash/DCT definition (Zauner 2010's pHash recipe at demo
+    * scale): 16×16 NN grayscale sample ([[ahashOf]]'s contract at 16),
+    * integer 2-D DCT-II c(u,v) = Σ g(y,x)·wq(u,x)·wq(v,y) over the
+    * 8×8 low-frequency block, 63-bit hash thresholded at the MEDIAN
+    * non-DC coefficient (element 32 of 63 under the (c,u,v) order —
+    * exact, no float), plus the frequency-energy split: e_low =
+    * Σ|c| over the non-DC (u,v < 4) block, e_high = Σ|c| over the
+    * rest. Everything integer end to end. The floor-quantized weight
+    * rows do NOT sum to exactly zero, so a perfectly flat image leaks
+    * ~1e-7 of its DC mass into the AC block — bounded bias, identical
+    * in both engines, spec-pinned. */
+  private[graft] def dctProfileOf(id: Long, img: BufferedImage): DctProfile = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = Array.ofDim[Long](16, 16)
+    var dy = 0
+    while (dy < 16) {
+      var dx = 0
+      while (dx < 16) {
+        val rgb = img.getRGB(dx * w / 16, dy * h / 16)
+        g(dy)(dx) =
+          ((((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3)
+            .toLong
+        dx += 1
+      }
+      dy += 1
+    }
+    val c = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            s += g(y)(x) * DctW(u)(x) * DctW(v)(y)
+            x += 1
+          }
+          y += 1
+        }
+        c(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = (for {
+      uu <- 0 until 8; vv <- 0 until 8 if uu != 0 || vv != 0
+    } yield (c(uu)(vv), uu, vv)).sortBy(t => (t._1, t._2, t._3))
+    val med = nonDc(31)._1
+    var hash = 0L
+    nonDc.foreach { case (cv, uu, vv) =>
+      if (cv > med) hash |= 1L << (uu * 8 + vv - 1)
+    }
+    val eLow = (for {
+      uu <- 0 until 4; vv <- 0 until 4 if uu != 0 || vv != 0
+    } yield math.abs(c(uu)(vv))).sum
+    val eHigh = (for {
+      uu <- 0 until 8; vv <- 0 until 8 if uu >= 4 || vv >= 4
+    } yield math.abs(c(uu)(vv))).sum
+    DctProfile(id, hash, c(0)(0), eLow, eHigh)
+  }
+
+  /** DCT perceptual hash + frequency profile over the REAL decoded
+    * pixels — one typed mapPartitions, stateless, the same batch
+    * shape as [[averageHash]]. */
+  def dctProfile(df: DataFrame, idCol: String, binCol: String): Dataset[DctProfile] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, bytes) => dctProfileOf(id, decodeImage(id, bytes)) }
+      }
+  }
+
   final case class DecodedImage(id: Long, fmt: String, width: Int,
       height: Int, channels: Int, sum_r: Long, sum_g: Long, sum_b: Long)
 

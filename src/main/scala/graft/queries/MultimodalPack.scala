@@ -64,6 +64,31 @@ object MultimodalPack extends QueryPack {
       Similarity.semDedup(feats, cells, tau = 0.98)
     }),
 
+    // DCT frequency profile + pHash over the REAL codec (round 11;
+    // Zauner 2010's pHash recipe) — the frequency-domain member of
+    // the multimodal family: 16×16 NN grayscale → exact integer 2-D
+    // DCT-II against quantized cosine weights (⌊cos·2¹⁴⌋, inlined in
+    // BOTH plans — the trained-artifact stash) → 63-bit hash at the
+    // exact median non-DC coefficient + the low/high-frequency energy
+    // split. `sharpness` = e_high/(e_low+e_high) is the blur detector
+    // a curation pipeline thresholds on (blurred images lose exactly
+    // their high-frequency mass); the hash is the recompression-
+    // robust dedup key aHash approximates. All integer end to end, so
+    // the oracle replays the full DCT from the generator lattice —
+    // the gate covers decode → sample → transform → median → hash.
+    "mm_phash" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.dctProfile(Multimodal.imageCorpus(s, d), "id", "media")
+        .toDF()
+        .select(col("id"), col("phash"), col("dc"), col("e_low"),
+          col("e_high"),
+          when(col("e_low") + col("e_high") === 0,
+            lit(null).cast("double"))
+            .otherwise(round(col("e_high").cast("double")
+              / (col("e_low") + col("e_high")).cast("double"), 4))
+            .as("sharpness"))
+    }),
+
     // Perceptual-hash dedup over the REAL codec (round 11) — the
     // recompressed-copy regime image dedup exists for: the mirror
     // corpus stores each pixel content TWICE through different real
@@ -168,6 +193,50 @@ object MultimodalPack extends QueryPack {
          |  CAST(sum(${gen("f", 1)}) AS BIGINT) AS sum_g,
          |  CAST(sum(${gen("f", 2)}) AS BIGINT) AS sum_b
          |FROM px GROUP BY id, f, w, h""".stripMargin,
+
+    // replay the integer DCT from the generator lattice: the quantized
+    // cosine weights inline as a 128-row VALUES table (the SAME longs
+    // the Scala kernel multiplies), the coefficient is an order-free
+    // integer sum over the 16×16 gray sample, the median is element 32
+    // of the 63 non-DC coefficients under (c,u,v)
+    "mm_phash" -> {
+      val wq = graft.multimodal.Multimodal.DctW
+      val rows = (for (u <- 0 until 8; x <- 0 until 16)
+        yield s"($u, $x, ${wq(u)(x)})").mkString(", ")
+      s"""WITH $dimsSql,
+         |wq(u, x, wv) AS (VALUES $rows),
+         |gpx AS (SELECT id, dx.range AS dx, dy.range AS dy,
+         |    (((id*31 + ((dx.range*w)//16)*7 + ((dy.range*h)//16)*13) % 256)
+         |     + ((id*31 + ((dx.range*w)//16)*7 + ((dy.range*h)//16)*13 + 101) % 256)
+         |     + ((id*31 + ((dx.range*w)//16)*7 + ((dy.range*h)//16)*13 + 202) % 256)
+         |    ) // 3 AS g
+         |  FROM dims, range(16) dx, range(16) dy),
+         |co AS MATERIALIZED (SELECT g.id, wu.u AS u, wv.u AS v,
+         |    sum(g.g * wu.wv * wv.wv) AS c
+         |  FROM gpx g JOIN wq wu ON wu.x = g.dx JOIN wq wv ON wv.x = g.dy
+         |  GROUP BY 1, 2, 3),
+         |med AS (SELECT id, c AS med FROM (
+         |    SELECT id, c, row_number() OVER (PARTITION BY id
+         |      ORDER BY c, u, v) AS rn
+         |    FROM co WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+         |ph AS (SELECT co.id,
+         |    sum(CASE WHEN NOT (u = 0 AND v = 0) AND c > med
+         |      THEN (1::BIGINT << CAST(u*8 + v - 1 AS INT))
+         |      ELSE 0 END) AS phash,
+         |    max(CASE WHEN u = 0 AND v = 0 THEN c END) AS dc,
+         |    sum(CASE WHEN NOT (u = 0 AND v = 0) AND u < 4 AND v < 4
+         |      THEN abs(c) ELSE 0 END) AS e_low,
+         |    sum(CASE WHEN u >= 4 OR v >= 4 THEN abs(c) ELSE 0 END)
+         |      AS e_high
+         |  FROM co JOIN med USING (id) GROUP BY co.id)
+         |SELECT id, CAST(phash AS BIGINT) AS phash,
+         |  CAST(dc AS BIGINT) AS dc, CAST(e_low AS BIGINT) AS e_low,
+         |  CAST(e_high AS BIGINT) AS e_high,
+         |  CASE WHEN e_low + e_high = 0 THEN NULL
+         |    ELSE round(CAST(e_high AS DOUBLE)
+         |      / CAST(e_low + e_high AS DOUBLE), 4) END AS sharpness
+         |FROM ph""".stripMargin
+    },
 
     // replay the aHash from the generator lattice: content key
     // cid = id // 2, NN sample sx = (dx·w)//8, integer grayscale,

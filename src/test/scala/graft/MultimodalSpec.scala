@@ -169,4 +169,44 @@ class MultimodalSpec extends SparkSpec {
     assert(mirrorRows.nonEmpty && mirrorRows.forall(!_._4),
       "mirror pairs must be byte-distinct (different containers)")
   }
+
+  test("dctProfileOf: flat image is pure DC; stripes out-sharpen a gradient") {
+    def fill(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = px(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // flat gray: non-DC energy is pure quantization leakage — the
+    // floor-quantized weight rows don't sum to exactly 0, so a flat
+    // image leaks ~1e-7 of its DC into the AC block (bounded, not 0)
+    val flat = Multimodal.dctProfileOf(1L, fill(16, 16)((_, _) => 128))
+    // dc = Σ g·w0(x)·w0(y) = 128 · 2^28 · 256 (w0 = ⌊cos 0 · 2^14⌋)
+    assert(flat.dc === 128L * 16384L * 16384L * 256L)
+    assert(flat.e_low + flat.e_high < flat.dc / 1000L,
+      s"flat-image AC leakage must be tiny vs DC: $flat")
+    // 4-on/4-off vertical stripes (period 8 -> u=4, the high split)
+    // vs a smooth horizontal gradient (u=1..2, the low split)
+    val stripes = Multimodal.dctProfileOf(2L,
+      fill(16, 16)((x, _) => if ((x / 4) % 2 == 0) 0 else 255))
+    val gradient = Multimodal.dctProfileOf(3L,
+      fill(16, 16)((x, _) => x * 16))
+    def sharp(p: Multimodal.DctProfile): Double =
+      p.e_high.toDouble / (p.e_low + p.e_high)
+    // absolute split ratios are diluted by spectral leakage through
+    // the big v=0 column factor; the robust property is the ORDERING
+    assert(sharp(gradient) < 0.2, s"gradient energy must be low-frequency: $gradient")
+    assert(sharp(stripes) > 2 * sharp(gradient),
+      s"stripes must out-sharpen the gradient: ${sharp(stripes)} vs ${sharp(gradient)}")
+    // container invariance: the same raster through PNG and BMP
+    // decodes to the same profile (the mirror-corpus property)
+    val img = fill(16, 16)((x, y) => (x * 7 + y * 13) % 256)
+    val viaPng = Multimodal.dctProfileOf(4L,
+      Multimodal.decodeImage(4L, encode(img, "png")))
+    val viaBmp = Multimodal.dctProfileOf(4L,
+      Multimodal.decodeImage(4L, encode(img, "bmp")))
+    assert(viaPng === viaBmp)
+  }
 }
