@@ -256,6 +256,92 @@ object Clustering extends QueryPack {
         col("lof"), col("n_dense"), col("n_sparse"))
   }
 
+  /** Half-space-chain isolation parameters: ensemble width and chain
+    * depth. */
+  val IsoChains = 8
+  val IsoDepth = 12
+
+  /** Per-chain constants, derived ONCE in Scala from md5 seeds and
+    * inlined into BOTH plans as plain literals (the trained-artifact
+    * stash — no in-engine hashing exists at all): for chain t and
+    * depth k, the accumulated per-dim split counts (as exact powers of
+    * two) and the per-dim dyadic shifts s ∈ [0,1). */
+  private[graft] val IsoCfg: IndexedSeq[(Int, Int, Double, Double, Double, Double)] = {
+    def h(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xFF) << 8) | (d(1) & 0xFF) // 16 bits
+    }
+    (0 until IsoChains).flatMap { t =>
+      val sx = h(s"isox:$t") / 65536.0
+      val sy = h(s"isoy:$t") / 65536.0
+      var mx = 0; var my = 0
+      (1 to IsoDepth).map { k =>
+        if (h(s"isod:$t:$k") % 2 == 0) mx += 1 else my += 1
+        (t, k, math.pow(2.0, mx), math.pow(2.0, my), sx, sy)
+      }
+    }
+  }
+
+  /** Isolation scoring by half-space chains (Manzoor, Lamba & Akoglu,
+    * KDD 2018 — xStream's fixed random half-space partitioning; the
+    * deterministic sibling of isolation forests, Liu et al. ICDM
+    * 2008): each of [[IsoChains]] chains slices the data's bounding
+    * box by a FIXED shifted dyadic grid that halves along a
+    * pseudo-random dimension per level; a point's isolation depth in
+    * a chain is the first level at which it is ALONE in its cell
+    * (never-isolated ⇒ depth D+1), and the anomaly score is the sum
+    * of depths across chains — low = isolated early = outlier. The
+    * ensemble view is what q_lof's single-radius density cannot give:
+    * chains at different shifts catch isolation at every scale, and
+    * the grid never enumerates pairs at all.
+    *
+    * Determinism: the grid is a pure function of (bounding box,
+    * Scala-derived constants) — bin = ⌊((v−lo)/range + s)·2^m⌋ over
+    * identical doubles, dyadic shifts and exact powers of two, so
+    * both engines compute identical cells; depths are exact integer
+    * mins/sums. Scale: per point T·D = 96 cell rows (a CONSTANT
+    * fan-out, the operator's documented price — xStream pays it per
+    * point too), one hash agg per (chain, level, cell), one
+    * count-back join, two per-point folds; the bounding box is one
+    * 1-row broadcast. No pair generation anywhere — isolation comes
+    * from CELL counts, which is why this scales past any kNN-based
+    * detector. */
+  private[graft] def isoForest(points: DataFrame): DataFrame = {
+    val bb = points.agg(min("x").as("lox"), max("x").as("hix"),
+      min("y").as("loy"), max("y").as("hiy"))
+    val cfgArr = array(IsoCfg.map { case (t, k, p2x, p2y, sx, sy) =>
+      struct(lit(t).as("t"), lit(k).as("k"), lit(p2x).as("p2x"),
+        lit(p2y).as("p2y"), lit(sx).as("sx"), lit(sy).as("sy"))
+    }: _*)
+    val rx = greatest(col("hix") - col("lox"), lit(1e-12))
+    val ry = greatest(col("hiy") - col("loy"), lit(1e-12))
+    val cells = points.crossJoin(broadcast(bb))
+      .select(col("id"),
+        ((col("x") - col("lox")) / rx).as("zx"),
+        ((col("y") - col("loy")) / ry).as("zy"))
+      .select(col("id"), col("zx"), col("zy"), explode(cfgArr).as("c"))
+      .select(col("id"), col("c.t").as("t"), col("c.k").as("k"),
+        (floor((col("zx") + col("c.sx")) * col("c.p2x")).cast("long")
+          * 65536L
+          + floor((col("zy") + col("c.sy")) * col("c.p2y")).cast("long"))
+          .as("ck"))
+      .localCheckpoint(true) // feeds the cell census + the count-back
+    val census = cells.groupBy("t", "k", "ck")
+      .agg(count(lit(1)).as("cnt"))
+    val iso = cells.join(census, Seq("t", "k", "ck"))
+      .groupBy("id", "t")
+      .agg(min(when(col("cnt") === 1, col("k"))
+        .otherwise(lit(IsoDepth + 1))).as("iso"))
+      .groupBy("id").agg(sum("iso").as("score_sum"))
+    iso.orderBy(col("score_sum"), col("id")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_sum"), col("id"))))
+      .select(col("rk").cast("int").as("rk"), col("id"), col("score_sum"),
+        round(col("score_sum").cast("double") / lit(IsoChains.toDouble), 2)
+          .as("avg_depth"))
+  }
+
   /** Soft k-means / isotropic-EM parameters (km_gmm): k components,
     * fixed EM rounds, stiffness β = 1/(2σ²) (MacKay ITILA §20.1 calls
     * β the stiffness; β=20 ⇒ σ≈0.16, the embedding-projection cluster
@@ -360,6 +446,7 @@ object Clustering extends QueryPack {
     "dbscan_grid" -> ((s, d) => dbscanGrid(pts(s, d))),
     "km_gmm" -> ((s, d) => gmmFrom(pts(s, d))),
     "q_lof" -> ((s, d) => lofGrid(pts(s, d))),
+    "q_isoforest" -> ((s, d) => isoForest(pts(s, d))),
 
     "km_assign" -> ((s, d) => {
       val p = pts(s, d)
@@ -820,6 +907,39 @@ object Clustering extends QueryPack {
   def oracles: Map[String, String] = Map(
     "km_gmm" -> gmmSql(GmmK, GmmIters),
     "q_lof" -> lofSql(LofEps, LofK),
+    // the half-space-chain replay: the Scala-derived chain constants
+    // inline as a 96-row VALUES table; cells are pure per-row math
+    // over the shared bounding box, isolation depths exact integer
+    // folds
+    "q_isoforest" -> {
+      val rows = IsoCfg.map { case (t, k, p2x, p2y, sx, sy) =>
+        s"($t, $k, $p2x, $p2y, $sx, $sy)"
+      }.mkString(",\n    ")
+      s"""WITH pts AS MATERIALIZED ($ptsSql),
+         |bb AS (SELECT min(x) AS lox, max(x) AS hix,
+         |    min(y) AS loy, max(y) AS hiy FROM pts),
+         |cfg(t, k, p2x, p2y, sx, sy) AS (VALUES
+         |    $rows),
+         |cells AS MATERIALIZED (SELECT p.id, c.t, c.k,
+         |    CAST(floor(((p.x - lox) / greatest(hix - lox, 1e-12) + c.sx)
+         |      * c.p2x) AS BIGINT) * 65536
+         |  + CAST(floor(((p.y - loy) / greatest(hiy - loy, 1e-12) + c.sy)
+         |      * c.p2y) AS BIGINT) AS ck
+         |  FROM pts p, bb, cfg c),
+         |census AS (SELECT t, k, ck, count(*) AS cnt FROM cells
+         |  GROUP BY 1, 2, 3),
+         |iso AS (SELECT id, sum(iso) AS score_sum FROM (
+         |    SELECT cells.id, cells.t,
+         |      min(CASE WHEN cnt = 1 THEN cells.k
+         |        ELSE ${IsoDepth + 1} END) AS iso
+         |    FROM cells JOIN census USING (t, k, ck)
+         |    GROUP BY 1, 2) GROUP BY id),
+         |top AS (SELECT * FROM iso ORDER BY score_sum, id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY score_sum, id) AS INT)
+         |    AS rk, id, CAST(score_sum AS BIGINT) AS score_sum,
+         |  round(CAST(score_sum AS DOUBLE) / $IsoChains.0, 2) AS avg_depth
+         |FROM top""".stripMargin
+    },
     "km_bisect" -> bisectSql(BisectLevels, BisectIters),
     // Brute-force n² neighbor pairs (the oracle checks SEMANTICS, not
     // plan shape — the Spark side's cell blocking must agree with the

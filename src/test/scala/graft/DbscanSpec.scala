@@ -85,4 +85,29 @@ class DbscanSpec extends SparkSpec {
     }
     assert(got(99L)._3 === 10L && got(99L)._4 === 1L)
   }
+
+  test("isoForest isolates the far point chains earlier than the blob") {
+    // 30-point tight blob + one point far outside it: every chain's
+    // first few grid levels already put the outlier alone in its cell
+    val blob = for (i <- 0 until 30)
+      yield ((i + 1).toLong, 0.30 + 0.001 * (i % 6), 0.30 + 0.001 * (i / 6))
+    val pts = blob :+ (99L, 0.95, 0.95)
+    val got = Clustering.isoForest(pts.toDF("id", "x", "y")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("rk"), r.getAs[Long]("score_sum"),
+          r.getAs[Double]("avg_depth")))).toMap
+    assert(got(99L)._1 === 1, s"the far point must rank first: $got")
+    // depths live in [1, D+1] per chain
+    got.values.foreach { case (_, s, _) =>
+      assert(s >= Clustering.IsoChains.toLong &&
+        s <= (Clustering.IsoDepth + 1).toLong * Clustering.IsoChains)
+    }
+    // the outlier isolates at least two full levels earlier on average
+    val blobRanked = got.filter(_._1 != 99L)
+    if (blobRanked.nonEmpty) {
+      val minBlob = blobRanked.values.map(_._3).min
+      assert(got(99L)._3 + 2.0 <= minBlob,
+        s"outlier ${got(99L)._3} vs closest blob depth $minBlob")
+    }
+  }
 }

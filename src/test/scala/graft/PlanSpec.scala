@@ -208,6 +208,8 @@ class PlanSpec extends SparkSpec {
     *     scalar-subquery idiom, declarative second level);
     *   q_lof — the 1-row dense/sparse census broadcast onto the
     *     top-20 outlier rows (q_triangles' pattern);
+    *   q_isoforest — the 1-row bounding-box broadcast every cell
+    *     computation normalizes against;
     *   q_naive_bayes — 1-row vocab-size / total-docs broadcasts into
     *     the vocab-sized model build, and the |classes|-row (5 here,
     *     bounded by the label domain) class-stats broadcast that fans
@@ -222,7 +224,7 @@ class PlanSpec extends SparkSpec {
       "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets",
       "dedup_eval", "embed_spectrum", "q_hll", "q_label_prop", "embed_jl",
       "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2", "q_lof",
-      "embed_whiten")
+      "embed_whiten", "q_isoforest")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
