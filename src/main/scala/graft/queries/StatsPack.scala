@@ -262,6 +262,53 @@ object StatsPack extends QueryPack {
         (abs(t) > 1.96).as("significant"))
     }),
 
+    // Mann–Whitney U / Wilcoxon rank-sum (Mann & Whitney 1947, round
+    // 11) — q_ab_test's NONPARAMETRIC twin: the t-test reads means
+    // and is wrecked by the heavy tails purchase values actually
+    // have; the rank test asks only "does one arm stochastically
+    // dominate", which survives any monotone transform of value.
+    // Exactness: ranks never exist as floats — per DISTINCT value the
+    // doubled mid-rank 2·r̄ = 2·cum_before + cnt + 1 is an exact
+    // integer (tie-averaging without the .5), so the rank sum 2R_a =
+    // Σ cnt_a·rank2, the U statistic 2U_a = 2R_a − n_a(n_a+1), and
+    // the tie-correction Σ(t³−t) are all exact integer folds; the
+    // normal-approximation z (tie-corrected variance, Lehmann's
+    // formula) is one fixed double expression over those integers.
+    // Scale: one hash agg to the DISTINCT-value table (bounded by the
+    // price domain, q_histogram's argument), one ordered window over
+    // it, one 1-row fold.
+    "q_mann_whitney" -> ((s, d) => {
+      val isA = col("user_id") % 2 === 0
+      val perVal = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy("value")
+        .agg(count(lit(1)).as("cnt"),
+          count(when(isA, 1)).as("cnt_a"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("value")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val ranked = perVal
+        .withColumn("cumb", sum("cnt").over(w) - col("cnt"))
+        .withColumn("rank2", lit(2) * col("cumb") + col("cnt") + 1)
+      val agg = ranked.agg(
+        sum("cnt").as("n"), sum("cnt_a").as("n_a"),
+        sum(col("cnt_a") * col("rank2")).as("r2a"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
+      val nb = col("n") - col("n_a")
+      val u2a = col("r2a") - col("n_a") * (col("n_a") + 1)
+      val mu2 = col("n_a") * nb // 2·E[U] = n_a·n_b
+      val varU = (col("n_a") * nb / lit(12.0)) *
+        ((col("n") + 1) - col("tsum").cast("double")
+          / (col("n") * (col("n") - 1)))
+      // a fully-tied sample (one distinct value) has zero rank
+      // variance — z undefined, reported NULL rather than an ANSI
+      // divide-by-zero
+      val z = when(varU === 0, lit(null).cast("double"))
+        .otherwise((u2a - mu2).cast("double") / (lit(2.0) * sqrt(varU)))
+      agg.select(col("n_a"), nb.as("n_b"),
+        (u2a.cast("double") / 2.0).as("u_a"),
+        round(z, 4).as("z"), (abs(z) > 1.96).as("significant"))
+    }),
+
     // Per-group OLS trend (round 8) — the metric-trend readout: value
     // regressed on time (fractional epoch-days) per event_type with
     // the native regr_* aggregates — single-scan, codegen'd, no window
@@ -590,6 +637,31 @@ object StatsPack extends QueryPack {
         |    (pow(v_a/n_a, 2)/(n_a - 1) + pow(v_b/n_b, 2)/(n_b - 1)), 2) AS dof,
         |  abs((m_a - m_b) / sqrt(v_a/n_a + v_b/n_b)) > 1.96 AS significant
         |FROM a""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH pv AS (SELECT value, count(*) AS cnt,
+        |    count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS cnt_a
+        |  FROM events WHERE event_type = 'purchase' GROUP BY value),
+        |rk AS (SELECT *,
+        |    2 * (sum(cnt) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |      + cnt + 1 AS rank2
+        |  FROM pv),
+        |a AS (SELECT sum(cnt) AS n, sum(cnt_a) AS n_a,
+        |    sum(cnt_a * rank2) AS r2a,
+        |    sum(cnt * cnt * cnt - cnt) AS tsum
+        |  FROM rk),
+        |v AS (SELECT *, (n_a * (n - n_a) / 12.0)
+        |    * ((n + 1) - CAST(tsum AS DOUBLE) / (n * (n - 1))) AS var_u
+        |  FROM a)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n - n_a AS BIGINT) AS n_b,
+        |  CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+        |  CASE WHEN var_u = 0 THEN NULL ELSE
+        |    round(CAST((r2a - n_a * (n_a + 1)) - n_a * (n - n_a) AS DOUBLE)
+        |      / (2.0 * sqrt(var_u)), 4) END AS z,
+        |  CASE WHEN var_u = 0 THEN NULL ELSE
+        |    abs(CAST((r2a - n_a * (n_a + 1)) - n_a * (n - n_a) AS DOUBLE)
+        |      / (2.0 * sqrt(var_u))) > 1.96 END AS significant
+        |FROM v""".stripMargin,
     "q_ols" ->
       """SELECT event_type, count(*) AS n,
         |  round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6) AS slope,

@@ -73,4 +73,29 @@ class StatsSpec extends SparkSpec {
         s"drifted (PSI >= 0.25), got $v — binning or windowing is broken")
     }
   }
+
+  test("q_mann_whitney matches hand-computed U on separated and tied arms") {
+    def run(vals: Seq[(Long, Double)]) = {
+      val ev = vals.zipWithIndex.map { case ((u, v), i) =>
+        (i.toLong, u, "purchase", v)
+      }.toDF("event_id", "user_id", "event_type", "value")
+        .withColumn("ts",
+          timestamp_micros(lit(1700000000000000L) + col("event_id")))
+      val dir = java.nio.file.Files.createTempDirectory("mw").toString
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      SparkEntry.queries("q_mann_whitney")(spark, dir).collect().head
+    }
+    // arm A (even users) = {1,2,3} fully below arm B = {10,11,12,13}:
+    // R_a = 6, U_a = 0, z = -6/sqrt(8) = -2.1213 -> significant
+    val sep = run(Seq((2L, 1.0), (4L, 2.0), (6L, 3.0),
+      (1L, 10.0), (3L, 11.0), (5L, 12.0), (7L, 13.0)))
+    assert(sep.getAs[Long]("n_a") === 3L && sep.getAs[Long]("n_b") === 4L)
+    assert(sep.getAs[Double]("u_a") === 0.0)
+    assert(sep.getAs[Double]("z") === -2.1213)
+    assert(sep.getAs[Boolean]("significant"))
+    // fully tied sample: U_a = n_a*n_b/2 exactly, z undefined (NULL)
+    val tied = run(Seq((2L, 5.0), (4L, 5.0), (1L, 5.0), (3L, 5.0)))
+    assert(tied.getAs[Double]("u_a") === 2.0)
+    assert(tied.isNullAt(tied.fieldIndex("z")))
+  }
 }
