@@ -372,6 +372,64 @@ object AnalyticsPack extends QueryPack {
     // by the time range, never the event count.
     "q_ewma" -> ((s, d) => ewmaDaily(events(s, d))),
 
+    // Brown's double exponential smoothing forecast (Brown 1956; the
+    // linear-trend member of the exponential-smoothing family, round
+    // 11): q_ewma smooths a LEVEL and forever lags a trending series;
+    // Brown runs the SAME smoother twice — s2 = W(s1) — and
+    // reconstructs level a = 2s1 − s2 and trend b = (s1 − s2)·α/(1−α)
+    // (the dyadic half-weight kernel has α = 1/2, so b = s1 − s2),
+    // forecasting a + h·b. Per type: last observed day's state + the
+    // 1-day and 7-day-ahead forecasts. Exactness: daily sums are
+    // 1e-4-quantized integers (ewmaDaily's discipline, floor-corrected
+    // day bucketing); BOTH smoothing passes stay integer via the
+    // truncating `div` on the dyadic numerator (Spark div ≡ DuckDB //,
+    // verified on negatives), so level/trend/forecasts are exact
+    // integers with one float division each at the end. Scale: one
+    // hash agg to (type, day) — time-range-bounded — then two window
+    // passes and a per-type top-1; nothing row-scale past the first
+    // agg. Kernel honesty: the trailing-8 truncated kernel has mean
+    // lag L = 247/255 ≈ 0.969 (not the infinite-kernel 1), so on an
+    // exactly linear series level recovers x_t EXACTLY (the lags
+    // cancel in 2s1−s2) while trend reads m·L — a 3% under-read the
+    // spec pins; longer kernels drive L → 1 with the same plan.
+    "q_forecast" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000 + " +
+            "(case when unix_micros(ts) % 86400000000 < 0 then -1 else 0 end)")
+            .as("day"),
+          floor(col("value") * 10000).cast("long").as("q"))
+        .groupBy("event_type", "day")
+        .agg(sum("q").as("dq"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      def dyadic(src: String, out: String)(df: DataFrame): DataFrame = {
+        val terms = (0 to 7).map { j =>
+          val x = if (j == 0) col(src) else lag(col(src), j).over(w)
+          val wt = lit(1L << (7 - j))
+          (when(x.isNotNull, x * wt).otherwise(lit(0L)),
+            when(x.isNotNull, wt).otherwise(lit(0L)))
+        }
+        df.withColumn("num", terms.map(_._1).reduce(_ + _))
+          .withColumn("den", terms.map(_._2).reduce(_ + _))
+          .withColumn(out, expr("num div den")).drop("num", "den")
+      }
+      val smoothed = dyadic("s1q", "s2q")(dyadic("dq", "s1q")(daily))
+      val level = lit(2L) * col("s1q") - col("s2q")
+      val trend = col("s1q") - col("s2q")
+      smoothed
+        .withColumn("n_days", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("day").desc)))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("day"), col("n_days"),
+          round(level.cast("double") / 10000.0, 4).as("level"),
+          round(trend.cast("double") / 10000.0, 4).as("trend"),
+          round((level + trend).cast("double") / 10000.0, 4).as("fc_1"),
+          round((level + lit(7L) * trend).cast("double") / 10000.0, 4)
+            .as("fc_7"))
+    }),
+
     // Robust anomaly ranking: modified z-score (Iglewicz–Hoaglin,
     // 0.6745·(x−med)/MAD) per event type, top-5 most anomalous events
     // each. The value is pre-quantized to integer 1e-4 units so the
@@ -747,6 +805,41 @@ object AnalyticsPack extends QueryPack {
           |  CASE WHEN n_distinct > 1 THEN round(entropy / log2(n_distinct), 6) END
           |    AS norm_entropy
           |FROM agg""".stripMargin,
+
+      "q_forecast" -> {
+        def dyadicSql(src: String): String = {
+          val num = (0 to 7).map { j =>
+            val x = if (j == 0) src else s"lag($src, $j) OVER wnd"
+            s"coalesce($x * ${1L << (7 - j)}, 0)"
+          }.mkString(" + ")
+          val den = (0 to 7).map { j =>
+            val x = if (j == 0) src else s"lag($src, $j) OVER wnd"
+            s"CASE WHEN $x IS NOT NULL THEN ${1L << (7 - j)} ELSE 0 END"
+          }.mkString(" + ")
+          s"CAST(($num) // ($den) AS BIGINT)"
+        }
+        s"""WITH daily AS (SELECT event_type,
+           |    epoch_us(ts) // 86400000000
+           |      + (CASE WHEN epoch_us(ts) % 86400000000 < 0
+           |         THEN -1 ELSE 0 END) AS day,
+           |    sum(CAST(floor(value * 10000) AS BIGINT)) AS dq
+           |  FROM events GROUP BY 1, 2),
+           |p1 AS (SELECT event_type, day, ${dyadicSql("dq")} AS s1q
+           |  FROM daily
+           |  WINDOW wnd AS (PARTITION BY event_type ORDER BY day)),
+           |p2 AS (SELECT event_type, day, s1q, ${dyadicSql("s1q")} AS s2q,
+           |    count(*) OVER (PARTITION BY event_type) AS n_days,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY day DESC) AS rn
+           |  FROM p1
+           |  WINDOW wnd AS (PARTITION BY event_type ORDER BY day))
+           |SELECT event_type, day, CAST(n_days AS BIGINT) AS n_days,
+           |  round(CAST(2 * s1q - s2q AS DOUBLE) / 10000.0, 4) AS level,
+           |  round(CAST(s1q - s2q AS DOUBLE) / 10000.0, 4) AS trend,
+           |  round(CAST(3 * s1q - 2 * s2q AS DOUBLE) / 10000.0, 4) AS fc_1,
+           |  round(CAST(9 * s1q - 8 * s2q AS DOUBLE) / 10000.0, 4) AS fc_7
+           |FROM p2 WHERE rn = 1""".stripMargin
+      },
 
       "q_attribution" ->
         """WITH ev AS (SELECT event_id, user_id, event_type,

@@ -125,4 +125,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("click") === ((3L, 1.0, 2.0, 1.833, 1.7)))
     assert(got("signup") === ((1L, 0.0, 1.0, 0.333, 0.4)))
   }
+
+  test("q_forecast recovers level exactly and trend at the kernel lag on a linear series") {
+    import org.apache.spark.sql.functions._
+    // one event per day, value = 100 + 10*day: on a linear series the
+    // smoothing lags cancel in level = 2*s1 - s2 (exactly x_t), and
+    // trend reads m*L with the truncated-kernel lag L = 247/255
+    val rows = (0 until 30).map(day => (day.toLong, 100.0 + 10.0 * day))
+    val ev = rows.toDF("dayno", "value")
+      .select(lit("a").as("event_type"), col("value"),
+        timestamp_micros(col("dayno") * 86400000000L + 1000L).as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("fc").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_forecast")(s, dir).collect().head
+    assert(r.getAs[Long]("n_days") === 30L)
+    val level = r.getAs[Double]("level")
+    val trend = r.getAs[Double]("trend")
+    assert(math.abs(level - 390.0) < 0.01, s"level $level vs x_29 = 390")
+    val expectTrend = 10.0 * 247.0 / 255.0
+    assert(math.abs(trend - expectTrend) < 0.05, s"trend $trend vs $expectTrend")
+    assert(math.abs(r.getAs[Double]("fc_1") - (level + trend)) < 0.01)
+    assert(math.abs(r.getAs[Double]("fc_7") - (level + 7 * trend)) < 0.01)
+  }
 }
