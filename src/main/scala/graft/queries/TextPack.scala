@@ -919,6 +919,7 @@ object TextPack extends QueryPack {
     // stats a vocab-sized hash agg; top-20 via sort+limit then a
     // 20-row rank window.
     "text_rake" -> ((s, d) => rakeFrom(docs(s, d))),
+    "text_textrank" -> ((s, d) => textrankFrom(docs(s, d))),
 
     // Zipf rank-frequency slope audit (Zipf 1949; the log-log OLS fit
     // is the standard corpus-health check beside text_vocab_growth's
@@ -939,6 +940,71 @@ object TextPack extends QueryPack {
 
   /** The RAKE pipeline over any (doc_id, w[]) frame — public to the
     * test JVM for the hand-document gate. */
+  /** Fixed TextRank propagation depth — also the oracle's CTE chain
+    * length. */
+  val TextRankRounds = 3
+
+  /** TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004) — the
+    * GRAPH-centrality keyword extractor beside `text_rake`'s
+    * degree/frequency heuristic: content words are nodes, adjacent
+    * content words co-occurrence-weighted edges, and importance is
+    * weighted PageRank — a word matters because it neighbors words
+    * that matter, which is what lets TextRank rank a hub word above a
+    * merely frequent one. Same stopword set as RAKE (the engine's
+    * "en" function-word profile), adjacency AFTER stopword removal
+    * (documented simplification of the paper's window-2 over raw
+    * text — both engines replay it identically). Determinism: the
+    * q_pagerank integer-mass discipline verbatim — 1e9 units,
+    * per-edge contribution (pr·w) div s (truncating, identical both
+    * engines), damping 150000000 + (85·cin) div 100, THREE fixed
+    * rounds replayed as chained MATERIALIZED CTEs. Scale: the graph
+    * is vocab-sized (edges = distinct adjacent content pairs); each
+    * round one co-keyed join + one hash agg; pr·w nears BIGINT only
+    * at ~1e9-count edges (DECIMAL swap documented, embed_dimstats'
+    * trade). Output: top-20 tokens by final mass. */
+  private[graft] def textrankFrom(docsW: DataFrame,
+      rounds: Int = TextRankRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = langProfiles.toMap.apply("en")
+    val content = docsW
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .where(!col("tok").isInCollection(stop) && col("tok") =!= "")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    val nxt = content.select(col("doc_id"), (col("rn") - 1).as("rn"),
+      col("tok").as("tok2"))
+    val und = content.join(nxt, Seq("doc_id", "rn"))
+      .where(col("tok") =!= col("tok2"))
+      .select(least(col("tok"), col("tok2")).as("u"),
+        greatest(col("tok"), col("tok2")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val edges = und
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst"),
+        col("w")))
+      .localCheckpoint(true) // reused every round
+    val strength = edges.groupBy(col("src").as("node"))
+      .agg(sum("w").as("s")).localCheckpoint(true)
+    var pr = strength.select(col("node"), col("s"),
+      lit(1000000000L).as("pr")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cin = edges
+        .join(pr.select(col("node").as("src"), col("s"), col("pr")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(pr * w) div s")).as("cin"))
+      pr = strength.join(cin, "node")
+        .select(col("node"), col("s"),
+          (lit(150000000L) + expr("(85 * cin) div 100")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.orderBy(col("pr").desc, col("node")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("pr").desc, col("node"))))
+      .select(col("rk").cast("int").as("rk"), col("node").as("token"),
+        col("pr").as("mass"),
+        round(col("pr") / lit(1000000000.0), 6).as("score"))
+  }
+
   private[graft] def rakeFrom(docsW: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stop = langProfiles.toMap.apply("en")
@@ -1506,6 +1572,45 @@ object TextPack extends QueryPack {
          |      FROM t, UNNEST(range(1, len(w)-1)) AS u(i)
          |      WHERE len(w) >= 3)
          |SELECT doc_id, min(h) AS fp FROM g GROUP BY doc_id""".stripMargin,
+
+    // the weighted-pagerank replay over the adjacency graph —
+    // q_pagerank's prRound discipline (HUGEINT sums pinned back to
+    // BIGINT each round) on a word graph
+    "text_textrank" -> {
+      val stopList = langProfiles.toMap.apply("en")
+        .map("'" + _ + "'").mkString(", ")
+      val roundsSql = (1 to TextRankRounds).map { r =>
+        s"""p$r AS MATERIALIZED (SELECT st.node, st.s,
+           |    CAST(150000000 + (85 * c.cin) // 100 AS BIGINT) AS pr
+           |  FROM st JOIN (SELECT e.dst AS node,
+           |      CAST(sum((p.pr * e.w) // p.s) AS BIGINT) AS cin
+           |    FROM p${r - 1} p JOIN edges e ON e.src = p.node
+           |    GROUP BY 1) c USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id, $wSql AS ws FROM documents),
+         |toks AS (SELECT doc_id, unnest(ws) AS tok,
+         |    unnest(range(0, len(ws))) AS pos FROM d),
+         |content AS MATERIALIZED (SELECT doc_id, pos, tok,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |  FROM toks WHERE tok NOT IN ($stopList) AND tok != ''),
+         |und AS MATERIALIZED (SELECT least(a.tok, b.tok) AS u,
+         |    greatest(a.tok, b.tok) AS v, count(*) AS w
+         |  FROM content a JOIN content b
+         |    ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+         |  WHERE a.tok != b.tok GROUP BY 1, 2),
+         |edges AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM und
+         |  UNION ALL SELECT v, u, w FROM und),
+         |st AS MATERIALIZED (SELECT src AS node, sum(w) AS s
+         |  FROM edges GROUP BY 1),
+         |p0 AS (SELECT node, s, CAST(1000000000 AS BIGINT) AS pr FROM st),
+         |$roundsSql,
+         |top AS (SELECT node, pr FROM p$TextRankRounds
+         |  ORDER BY pr DESC, node LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY pr DESC, node) AS INT)
+         |    AS rk, node AS token, CAST(pr AS BIGINT) AS mass,
+         |  round(pr / 1000000000.0, 6) AS score
+         |FROM top""".stripMargin
+    },
 
     "text_rake" -> {
       val stopList = langProfiles.toMap.apply("en")

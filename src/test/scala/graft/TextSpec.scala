@@ -209,6 +209,42 @@ class TextSpec extends SparkSpec {
       ("neural nets", 1L, 4.0)))
   }
 
+  test("textrankFrom ranks the hub word first and replays the integer trajectory") {
+    // star word graph: "alpha" is adjacent to four distinct words
+    // (each once), the leaves only to alpha — centrality must put
+    // alpha first even though every token has the same frequency
+    // regime; "the" (stopword) must never appear
+    val docs = Seq(
+      (1L, Seq("alpha", "beta", "the", "alpha", "gamma")),
+      (2L, Seq("alpha", "delta")),
+      (3L, Seq("epsilon", "alpha"))
+    ).toDF("doc_id", "w")
+    val rows = graft.queries.TextPack.textrankFrom(docs).collect()
+      .sortBy(_.getAs[Int]("rk"))
+    val toks = rows.map(_.getAs[String]("token"))
+    assert(!toks.contains("the"))
+    assert(toks.head === "alpha", s"hub must rank first: ${toks.toSeq}")
+    // driver-side integer replay of the 3 fixed rounds; doc 1's
+    // content sequence alpha-beta-alpha-gamma yields (alpha,beta)
+    // twice (both directions canonicalize to one undirected pair)
+    val und = Seq(("alpha", "beta", 2L), ("alpha", "gamma", 1L),
+      ("alpha", "delta", 1L), ("alpha", "epsilon", 1L))
+    val edges = und.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+    val s = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._3).sum }
+    var pr = s.keys.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to graft.queries.TextPack.TextRankRounds) {
+      val cin = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => pr(src) * w / s(src) }.sum
+      }
+      pr = cin.map { case (n, c) => n -> (150000000L + 85L * c / 100L) }
+    }
+    val want = rows.map(r => r.getAs[String]("token") ->
+      r.getAs[Long]("mass")).toMap
+    pr.foreach { case (n, m) =>
+      assert(want(n) === m, s"node $n: engine ${want(n)} vs replay $m")
+    }
+  }
+
   test("text_zipf matches a driver-side quantized OLS replay; near -1 on a planted Zipf corpus") {
     // exact replay on the real corpus
     val got = SparkEntry.queries("text_zipf")(spark, sfDir).collect().head
