@@ -963,7 +963,9 @@ object TextPack extends QueryPack {
     * at ~1e9-count edges (DECIMAL swap documented, embed_dimstats'
     * trade). Output: top-20 tokens by final mass. */
   private[graft] def textrankFrom(docsW: DataFrame,
-      rounds: Int = TextRankRounds): DataFrame = {
+      rounds: Int = TextRankRounds,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stop = langProfiles.toMap.apply("en")
     val content = docsW
@@ -978,24 +980,22 @@ object TextPack extends QueryPack {
       .select(least(col("tok"), col("tok2")).as("u"),
         greatest(col("tok"), col("tok2")).as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
-    val edges = und
+    val edges = ckpt(und
       .select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionByName(und.select(col("v").as("src"), col("u").as("dst"),
-        col("w")))
-      .localCheckpoint(true) // reused every round
-    val strength = edges.groupBy(col("src").as("node"))
-      .agg(sum("w").as("s")).localCheckpoint(true)
-    var pr = strength.select(col("node"), col("s"),
-      lit(1000000000L).as("pr")).localCheckpoint(true)
+        col("w")))) // reused every round
+    val strength = ckpt(edges.groupBy(col("src").as("node"))
+      .agg(sum("w").as("s")))
+    var pr = ckpt(strength.select(col("node"), col("s"),
+      lit(1000000000L).as("pr")))
     for (_ <- 1 to rounds) {
       val cin = edges
         .join(pr.select(col("node").as("src"), col("s"), col("pr")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("(pr * w) div s")).as("cin"))
-      pr = strength.join(cin, "node")
+      pr = ckpt(strength.join(cin, "node")
         .select(col("node"), col("s"),
-          (lit(150000000L) + expr("(85 * cin) div 100")).as("pr"))
-        .localCheckpoint(true)
+          (lit(150000000L) + expr("(85 * cin) div 100")).as("pr")))
     }
     pr.orderBy(col("pr").desc, col("node")).limit(20)
       .withColumn("rk", row_number().over(

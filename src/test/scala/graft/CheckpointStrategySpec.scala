@@ -77,6 +77,18 @@ class CheckpointStrategySpec extends SparkSpec {
     assert(rel === local, "checkpoint strategy must not change BPE merges")
   }
 
+  test("TextRank: Reliable and Local score identically") {
+    val docs = Seq(
+      (1L, Seq("alpha", "beta", "alpha", "gamma")),
+      (2L, Seq("alpha", "delta", "beta", "gamma"))
+    ).toDF("doc_id", "w")
+    val local = graft.queries.TextPack.textrankFrom(docs)
+      .collect().map(_.toSeq).toSet
+    val rel = graft.queries.TextPack.textrankFrom(docs, ckpt = reliable)
+      .collect().map(_.toSeq).toSet
+    assert(rel === local, "checkpoint strategy must not change TextRank")
+  }
+
   test("Reliable refuses a second, different checkpoint dir") {
     reliable(Seq(1, 2, 3).toDF("x")) // ensure the dir is set
     val other = java.nio.file.Files.createTempDirectory("graft_other").toString
