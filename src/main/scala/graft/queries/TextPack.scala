@@ -920,6 +920,7 @@ object TextPack extends QueryPack {
     // 20-row rank window.
     "text_rake" -> ((s, d) => rakeFrom(docs(s, d))),
     "text_textrank" -> ((s, d) => textrankFrom(docs(s, d))),
+    "text_feature_hash" -> ((s, d) => featureHashFrom(docs(s, d))),
 
     // Zipf rank-frequency slope audit (Zipf 1949; the log-log OLS fit
     // is the standard corpus-health check beside text_vocab_growth's
@@ -940,6 +941,38 @@ object TextPack extends QueryPack {
 
   /** The RAKE pipeline over any (doc_id, w[]) frame — public to the
     * test JVM for the hand-document gate. */
+  /** Feature-hashing output dimensionality (2^6 buckets). */
+  val FeatureHashDim = 64L
+
+  /** Feature hashing / the hashing trick (Weinberger et al., ICML
+    * 2009) — the MODEL-FREE featurizer bridging raw text into the
+    * vector operators: every token hashes to one of
+    * [[FeatureHashDim]] buckets with a ±1 sign from an independent
+    * hash, and a document's vector is the signed occurrence count per
+    * bucket. The sign is what makes collisions cancel in expectation
+    * (E[x·x′] is preserved — the paper's point), so hashed vectors
+    * feed cosine/ANN/semdedup machinery without any trained
+    * vocabulary, at a FIXED dimensionality no matter how the corpus
+    * vocabulary grows. Output: sparse (doc_id, dim, v) rows — only
+    * nonzero buckets, ≤ 64/doc. Scale: one explode + one map-side-
+    * combined hash agg keyed (doc_id, dim); no vocabulary table
+    * exists at all, which is the trick's entire operational appeal.
+    * Determinism: both hashes are the portable u32 md5 prefix; counts
+    * are exact integers. */
+  private[graft] def featureHashFrom(docsW: DataFrame): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("fh:"), col("tok"))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+    val sv = conv(substring(md5(concat(lit("fhs:"), col("tok"))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+    docsW
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), pmod(hv, lit(FeatureHashDim)).as("dim"),
+        when(pmod(sv, lit(2L)) === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "dim").agg(sum("sgn").as("v"))
+      .where(col("v") =!= 0)
+  }
+
   /** Fixed TextRank propagation depth — also the oracle's CTE chain
     * length. */
   val TextRankRounds = 3
@@ -1572,6 +1605,18 @@ object TextPack extends QueryPack {
          |      FROM t, UNNEST(range(1, len(w)-1)) AS u(i)
          |      WHERE len(w) >= 3)
          |SELECT doc_id, min(h) AS fp FROM g GROUP BY doc_id""".stripMargin,
+
+    "text_feature_hash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($wSql) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST(('0x'||substr(md5('fh:'||tok),1,8)) AS BIGINT)
+         |      % $FeatureHashDim AS dim,
+         |    CASE WHEN CAST(('0x'||substr(md5('fhs:'||tok),1,8))
+         |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM toks WHERE tok != '')
+         |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+         |FROM h GROUP BY 1, 2 HAVING sum(sgn) != 0""".stripMargin,
 
     // the weighted-pagerank replay over the adjacency graph —
     // q_pagerank's prRound discipline (HUGEINT sums pinned back to

@@ -209,6 +209,34 @@ class TextSpec extends SparkSpec {
       ("neural nets", 1L, 4.0)))
   }
 
+  test("featureHashFrom matches a driver-side hash replay with sign cancellation") {
+    def u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def dim(t: String) = u32(s"fh:$t") % 64
+    def sgn(t: String) = if (u32(s"fhs:$t") % 2 == 0) 1L else -1L
+    val toks = Seq("alpha", "beta", "gamma", "alpha", "delta", "epsilon")
+    val docs = Seq((7L, toks)).toDF("doc_id", "w")
+    val got = graft.queries.TextPack.featureHashFrom(docs).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("v")).toMap
+    val want = toks.groupBy(dim).view
+      .mapValues(_.map(sgn).sum).toMap.filter(_._2 != 0L)
+    assert(got === want, s"got $got want $want")
+    // the signed-cancellation property: opposite-sign tokens forced
+    // into one bucket produce a ZERO (dropped) coordinate
+    val (tA, tB) = (
+      (1 to 1000).map(i => s"w$i").find(t => sgn(t) == 1L).get,
+      (1 to 1000).map(i => s"w$i")
+        .find(t => sgn(t) == -1L && dim(t) == dim(
+          (1 to 1000).map(i => s"w$i").find(x => sgn(x) == 1L).get)).get)
+    val canc = graft.queries.TextPack.featureHashFrom(
+      Seq((8L, Seq(tA, tB))).toDF("doc_id", "w")).collect()
+    assert(canc.isEmpty, s"colliding opposite signs must cancel: " +
+      s"${canc.toSeq} ($tA/$tB at dim ${dim(tA)})")
+  }
+
   test("textrankFrom ranks the hub word first and replays the integer trajectory") {
     // star word graph: "alpha" is adjacent to four distinct words
     // (each once), the leaves only to alpha — centrality must put
