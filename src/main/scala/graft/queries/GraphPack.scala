@@ -158,6 +158,72 @@ object GraphPack extends QueryPack {
     } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
   }
 
+  /** Double-sweep diameter lower bound (Magnien, Latapy & Habib, ACM
+    * JEA 2009 — the standard cheap diameter estimator): BFS from a
+    * fixed seed, then re-BFS from the FARTHEST node the first sweep
+    * found; the second eccentricity lower-bounds the true diameter
+    * (exact on trees, empirically tight on real graphs) at the cost
+    * of TWO BFS passes instead of the exact algorithm's V. The
+    * structural metric q_reach's fixed-seed histogram cannot give:
+    * how WIDE is the graph. Output: one row — node/reached census,
+    * both sweep eccentricities, the peripheral endpoints (display
+    * labels). Determinism: (dist desc, node asc) endpoint tie-break;
+    * everything integer. Scale: q_reach's frontier discipline
+    * verbatim (tagged-long ids, co-partitioned expansion + anti-join
+    * per round, node-sized state through the checkpoint seam, AQE-off
+    * layout capture); the sweep-2 seed is a 1-row checkpoint, never a
+    * collect. */
+  private def diameterQ(s: SparkSession, d: String, rounds: Int = 6,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e0 = lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk")).distinct()
+      val edges = ckpt(e0.select(
+          (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(e0.select(
+          (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+        .repartition(col("src")))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      def bfs(seed: DataFrame): DataFrame = {
+        var frontier = ckpt(seed.repartition(col("node")))
+        var visited = frontier.withColumn("dist", lit(0))
+        for (r <- 1 to rounds) {
+          val next = ckpt(edges
+            .join(frontier, edges("src") === frontier("node"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited.select("node"), Seq("node"), "left_anti")
+            .repartition(col("node")))
+          visited = visited.union(next.withColumn("dist", lit(r)))
+          frontier = next
+        }
+        ckpt(visited)
+      }
+      def far(dist: DataFrame): DataFrame =
+        dist.orderBy(col("dist").desc, col("node")).limit(1)
+          .localCheckpoint(true) // 1 row
+      def lbl(c: org.apache.spark.sql.Column) =
+        concat(when(c % 2 === 0, lit("p")).otherwise(lit("s")),
+          shiftright(c, 1).cast("string"))
+      val d1 = bfs(nodes.orderBy("node").limit(1))
+      val farB = far(d1)
+      val d2 = bfs(farB.select("node"))
+      val farC = far(d2)
+      val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+      val nr = d2.agg(count(lit(1)).as("n_reached"))
+      broadcast(nn).crossJoin(broadcast(nr))
+        .crossJoin(broadcast(farB.select(lbl(col("node")).as("node_b"),
+          col("dist").cast("int").as("ecc1"))))
+        .crossJoin(broadcast(farC.select(lbl(col("node")).as("node_c"),
+          col("dist").cast("int").as("diam_lb"))))
+        .select(col("n_nodes"), col("n_reached"), col("node_b"),
+          col("ecc1"), col("node_c"), col("diam_lb"))
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+  }
+
   /** k-core decomposition profile (round 11): iteratively peel nodes
     * of degree < k from the co-purchase graph and report the
     * (n_nodes, n_edges) trajectory per peel round, at two k values
@@ -664,6 +730,7 @@ object GraphPack extends QueryPack {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_reach" -> ((s, d) => reach(s, d)),
+    "q_diameter" -> ((s, d) => diameterQ(s, d)),
     "q_kcore" -> ((s, d) => kcore(s, d)),
     "q_itemsets" -> ((s, d) => itemsets(s, d)),
     "q_label_prop" -> ((s, d) => labelProp(s, d)),
@@ -727,6 +794,44 @@ object GraphPack extends QueryPack {
         |  node AS l_partkey, tri,
         |  (SELECT CAST(sum(tri) // 3 AS BIGINT) FROM pern) AS total_tri
         |FROM top""".stripMargin,
+
+    // the double-sweep replay: two q_reach BFS chains, the second
+    // seeded by the first's (dist desc, node) endpoint
+    "q_diameter" -> {
+      val rounds = 6
+      def chain(p: String) = (1 to rounds).map { r =>
+        s"""${p}f$r AS (SELECT DISTINCT e.dst AS node FROM edges e
+           |  JOIN ${p}f${r - 1} ON e.src = ${p}f${r - 1}.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM ${p}l${r - 1} v
+           |                    WHERE v.node = e.dst)),
+           |${p}l$r AS MATERIALIZED (SELECT node, dist FROM ${p}l${r - 1}
+           |  UNION ALL SELECT node, $r FROM ${p}f$r)""".stripMargin
+      }.mkString(",\n")
+      def lbl(t: String) =
+        s"(CASE WHEN $t.node % 2 = 0 THEN 'p' ELSE 's' END)" +
+          s" || CAST($t.node // 2 AS VARCHAR)"
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+         |    FROM lineitem),
+         |edges AS MATERIALIZED (SELECT p * 2 AS src, sk * 2 + 1 AS dst
+         |  FROM e0 UNION ALL SELECT sk * 2 + 1, p * 2 FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |af0 AS (SELECT min(node) AS node FROM nodes),
+         |al0 AS (SELECT node, 0 AS dist FROM af0),
+         |${chain("a")},
+         |farb AS MATERIALIZED (SELECT node, dist FROM al$rounds
+         |  ORDER BY dist DESC, node LIMIT 1),
+         |bf0 AS (SELECT node FROM farb),
+         |bl0 AS (SELECT node, 0 AS dist FROM bf0),
+         |${chain("b")},
+         |farc AS (SELECT node, dist FROM bl$rounds
+         |  ORDER BY dist DESC, node LIMIT 1),
+         |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+         |nr AS (SELECT count(*) AS n_reached FROM bl$rounds)
+         |SELECT nn.n_nodes, nr.n_reached,
+         |  ${lbl("farb")} AS node_b, CAST(farb.dist AS INT) AS ecc1,
+         |  ${lbl("farc")} AS node_c, CAST(farc.dist AS INT) AS diam_lb
+         |FROM nn, nr, farb, farc""".stripMargin
+    },
 
     "q_reach" -> {
       val rounds = 4

@@ -229,6 +229,23 @@ class GraphPackSpec extends SparkSpec {
     assert(gotAuth(10L) > gotAuth(12L) === (auth(10L) > auth(12L)))
   }
 
+  test("q_diameter reads the exact diameter of a path via double sweep") {
+    // bipartite path p0 - s0 - p1 - s1: diameter 3. Sweep 1 starts at
+    // the min node (p0), finds s1 at dist 3; sweep 2 from s1 confirms
+    // 3 back at p0 — the lower bound is exact on trees.
+    val li = Seq((0L, 0L), (1L, 0L), (1L, 1L))
+      .toDF("l_partkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("diam").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q_diameter")(s, dir).collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_reached") === 4L)
+    assert(r.getAs[String]("node_b") === "s1" &&
+      r.getAs[Int]("ecc1") === 3)
+    assert(r.getAs[String]("node_c") === "p0" &&
+      r.getAs[Int]("diam_lb") === 3)
+  }
+
   test("modularityFrom scores two disjoint triangles at Q = 0.5") {
     // LPA resolves each triangle to its min label; m = 6, each
     // community has e_c = 3, deg_c = 6 → per-community contribution

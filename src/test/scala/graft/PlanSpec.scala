@@ -210,6 +210,8 @@ class PlanSpec extends SparkSpec {
     *     top-20 outlier rows (q_triangles' pattern);
     *   q_isoforest — the 1-row bounding-box broadcast every cell
     *     computation normalizes against;
+    *   q_diameter — the 1-row census/endpoint broadcasts composing
+    *     the single output row (q_triangles' pattern, four scalars);
     *   q_naive_bayes — 1-row vocab-size / total-docs broadcasts into
     *     the vocab-sized model build, and the |classes|-row (5 here,
     *     bounded by the label domain) class-stats broadcast that fans
@@ -224,7 +226,7 @@ class PlanSpec extends SparkSpec {
       "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets",
       "dedup_eval", "embed_spectrum", "q_hll", "q_label_prop", "embed_jl",
       "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2", "q_lof",
-      "embed_whiten", "q_isoforest")
+      "embed_whiten", "q_isoforest", "q_diameter")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
