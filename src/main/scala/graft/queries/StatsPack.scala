@@ -262,6 +262,44 @@ object StatsPack extends QueryPack {
         (abs(t) > 1.96).as("significant"))
     }),
 
+    // Gini concentration coefficient (Gini 1912; the rank formula
+    // G = 2Σi·x/(nΣx) − (n+1)/n, round 11) over per-customer spend —
+    // the inequality audit: how concentrated is purchase mass across
+    // customers (0 = uniform, →1 = one whale)? Reported with the
+    // top-decile share (the readout people actually act on). Exact:
+    // spend is integer cents, the rank index is a global (spend,
+    // custkey) row_number — ties carry equal x, so Σi·x is invariant
+    // under tie order — and Σi·x accumulates in DECIMAL(38) (i·x
+    // passes BIGINT at ~1e9 customers × 1e9 cents); the two ratios
+    // are single double expressions over exact sums. Scale: one hash
+    // agg to the CUSTOMER table, ONE global sort of customer-count
+    // rows (bounded by customers, never lineitems — the documented
+    // cost; at 1e9 customers this is a real but routine sort), a
+    // 1-row fold.
+    "q_gini" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sp"), col("o_custkey"))
+      val sp = orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("sp"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("nn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("long"))
+      val a = sp.agg(count(lit(1)).as("n"),
+        sum("sp").as("tot"),
+        sum(col("i").cast("decimal(38,0)") * col("sp")).as("isum"),
+        sum(when(col("i") > expr("(9 * nn) div 10"), col("sp"))
+          .otherwise(0L)).as("top"))
+      a.select(col("n").as("n_customers"), col("tot").as("total_cents"),
+        round(lit(2.0) * col("isum").cast("double")
+            / (col("n").cast("double") * col("tot").cast("double"))
+          - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"),
+        round(col("top").cast("double") / col("tot").cast("double"), 6)
+          .as("top_decile_share"))
+    }),
+
     // Mann–Whitney U / Wilcoxon rank-sum (Mann & Whitney 1947, round
     // 11) — q_ab_test's NONPARAMETRIC twin: the t-test reads means
     // and is wrecked by the heavy tails purchase values actually
@@ -637,6 +675,27 @@ object StatsPack extends QueryPack {
         |    (pow(v_a/n_a, 2)/(n_a - 1) + pow(v_b/n_b, 2)/(n_b - 1)), 2) AS dof,
         |  abs((m_a - m_b) / sqrt(v_a/n_a + v_b/n_b)) > 1.96 AS significant
         |FROM a""".stripMargin,
+    "q_gini" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sp
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT sp,
+        |    CAST(row_number() OVER (ORDER BY sp, o_custkey) AS BIGINT) AS i,
+        |    count(*) OVER () AS nn
+        |  FROM sp),
+        |a AS (SELECT count(*) AS n, sum(sp) AS tot,
+        |    sum(CAST(i AS HUGEINT) * sp) AS isum,
+        |    sum(CASE WHEN i > (9 * nn) // 10 THEN sp ELSE 0 END) AS top
+        |  FROM rk)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  CAST(tot AS BIGINT) AS total_cents,
+        |  round(2.0 * CAST(isum AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini,
+        |  round(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |    AS top_decile_share
+        |FROM a""".stripMargin,
+
     "q_mann_whitney" ->
       """WITH pv AS (SELECT value, count(*) AS cnt,
         |    count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS cnt_a

@@ -74,6 +74,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_gini reads 0 on uniform spend and the exact whale value") {
+    def run(spend: Seq[Double]) = {
+      val ords = spend.zipWithIndex.map { case (v, i) =>
+        ((i + 1).toLong, (i + 1).toLong, v)
+      }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      val dir = java.nio.file.Files.createTempDirectory("gini").toString
+      ords.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      SparkEntry.queries("q_gini")(spark, dir).collect().head
+    }
+    val flat = run(Seq.fill(10)(5.0))
+    assert(flat.getAs[Double]("gini") === 0.0,
+      "uniform spend is exactly zero inequality under the rank formula")
+    // spends {1,1,1,1,96}: sum(i*x) = 1+2+3+4+480 = 490,
+    // G = 2*490/(5*100) - 6/5 = 0.76; top decile = rank 5 alone = 0.96
+    val whale = run(Seq(1.0, 1.0, 1.0, 1.0, 96.0))
+    assert(whale.getAs[Double]("gini") === 0.76, s"$whale")
+    assert(whale.getAs[Double]("top_decile_share") === 0.96)
+  }
+
   test("q_mann_whitney matches hand-computed U on separated and tied arms") {
     def run(vals: Seq[(Long, Double)]) = {
       val ev = vals.zipWithIndex.map { case ((u, v), i) =>
