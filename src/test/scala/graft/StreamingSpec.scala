@@ -90,6 +90,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllStream restart: a checkpointed stream resumes the register state") {
+    // the crash/redeploy path for the sketch faces: stop the query
+    // with an OPEN window (registers live only in the state store),
+    // start a NEW query on the same checkpoint, finish the window —
+    // the emitted registers must equal a batch sketch over BOTH
+    // batches' rows, proving the partial max-merge state survived
+    val dir = java.nio.file.Files.createTempDirectory("graft_hllrs_").toString
+    try {
+      def evDF(rows: Seq[(Long, Long)]) = rows
+        .toDF("user_id", "minute")
+        .select(col("user_id"),
+          org.apache.spark.sql.functions.timestamp_micros(
+            lit(1700000000000000L) + col("minute") * 60000000L).as("ts"))
+      val b1 = (1L to 60L).map(u => (u, u % 45))
+      val b2 = (40L to 120L).map(u => (u, u % 45)) :+ (999L, 300L)
+      // one FILE per batch: with maxFilesPerTrigger=1 a multi-part
+      // write would let the closer row's part file advance the
+      // watermark ahead of sibling parts, dropping their rows as late
+      evDF(b1).coalesce(1).write.parquet(s"$dir/in/b1")
+      val schema = evDF(b1).schema
+      def startQuery() = StreamingOps.hllStream(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+          watermarkDelay = "2 hours")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      val q1 = startQuery()
+      try { q1.processAllAvailable() } finally q1.stop()
+      // window still open: nothing emitted yet, state checkpointed
+      evDF(b2).coalesce(1).write.parquet(s"$dir/in/b2")
+      val q2 = startQuery()
+      try { q2.processAllAvailable() } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out")
+        .filter(col("idx").isNotNull)
+        .collect().map(r => r.getAs[Long]("idx") -> r.getAs[Int]("mr"))
+        .toMap
+      val w0 = (b1 ++ b2).filter(_._2 < 45)
+      val (idx, rk) = graft.functions.Hll.idxRank(col("user_id"))
+      val want = evDF(w0).select(idx.as("idx"), rk.as("rk"))
+        .groupBy("idx")
+        .agg(org.apache.spark.sql.functions.max("rk").as("mr"))
+        .collect().map(r => r.getAs[Long]("idx") -> r.getAs[Int]("mr"))
+        .toMap
+      assert(got === want,
+        "registers after restart must equal the batch sketch over both batches")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("cmsStream cells are bit-identical to the batch sketch and never undercount") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{explode, sum => fsum}
