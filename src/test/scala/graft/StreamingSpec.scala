@@ -140,6 +140,53 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("cmsStream restart: a checkpointed stream resumes the cell counts") {
+    // the count-sketch mirror of the hllStream restart case: counts
+    // (unlike maxes) would VISIBLY double on a replay, so recovery
+    // also proves exactly-once batch accounting across the restart
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmsrs_").toString
+    try {
+      def evDF(rows: Seq[(Long, String)]) = rows
+        .toDF("minute", "text")
+        .select(org.apache.spark.sql.functions.timestamp_micros(
+          lit(1700000000000000L) + col("minute") * 60000000L).as("ts"),
+          col("text"))
+      val b1 = (0 until 20).map(i => (i.toLong % 45, s"alpha tok${i % 7}"))
+      val b2 = (20 until 40).map(i => (i.toLong % 45, s"alpha tok${i % 7}")) :+
+        (300L, "closer")
+      evDF(b1).coalesce(1).write.parquet(s"$dir/in/b1")
+      val schema = evDF(b1).schema
+      def startQuery() = StreamingOps.cmsStream(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+          watermarkDelay = "2 hours")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      val q1 = startQuery()
+      try { q1.processAllAvailable() } finally q1.stop()
+      evDF(b2).coalesce(1).write.parquet(s"$dir/in/b2")
+      val q2 = startQuery()
+      try { q2.processAllAvailable() } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out").collect()
+        .map(r => (r.getAs[Int]("dd"), r.getAs[Long]("bkt")) ->
+          r.getAs[Long]("cell")).toMap
+      val toks = evDF((b1 ++ b2).filter(_._1 < 45))
+        .select(org.apache.spark.sql.functions.explode(
+          graft.functions.TextFunctions.words(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val want = toks
+        .select(graft.functions.Cms.cells(col("tok")).as("e"))
+        .groupBy(col("e.dd").as("dd"), col("e.bkt").as("bkt"))
+        .agg(count(lit(1)).as("cell")).collect()
+        .map(r => (r.getAs[Int]("dd"), r.getAs[Long]("bkt")) ->
+          r.getAs[Long]("cell")).toMap
+      assert(got === want,
+        "cells after restart must equal the batch sketch — no double count")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("cmsStream cells are bit-identical to the batch sketch and never undercount") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{explode, sum => fsum}
