@@ -237,6 +237,36 @@ class TextSpec extends SparkSpec {
       s"${canc.toSeq} ($tA/$tB at dim ${dim(tA)})")
   }
 
+  test("feature-hash vectors preserve similarity: near-dup docs stay close") {
+    // the bridge property the hashing trick promises (E[x·x'] is
+    // preserved): a one-word edit keeps the hashed vectors nearly
+    // parallel while unrelated text lands nearly orthogonal — which
+    // is exactly what lets hashed vectors feed the cosine/semdedup
+    // machinery with no trained vocabulary
+    val base = "the quick brown fox jumps over the lazy dog carrying " +
+      "seventeen bright green apples toward the distant river crossing"
+    val near = base.replace("dog", "cat")
+    val far = "completely unrelated content describing database query " +
+      "optimization plans and shuffle partition sizing strategies"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), "\\s+"))
+    val sparse = graft.queries.TextPack.featureHashFrom(docs).collect()
+    def dense(id: Long): Array[Double] = {
+      val v = new Array[Double](64)
+      sparse.filter(_.getAs[Long]("doc_id") == id).foreach(r =>
+        v(r.getAs[Long]("dim").toInt) = r.getAs[Long]("v").toDouble)
+      v
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (dense(a), dense(b))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(q => q * q).sum))
+    }
+    assert(cos(1L, 2L) > 0.8, s"near-dup cosine ${cos(1L, 2L)}")
+    assert(cos(1L, 3L) < 0.5, s"unrelated cosine ${cos(1L, 3L)}")
+    assert(cos(1L, 2L) > cos(1L, 3L) + 0.3)
+  }
+
   test("textrankFrom ranks the hub word first and replays the integer trajectory") {
     // star word graph: "alpha" is adjacent to four distinct words
     // (each once), the leaves only to alpha — centrality must put
