@@ -193,6 +193,64 @@ object LearnPack extends QueryPack {
       (col("post") - col("posl")).as("posr"), col("gain"))
   }
 
+  /** Depth-k greedy CART (round 11, closing the round-12 candidate
+    * list's "per-branch depth-k tree") — [[tree2From]]'s recursion as a
+    * FOLD over levels: level l holds ≤ 2^l branch nodes addressed by
+    * their root-to-node path ("root", then "L"/"R", "LL"/"LR"/…), each
+    * level is ONE histogram pass over the whole corpus (the branch key
+    * simply joins the groupBy — bins × branches rows cross the
+    * exchange, never data rows), and routing to the next level is one
+    * broadcast join against the ≤ 2^l picked splits. A PURE or
+    * single-valued branch contributes no split candidate (`nl < nt`
+    * never holds) and silently disappears — the tree's leaves are the
+    * absent paths, the same convention both engines derive
+    * independently. Scale: depth scans, not 2^depth — the level pass
+    * is branch-parallel by construction (LightGBM's level-wise growth,
+    * Ke et al. NIPS 2017); driver state is the ≤ 2^l-row pick table
+    * per level. Determinism: q_stump's throughout — exact integer
+    * counts, shared gain expression, rounded-gain (feature, v)
+    * tie-broken picks at every node. */
+  private[graft] def treeDeepFrom(li: DataFrame, depth: Int): DataFrame = {
+    def feats(df: DataFrame) = df
+      .select(col("branch"), lit("quantity").as("feature"),
+        col("qty").as("v"), col("y"))
+      .union(df.select(col("branch"), lit("discount"),
+        col("disc"), col("y")))
+    var cur = li.withColumn("branch", lit("root"))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (lvl <- 0 until depth) {
+      val best = splitGains(feats(cur))
+        .withColumn("rk", row_number().over(Window.partitionBy("branch")
+          .orderBy(col("gain").desc, col("feature"), col("v"))))
+        .where(col("rk") === 1)
+        .localCheckpoint(true) // <= 2^lvl rows: feeds routing + output
+      picks += best
+      if (lvl < depth - 1)
+        cur = cur.join(broadcast(best.select(col("branch"),
+            col("feature").as("bf"), col("v").as("bt"))), "branch")
+          .withColumn("branch", concat(
+            when(col("branch") === "root", lit("")).otherwise(col("branch")),
+            when(when(col("bf") === "quantity", col("qty"))
+              .otherwise(col("disc")) <= col("bt"), lit("L"))
+              .otherwise(lit("R"))))
+          .drop("bf", "bt")
+    }
+    picks.reduce(_ unionByName _)
+      .select(col("branch").as("node"), col("feature"),
+        col("v").as("threshold"), col("nl"),
+        (col("nt") - col("nl")).as("nr"), col("posl"),
+        (col("post") - col("posl")).as("posr"), col("gain"))
+  }
+
+  private def tree3(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(
+      floor(col("l_quantity")).cast("long").as("qty"),
+      floor(col("l_discount") * 100).cast("long").as("disc"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .localCheckpoint(true) // scanned once per level
+    treeDeepFrom(li, 3)
+  }
+
   /** Quantization grain for NB log-probabilities: 2^20 units per bit.
     * Each (class, token) log-likelihood is floor-quantized ONCE in the
     * model table; every per-document reduction after that is exact
@@ -299,6 +357,7 @@ object LearnPack extends QueryPack {
     "q_recs_itemitem" -> ((s, d) => recsItemItem(s, d)),
     "q_stump" -> ((s, d) => stump(s, d)),
     "q_tree2" -> ((s, d) => tree2(s, d)),
+    "q_tree3" -> ((s, d) => tree3(s, d)),
     "q_naive_bayes" -> ((s, d) => naiveBayes(s, d))
   )
 
@@ -318,7 +377,63 @@ object LearnPack extends QueryPack {
       |             * (((nt - nl) - (post - posl)) / (nt - nl))), 8)"""
       .stripMargin
 
+  /** One tree level for the q_tree3 oracle: histogram → cumulative →
+    * gain → rk-1 pick per branch, all partitioned by the path column —
+    * the same shape [[splitGains]] + the rank window produce. */
+  private def treeLevelSql(lvl: Int): String =
+    s"""f$lvl AS (SELECT branch, 'quantity' AS feature, qty AS v, y FROM b$lvl
+       |  UNION ALL SELECT branch, 'discount', disc, y FROM b$lvl),
+       |h$lvl AS (SELECT branch, feature, v, count(*) AS n, sum(y) AS pos
+       |  FROM f$lvl GROUP BY 1, 2, 3),
+       |c$lvl AS (SELECT branch, feature, v,
+       |    sum(n) OVER (PARTITION BY branch, feature ORDER BY v) AS nl,
+       |    sum(pos) OVER (PARTITION BY branch, feature ORDER BY v) AS posl,
+       |    sum(n) OVER (PARTITION BY branch, feature) AS nt,
+       |    sum(pos) OVER (PARTITION BY branch, feature) AS post
+       |  FROM h$lvl),
+       |g$lvl AS (SELECT branch, feature, v, nl, posl, nt, post,
+       |    $giniGainSql AS gain
+       |  FROM c$lvl WHERE nl < nt),
+       |s$lvl AS MATERIALIZED (SELECT * FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY branch ORDER BY gain DESC, feature, v) AS rk
+       |  FROM g$lvl) WHERE rk = 1)""".stripMargin
+
+  /** Routing CTE: send every row of level `lvl` down its picked
+    * split's side, path-appending 'L'/'R' ('root' resets to ''). Rows
+    * in a branch with no pick (pure/single-valued) drop via the inner
+    * join — those paths are leaves in both engines. */
+  private def treeRouteSql(lvl: Int): String =
+    s"""b${lvl + 1} AS MATERIALIZED (SELECT b.qty, b.disc, b.y,
+       |    (CASE WHEN b.branch = 'root' THEN '' ELSE b.branch END) ||
+       |    (CASE WHEN (CASE WHEN s.feature = 'quantity' THEN b.qty
+       |                ELSE b.disc END) <= s.v
+       |      THEN 'L' ELSE 'R' END) AS branch
+       |  FROM b$lvl b JOIN s$lvl s ON s.branch = b.branch)""".stripMargin
+
+  private def treeDeepSql(depth: Int): String = {
+    val levels = (0 until depth).map { l =>
+      if (l < depth - 1) treeLevelSql(l) + ",\n" + treeRouteSql(l)
+      else treeLevelSql(l)
+    }.mkString(",\n")
+    val out = (0 until depth).map { l =>
+      s"""SELECT branch AS node, feature, v AS threshold,
+         |  CAST(nl AS BIGINT) AS nl, CAST(nt - nl AS BIGINT) AS nr,
+         |  CAST(posl AS BIGINT) AS posl,
+         |  CAST(post - posl AS BIGINT) AS posr, gain
+         |FROM s$l""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS MATERIALIZED (SELECT
+       |    CAST(floor(l_quantity) AS BIGINT) AS qty,
+       |    CAST(floor(l_discount * 100) AS BIGINT) AS disc,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+       |  FROM lineitem),
+       |b0 AS (SELECT li.*, 'root' AS branch FROM li),
+       |$levels
+       |$out""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_tree3" -> treeDeepSql(3),
     "q_recs_itemitem" ->
       s"""WITH baskets AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),

@@ -120,6 +120,78 @@ class LearnPackSpec extends SparkSpec {
     assert(got("right") === (("discount", 3L, 6L, 2L, 0L, 2L, 0.375)))
   }
 
+  test("treeDeepFrom at depth 3: planted depth-2 tree + pure leaves absent") {
+    // same planted corpus as the tree2 gate: levels 0/1 must reproduce
+    // tree2's picks under path labels, and level 2 must be EMPTY —
+    // every depth-2 branch is pure or single-valued, so no 'LL'..'RR'
+    // row may appear (leaves are the absent paths)
+    val rows =
+      Seq.fill(6)((5L, 3L, 1L)) ++ Seq.fill(2)((5L, 8L, 0L)) ++
+      Seq.fill(2)((15L, 8L, 1L)) ++ Seq.fill(6)((15L, 3L, 0L))
+    val got = LearnPack.treeDeepFrom(rows.toDF("qty", "disc", "y"), 3)
+      .collect()
+      .map(r => r.getAs[String]("node") ->
+        ((r.getAs[String]("feature"), r.getAs[Long]("threshold"),
+          r.getAs[Long]("nl"), r.getAs[Long]("nr"),
+          r.getAs[Long]("posl"), r.getAs[Long]("posr"),
+          r.getAs[Double]("gain")))).toMap
+    assert(got.keySet === Set("root", "L", "R"))
+    assert(got("root") === (("quantity", 5L, 8L, 8L, 6L, 2L, 0.125)))
+    assert(got("L") === (("discount", 3L, 6L, 2L, 6L, 0L, 0.375)))
+    assert(got("R") === (("discount", 3L, 6L, 2L, 0L, 2L, 0.375)))
+  }
+
+  test("q_tree3 matches a driver-side recursive greedy search on sf0.001") {
+    val got = SparkEntry.queries("q_tree3")(s, sfDir).collect()
+      .map(r => r.getAs[String]("node") ->
+        ((r.getAs[String]("feature"), r.getAs[Long]("threshold"),
+          r.getAs[Long]("nl"), r.getAs[Long]("nr"),
+          r.getAs[Long]("posl"), r.getAs[Long]("posr")))).toMap
+    val li = Tables.lineitem(s, sfDir)
+      .select(floor(col("l_quantity")).cast("long"),
+        floor(col("l_discount") * 100).cast("long"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      .as[(Long, Long, Long)].collect().toSeq
+    def gini(p: Double, m: Double) =
+      1.0 - (p / m) * (p / m) - ((m - p) / m) * ((m - p) / m)
+    // best (feature, threshold) under the exact tie-break (gain desc
+    // rounded to 8, feature asc, v asc) — None when no nl<nt candidate
+    def bestSplit(rs: Seq[(Long, Long, Long)])
+        : Option[(String, Long, Long, Long, Long, Long)] = {
+      val n = rs.size.toDouble
+      val pos = rs.map(_._3).sum.toDouble
+      val cands = Seq("discount", "quantity").flatMap { f =>
+        val vs = rs.map(r => (if (f == "quantity") r._1 else r._2, r._3))
+        vs.map(_._1).distinct.sorted.map { t =>
+          val l = vs.filter(_._1 <= t)
+          (f, t, l.size.toLong, l.map(_._2).sum)
+        }.filter(_._3 < rs.size)
+      }
+      if (cands.isEmpty) None
+      else Some {
+        val (f, t, nl, pl) = cands.minBy { case (f, t, nl, pl) =>
+          val g = gini(pos, n) - nl / n * gini(pl.toDouble, nl.toDouble) -
+            (n - nl) / n * gini(pos - pl, (rs.size - nl).toDouble)
+          (-BigDecimal(g).setScale(8, BigDecimal.RoundingMode.HALF_UP), f, t)
+        }
+        (f, t, nl, rs.size - nl, pl, rs.map(_._3).sum - pl)
+      }
+    }
+    def grow(rs: Seq[(Long, Long, Long)], path: String, depth: Int)
+        : Map[String, (String, Long, Long, Long, Long, Long)] =
+      if (depth == 0) Map.empty
+      else bestSplit(rs) match {
+        case None => Map.empty
+        case Some(pick @ (f, t, _, _, _, _)) =>
+          val (l, r) = rs.partition(row =>
+            (if (f == "quantity") row._1 else row._2) <= t)
+          val pfx = if (path == "root") "" else path
+          Map(path -> pick) ++
+            grow(l, pfx + "L", depth - 1) ++ grow(r, pfx + "R", depth - 1)
+      }
+    assert(got === grow(li, "root", 3))
+  }
+
   test("q_stump best split matches a driver-side exhaustive search") {
     val got = SparkEntry.queries("q_stump")(s, sfDir).collect()
       .sortBy(_.getAs[Int]("rk"))
