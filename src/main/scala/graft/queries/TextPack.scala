@@ -922,6 +922,8 @@ object TextPack extends QueryPack {
     "text_textrank" -> ((s, d) => textrankFrom(docs(s, d))),
     "text_feature_hash" -> ((s, d) => featureHashFrom(docs(s, d))),
 
+    "ann_hashed_recall" -> ((s, d) => hashedAnnRecallFrom(docs(s, d))),
+
     // Zipf rank-frequency slope audit (Zipf 1949; the log-log OLS fit
     // is the standard corpus-health check beside text_vocab_growth's
     // Heaps law, round 11): fit ln(freq) = slope·ln(rank) + b over the
@@ -971,6 +973,109 @@ object TextPack extends QueryPack {
         when(pmod(sv, lit(2L)) === 0, 1L).otherwise(-1L).as("sgn"))
       .groupBy("doc_id", "dim").agg(sum("sgn").as("v"))
       .where(col("v") =!= 0)
+  }
+
+  /** Query-set size, top-k, and the bit-width knobs for the hashed-ANN
+    * recall audit. MaxPlaneBits sizes the shared hyperplane table (the
+    * knobs filter it). */
+  private val HashedAnnQueries = 50L
+  private val HashedAnnK = 3
+  private val HashedAnnKnobs = Seq(4, 8, 12)
+  private val HashedAnnBandKnobs = Seq(2, 4)
+  private val HashedAnnBandBits = 8
+  private val MaxPlaneBits = 32
+
+  /** Hashed-feature ANN recall audit (round 11, closing the round-12
+    * candidate list's "recall sweep over the hashed-feature bridge"):
+    * the MEASURED answer to "can the model-free [[featureHashFrom]]
+    * vectors drive the ANN stack?" — sign-random-projection LSH
+    * (Charikar, STOC 2002: bit_j = sign(v·r_j), r_j a ±1 hyperplane
+    * from the portable md5 hash) bucketed at 4/8/12 bits, recall@3
+    * against EXACT cosine over the same hashed vectors, with the
+    * candidate-pair count as the unit cost — the knob/recall/cost
+    * frontier in one table, `ann_recall_sweep`'s discipline on the
+    * text side. Two families: `lsh_hashed` (ONE table, band width the
+    * knob — the AND construction, recall falls as bits sharpen) and
+    * `lsh_banded` (L OR-ed 8-bit tables, L the knob — the production
+    * construction, recall climbs with tables at linear cost; Indyk &
+    * Motwani 1998 / Gionis et al. VLDB 1999 banding, the same scheme
+    * `dedup_minhash` runs 32×4). Determinism: everything up to the last arithmetic is
+    * exact integers (signed counts, ±1 planes, integer dots and
+    * norms); cosine is ONE division + sqrt over exact integers,
+    * rounded to 6 for the (cos desc, did) ranking; recall is one
+    * integer division rounded to 4. Scale: the truth side is the
+    * audit's deliberate cost — query-set × corpus through the sparse
+    * dim join (bounded by 64 dims/doc, §3 rule 3 blocking); the LSH
+    * side is the production path — signatures are one broadcast-join
+    * pass (nnz × bits rows, map-side combined), candidates only
+    * within equal-signature buckets. */
+  private[graft] def hashedAnnRecallFrom(docsW: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docsW.sparkSession
+    val fh = featureHashFrom(docsW)
+      .localCheckpoint(true) // feeds norms, truth dots, and signatures
+    val n2 = fh.groupBy("doc_id").agg(sum(col("v") * col("v")).as("n2"))
+      .localCheckpoint(true)
+    val qf = fh.where(col("doc_id") < HashedAnnQueries)
+    val dots = qf.select(col("doc_id").as("qid"), col("dim"), col("v").as("va"))
+      .join(fh.select(col("doc_id").as("did"), col("dim"), col("v").as("vb")),
+        "dim")
+      .where(col("qid") =!= col("did"))
+      .groupBy("qid", "did").agg(sum(col("va") * col("vb")).as("dot"))
+      .localCheckpoint(true) // feeds truth + every knob's rerank
+    def cosTopK(pairs: DataFrame): DataFrame =
+      pairs.join(n2.select(col("doc_id").as("qid"), col("n2").as("n2a")), "qid")
+        .join(n2.select(col("doc_id").as("did"), col("n2").as("n2b")), "did")
+        .withColumn("cos", round(col("dot") /
+          sqrt((col("n2a") * col("n2b")).cast("double")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("did"))))
+        .where(col("rk") <= HashedAnnK)
+        .select(col("qid"), col("did"))
+    val truth = cosTopK(dots).localCheckpoint(true)
+    val truthN = truth.agg(count(lit(1)).as("tn"))
+    val planes = s.range(MaxPlaneBits).select(col("id").as("j"))
+      .crossJoin(s.range(FeatureHashDim).select(col("id").as("dim")))
+      .select(col("j"), col("dim"),
+        when(conv(substring(md5(concat(lit("hp:"), col("j").cast("string"),
+            lit(":"), col("dim").cast("string")).cast("binary")), 1, 8),
+          16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L).as("r"))
+    // candidate pairs from a per-(table, signature) bucket join; the
+    // single-table family is tables=1 with the band width as the knob
+    def bucketCands(nbits: Int, bandBits: Int): DataFrame = {
+      val sigs = fh.join(broadcast(planes.where(col("j") < nbits)), "dim")
+        .withColumn("t", expr(s"j div $bandBits"))
+        .withColumn("pw", pow(lit(2.0),
+          (col("j") % bandBits).cast("double")).cast("long"))
+        .groupBy(col("doc_id"), col("t"), col("pw"))
+        .agg(sum(col("v") * col("r")).as("sb"))
+        .groupBy("doc_id", "t")
+        .agg(sum(when(col("sb") > 0, col("pw")).otherwise(0L)).as("sig"))
+      sigs.where(col("doc_id") < HashedAnnQueries)
+        .select(col("doc_id").as("qid"), col("t"), col("sig"))
+        .join(sigs.select(col("doc_id").as("did"), col("t"), col("sig")),
+          Seq("t", "sig"))
+        .where(col("qid") =!= col("did"))
+        .select("qid", "did").distinct()
+    }
+    def recallRow(family: String, knob: Int, cands0: DataFrame): DataFrame = {
+      val cands = cands0
+        .localCheckpoint(true) // feeds the cost count + the rerank
+      val nc = cands.agg(count(lit(1)).as("n_cand"))
+      val approx = cosTopK(cands.join(dots, Seq("qid", "did")))
+      val m = truth.join(approx, Seq("qid", "did"), "left_semi")
+        .agg(count(lit(1)).as("m"))
+      broadcast(m).crossJoin(broadcast(truthN)).crossJoin(broadcast(nc))
+        .select(lit(family).as("family"),
+          lit(knob).cast("int").as("knob"), col("n_cand"),
+          round(col("m") / col("tn"), 4).as("recall"))
+    }
+    (HashedAnnKnobs.map(b =>
+        recallRow("lsh_hashed", b, bucketCands(b, b))) ++
+      HashedAnnBandKnobs.map(l =>
+        recallRow("lsh_banded", l,
+          bucketCands(l * HashedAnnBandBits, HashedAnnBandBits))))
+      .reduce(_ unionByName _)
   }
 
   /** Fixed TextRank propagation depth — also the oracle's CTE chain
@@ -1103,6 +1208,76 @@ object TextPack extends QueryPack {
   // --- DuckDB oracles ------------------------------------------------
 
   private val wSql = "regexp_split_to_array(text, '\\s+')"
+
+  /** The `ann_hashed_recall` oracle: the text_feature_hash vector CTE,
+    * exact-cosine truth over the sparse dim join, one shared ±1
+    * hyperplane table, then per-knob signature/candidate/rerank/recall
+    * CTEs generated for each [[HashedAnnKnobs]] entry. */
+  private def hashedAnnRecallSql: String = {
+    // (cte suffix, plane count, band width, family, knob)
+    val fams =
+      HashedAnnKnobs.map(b => (s"s$b", b, b, "lsh_hashed", b)) ++
+        HashedAnnBandKnobs.map(l => (s"b$l", l * HashedAnnBandBits,
+          HashedAnnBandBits, "lsh_banded", l))
+    val knobs = fams.map { case (sfx, nbits, bw, family, knob) =>
+      s"""sig$sfx AS MATERIALIZED (SELECT doc_id, t,
+         |    CAST(sum(CASE WHEN sb > 0 THEN pw ELSE 0 END) AS BIGINT) AS sig
+         |  FROM (SELECT v.doc_id, p.j // $bw AS t,
+         |      CAST(power(2, p.j % $bw) AS BIGINT) AS pw,
+         |      sum(v.v * p.r) AS sb
+         |    FROM vec v JOIN planes p ON p.dim = v.dim AND p.j < $nbits
+         |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |cand$sfx AS MATERIALIZED (SELECT DISTINCT q.doc_id AS qid,
+         |    c.doc_id AS did
+         |  FROM sig$sfx q JOIN sig$sfx c USING (t, sig)
+         |  WHERE q.doc_id < $HashedAnnQueries AND q.doc_id != c.doc_id),
+         |ap$sfx AS (SELECT qid, did FROM (SELECT s.qid, s.did,
+         |    row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY s.cos DESC, s.did) AS rk
+         |  FROM scored s JOIN cand$sfx c ON c.qid = s.qid AND c.did = s.did)
+         |  WHERE rk <= $HashedAnnK),
+         |row$sfx AS (SELECT '$family' AS family, CAST($knob AS INT) AS knob,
+         |    (SELECT count(*) FROM cand$sfx) AS n_cand,
+         |    round((SELECT count(*) FROM truth t JOIN ap$sfx a
+         |       ON a.qid = t.qid AND a.did = t.did) / tn.tn, 4) AS recall
+         |  FROM tn)""".stripMargin
+    }.mkString(",\n")
+    val out = fams.map { case (sfx, _, _, _, _) => s"SELECT * FROM row$sfx" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT doc_id, unnest($wSql) AS tok FROM documents),
+       |fh AS (SELECT doc_id,
+       |    CAST(('0x'||substr(md5('fh:'||tok),1,8)) AS BIGINT)
+       |      % $FeatureHashDim AS dim,
+       |    CASE WHEN CAST(('0x'||substr(md5('fhs:'||tok),1,8))
+       |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM toks WHERE tok != ''),
+       |vec AS MATERIALIZED (SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+       |  FROM fh GROUP BY 1, 2 HAVING sum(sgn) != 0),
+       |n2 AS MATERIALIZED (SELECT doc_id, sum(v * v) AS n2 FROM vec
+       |  GROUP BY 1),
+       |dots AS MATERIALIZED (SELECT q.doc_id AS qid, c.doc_id AS did,
+       |    sum(q.v * c.v) AS dot
+       |  FROM vec q JOIN vec c USING (dim)
+       |  WHERE q.doc_id < $HashedAnnQueries AND q.doc_id != c.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS MATERIALIZED (SELECT qid, did,
+       |    round(dot / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)), 6) AS cos
+       |  FROM dots JOIN n2 a ON a.doc_id = qid JOIN n2 b ON b.doc_id = did),
+       |truth AS MATERIALIZED (SELECT qid, did FROM (SELECT qid, did,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, did) AS rk
+       |  FROM scored) WHERE rk <= $HashedAnnK),
+       |tn AS (SELECT count(*) AS tn FROM truth),
+       |planes AS MATERIALIZED (SELECT j.j, d.dim,
+       |    CASE WHEN CAST(('0x'||substr(md5('hp:'||CAST(j.j AS VARCHAR)
+       |        ||':'||CAST(d.dim AS VARCHAR)),1,8)) AS BIGINT) % 2 = 0
+       |      THEN 1 ELSE -1 END AS r,
+       |    CAST(power(2, j.j) AS BIGINT) AS pw
+       |  FROM range(0, $MaxPlaneBits) j(j)
+       |  CROSS JOIN range(0, $FeatureHashDim) d(dim)),
+       |$knobs
+       |$out""".stripMargin
+  }
 
   private def hitSql(listExpr: String, vocab: Seq[String]): String =
     s"len(list_filter($listExpr, x -> list_contains([${vocab.map("'" + _ + "'").mkString(",")}], x)))"
@@ -1605,6 +1780,8 @@ object TextPack extends QueryPack {
          |      FROM t, UNNEST(range(1, len(w)-1)) AS u(i)
          |      WHERE len(w) >= 3)
          |SELECT doc_id, min(h) AS fp FROM g GROUP BY doc_id""".stripMargin,
+
+    "ann_hashed_recall" -> hashedAnnRecallSql,
 
     "text_feature_hash" ->
       s"""WITH toks AS (SELECT doc_id, unnest($wSql) AS tok

@@ -267,6 +267,48 @@ class TextSpec extends SparkSpec {
     assert(cos(1L, 2L) > cos(1L, 3L) + 0.3)
   }
 
+  test("hashedAnnRecallFrom: planted identical twins give recall 1.0 at every knob") {
+    // 6 groups of one query doc (ids 0..5) + 3 identical corpus twins
+    // each (ids 100+): twins hash to IDENTICAL vectors, so cosine 1.0
+    // fills every truth slot (k=3) and every LSH bucket contains them
+    // at any bit width — all five frontier rows must read recall 1.0
+    val texts = (0 until 6).map(g =>
+      s"alpha$g beta$g gamma$g delta$g alpha$g epsilon$g zeta$g")
+    val docs = (texts.zipWithIndex.map { case (t, g) => (g.toLong, t) } ++
+      (for (g <- 0 until 6; j <- 0 until 3)
+        yield ((100 + 3 * g + j).toLong, texts(g))))
+      .toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), "\\s+"))
+    val rows = graft.queries.TextPack.hashedAnnRecallFrom(docs).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall") === 1.0,
+        s"${r.getAs[String]("family")}/${r.getAs[Int]("knob")}: $r")
+    }
+  }
+
+  test("ann_hashed_recall: banding is a candidate superset, so recall is monotone") {
+    // exact construction facts, not tendencies: lsh_banded L=2 uses
+    // tables over bits 0..15 whose table 0 IS lsh_hashed knob 8's only
+    // table, and L=4's tables extend L=2's — candidate supersets, and
+    // matched-truth counts are monotone under candidate supersets
+    // (a truth row in the subset's top-3 has <= 2 global betters, so
+    // it survives any superset's top-3)
+    val rows = SparkEntry.queries("ann_hashed_recall")(s, TestSession.sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("family"), r.getAs[Int]("knob")) ->
+        ((r.getAs[Long]("n_cand"), r.getAs[Double]("recall")))).toMap
+    assert(rows.size === 5)
+    rows.values.foreach { case (nc, rec) =>
+      assert(nc >= 0 && rec >= 0.0 && rec <= 1.0)
+    }
+    val h8 = rows(("lsh_hashed", 8))
+    val b2 = rows(("lsh_banded", 2))
+    val b4 = rows(("lsh_banded", 4))
+    assert(b2._1 >= h8._1 && b2._2 >= h8._2, s"b2=$b2 h8=$h8")
+    assert(b4._1 >= b2._1 && b4._2 >= b2._2, s"b4=$b4 b2=$b2")
+  }
+
   test("textrankFrom ranks the hub word first and replays the integer trajectory") {
     // star word graph: "alpha" is adjacent to four distinct words
     // (each once), the leaves only to alpha — centrality must put
