@@ -166,7 +166,103 @@ object AnalyticsPack extends QueryPack {
         .as("day"))
     .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
 
+  /** SAX motif-search knobs: window length in observed days, PAA
+    * segment count (MotifW/MotifSeg days each), motif words ranked per
+    * series. Alphabet is fixed at 4 (Gaussian breakpoints ±0.6745, 0:
+    * the equiprobable quartiles of N(0,1) — Lin & Keogh's table). */
+  private val MotifW = 8
+  private val MotifSeg = 4
+  private val MotifTop = 5
+
+  /** SAX window-motif discovery (Lin, Keogh, Wei & Lonardi, DMKD 2007;
+    * motif-by-collision: Chiu, Keogh & Lonardi, KDD 2003) over the
+    * per-type daily value series — the time-series INDEXING member the
+    * family lacked beside q_acf (periodicity) / q_changepoint
+    * (regime) / q_forecast (extrapolation): each length-8 window of
+    * observed days is z-normalized and PAA-discretized to a 4-symbol
+    * word; frequent words are the motif candidates (the census), and
+    * within each top word the closest NON-overlapping window pair —
+    * reported as start days + exact euclidean distance — is the motif
+    * occurrence pair. Determinism: symbolization avoids per-window
+    * float normalization entirely — z(seg) ≥ b ⟺ seg·MotifSeg − S ≥
+    * b·√(W·Q − S²) with S, Q, seg EXACT integers (Q, S² in
+    * DECIMAL(38,0)/HUGEINT — a BIGINT q² ANSI-overflows at real daily
+    * magnitudes, embed_dimstats' trade), so each window costs ONE
+    * sqrt and 12 integer-vs-float compares on identical doubles;
+    * pair distances are exact DECIMAL sums of squared integer diffs,
+    * ranked (dist, d1, d2); the reported distance is one final
+    * sqrt/1e4, rounded. Scale: windows are one lead() pass in ONE
+    * event_type exchange; the census is ≤ 4^4 bins per type; the
+    * pair self-join is blocked by (type, word) and ONLY the top-5
+    * words per type enter it (the collision heuristic: frequent
+    * words ARE the candidates) — per-bucket fan-out is bounded by
+    * occurrences of that word in a time-bounded series, never
+    * row-scale. Gaps: windows run over OBSERVED days (row frames);
+    * densify with q_gap_fill first if calendar alignment matters. */
+  private[graft] def motifFrom(daily: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val withX = (1 until MotifW).foldLeft(
+      daily.withColumn("x0", col("dq"))) { case (df, j) =>
+        df.withColumn(s"x$j", lead(col("dq"), j).over(ord))
+      }.where(col(s"x${MotifW - 1}").isNotNull)
+    val s8 = (0 until MotifW).map(j => col(s"x$j")).reduce(_ + _)
+    val q8 = (0 until MotifW).map(j =>
+      col(s"x$j").cast("decimal(38,0)") * col(s"x$j")).reduce(_ + _)
+    val base = withX.withColumn("s8", s8)
+      .withColumn("rr", sqrt((q8 * lit(MotifW)
+        - col("s8").cast("decimal(38,0)") * col("s8")).cast("double")))
+    val segLen = MotifW / MotifSeg
+    val syms = (0 until MotifSeg).map { k =>
+      val p = (0 until segLen).map(i => col(s"x${segLen * k + i}"))
+        .reduce(_ + _)
+      val lhs = (p * lit(MotifSeg) - col("s8")).cast("double")
+      when(lhs < lit(-0.6745) * col("rr"), lit("a"))
+        .when(lhs < lit(0.0), lit("b"))
+        .when(lhs < lit(0.6745) * col("rr"), lit("c"))
+        .otherwise(lit("d"))
+    }
+    val words = base.withColumn("word", concat(syms: _*))
+      .select(Seq(col("event_type"), col("day"), col("word")) ++
+        (0 until MotifW).map(j => col(s"x$j")): _*)
+      .localCheckpoint(true) // feeds the census + the pair search
+    val census = words.groupBy("event_type", "word")
+      .agg(count(lit(1)).as("n_win"))
+    val top = census.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("n_win").desc, col("word"))))
+      .where(col("rk") <= MotifTop)
+      .localCheckpoint(true) // <= MotifTop rows per type
+    val bw = words.join(top.select("event_type", "word"),
+      Seq("event_type", "word"), "left_semi")
+    val pairs = bw.as("a").join(bw.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("a.word") === col("b.word") &&
+        col("b.day") >= col("a.day") + MotifW)
+    val dist = (0 until MotifW).map(j =>
+      (col(s"a.x$j") - col(s"b.x$j")).cast("decimal(38,0)") *
+        (col(s"a.x$j") - col(s"b.x$j"))).reduce(_ + _)
+    val best = pairs.select(col("a.event_type").as("event_type"),
+        col("a.word").as("word"), col("a.day").as("d1"),
+        col("b.day").as("d2"), dist.as("pd"))
+      .withColumn("pk", row_number().over(
+        Window.partitionBy("event_type", "word")
+          .orderBy(col("pd"), col("d1"), col("d2"))))
+      .where(col("pk") === 1)
+    top.join(best, Seq("event_type", "word"), "left")
+      .select(col("event_type"), col("rk").cast("int").as("rk"),
+        col("word"), col("n_win"), col("d1"), col("d2"),
+        round(sqrt(col("pd").cast("double")) / 10000.0, 4).as("dist"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_motif" -> ((s, d) => motifFrom(events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000 + " +
+          "(case when unix_micros(ts) % 86400000000 < 0 then -1 else 0 end)")
+          .as("day"),
+        floor(col("value") * 10000).cast("long").as("q"))
+      .groupBy("event_type", "day").agg(sum("q").as("dq")))),
 
     "q_pagerank" -> ((s, d) => pagerankPlan(s, d, 3)),
 
@@ -582,6 +678,64 @@ object AnalyticsPack extends QueryPack {
   )
 
   def oracles: Map[String, String] = {
+    // q_motif: the lead()-window SAX chain. HUGEINT pins the Q / S² /
+    // squared-diff arithmetic (BIGINT overflows at real magnitudes),
+    // mirroring the Spark plan's DECIMAL(38,0).
+    val motifSql: String = {
+      val xs = (0 until MotifW).map(j => s"x$j")
+      val leads = (1 until MotifW)
+        .map(j => s"lead(dq, $j) OVER wnd AS x$j").mkString(",\n    ")
+      val sumX = xs.mkString(" + ")
+      val sumQ = xs.map(x => s"CAST($x AS HUGEINT) * $x").mkString(" + ")
+      val segLen = MotifW / MotifSeg
+      val syms = (0 until MotifSeg).map { k =>
+        val p = (0 until segLen).map(i => s"x${segLen * k + i}")
+          .mkString(" + ")
+        val lhs = s"CAST($MotifSeg * ($p) - s8 AS DOUBLE)"
+        s"""(CASE WHEN $lhs < -0.6745 * rr THEN 'a'
+           |      WHEN $lhs < 0 THEN 'b'
+           |      WHEN $lhs < 0.6745 * rr THEN 'c'
+           |      ELSE 'd' END)""".stripMargin
+      }.mkString(" || ")
+      val dist = xs.map(x => s"CAST(a.$x - b.$x AS HUGEINT) * (a.$x - b.$x)")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000
+         |      + (CASE WHEN epoch_us(ts) % 86400000000 < 0
+         |         THEN -1 ELSE 0 END) AS day,
+         |    sum(CAST(floor(value * 10000) AS BIGINT)) AS dq
+         |  FROM events GROUP BY 1, 2),
+         |lx AS (SELECT event_type, day, dq AS x0,
+         |    $leads
+         |  FROM daily WINDOW wnd AS (PARTITION BY event_type ORDER BY day)),
+         |st AS (SELECT *, ($sumX) AS s8,
+         |    sqrt(CAST($MotifW * ($sumQ)
+         |      - CAST($sumX AS HUGEINT) * ($sumX) AS DOUBLE)) AS rr
+         |  FROM lx WHERE x${MotifW - 1} IS NOT NULL),
+         |words AS MATERIALIZED (SELECT event_type, day,
+         |    $syms AS word, ${xs.mkString(", ")}
+         |  FROM st),
+         |census AS (SELECT event_type, word, count(*) AS n_win
+         |  FROM words GROUP BY 1, 2),
+         |top AS MATERIALIZED (SELECT * FROM (SELECT event_type, word, n_win,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY n_win DESC, word) AS rk
+         |  FROM census) WHERE rk <= $MotifTop),
+         |bw AS MATERIALIZED (SELECT w.* FROM words w
+         |  JOIN top t ON t.event_type = w.event_type AND t.word = w.word),
+         |best AS (SELECT * FROM (SELECT a.event_type, a.word,
+         |    a.day AS d1, b.day AS d2, ($dist) AS pd,
+         |    row_number() OVER (PARTITION BY a.event_type, a.word
+         |      ORDER BY ($dist), a.day, b.day) AS pk
+         |  FROM bw a JOIN bw b ON a.event_type = b.event_type
+         |    AND a.word = b.word AND b.day >= a.day + $MotifW)
+         |  WHERE pk = 1)
+         |SELECT t.event_type, CAST(t.rk AS INT) AS rk, t.word,
+         |  CAST(t.n_win AS BIGINT) AS n_win, s.d1, s.d2,
+         |  round(sqrt(CAST(s.pd AS DOUBLE)) / 10000.0, 4) AS dist
+         |FROM top t LEFT JOIN best s
+         |  ON s.event_type = t.event_type AND s.word = t.word""".stripMargin
+    }
     // one PageRank sweep: rank mass in, damped redistribution out.
     // CASTs pin DuckDB's HUGEINT sum back to BIGINT each round, so
     // both engines carry identical 64-bit values end to end.
@@ -615,6 +769,7 @@ object AnalyticsPack extends QueryPack {
     }
 
     Map(
+      "q_motif" -> motifSql,
       "q_pagerank" -> pagerankSql(3),
       "q_pagerank_iter" -> pagerankSql(8),
 

@@ -6,6 +6,43 @@ class TimeSeriesSpec extends SparkSpec {
   private val s = TestSession.spark
   import s.implicits._
 
+  test("motifFrom: a constant series is all-'dddd' with a dist-0 first pair") {
+    // flat windows have sigma = 0, so every segment compare lands in
+    // the ELSE branch — the documented flat-window convention — and
+    // every non-overlapping pair is an exact dist-0 motif occurrence
+    val daily = (0L until 20L).map(d => ("t", d, 1000L))
+      .toDF("event_type", "day", "dq")
+    val rows = graft.queries.AnalyticsPack.motifFrom(daily).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("word") === "dddd")
+    assert(r.getAs[Long]("n_win") === 13L) // 20 - 8 + 1 windows
+    assert(r.getAs[Long]("d1") === 0L)
+    assert(r.getAs[Long]("d2") === 8L) // first non-overlapping partner
+    assert(r.getAs[Double]("dist") === 0.0)
+  }
+
+  test("motifFrom finds a planted repeated pattern as an exact-match pair") {
+    // the same 8-day shape planted at days 2 and 20 over a flat
+    // baseline: the two aligned windows symbolize to the same word and
+    // their exact distance is 0 at offset 18 (partial-overlap windows
+    // repeat at the same offset, so assert on d2 - d1, not d1 itself)
+    val pat = Seq(1010L, 1010L, 1900L, 1900L, 1010L, 1010L, 1400L, 1400L)
+    val vals = (0 until 30).map { d =>
+      if (d >= 2 && d < 10) pat(d - 2)
+      else if (d >= 20 && d < 28) pat(d - 20)
+      else 1000L
+    }
+    val daily = vals.zipWithIndex.map { case (v, d) => ("t", d.toLong, v) }
+      .toDF("event_type", "day", "dq")
+    val rows = graft.queries.AnalyticsPack.motifFrom(daily).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getAs[Int]("rk") <= 5))
+    val exact = rows.filter(r => !r.isNullAt(r.fieldIndex("dist")) &&
+      r.getAs[Double]("dist") === 0.0 &&
+      r.getAs[Long]("d2") - r.getAs[Long]("d1") === 18L)
+    assert(exact.nonEmpty, rows.mkString("\n"))
+  }
+
   test("q_acf: 7 lags per type, every r in [-1, 1]") {
     val rows = SparkEntry.queries("q_acf")(s, sfDir)
       .as[(String, Int, Double)].collect()
