@@ -224,6 +224,128 @@ object GraphPack extends QueryPack {
     } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
   }
 
+  /** Diameter bracket + exactness census (iFUB: Crescenzi, Grossi,
+    * Habib, Lanzi & Marino, TCS 2013; double sweep: Magnien, Latapy &
+    * Habib, JEA 2009) over the support-2 co-purchase graph — what
+    * `q_diameter`'s lower bound alone cannot say: HOW FAR OFF it can
+    * be, and what certifying exactness would cost. Four BFS total:
+    * (1) from the GIANT component's min-id node (components via the
+    * gated CC operator — a max-degree heuristic root strands in a
+    * side component on the fragmented sf0.1 graph, measured), (2) the
+    * double sweep for lb, (3) from the far endpoint c for its
+    * eccentricity, (4) from the sweep-path MIDPOINT m (the node with
+    * d_b + d_c = lb ∧ d_b = ⌈lb/2⌉, min id — iFUB's canonical root).
+    * Readout: ub = 2·min eccentricity over the four probed nodes
+    * (ecc(x) ≥ D/2 for every x), the bracket [lb, ub], is_exact =
+    * (lb = ub), and n_ifub = |{v : d_m(v) > ⌊lb/2⌋}| — exactly the
+    * sources a full iFUB run would still have to BFS (any diametral
+    * endpoint x has d_m(x) ≥ D/2 ≥ lb/2, so max ecc over that set IS
+    * D). The census is the honest answer to "why not exact": on the
+    * dense sf0.01 blob it reads 314 of 1,860 nodes (and 1,449/2,100
+    * on the bipartite graph — measured, the iFUB worst-case regime);
+    * on thin-leveled large-diameter graphs (road networks, iFUB's
+    * home) it collapses to a handful and the full run is cheap.
+    * Determinism: everything integer; (dist desc, node asc) endpoint
+    * and (node asc) midpoint tie-breaks; ⌈lb/2⌉ = (lb+1) div 2 exact.
+    * Scale: q_reach's frontier discipline (co-partitioned expansion +
+    * anti-join per round through the checkpoint seam, AQE-off layout
+    * capture); BFS rounds stop early on an empty frontier (the oracle
+    * runs the full fixed chain — extra rounds are no-ops at the
+    * fixpoint); all four seeds are 1-row checkpoints. */
+  private def diameterBracketQ(s: SparkSession, d: String,
+      maxRounds: Int = 14,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame =
+    diameterBracketFrom(s, copurchaseEdges(s, d, minSupport = 2),
+      maxRounds, ckpt)
+
+  /** The bracket kernel over any undirected (u, v) edge frame — public
+    * to the test JVM for the planted path-graph gate. */
+  private[graft] def diameterBracketFrom(s: SparkSession, und0: DataFrame,
+      maxRounds: Int = 14,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val und = und0.localCheckpoint(true)
+      val edges = ckpt(und.select(col("u").as("src"), col("v").as("dst"))
+        .union(und.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src")))
+      val memb = graft.operators.Dedup.connectedComponents(
+        und.select(col("u").as("id_a"), col("v").as("id_b")))
+        .localCheckpoint(true)
+      val stats = memb.agg(count(lit(1)).as("n_nodes"),
+        countDistinct("cluster_id").as("n_comp"))
+      val giant = memb.groupBy("cluster_id").agg(count(lit(1)).as("n_giant"))
+        .orderBy(col("n_giant").desc, col("cluster_id")).limit(1)
+        .localCheckpoint(true) // 1 row; cluster_id IS the min member id
+      def bfs(seed: DataFrame): DataFrame = {
+        var frontier = ckpt(seed.repartition(col("node")))
+        var visited = frontier.withColumn("dist", lit(0))
+        var r = 1
+        var live = true
+        while (r <= maxRounds && live) {
+          val next = ckpt(edges
+            .join(frontier, edges("src") === frontier("node"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited.select("node"), Seq("node"), "left_anti")
+            .repartition(col("node")))
+          if (next.isEmpty) live = false
+          else {
+            visited = visited.union(next.withColumn("dist", lit(r)))
+            frontier = next
+          }
+          r += 1
+        }
+        ckpt(visited)
+      }
+      def far(dist: DataFrame): DataFrame =
+        dist.orderBy(col("dist").desc, col("node")).limit(1)
+          .localCheckpoint(true) // 1 row
+      val dA = bfs(giant.select(col("cluster_id").as("node")))
+      val farA = far(dA) // node = b, dist = ecc(seed)
+      val dB = bfs(farA.select("node"))
+      val farB = far(dB) // node = c, dist = lb
+      val dC = bfs(farB.select("node"))
+      val farC = far(dC) // dist = ecc(c)
+      val mid = dB.select(col("node"), col("dist").as("db"))
+        .join(dC.select(col("node"), col("dist").as("dc")), "node")
+        .crossJoin(broadcast(farB.select(col("dist").as("lb"))))
+        .where(col("db") + col("dc") === col("lb") &&
+          col("db") === expr("(lb + 1) div 2"))
+        .orderBy("node").limit(1)
+        .localCheckpoint(true) // 1 row
+      val dM = bfs(mid.select("node"))
+      val farM = far(dM) // dist = ecc(m)
+      val census = dM
+        .crossJoin(broadcast(farB.select(col("dist").as("lb"))))
+        .where(col("dist") > expr("lb div 2"))
+        .agg(count(lit(1)).as("n_ifub"))
+      broadcast(stats)
+        .crossJoin(broadcast(giant.select(col("n_giant"))))
+        .crossJoin(broadcast(farA.select(col("node").as("node_b"),
+          col("dist").as("ecc_seed"))))
+        .crossJoin(broadcast(farB.select(col("node").as("node_c"),
+          col("dist").as("lb"))))
+        .crossJoin(broadcast(farC.select(col("dist").as("ecc_c"))))
+        .crossJoin(broadcast(mid.select(col("node").as("node_mid"))))
+        .crossJoin(broadcast(farM.select(col("dist").as("ecc_mid"))))
+        .crossJoin(broadcast(census))
+        .withColumn("ub", lit(2) * least(col("lb"), col("ecc_seed"),
+          col("ecc_c"), col("ecc_mid")))
+        .select(col("n_nodes"), col("n_comp"), col("n_giant"),
+          col("node_b"), col("node_c"), col("node_mid"),
+          col("lb").cast("int").as("lb"),
+          col("ecc_seed").cast("int").as("ecc_seed"),
+          col("ecc_c").cast("int").as("ecc_c"),
+          col("ecc_mid").cast("int").as("ecc_mid"),
+          col("ub").cast("int").as("ub"),
+          col("n_ifub"),
+          (col("lb") === col("ub")).cast("int").as("is_exact"))
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+  }
+
   /** k-core decomposition profile (round 11): iteratively peel nodes
     * of degree < k from the co-purchase graph and report the
     * (n_nodes, n_edges) trajectory per peel round, at two k values
@@ -731,6 +853,7 @@ object GraphPack extends QueryPack {
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_reach" -> ((s, d) => reach(s, d)),
     "q_diameter" -> ((s, d) => diameterQ(s, d)),
+    "q_diameter_bracket" -> ((s, d) => diameterBracketQ(s, d)),
     "q_kcore" -> ((s, d) => kcore(s, d)),
     "q_itemsets" -> ((s, d) => itemsets(s, d)),
     "q_label_prop" -> ((s, d) => labelProp(s, d)),
@@ -797,6 +920,70 @@ object GraphPack extends QueryPack {
 
     // the double-sweep replay: two q_reach BFS chains, the second
     // seeded by the first's (dist desc, node) endpoint
+    "q_diameter_bracket" -> {
+      val rounds = 14
+      // one BFS chain over the co-purchase `e` edges, seeded from a
+      // 1-row CTE; far$p is its (dist desc, node asc) eccentricity row
+      def sweep(p: String, seedCte: String) = {
+        val steps = (1 to rounds).map { r =>
+          s"""${p}f$r AS (SELECT DISTINCT e.dst AS node FROM e
+             |  JOIN ${p}f${r - 1} ON e.src = ${p}f${r - 1}.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM ${p}l${r - 1} v
+             |                    WHERE v.node = e.dst)),
+             |${p}l$r AS MATERIALIZED (SELECT node, dist FROM ${p}l${r - 1}
+             |  UNION ALL SELECT node, $r FROM ${p}f$r)""".stripMargin
+        }.mkString(",\n")
+        s"""${p}l0 AS MATERIALIZED (SELECT node, 0 AS dist FROM $seedCte),
+           |${p}f0 AS (SELECT node FROM ${p}l0),
+           |$steps,
+           |far$p AS (SELECT node, dist FROM ${p}l$rounds
+           |  ORDER BY dist DESC, node LIMIT 1)""".stripMargin
+      }
+      s"""WITH RECURSIVE
+         |li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |und AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (SELECT id, id AS r FROM n
+         |  UNION SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         |memb AS MATERIALIZED (SELECT id, min(r) AS cluster_id FROM reach
+         |  GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_nodes,
+         |    count(DISTINCT cluster_id) AS n_comp FROM memb),
+         |giant AS MATERIALIZED (SELECT cluster_id AS node,
+         |    cnt AS n_giant FROM (
+         |  SELECT cluster_id, count(*) AS cnt FROM memb GROUP BY 1
+         |  ORDER BY cnt DESC, cluster_id LIMIT 1)),
+         |${sweep("a", "giant")},
+         |${sweep("b", "fara")},
+         |${sweep("c", "farb")},
+         |mid AS MATERIALIZED (SELECT b.node FROM bl$rounds b
+         |  JOIN cl$rounds c ON c.node = b.node CROSS JOIN farb
+         |  WHERE b.dist + c.dist = farb.dist
+         |    AND b.dist = (farb.dist + 1) // 2
+         |  ORDER BY b.node LIMIT 1),
+         |${sweep("m", "mid")},
+         |census AS (SELECT count(*) AS n_ifub FROM ml$rounds
+         |  CROSS JOIN farb WHERE ml$rounds.dist > farb.dist // 2)
+         |SELECT s.n_nodes, s.n_comp, CAST(g.n_giant AS BIGINT) AS n_giant,
+         |  fara.node AS node_b, farb.node AS node_c, mid.node AS node_mid,
+         |  CAST(farb.dist AS INT) AS lb, CAST(fara.dist AS INT) AS ecc_seed,
+         |  CAST(farc.dist AS INT) AS ecc_c, CAST(farm.dist AS INT) AS ecc_mid,
+         |  CAST(2 * least(farb.dist, fara.dist, farc.dist, farm.dist)
+         |    AS INT) AS ub,
+         |  CAST(c2.n_ifub AS BIGINT) AS n_ifub,
+         |  CAST(CASE WHEN farb.dist =
+         |      2 * least(farb.dist, fara.dist, farc.dist, farm.dist)
+         |    THEN 1 ELSE 0 END AS INT) AS is_exact
+         |FROM stats s CROSS JOIN giant g CROSS JOIN fara CROSS JOIN farb
+         |CROSS JOIN farc CROSS JOIN mid CROSS JOIN farm
+         |CROSS JOIN census c2""".stripMargin
+    },
+
     "q_diameter" -> {
       val rounds = 6
       def chain(p: String) = (1 to rounds).map { r =>

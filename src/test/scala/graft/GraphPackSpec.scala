@@ -246,6 +246,40 @@ class GraphPackSpec extends SparkSpec {
       r.getAs[Int]("diam_lb") === 3)
   }
 
+  test("diameterBracketFrom certifies an even-diameter path exactly for free") {
+    // path 0-1-…-10 (diameter 10) plus a disjoint edge 100-101: the CC
+    // root lands in the giant path, the double sweep reads lb = 10,
+    // the midpoint (node 5, ecc 5) closes the bracket ub = 2·5 = 10 →
+    // is_exact = 1, and the iFUB census is EMPTY (no node deeper than
+    // lb/2 from the true center) — exactness certified at 4 BFS on the
+    // thin-leveled regime, the operator's headline claim
+    val und = ((0L until 10L).map(i => (i, i + 1)) :+ ((100L, 101L)))
+      .toDF("u", "v")
+    val r = GraphPack.diameterBracketFrom(s, und).collect().head
+    assert(r.getAs[Long]("n_nodes") === 13L)
+    assert(r.getAs[Long]("n_comp") === 2L)
+    assert(r.getAs[Long]("n_giant") === 11L)
+    assert(r.getAs[Long]("node_b") === 10L) // far end from seed 0
+    assert(r.getAs[Long]("node_c") === 0L)
+    assert(r.getAs[Long]("node_mid") === 5L)
+    assert(r.getAs[Int]("lb") === 10 && r.getAs[Int]("ub") === 10)
+    assert(r.getAs[Int]("ecc_mid") === 5)
+    assert(r.getAs[Long]("n_ifub") === 0L)
+    assert(r.getAs[Int]("is_exact") === 1)
+  }
+
+  test("q_diameter_bracket invariants on sf data") {
+    val r = SparkEntry.queries("q_diameter_bracket")(s, sfDir).collect().head
+    val (lb, ub) = (r.getAs[Int]("lb"), r.getAs[Int]("ub"))
+    // the bracket is a bracket, every probe eccentricity is within it,
+    // and the census never exceeds the explored component
+    assert(lb >= 1 && lb <= ub)
+    assert(r.getAs[Int]("ecc_seed") <= ub && r.getAs[Int]("ecc_seed") >= (lb + 1) / 2)
+    assert(r.getAs[Int]("ecc_mid") >= (lb + 1) / 2 && r.getAs[Int]("ecc_mid") <= ub)
+    assert(r.getAs[Long]("n_ifub") <= r.getAs[Long]("n_giant"))
+    assert((r.getAs[Int]("is_exact") === 1) === (lb === ub))
+  }
+
   test("modularityFrom scores two disjoint triangles at Q = 0.5") {
     // LPA resolves each triangle to its min label; m = 6, each
     // community has e_c = 3, deg_c = 6 → per-community contribution
