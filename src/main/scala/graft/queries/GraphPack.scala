@@ -137,17 +137,22 @@ object GraphPack extends QueryPack {
       var frontier = ckpt(nodes
         .filter(col("node") % 2 === 0 && expr("node div 2") <= 2)
         .repartition(col("node")))
-      var visited = frontier.withColumn("dist", lit(0))
+      // visited re-checkpoints EVERY round (the pagerank discipline):
+      // keeps the anti-join co-partitioned against a materialized
+      // node-sized table instead of a k-way union lineage
+      var visited = ckpt(frontier.withColumn("dist", lit(0))
+        .repartition(col("node")))
       for (r <- 1 to rounds) {
         val next = ckpt(edges
           .join(frontier, edges("src") === frontier("node"))
           .select(col("dst").as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
           .repartition(col("node")))
-        visited = visited.union(next.withColumn("dist", lit(r)))
+        visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
+          .repartition(col("node")))
         frontier = next
       }
-      val vd = ckpt(visited)
+      val vd = visited
       val unreached = nodes
         .join(vd.select("node"), Seq("node"), "left_anti")
         .agg(count(lit(1)).as("n_nodes"))
@@ -190,17 +195,21 @@ object GraphPack extends QueryPack {
       val nodes = edges.select(col("src").as("node")).distinct()
       def bfs(seed: DataFrame): DataFrame = {
         var frontier = ckpt(seed.repartition(col("node")))
-        var visited = frontier.withColumn("dist", lit(0))
+        // per-round visited checkpoint: see reach() — constant-size
+        // lineage, co-partitioned anti-join
+        var visited = ckpt(frontier.withColumn("dist", lit(0))
+          .repartition(col("node")))
         for (r <- 1 to rounds) {
           val next = ckpt(edges
             .join(frontier, edges("src") === frontier("node"))
             .select(col("dst").as("node")).distinct()
             .join(visited.select("node"), Seq("node"), "left_anti")
             .repartition(col("node")))
-          visited = visited.union(next.withColumn("dist", lit(r)))
+          visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
+            .repartition(col("node")))
           frontier = next
         }
-        ckpt(visited)
+        visited
       }
       def far(dist: DataFrame): DataFrame =
         dist.orderBy(col("dist").desc, col("node")).limit(1)
@@ -282,7 +291,12 @@ object GraphPack extends QueryPack {
         .localCheckpoint(true) // 1 row; cluster_id IS the min member id
       def bfs(seed: DataFrame): DataFrame = {
         var frontier = ckpt(seed.repartition(col("node")))
-        var visited = frontier.withColumn("dist", lit(0))
+        // visited re-checkpoints EVERY round (the pagerank discipline):
+        // the union lineage would otherwise grow a k-input anti-join
+        // plan by round k — O(rounds²) plan work dominates at toy
+        // scale and recompiles codegen at any scale
+        var visited = ckpt(frontier.withColumn("dist", lit(0))
+          .repartition(col("node")))
         var r = 1
         var live = true
         while (r <= maxRounds && live) {
@@ -293,12 +307,13 @@ object GraphPack extends QueryPack {
             .repartition(col("node")))
           if (next.isEmpty) live = false
           else {
-            visited = visited.union(next.withColumn("dist", lit(r)))
+            visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
+              .repartition(col("node")))
             frontier = next
           }
           r += 1
         }
-        ckpt(visited)
+        visited
       }
       def far(dist: DataFrame): DataFrame =
         dist.orderBy(col("dist").desc, col("node")).limit(1)

@@ -212,6 +212,15 @@ class PlanSpec extends SparkSpec {
     *     computation normalizes against;
     *   q_diameter — the 1-row census/endpoint broadcasts composing
     *     the single output row (q_triangles' pattern, four scalars);
+    *   q_diameter_bracket — the same composition with seven 1-row
+    *     scalars (components stats, giant seed, four eccentricities,
+    *     iFUB census) plus the 1-row lb broadcast gating the midpoint
+    *     pick and census filter;
+    *   ann_hashed_recall — recallRow's three 1-row broadcasts
+    *     (matches × truth-total × candidate-cost, dedup_eval's
+    *     pattern) plus the constant 32×64 hyperplane lattice built by
+    *     crossing two literal ranges (bounded by MaxPlaneBits ×
+    *     FeatureHashDim, never by data);
     *   q_naive_bayes — 1-row vocab-size / total-docs broadcasts into
     *     the vocab-sized model build, and the |classes|-row (5 here,
     *     bounded by the label domain) class-stats broadcast that fans
@@ -226,7 +235,8 @@ class PlanSpec extends SparkSpec {
       "text_ppl_bigram", "q_kcore", "q_xcorr", "q_survival", "q_itemsets",
       "dedup_eval", "embed_spectrum", "q_hll", "q_label_prop", "embed_jl",
       "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2", "q_lof",
-      "embed_whiten", "q_isoforest", "q_diameter")
+      "embed_whiten", "q_isoforest", "q_diameter", "q_diameter_bracket",
+      "ann_hashed_recall")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
