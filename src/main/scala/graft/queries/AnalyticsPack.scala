@@ -166,6 +166,76 @@ object AnalyticsPack extends QueryPack {
         .as("day"))
     .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
 
+  /** Skyline grid resolution per dimension: the cell lattice is
+    * SkylineGrid³ ≤ 512 cells — a CONSTANT, never data-sized. */
+  private[graft] val SkylineGrid = 8L
+
+  /** Pareto skyline (Börzsönyi, Kossmann & Stocker, ICDE 2001) over
+    * any (id, d1, d2, d3) frame, all dimensions maximize — the
+    * multi-criteria "best customers" readout no single score captures:
+    * a row survives iff NO other row is ≥ in every dimension and > in
+    * at least one. The naive test is an all-pairs theta join (O(n²),
+    * a CartesianProduct at scale — exactly the shape PlanSpec bans);
+    * this plan is the grid-pruned skyline: bucket each dimension into
+    * [[SkylineGrid]] integer cells from the global min/max (bucketing
+    * is monotone, so cell order is value order), then
+    * (1) DEAD-CELL PRUNE — a non-empty cell strictly greater in ALL
+    * dims kills every point of a cell (each of its points dominates
+    * each of theirs), one bounded cells×cells semi-join;
+    * (2) CANDIDATE BLOCKING — a survivor can only be dominated from a
+    * dominating-or-equal cell, so the pair join is EQUI on the cell
+    * triple through the ≤512² cell-pair table; fan-out per point is
+    * the population of its dominating cell region, which on anything
+    * but fully anti-correlated data is a vanishing corner of the
+    * space (the documented trade: an adversarial all-on-the-frontier
+    * dataset degrades toward all-pairs — then you raise the grid).
+    * Determinism: the skyline SET is unique (no tie-breaks — equal
+    * rows don't dominate each other and both survive); every compare
+    * is exact integer. Scale: one hash agg builds the input, the
+    * lattice joins are constant-size broadcasts, and the pair join
+    * ships ids + 3 longs, never source rows. */
+  private[graft] def skylineFrom(sp0: DataFrame): DataFrame = {
+    val sp = sp0.localCheckpoint(true) // feeds bounds, cells, both join sides
+    val bounds = sp.agg(
+      min("d1").as("mn1"), max("d1").as("mx1"),
+      min("d2").as("mn2"), max("d2").as("mx2"),
+      min("d3").as("mn3"), max("d3").as("mx3"))
+    def cell(v: String, mn: String, mx: String) =
+      expr(s"(($v - $mn) * $SkylineGrid) div ($mx - $mn + 1)")
+    val pts = sp.crossJoin(broadcast(bounds)) // 1-row bounds scalar
+      .select(col("id"), col("d1"), col("d2"), col("d3"),
+        cell("d1", "mn1", "mx1").as("c1"),
+        cell("d2", "mn2", "mx2").as("c2"),
+        cell("d3", "mn3", "mx3").as("c3"))
+      .localCheckpoint(true)
+    val cells = pts.groupBy("c1", "c2", "c3").agg(count(lit(1)).as("nc"))
+      .localCheckpoint(true) // ≤ SkylineGrid³ rows
+    val dead = cells.as("c").join(broadcast(cells.as("e")),
+        col("e.c1") > col("c.c1") && col("e.c2") > col("c.c2") &&
+          col("e.c3") > col("c.c3"), "left_semi")
+      .select(col("c.c1").as("c1"), col("c.c2").as("c2"),
+        col("c.c3").as("c3"))
+    val live = pts.join(broadcast(dead), Seq("c1", "c2", "c3"), "left_anti")
+    val cellPairs = cells.select(col("c1"), col("c2"), col("c3"))
+      .join(broadcast(cells.select(col("c1").as("e1"), col("c2").as("e2"),
+        col("c3").as("e3"))),
+        col("e1") >= col("c1") && col("e2") >= col("c2") &&
+          col("e3") >= col("c3"))
+    val dominated = live
+      .join(broadcast(cellPairs), Seq("c1", "c2", "c3"))
+      .join(pts.select(col("c1").as("e1"), col("c2").as("e2"),
+          col("c3").as("e3"), col("id").as("qid"), col("d1").as("q1"),
+          col("d2").as("q2"), col("d3").as("q3")),
+        Seq("e1", "e2", "e3"))
+      .where(col("q1") >= col("d1") && col("q2") >= col("d2") &&
+        col("q3") >= col("d3") &&
+        (col("q1") > col("d1") || col("q2") > col("d2") ||
+          col("q3") > col("d3")))
+      .select("id").distinct()
+    live.join(dominated, Seq("id"), "left_anti")
+      .select("id", "d1", "d2", "d3")
+  }
+
   /** SAX motif-search knobs: window length in observed days, PAA
     * segment count (MotifW/MotifSeg days each), motif words ranked per
     * series. Alphabet is fixed at 4 (Gaussian breakpoints ±0.6745, 0:
@@ -255,6 +325,22 @@ object AnalyticsPack extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Pareto skyline of customers over (total spend cents, order
+    // count, recency day) — all maximize; see skylineFrom for the
+    // grid-pruned plan. The oracle brute-forces the NOT EXISTS
+    // dominance test, so the blocking's completeness is itself
+    // hash-gated (dbscan_grid's discipline).
+    "q_skyline" -> ((s, d) => skylineFrom(orders(s, d)
+        .groupBy(col("o_custkey").as("id"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("d1"),
+          count(lit(1)).as("d2"),
+          // o_orderdate is TIMESTAMP_NTZ; the session is pinned UTC in
+          // both engines, so the cast is the identity wall-clock map
+          max(expr("unix_micros(cast(o_orderdate as timestamp)) " +
+            "div 86400000000")).as("d3")))
+      .select(col("id").as("custkey"), col("d1").as("spend_cents"),
+        col("d2").as("n_orders"), col("d3").as("last_day"))),
 
     "q_motif" -> ((s, d) => motifFrom(events(s, d)
       .select(col("event_type"),
@@ -770,6 +856,23 @@ object AnalyticsPack extends QueryPack {
 
     Map(
       "q_motif" -> motifSql,
+
+      "q_skyline" ->
+        """WITH sp AS (SELECT o_custkey AS custkey,
+          |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |      AS spend_cents,
+          |    count(*) AS n_orders,
+          |    max(epoch_us(o_orderdate) // 86400000000) AS last_day
+          |  FROM orders GROUP BY 1)
+          |SELECT p.custkey, p.spend_cents, p.n_orders, p.last_day
+          |FROM sp p
+          |WHERE NOT EXISTS (SELECT 1 FROM sp q
+          |  WHERE q.spend_cents >= p.spend_cents
+          |    AND q.n_orders >= p.n_orders
+          |    AND q.last_day >= p.last_day
+          |    AND (q.spend_cents > p.spend_cents
+          |      OR q.n_orders > p.n_orders
+          |      OR q.last_day > p.last_day))""".stripMargin,
       "q_pagerank" -> pagerankSql(3),
       "q_pagerank_iter" -> pagerankSql(8),
 

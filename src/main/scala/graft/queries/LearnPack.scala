@@ -353,7 +353,131 @@ object LearnPack extends QueryPack {
       .groupBy(col("lang").as("true_lang"), col("pred").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** kNN-classify knobs: neighborhood radius cap (= grid cell side)
+    * and k. eps is wider than LOF's 0.03 so most held-out points see a
+    * full k-vote at gate scale; the argmax encoding is q_label_prop's
+    * single-min integer key. */
+  private val KnnEps = 0.06
+  private val KnnK = 5
+
+  /** Radius-capped grid-blocked kNN majority-vote classification
+    * (Cover & Hart 1967; the blocked search is dbscan_grid/q_lof's
+    * 3×3 discipline) over labelled 2-D points — the non-parametric
+    * classifier beside `q_naive_bayes`: an 80/20 seedless md5 split,
+    * each held-out point takes the majority label of its k nearest
+    * TRAINING points within eps, and the readout is the confusion
+    * census (true label × predicted label → count) — the
+    * accuracy-by-class view a curation pipeline checks before trusting
+    * auto-labels. Points with fewer than k in-radius training
+    * neighbors ABSTAIN (pred = −1): under a radius cap they are
+    * sparse-region outliers by construction (q_lof's rim semantics),
+    * and a defensible classifier refuses rather than guesses there.
+    * Determinism: the neighbor set is exactly k under the (d², id)
+    * tie-break; the vote argmax is ONE integer min over
+    * key = (2²⁰ − cnt)·2³² + label (count desc, label asc — cnt ≤ k,
+    * label < 2³², exact in a long both engines); the only float op is
+    * the d² compare, identical doubles both engines. Scale: test
+    * points explode ×9 probes and join train on the cell key (equi —
+    * candidates ∝ local density, never |test|×|train|); the vote path
+    * ships (tid, label) pairs bounded by k per test point; the census
+    * is one hash agg. The ORACLE brute-forces all test×train pairs,
+    * so the grid blocking's completeness is itself hash-gated
+    * (dbscan_grid's discipline). Measured gate-scale readout: the
+    * synthetic labels are NOT clustered in the 2-D embedding
+    * projection, so accuracy sits at chance (~7.6% over 10 classes) —
+    * which is exactly what the census is for: it tells you a feature
+    * space does not predict the label BEFORE auto-labels ship
+    * (LearnPackSpec plants separable blobs and reads 100%). */
+  private[graft] def knnClassifyGrid(pts: DataFrame, eps: Double = KnnEps,
+      k: Int = KnnK): DataFrame = {
+    val offs = Seq(-1L, 0L, 1L)
+    val sp = pmod(conv(substring(md5(concat(lit("knn:"),
+      col("id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(10L))
+    val p = pts.select(col("id"), col("x"), col("y"),
+        col("label").cast("long").as("lbl"), sp.as("sp"),
+        floor(col("x") / eps).cast("long").as("cx"),
+        floor(col("y") / eps).cast("long").as("cy"))
+      .localCheckpoint(true) // feeds both split sides
+    val tr = p.where(col("sp") < 8)
+    val te = p.where(col("sp") >= 8)
+    val probes = te.select(col("id").as("tid"), col("x").as("xb"),
+        col("y").as("yb"), col("lbl").as("lb"),
+        explode(array(offs.flatMap(dx => offs.map(dy =>
+          struct((col("cx") + dx).as("px"), (col("cy") + dy).as("py"))))
+          : _*)).as("c"))
+      .select(col("tid"), col("xb"), col("yb"), col("lb"),
+        col("c.px"), col("c.py"))
+    val dx = col("x") - col("xb")
+    val dy = col("y") - col("yb")
+    val ranked = tr.join(probes,
+        col("cx") === col("px") && col("cy") === col("py"))
+      .where(dx * dx + dy * dy <= expr(s"$eps * $eps"))
+      .select(col("tid"), col("lb"), col("lbl").as("nl"),
+        (dx * dx + dy * dy).as("d2"), col("id").as("nid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("tid").orderBy(col("d2"), col("nid"))))
+      .where(col("rk") <= k)
+      .localCheckpoint(true) // feeds the full-vote filter + the votes
+    val full = ranked.groupBy("tid").agg(count(lit(1)).as("nn"))
+      .where(col("nn") === k).select("tid")
+    val voted = ranked.join(full, "tid")
+      .groupBy("tid", "lb", "nl").agg(count(lit(1)).as("c"))
+      .groupBy("tid", "lb")
+      .agg(min((lit(1048576L) - col("c")) * lit(4294967296L) + col("nl"))
+        .as("ky"))
+      .select(col("tid"), col("lb"), pmod(col("ky"), lit(4294967296L))
+        .as("pred"))
+    val abstain = te.select(col("id").as("tid"), col("lbl").as("lb"))
+      .join(voted.select("tid"), Seq("tid"), "left_anti")
+      .withColumn("pred", lit(-1L))
+    voted.unionByName(abstain)
+      .groupBy(col("lb").as("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def knnClassify(s: SparkSession, d: String): DataFrame =
+    knnClassifyGrid(embeddings(s, d).select(col("vec_id").as("id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"),
+      col("label")))
+
+  private val knnSql: String =
+    s"""WITH p AS (SELECT vec_id AS id,
+       |    CAST(embedding[1] AS DOUBLE) AS x,
+       |    CAST(embedding[2] AS DOUBLE) AS y,
+       |    CAST(label AS BIGINT) AS lbl,
+       |    CAST(('0x'||substr(md5('knn:'||CAST(vec_id AS VARCHAR)),1,8))
+       |      AS BIGINT) % 10 AS sp
+       |  FROM embeddings),
+       |tr AS (SELECT * FROM p WHERE sp < 8),
+       |te AS (SELECT * FROM p WHERE sp >= 8),
+       |kn AS (SELECT * FROM (
+       |    SELECT te.id AS tid, te.lbl AS lb, tr.lbl AS nl,
+       |      (tr.x-te.x)*(tr.x-te.x)+(tr.y-te.y)*(tr.y-te.y) AS d2,
+       |      tr.id AS nid,
+       |      row_number() OVER (PARTITION BY te.id
+       |        ORDER BY (tr.x-te.x)*(tr.x-te.x)+(tr.y-te.y)*(tr.y-te.y),
+       |          tr.id) AS rk
+       |    FROM te, tr
+       |    WHERE (tr.x-te.x)*(tr.x-te.x)+(tr.y-te.y)*(tr.y-te.y)
+       |      <= $KnnEps * $KnnEps)
+       |  WHERE rk <= $KnnK),
+       |full_v AS (SELECT tid FROM kn GROUP BY 1
+       |  HAVING count(*) = $KnnK),
+       |votes AS (SELECT kn.tid, kn.lb, kn.nl, count(*) AS c
+       |  FROM kn JOIN full_v USING (tid) GROUP BY 1, 2, 3),
+       |pred AS (SELECT tid, lb,
+       |    (min((1048576 - c) * 4294967296 + nl)) % 4294967296 AS pred
+       |  FROM votes GROUP BY 1, 2),
+       |abst AS (SELECT id AS tid, lbl AS lb, CAST(-1 AS BIGINT) AS pred
+       |  FROM te WHERE id NOT IN (SELECT tid FROM pred))
+       |SELECT lb AS label, pred, count(*) AS n
+       |FROM (SELECT * FROM pred UNION ALL SELECT * FROM abst)
+       |GROUP BY 1, 2""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_classify" -> ((s, d) => knnClassify(s, d)),
     "q_recs_itemitem" -> ((s, d) => recsItemItem(s, d)),
     "q_stump" -> ((s, d) => stump(s, d)),
     "q_tree2" -> ((s, d) => tree2(s, d)),
@@ -433,6 +557,7 @@ object LearnPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_knn_classify" -> knnSql,
     "q_tree3" -> treeDeepSql(3),
     "q_recs_itemitem" ->
       s"""WITH baskets AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p

@@ -457,7 +457,111 @@ object SketchPack extends QueryPack {
 
   // ----------------------------------------------------------------- defs
 
+  // ---------------------------------------------------------------- kmv
+
+  /** KMV sketch size. 64 keeps the estimator's ±1/√k ≈ 12% regime
+    * observable at gate scale (150 distinct users > k). */
+  private val KmvK = 64
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al., RANDOM 2002;
+    * the theta-sketch family's deterministic core) — the SET-OPERATION
+    * member beside `q_hll`: HLL registers cannot intersect, but KMV
+    * sketches can, because the k smallest hashes of A∪B are a uniform
+    * sample of the union that each side's full hash set can test for
+    * membership. Per event_type: exact distinct count, KMV estimate
+    * D̂ = (k−1)·2³²/h₍ₖ₎ (k-th smallest u32 hash as the quantile
+    * estimate of hash density); plus one `click&view` row estimating
+    * the INTERSECTION the theta way — S = k smallest of the union,
+    * ρ = |S∩A∩B|/|S|, D̂∩ = ρ·D̂∪ — against the exact overlap. When a
+    * scope has fewer than k distinct values the sketch IS the set and
+    * every estimate collapses to exact (spec-pinned). Determinism:
+    * the hash is the portable md5-u32; the k-minima are order-free;
+    * both estimator divisions are integer `div`. Scale: the k-minima
+    * ride the bounded [[graft.functions.TopKAggregate]] heap (k rows
+    * per partition cross the wire, never the distinct sets); the
+    * membership tests broadcast the ≤k-row sample against the hash
+    * sets (equi semi-joins); the readout is three 1-row broadcasts. */
+  private[graft] def kmvFrom(typedIds: DataFrame,
+      pair: (String, String) = ("click", "view")): DataFrame = {
+    import graft.functions.TopKAggregate.topk
+    val h = typedIds
+      .select(col("event_type"),
+        u32(concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .distinct()
+      .localCheckpoint(true) // feeds per-type sketches + the pair path
+    def estC = when(size(col("arr")) < KmvK, size(col("arr")).cast("long"))
+      .otherwise(expr(s"(${KmvK - 1} * 4294967296) div " +
+        s"element_at(arr, $KmvK).h"))
+    val per = h.groupBy("event_type")
+      .agg(topk(struct(col("h")), KmvK).as("arr"),
+        count(lit(1)).as("n_exact"))
+      .select(col("event_type").as("scope"), col("n_exact"),
+        estC.as("n_est"))
+    val ha = h.filter(col("event_type") === pair._1).select("h")
+    val hb = h.filter(col("event_type") === pair._2).select("h")
+    val sku = ha.union(hb).distinct()
+      .agg(topk(struct(col("h")), KmvK).as("arr"), count(lit(1)).as("nu"))
+      .localCheckpoint(true) // 1 row: the union sketch
+    val sampleU = sku.select(explode(col("arr")).as("e"))
+      .select(col("e.h").as("h")) // ≤ k rows
+    val inA = ha.join(broadcast(sampleU), Seq("h"), "left_semi") // S∩A
+    val m = hb.join(broadcast(inA), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("m")) // |S∩A∩B|
+    val ni = hb.join(ha, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("ni")) // exact overlap
+    val pairRow = broadcast(sku.select(estC.as("est_u"),
+        when(col("nu") < KmvK, col("nu")).otherwise(lit(KmvK.toLong))
+          .as("sz")))
+      .crossJoin(broadcast(m)).crossJoin(broadcast(ni))
+      .select(lit(s"${pair._1}&${pair._2}").as("scope"),
+        col("ni").as("n_exact"),
+        when(col("sz") === 0, 0L)
+          .otherwise(expr("(m * est_u) div sz")).as("n_est"))
+    per.unionByName(pairRow)
+  }
+
+  private val kmvSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    ${u32Sql("'kmv:'||CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+       |    count(*) OVER (PARTITION BY event_type) AS cnt
+       |  FROM h),
+       |per AS (SELECT event_type AS scope,
+       |    CAST(max(cnt) AS BIGINT) AS n_exact,
+       |    CASE WHEN max(cnt) < $KmvK THEN CAST(max(cnt) AS BIGINT)
+       |         ELSE (${KmvK - 1} * 4294967296)
+       |           // max(CASE WHEN rk = $KmvK THEN h END) END AS n_est
+       |  FROM r GROUP BY 1),
+       |hu AS (SELECT DISTINCT h FROM h
+       |  WHERE event_type IN ('click', 'view')),
+       |ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rk,
+       |    count(*) OVER () AS nu FROM hu),
+       |uest AS (SELECT
+       |    CASE WHEN max(nu) < $KmvK THEN CAST(max(nu) AS BIGINT)
+       |         ELSE (${KmvK - 1} * 4294967296)
+       |           // max(CASE WHEN rk = $KmvK THEN h END) END AS est_u,
+       |    CASE WHEN max(nu) < $KmvK THEN CAST(max(nu) AS BIGINT)
+       |         ELSE $KmvK END AS sz FROM ru),
+       |ha AS (SELECT h FROM h WHERE event_type = 'click'),
+       |hb AS (SELECT h FROM h WHERE event_type = 'view'),
+       |m AS (SELECT count(*) AS m FROM ru
+       |  WHERE rk <= $KmvK AND h IN (SELECT h FROM ha)
+       |    AND h IN (SELECT h FROM hb)),
+       |ni AS (SELECT count(*) AS ni FROM ha
+       |  WHERE h IN (SELECT h FROM hb)),
+       |pairrow AS (SELECT 'click&view' AS scope, ni AS n_exact,
+       |    CASE WHEN COALESCE(sz, 0) = 0 THEN 0
+       |         ELSE (m * est_u) // sz END AS n_est
+       |  FROM m, ni, uest)
+       |SELECT scope, n_exact, n_est FROM per
+       |UNION ALL SELECT scope, n_exact, n_est FROM pairrow""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv" -> ((s, d) => kmvFrom(Tables.events(s, d)
+      .select(col("event_type"), col("user_id")))),
     "q_bloom_prune" -> ((s, d) => bloomPrune(s, d)),
     "q_hll" -> ((s, d) => hll(s, d)),
     "text_cms" -> ((s, d) => cms(s, d)),
@@ -466,6 +570,7 @@ object SketchPack extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_kmv" -> kmvSql,
     "q_bloom_prune" -> bloomSql,
     "q_hll" -> hllSql,
     "text_cms" -> cmsSql,

@@ -225,4 +225,30 @@ class LearnPackSpec extends SparkSpec {
       assert(r.getAs[Double]("gain") >= 0.0)
     }
   }
+
+  test("knnClassifyGrid: separable blobs classify perfectly, an " +
+      "isolated rim abstains") {
+    // two tight blobs (diameter < eps) far apart, labels 1 and 2 —
+    // every held-out point's k neighbors are same-blob, so the census
+    // must be exactly {(1,1), (2,2)}; a far-away scatter of label-9
+    // points has NO in-radius neighbors, so its held-out members must
+    // all abstain (pred = -1, the radius-cap rim semantics)
+    val blob = (0 until 40).map { i =>
+      (i.toLong, 0.001 * (i % 7), 0.001 * (i / 7), 1)
+    } ++ (0 until 40).map { i =>
+      (100L + i, 1.0 + 0.001 * (i % 7), 1.0 + 0.001 * (i / 7), 2)
+    } ++ (0 until 30).map { i =>
+      (1000L + i, 5.0 + 10.0 * i, 5.0, 9)
+    }
+    val pts = blob.toDF("id", "x", "y", "label")
+    val rows = graft.queries.LearnPack.knnClassifyGrid(pts).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("pred"),
+        r.getAs[Long]("n")))
+    val byLabel = rows.groupBy(_._1)
+    assert(byLabel(1L).forall(_._2 === 1L), s"blob 1 misread: ${rows.toSeq}")
+    assert(byLabel(2L).forall(_._2 === 2L), s"blob 2 misread: ${rows.toSeq}")
+    assert(byLabel.contains(9L) && byLabel(9L).forall(_._2 === -1L),
+      s"isolated points must abstain: ${rows.toSeq}")
+    assert(rows.map(_._3).sum > 0)
+  }
 }

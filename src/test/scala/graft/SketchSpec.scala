@@ -145,4 +145,39 @@ class SketchSpec extends SparkSpec {
       (2, 2L, 1L, 1L, 0L), // tie on phrase+tf → doc_id asc
       (3, 3L, 1L, 1L, 0L)))
   }
+
+  // ---------------------------------------------------------------- kmv
+
+  test("q_kmv: sub-k scopes collapse to exact, estimates stay in the " +
+      "±3/√k band") {
+    val rows = q("q_kmv").collect()
+      .map(r => r.getAs[String]("scope") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_est"))).toMap
+    assert(rows.size === 6)
+    rows.foreach { case (scope, (exact, est)) =>
+      if (exact < 64) assert(est === exact,
+        s"$scope: sketch smaller than k IS the set — estimate must be exact")
+      else {
+        // 3/√64 = 37.5% — a loose band; the gate's real check is the
+        // hash-exact oracle, this pins the estimator is sane at all
+        val err = math.abs(est - exact).toDouble / exact
+        assert(err < 0.375, s"$scope: |$est - $exact|/$exact = $err")
+      }
+    }
+  }
+
+  test("kmvFrom: when every scope is sub-k the intersection row is exact") {
+    // 40 users in A, 40 in B, 25 shared — all below k = 64, so the
+    // union sketch IS the union and the theta estimate degenerates to
+    // the exact overlap: (m·nu) div nu = m
+    val ev = ((1L to 40L).map(u => ("click", u)) ++
+      (16L to 55L).map(u => ("view", u)))
+      .toDF("event_type", "user_id")
+    val rows = SketchPack.kmvFrom(ev).collect()
+      .map(r => r.getAs[String]("scope") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_est"))).toMap
+    assert(rows("click") === ((40L, 40L)))
+    assert(rows("view") === ((40L, 40L)))
+    assert(rows("click&view") === ((25L, 25L)))
+  }
 }
