@@ -166,6 +166,42 @@ object AnalyticsPack extends QueryPack {
         .as("day"))
     .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
 
+  /** Classical additive seasonal–trend decomposition (the
+    * moving-average method, Macaulay 1931 — the pre-loess core of
+    * STL) of the per-type daily count series: trend = centered 7-day
+    * moving average, weekly seasonal = per-weekday mean of the
+    * detrended series, residual = remainder. The full-table readout
+    * `q_seasonality`'s single index cannot give: WHERE the series
+    * deviates from trend+season, which is what feeds anomaly triage
+    * (a big residual IS the alarm) and seasonal adjustment. Exact in
+    * integer SEVENTHS — trend enters as the 7-day SUM t7 (never ÷7),
+    * detrended is 7·y − t7, the seasonal is one truncating `div` per
+    * (type, dow) group (identical in both engines, verified for
+    * negative operands), residual is a subtraction — so every row is
+    * a pure integer function of the counts. Edge days (fewer than 7
+    * rows in the centered frame) drop, as classical decomposition
+    * leaves them undefined. Frames run over OBSERVED days (row
+    * frames; q_motif's convention) — densify with q_gap_fill first if
+    * calendar alignment matters. Scale: the series is (type ×
+    * span-days) rows — one exchange for the window, one 7·types-row
+    * broadcast join back; never event-count-sized. */
+  private[graft] def decomposeFrom(daily: DataFrame): DataFrame = {
+    val wt = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("t7", sum("y").over(wt))
+      .withColumn("nf", count(lit(1)).over(wt))
+      .where(col("nf") === 7)
+      .withColumn("detr7", lit(7) * col("y") - col("t7"))
+      .withColumn("dow", pmod(col("day") + 3, lit(7L)))
+      .localCheckpoint(true) // feeds the seasonal agg + the readout join
+    val seas = t.groupBy("event_type", "dow")
+      .agg(expr("sum(detr7) div count(1)").as("seas7"))
+    t.join(broadcast(seas), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("y"), col("t7"),
+        col("seas7"), (col("detr7") - col("seas7")).as("resid7"))
+  }
+
   /** Skyline grid resolution per dimension: the cell lattice is
     * SkylineGrid³ ≤ 512 cells — a CONSTANT, never data-sized. */
   private[graft] val SkylineGrid = 8L
@@ -341,6 +377,9 @@ object AnalyticsPack extends QueryPack {
             "div 86400000000")).as("d3")))
       .select(col("id").as("custkey"), col("d1").as("spend_cents"),
         col("d2").as("n_orders"), col("d3").as("last_day"))),
+
+    "q_decompose" -> ((s, d) => decomposeFrom(dailyCounts(events(s, d))
+      .withColumnRenamed("n", "y"))),
 
     "q_motif" -> ((s, d) => motifFrom(events(s, d)
       .select(col("event_type"),
@@ -856,6 +895,28 @@ object AnalyticsPack extends QueryPack {
 
     Map(
       "q_motif" -> motifSql,
+
+      "q_decompose" ->
+        """WITH daily AS (SELECT event_type,
+          |    epoch_us(ts) // 86400000000
+          |      + (CASE WHEN epoch_us(ts) % 86400000000 < 0
+          |         THEN -1 ELSE 0 END) AS day,
+          |    count(*) AS y
+          |  FROM events GROUP BY 1, 2),
+          |t AS (SELECT *, sum(y) OVER wt AS t7, count(*) OVER wt AS nf
+          |  FROM daily WINDOW wt AS (PARTITION BY event_type
+          |    ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |i AS (SELECT event_type, day, CAST(y AS BIGINT) AS y,
+          |    CAST(t7 AS BIGINT) AS t7,
+          |    CAST(7 * y - t7 AS BIGINT) AS detr7,
+          |    ((day + 3) % 7 + 7) % 7 AS dow
+          |  FROM t WHERE nf = 7),
+          |s AS (SELECT event_type, dow,
+          |    CAST(sum(detr7) AS BIGINT) // count(*) AS seas7
+          |  FROM i GROUP BY 1, 2)
+          |SELECT i.event_type, i.day, i.y, i.t7, s.seas7,
+          |  i.detr7 - s.seas7 AS resid7
+          |FROM i JOIN s USING (event_type, dow)""".stripMargin,
 
       "q_skyline" ->
         """WITH sp AS (SELECT o_custkey AS custkey,

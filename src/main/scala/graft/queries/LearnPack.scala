@@ -476,7 +476,73 @@ object LearnPack extends QueryPack {
        |FROM (SELECT * FROM pred UNION ALL SELECT * FROM abst)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Exact ROC AUC via the rank-sum identity (Hanley & McNeil 1982:
+    * AUC = U/(n₁n₀), U the Mann–Whitney statistic) with tie-corrected
+    * doubled mid-ranks — the threshold-free companion to
+    * [[knnClassifyGrid]]'s fixed-threshold confusion census: does a
+    * SCORE rank positives above negatives at all, before any cutoff
+    * is chosen. Evaluated on "does event value rank purchases above
+    * views" (chance at gate scale — like the kNN census, a measured
+    * no-signal finding is the point of running the audit). One row:
+    * counts, the doubled U (exact BIGINT — mid-ranks enter doubled so
+    * ties never produce .5 floats, q_mann_whitney's discipline), AUC
+    * and the Gini coefficient 2·AUC−1, each ONE final division.
+    * Degenerate single-class input reports NULL rather than an ANSI
+    * divide-by-zero. Scale: the rank pass groups by DISTINCT score
+    * first (ties collapse — the window sorts score-cardinality rows,
+    * not data rows), then one global cumulative window + a 1-row
+    * fold; the mann_whitney trade, stated there. */
+  private[graft] def aucFrom(scored: DataFrame): DataFrame = {
+    val perVal = scored.groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("cnt_p"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perVal
+      .withColumn("cumb", sum("cnt").over(w) - col("cnt"))
+      .withColumn("rank2", lit(2) * col("cumb") + col("cnt") + 1)
+    val agg = ranked.agg(sum("cnt").as("n"), sum("cnt_p").as("n_pos"),
+      sum(col("cnt_p") * col("rank2")).as("r2p"))
+    val n0 = col("n") - col("n_pos")
+    val u2 = col("r2p") - col("n_pos") * (col("n_pos") + 1)
+    val denom2 = lit(2.0) * col("n_pos").cast("double") * n0.cast("double")
+    agg.select(col("n_pos"), n0.as("n_neg"), u2.as("u2"),
+      when(col("n_pos") === 0 || n0 === 0, lit(null).cast("double"))
+        .otherwise(round(u2.cast("double") / denom2, 6)).as("auc"),
+      when(col("n_pos") === 0 || n0 === 0, lit(null).cast("double"))
+        .otherwise(round(u2.cast("double") / denom2 * 2.0 - 1.0, 6))
+        .as("gini"))
+  }
+
+  private val aucSql: String =
+    """WITH sc AS (SELECT value AS score,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |pv AS (SELECT score, count(*) AS cnt, sum(pos) AS cnt_p
+      |  FROM sc GROUP BY 1),
+      |rk AS (SELECT *,
+      |    sum(cnt) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+      |      AS cumb FROM pv),
+      |ag AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |    CAST(sum(cnt_p) AS BIGINT) AS n_pos,
+      |    CAST(sum(cnt_p * (2 * cumb + cnt + 1)) AS BIGINT) AS r2p
+      |  FROM rk)
+      |SELECT n_pos, n - n_pos AS n_neg,
+      |  r2p - n_pos * (n_pos + 1) AS u2,
+      |  CASE WHEN n_pos = 0 OR n = n_pos THEN NULL
+      |    ELSE round(CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+      |      / (2.0 * n_pos * (n - n_pos)), 6) END AS auc,
+      |  CASE WHEN n_pos = 0 OR n = n_pos THEN NULL
+      |    ELSE round(CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+      |      / (2.0 * n_pos * (n - n_pos)) * 2.0 - 1.0, 6) END AS gini
+      |FROM ag""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_auc" -> ((s, d) => aucFrom(events(s, d)
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos")))),
     "q_knn_classify" -> ((s, d) => knnClassify(s, d)),
     "q_recs_itemitem" -> ((s, d) => recsItemItem(s, d)),
     "q_stump" -> ((s, d) => stump(s, d)),
@@ -557,6 +623,7 @@ object LearnPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_auc" -> aucSql,
     "q_knn_classify" -> knnSql,
     "q_tree3" -> treeDeepSql(3),
     "q_recs_itemitem" ->

@@ -12,6 +12,54 @@ object RelationalII extends QueryPack {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Peak concurrent sessions per day — the sweep-line / interval
+    // overlap operator (the capacity-planning readout q_sessionize's
+    // per-session rows cannot give): sessionize with the 30-min-gap
+    // rule (q_sessionize's exact lag/cumsum discipline), explode each
+    // session into the days it touches CLIPPED to day bounds (so the
+    // sweep needs no cross-day carry state), then per day +1/−1
+    // deltas at clipped start / end+1µs and the max running sum is
+    // the peak. At one instant ends apply before starts (ORDER BY
+    // (t, delta): a session ending at t−1µs never overlaps one
+    // starting at t); within equal (t, delta) groups the prefix-sum
+    // MULTISET is permutation-invariant, so max is deterministic.
+    // All integer µs arithmetic, floor-corrected day bucketing (the
+    // ewma/dailyCounts idiom). Scale: the sweep windows partition by
+    // DAY (never global); fan-out per session = days touched (≈1 for
+    // 30-min-gap sessions); n_sessions = deltas div 2, exact.
+    "q_concurrency" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val D = 86400000000L
+      val sess = events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess", when(col("prev_ts").isNull
+          .or(unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+            > 1800000000L), 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val days = sess.select(col("s_us"), col("e_us"),
+          explode(expr(s"sequence(s_us div $D + (case when s_us % $D < 0" +
+            s" then -1 else 0 end), e_us div $D + (case when e_us % $D <" +
+            s" 0 then -1 else 0 end))")).as("day"))
+        .select(col("day"),
+          greatest(col("s_us"), col("day") * D).as("cs"),
+          least(col("e_us"), (col("day") + 1) * D - 1).as("ce"))
+      val deltas = days
+        .select(col("day"), col("cs").as("t"), lit(1L).as("delta"))
+        .unionByName(days.select(col("day"), (col("ce") + 1).as("t"),
+          lit(-1L).as("delta")))
+      val wd = Window.partitionBy("day").orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("cur", sum("delta").over(wd))
+        .groupBy("day")
+        .agg(expr("count(1) div 2").as("n_sessions"),
+          max("cur").as("peak"))
+    }),
+
     // Window-function breadth on an event stream ordering.
     "q_window_funcs" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -572,6 +620,41 @@ object RelationalII extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sess_id
+        |  FROM e),
+        |b AS (SELECT user_id, sess_id, min(t_us) AS s_us,
+        |    max(t_us) AS e_us FROM s GROUP BY 1, 2),
+        |dd AS (SELECT s_us, e_us, unnest(generate_series(
+        |    s_us // 86400000000 + (CASE WHEN s_us % 86400000000 < 0
+        |      THEN -1 ELSE 0 END),
+        |    e_us // 86400000000 + (CASE WHEN e_us % 86400000000 < 0
+        |      THEN -1 ELSE 0 END))) AS day FROM b),
+        |d AS (SELECT day,
+        |    greatest(s_us, day * 86400000000) AS cs,
+        |    least(e_us, (day + 1) * 86400000000 - 1) AS ce FROM dd),
+        |del AS (SELECT day, cs AS t, 1 AS delta FROM d
+        |  UNION ALL SELECT day, ce + 1, -1 FROM d),
+        |run AS (SELECT day,
+        |    sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+        |  FROM del)
+        |SELECT day, CAST(count(*) AS BIGINT) // 2 AS n_sessions,
+        |  CAST(max(cur) AS BIGINT) AS peak
+        |FROM run GROUP BY 1""".stripMargin,
+
     "q_zorder" -> {
       // the same 32 interleave terms as Layout.zorder16, unrolled in
       // DuckDB's bit-operator dialect

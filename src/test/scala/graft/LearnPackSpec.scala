@@ -251,4 +251,15 @@ class LearnPackSpec extends SparkSpec {
       s"isolated points must abstain: ${rows.toSeq}")
     assert(rows.map(_._3).sum > 0)
   }
+
+  test("aucFrom: perfect ranking reads 1, inverted 0, all-tied 0.5") {
+    def auc(rows: Seq[(Double, Long)]): Double =
+      graft.queries.LearnPack.aucFrom(rows.toDF("score", "pos"))
+        .collect().head.getAs[Double]("auc")
+    val perfect = (1 to 10).map(i => (i.toDouble, if (i > 5) 1L else 0L))
+    assert(auc(perfect) === 1.0)
+    assert(auc(perfect.map { case (s, p) => (-s, p) }) === 0.0)
+    // every score identical: U is all mid-rank ties, AUC exactly 1/2
+    assert(auc((1 to 10).map(i => (7.0, if (i > 5) 1L else 0L))) === 0.5)
+  }
 }

@@ -216,6 +216,8 @@ class PlanSpec extends SparkSpec {
     *     scalars (components stats, giant seed, four eccentricities,
     *     iFUB census) plus the 1-row lb broadcast gating the midpoint
     *     pick and census filter;
+    *   q_kmv — the 1-row union-sketch/matches/exact-overlap scalars
+    *     composing the intersection row (dedup_eval's pattern);
     *   q_skyline — the 1-row global-bounds broadcast each point
     *     buckets against, plus the dead-cell and cell-pair lattice
     *     joins (bounded by SkylineGrid³ = 512 cells, never by data);
@@ -239,7 +241,7 @@ class PlanSpec extends SparkSpec {
       "dedup_eval", "embed_spectrum", "q_hll", "q_label_prop", "embed_jl",
       "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2", "q_lof",
       "embed_whiten", "q_isoforest", "q_diameter", "q_diameter_bracket",
-      "ann_hashed_recall", "q_skyline")
+      "ann_hashed_recall", "q_skyline", "q_kmv")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

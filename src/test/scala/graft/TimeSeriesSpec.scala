@@ -184,4 +184,69 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("fc_1") - (level + trend)) < 0.01)
     assert(math.abs(r.getAs[Double]("fc_7") - (level + 7 * trend)) < 0.01)
   }
+
+  test("decomposeFrom: a pure weekly cycle is all season, zero residual") {
+    // y has period 7, so every centered 7-day window sums to the same
+    // period total: trend7 is constant, the per-dow seasonal absorbs
+    // the whole cycle, and the residual is exactly zero on every
+    // interior day
+    val cycle = Seq(100L, 250L, 250L, 250L, 250L, 250L, 400L)
+    val daily = (0L until 28L).map(d => ("t", d, cycle((d % 7).toInt)))
+      .toDF("event_type", "day", "y")
+    val rows = graft.queries.AnalyticsPack.decomposeFrom(daily).collect()
+    assert(rows.length === 22) // 28 - 6 edge days
+    val period = cycle.sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("t7") === period)
+      assert(r.getAs[Long]("seas7") ===
+        7L * r.getAs[Long]("y") - period)
+      assert(r.getAs[Long]("resid7") === 0L)
+    }
+  }
+
+  test("decomposeFrom: a one-day spike lands in the residual, not the " +
+      "season") {
+    // flat series + one +70 spike: the spike's own residual carries
+    // ~the full 7x-scaled deviation (minus what the 4-week dow mean
+    // absorbs), while days outside the spike's 7-day window stay small
+    val daily = (0L until 28L).map(d =>
+      ("t", d, if (d == 14L) 170L else 100L)).toDF("event_type", "day", "y")
+    val rows = graft.queries.AnalyticsPack.decomposeFrom(daily)
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("resid7"))
+      .toMap
+    // exact replay: detr7(14) = 7·170 − 770 = 420; its dow mean over
+    // the 3 interior occurrences (days 7/14/21) = 420 div 3 = 140 →
+    // resid 280. Days 7 and 21 share that dow with detr7 = 0 → resid
+    // −140; the spike's window neighbors carry detr7 = −70, dow mean
+    // −23 or −17 (3- vs 4-occurrence dow groups) → resid magnitudes
+    // capped by the ±70 window deviation. Spike dominates 2×.
+    assert(rows(14L) === 280L)
+    assert(rows(7L) === -140L && rows(21L) === -140L)
+    rows.filterNot(r => Set(7L, 14L, 21L)(r._1)).foreach { case (d, r) =>
+      assert(math.abs(r) <= 70L, s"day $d residual $r")
+    }
+  }
+
+  test("q_concurrency: overlap peaks count, midnight-crossing sessions " +
+      "clip into both days") {
+    val D = 86400000000L
+    def ev(id: Long, user: Long, us: Long) = (id, user,
+      new java.sql.Timestamp(us / 1000), "view", 1.0)
+    // user 1: one session 00:05–00:10; user 2: one event at 00:07
+    // (inside 1's span → peak 2); user 3: 23:50 + next-day 00:10 =
+    // ONE session crossing midnight (20-min gap < 30)
+    val rows = Seq(
+      ev(1, 1L, 5L * 60000000), ev(2, 1L, 10L * 60000000),
+      ev(3, 2L, 7L * 60000000),
+      ev(4, 3L, 23L * 3600000000L + 50L * 60000000),
+      ev(5, 3L, D + 10L * 60000000))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("conc").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_concurrency")(s, dir).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("peak"))).toMap
+    assert(out(0L) === ((3L, 2L)), s"day 0: ${out.toSeq.sorted}")
+    assert(out(1L) === ((1L, 1L)), s"day 1: ${out.toSeq.sorted}")
+  }
 }
