@@ -166,6 +166,86 @@ object AnalyticsPack extends QueryPack {
         .as("day"))
     .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
 
+  /** Markov stationary-distribution iterations and the mass unit
+    * (pagerank's 1e9 integer-mass discipline). Six rounds settle the
+    * 5-state gate chain to a sub-1e-6 L1 gap — and the oracle replays
+    * exactly six. */
+  private val MarkovRounds = 6
+  private val MarkovUnit = 1000000000L
+
+  /** Stationary distribution of the event-transition Markov chain
+    * (power iteration on πP — the long-run readout `q_transitions`'
+    * one-step matrix cannot give: where does a user's session settle
+    * if the observed dynamics run forever; the difference between
+    * one-step popularity and equilibrium share is exactly what makes
+    * PageRank more than an in-degree count). States = types with
+    * outgoing transitions; mass entering a state with no outgoing row
+    * drops (the absorbing-end leak, reported by the masses not
+    * summing to the unit — documented, measurable). Output per state:
+    * the round-[[MarkovRounds]] mass π (1e9 units) and the last-round
+    * delta as the convergence certificate. Determinism: integer mass
+    * with per-edge truncating division (pi9·n) div tot — exact in any
+    * partition order, the q_pagerank discipline; the oracle replays
+    * every round as chained CTEs. Scale: the chain lives on the TYPE
+    * domain — transition counts are one events-sized hash agg, then
+    * every round is a states×edges join on k²-row frames; at 1e9-unit
+    * mass × 1e9-count edges the products approach BIGINT — the
+    * documented swap is DECIMAL(38) (embed_dimstats' trade). */
+  private[graft] def markovStationaryFrom(pairs: DataFrame): DataFrame = {
+    val trans = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy("from_type").agg(sum("n").as("tot"))
+    val t2 = trans.join(tot, "from_type")
+      .localCheckpoint(true) // k²-row edge table, scanned every round
+    val states = t2.select(col("from_type").as("event_type")).distinct()
+      .localCheckpoint(true)
+    val ns = states.agg(count(lit(1)).as("ns"))
+    var pi = states.crossJoin(broadcast(ns))
+      .select(col("event_type"), expr(s"$MarkovUnit div ns").as("pi9"))
+    var prev = pi
+    for (_ <- 1 to MarkovRounds) {
+      prev = pi
+      val flow = prev.join(t2, prev("event_type") === t2("from_type"))
+        .select(col("to_type").as("event_type"),
+          expr("(pi9 * n) div tot").as("c9"))
+        .groupBy("event_type").agg(sum("c9").as("m9"))
+      pi = states.join(flow, Seq("event_type"), "left")
+        .select(col("event_type"), coalesce(col("m9"), lit(0L)).as("pi9"))
+    }
+    pi.join(prev.select(col("event_type"), col("pi9").as("pp9")),
+        "event_type")
+      .select(col("event_type"), col("pi9"),
+        abs(col("pi9") - col("pp9")).as("delta9"))
+  }
+
+  private val markovSql: String = {
+    val steps = (1 to MarkovRounds).map { i =>
+      s"""p$i AS (SELECT st.event_type, COALESCE(x.m9, 0) AS pi9
+         |  FROM st LEFT JOIN (
+         |    SELECT t2.to_type AS event_type,
+         |      CAST(sum((p.pi9 * t2.n) // t2.tot) AS BIGINT) AS m9
+         |    FROM p${i - 1} p JOIN t2 ON p.event_type = t2.from_type
+         |    GROUP BY 1) x USING (event_type))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |tr AS (SELECT from_type, to_type, count(*) AS n FROM pr
+       |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |tt AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1),
+       |t2 AS (SELECT tr.from_type, tr.to_type, tr.n, tt.tot
+       |  FROM tr JOIN tt USING (from_type)),
+       |st AS (SELECT DISTINCT from_type AS event_type FROM tr),
+       |ns AS (SELECT count(*) AS ns FROM st),
+       |p0 AS (SELECT event_type, $MarkovUnit // ns AS pi9 FROM st, ns),
+       |$steps
+       |SELECT a.event_type, a.pi9,
+       |  abs(a.pi9 - b.pi9) AS delta9
+       |FROM p$MarkovRounds a JOIN p${MarkovRounds - 1} b
+       |  USING (event_type)""".stripMargin
+  }
+
   /** Classical additive seasonal–trend decomposition (the
     * moving-average method, Macaulay 1931 — the pre-loess core of
     * STL) of the per-type daily count series: trend = centered 7-day
@@ -380,6 +460,15 @@ object AnalyticsPack extends QueryPack {
 
     "q_decompose" -> ((s, d) => decomposeFrom(dailyCounts(events(s, d))
       .withColumnRenamed("n", "y"))),
+
+    "q_markov_stationary" -> ((s, d) => {
+      val byUt = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      markovStationaryFrom(events(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(byUt))
+        .filter(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type")))
+    }),
 
     "q_motif" -> ((s, d) => motifFrom(events(s, d)
       .select(col("event_type"),
@@ -895,6 +984,8 @@ object AnalyticsPack extends QueryPack {
 
     Map(
       "q_motif" -> motifSql,
+
+      "q_markov_stationary" -> markovSql,
 
       "q_decompose" ->
         """WITH daily AS (SELECT event_type,

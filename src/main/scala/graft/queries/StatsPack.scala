@@ -347,6 +347,59 @@ object StatsPack extends QueryPack {
         round(z, 4).as("z"), (abs(z) > 1.96).as("significant"))
     }),
 
+    // Chi-squared independence test (Pearson 1900, round 12) on the
+    // event_type × day-of-week contingency table, with Cramér's V as
+    // the effect size — the CATEGORICAL-dependence audit beside
+    // q_sql_corr's numeric correlation: is traffic mix a function of
+    // weekday at all (feature-selection's first question), asked of
+    // counts rather than values. One row: N, table dims, dof, chi²,
+    // V = sqrt(chi²/(N·(min(r,c)−1))). Determinism: O/row/col/N are
+    // exact integers; each cell's term (O·N − r·c)²/(N·r·c) evaluates
+    // in identical double expressions over those integers and
+    // floor-quantizes to 1e-6 units BEFORE the cross-cell sum (the §4
+    // float-sum rule), so chi² is exact integer micro-units in any
+    // partition order. Scale: one hash agg to the (types × 7)-cell
+    // table; margins are k-row broadcasts; O·N and r·c approach
+    // BIGINT at 1e9-row regimes — the documented DECIMAL(38) swap.
+    "q_chi2" -> ((s, d) => {
+      val dow = pmod(expr("unix_micros(ts) div 86400000000 + " +
+        "(case when unix_micros(ts) % 86400000000 < 0 then -1 else 0 " +
+        "end)") + 3, lit(7L))
+      val sparse = events(s, d).select(col("event_type"), dow.as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // feeds the lattice + margins
+      // DENSIFY: a zero cell still contributes (r·c/N) to chi² —
+      // dropping absent (type, dow) combinations understates the
+      // statistic exactly where association is strongest (spec pins
+      // the diagonal 2×2 at 20, not the sparse-table 10)
+      val cell = sparse.select("event_type").distinct()
+        .crossJoin(broadcast(sparse.select("dow").distinct()))
+        .join(sparse, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("dow"),
+          coalesce(col("o"), lit(0L)).as("o"))
+        .localCheckpoint(true) // feeds margins + the term fold
+      val r = cell.groupBy("event_type").agg(sum("o").as("rr"))
+      val c = cell.groupBy("dow").agg(sum("o").as("cc"))
+      val dims = cell.agg(countDistinct("event_type").as("nt"),
+        countDistinct("dow").as("nd"), sum("o").as("n"))
+      val dlt = (col("o") * col("n") - col("rr") * col("cc"))
+        .cast("double")
+      val tq = floor(dlt * dlt
+        / (col("n").cast("double") * col("rr") * col("cc")) * 1e6)
+        .cast("long")
+      cell.join(broadcast(r), "event_type").join(broadcast(c), "dow")
+        .crossJoin(broadcast(dims))
+        .agg(max("n").as("n"), max("nt").as("n_types"),
+          max("nd").as("n_dows"), sum(tq).as("chi2q"))
+        .select(col("n"), col("n_types"), col("n_dows"),
+          ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
+          round(col("chi2q").cast("double") / 1e6, 4).as("chi2"),
+          round(sqrt(col("chi2q").cast("double") / 1e6
+            / (col("n").cast("double")
+              * (least(col("n_types"), col("n_dows")) - 1))), 6)
+            .as("cramers_v"))
+    }),
+
     // Per-group OLS trend (round 8) — the metric-trend readout: value
     // regressed on time (fractional epoch-days) per event_type with
     // the native regr_* aggregates — single-scan, codegen'd, no window
@@ -695,6 +748,40 @@ object StatsPack extends QueryPack {
         |  round(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6)
         |    AS top_decile_share
         |FROM a""".stripMargin,
+
+    "q_chi2" ->
+      """WITH sparse AS (SELECT event_type,
+        |    ((epoch_us(ts) // 86400000000
+        |      + (CASE WHEN epoch_us(ts) % 86400000000 < 0
+        |         THEN -1 ELSE 0 END) + 3) % 7 + 7) % 7 AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |cell AS (SELECT t.event_type, d.dow, COALESCE(s.o, 0) AS o
+        |  FROM (SELECT DISTINCT event_type FROM sparse) t
+        |  CROSS JOIN (SELECT DISTINCT dow FROM sparse) d
+        |  LEFT JOIN sparse s USING (event_type, dow)),
+        |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rr
+        |  FROM cell GROUP BY 1),
+        |c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cc
+        |  FROM cell GROUP BY 1),
+        |dims AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS nt,
+        |    CAST(count(DISTINCT dow) AS BIGINT) AS nd,
+        |    CAST(sum(o) AS BIGINT) AS n FROM cell),
+        |terms AS (SELECT
+        |    CAST(floor(
+        |      CAST(o * n - rr * cc AS DOUBLE)
+        |        * CAST(o * n - rr * cc AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * rr * cc) * 1e6) AS BIGINT) AS tq,
+        |    n, nt, nd
+        |  FROM cell JOIN r USING (event_type) JOIN c USING (dow)
+        |    CROSS JOIN dims)
+        |SELECT max(n) AS n, max(nt) AS n_types, max(nd) AS n_dows,
+        |  (max(nt) - 1) * (max(nd) - 1) AS dof,
+        |  round(CAST(sum(tq) AS DOUBLE) / 1e6, 4) AS chi2,
+        |  round(sqrt(CAST(sum(tq) AS DOUBLE) / 1e6
+        |    / (CAST(max(n) AS DOUBLE)
+        |      * (least(max(nt), max(nd)) - 1))), 6) AS cramers_v
+        |FROM terms""".stripMargin,
 
     "q_mann_whitney" ->
       """WITH pv AS (SELECT value, count(*) AS cnt,

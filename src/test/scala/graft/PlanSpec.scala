@@ -216,6 +216,11 @@ class PlanSpec extends SparkSpec {
     *     scalars (components stats, giant seed, four eccentricities,
     *     iFUB census) plus the 1-row lb broadcast gating the midpoint
     *     pick and census filter;
+    *   q_markov_stationary — the 1-row state-count broadcast seeding
+    *     the uniform start mass (text_tfidf's pattern);
+    *   q_chi2 — the types × 7-dow densification lattice (both sides
+    *     category domains, never data-sized) plus the 1-row dims
+    *     broadcast every term row carries;
     *   q_kmv — the 1-row union-sketch/matches/exact-overlap scalars
     *     composing the intersection row (dedup_eval's pattern);
     *   q_skyline — the 1-row global-bounds broadcast each point
@@ -241,7 +246,8 @@ class PlanSpec extends SparkSpec {
       "dedup_eval", "embed_spectrum", "q_hll", "q_label_prop", "embed_jl",
       "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2", "q_lof",
       "embed_whiten", "q_isoforest", "q_diameter", "q_diameter_bracket",
-      "ann_hashed_recall", "q_skyline", "q_kmv")
+      "ann_hashed_recall", "q_skyline", "q_kmv", "q_chi2",
+      "q_markov_stationary")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

@@ -117,4 +117,34 @@ class StatsSpec extends SparkSpec {
     assert(tied.getAs[Double]("u_a") === 2.0)
     assert(tied.isNullAt(tied.fieldIndex("z")))
   }
+
+  test("q_chi2: a product table reads exactly 0, a diagonal 2x2 reads " +
+      "20 with V = 1") {
+    val D = 86400000000L
+    def run(cells: Seq[(String, Int, Int)]) = {
+      // (type, dayOffset, count); day 0 epoch is a Thursday — offsets
+      // only need to be DISTINCT dows, which 0..6 are
+      val ev = cells.flatMap { case (t, day, n) =>
+        (0 until n).map(i => (t, day))
+      }.zipWithIndex.map { case ((t, day), i) =>
+        (i.toLong, 1L, t, 1.0,
+          new java.sql.Timestamp((day * D + 1000000L * i) / 1000))
+      }.toDF("event_id", "user_id", "event_type", "value", "ts")
+      val dir = java.nio.file.Files.createTempDirectory("chi").toString
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      SparkEntry.queries("q_chi2")(spark, dir).collect().head
+    }
+    // independent by construction: O(t_i, d_j) = w_i · v_j factors, so
+    // O·N = r·c exactly in every cell and chi2 is integer-exact 0
+    val ind = run(for (d <- 0 to 6; (t, w) <- Seq(("a", 1), ("b", 2)))
+      yield (t, d, w))
+    assert(ind.getAs[Double]("chi2") === 0.0)
+    assert(ind.getAs[Double]("cramers_v") === 0.0)
+    // perfect 2x2 association: E = 5 per cell, chi2 = 4·(5²/5) = 20,
+    // V = sqrt(20/(20·1)) = 1
+    val dep = run(Seq(("a", 0, 10), ("b", 1, 10)))
+    assert(dep.getAs[Long]("dof") === 1L)
+    assert(dep.getAs[Double]("chi2") === 20.0)
+    assert(dep.getAs[Double]("cramers_v") === 1.0)
+  }
 }

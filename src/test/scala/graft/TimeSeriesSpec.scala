@@ -249,4 +249,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(0L) === ((3L, 2L)), s"day 0: ${out.toSeq.sorted}")
     assert(out(1L) === ((1L, 1L)), s"day 1: ${out.toSeq.sorted}")
   }
+
+  test("markovStationaryFrom: a 2-cycle keeps uniform mass exactly, " +
+      "an absorbing end leaks it") {
+    def run(pairs: Seq[(String, String)]) =
+      graft.queries.AnalyticsPack.markovStationaryFrom(
+        pairs.toDF("from_type", "to_type")).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("pi9"), r.getAs[Long]("delta9"))).toMap
+    // A <-> B with equal flow: uniform is stationary, every round is a
+    // fixpoint — exact halves, delta exactly 0
+    val cyc = run(Seq(("a", "b"), ("b", "a")))
+    assert(cyc("a") === ((500000000L, 0L)))
+    assert(cyc("b") === ((500000000L, 0L)))
+    // a -> b only, and b never emits: b is not a state, so the whole
+    // unit drains out of the chain — the documented absorbing-end leak
+    val leak = run(Seq(("a", "b")))
+    assert(leak.keySet === Set("a"))
+    assert(leak("a")._1 === 0L)
+  }
 }
