@@ -80,6 +80,158 @@ object LearnPack extends QueryPack {
         col("co"), col("n_anchor"), col("n_rec"), col("score"))
   }
 
+  /** NDCG@k cut-off and the 1e-6-quantized discounted gains
+    * 1/log₂(rank+1), precomputed in Scala and inlined as LITERALS in
+    * both engines — the trained-artifact discipline applied to the
+    * gain table, sidestepping any engine-log₂ divergence. */
+  private val NdcgK = 10
+  private val NdcgGainQ: Seq[Long] = (1 to NdcgK).map(r =>
+    math.floor(1e6 / (math.log(r + 1) / math.log(2))).toLong)
+
+  /** Leave-last-order-out NDCG@10 of the item-item recommender
+    * (Järvelin & Kekäläinen, TOIS 2002; the offline-eval loop of
+    * Linden et al. 2003) — `q_recs_itemitem`'s EVAL twin, the
+    * dedup_eval/ann_recall discipline applied to the recommender: is
+    * the similarity model predictive at all, measured before anyone
+    * trusts its recommendations. Protocol: each customer's LAST order
+    * (max date, then max key) is held out; the model trains on their
+    * EARLIER baskets only (no leakage); the test item is the held-out
+    * order's smallest NOVEL part (customers with no earlier baskets
+    * or no novel item drop — binary CF cannot score re-purchase);
+    * each customer is scored by Σ-of-similarities recommendations
+    * over their train items (owned items excluded), and with one
+    * relevant item NDCG@10 per customer is 1/log₂(rank+1) on a hit,
+    * 0 on a miss. One row: n_eval, n_hit, hit_rate, mean NDCG.
+    * Determinism: similarities quantize to 1e-6 integer units per
+    * PAIR before the per-customer candidate sum (§4 float-sum rule),
+    * ranking is (score desc, part asc) on integers, gains are the
+    * inlined [[NdcgGainQ]] literals, the final two divisions are
+    * single float ops. Scale: training pairs are the capped basket
+    * self-join (recsItemItem's shape); per-customer candidates are
+    * train-items × neighbors joins on the item key; the top-10 ride
+    * the bounded TopKStructs heap (k rows per partition, never a
+    * sort); the readout is a 1-row fold. */
+  private def ndcg(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TopKAggregate.topk
+    val bk = orders(s, d)
+      .select(col("o_orderkey").as("o"), col("o_custkey").as("c"),
+        col("o_orderdate").as("od"))
+      .join(lineitem(s, d).select(col("l_orderkey").as("o"),
+        col("l_partkey").as("p")), "o")
+      .select("c", "o", "od", "p").distinct()
+      .localCheckpoint(true) // feeds the last-order split + both sides
+    val lastO = bk.select("c", "o", "od").distinct()
+      .withColumn("rn", row_number().over(Window.partitionBy("c")
+        .orderBy(col("od").desc, col("o").desc)))
+      .where(col("rn") === 1).select(col("c"), col("o").as("lo"))
+    val train = bk.join(lastO, "c").where(col("o") =!= col("lo"))
+      .select("c", "p").distinct()
+    val capped = train.join(
+        train.groupBy("c").agg(count(lit(1)).as("bs"))
+          .where(col("bs") <= MaxBasket).select("c"),
+        Seq("c"), "left_semi")
+      .localCheckpoint(true) // the model's train set, scanned 4 ways
+    val test = bk.join(lastO, "c").where(col("o") === col("lo"))
+      .select("c", "p")
+      .join(capped, Seq("c", "p"), "left_anti") // novel items only
+      .join(capped.select("c").distinct(), Seq("c"), "left_semi")
+      .groupBy("c").agg(min("p").as("tp"))
+      .localCheckpoint(true)
+    val cnt = capped.groupBy("p").agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= 2)
+    val sym = pairs.select(col("u").as("t"), col("v").as("r"), col("co"))
+      .union(pairs.select(col("v"), col("u"), col("co")))
+    val simq = sym
+      .join(cnt.select(col("p").as("t"), col("n").as("nu")), "t")
+      .join(cnt.select(col("p").as("r"), col("n").as("nv")), "r")
+      .select(col("t"), col("r"),
+        floor(col("co") / sqrt(col("nu") * col("nv")) * 1e6)
+          .cast("long").as("sq"))
+    val cand = capped.select(col("c"), col("p").as("t"))
+      .join(simq, "t")
+      .groupBy("c", "r").agg(sum("sq").as("score"))
+      .join(capped.select(col("c"), col("p").as("r")), Seq("c", "r"),
+        "left_anti") // never recommend an owned item
+    val recs = cand.groupBy("c")
+      .agg(topk(struct((-col("score")).as("ns"), col("r")), NdcgK)
+        .as("arr"))
+      .select(col("c"), posexplode(col("arr")))
+      .select(col("c"), (col("pos") + 1).as("rk"), col("col.r").as("r"))
+    val gain = NdcgGainQ.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (g, i)) => when(col("rk") === (i + 1), g).otherwise(acc)
+    }
+    test.join(recs, test("c") === recs("c") && test("tp") === recs("r"),
+        "left")
+      .select(test("c"), col("rk"))
+      .agg(count(lit(1)).as("n_eval"), count(col("rk")).as("n_hit"),
+        sum(coalesce(gain, lit(0L))).as("gq"))
+      .select(col("n_eval"), col("n_hit"),
+        when(col("n_eval") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double")
+            / col("n_eval"), 4)).as("hit_rate"),
+        when(col("n_eval") === 0, lit(null).cast("double"))
+          .otherwise(round(col("gq").cast("double")
+            / (lit(1e6) * col("n_eval")), 6)).as("ndcg"))
+  }
+
+  private val ndcgSql: String = {
+    val gains = NdcgGainQ.zipWithIndex
+      .map { case (g, i) => s"WHEN ${i + 1} THEN $g" }.mkString(" ")
+    s"""WITH bk AS (SELECT DISTINCT o.o_custkey AS c, o.o_orderkey AS o,
+       |    o.o_orderdate AS od, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |lasto AS (SELECT c, o AS lo FROM (
+       |    SELECT c, o, row_number() OVER (PARTITION BY c
+       |      ORDER BY od DESC, o DESC) AS rn
+       |    FROM (SELECT DISTINCT c, o, od FROM bk)) WHERE rn = 1),
+       |train AS (SELECT DISTINCT b.c, b.p FROM bk b
+       |  JOIN lasto lo ON b.c = lo.c WHERE b.o <> lo.lo),
+       |capped AS MATERIALIZED (SELECT c, p FROM train
+       |  WHERE c IN (SELECT c FROM train GROUP BY c
+       |              HAVING count(*) <= $MaxBasket)),
+       |test AS (SELECT b.c, min(b.p) AS tp FROM bk b
+       |  JOIN lasto lo ON b.c = lo.c AND b.o = lo.lo
+       |  WHERE NOT EXISTS (SELECT 1 FROM capped t
+       |      WHERE t.c = b.c AND t.p = b.p)
+       |    AND EXISTS (SELECT 1 FROM capped t WHERE t.c = b.c)
+       |  GROUP BY 1),
+       |cnt AS (SELECT p, count(*) AS n FROM capped GROUP BY 1),
+       |pairs AS (SELECT a.p AS u, b.p AS v, count(*) AS co
+       |  FROM capped a JOIN capped b ON a.c = b.c AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (SELECT u AS t, v AS r, co FROM pairs
+       |  UNION ALL SELECT v, u, co FROM pairs),
+       |simq AS (SELECT s.t, s.r,
+       |    CAST(floor(s.co / sqrt(cu.n * cv.n) * 1e6) AS BIGINT) AS sq
+       |  FROM sym s JOIN cnt cu ON cu.p = s.t
+       |  JOIN cnt cv ON cv.p = s.r),
+       |cand AS (SELECT tr.c, sq.r, CAST(sum(sq.sq) AS BIGINT) AS score
+       |  FROM capped tr JOIN simq sq ON sq.t = tr.p
+       |  WHERE NOT EXISTS (SELECT 1 FROM capped t2
+       |      WHERE t2.c = tr.c AND t2.p = sq.r)
+       |  GROUP BY 1, 2),
+       |recs AS (SELECT c, r, rk FROM (
+       |    SELECT c, r, row_number() OVER (PARTITION BY c
+       |      ORDER BY score DESC, r) AS rk FROM cand)
+       |  WHERE rk <= $NdcgK),
+       |hits AS (SELECT te.c, re.rk FROM test te
+       |  LEFT JOIN recs re ON re.c = te.c AND re.r = te.tp)
+       |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       |  CAST(count(rk) AS BIGINT) AS n_hit,
+       |  CASE WHEN count(*) = 0 THEN NULL
+       |    ELSE round(CAST(count(rk) AS DOUBLE) / count(*), 4)
+       |    END AS hit_rate,
+       |  CASE WHEN count(*) = 0 THEN NULL
+       |    ELSE round(CAST(sum(COALESCE(
+       |      CASE rk $gains ELSE 0 END, 0)) AS DOUBLE)
+       |      / (1e6 * count(*)), 6) END AS ndcg
+       |FROM hits""".stripMargin
+  }
+
   /** Decision-stump split search over pre-binned integer features —
     * the histogram split step at the heart of every gradient-boosted
     * tree learner (CART: Breiman et al. 1984; the histogram
@@ -538,6 +690,7 @@ object LearnPack extends QueryPack {
       |FROM ag""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ndcg" -> ((s, d) => ndcg(s, d)),
     "q_auc" -> ((s, d) => aucFrom(events(s, d)
       .where(col("event_type").isin("purchase", "view"))
       .select(col("value").as("score"),
@@ -623,6 +776,7 @@ object LearnPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_ndcg" -> ndcgSql,
     "q_auc" -> aucSql,
     "q_knn_classify" -> knnSql,
     "q_tree3" -> treeDeepSql(3),

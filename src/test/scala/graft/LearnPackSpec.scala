@@ -252,6 +252,38 @@ class LearnPackSpec extends SparkSpec {
     assert(rows.map(_._3).sum > 0)
   }
 
+  test("q_ndcg: a planted co-purchase pattern evaluates at rank 1, " +
+      "exhausted-catalog customers miss") {
+    // users 1..10: early order {1,2}, last order {3}; users 11..15:
+    // early order {1,2,3}, last order {99}. The model trains on
+    // earlier baskets only, so (1,3)/(2,3) similarity comes from the
+    // second cohort and item 3 is the rank-1 rec for cohort one (10
+    // hits at gain 1.0); cohort two's novel item 99 appears in NO
+    // train basket, and their whole neighbor set is owned, so they
+    // miss. NDCG = 10/15.
+    val D = 86400000000L
+    val orders = ((1 to 10).flatMap(u => Seq(
+      (u * 10L, u.toLong, new java.sql.Timestamp(D / 1000)),
+      (u * 10L + 1, u.toLong, new java.sql.Timestamp(5 * D / 1000)))) ++
+      (11 to 15).flatMap(u => Seq(
+        (u * 10L, u.toLong, new java.sql.Timestamp(D / 1000)),
+        (u * 10L + 1, u.toLong, new java.sql.Timestamp(5 * D / 1000)))))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = ((1 to 10).flatMap(u => Seq((u * 10L, 1L), (u * 10L, 2L),
+      (u * 10L + 1, 3L))) ++
+      (11 to 15).flatMap(u => Seq((u * 10L, 1L), (u * 10L, 2L),
+        (u * 10L, 3L), (u * 10L + 1, 99L))))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("ndcg").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q_ndcg")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_eval") === 15L)
+    assert(r.getAs[Long]("n_hit") === 10L)
+    assert(r.getAs[Double]("hit_rate") === 0.6667)
+    assert(r.getAs[Double]("ndcg") === 0.666667)
+  }
+
   test("aucFrom: perfect ranking reads 1, inverted 0, all-tied 0.5") {
     def auc(rows: Seq[(Double, Long)]): Double =
       graft.queries.LearnPack.aucFrom(rows.toDF("score", "pos"))
