@@ -459,9 +459,10 @@ object SketchPack extends QueryPack {
 
   // ---------------------------------------------------------------- kmv
 
-  /** KMV sketch size. 64 keeps the estimator's ±1/√k ≈ 12% regime
-    * observable at gate scale (150 distinct users > k). */
-  private val KmvK = 64
+  /** KMV sketch size — [[graft.functions.Kmv.K]], the constant shared
+    * with the streaming face. 64 keeps the estimator's ±1/√k ≈ 12%
+    * regime observable at gate scale (150 distinct users > k). */
+  private val KmvK = graft.functions.Kmv.K
 
   /** K-minimum-values distinct sketch (Bar-Yossef et al., RANDOM 2002;
     * the theta-sketch family's deterministic core) — the SET-OPERATION
@@ -486,7 +487,7 @@ object SketchPack extends QueryPack {
     import graft.functions.TopKAggregate.topk
     val h = typedIds
       .select(col("event_type"),
-        u32(concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+        graft.functions.Kmv.hash(col("user_id")).as("h"))
       .distinct()
       .localCheckpoint(true) // feeds per-type sketches + the pair path
     def estC = when(size(col("arr")) < KmvK, size(col("arr")).cast("long"))

@@ -1124,6 +1124,65 @@ object StreamingOps {
       .select(col("w.start").as("ws"), col("idx"), col("mr"))
   }
 
+  final case class KmvState(minima: Seq[Long])
+  final case class KmvOut(ws: Long, minima: Seq[Long])
+
+  /** Streaming k-minimum-values distinct sketch — the batch `q_kmv`
+    * sketch per tumbling window, through the SHARED kernel
+    * ([[graft.functions.Kmv]]): hash each key, keep the k smallest
+    * DISTINCT hashes per window. The minima merge is
+    * set-union-then-take-k — order-free and idempotent, so the closed
+    * window's minima are BIT-IDENTICAL to a batch sketch over the
+    * same rows regardless of arrival order, trigger boundaries, or
+    * replayed batches (re-delivered rows collapse into the distinct
+    * set — the same recovery argument as hllStream's register max).
+    * Unlike registers, k-minima need DISTINCTNESS, which no built-in
+    * streaming aggregate provides under a bound — so the state is
+    * custom: a ≤k-element sorted vector per open window via
+    * `flatMapGroupsWithState` with an EVENT-TIME timeout at the
+    * window end (deterministic on replay; the window emits ONCE, when
+    * the watermark passes it, and its state evicts). State: ≤ k longs
+    * per open window — the sketch bound, never the key cardinality.
+    * Downstream finalizes with `Kmv.estimate`, or set-merges windows
+    * by another union-take-k (sketches compose; estimates don't). */
+  def kmvStream(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      k: Int = graft.functions.Kmv.K): Dataset[KmvOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      // the watermarked event-time column must SURVIVE into the typed
+      // Dataset — event-time timeouts are rejected without it
+      .select(col(tsCol).as("ts"),
+        window(col(tsCol), windowLen).as("w"),
+        graft.functions.Kmv.hash(col(keyCol)).as("h"))
+      .select(col("ts"), unix_millis(col("w.start")).as("ws"),
+        unix_millis(col("w.end")).as("we"), col("h"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[KmvState, KmvOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (ws, it, state: GroupState[KmvState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(KmvOut(ws, s.minima))
+          } else {
+            val rows = it.toSeq
+            val cur = state.getOption.map(_.minima).getOrElse(Seq.empty)
+            val merged = (cur ++ rows.map(_._4)).distinct.sorted.take(k)
+            state.update(KmvState(merged))
+            // close when the watermark passes the window end (never
+            // behind the current watermark, which would be rejected)
+            state.setTimeoutTimestamp(math.max(rows.head._3,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming Count-Min frequency sketch — the batch `text_cms`
     * cells built per tumbling window under a watermark, through the
     * SHARED kernel ([[graft.functions.Cms]]): tokenize, explode each

@@ -1765,4 +1765,82 @@ class StreamingSpec extends SparkSpec {
       assert(s2.getLong(0) === 3L && s2.getDouble(1) === 12.0)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("kmvStream minima are bit-identical to the batch sketch under " +
+      "scrambled arrival") {
+    implicit val sq = spark.sqlContext
+    // 120 distinct users (some repeated) scrambled across two
+    // triggers: the k=64 minima must equal the batch distinct-hash
+    // sort — union-take-k is order-free, and duplicates collapse
+    val w0 = (1 to 120).map(u => Event(u, ts(u % 45), "view", 1.0)) ++
+      (1 to 30).map(u => Event(u, ts(45 - u % 40), "view", 1.0))
+    val scrambled = w0.sortBy(_.user_id % 7)
+    val in = MemoryStream[Event]
+    val q = StreamingOps.kmvStream(in.toDF(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(scrambled.take(70))
+      q.processAllAvailable()
+      in.addData(scrambled.drop(70))
+      q.processAllAvailable()
+      in.addData(Event(999, ts(300), "view", 1.0)) // closes window 0
+      q.processAllAvailable()
+      val emitted = spark.table("kmv_stream").collect()
+      assert(emitted.length === 1, "one closed window, emitted once")
+      val got = emitted.head.getAs[scala.collection.Seq[Long]]("minima").toSeq
+      val want = w0.toDF()
+        .select(graft.functions.Kmv.hash(col("user_id")).as("h"))
+        .distinct().collect().map(_.getLong(0)).sorted.take(64).toSeq
+      assert(got === want, "stream minima must equal the batch sketch")
+      // shared finalize: 64 < 120 distinct, so the estimator path runs
+      val est = graft.functions.Kmv.estimate(got)
+      assert(math.abs(est - 120.0) / 120.0 < 0.375, s"estimate $est vs 120")
+    } finally q.stop()
+  }
+
+  test("kmvStream restart: a checkpointed stream resumes the minima " +
+      "state without duplicate inflation") {
+    // stop with an OPEN window (minima live only in the state store),
+    // restart on the same checkpoint with an overlapping batch — the
+    // closed window's minima must equal a batch sketch over both
+    // batches' DISTINCT rows: replayed/overlapping keys collapse into
+    // the set instead of double-counting
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmvrs_").toString
+    try {
+      def evDF(rows: Seq[(Long, Long)]) = rows
+        .toDF("user_id", "minute")
+        .select(col("user_id"),
+          org.apache.spark.sql.functions.timestamp_micros(
+            lit(1700000000000000L) + col("minute") * 60000000L).as("ts"))
+      val b1 = (1L to 60L).map(u => (u, u % 45))
+      val b2 = (40L to 120L).map(u => (u, u % 45)) :+ (999L, 300L)
+      evDF(b1).coalesce(1).write.parquet(s"$dir/in/b1")
+      val schema = evDF(b1).schema
+      def startQuery() = StreamingOps.kmvStream(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*"),
+          watermarkDelay = "2 hours")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      val q1 = startQuery()
+      try { q1.processAllAvailable() } finally q1.stop()
+      evDF(b2).coalesce(1).write.parquet(s"$dir/in/b2")
+      val q2 = startQuery()
+      try { q2.processAllAvailable() } finally q2.stop()
+      val rows = spark.read.parquet(s"$dir/out")
+        .filter(org.apache.spark.sql.functions.size(col("minima")) > 0)
+        .collect()
+      assert(rows.length === 1)
+      val got = rows.head.getAs[scala.collection.Seq[Long]]("minima").toSeq
+      val want = evDF((b1 ++ b2).filter(_._2 < 45))
+        .select(graft.functions.Kmv.hash(col("user_id")).as("h"))
+        .distinct().collect().map(_.getLong(0)).sorted.take(64).toSeq
+      assert(got === want,
+        "minima after restart must equal the batch sketch over both batches")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
