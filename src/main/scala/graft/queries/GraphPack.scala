@@ -419,6 +419,103 @@ object GraphPack extends QueryPack {
     perK.reduce(_.unionByName(_))
   }
 
+  /** Densest-subgraph peel rounds. Eight settles the support-2 graph
+    * well past its density peak at gate scale — and the oracle replays
+    * exactly eight. */
+  private val DensestRounds = 8
+
+  /** Densest-subgraph extraction by parallel greedy peeling (Charikar
+    * APPROX 2000 gives the sequential min-degree peel and the
+    * 2-approximation; Bahmani, Kumar & Vattani, VLDB 2012 §3 the
+    * MapReduce variant this implements: each round remove EVERY node
+    * with degree ≤ (1+ε)·avg — O(log n) rounds, 2(1+ε)-approx) — the
+    * community-CORE extractor beside `q_kcore`'s fixed-threshold
+    * peel: k-core asks "who survives threshold k", densest asks
+    * "which peel prefix maximizes |E|/|V|", with no k to choose. The
+    * output is the full peel trajectory (round, V, E, density in 1e-4
+    * units) — the maximum-density row IS the extracted core, and the
+    * trajectory shows the cliff (dense cores hold density flat for
+    * rounds, then collapse). Determinism: the peel predicate
+    * 5·deg·V > 11·E is exact integer cross-multiplication of
+    * deg > 2.2·E/V (ε = 0.1, no float ratio); every census is an
+    * integer fold. Scale: each round is one degree hash-agg + two
+    * semi-joins on the shrinking edge set (q_kcore's shape), edges
+    * re-materialize through the checkpoint seam; 1-row V/E scalars
+    * broadcast into the predicate; deg·V products pass BIGINT until
+    * ~10⁹ nodes × 10⁹ degree — the documented DECIMAL(38) swap. */
+  private[graft] def densestFrom(und0: DataFrame,
+      rounds: Int = DensestRounds,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    var und = ckpt(und0)
+    val cens = (0 to rounds).map { r =>
+      if (r > 0) {
+        val deg = und.select(col("u").as("node"))
+          .union(und.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val ve = deg.agg(count(lit(1)).as("vv"))
+          .crossJoin(broadcast(und.agg(count(lit(1)).as("ee"))))
+        val keep = deg.crossJoin(broadcast(ve))
+          .where(lit(5L) * col("dg") * col("vv") > lit(11L) * col("ee"))
+          .select("node")
+        und = ckpt(und
+          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .select("u", "v"))
+      }
+      val nn = und.select(col("u").as("node"))
+        .union(und.select(col("v").as("node"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val ne = und.agg(count(lit(1)).as("n_edges"))
+      broadcast(nn).crossJoin(broadcast(ne))
+        .select(lit(r).cast("int").as("round"), col("n_nodes"),
+          col("n_edges"),
+          when(col("n_nodes") === 0, 0L)
+            .otherwise(expr("(10000 * n_edges) div n_nodes"))
+            .as("dens_1e4"))
+    }
+    cens.reduce(_.unionByName(_))
+  }
+
+  private val densestSql: String = {
+    val steps = (1 to DensestRounds).map { i =>
+      // MATERIALIZED throughout: every g_i is referenced four times by
+      // round i+1 — inlined, the chain re-evaluates the base self-join
+      // 4^rounds times (q_kcore's measured blow-up)
+      s"""d$i AS MATERIALIZED (SELECT node, count(*) AS dg FROM (
+         |    SELECT u AS node FROM g${i - 1}
+         |    UNION ALL SELECT v FROM g${i - 1}) GROUP BY 1),
+         |ve$i AS MATERIALIZED (SELECT (SELECT count(*) FROM d$i) AS vv,
+         |    (SELECT count(*) FROM g${i - 1}) AS ee),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i, ve$i
+         |  WHERE 5 * dg * vv > 11 * ee),
+         |g$i AS MATERIALIZED (SELECT e.u, e.v FROM g${i - 1} e
+         |  WHERE e.u IN (SELECT node FROM k$i)
+         |    AND e.v IN (SELECT node FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    val census = (0 to DensestRounds).map { i =>
+      s"""SELECT $i AS round,
+         |  (SELECT count(*) FROM (SELECT DISTINCT node FROM (
+         |     SELECT u AS node FROM g$i UNION ALL SELECT v FROM g$i)))
+         |    AS n_nodes,
+         |  (SELECT count(*) FROM g$i) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem),
+       |g0 AS MATERIALIZED (SELECT u, v FROM (
+       |  SELECT a.p AS u, b.p AS v, count(*) AS sup
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2) WHERE sup >= 2),
+       |$steps,
+       |cens AS ($census)
+       |SELECT CAST(round AS INT) AS round,
+       |  CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(n_edges AS BIGINT) AS n_edges,
+       |  CASE WHEN n_nodes = 0 THEN 0
+       |    ELSE (10000 * n_edges) // n_nodes END AS dens_1e4
+       |FROM cens""".stripMargin
+  }
+
   /** Frequent itemsets with A-Priori candidate pruning (Agrawal &
     * Srikant 1994, round 11) — the market-basket kernel behind the
     * co-purchase graph: all 2-itemsets with support ≥ 2 (plus lift
@@ -870,6 +967,8 @@ object GraphPack extends QueryPack {
     "q_diameter" -> ((s, d) => diameterQ(s, d)),
     "q_diameter_bracket" -> ((s, d) => diameterBracketQ(s, d)),
     "q_kcore" -> ((s, d) => kcore(s, d)),
+    "q_densest" -> ((s, d) =>
+      densestFrom(copurchaseEdges(s, d, minSupport = 2))),
     "q_itemsets" -> ((s, d) => itemsets(s, d)),
     "q_label_prop" -> ((s, d) => labelProp(s, d)),
     "q_sssp" -> ((s, d) => sssp(s, d)),
@@ -1249,6 +1348,8 @@ object GraphPack extends QueryPack {
          |  CAST(row_number() OVER (ORDER BY a DESC, p) AS INT),
          |  p, a FROM topa""".stripMargin
     },
+
+    "q_densest" -> densestSql,
 
     "q_kcore" -> {
       val ks = Seq(50, 95)

@@ -347,6 +347,64 @@ object StatsPack extends QueryPack {
         round(z, 4).as("z"), (abs(z) > 1.96).as("significant"))
     }),
 
+    // Hash-sample quantile audit (round 12) — bottom-k-by-hash uniform
+    // sampling (the KMV sample re-used as a SAMPLE, not a counter:
+    // rows whose seedless md5-u32 is among the k smallest form a
+    // uniform random subset, deterministic under repartitioning) with
+    // P50/P95 estimated from the 256-row sample AGAINST the exact
+    // per-type quantiles — the measured answer to "how wrong are
+    // sampled percentiles", which is what a 100 TB engine runs
+    // instead of a full sort (q_approx_percentile's library sketch,
+    // upgraded to a hash-gated construction — q_hll's discipline).
+    // Both sides use the SAME rank rule (1-based ((n−1)·q) div 100
+    // + 1 over value-sorted rows) so ties cannot diverge; the values
+    // pass through untouched (no arithmetic, no rounding). Scale: the
+    // sample rides the bounded TopKStructs heap (k rows per partition
+    // cross the wire) — the production path; the exact side is one
+    // per-type sort window, the audit's deliberate cost (ann_recall's
+    // truth-side argument).
+    "q_quantile_sample" -> ((s, d) => {
+      import graft.functions.TopKAggregate.topk
+      val k = 256
+      val h = conv(substring(md5(concat(lit("qs:"),
+        col("event_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      val ev = events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .localCheckpoint(true) // feeds the sample + the exact sort
+      val samp = ev.select(col("event_type"), h.as("h"), col("value"))
+        .groupBy("event_type")
+        .agg(topk(struct(col("h"), col("value")), k).as("arr"))
+        .select(col("event_type"),
+          array_sort(col("arr.value")).as("sv"),
+          size(col("arr")).as("ns"))
+        .select(col("event_type"), col("ns"),
+          element_at(col("sv"),
+            (expr("((ns - 1) * 50) div 100") + 1).cast("int"))
+            .as("p50_est"),
+          element_at(col("sv"),
+            (expr("((ns - 1) * 95) div 100") + 1).cast("int"))
+            .as("p95_est"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value")
+      val exact = ev
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(org.apache.spark.sql
+          .expressions.Window.partitionBy("event_type")))
+        .select(col("event_type"), col("value"), col("rn"), col("n"))
+      val ex = exact
+        .withColumn("r50", expr("((n - 1) * 50) div 100") + 1)
+        .withColumn("r95", expr("((n - 1) * 95) div 100") + 1)
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          max(when(col("rn") === col("r50"), col("value"))).as("p50_exact"),
+          max(when(col("rn") === col("r95"), col("value"))).as("p95_exact"))
+      ex.join(samp, "event_type")
+        .select(col("event_type"), col("n"), col("ns").as("n_sample"),
+          col("p50_exact"), col("p50_est"),
+          col("p95_exact"), col("p95_est"))
+    }),
+
     // Chi-squared independence test (Pearson 1900, round 12) on the
     // event_type × day-of-week contingency table, with Cramér's V as
     // the effect size — the CATEGORICAL-dependence audit beside
@@ -748,6 +806,40 @@ object StatsPack extends QueryPack {
         |  round(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6)
         |    AS top_decile_share
         |FROM a""".stripMargin,
+
+    "q_quantile_sample" ->
+      """WITH ev AS (SELECT event_type, event_id, value FROM events),
+        |h AS (SELECT event_type, value,
+        |    CAST(('0x'||substr(md5('qs:'||CAST(event_id AS VARCHAR)),1,8))
+        |      AS BIGINT) AS h FROM ev),
+        |r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h, value)
+        |      AS rk
+        |  FROM h),
+        |s2 AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS vr,
+        |    count(*) OVER (PARTITION BY event_type) AS ns
+        |  FROM r WHERE rk <= 256),
+        |sq AS (SELECT event_type, CAST(max(ns) AS BIGINT) AS ns,
+        |    max(CASE WHEN vr = ((ns - 1) * 50) // 100 + 1
+        |        THEN value END) AS p50_est,
+        |    max(CASE WHEN vr = ((ns - 1) * 95) // 100 + 1
+        |        THEN value END) AS p95_est
+        |  FROM s2 GROUP BY 1),
+        |e2 AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM ev),
+        |ex AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1
+        |        THEN value END) AS p50_exact,
+        |    max(CASE WHEN rn = ((n - 1) * 95) // 100 + 1
+        |        THEN value END) AS p95_exact
+        |  FROM e2 GROUP BY 1)
+        |SELECT ex.event_type, ex.n, sq.ns AS n_sample,
+        |  ex.p50_exact, sq.p50_est, ex.p95_exact, sq.p95_est
+        |FROM ex JOIN sq USING (event_type)""".stripMargin,
 
     "q_chi2" ->
       """WITH sparse AS (SELECT event_type,

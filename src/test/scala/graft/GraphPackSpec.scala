@@ -332,4 +332,26 @@ class GraphPackSpec extends SparkSpec {
         "every normalized score is a positive ppm share")
     }
   }
+
+  test("densestFrom peels a path away and isolates the planted clique " +
+      "at peak density") {
+    // 5-clique (10 edges, density 2.0) + a 20-node path (19 edges):
+    // round 0 reads the mixed graph; round 1 peels every path node
+    // (deg <= 2 < 2.2*avg) leaving the exact clique at dens 2.0; the
+    // clique's own regular degree 4 <= 2.2*4 peels it next — rounds
+    // 2..8 are empty fixpoints in both engines
+    val clique = for (i <- 0 until 5; j <- i + 1 until 5)
+      yield (100L + i, 100L + j)
+    val path = (0 until 19).map(i => (200L + i, 201L + i))
+    val rows = graft.queries.GraphPack
+      .densestFrom((clique ++ path).toDF("u", "v"))
+      .collect().map(r => r.getAs[Int]("round") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+          r.getAs[Long]("dens_1e4"))).toMap
+    assert(rows(0) === ((25L, 29L, 11600L)))
+    assert(rows(1) === ((5L, 10L, 20000L)), "round 1 IS the clique")
+    (2 to 8).foreach(r => assert(rows(r) === ((0L, 0L, 0L))))
+    assert(rows.values.map(_._3).max === 20000L,
+      "the trajectory's max density row is the planted core")
+  }
 }

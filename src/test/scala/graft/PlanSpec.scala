@@ -221,6 +221,8 @@ class PlanSpec extends SparkSpec {
     *   q_chi2 — the types × 7-dow densification lattice (both sides
     *     category domains, never data-sized) plus the 1-row dims
     *     broadcast every term row carries;
+    *   q_densest — per-round 1-row V/E scalars broadcast into the
+    *     peel predicate and the census rows (q_kcore's pattern);
     *   q_kmv — the 1-row union-sketch/matches/exact-overlap scalars
     *     composing the intersection row (dedup_eval's pattern);
     *   q_skyline — the 1-row global-bounds broadcast each point
@@ -247,7 +249,7 @@ class PlanSpec extends SparkSpec {
       "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2", "q_lof",
       "embed_whiten", "q_isoforest", "q_diameter", "q_diameter_bracket",
       "ann_hashed_recall", "q_skyline", "q_kmv", "q_chi2",
-      "q_markov_stationary")
+      "q_markov_stationary", "q_densest")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

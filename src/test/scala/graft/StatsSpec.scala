@@ -118,6 +118,27 @@ class StatsSpec extends SparkSpec {
     assert(tied.isNullAt(tied.fieldIndex("z")))
   }
 
+  test("q_quantile_sample: a sub-k universe estimates exactly, ranks " +
+      "follow the pinned rule") {
+    // 10 events of one type, values 1..10: the 256-row sample IS the
+    // set, so estimates must EQUAL the exact quantiles; the shared
+    // rank rule reads p50 at rank (9*50) div 100 + 1 = 5 -> value 5,
+    // p95 at rank (9*95) div 100 + 1 = 9 -> value 9
+    val ev = (1 to 10).map(i => (i.toLong, 1L, "view", i.toDouble))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("event_id")))
+    val dir = java.nio.file.Files.createTempDirectory("qs").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_quantile_sample")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n") === 10L && r.getAs[Long]("n_sample") === 10L)
+    assert(r.getAs[Double]("p50_exact") === 5.0)
+    assert(r.getAs[Double]("p50_est") === 5.0)
+    assert(r.getAs[Double]("p95_exact") === 9.0)
+    assert(r.getAs[Double]("p95_est") === 9.0)
+  }
+
   test("q_chi2: a product table reads exactly 0, a diagonal 2x2 reads " +
       "20 with V = 1") {
     val D = 86400000000L
