@@ -689,11 +689,81 @@ object LearnPack extends QueryPack {
       |      / (2.0 * n_pos * (n - n_pos)) * 2.0 - 1.0, 6) END AS gini
       |FROM ag""".stripMargin
 
+  /** Reliability diagram + Expected Calibration Error (Naeini, Cooper
+    * & Hauskrecht AAAI 2015's ECE over the classic reliability curve,
+    * DeGroot & Fienberg 1983) — the "are the probabilities RIGHT"
+    * audit completing the eval family: `q_auc` asks whether a score
+    * RANKS positives first; calibration asks whether a score read as
+    * a probability MEANS what it says (a model can be AUC-perfect and
+    * calibration-useless — temperature scaling exists because of this
+    * gap). Ten equal-width bins over p̂; per bin n, positives,
+    * confidence (mean p̂), accuracy, |gap|, plus the global
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| on every row. Determinism: p̂
+    * floor-quantizes to 2²⁰ integer units PER ROW before any sum, and
+    * the per-bin gap folds to the EXACT integer |n_pos·2²⁰ − Σp̂_q|
+    * (acc−conf over a common denominator — no float subtraction
+    * anywhere), so ECE's numerator is an exact integer sum and every
+    * emitted float is ONE division, rounded. Sums and the n_pos·2²⁰
+    * product run in DECIMAL(38,0): at 10¹²-row scale both pass
+    * BIGINT's edge. Scale shape: one corpus scan → 10-bin hash agg →
+    * a 10-row global window (bounded by the bin domain, never rows).
+    * Gate framing per q_auc: the proxy score value/100 is measured
+    * mostly-uncalibrated — the audit exists to SAY that. */
+  private[graft] def calibrationFrom(scored: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = scored.select(
+      least(lit(9L), floor(col("phat") * 10).cast("long")).as("bin"),
+      floor(col("phat") * 1048576).cast("long").as("pq"), col("pos"))
+    val bins = q.groupBy("bin").agg(count(lit(1)).as("n"),
+      sum("pos").as("n_pos"), sum(col("pq").cast(dec)).as("spq"))
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .withColumn("gap_num",
+        abs(col("n_pos").cast(dec) * 1048576 - col("spq")))
+      .withColumn("ece_num", sum("gap_num").over(w))
+      .withColumn("n_all", sum("n").over(w))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("spq").cast("double") / (col("n") * 1048576.0), 6)
+          .as("conf"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("acc"),
+        round(col("gap_num").cast("double") / (col("n") * 1048576.0), 6)
+          .as("gap"),
+        round(col("ece_num").cast("double") /
+          (col("n_all").cast("double") * 1048576.0), 6).as("ece"))
+  }
+
+  private val calibrationSql: String =
+    """WITH sc AS (SELECT least(1.0, value / 100.0) AS phat,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |q AS (SELECT least(9, CAST(floor(phat * 10) AS BIGINT)) AS bin,
+      |    CAST(floor(phat * 1048576) AS BIGINT) AS pq, pos FROM sc),
+      |b AS (SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    sum(CAST(pq AS DECIMAL(38,0))) AS spq FROM q GROUP BY 1),
+      |g AS (SELECT *,
+      |    abs(CAST(n_pos AS DECIMAL(38,0)) * 1048576 - spq) AS gap_num
+      |  FROM b),
+      |t AS (SELECT *, sum(gap_num) OVER () AS ece_num,
+      |    sum(n) OVER () AS n_all FROM g)
+      |SELECT bin, n, n_pos,
+      |  round(CAST(spq AS DOUBLE) / (n * 1048576.0), 6) AS conf,
+      |  round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
+      |  round(CAST(gap_num AS DOUBLE) / (n * 1048576.0), 6) AS gap,
+      |  round(CAST(ece_num AS DOUBLE)
+      |    / (CAST(n_all AS DOUBLE) * 1048576.0), 6) AS ece
+      |FROM t""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ndcg" -> ((s, d) => ndcg(s, d)),
     "q_auc" -> ((s, d) => aucFrom(events(s, d)
       .where(col("event_type").isin("purchase", "view"))
       .select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos")))),
+    "q_calibration" -> ((s, d) => calibrationFrom(events(s, d)
+      .where(col("event_type").isin("purchase", "view"))
+      .select(least(lit(1.0), col("value") / 100.0).as("phat"),
         when(col("event_type") === "purchase", 1L).otherwise(0L)
           .as("pos")))),
     "q_knn_classify" -> ((s, d) => knnClassify(s, d)),
@@ -778,6 +848,7 @@ object LearnPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_ndcg" -> ndcgSql,
     "q_auc" -> aucSql,
+    "q_calibration" -> calibrationSql,
     "q_knn_classify" -> knnSql,
     "q_tree3" -> treeDeepSql(3),
     "q_recs_itemitem" ->

@@ -650,8 +650,65 @@ object StatsPack extends QueryPack {
         .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
         .withColumn("noise", noiseCol)
         .withColumn("n_noisy", greatest(lit(0L), col("n") + col("noise")))
-    })
+    }),
+
+    // t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    // the third leg of the privacy triad: a QI group can be k-large
+    // AND l-diverse yet still leak if its sensitive DISTRIBUTION sits
+    // far from the global one (the paper's salary example: diverse
+    // but all-low). Per (nation, segment) QI group: Earth Mover's
+    // Distance of the ordered sensitive attribute (acct-balance band,
+    // q_l_diversity's banding) to the global distribution, at_risk =
+    // emd > t. For ordered equi-spaced categories EMD reduces to
+    // (1/(m−1))·Σᵢ|cum(p−q)|ᵢ (the paper §4.2), and cross-multiplying
+    // the two fractions by gsize·N makes every cumulative term an
+    // EXACT integer: Dᵢ = |Σ_{j≤i}(cntⱼ·N − totⱼ·gsize)| — products in
+    // DECIMAL(38,0) because cnt·N overflows BIGINT once group and
+    // corpus counts are both ~10⁹ (embed_dimstats' discipline); ONE
+    // float division per group at the end. Scale shape: two hash aggs
+    // (band domain, QI-group sizes) + a groups×bands densification
+    // cross join BOUNDED by the QI×band domain (never rows — the
+    // zero-fill is what makes the cumulative sums correct, the q_chi2
+    // lesson), a band-domain-width window per group, one hash agg
+    // back to groups.
+    "q_t_closeness" -> ((s, d) =>
+      tClosenessFrom(customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("band"))))
   )
+
+  /** The t-closeness kernel over any (c_nationkey, c_mktsegment, band)
+    * frame — public to the test JVM for the planted-distribution gate. */
+  private[graft] def tClosenessFrom(bands: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val glob = bands.groupBy("band").agg(count(lit(1)).as("tot"))
+      val m1 = glob.agg(count(lit(1)).as("m"), sum("tot").as("n_all"))
+      val groups = bands.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("gsize"))
+      val cnts = bands.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      groups.crossJoin(broadcast(glob)).crossJoin(broadcast(m1))
+        .join(cnts, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+        .withColumn("dterm",
+          col("cnt0").cast(dec) * col("n_all").cast(dec)
+            - col("tot").cast(dec) * col("gsize").cast(dec))
+        .withColumn("cumd", sum("dterm").over(w))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(max("gsize").as("gsize"), sum(abs(col("cumd"))).as("emd_num"),
+          max("m").as("m"), max("n_all").as("n_all"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("gsize"),
+          when(col("m") === 1, lit(0.0)).otherwise(
+            round(col("emd_num").cast("double") /
+              (col("gsize").cast("double") * col("n_all").cast("double")
+                * (col("m") - 1).cast("double")), 6)).as("emd"))
+        .withColumn("t", lit(0.2))
+        .withColumn("at_risk", col("emd") > 0.2)
+  }
 
   /** Inverse-CDF thresholds for the two-sided geometric (discrete
     * Laplace) mechanism at ε = 0.5, on the 16-bit grid: noise = k for
@@ -1025,6 +1082,39 @@ object StatsPack extends QueryPack {
          |SELECT c_nationkey, n, noise,
          |  greatest(0, n + noise) AS n_noisy
          |FROM noised""".stripMargin
-    }
+    },
+
+    "q_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS band FROM customer),
+        |gband AS (SELECT band, count(*) AS tot FROM b GROUP BY 1),
+        |m1 AS (SELECT count(*) AS m, CAST(sum(tot) AS BIGINT) AS n_all
+        |  FROM gband),
+        |grp AS (SELECT c_nationkey, c_mktsegment, count(*) AS gsize
+        |  FROM b GROUP BY 1, 2),
+        |cnts AS (SELECT c_nationkey, c_mktsegment, band, count(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |dense AS (SELECT g.c_nationkey, g.c_mktsegment, g.gsize,
+        |    gl.band, gl.tot, m1.m, m1.n_all, COALESCE(c.cnt, 0) AS cnt0
+        |  FROM grp g CROSS JOIN gband gl CROSS JOIN m1
+        |  LEFT JOIN cnts c ON c.c_nationkey = g.c_nationkey
+        |    AND c.c_mktsegment = g.c_mktsegment AND c.band = gl.band),
+        |cum AS (SELECT *,
+        |    sum(CAST(cnt0 AS DECIMAL(38,0)) * n_all
+        |        - CAST(tot AS DECIMAL(38,0)) * gsize) OVER (
+        |      PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd
+        |  FROM dense)
+        |SELECT c_nationkey, c_mktsegment, max(gsize) AS gsize,
+        |  CASE WHEN max(m) = 1 THEN 0.0
+        |    ELSE round(CAST(sum(abs(cumd)) AS DOUBLE) /
+        |      (CAST(max(gsize) AS DOUBLE) * CAST(max(n_all) AS DOUBLE)
+        |        * (max(m) - 1)), 6) END AS emd,
+        |  CAST(0.2 AS DOUBLE) AS t,
+        |  CASE WHEN max(m) = 1 THEN 0.0
+        |    ELSE round(CAST(sum(abs(cumd)) AS DOUBLE) /
+        |      (CAST(max(gsize) AS DOUBLE) * CAST(max(n_all) AS DOUBLE)
+        |        * (max(m) - 1)), 6) END > 0.2 AS at_risk
+        |FROM cum GROUP BY 1, 2""".stripMargin
   )
 }

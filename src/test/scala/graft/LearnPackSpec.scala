@@ -294,4 +294,24 @@ class LearnPackSpec extends SparkSpec {
     // every score identical: U is all mid-rank ties, AUC exactly 1/2
     assert(auc((1 to 10).map(i => (7.0, if (i > 5) 1L else 0L))) === 0.5)
   }
+
+  test("calibrationFrom: a perfectly calibrated bin reads gap 0; the " +
+      "hand ECE weights bins by count") {
+    // Exact-binary p̂ so the 2²⁰ quantization is lossless: bin 2
+    // (p̂=0.25, 1 of 4 positive) is perfectly calibrated; bin 9
+    // (p̂=0.9375 = 15/16, 0 of 4 positive) gaps by exactly 0.9375.
+    val rows = Seq((0.25, 1L), (0.25, 0L), (0.25, 0L), (0.25, 0L),
+      (0.9375, 0L), (0.9375, 0L), (0.9375, 0L), (0.9375, 0L))
+    val got = graft.queries.LearnPack.calibrationFrom(
+      rows.toDF("phat", "pos")).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(got.keySet === Set(2L, 9L))
+    assert(got(2L).getAs[Double]("conf") === 0.25)
+    assert(got(2L).getAs[Double]("acc") === 0.25)
+    assert(got(2L).getAs[Double]("gap") === 0.0)
+    assert(got(9L).getAs[Double]("gap") === 0.9375)
+    // ECE = (4/8)·0 + (4/8)·0.9375 = 0.46875, same value on every row
+    assert(got(2L).getAs[Double]("ece") === 0.46875)
+    assert(got(9L).getAs[Double]("ece") === 0.46875)
+  }
 }

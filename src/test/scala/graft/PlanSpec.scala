@@ -237,7 +237,11 @@ class PlanSpec extends SparkSpec {
     *     the vocab-sized model build, and the |classes|-row (5 here,
     *     bounded by the label domain) class-stats broadcast that fans
     *     each test token out to one row per class — the fan-out IS
-    *     the operator's semantics and is class-count-bounded. */
+    *     the operator's semantics and is class-count-bounded;
+    *   q_t_closeness — the QI-groups × band-domain densification
+    *     cross (q_chi2's lattice pattern: both sides category
+    *     domains, never data-sized) plus the 1-row (m, N) global
+    *     broadcast every lattice row carries. */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -249,7 +253,7 @@ class PlanSpec extends SparkSpec {
       "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2", "q_lof",
       "embed_whiten", "q_isoforest", "q_diameter", "q_diameter_bracket",
       "ann_hashed_recall", "q_skyline", "q_kmv", "q_chi2",
-      "q_markov_stationary", "q_densest")
+      "q_markov_stationary", "q_densest", "q_t_closeness")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

@@ -168,4 +168,32 @@ class StatsSpec extends SparkSpec {
     assert(dep.getAs[Double]("chi2") === 20.0)
     assert(dep.getAs[Double]("cramers_v") === 1.0)
   }
+
+  test("q_t_closeness: a global-matching group reads emd 0, a " +
+      "one-extreme-band group reads the hand EMD and trips at_risk") {
+    // global bands over 3 groups of 10: group a mirrors the global
+    // mix exactly, group c sits entirely on the top band.
+    // bands 0/1/2; global = a(4,3,3)+b(4,3,3)+c(0,0,10) = (8,6,16).
+    val rows =
+      Seq.fill(4)(("a", 0L)) ++ Seq.fill(3)(("a", 1L)) ++
+        Seq.fill(3)(("a", 2L)) ++
+      Seq.fill(4)(("b", 0L)) ++ Seq.fill(3)(("b", 1L)) ++
+        Seq.fill(3)(("b", 2L)) ++
+      Seq.fill(10)(("c", 2L))
+    val bands = rows.toDF("c_mktsegment", "band")
+      .withColumn("c_nationkey", lit(1))
+    val got = graft.queries.StatsPack.tClosenessFrom(bands)
+      .collect().map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Double]("emd"), r.getAs[Boolean]("at_risk"))).toMap
+    // c: p=(0,0,1), q=(8,6,16)/30 → cum diffs -8/30, -14/30, 0
+    //    emd = (8+14)/30/2 = 11/30
+    assert(got("c")._1 === math.floor(11.0 / 30 * 1e6) / 1e6 ||
+      got("c")._1 === BigDecimal(11.0 / 30).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got("c")._2)
+    // a and b: p=(.4,.3,.3) vs q=(.2667,.2,.5333): cum diffs 4/30,
+    //    7/30, 0 → emd = (11/30)/2 = 11/60 < 0.2
+    assert(got("a")._1 === got("b")._1)
+    assert(math.abs(got("a")._1 - 11.0 / 60) < 1e-6 && !got("a")._2)
+  }
 }
