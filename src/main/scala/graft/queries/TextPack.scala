@@ -924,6 +924,8 @@ object TextPack extends QueryPack {
 
     "ann_hashed_recall" -> ((s, d) => hashedAnnRecallFrom(docs(s, d))),
 
+    "text_dsir" -> ((s, d) => dsirFrom(docs(s, d))),
+
     // Zipf rank-frequency slope audit (Zipf 1949; the log-log OLS fit
     // is the standard corpus-health check beside text_vocab_growth's
     // Heaps law, round 11): fit ln(freq) = slope·ln(rank) + b over the
@@ -973,6 +975,79 @@ object TextPack extends QueryPack {
         when(pmod(sv, lit(2L)) === 0, 1L).otherwise(-1L).as("sgn"))
       .groupBy("doc_id", "dim").agg(sum("sgn").as("v"))
       .where(col("v") =!= 0)
+  }
+
+  /** Hashed-bucket vocabulary size for the DSIR importance weights. */
+  private[graft] val DsirBuckets = 1024L
+
+  /** The sources declared as the curated TARGET distribution for
+    * `text_dsir` (the gate's stand-in for "looks like Wikipedia"). */
+  private[graft] val DsirTargetSources =
+    Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023 — DSIR) — the model-free, modern data-selection operator: fit
+    * hashed-unigram multinomials over the TARGET corpus (p) and the
+    * RAW pool (q), score every raw document by its importance
+    * log-ratio Σ_tok (ln p̂[b(tok)] − ln q̂[b(tok)]) with add-1
+    * smoothing over [[DsirBuckets]] buckets, and select the top
+    * quartile — per-source census of docs/selected/rate plus the mean
+    * log-ratio and the selection threshold. (The paper resamples via
+    * Gumbel noise; the gated variant selects greedily at the P75
+    * threshold — a seeded md5 Gumbel swap is one extra column, the
+    * q_dp_count replayable-noise pattern.) Determinism: the ONE float
+    * ln per bucket floor-quantizes to 2²⁰ integer units IN THE
+    * BUCKET TABLE (λ_b over exact integer counts, identical
+    * expression both engines — text_zipf's discipline), so every
+    * per-doc weight is an exact integer sum; the P75 threshold is the
+    * interpolated exact percentile (q_rfm's), and each output float is
+    * one division. Scale: NO vocabulary table exists (the hashing
+    * trick, text_feature_hash's appeal) — one corpus scan for the
+    * 1024-row bucket census, one for the weight pass (map-side
+    * combined through a BROADCAST bucket join — the corpus never
+    * shuffles), a 1-row threshold broadcast, a source-bounded census
+    * agg. Per-bucket products are cast to double BEFORE multiplying:
+    * (t_b+1)·(R+B) overflows BIGINT once both factors pass ~10⁹. */
+  private[graft] def dsirFrom(docsW: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val isT = col("source").isin(DsirTargetSources: _*)
+    val toks = docsW
+      .select(col("doc_id"), col("source"), isT.as("is_t"),
+        explode(col("w")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), col("source"), col("is_t"),
+        pmod(conv(substring(md5(concat(lit("ds:"), col("tok"))
+          .cast("binary")), 1, 8), 16, 10).cast("long"),
+          lit(DsirBuckets)).as("b"))
+    val bc = toks.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tb0"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("rb0"))
+    val tot = bc.agg(sum("tb0").as("tall"), sum("rb0").as("rall"))
+    val lam = bc.where(col("rb0") > 0).crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(log(
+          ((col("tb0") + 1).cast("double") *
+            (col("rall") + DsirBuckets).cast("double")) /
+          ((col("rb0") + 1).cast("double") *
+            (col("tall") + DsirBuckets).cast("double"))) * 1048576.0)
+          .cast("long").as("lam"))
+    val w = toks.where(!col("is_t"))
+      .join(broadcast(lam), "b")
+      .groupBy("doc_id", "source").agg(sum("lam").as("wq"))
+    val thr = w.agg(
+      round(expr("percentile(cast(wq as double), 0.75)"), 4).as("thr"))
+    w.crossJoin(broadcast(thr))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("wq") >= col("thr"), 1L).otherwise(0L)).as("n_sel"),
+        sum(col("wq").cast(dec)).as("swq"),
+        max("thr").as("thr0"))
+      .select(col("source"), col("n_docs"), col("n_sel"),
+        round(col("n_sel").cast("double") / col("n_docs"), 4)
+          .as("sel_rate"),
+        round(col("swq").cast("double") / col("n_docs") / 1048576.0, 6)
+          .as("avg_logratio"),
+        round(col("thr0") / 1048576.0, 6).as("thr_logratio"))
   }
 
   /** Query-set size, top-k, and the bit-width knobs for the hashed-ANN
@@ -1794,6 +1869,41 @@ object TextPack extends QueryPack {
          |  FROM toks WHERE tok != '')
          |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
          |FROM h GROUP BY 1, 2 HAVING sum(sgn) != 0""".stripMargin,
+
+    "text_dsir" -> {
+      val targets = DsirTargetSources.map("'" + _ + "'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, source,
+         |    source IN ($targets) AS is_t,
+         |    CAST(('0x'||substr(md5('ds:'||tok),1,8)) AS BIGINT)
+         |      % $DsirBuckets AS b
+         |  FROM (SELECT doc_id, source, unnest($wSql) AS tok
+         |    FROM documents) WHERE tok != ''),
+         |bc AS (SELECT b,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tb0,
+         |    CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rb0
+         |  FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tb0) AS BIGINT) AS tall,
+         |    CAST(sum(rb0) AS BIGINT) AS rall FROM bc),
+         |lam AS (SELECT b, CAST(floor(ln(
+         |      (CAST(tb0 + 1 AS DOUBLE) * CAST(rall + $DsirBuckets AS DOUBLE))
+         |      / (CAST(rb0 + 1 AS DOUBLE) * CAST(tall + $DsirBuckets AS DOUBLE)))
+         |      * 1048576.0) AS BIGINT) AS lam
+         |  FROM bc CROSS JOIN tot WHERE rb0 > 0),
+         |w AS (SELECT t.doc_id, t.source, CAST(sum(l.lam) AS BIGINT) AS wq
+         |  FROM toks t JOIN lam l ON t.b = l.b
+         |  WHERE NOT t.is_t GROUP BY 1, 2),
+         |thr AS (SELECT round(quantile_cont(CAST(wq AS DOUBLE), 0.75), 4)
+         |    AS thr FROM w)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN wq >= thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sel,
+         |  round(CAST(sum(CASE WHEN wq >= thr THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS sel_rate,
+         |  round(CAST(sum(CAST(wq AS DECIMAL(38,0))) AS DOUBLE)
+         |    / count(*) / 1048576.0, 6) AS avg_logratio,
+         |  round(max(thr) / 1048576.0, 6) AS thr_logratio
+         |FROM w CROSS JOIN thr GROUP BY 1""".stripMargin
+    },
 
     // the weighted-pagerank replay over the adjacency graph —
     // q_pagerank's prRound discipline (HUGEINT sums pinned back to

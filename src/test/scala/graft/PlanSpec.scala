@@ -241,7 +241,10 @@ class PlanSpec extends SparkSpec {
     *   q_t_closeness — the QI-groups × band-domain densification
     *     cross (q_chi2's lattice pattern: both sides category
     *     domains, never data-sized) plus the 1-row (m, N) global
-    *     broadcast every lattice row carries. */
+    *     broadcast every lattice row carries;
+    *   text_dsir — the 1-row (T, R) totals broadcast into the
+    *     1024-row bucket table and the 1-row P75-threshold broadcast
+    *     onto per-doc weights (text_quality_bins' pattern). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -253,7 +256,7 @@ class PlanSpec extends SparkSpec {
       "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2", "q_lof",
       "embed_whiten", "q_isoforest", "q_diameter", "q_diameter_bracket",
       "ann_hashed_recall", "q_skyline", "q_kmv", "q_chi2",
-      "q_markov_stationary", "q_densest", "q_t_closeness")
+      "q_markov_stationary", "q_densest", "q_t_closeness", "text_dsir")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

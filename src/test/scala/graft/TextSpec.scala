@@ -375,4 +375,28 @@ class TextSpec extends SparkSpec {
     assert(math.abs(ps.getAs[Double]("slope") + 1.0) < 0.1,
       s"planted 1/rank corpus must fit slope ~ -1: ${ps.getAs[Double]("slope")}")
   }
+
+  test("dsirFrom selects exactly the target-like raw docs: positive " +
+      "log-ratios on target vocabulary, negative off it") {
+    // target (src0) speaks alpha/beta; raw pool: srcA docs speak the
+    // target vocabulary, srcB docs speak junk the target never uses.
+    // DSIR must give srcA positive mean log-ratio, srcB negative, and
+    // the P75 cut (8 raw docs -> top 2) must land entirely in srcA.
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "alpha beta alpha beta", "src0")) ++
+      (11 to 14).map(i => (i.toLong, "alpha beta alpha", "srcA")) ++
+      (21 to 24).map(i => (i.toLong, "zzz yyy xxx", "srcB"))
+    ).toDF("doc_id", "text", "source")
+      .withColumn("w", words(col("text")))
+    val got = graft.queries.TextPack.dsirFrom(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.keySet === Set("srcA", "srcB"))
+    assert(got("srcA").getAs[Double]("avg_logratio") > 0.0)
+    assert(got("srcB").getAs[Double]("avg_logratio") < 0.0)
+    // identical weights within each source: the P75 threshold over
+    // {4x wA, 4x wB} interpolates between sorted ranks 6 and 7 (both
+    // wA), so selection is exactly the srcA quartet and none of srcB
+    assert(got("srcA").getAs[Long]("n_sel") === 4L)
+    assert(got("srcB").getAs[Long]("n_sel") === 0L)
+  }
 }
