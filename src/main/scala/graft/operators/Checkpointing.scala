@@ -37,9 +37,17 @@ sealed trait CheckpointStrategy {
 
 object CheckpointStrategy {
 
-  /** Executor-memory materialization (`localCheckpoint(eager)`). */
+  /** Executor-memory materialization (`localCheckpoint(eager)`).
+    * Carried-forward stats estimates are capped at the seam
+    * ([[org.apache.spark.sql.graftbridge.StatsBridge]]) so iterated
+    * self-joins of checkpointed state cannot compound them
+    * double-exponentially (SPARK-39834 copies origin stats onto the
+    * checkpoint; pointer-jump loops then square sizeInBytes per round
+    * until BigInteger overflows inside the planner). */
   case object Local extends CheckpointStrategy {
-    def apply(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def apply(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.StatsBridge
+        .capCheckpointStats(df.localCheckpoint(true))
   }
 
   /** Reliable-storage materialization (`checkpoint(eager)` under
@@ -62,7 +70,8 @@ object CheckpointStrategy {
             s"session already checkpoints to $existing; refusing $dir")
         case None => sc.setCheckpointDir(dir)
       }
-      df.checkpoint(true)
+      org.apache.spark.sql.graftbridge.StatsBridge
+        .capCheckpointStats(df.checkpoint(true))
     }
   }
 }
