@@ -961,6 +961,208 @@ object GraphPack extends QueryPack {
         round(col("aa_q") / lit(1048576.0), 4).as("adamic_adar"))
   }
 
+  /** Borůvka rounds / pointer-jump sub-rounds for `q_mst`. Six rounds
+    * at-least-halve the component count each (any graph settles at
+    * ≤ V/2⁶ components; the supply graph's supplier hubs collapse it
+    * in 2–3), and five jumps fully flatten pointer trees up to depth
+    * 32 — deeper trees merely merge SLOWER (see the cut-property note
+    * in [[mstFrom]]), and the post-loop guard throws rather than
+    * emit a non-spanning forest. The oracle replays exactly these. */
+  private val MstRounds = 6
+  private val MstJumps = 5
+
+  /** Minimum spanning forest by Borůvka rounds (Borůvka 1926; the
+    * canonical MapReduce/Pregel MST — Lattanzi et al. SPAA 2011 frame
+    * filtering variants, the per-component-min round is the classic
+    * form) over the weighted part↔supplier bipartite graph
+    * (`q_sssp`'s: tagged-long ids, edge weight = min observed
+    * lineitem price in integer cents). Per round every component
+    * selects its minimum outgoing edge under the TOTAL order
+    * (w, u, v) — the distinct-weight surrogate that makes the MST
+    * unique and the cut property exact: the min edge leaving ANY
+    * connected vertex set is in the MST, so even a PARTIALLY
+    * collapsed label set (pointer trees deeper than 2^jumps) still
+    * only ever selects MST edges — incomplete collapse slows merging,
+    * never corrupts the forest, and the post-loop crossing-edge guard
+    * throws loudly if the fixed rounds were not enough to span.
+    * Mutual-min pairs always select the SAME edge (both argmins over
+    * a shared candidate set), so the 2-cycle break to the smaller
+    * label is the only cycle case (a longer min-edge cycle would need
+    * K to decrease around it). Output: per-round census — edges
+    * selected, cumulative forest size and weight (exact cents,
+    * DECIMAL(38,0) accumulation), components remaining. Scale shape
+    * (§3): per round TWO label equi-joins on the checkpointed edge
+    * set + a per-component window over CANDIDATE edges (partitioned
+    * by component, never global), then jump rounds of self-equi-joins
+    * on the COMPONENT table (component-count-sized, geometrically
+    * shrinking); census scalars are 1-row broadcasts (q_kcore's
+    * pattern); driver state is nothing — the census frame is a lazy
+    * union of 1-row aggregates over checkpointed state. */
+  private def mst(s: SparkSession, d: String,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val w0 = lineitem(s, d)
+        .groupBy(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk"))
+        .agg(min(floor(col("l_extendedprice") * 100).cast("long")).as("w"))
+      val und = w0.select(
+        least(col("p") * 2, col("sk") * 2 + 1).as("u"),
+        greatest(col("p") * 2, col("sk") * 2 + 1).as("v"), col("w"))
+      mstFrom(und, MstRounds, MstJumps, ckpt)
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+  }
+
+  /** The Borůvka loop over any undirected weighted (`u`, `v`, `w`)
+    * edge set (u < v, one row per edge) — public to the test JVM so
+    * the spec can gate it against a driver-side Kruskal. Throws
+    * IllegalStateException if inter-component edges remain after
+    * `rounds` (a non-spanning answer is never emitted silently). */
+  private[graft] def mstFrom(und0: DataFrame, rounds: Int, jumps: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val s = und0.sparkSession
+    val dec = "decimal(38,0)"
+    val edges = ckpt(und0.repartition(col("u")))
+    var lbl = ckpt(edges
+      .select(explode(array(col("u"), col("v"))).as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .repartition(col("node")))
+    var mstAcc = ckpt(s.range(0).select(col("id").as("u"),
+      col("id").as("v"), col("id").as("w")))
+    val census = collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val eu = edges
+        .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+        .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+        .where(col("lu") =!= col("lv"))
+      val cand = eu.select(col("lu").as("c"), col("lv").as("other"),
+          col("w"), col("u"), col("v"))
+        .unionByName(eu.select(col("lv").as("c"), col("lu").as("other"),
+          col("w"), col("u"), col("v")))
+      // component-count-sized; checkpointed once, consumed three ways
+      // (forest edges, pointer table, census) without re-running the
+      // per-component argmin window
+      val sel = ckpt(cand.withColumn("rk", row_number().over(
+          Window.partitionBy("c").orderBy(col("w"), col("u"), col("v"))))
+        .where(col("rk") === 1).drop("rk"))
+      val selE = ckpt(sel.select("u", "v", "w").distinct())
+      mstAcc = ckpt(mstAcc.unionByName(selE))
+      val p0raw = sel.select(col("c"), col("other").as("p"))
+      var ptr = ckpt(p0raw.as("a")
+        .join(p0raw.as("b"), col("a.p") === col("b.c"), "left")
+        .select(col("a.c").as("c"),
+          when(col("b.p") === col("a.c") && col("a.c") < col("a.p"),
+            col("a.c")).otherwise(col("a.p")).as("p"))
+        .repartition(col("c")))
+      for (_ <- 1 to jumps) {
+        ptr = ckpt(ptr.as("a")
+          .join(ptr.as("b"), col("a.p") === col("b.c"), "left")
+          .select(col("a.c").as("c"),
+            coalesce(col("b.p"), col("a.p")).as("p"))
+          .repartition(col("c")))
+      }
+      lbl = ckpt(lbl
+        .join(ptr.select(col("c").as("lbl"), col("p")), Seq("lbl"), "left")
+        .select(col("node"), coalesce(col("p"), col("lbl")).as("lbl"))
+        .repartition(col("node")))
+      census += selE.agg(count(lit(1)).as("n_sel"))
+        .crossJoin(broadcast(mstAcc.agg(count(lit(1)).as("n_mst"),
+          coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)).as("wc"))))
+        .crossJoin(broadcast(
+          lbl.agg(countDistinct("lbl").as("n_components"))))
+        .select(lit(r).cast("int").as("round"), col("n_sel"),
+          col("n_mst"), col("wc").cast("long").as("w_cum"),
+          col("n_components"))
+    }
+    val crossing = edges
+      .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+      .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+      .where(col("lu") =!= col("lv")).count()
+    if (crossing > 0) throw new IllegalStateException(
+      s"q_mst: $crossing inter-component edges remain after $rounds " +
+        "Borůvka rounds — raise MstRounds/MstJumps")
+    census.reduce(_ unionByName _)
+  }
+
+  /** BFS rounds for `q_closeness` — the bipartite graph's diameter is
+    * ~4 at every SF (q_reach's histogram), so 6 has slack; the oracle
+    * replays exactly these (fixpoint rounds are no-ops). */
+  private val ClosenessRounds = 6
+
+  /** Closeness + harmonic centrality (Bavelas 1950; harmonic variant
+    * Marchiori & Latora 2000 — defined even on disconnected graphs)
+    * of the low-id part seeds over the part↔supplier graph — the
+    * WHO-IS-CENTRAL readout beside q_pagerank's flow mass: how near a
+    * node sits to everything else, per seed: reached count,
+    * eccentricity, exact distance sum, harmonic sum Σ1/d in exact
+    * 1e6-unit integers (floor(1e6/d) per node — d is a small positive
+    * integer, so the quantized terms sum exactly in any partition
+    * order), and closeness = n_reached/Σd as one final division.
+    * MULTI-SOURCE: all seeds ride ONE BFS chain with `seed` in the
+    * frontier key — k seeds cost one extra key column, not k passes.
+    * Scale: q_reach's frontier discipline verbatim (tagged-long ids,
+    * co-partitioned expansion + (seed,node) anti-join per round —
+    * node-partitioning co-partitions the two-column key — node-sized
+    * state through the `CheckpointStrategy` seam, AQE-off layout
+    * capture). */
+  private def closeness(s: SparkSession, d: String,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e0 = lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk")).distinct()
+      val edges = ckpt(e0.select(
+          (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(e0.select(
+          (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+        .repartition(col("src")))
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 2 === 0 && expr("node div 2") <= 5)
+        .select(col("node").as("seed"), col("node"))
+      closenessFrom(edges, seeds, ClosenessRounds, ckpt)
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+  }
+
+  /** The multi-source BFS fold over any directed (`src`, `dst`) edge
+    * set and (`seed`, `node`) seed table — public to the test JVM so
+    * the spec can gate hand distances. */
+  private[graft] def closenessFrom(edges: DataFrame, seeds: DataFrame,
+      rounds: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    var frontier = ckpt(seeds.repartition(col("node")))
+    var visited = ckpt(frontier.withColumn("dist", lit(0))
+      .repartition(col("node")))
+    for (r <- 1 to rounds) {
+      val next = ckpt(edges
+        .join(frontier, edges("src") === frontier("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited.select("seed", "node"), Seq("seed", "node"),
+          "left_anti")
+        .repartition(col("node")))
+      visited = ckpt(visited
+        .unionByName(next.withColumn("dist", lit(r)))
+        .repartition(col("node")))
+      frontier = next
+    }
+    visited.filter(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        max("dist").cast("int").as("ecc"),
+        sum(col("dist").cast("long")).as("sum_dist"),
+        sum(expr("1000000 div dist")).as("harmonic_q"))
+      .select(expr("seed div 2").as("part"), col("n_reached"),
+        col("ecc"), col("sum_dist"), col("harmonic_q"),
+        round(col("n_reached").cast("double")
+          / col("sum_dist").cast("double"), 6).as("closeness"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_reach" -> ((s, d) => reach(s, d)),
@@ -975,7 +1177,9 @@ object GraphPack extends QueryPack {
     "q_hits" -> ((s, d) => hits(s, d)),
     "q_modularity" -> ((s, d) => modularity(s, d)),
     "q_assortativity" -> ((s, d) => assortativity(s, d)),
-    "q_link_pred" -> ((s, d) => linkPred(s, d))
+    "q_link_pred" -> ((s, d) => linkPred(s, d)),
+    "q_mst" -> ((s, d) => mst(s, d)),
+    "q_closeness" -> ((s, d) => closeness(s, d))
   )
 
   /** The LPA oracle prelude + round chain — li/und/edges/l0 through
@@ -1005,7 +1209,97 @@ object GraphPack extends QueryPack {
        |$steps""".stripMargin
   }
 
+  /** The `q_mst` replay: the same Borůvka trajectory as chained
+    * MATERIALIZED CTEs — per round the crossing-edge table, the
+    * per-component (w,u,v) argmin window, the cumulative forest, the
+    * 2-cycle-broken pointer table, [[MstJumps]] pointer-jump
+    * self-joins, the relabel, and the round's census row. */
+  private val mstSql: String = {
+    def roundCtes(r: Int): String = {
+      val jumpCtes = (1 to MstJumps).map { j =>
+        s"""p${r}_$j AS MATERIALIZED (SELECT a.c, COALESCE(b.p, a.p) AS p
+           |  FROM p${r}_${j - 1} a LEFT JOIN p${r}_${j - 1} b
+           |    ON a.p = b.c)""".stripMargin
+      }.mkString(",\n")
+      s"""eu$r AS MATERIALIZED (SELECT e.u, e.v, e.w,
+         |    la.lbl AS lu, lb.lbl AS lv
+         |  FROM e JOIN l${r - 1} la ON e.u = la.node
+         |    JOIN l${r - 1} lb ON e.v = lb.node
+         |  WHERE la.lbl != lb.lbl),
+         |sel$r AS MATERIALIZED (SELECT c, other, w, u, v FROM (
+         |    SELECT c, other, w, u, v, row_number() OVER (
+         |      PARTITION BY c ORDER BY w, u, v) AS rk
+         |    FROM (SELECT lu AS c, lv AS other, w, u, v FROM eu$r
+         |      UNION ALL SELECT lv AS c, lu AS other, w, u, v FROM eu$r))
+         |  WHERE rk = 1),
+         |sele$r AS MATERIALIZED (SELECT DISTINCT u, v, w FROM sel$r),
+         |mst$r AS MATERIALIZED (SELECT u, v, w FROM mst${r - 1}
+         |  UNION ALL SELECT u, v, w FROM sele$r),
+         |p${r}_0 AS MATERIALIZED (SELECT a.c,
+         |    CASE WHEN b.p = a.c AND a.c < a.p THEN a.c ELSE a.p END AS p
+         |  FROM (SELECT c, other AS p FROM sel$r) a
+         |  LEFT JOIN (SELECT c, other AS p FROM sel$r) b ON a.p = b.c),
+         |$jumpCtes,
+         |l$r AS MATERIALIZED (SELECT l.node, COALESCE(p.p, l.lbl) AS lbl
+         |  FROM l${r - 1} l
+         |  LEFT JOIN p${r}_$MstJumps p ON l.lbl = p.c),
+         |cen$r AS (SELECT $r AS round,
+         |    (SELECT count(*) FROM sele$r) AS n_sel,
+         |    (SELECT count(*) FROM mst$r) AS n_mst,
+         |    (SELECT COALESCE(CAST(sum(CAST(w AS DECIMAL(38,0)))
+         |        AS BIGINT), 0) FROM mst$r) AS w_cum,
+         |    (SELECT count(DISTINCT lbl) FROM l$r) AS n_components)"""
+        .stripMargin
+    }
+    s"""WITH w0 AS (SELECT CAST(l_partkey AS BIGINT) AS p,
+       |    CAST(l_suppkey AS BIGINT) AS sk,
+       |    CAST(min(floor(l_extendedprice * 100)) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT least(p * 2, sk * 2 + 1) AS u,
+       |    greatest(p * 2, sk * 2 + 1) AS v, w FROM w0),
+       |n0 AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+       |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM n0),
+       |mst0 AS (SELECT CAST(NULL AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v,
+       |  CAST(NULL AS BIGINT) AS w WHERE false),
+       |${(1 to MstRounds).map(roundCtes).mkString(",\n")}
+       |SELECT * FROM ${(1 to MstRounds).map(r => s"cen$r")
+        .mkString(" UNION ALL SELECT * FROM ")}""".stripMargin
+  }
+
+  /** The `q_closeness` replay: the multi-source BFS chain as chained
+    * MATERIALIZED CTEs — per round the frontier expansion with a
+    * (seed, node) NOT EXISTS against the visited set, then the
+    * centrality fold over dist > 0. */
+  private val closenessSql: String = {
+    val steps = (1 to ClosenessRounds).map { r =>
+      s"""f$r AS MATERIALIZED (SELECT DISTINCT f.seed, e.dst AS node
+         |  FROM edges e JOIN f${r - 1} f ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM l${r - 1} v
+         |                    WHERE v.seed = f.seed AND v.node = e.dst)),
+         |l$r AS MATERIALIZED (SELECT seed, node, dist FROM l${r - 1}
+         |  UNION ALL SELECT seed, node, $r FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+       |    FROM lineitem),
+       |edges AS (SELECT p * 2 AS src, sk * 2 + 1 AS dst FROM e0
+       |  UNION ALL SELECT sk * 2 + 1, p * 2 FROM e0),
+       |f0 AS (SELECT node AS seed, node FROM
+       |    (SELECT DISTINCT src AS node FROM edges)
+       |  WHERE node % 2 = 0 AND node // 2 <= 5),
+       |l0 AS (SELECT seed, node, 0 AS dist FROM f0),
+       |$steps
+       |SELECT CAST(seed // 2 AS BIGINT) AS part, count(*) AS n_reached,
+       |  CAST(max(dist) AS INT) AS ecc,
+       |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+       |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_q,
+       |  round(CAST(count(*) AS DOUBLE) / CAST(sum(dist) AS DOUBLE), 6)
+       |    AS closeness
+       |FROM l$ClosenessRounds WHERE dist > 0 GROUP BY 1""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_mst" -> mstSql,
+    "q_closeness" -> closenessSql,
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |und AS (SELECT a.p AS u, b.p AS v

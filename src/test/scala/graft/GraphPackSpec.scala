@@ -354,4 +354,102 @@ class GraphPackSpec extends SparkSpec {
     assert(rows.values.map(_._3).max === 20000L,
       "the trajectory's max density row is the planted core")
   }
+
+  /** Driver-side Kruskal under the same (w, u, v) total order — the
+    * MST/forest is UNIQUE under a total edge order, so any correct
+    * algorithm (Kruskal here, Borůvka in the operator) lands on the
+    * identical edge set and weight. */
+  private def kruskal(edges: Seq[(Long, Long, Long)])
+      : (Long, Long, Set[(Long, Long)]) = {
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    var picked = Set.empty[(Long, Long)]
+    var w = 0L
+    for ((u, v, ew) <- edges.sortBy(e => (e._3, e._1, e._2))) {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { parent(ru) = rv; picked += ((u, v)); w += ew }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    (w, nodes.map(find).distinct.size.toLong, picked)
+  }
+
+  test("mstFrom matches a driver-side Kruskal on a weighted hand graph") {
+    // two components: a dense 6-node block with deliberate weight TIES
+    // (the (w,u,v) surrogate order must break them identically on both
+    // sides) + a disjoint weighted 4-cycle
+    val block = for (i <- 0L until 6L; j <- i + 1 to 5L)
+      yield (i, j, (i * 7 + j * 13) % 5 + 10)
+    val cyc = Seq((10L, 11L, 3L), (11L, 12L, 3L), (12L, 13L, 3L),
+      (10L, 13L, 9L))
+    val edges = (block ++ cyc).toSeq
+    val (wantW, wantComp, wantEdges) = kruskal(edges)
+    assert(wantComp === 2L)
+    val census = GraphPack.mstFrom(edges.toDF("u", "v", "w"), 6, 5)
+      .collect().sortBy(_.getAs[Int]("round"))
+    val last = census.last
+    assert(last.getAs[Long]("n_mst") === wantEdges.size.toLong,
+      "forest size = V - components")
+    assert(last.getAs[Long]("w_cum") === wantW,
+      "unique-MST weight under the shared total order")
+    assert(last.getAs[Long]("n_components") === wantComp)
+    // census monotone: forest grows, components shrink
+    census.zip(census.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("n_mst") <= b.getAs[Long]("n_mst"))
+      assert(a.getAs[Long]("n_components") >= b.getAs[Long]("n_components"))
+    }
+  }
+
+  test("mstFrom drops exactly the heaviest cycle edge of a ring") {
+    // ring 0-1-...-9-0 with distinct weights: the unique MST is the
+    // ring minus its max edge; also exercises deep pointer chains
+    // (Borůvka on a path of min-edges merges pairwise)
+    val ring = (0L until 10L).map(i =>
+      (math.min(i, (i + 1) % 10), math.max(i, (i + 1) % 10),
+        20L + ((i * 17) % 10)))
+    val (wantW, _, _) = kruskal(ring)
+    val last = GraphPack.mstFrom(ring.toDF("u", "v", "w"), 6, 5)
+      .collect().maxBy(_.getAs[Int]("round"))
+    assert(last.getAs[Long]("n_mst") === 9L)
+    assert(last.getAs[Long]("w_cum") === wantW)
+    assert(last.getAs[Long]("n_components") === 1L)
+  }
+
+  test("closenessFrom reads hand distances on a star-plus-tail graph") {
+    // star 0-{2,4,6}, tail 6-8: from seed 0 dists are 1,1,1,2
+    val und = Seq((0L, 2L), (0L, 4L), (0L, 6L), (6L, 8L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((0L, 0L), (8L, 8L)).toDF("seed", "node")
+    val got = GraphPack.closenessFrom(edges, seeds, 6)
+      .collect().map(r => r.getAs[Long]("part") -> r).toMap
+    val s0 = got(0L)
+    assert(s0.getAs[Long]("n_reached") === 4L)
+    assert(s0.getAs[Int]("ecc") === 2)
+    assert(s0.getAs[Long]("sum_dist") === 5L)
+    // 3·⌊1e6/1⌋ + ⌊1e6/2⌋
+    assert(s0.getAs[Long]("harmonic_q") === 3500000L)
+    assert(s0.getAs[Double]("closeness") === 0.8)
+    // from the tail end 8: dists 1 (6), 2 (0), 3 (2 and 4)
+    val s8 = got(4L) // seed node 8 -> part display 8 div 2 = 4
+    assert(s8.getAs[Long]("sum_dist") === 1L + 2 + 3 + 3)
+    assert(s8.getAs[Int]("ecc") === 3)
+  }
+
+  test("q_mst census invariants on sf0.001") {
+    val rows = SparkEntry.queries("q_mst")(s, sfDir)
+      .collect().sortBy(_.getAs[Int]("round"))
+    assert(rows.length === 6)
+    val last = rows.last
+    // spanning forest: |MST| = V - components over the part-supplier graph
+    val li = Tables.lineitem(s, sfDir)
+      .select(col("l_partkey").cast("long").as("p"),
+        col("l_suppkey").cast("long").as("sk")).distinct()
+    val v = li.select(explode(array(col("p") * 2, col("sk") * 2 + 1))
+      .as("n")).distinct().count()
+    assert(last.getAs[Long]("n_mst") ===
+      v - last.getAs[Long]("n_components"))
+    assert(last.getAs[Long]("w_cum") > 0L)
+  }
 }

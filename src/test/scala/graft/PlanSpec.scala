@@ -244,7 +244,14 @@ class PlanSpec extends SparkSpec {
     *     broadcast every lattice row carries;
     *   text_dsir — the 1-row (T, R) totals broadcast into the
     *     1024-row bucket table and the 1-row P75-threshold broadcast
-    *     onto per-doc weights (text_quality_bins' pattern). */
+    *     onto per-doc weights (text_quality_bins' pattern);
+    *   q_mst — per-round census row composed from three 1-row
+    *     aggregates (selected count × cumulative forest stats ×
+    *     component count) over checkpointed state (q_kcore's
+    *     pattern);
+    *   q_ks_test — the 1-row max-gap broadcast probed back into the
+    *     distinct-value table for the argmax, and the 1-row × 1-row
+    *     readout crossJoin. */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -256,7 +263,8 @@ class PlanSpec extends SparkSpec {
       "q_sssp", "q_naive_bayes", "q_modularity", "q_tree2", "q_lof",
       "embed_whiten", "q_isoforest", "q_diameter", "q_diameter_bracket",
       "ann_hashed_recall", "q_skyline", "q_kmv", "q_chi2",
-      "q_markov_stationary", "q_densest", "q_t_closeness", "text_dsir")
+      "q_markov_stationary", "q_densest", "q_t_closeness", "text_dsir",
+      "q_mst", "q_ks_test")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
