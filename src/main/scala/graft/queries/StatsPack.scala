@@ -674,7 +674,106 @@ object StatsPack extends QueryPack {
     "q_t_closeness" -> ((s, d) =>
       tClosenessFrom(customer(s, d)
         .select(col("c_nationkey"), col("c_mktsegment"),
-          floor(col("c_acctbal") / 2000).cast("long").as("band"))))
+          floor(col("c_acctbal") / 2000).cast("long").as("band")))),
+
+    // Two-sample Kolmogorov–Smirnov test (Kolmogorov 1933, Smirnov
+    // 1939; round 13) — do purchase and view VALUES come from the
+    // same distribution AT ALL? The distribution-shape audit beside
+    // q_mann_whitney's location test and q_ab_test's mean test: D =
+    // sup|F₁−F₂| reacts to ANY difference (spread, shape, tails),
+    // where the rank test sees only stochastic dominance (a variance
+    // change with equal medians is invisible to U, spec-pinned).
+    // Exactness: the statistic never exists as a float until the last
+    // row — at each distinct merged value the scaled gap |c₁·n₂ −
+    // c₂·n₁| is an exact integer (cross-multiplying D·n₁·n₂ clears
+    // both denominators; DECIMAL(38,0) because cum·n products
+    // overflow BIGINT once both arms are ~10⁹ rows — embed_dimstats'
+    // discipline), the max is an integer max, and d/crit/significant
+    // are one fixed double expression. d_loc = the SMALLEST value
+    // attaining the max gap (deterministic tie-break). Scale: one
+    // hash agg to the DISTINCT-value table (bounded by the value
+    // domain, q_histogram's argument), one ordered cumulative window
+    // over it, a 1-row max broadcast joined back for the argmax, one
+    // 1-row fold. Significance: the asymptotic large-sample rejection
+    // rule d > c(α)·sqrt((n₁+n₂)/(n₁n₂)), c(0.05) = 1.358.
+    "q_ks_test" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val pv = events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy("value")
+        .agg(count(when(col("event_type") === "purchase", 1)).as("c1"),
+          count(when(col("event_type") === "view", 1)).as("c2"))
+      val wc = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy()
+      val cum = pv
+        .withColumn("f1", sum("c1").over(wc).cast(dec))
+        .withColumn("f2", sum("c2").over(wc).cast(dec))
+        .withColumn("n1", sum("c1").over(wall).cast(dec))
+        .withColumn("n2", sum("c2").over(wall).cast(dec))
+        .select(col("value"), col("n1"), col("n2"),
+          abs(col("f1") * col("n2") - col("f2") * col("n1")).as("gap"))
+        .localCheckpoint(true) // feeds the max fold + the argmax probe
+      val mx = cum.agg(max("gap").as("gmax"),
+        max("n1").as("n1"), max("n2").as("n2"),
+        count(lit(1)).as("n_distinct"))
+      val loc = cum.join(broadcast(mx.select("gmax")),
+          col("gap") === col("gmax"))
+        .agg(min("value").as("d_loc"))
+      val dd = col("gmax").cast("double") /
+        (col("n1") * col("n2")).cast("double")
+      val crit = lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+        / (col("n1") * col("n2")).cast("double"))
+      mx.crossJoin(broadcast(loc)).select(
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("n_distinct"), round(dd, 6).as("d"), col("d_loc"),
+        round(crit, 6).as("crit05"), (dd > crit).as("significant"))
+    }),
+
+    // One-way ANOVA F-test (Fisher 1925; round 13) of value across
+    // ALL event types — q_ab_test generalized from 2 arms to k: does
+    // the type explain ANY of the value variance (the k-group screen
+    // run before pairwise tests), with eta² = SSB/SST as the effect
+    // size. Exactness discipline: per row value quantizes to vq =
+    // floor(value·1e4) BEFORE any sum, so per-group n/S=Σvq/Q=Σvq²
+    // are exact integers (Q in DECIMAL(38,0) — vq² alone is ~10¹⁶ and
+    // the sum ANSI-overflows BIGINT at real row counts); each group's
+    // S²/n term floors to WHOLE vq² units over those integers
+    // (q_chi2's rule — at this grain the term is already ~10¹⁴
+    // quanta; a finer 1e6 sub-grain would push it past BOTH engines'
+    // exact ranges, and Spark's floor() saturates at Long.MaxValue
+    // where DuckDB's stays DOUBLE→DECIMAL — measured 27× divergence
+    // before this grain was chosen) so SSB/SSW are exact integer
+    // units in any partition order; F and eta² are one fixed double
+    // expression. SSB/SSW report in value² units (÷1e8 for the two
+    // vq factors). Headroom: the term saturates Spark's floor→LONG
+    // once sg²/ng > 9.2e18 (group Σvq beyond ~3e9·√ng) — the
+    // documented swap there is x−x%1 floored in double, cast decimal.
+    // Scale: one events-sized hash agg to k rows, one k-row fold.
+    "q_anova" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val vq = floor(col("value") * 10000).cast("long")
+      val g = events(s, d).select(col("event_type"), vq.as("vq"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("ng"), sum("vq").as("sg"),
+          sum((col("vq") * col("vq")).cast(dec)).as("qg"))
+      val termq = floor(col("sg").cast("double") * col("sg").cast("double")
+        / col("ng").cast("double")).cast(dec)
+      val a = g.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+        sum("sg").as("stot"), sum("qg").as("qtot"),
+        sum(termq).as("tsum"))
+      val grandq = floor(col("stot").cast("double") * col("stot").cast("double")
+        / col("n").cast("double")).cast(dec)
+      val ssbq = (col("tsum") - grandq).cast("double")
+      val sswq = (col("qtot") - col("tsum")).cast("double")
+      val f = (ssbq / (col("k") - 1).cast("double")) /
+        (sswq / (col("n") - col("k")).cast("double"))
+      a.select(col("n"), col("k"),
+        round(ssbq / 1e8, 4).as("ssb"), round(sswq / 1e8, 4).as("ssw"),
+        round(f, 4).as("f"),
+        round(ssbq / (ssbq + sswq), 6).as("eta2"))
+    })
   )
 
   /** The t-closeness kernel over any (c_nationkey, c_mktsegment, band)
@@ -1115,6 +1214,60 @@ object StatsPack extends QueryPack {
         |    ELSE round(CAST(sum(abs(cumd)) AS DOUBLE) /
         |      (CAST(max(gsize) AS DOUBLE) * CAST(max(n_all) AS DOUBLE)
         |        * (max(m) - 1)), 6) END > 0.2 AS at_risk
-        |FROM cum GROUP BY 1, 2""".stripMargin
+        |FROM cum GROUP BY 1, 2""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH pv AS (SELECT value,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS c1,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS c2
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY value),
+        |cum AS (SELECT value,
+        |    CAST(sum(c1) OVER w AS DECIMAL(38,0)) AS f1,
+        |    CAST(sum(c2) OVER w AS DECIMAL(38,0)) AS f2,
+        |    CAST(sum(c1) OVER () AS DECIMAL(38,0)) AS n1,
+        |    CAST(sum(c2) OVER () AS DECIMAL(38,0)) AS n2
+        |  FROM pv WINDOW w AS (ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |gaps AS (SELECT value, n1, n2,
+        |    abs(f1 * n2 - f2 * n1) AS gap FROM cum),
+        |mx AS (SELECT max(gap) AS gmax, max(n1) AS n1, max(n2) AS n2,
+        |    count(*) AS n_distinct FROM gaps),
+        |loc AS (SELECT min(value) AS d_loc FROM gaps, mx
+        |  WHERE gap = gmax)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  n_distinct,
+        |  round(CAST(gmax AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS d,
+        |  d_loc,
+        |  round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |    / CAST(n1 * n2 AS DOUBLE)), 6) AS crit05,
+        |  CAST(gmax AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+        |    > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |      / CAST(n1 * n2 AS DOUBLE)) AS significant
+        |FROM mx, loc""".stripMargin,
+
+    "q_anova" ->
+      """WITH vq AS (SELECT event_type,
+        |    CAST(floor(value * 10000) AS BIGINT) AS vq FROM events),
+        |g AS (SELECT event_type, count(*) AS ng,
+        |    CAST(sum(vq) AS BIGINT) AS sg,
+        |    sum(CAST(vq AS DECIMAL(38,0)) * vq) AS qg
+        |  FROM vq GROUP BY 1),
+        |a AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS BIGINT) AS stot, sum(qg) AS qtot,
+        |    sum(CAST(floor(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE)) AS DECIMAL(38,0))) AS tsum
+        |  FROM g),
+        |b AS (SELECT k, n,
+        |    CAST(tsum - CAST(floor(CAST(stot AS DOUBLE)
+        |      * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(38,0)) AS DOUBLE) AS ssbq,
+        |    CAST(qtot - tsum AS DOUBLE) AS sswq
+        |  FROM a)
+        |SELECT n, k, round(ssbq / 1e8, 4) AS ssb,
+        |  round(sswq / 1e8, 4) AS ssw,
+        |  round((ssbq / (k - 1)) / (sswq / (n - k)), 4) AS f,
+        |  round(ssbq / (ssbq + sswq), 6) AS eta2
+        |FROM b""".stripMargin
   )
 }

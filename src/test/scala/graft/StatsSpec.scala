@@ -196,4 +196,68 @@ class StatsSpec extends SparkSpec {
     assert(got("a")._1 === got("b")._1)
     assert(math.abs(got("a")._1 - 11.0 / 60) < 1e-6 && !got("a")._2)
   }
+
+  private def writeEvents(vals: Seq[(String, Double)]): String = {
+    val ev = vals.zipWithIndex.map { case ((t, v), i) =>
+      (i.toLong, 1L, t, v)
+    }.toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("event_id")))
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_ks_test: disjoint arms read D = 1, a spread change invisible " +
+      "to the rank test reads the hand D with the min-value argmax") {
+    def run(vals: Seq[(String, Double)]) =
+      SparkEntry.queries("q_ks_test")(spark, writeEvents(vals))
+        .collect().head
+    // all purchases strictly below all views: D = 1 exactly at the
+    // last purchase value; arms of 10 so the asymptotic critical
+    // value 1.358·sqrt(20/100) ≈ 0.607 sits below 1 and trips (at
+    // 3-vs-3 crit is 1.109 — no D can be significant, by design)
+    val sep = run((1 to 10).map(i => "purchase" -> i.toDouble) ++
+      (21 to 30).map(i => "view" -> i.toDouble))
+    assert(sep.getAs[Long]("n1") === 10L && sep.getAs[Long]("n2") === 10L)
+    assert(sep.getAs[Double]("d") === 1.0)
+    assert(sep.getAs[Double]("d_loc") === 10.0)
+    assert(sep.getAs[Boolean]("significant"))
+    // equal medians, different spread — U sees nothing, KS sees the
+    // tails: purchases {5,5,5,5} vs views {1,5,9}; scaled gaps at
+    // values 1/5/9 are 4/4/0 over n1·n2 = 12 → D = 1/3, and the
+    // argmax tie (values 1 and 5 both at gap 4) breaks to the
+    // SMALLEST value
+    val spread = run(Seq("purchase" -> 5.0, "purchase" -> 5.0,
+      "purchase" -> 5.0, "purchase" -> 5.0,
+      "view" -> 1.0, "view" -> 5.0, "view" -> 9.0))
+    assert(spread.getAs[Double]("d") === 0.333333)
+    assert(spread.getAs[Double]("d_loc") === 1.0)
+    // identical samples: D = 0, nothing significant
+    val same = run(Seq("purchase" -> 1.0, "purchase" -> 2.0,
+      "view" -> 1.0, "view" -> 2.0))
+    assert(same.getAs[Double]("d") === 0.0)
+    assert(!same.getAs[Boolean]("significant"))
+  }
+
+  test("q_anova matches the hand F on two separated groups and reads " +
+      "0 on identical ones") {
+    def run(vals: Seq[(String, Double)]) =
+      SparkEntry.queries("q_anova")(spark, writeEvents(vals))
+        .collect().head
+    // a = {1,3}, b = {5,7}: means 2/6, grand 4 → SSB = 16, SSW = 4,
+    // F = (16/1)/(4/2) = 8, eta² = 16/20 = 0.8 — all exact in the
+    // quantized integer units, so the doubles are exact too
+    val sepd = run(Seq("a" -> 1.0, "a" -> 3.0, "b" -> 5.0, "b" -> 7.0))
+    assert(sepd.getAs[Long]("n") === 4L && sepd.getAs[Long]("k") === 2L)
+    assert(sepd.getAs[Double]("ssb") === 16.0)
+    assert(sepd.getAs[Double]("ssw") === 4.0)
+    assert(sepd.getAs[Double]("f") === 8.0)
+    assert(sepd.getAs[Double]("eta2") === 0.8)
+    // identical group distributions: SSB = 0 → F = 0, eta² = 0
+    val same = run(Seq("a" -> 1.0, "a" -> 3.0, "b" -> 1.0, "b" -> 3.0))
+    assert(same.getAs[Double]("ssb") === 0.0)
+    assert(same.getAs[Double]("f") === 0.0)
+    assert(same.getAs[Double]("eta2") === 0.0)
+  }
 }
