@@ -496,4 +496,100 @@ object Multimodal {
         }.toSeq
       }
   }
+
+  // ---- audio (round 13): REAL WAV codec via javax.sound.sampled ----
+
+  /** Samples per synthetic clip: 400–610 (varying, prime modulus so
+    * lengths cover the range). At 8 kHz that is 50–76 ms — tiny by
+    * design, same argument as [[synthDims]]. */
+  def synthSampleCount(id: Long): Int = (400 + id % 211).toInt
+
+  /** The PCM16 sample generator — shared, in this exact form, by the
+    * encoder and the DuckDB oracle: `((id·31 + t·7919) mod 65536) −
+    * 32768`, covering the full signed 16-bit range including the
+    * −32768 edge. */
+  def sample(id: Long, t: Int): Int =
+    ((id * 31 + t * 7919L) % 65536L).toInt - 32768
+
+  private val WavRate = 8000f
+
+  /** Real encode: the synthetic PCM16 mono clip through the JDK WAV
+    * writer (`AudioSystem.write`, `Type.WAVE` — pure JDK, public API,
+    * lossless for PCM). */
+  def wavBytes(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val n = synthSampleCount(id)
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = sample(id, t)
+      pcm(2 * t) = (s & 0xFF).toByte // little-endian
+      pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(WavRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio corpus over `documents`: (id, media) with real WAV
+    * containers, encoded in the scan's partitions like [[imageCorpus]]. */
+  def audioCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(it => it.map(id => (id, wavBytes(id))))
+      .toDF("id", "media")
+  }
+
+  final case class WavFeatures(id: Long, n_samples: Long, sr: Int,
+      duration_us: Long, energy: Long, zero_cross: Long, peak: Int)
+
+  /** Batch audio feature extraction: REAL `AudioSystem` decode per row
+    * (WAV header parse + PCM16 little-endian samples), then one pass
+    * for the classic clip features — energy Σs² (exact integer; at
+    * 10⁹-sample clips swap the accumulator to DECIMAL(38,0) — the
+    * documented embed_dimstats discipline), zero crossings (sign
+    * changes over s ≥ 0, the voiced/unvoiced heuristic), peak |s|,
+    * and the µs duration n·10⁶/rate (exact at 8 kHz: n·125). The
+    * oracle re-derives all of them from the generator formula, so the
+    * gate covers encode → WAV container → decode → feature — if the
+    * JDK codec mangled one sample anywhere, the hash compare fails.
+    * Same scale shape as [[decodeMeta]]: decode is partition-parallel,
+    * codec state per partition, only k-integer rows ever shuffle. */
+  def wavFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[WavFeatures] = {
+    import javax.sound.sampled.AudioSystem
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+            && !fmt.isBigEndian, s"unexpected WAV format for id=$id: $fmt")
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          var (energy, zc) = (0L, 0L)
+          var peak = 0
+          var prevNonNeg = true
+          var t = 0
+          while (t < n) {
+            val s = ((pcm(2 * t) & 0xFF) | (pcm(2 * t + 1) << 8)).toShort.toInt
+            energy += s.toLong * s
+            val nonNeg = s >= 0
+            if (t > 0 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            if (math.abs(s) > peak) peak = math.abs(s)
+            t += 1
+          }
+          WavFeatures(id, n.toLong, fmt.getSampleRate.toInt,
+            n.toLong * 1000000L / fmt.getSampleRate.toLong, energy, zc, peak)
+        }
+      }
+  }
 }

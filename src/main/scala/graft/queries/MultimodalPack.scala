@@ -136,7 +136,21 @@ object MultimodalPack extends QueryPack {
           col("hamming"),
           (col("ma.bytes_md5") === col("mb.bytes_md5")).as("same_bytes"))
       within.unionByName(across)
-    })
+    }),
+
+    // Audio features over the REAL WAV codec (round 13) — the third
+    // modality: deterministic PCM16 mono clips (sample formula
+    // ((id·31 + t·7919) mod 65536) − 32768, 400–610 samples at 8 kHz)
+    // encoded through the JDK's actual WAV writer
+    // (javax.sound.sampled, pure JDK) and decoded back with
+    // AudioSystem, then the classic clip features: energy Σs², zero
+    // crossings, peak |s|, exact µs duration. WAV PCM is lossless, so
+    // the oracle re-derives every feature from the formula — the gate
+    // covers encode → RIFF container → decode → feature bit-exactly
+    // (one mangled sample anywhere and the hash compare fails).
+    "mm_wav_features" -> ((s, d) =>
+      Multimodal.wavFeatures(Multimodal.audioCorpus(s, d), "id", "media")
+        .toDF())
   )
 
   def oracles: Map[String, String] = Map(
@@ -268,6 +282,26 @@ object MultimodalPack extends QueryPack {
         |   AND da.cid % 256 = db.cid % 256) AS same_bytes
         |FROM hs a JOIN hs b ON a.id < b.id
         |JOIN d2 da ON da.id = a.id JOIN d2 db ON db.id = b.id
-        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
+
+    // replay the PCM16 clip from the sample generator: n = 400 +
+    // id mod 211 samples of ((id·31 + t·7919) mod 65536) − 32768;
+    // zero crossings via lag over t, duration exact µs at 8 kHz
+    "mm_wav_features" ->
+      """WITH nn AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(400 + doc_id % 211 AS BIGINT) AS n FROM documents),
+        |smp AS (SELECT id, n, CAST(t.range AS BIGINT) AS t,
+        |    ((id*31 + t.range*7919) % 65536) - 32768 AS s
+        |  FROM nn, range(611) t WHERE t.range < n),
+        |lg AS (SELECT id, n, s,
+        |    lag(s) OVER (PARTITION BY id ORDER BY t) AS ps FROM smp)
+        |SELECT id, max(n) AS n_samples, CAST(8000 AS INT) AS sr,
+        |  CAST(max(n) * 125 AS BIGINT) AS duration_us,
+        |  CAST(sum(s * s) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN ps IS NOT NULL
+        |    AND (s >= 0) != (ps >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_cross,
+        |  CAST(max(abs(s)) AS INT) AS peak
+        |FROM lg GROUP BY id""".stripMargin
   )
 }

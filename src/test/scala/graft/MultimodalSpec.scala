@@ -209,4 +209,28 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeImage(4L, encode(img, "bmp")))
     assert(viaPng === viaBmp)
   }
+
+  test("the WAV corpus round-trips: real encode -> real decode matches " +
+      "the sample generator, including the -32768 edge") {
+    val ids = Seq(0L, 5L, 210L, 211L)
+    val got = Multimodal.wavFeatures(
+        ids.map(id => (id, Multimodal.wavBytes(id))).toDF("id", "media"),
+        "id", "media")
+      .collect().map(f => f.id -> f).toMap
+    ids.foreach { id =>
+      val n = Multimodal.synthSampleCount(id)
+      val ss = (0 until n).map(t => Multimodal.sample(id, t))
+      val f = got(id)
+      assert(f.n_samples === n.toLong && f.sr === 8000)
+      assert(f.duration_us === n.toLong * 125)
+      assert(f.energy === ss.map(s => s.toLong * s).sum, s"id=$id energy")
+      assert(f.zero_cross ===
+        ss.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)).toLong)
+      assert(f.peak === ss.map(math.abs).max, s"id=$id peak")
+    }
+    // id 0, t 0: (0 + 0) mod 65536 - 32768 = -32768 — the full
+    // signed-16-bit edge must survive the container round trip
+    assert(Multimodal.sample(0L, 0) === -32768)
+    assert(got(0L).peak === 32768)
+  }
 }
