@@ -1163,6 +1163,120 @@ object GraphPack extends QueryPack {
           / col("sum_dist").cast("double"), 6).as("closeness"))
   }
 
+  /** Forward/backward rounds for `q_betweenness` — BFS depth is ~4 on
+    * this graph (q_reach), so 6 has slack; deeper levels are empty and
+    * both the Spark loop and the oracle replay them as no-ops. */
+  private val BcRounds = 6
+
+  /** Betweenness centrality from the low-id part seeds (Brandes JMS
+    * 2001; the k-source approximation of Bader et al. ICPP 2006 —
+    * exact per-seed dependencies, summed over a fixed seed set) over
+    * the part↔supplier graph — the ON-THE-WAY centrality beside
+    * q_closeness's nearness and q_pagerank's mass: who sits on the
+    * shortest paths between others (the broker/chokepoint readout).
+    * Two phases, both exact-integer: (1) multi-source BFS accumulating
+    * σ = #shortest paths per (seed, node) — σ sums are exact BIGINTs;
+    * (2) the dependency sweep from the deepest level up, δ_v =
+    * Σ_{w: succ} ⌊σ_v·(1e9 + δ_w) / σ_w⌋ in 1e9-quantized integer
+    * units — one integer `div` per DAG edge, so each level's δ is an
+    * exact integer sum in any partition order and the whole trajectory
+    * hashes (σ·(1e9+δ) ~1e17 at gate scale; the documented
+    * DECIMAL(38,0) swap applies once σ·δ products near 9.2e18).
+    * Output: top-20 non-seed nodes by accumulated δ (ties to node id).
+    * Scale: q_closeness's multi-source frontier discipline forward
+    * (seed in the key, co-partitioned expansion + anti-join); the
+    * backward sweep is per-LEVEL — each of the ≤6 levels is one
+    * edges⋈level-join + hash agg over the DAG slice, with level-sized
+    * δ state through the `CheckpointStrategy` seam — never a global
+    * re-walk. */
+  private def betweenness(s: SparkSession, d: String,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e0 = lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk")).distinct()
+      val edges = ckpt(e0.select(
+          (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(e0.select(
+          (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+        .repartition(col("src")))
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 2 === 0 && expr("node div 2") <= 3)
+        .select(col("node").as("seed"), col("node"))
+      betweennessFrom(edges, seeds, BcRounds, ckpt)
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+  }
+
+  /** The Brandes fold over any directed (`src`, `dst`) edge set and
+    * (`seed`, `node`) seed table — public to the test JVM so the spec
+    * can gate hand dependencies. */
+  private[graft] def betweennessFrom(edges: DataFrame, seeds: DataFrame,
+      rounds: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    // phase 1: multi-source BFS with path counts
+    var frontier = ckpt(seeds
+      .select(col("seed"), col("node"), lit(1L).as("sigma"))
+      .repartition(col("node")))
+    var visited = ckpt(frontier.withColumn("dist", lit(0))
+      .repartition(col("node")))
+    for (r <- 1 to rounds) {
+      val next = ckpt(edges
+        .join(frontier, edges("src") === frontier("node"))
+        .select(col("seed"), col("dst").as("node"), col("sigma"))
+        .join(visited.select("seed", "node"), Seq("seed", "node"),
+          "left_anti")
+        .groupBy("seed", "node").agg(sum("sigma").as("sigma"))
+        .repartition(col("node")))
+      visited = ckpt(visited
+        .unionByName(next.withColumn("dist", lit(r)))
+        .repartition(col("node")))
+      frontier = next
+    }
+    // phase 2: dependency sweep, deepest level up; `delta` holds level
+    // lvl+1's finished dependencies, `accs` collects every level's
+    var delta = ckpt(visited.filter(col("dist") === rounds)
+      .select(col("seed"), col("node"), lit(0L).as("dq"))
+      .repartition(col("node")))
+    val accs = collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (lvl <- rounds - 1 to 0 by -1) {
+      val cur = visited.filter(col("dist") === lvl)
+      val nxtw = ckpt(visited.filter(col("dist") === lvl + 1)
+        .join(delta, Seq("seed", "node"))
+        .select(col("seed").as("sw_seed"), col("node").as("w"),
+          col("sigma").as("sw"), col("dq").as("dqw"))
+        .repartition(col("w")))
+      val contrib = edges
+        .join(cur.select(col("seed").as("sv_seed"), col("node").as("v"),
+          col("sigma").as("sv")), edges("src") === col("v"))
+        .join(nxtw, edges("dst") === col("w")
+          && col("sv_seed") === col("sw_seed"))
+        .select(col("sv_seed").as("seed"), col("v").as("node"),
+          expr("(sv * (cast(1000000000 as bigint) + dqw)) div sw").as("c"))
+        .groupBy("seed", "node").agg(sum("c").as("dq"))
+      delta = ckpt(cur.select(col("seed"), col("node"), col("dist"))
+        .join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("dist"),
+          coalesce(col("dq"), lit(0L)).as("dq"))
+        .repartition(col("node")))
+      accs += delta
+      delta = delta.select("seed", "node", "dq")
+    }
+    accs.reduce(_ unionByName _)
+      .filter(col("dist") > 0) // Brandes: the source itself is excluded
+      .groupBy("node").agg(sum("dq").as("bc_q"))
+      .orderBy(col("bc_q").desc, col("node"))
+      .limit(20)
+      .select(
+        when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+          .as("side"),
+        expr("node div 2").as("key"), col("bc_q"),
+        round(col("bc_q").cast("double") / 1e9, 4).as("bc"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_reach" -> ((s, d) => reach(s, d)),
@@ -1179,7 +1293,8 @@ object GraphPack extends QueryPack {
     "q_assortativity" -> ((s, d) => assortativity(s, d)),
     "q_link_pred" -> ((s, d) => linkPred(s, d)),
     "q_mst" -> ((s, d) => mst(s, d)),
-    "q_closeness" -> ((s, d) => closeness(s, d))
+    "q_closeness" -> ((s, d) => closeness(s, d)),
+    "q_betweenness" -> ((s, d) => betweenness(s, d))
   )
 
   /** The LPA oracle prelude + round chain — li/und/edges/l0 through
@@ -1297,9 +1412,68 @@ object GraphPack extends QueryPack {
        |FROM l$ClosenessRounds WHERE dist > 0 GROUP BY 1""".stripMargin
   }
 
+  /** The `q_betweenness` replay: the forward σ-accumulating BFS as
+    * chained MATERIALIZED CTEs (frontier join aggregates path counts,
+    * NOT EXISTS against the visited set), then the dependency sweep
+    * d{rounds}..d0 — each level's δ is the integer-div edge fold over
+    * the next level's finished δ, zero-coalesced for childless nodes. */
+  private val betweennessSql: String = {
+    val fwd = (1 to BcRounds).map { r =>
+      s"""f$r AS MATERIALIZED (SELECT f.seed, e.dst AS node,
+         |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM edges e JOIN l${r - 1} f
+         |    ON e.src = f.node AND f.dist = ${r - 1}
+         |  WHERE NOT EXISTS (SELECT 1 FROM l${r - 1} v
+         |                    WHERE v.seed = f.seed AND v.node = e.dst)
+         |  GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT seed, node, dist, sigma
+         |  FROM l${r - 1}
+         |  UNION ALL SELECT seed, node, $r, sigma FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (BcRounds - 1 to 0 by -1).map { lvl =>
+      s"""d$lvl AS MATERIALIZED (SELECT c.seed, c.node,
+         |    CAST($lvl AS INT) AS dist, COALESCE(x.dq, 0) AS dq
+         |  FROM (SELECT seed, node FROM vis WHERE dist = $lvl) c
+         |  LEFT JOIN (SELECT cu.seed, cu.node,
+         |      CAST(sum((cu.sigma * (1000000000 + dn.dq)) // nx.sigma)
+         |        AS BIGINT) AS dq
+         |    FROM vis cu
+         |    JOIN edges e ON e.src = cu.node AND cu.dist = $lvl
+         |    JOIN vis nx ON nx.seed = cu.seed AND nx.node = e.dst
+         |      AND nx.dist = ${lvl + 1}
+         |    JOIN d${lvl + 1} dn ON dn.seed = nx.seed AND dn.node = nx.node
+         |    GROUP BY 1, 2) x ON x.seed = c.seed AND x.node = c.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BcRounds).map(l => s"SELECT seed, node, dq FROM d$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+       |    FROM lineitem),
+       |edges AS MATERIALIZED (SELECT p * 2 AS src, sk * 2 + 1 AS dst
+       |  FROM e0 UNION ALL SELECT sk * 2 + 1, p * 2 FROM e0),
+       |l0 AS (SELECT node AS seed, node, 0 AS dist,
+       |    CAST(1 AS BIGINT) AS sigma
+       |  FROM (SELECT DISTINCT src AS node FROM edges)
+       |  WHERE node % 2 = 0 AND node // 2 <= 3),
+       |$fwd,
+       |vis AS MATERIALIZED (SELECT * FROM l$BcRounds),
+       |d$BcRounds AS (SELECT seed, node, CAST($BcRounds AS INT) AS dist,
+       |  CAST(0 AS BIGINT) AS dq FROM vis WHERE dist = $BcRounds),
+       |$bwd,
+       |bc AS (SELECT node, CAST(sum(dq) AS BIGINT) AS bc_q FROM (
+       |  $unions) GROUP BY 1
+       |  ORDER BY bc_q DESC, node LIMIT 20)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+       |    AS side,
+       |  CAST(node // 2 AS BIGINT) AS key, bc_q,
+       |  round(CAST(bc_q AS DOUBLE) / 1e9, 4) AS bc
+       |FROM bc""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q_mst" -> mstSql,
     "q_closeness" -> closenessSql,
+    "q_betweenness" -> betweennessSql,
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |und AS (SELECT a.p AS u, b.p AS v

@@ -437,6 +437,21 @@ class GraphPackSpec extends SparkSpec {
     assert(s8.getAs[Int]("ecc") === 3)
   }
 
+  test("betweennessFrom reads hand Brandes dependencies on a " +
+      "diamond-with-tail graph") {
+    // 0-2, 0-4, 2-6, 4-6, 6-8 from seed 0: σ(2)=σ(4)=1, σ(6)=σ(8)=2;
+    // δ(6) = (2·(1e9+0)) div 2 = 1e9 (all 0→8 mass), δ(2) = δ(4) =
+    // (1·(1e9+1e9)) div 2 = 1e9 (half of 0→6 + half of 0→8), δ(8) = 0
+    val und = Seq((0L, 2L), (0L, 4L), (2L, 6L), (4L, 6L), (6L, 8L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((0L, 0L)).toDF("seed", "node")
+    val got = GraphPack.betweennessFrom(edges, seeds, 6)
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("bc_q"))
+      .toMap
+    assert(got === Map(1L -> 1000000000L, 2L -> 1000000000L,
+      3L -> 1000000000L, 4L -> 0L))
+  }
+
   test("q_mst census invariants on sf0.001") {
     val rows = SparkEntry.queries("q_mst")(s, sfDir)
       .collect().sortBy(_.getAs[Int]("round"))
