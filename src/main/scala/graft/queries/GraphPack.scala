@@ -1033,22 +1033,34 @@ object GraphPack extends QueryPack {
     var mstAcc = ckpt(s.range(0).select(col("id").as("u"),
       col("id").as("v"), col("id").as("w")))
     val census = collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the live edge set SHRINKS: an edge inside a component can never
+    // be selected again (labels only merge), so each round carries
+    // forward only the crossing edges — Borůvka's standard filtering,
+    // and the 100 TB shape (post-convergence rounds scan nothing;
+    // without it every round re-joins the FULL edge set)
+    var edgesCur = edges
     for (r <- 1 to rounds) {
-      val eu = edges
+      val eu = ckpt(edgesCur
         .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
         .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
         .where(col("lu") =!= col("lv"))
+        .repartition(col("u")))
+      edgesCur = eu.select("u", "v", "w")
       val cand = eu.select(col("lu").as("c"), col("lv").as("other"),
           col("w"), col("u"), col("v"))
         .unionByName(eu.select(col("lv").as("c"), col("lu").as("other"),
           col("w"), col("u"), col("v")))
       // component-count-sized; checkpointed once, consumed three ways
       // (forest edges, pointer table, census) without re-running the
-      // per-component argmin window
+      // per-component argmin window. Each JUMP also checkpoints: a
+      // lazy 2^jumps self-join cascade looks free but plans 2^jumps−1
+      // exchanges inside one job (measured 16 → 47 s at sf0.1 when
+      // tried) — one shuffle per jump through the seam is the cheaper
+      // shape even counting per-job overhead
       val sel = ckpt(cand.withColumn("rk", row_number().over(
           Window.partitionBy("c").orderBy(col("w"), col("u"), col("v"))))
         .where(col("rk") === 1).drop("rk"))
-      val selE = ckpt(sel.select("u", "v", "w").distinct())
+      val selE = sel.select("u", "v", "w").distinct()
       mstAcc = ckpt(mstAcc.unionByName(selE))
       val p0raw = sel.select(col("c"), col("other").as("p"))
       var ptr = ckpt(p0raw.as("a")
@@ -1077,7 +1089,7 @@ object GraphPack extends QueryPack {
           col("n_mst"), col("wc").cast("long").as("w_cum"),
           col("n_components"))
     }
-    val crossing = edges
+    val crossing = edgesCur
       .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
       .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
       .where(col("lu") =!= col("lv")).count()
@@ -1244,11 +1256,13 @@ object GraphPack extends QueryPack {
     val accs = collection.mutable.ArrayBuffer.empty[DataFrame]
     for (lvl <- rounds - 1 to 0 by -1) {
       val cur = visited.filter(col("dist") === lvl)
-      val nxtw = ckpt(visited.filter(col("dist") === lvl + 1)
+      // lazy: both inputs (visited, delta) are already checkpointed —
+      // re-materializing the slice would add a job per level for
+      // nothing (the q_mst job-count lesson)
+      val nxtw = visited.filter(col("dist") === lvl + 1)
         .join(delta, Seq("seed", "node"))
         .select(col("seed").as("sw_seed"), col("node").as("w"),
           col("sigma").as("sw"), col("dq").as("dqw"))
-        .repartition(col("w")))
       val contrib = edges
         .join(cur.select(col("seed").as("sv_seed"), col("node").as("v"),
           col("sigma").as("sv")), edges("src") === col("v"))
