@@ -676,6 +676,61 @@ object StatsPack extends QueryPack {
         .select(col("c_nationkey"), col("c_mktsegment"),
           floor(col("c_acctbal") / 2000).cast("long").as("band")))),
 
+    // Neyman-allocated stratified sample (Neyman JRSS 1934; round 13)
+    // — the statistically-OPTIMAL mixture sampler completing the
+    // family between uniform q_sample, equal-n q_mixture and
+    // quality-weighted text_weighted_sample: a fixed budget of 500
+    // rows splits across event types ∝ N_h·σ_h (big AND noisy strata
+    // get more), which minimizes the variance of the stratified mean
+    // estimator. Output: the drawn rows (type, rank, event_id) with
+    // each stratum's n/allocation alongside. Determinism: σ_h comes
+    // from exact integer moments over vq = floor(value·1e4) (n·Q − S²
+    // in DECIMAL(38,0) — it overflows BIGINT already at sf0.1), one
+    // fixed sqrt per stratum, weight floor-quantized to an integer
+    // BEFORE the allocation division (B·w_h) div Σw (floor allocation,
+    // Σ ≤ B — largest-remainder seat-filling is a documented variant);
+    // the draw is bottom-rank by seedless md5 (h, id) — deterministic
+    // under any repartitioning, q_quantile_sample's sampler. Scale:
+    // one events-sized hash agg to k strata rows; the draw rides the
+    // bounded TopKStructs heap (B rows per partition per stratum cross
+    // the wire, never the stratum); the rank window runs over ≤ k·B
+    // heap survivors.
+    "q_neyman" -> ((s, d) => {
+      import graft.functions.TopKAggregate.topk
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val budget = 500
+      val vq = floor(col("value") * 10000).cast("long")
+      val h = conv(substring(md5(concat(lit("ny:"),
+        col("event_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      val ev = events(s, d)
+        .select(col("event_type"), col("event_id"), vq.as("vq"), h.as("h"))
+        .localCheckpoint(true) // feeds the moment pass + the draw pass
+      val g = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vq").as("sg"),
+          sum((col("vq") * col("vq")).cast(dec)).as("qg"))
+      val varh = (col("n").cast(dec) * col("qg")
+        - col("sg").cast(dec) * col("sg").cast(dec)).cast("double") /
+        (col("n").cast("double") * (col("n") - 1).cast("double"))
+      val w = g.select(col("event_type"), col("n"),
+        floor(col("n").cast("double") * sqrt(varh)).cast("long").as("wq"))
+      val alloc = w
+        .crossJoin(broadcast(w.agg(sum("wq").as("tw"))))
+        .select(col("event_type"), col("n"),
+          expr(s"($budget * wq) div tw").as("alloc"))
+      val drawn = ev.groupBy("event_type")
+        .agg(topk(struct(col("h"), col("event_id")), budget).as("arr"))
+        .select(col("event_type"),
+          posexplode(array_sort(col("arr"))).as(Seq("i", "t")))
+        .select(col("event_type"), (col("i") + 1).cast("long").as("rn"),
+          col("t.event_id").as("event_id"))
+      drawn.join(broadcast(alloc), "event_type")
+        .where(col("rn") <= col("alloc"))
+        .select(col("event_type"), col("rn"), col("event_id"),
+          col("alloc"), col("n"))
+    }),
+
     // Two-sample Kolmogorov–Smirnov test (Kolmogorov 1933, Smirnov
     // 1939; round 13) — do purchase and view VALUES come from the
     // same distribution AT ALL? The distribution-shape audit beside
@@ -1215,6 +1270,36 @@ object StatsPack extends QueryPack {
         |      (CAST(max(gsize) AS DOUBLE) * CAST(max(n_all) AS DOUBLE)
         |        * (max(m) - 1)), 6) END > 0.2 AS at_risk
         |FROM cum GROUP BY 1, 2""".stripMargin,
+
+    "q_neyman" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 10000) AS BIGINT) AS vq,
+        |    CAST(('0x'||substr(md5('ny:'||CAST(event_id AS VARCHAR)),1,8))
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(vq) AS BIGINT) AS sg,
+        |    sum(CAST(vq AS DECIMAL(38,0)) * vq) AS qg
+        |  FROM ev GROUP BY 1),
+        |w AS (SELECT event_type, n,
+        |    CAST(floor(CAST(n AS DOUBLE) * sqrt(
+        |      CAST(CAST(n AS DECIMAL(38,0)) * qg
+        |        - CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0))
+        |        AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+        |      AS BIGINT) AS wq
+        |  FROM g),
+        |t AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM w),
+        |a AS (SELECT event_type, n, (500 * wq) // tw AS alloc
+        |  FROM w, t),
+        |r AS (SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY h, event_id) AS rn
+        |  FROM ev)
+        |SELECT r.event_type, CAST(r.rn AS BIGINT) AS rn, r.event_id,
+        |  a.alloc, a.n
+        |FROM r JOIN a USING (event_type) WHERE r.rn <= a.alloc"""
+        .stripMargin,
 
     "q_ks_test" ->
       """WITH pv AS (SELECT value,

@@ -251,7 +251,9 @@ class PlanSpec extends SparkSpec {
     *     pattern);
     *   q_ks_test — the 1-row max-gap broadcast probed back into the
     *     distinct-value table for the argmax, and the 1-row × 1-row
-    *     readout crossJoin. */
+    *     readout crossJoin;
+    *   q_neyman — the 1-row Σweight broadcast into the k-strata
+    *     allocation table (rule-11 sanctioned global total). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -264,7 +266,7 @@ class PlanSpec extends SparkSpec {
       "embed_whiten", "q_isoforest", "q_diameter", "q_diameter_bracket",
       "ann_hashed_recall", "q_skyline", "q_kmv", "q_chi2",
       "q_markov_stationary", "q_densest", "q_t_closeness", "text_dsir",
-      "q_mst", "q_ks_test")
+      "q_mst", "q_ks_test", "q_neyman")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
