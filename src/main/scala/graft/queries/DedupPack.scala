@@ -252,8 +252,87 @@ object DedupPack extends QueryPack {
     // text's best container (max containment, ties to min id) —
     // thresholds are the caller's.
     "text_containment" -> ((s, d) =>
-      Dedup.containmentBestContainer(Tables.documents(s, d), "doc_id", "text"))
+      Dedup.containmentBestContainer(Tables.documents(s, d), "doc_id", "text")),
+
+    // Record linkage / entity resolution (Fellegi & Sunter JASA 1969;
+    // round 13) — the STRUCTURED-record member of the dedup family:
+    // where the text keys above ask "same document", linkage asks
+    // "same ENTITY behind two differently-dirty records", combining
+    // per-field evidence into a log-odds score with a three-zone
+    // decision (match / possible / non-match). The dirty side is a
+    // deterministic corruption of every customer (one name digit
+    // dropped at position 10 + key mod 9, balance off by key mod 3 −
+    // 1 cents) — the mm-corpus discipline: generated, not stored, so
+    // the oracle replays the corruption and the gate covers
+    // block → compare → score → decide end to end. Decision quality
+    // is MEASURED against the planted truth (dedup_eval's discipline):
+    // per zone n_pairs / n_true / precision / recall. Determinism:
+    // trigram jaccard quantizes to (|∩|·2²⁰) div |∪| before the
+    // agreement threshold; field weights are DECLARED integer log-odds
+    // literals (·1e3: name ln(.9/.01)=4500 / ln(.1/.99)=−2293, balance
+    // ln(.95/.001)=6856 / ln(.05/.999)=−2996, name-suffix
+    // ln(.55/.3)=606 / ln(.45/.7)=−442; a production system fits m,u
+    // by EM — the trained-artifact stash); the score is an exact
+    // integer sum, so match needs name+balance agreement (≥ 9000) and
+    // either field alone lands in the clerical-review zone (≥ 2000). Scale shape: blocking on
+    // (nation, segment, shifted-cents div 1e4) with the dirty side
+    // probing the ±1-cent ADJACENT bands (an off-by-a-cent record at
+    // a band edge is exactly the case naive banding loses — blocking
+    // completeness for the planted noise is by construction, and the
+    // shift keeps the division truncation-vs-floor-proof on negative
+    // balances); candidates ∝ block occupancy, never |dirty|×|clean|.
+    "q_record_link" -> ((s, d) =>
+      recordLinkFrom(Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("ck"), col("c_name").as("nm"),
+        col("c_nationkey").cast("long").as("nk"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100).cast("long").as("bc"))))
   )
+
+  /** The linkage kernel over any clean (`ck`, `nm`, `nk`, `seg`, `bc`)
+    * record table (names must be ≥ 3 chars — customer names are fixed
+    * 18) — public to the test JVM for the planted-truth gate. */
+  private[graft] def recordLinkFrom(clean: DataFrame): DataFrame = {
+    val cl = clean.localCheckpoint(true) // feeds dirty gen + clean side
+    val trigs = "array_distinct(transform(sequence(1, length(%s) - 2), " +
+      "i -> substring(%s, i, 3)))"
+    val dirty = cl.select(col("ck").as("dk"), col("nk"), col("seg"),
+        expr("concat(substr(nm, 1, 9 + ck % 9), substr(nm, 11 + ck % 9))")
+          .as("dnm"),
+        (col("bc") + pmod(col("ck"), lit(3)) - 1).as("dbc"))
+      .withColumn("band", explode(array_distinct(array(
+        expr("(dbc + 99999) div 10000"),
+        expr("(dbc + 100000) div 10000"),
+        expr("(dbc + 100001) div 10000")))))
+      .withColumn("dtg", expr(trigs.format("dnm", "dnm")))
+    val clb = cl
+      .withColumn("band", expr("(bc + 100000) div 10000"))
+      .withColumn("tg", expr(trigs.format("nm", "nm")))
+    val scored = dirty.join(clb, Seq("nk", "seg", "band"))
+      .withColumn("i0", size(array_intersect(col("dtg"), col("tg"))))
+      .withColumn("u0",
+        size(col("dtg")) + size(col("tg")) - col("i0"))
+      .withColumn("jq", expr("(cast(i0 as bigint) * 1048576) div u0"))
+      .withColumn("score",
+        when(col("jq") >= 629146, lit(4500L)).otherwise(lit(-2293L))
+          + when(abs(col("dbc") - col("bc")) <= 1, lit(6856L))
+            .otherwise(lit(-2996L))
+          + when(expr("right(dnm, 4) = right(nm, 4)"), lit(606L))
+            .otherwise(lit(-442L)))
+      .withColumn("decision",
+        when(col("score") >= 9000, "match")
+          .when(col("score") >= 2000, "possible")
+          .otherwise("non_match"))
+    scored.groupBy("decision")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dk") === col("ck"), 1L).otherwise(0L)).as("n_true"))
+      .crossJoin(broadcast(cl.agg(count(lit(1)).as("n_truth"))))
+      .select(col("decision"), col("n_pairs"), col("n_true"),
+        round(col("n_true").cast("double") / col("n_pairs"), 6)
+          .as("precision"),
+        round(col("n_true").cast("double") / col("n_truth"), 6)
+          .as("recall"))
+  }
 
   // the deterministic MinHash permutation constants the Spark plan
   // bakes in, inlined as exact BIGINT literals
@@ -292,6 +371,54 @@ object DedupPack extends QueryPack {
       |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the same corruption, blocking (±1-cent band probes), quantized
+    // trigram jaccard, declared log-odds weights and zone census —
+    // DuckDB's scalar range(a,b) is the list [a, b) and // floors,
+    // matching Spark's div on the shift-positive operands
+    "q_record_link" ->
+      """WITH cl AS (SELECT CAST(c_custkey AS BIGINT) AS ck, c_name AS nm,
+        |    CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bc
+        |  FROM customer),
+        |dirty AS (SELECT ck AS dk, nk, seg,
+        |    substr(nm, 1, CAST(9 + ck % 9 AS INT))
+        |      || substr(nm, CAST(11 + ck % 9 AS INT)) AS dnm,
+        |    bc + ck % 3 - 1 AS dbc
+        |  FROM cl),
+        |dbands AS (SELECT *, unnest(list_distinct([
+        |    (dbc + 99999) // 10000, (dbc + 100000) // 10000,
+        |    (dbc + 100001) // 10000])) AS band FROM dirty),
+        |dtgs AS (SELECT *, list_distinct(list_transform(
+        |    range(1, length(dnm) - 1),
+        |    i -> substr(dnm, CAST(i AS INT), 3))) AS dtg FROM dbands),
+        |ctgs AS (SELECT *, (bc + 100000) // 10000 AS band,
+        |    list_distinct(list_transform(range(1, length(nm) - 1),
+        |      i -> substr(nm, CAST(i AS INT), 3))) AS tg FROM cl),
+        |sc AS (SELECT d.dk, c.ck,
+        |    (CAST(len(list_intersect(d.dtg, c.tg)) AS BIGINT) * 1048576)
+        |      // (len(d.dtg) + len(c.tg) - len(list_intersect(d.dtg, c.tg)))
+        |      AS jq,
+        |    abs(d.dbc - c.bc) AS bdiff,
+        |    right(d.dnm, 4) = right(c.nm, 4) AS sfx
+        |  FROM dtgs d JOIN ctgs c
+        |    ON d.nk = c.nk AND d.seg = c.seg AND d.band = c.band),
+        |dec AS (SELECT dk, ck,
+        |    (CASE WHEN jq >= 629146 THEN 4500 ELSE -2293 END
+        |     + CASE WHEN bdiff <= 1 THEN 6856 ELSE -2996 END
+        |     + CASE WHEN sfx THEN 606 ELSE -442 END) AS score
+        |  FROM sc),
+        |z AS (SELECT CASE WHEN score >= 9000 THEN 'match'
+        |    WHEN score >= 2000 THEN 'possible' ELSE 'non_match' END
+        |    AS decision,
+        |    CASE WHEN dk = ck THEN 1 ELSE 0 END AS is_true
+        |  FROM dec),
+        |t AS (SELECT count(*) AS n_truth FROM cl)
+        |SELECT decision, count(*) AS n_pairs,
+        |  CAST(sum(is_true) AS BIGINT) AS n_true,
+        |  round(CAST(sum(is_true) AS DOUBLE) / count(*), 6) AS precision,
+        |  round(CAST(sum(is_true) AS DOUBLE) / max(n_truth), 6) AS recall
+        |FROM z, t GROUP BY 1""".stripMargin,
+
     // MinHash LSH is reproduced bit-exactly: shingle hashes and band
     // bucket keys live in DuckDB's md5_number_lower space, and the
     // permutation constants are inlined above. Output = pairs sharing

@@ -218,4 +218,31 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_tp") === 1L, s"got $r")
     assert(r.getAs[Double]("band_recall") === 0.3333, s"got $r")
   }
+
+  test("q_record_link: planted truth pairs all reach the match zone; " +
+      "an off-by-a-cent stranger lands in clerical review") {
+    // 20-char distinct-trigram names: dropping one digit keeps trigram
+    // jaccard >= 0.75, so every truth pair carries name+balance
+    // agreement (score 11962 >= 9000). Balances 10000 cents apart sit
+    // in different blocking bands, so no cross-pairs exist except
+    // customer 4, planted ONE CENT from customer 1 — the band-edge
+    // regime the +-1-cent probes exist for: (d4,c1)/(d1,c4) survive
+    // blocking, read balance-only agreement (score 4121) and land in
+    // 'possible' with zero true pairs.
+    val cl = Seq(
+      (1L, "ABCDEFGHIJKLMNOPQRST", 7L, "SEG", 12345L),
+      (2L, "UVWXYZABCDEFGHIJKLMN", 7L, "SEG", 22345L),
+      (3L, "QRSTUVWXYZ0123456789", 7L, "SEG", 32345L),
+      (4L, "JIHGFEDCBA9876543210", 7L, "SEG", 12346L)
+    ).toDF("ck", "nm", "nk", "seg", "bc")
+    val rows = graft.queries.DedupPack.recordLinkFrom(cl).collect()
+    val m = rows.map(r => r.getAs[String]("decision") -> r).toMap
+    assert(m("match").getAs[Long]("n_pairs") === 4L)
+    assert(m("match").getAs[Long]("n_true") === 4L)
+    assert(m("match").getAs[Double]("precision") === 1.0)
+    assert(m("match").getAs[Double]("recall") === 1.0)
+    assert(m("possible").getAs[Long]("n_pairs") === 2L)
+    assert(m("possible").getAs[Long]("n_true") === 0L)
+    assert(!m.contains("non_match"))
+  }
 }
