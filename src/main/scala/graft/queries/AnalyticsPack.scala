@@ -888,8 +888,77 @@ object AnalyticsPack extends QueryPack {
         .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes"),
           date_format(min(col("day")), "yyyy-MM-dd").as("from_day"),
           date_format(max(col("day")), "yyyy-MM-dd").as("to_day"))
-    })
+    }),
+
+    // Dynamic time warping (Sakoe & Chiba, IEEE TASSP 1978; round 13)
+    // between every event-type pair's first-30-day count series — the
+    // ELASTIC-alignment distance the family lacks: q_xcorr's Pearson
+    // at fixed lags sees only rigid shifts, DTW aligns locally
+    // stretched/compressed shapes (a campaign ramping one day slower
+    // reads as similar, not uncorrelated). Each DP ROW is declarative
+    // via the prefix-sum/running-min decomposition: a warping path
+    // enters row i at column k (vertically or diagonally) and walks
+    // right, so D_i(j) = P_i(j) + min_{k≤j}(V(k) − P_i(k−1)) with
+    // P the row's cost prefix sum and V(k) = min(D_{i−1}(k),
+    // D_{i−1}(k−1)) — one join + three windows per row instead of a
+    // cell-by-cell scan. All costs |a_i − b_j| are exact integer
+    // counts, so the distance is an exact BIGINT. Scale: the series
+    // is TIME-bounded (30 days regardless of SF), pairs are the
+    // type-domain square — every window partitions by (ta, tb), the
+    // cost cube is (types² × 900) rows, and row state rides the
+    // `CheckpointStrategy` seam every third row to bound plan depth.
+    "q_dtw" -> ((s, d) => dtwFrom(dailyCounts(events(s, d))))
   )
+
+  /** DP rows for `q_dtw` — the events table spans exactly 30 days at
+    * every SF; a longer corpus gates its first 30 (documented cut,
+    * WHERE i < 30 both engines). */
+  private[graft] val DtwDays = 30
+
+  /** The DTW fold over any (`event_type`, `day`, `n`) daily-count
+    * frame — public to the test JVM so the spec can gate hand series
+    * against a driver-side reference DP. */
+  private[graft] def dtwFrom(daily: DataFrame,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = daily.agg(min("day").as("d0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .select(col("event_type").as("t"),
+        (col("day") - col("d0")).cast("int").as("i"), col("n"))
+      .where(col("i") < DtwDays)
+    val grid = idx.select("t").distinct()
+      .select(col("t"), explode(sequence(lit(0), lit(DtwDays - 1))).as("i"))
+    val full = grid.join(idx, Seq("t", "i"), "left")
+      .select(col("t"), col("i"), coalesce(col("n"), lit(0L)).as("c"))
+    val cost = ckpt(full.select(col("t").as("ta"), col("i"), col("c").as("ca"))
+      .join(full.select(col("t").as("tb"), col("i").as("j"),
+        col("c").as("cb")), col("ta") < col("tb"))
+      .select(col("ta"), col("tb"), col("i"), col("j"),
+        abs(col("ca") - col("cb")).as("cst")))
+    val wj = Window.partitionBy("ta", "tb").orderBy("j")
+    val wcum = wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var dRow = ckpt(cost.where(col("i") === 0)
+      .select(col("ta"), col("tb"), col("j"),
+        sum("cst").over(wcum).as("d")))
+    for (i <- 1 until DtwDays) {
+      val v = dRow.select(col("ta"), col("tb"), col("j"),
+        least(col("d"), coalesce(lag("d", 1).over(wj), col("d"))).as("v"))
+      val p = cost.where(col("i") === i)
+        .select(col("ta"), col("tb"), col("j"),
+          sum("cst").over(wcum).as("p"))
+      val t = p.join(v, Seq("ta", "tb", "j"))
+        .select(col("ta"), col("tb"), col("j"), col("p"),
+          (col("v") - coalesce(lag("p", 1).over(wj), lit(0L))).as("term"))
+      val next = t.select(col("ta"), col("tb"), col("j"),
+        (col("p") + min("term").over(wcum)).as("d"))
+      dRow = if (i % 3 == 0 || i == DtwDays - 1) ckpt(next) else next
+    }
+    dRow.where(col("j") === DtwDays - 1)
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("d").as("dtw"),
+        round(col("d").cast("double") / (2 * DtwDays), 4).as("dtw_norm"))
+  }
 
   def oracles: Map[String, String] = {
     // q_motif: the lead()-window SAX chain. HUGEINT pins the Q / S² /
@@ -982,8 +1051,54 @@ object AnalyticsPack extends QueryPack {
          |FROM r$iters QUALIFY rk <= 20""".stripMargin
     }
 
+    // q_dtw: the row-recurrence replay — per DP row a V table
+    // (vertical/diagonal entry minima via lag), the row's cost prefix
+    // sum, and the running-min composition; MATERIALIZED per row so
+    // the 30-deep chain never re-inlines
+    val dtwSql: String = {
+      val rows = (1 until DtwDays).map { i =>
+        s"""v$i AS (SELECT ta, tb, j, least(d, coalesce(lag(d) OVER
+           |    (PARTITION BY ta, tb ORDER BY j), d)) AS v FROM r${i - 1}),
+           |r$i AS MATERIALIZED (SELECT ta, tb, j, p + min(term) OVER
+           |    (PARTITION BY ta, tb ORDER BY j
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d
+           |  FROM (SELECT c.ta, c.tb, c.j, c.p,
+           |      v.v - coalesce(lag(c.p) OVER
+           |        (PARTITION BY c.ta, c.tb ORDER BY c.j), 0) AS term
+           |    FROM (SELECT ta, tb, j, sum(cst) OVER
+           |        (PARTITION BY ta, tb ORDER BY j
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+           |      FROM cost WHERE i = $i) c
+           |    JOIN v$i v ON v.ta = c.ta AND v.tb = c.tb AND v.j = c.j))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH dy AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 AS day FROM events),
+         |dc AS (SELECT event_type, day, count(*) AS n
+         |  FROM dy GROUP BY 1, 2),
+         |d0 AS (SELECT min(day) AS d0 FROM dc),
+         |idx AS (SELECT event_type AS t, CAST(day - d0 AS INT) AS i, n
+         |  FROM dc, d0 WHERE day - d0 < $DtwDays),
+         |g AS (SELECT s.t, CAST(x.range AS INT) AS i
+         |  FROM (SELECT DISTINCT t FROM idx) s, range($DtwDays) x),
+         |fl AS MATERIALIZED (SELECT g.t, g.i, COALESCE(idx.n, 0) AS c
+         |  FROM g LEFT JOIN idx ON idx.t = g.t AND idx.i = g.i),
+         |cost AS MATERIALIZED (SELECT a.t AS ta, b.t AS tb,
+         |    a.i AS i, b.i AS j, abs(a.c - b.c) AS cst
+         |  FROM fl a JOIN fl b ON a.t < b.t),
+         |r0 AS MATERIALIZED (SELECT ta, tb, j, sum(cst) OVER
+         |    (PARTITION BY ta, tb ORDER BY j
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d
+         |  FROM cost WHERE i = 0),
+         |$rows
+         |SELECT ta AS type_a, tb AS type_b, CAST(d AS BIGINT) AS dtw,
+         |  round(CAST(d AS DOUBLE) / ${2 * DtwDays}, 4) AS dtw_norm
+         |FROM r${DtwDays - 1} WHERE j = ${DtwDays - 1}""".stripMargin
+    }
+
     Map(
       "q_motif" -> motifSql,
+      "q_dtw" -> dtwSql,
 
       "q_markov_stationary" -> markovSql,
 

@@ -255,7 +255,9 @@ class PlanSpec extends SparkSpec {
     *   q_neyman — the 1-row Σweight broadcast into the k-strata
     *     allocation table (rule-11 sanctioned global total);
     *   q_record_link — the 1-row truth-count broadcast onto the
-    *     3-row decision census. */
+    *     3-row decision census;
+    *   q_dtw — the 1-row min-day broadcast and the type-domain
+    *     ta < tb pair square (q_xcorr's category-bounded shape). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -268,7 +270,7 @@ class PlanSpec extends SparkSpec {
       "embed_whiten", "q_isoforest", "q_diameter", "q_diameter_bracket",
       "ann_hashed_recall", "q_skyline", "q_kmv", "q_chi2",
       "q_markov_stationary", "q_densest", "q_t_closeness", "text_dsir",
-      "q_mst", "q_ks_test", "q_neyman", "q_record_link")
+      "q_mst", "q_ks_test", "q_neyman", "q_record_link", "q_dtw")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

@@ -268,4 +268,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(leak.keySet === Set("a"))
     assert(leak("a")._1 === 0L)
   }
+
+  test("dtwFrom matches a driver-side reference DP on identical, " +
+      "shifted and bumpy 30-day series") {
+    def refDtw(a: Seq[Long], b: Seq[Long]): Long = {
+      val (n, m) = (a.length, b.length)
+      val dp = Array.fill(n, m)(0L)
+      for (i <- 0 until n; j <- 0 until m) {
+        val c = math.abs(a(i) - b(j))
+        dp(i)(j) = c + ((i, j) match {
+          case (0, 0) => 0L
+          case (0, _) => dp(0)(j - 1)
+          case (_, 0) => dp(i - 1)(0)
+          case _ => math.min(dp(i - 1)(j),
+            math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+        })
+      }
+      dp(n - 1)(m - 1)
+    }
+    val n = graft.queries.AnalyticsPack.DtwDays
+    val sa = (0 until n).map(i => ((i * 13) % 7).toLong)
+    val sb = (0 until n).map(i => sa((i + 1) % n)) // locally shifted
+    val sc = sa                                    // identical
+    val daily = (for ((ser, t) <- Seq((sa, "a"), (sb, "b"), (sc, "c"));
+        i <- 0 until n) yield (t, 100L + i, ser(i)))
+      .toDF("event_type", "day", "n")
+    val got = graft.queries.AnalyticsPack.dtwFrom(daily).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+        -> r.getAs[Long]("dtw")).toMap
+    assert(got(("a", "c")) === 0L, "identical series read 0")
+    assert(got(("a", "b")) === refDtw(sa, sb))
+    assert(got(("b", "c")) === refDtw(sb, sc))
+    // elasticity: the one-step shift aligns far below its rigid
+    // euclidean-on-counts distance
+    assert(got(("a", "b")) < sa.zip(sb).map(p => math.abs(p._1 - p._2)).sum)
+  }
 }
