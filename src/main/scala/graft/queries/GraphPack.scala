@@ -1291,8 +1291,49 @@ object GraphPack extends QueryPack {
         round(col("bc_q").cast("double") / 1e9, 4).as("bc"))
   }
 
+  /** Clustering coefficient / transitivity (Watts & Strogatz, Nature
+    * 1998; round 13) over the support-2 co-purchase graph — the
+    * HOW-CLIQUEY readout beside q_triangles' raw counts: per node
+    * cc = 2·tri/(deg·(deg−1)) (what fraction of a node's neighbor
+    * pairs actually co-occur), top-20 by cc, plus the global
+    * transitivity Σtri/Σ C(deg,2) = 3Δ/wedges on every row — the
+    * small-world signature number. Determinism: cc quantizes to
+    * (2·tri·2²⁰) div (deg·(deg−1)) BEFORE the ranking (ties to node
+    * id); transitivity is one division over two exact integer sums.
+    * Scale: rides perNodeTriangles' degree-ordered wedge iterator
+    * (O(E^1.5) bound) + one degree hash agg; top-20 via sort+limit;
+    * the global pair is a whitelisted 1-row broadcast. */
+  private def clustcoef(s: SparkSession, d: String): DataFrame =
+    clustcoefFrom(copurchaseEdges(s, d, minSupport = 2).localCheckpoint(true))
+
+  /** The cc/transitivity kernel over any undirected (`u` < `v`,
+    * distinct) edge set — public to the test JVM for the hand gate. */
+  private[graft] def clustcoefFrom(und: DataFrame): DataFrame = {
+    val tri = perNodeTriangles(und)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val j = deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("dg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .where(col("dg") >= 2)
+    val glob = j.agg(sum("tri").as("t3"),
+      sum(expr("(dg * (dg - 1)) div 2")).as("wdg"))
+    j.withColumn("ccq", expr("(2 * tri * 1048576) div (dg * (dg - 1))"))
+      .orderBy(col("ccq").desc, col("node")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("ccq").desc, col("node"))))
+      .crossJoin(broadcast(glob))
+      .select(col("rk").cast("int").as("rk"), col("node").as("l_partkey"),
+        col("dg"), col("tri"),
+        round(col("ccq").cast("double") / 1048576.0, 6).as("cc"),
+        round(col("t3").cast("double") / col("wdg").cast("double"), 6)
+          .as("transitivity"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) => triangles(s, d)),
+    "q_clustcoef" -> ((s, d) => clustcoef(s, d)),
     "q_reach" -> ((s, d) => reach(s, d)),
     "q_diameter" -> ((s, d) => diameterQ(s, d)),
     "q_diameter_bracket" -> ((s, d) => diameterBracketQ(s, d)),
@@ -1513,6 +1554,44 @@ object GraphPack extends QueryPack {
         |  node AS l_partkey, tri,
         |  (SELECT CAST(sum(tri) // 3 AS BIGINT) FROM pern) AS total_tri
         |FROM top""".stripMargin,
+
+    // q_triangles' prelude + the per-node corner census, then the
+    // quantized cc ranking and the global transitivity fold
+    "q_clustcoef" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*) AS dg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |dir AS (SELECT
+        |    CASE WHEN (dv.dg, v) < (du.dg, u) THEN v ELSE u END AS f,
+        |    CASE WHEN (dv.dg, v) < (du.dg, u) THEN u ELSE v END AS t
+        |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        |dird AS (SELECT f, t, deg.dg AS td FROM dir JOIN deg ON deg.node = t),
+        |tri AS (SELECT e1.f AS a, e1.t AS b, e2.t AS c
+        |  FROM dird e1 JOIN dird e2
+        |    ON e1.f = e2.f AND (e1.td, e1.t) < (e2.td, e2.t)
+        |  JOIN dir e3 ON e3.f = e1.t AND e3.t = e2.t),
+        |pern AS (SELECT node, count(*) AS tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |j AS (SELECT deg.node, deg.dg, COALESCE(pern.tri, 0) AS tri
+        |  FROM deg LEFT JOIN pern ON pern.node = deg.node
+        |  WHERE deg.dg >= 2),
+        |g AS (SELECT CAST(sum(tri) AS BIGINT) AS t3,
+        |    CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS wdg FROM j),
+        |top AS (SELECT node, dg, tri,
+        |    (2 * tri * 1048576) // (dg * (dg - 1)) AS ccq
+        |  FROM j ORDER BY ccq DESC, node LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY ccq DESC, node) AS INT)
+        |    AS rk,
+        |  node AS l_partkey, dg, CAST(tri AS BIGINT) AS tri,
+        |  round(CAST(ccq AS DOUBLE) / 1048576.0, 6) AS cc,
+        |  round(CAST(t3 AS DOUBLE) / CAST(wdg AS DOUBLE), 6)
+        |    AS transitivity
+        |FROM top, g""".stripMargin,
 
     // the double-sweep replay: two q_reach BFS chains, the second
     // seeded by the first's (dist desc, node) endpoint

@@ -452,6 +452,20 @@ class GraphPackSpec extends SparkSpec {
       3L -> 1000000000L, 4L -> 0L))
   }
 
+  test("clustcoefFrom reads hand coefficients on a triangle-with-tail") {
+    // triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1, cc(3)=1/3,
+    // node 4 (deg 1) drops; transitivity = 3 triangles-corners /
+    // (1+1+3) wedges = 0.6
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = GraphPack.clustcoefFrom(und).collect()
+      .map(r => r.getAs[Long]("l_partkey") ->
+        (r.getAs[Double]("cc"), r.getAs[Double]("transitivity"))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L)._1 === 1.0 && got(2L)._1 === 1.0)
+    assert(got(3L)._1 === 0.333333)
+    assert(got(1L)._2 === 0.6)
+  }
+
   test("q_mst census invariants on sf0.001") {
     val rows = SparkEntry.queries("q_mst")(s, sfDir)
       .collect().sortBy(_.getAs[Int]("round"))

@@ -270,7 +270,8 @@ class PlanSpec extends SparkSpec {
       "embed_whiten", "q_isoforest", "q_diameter", "q_diameter_bracket",
       "ann_hashed_recall", "q_skyline", "q_kmv", "q_chi2",
       "q_markov_stationary", "q_densest", "q_t_closeness", "text_dsir",
-      "q_mst", "q_ks_test", "q_neyman", "q_record_link", "q_dtw")
+      "q_mst", "q_ks_test", "q_neyman", "q_record_link", "q_dtw",
+      "q_clustcoef")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
