@@ -964,12 +964,13 @@ object GraphPack extends QueryPack {
   /** Borůvka rounds / pointer-jump sub-rounds for `q_mst`. Six rounds
     * at-least-halve the component count each (any graph settles at
     * ≤ V/2⁶ components; the supply graph's supplier hubs collapse it
-    * in 2–3), and five jumps fully flatten pointer trees up to depth
-    * 32 — deeper trees merely merge SLOWER (see the cut-property note
-    * in [[mstFrom]]), and the post-loop guard throws rather than
-    * emit a non-spanning forest. The oracle replays exactly these. */
+    * in 2–3), and three jumps fully flatten pointer trees up to depth
+    * 8 — deeper trees merely merge SLOWER (see the cut-property note
+    * in [[mstFrom]]: partial collapse only ever selects MST edges),
+    * and the post-loop guard throws rather than emit a non-spanning
+    * forest. The oracle replays exactly these. */
   private val MstRounds = 6
-  private val MstJumps = 5
+  private val MstJumps = 3
 
   /** Minimum spanning forest by Borůvka rounds (Borůvka 1926; the
     * canonical MapReduce/Pregel MST — Lattanzi et al. SPAA 2011 frame
@@ -1040,11 +1041,19 @@ object GraphPack extends QueryPack {
     // without it every round re-joins the FULL edge set)
     var edgesCur = edges
     for (r <- 1 to rounds) {
-      val eu = ckpt(edgesCur
-        .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
-        .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
-        .where(col("lu") =!= col("lv"))
-        .repartition(col("u")))
+      // round 1 is special-cased PHYSICALLY: labels are identity
+      // singletons, so the two label joins are no-ops — the heaviest
+      // round (full edge set) skips its two biggest shuffles; the
+      // oracle's l0 joins produce literally the same rows
+      val eu = ckpt({
+        val base =
+          if (r == 1) edgesCur.select(col("u"), col("v"), col("w"),
+            col("u").as("lu"), col("v").as("lv"))
+          else edgesCur
+            .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+            .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+        base.where(col("lu") =!= col("lv")).repartition(col("u"))
+      })
       edgesCur = eu.select("u", "v", "w")
       val cand = eu.select(col("lu").as("c"), col("lv").as("other"),
           col("w"), col("u"), col("v"))
@@ -1057,24 +1066,41 @@ object GraphPack extends QueryPack {
       // exchanges inside one job (measured 16 → 47 s at sf0.1 when
       // tried) — one shuffle per jump through the seam is the cheaper
       // shape even counting per-job overhead
-      val sel = ckpt(cand.withColumn("rk", row_number().over(
-          Window.partitionBy("c").orderBy(col("w"), col("u"), col("v"))))
-        .where(col("rk") === 1).drop("rk"))
+      // the per-component argmin is a hash agg over min(struct), NOT a
+      // rank window: map-side combinable (each partition ships one
+      // candidate per component, never its full candidate list) and
+      // sort-free — the 100 TB shape; (w,u,v) is unique per edge so
+      // the struct order IS the total order the oracle's row_number
+      // replays
+      val sel = ckpt(cand.groupBy("c")
+        .agg(min(struct(col("w"), col("u"), col("v"), col("other")))
+          .as("m"))
+        .select(col("c"), col("m.other").as("other"), col("m.w").as("w"),
+          col("m.u").as("u"), col("m.v").as("v")))
       val selE = sel.select("u", "v", "w").distinct()
-      mstAcc = ckpt(mstAcc.unionByName(selE))
+      // the accumulator stays LAZY: a 6-deep union over checkpointed
+      // per-round sel frames is a tiny plan, and a ckpt here is a
+      // whole job per round for nothing (the loop is job-count-bound
+      // — BENCH_FULL measured 30 s contended at 10 ckpts/round)
+      mstAcc = mstAcc.unionByName(selE)
       val p0raw = sel.select(col("c"), col("other").as("p"))
-      var ptr = ckpt(p0raw.as("a")
+      var ptr = p0raw.as("a")
         .join(p0raw.as("b"), col("a.p") === col("b.c"), "left")
         .select(col("a.c").as("c"),
           when(col("b.p") === col("a.c") && col("a.c") < col("a.p"),
             col("a.c")).otherwise(col("a.p")).as("p"))
-        .repartition(col("c")))
-      for (_ <- 1 to jumps) {
-        ptr = ckpt(ptr.as("a")
+      // checkpoint every OTHER jump: a lazy self-join doubles its
+      // subtree, so one lazy step costs ~3 exchanges inside the next
+      // ckpt's job — cheaper than a whole extra job on component-
+      // sized data, while the full-lazy cascade (2^jumps−1 exchanges,
+      // 47 s) stays reverted
+      for (j <- 1 to jumps) {
+        val stepped = ptr.as("a")
           .join(ptr.as("b"), col("a.p") === col("b.c"), "left")
           .select(col("a.c").as("c"),
             coalesce(col("b.p"), col("a.p")).as("p"))
-          .repartition(col("c")))
+        ptr = if (j % 2 == 0 || j == jumps)
+          ckpt(stepped.repartition(col("c"))) else stepped
       }
       lbl = ckpt(lbl
         .join(ptr.select(col("c").as("lbl"), col("p")), Seq("lbl"), "left")
@@ -1236,6 +1262,12 @@ object GraphPack extends QueryPack {
     var visited = ckpt(frontier.withColumn("dist", lit(0))
       .repartition(col("node")))
     for (r <- 1 to rounds) {
+      // the expansion CHECKPOINTS: it is consumed twice (this round's
+      // visited union, next round's join) and the edge join + anti +
+      // hash agg is the round's real work — evaluating it lazily in
+      // both consumers measured 22–25 s vs 14–16 s at sf0.1 (the
+      // inverse of the q_mst job-count lesson: trim jobs only where
+      // the recompute is trivial)
       val next = ckpt(edges
         .join(frontier, edges("src") === frontier("node"))
         .select(col("seed"), col("dst").as("node"), col("sigma"))
