@@ -281,19 +281,37 @@ object DedupPack extends QueryPack {
     // completeness for the planted noise is by construction, and the
     // shift keeps the division truncation-vs-floor-proof on negative
     // balances); candidates ∝ block occupancy, never |dirty|×|clean|.
-    "q_record_link" -> ((s, d) =>
-      recordLinkFrom(Tables.customer(s, d).select(
-        col("c_custkey").cast("long").as("ck"), col("c_name").as("nm"),
-        col("c_nationkey").cast("long").as("nk"),
-        col("c_mktsegment").as("seg"),
-        floor(col("c_acctbal") * 100).cast("long").as("bc"))))
+    "q_record_link" -> ((s, d) => recordLinkFrom(cleanCustomers(s, d))),
+
+    // Fellegi–Sunter with EM-FIT m/u (the paper's §5 latent-mixture
+    // estimation; round 13) — q_record_link's declared log-odds
+    // literals replaced by parameters ESTIMATED from the comparison
+    // space itself: EM over the 8-row agreement-pattern census (pure
+    // driver arithmetic on exact integer counts, bounded by the 2³
+    // pattern domain at any corpus size), every pair then classified
+    // by its pattern's fitted match posterior. The fitted posteriors
+    // quantize to 1e6-unit integers ON THE DRIVER and inline in both
+    // plans (ann_trained_recall's trained-artifact discipline — no
+    // float ever crosses the engine boundary), so the gate covers
+    // block → compare → pattern → fitted-posterior → zone end to end.
+    "q_record_link_em" -> ((s, d) =>
+      recordLinkEmFrom(cleanCustomers(s, d)))
   )
 
-  /** The linkage kernel over any clean (`ck`, `nm`, `nk`, `seg`, `bc`)
-    * record table (names must be ≥ 3 chars — customer names are fixed
-    * 18) — public to the test JVM for the planted-truth gate. */
-  private[graft] def recordLinkFrom(clean: DataFrame): DataFrame = {
-    val cl = clean.localCheckpoint(true) // feeds dirty gen + clean side
+  /** The clean-record projection both linkage keys share. */
+  private def cleanCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("ck"), col("c_name").as("nm"),
+      col("c_nationkey").cast("long").as("nk"),
+      col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") * 100).cast("long").as("bc"))
+
+  /** The shared linkage comparison space over any clean (`ck`, `nm`,
+    * `nk`, `seg`, `bc`) record table (names must be ≥ 3 chars —
+    * customer names are fixed 18): deterministic dirty generation,
+    * ±1-cent band-probe blocking, quantized trigram jaccard, and the
+    * three boolean agreement fields per candidate pair. */
+  private[graft] def linkEvidence(cl: DataFrame): DataFrame = {
     val trigs = "array_distinct(transform(sequence(1, length(%s) - 2), " +
       "i -> substring(%s, i, 3)))"
     val dirty = cl.select(col("ck").as("dk"), col("nk"), col("seg"),
@@ -308,22 +326,20 @@ object DedupPack extends QueryPack {
     val clb = cl
       .withColumn("band", expr("(bc + 100000) div 10000"))
       .withColumn("tg", expr(trigs.format("nm", "nm")))
-    val scored = dirty.join(clb, Seq("nk", "seg", "band"))
+    dirty.join(clb, Seq("nk", "seg", "band"))
       .withColumn("i0", size(array_intersect(col("dtg"), col("tg"))))
       .withColumn("u0",
         size(col("dtg")) + size(col("tg")) - col("i0"))
       .withColumn("jq", expr("(cast(i0 as bigint) * 1048576) div u0"))
-      .withColumn("score",
-        when(col("jq") >= 629146, lit(4500L)).otherwise(lit(-2293L))
-          + when(abs(col("dbc") - col("bc")) <= 1, lit(6856L))
-            .otherwise(lit(-2996L))
-          + when(expr("right(dnm, 4) = right(nm, 4)"), lit(606L))
-            .otherwise(lit(-442L)))
-      .withColumn("decision",
-        when(col("score") >= 9000, "match")
-          .when(col("score") >= 2000, "possible")
-          .otherwise("non_match"))
-    scored.groupBy("decision")
+      .select(col("dk"), col("ck"),
+        (col("jq") >= 629146).as("a_name"),
+        (abs(col("dbc") - col("bc")) <= 1).as("a_bal"),
+        expr("right(dnm, 4) = right(nm, 4)").as("a_sfx"))
+  }
+
+  /** The zone census shared by both linkage keys. */
+  private def linkCensus(decided: DataFrame, cl: DataFrame): DataFrame =
+    decided.groupBy("decision")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("dk") === col("ck"), 1L).otherwise(0L)).as("n_true"))
       .crossJoin(broadcast(cl.agg(count(lit(1)).as("n_truth"))))
@@ -332,6 +348,163 @@ object DedupPack extends QueryPack {
           .as("precision"),
         round(col("n_true").cast("double") / col("n_truth"), 6)
           .as("recall"))
+
+  /** The declared-weights linkage kernel — public to the test JVM for
+    * the planted-truth gate. */
+  private[graft] def recordLinkFrom(clean: DataFrame): DataFrame = {
+    val cl = clean.localCheckpoint(true) // feeds dirty gen + clean side
+    val decided = linkEvidence(cl)
+      .withColumn("score",
+        when(col("a_name"), lit(4500L)).otherwise(lit(-2293L))
+          + when(col("a_bal"), lit(6856L)).otherwise(lit(-2996L))
+          + when(col("a_sfx"), lit(606L)).otherwise(lit(-442L)))
+      .withColumn("decision",
+        when(col("score") >= 9000, "match")
+          .when(col("score") >= 2000, "possible")
+          .otherwise("non_match"))
+    linkCensus(decided, cl)
+  }
+
+  /** Fellegi–Sunter EM over the 8-row agreement-pattern census (the
+    * paper's §5 latent-mixture fit): patterns γ ∈ {0,1}³ with counts
+    * n_γ, model P(γ) = p·Π mᵢ^γᵢ(1−mᵢ)^(1−γᵢ) + (1−p)·Π uᵢ^…, fixed
+    * 20 iterations from the fixed (0.5, .9, .1) init, parameters
+    * clamped to [1e-6, 1−1e-6] (the all-agree field drives m → 1).
+    * Pure driver arithmetic over the exact integer census —
+    * deterministic, and bounded by the 2³ pattern domain regardless
+    * of corpus size. Returns (p, m, u, pattern → match-posterior). */
+  private[graft] def fsEm(counts: Map[Int, Long], iters: Int = 20)
+      : (Double, Array[Double], Array[Double], Map[Int, Double]) = {
+    def clamp(x: Double) = math.min(1 - 1e-6, math.max(1e-6, x))
+    var p = 0.5
+    var m = Array(0.9, 0.9, 0.9)
+    var u = Array(0.1, 0.1, 0.1)
+    val pats = (0 until 8).map(g => g -> counts.getOrElse(g, 0L))
+    val n = math.max(1L, pats.map(_._2).sum).toDouble
+    def lik(a: Array[Double], g: Int): Double =
+      (0 until 3).map(i =>
+        if (((g >> (2 - i)) & 1) == 1) a(i) else 1 - a(i)).product
+    var post = Map.empty[Int, Double]
+    for (_ <- 1 to iters) {
+      post = pats.map { case (g, _) =>
+        val a = p * lik(m, g)
+        g -> a / (a + (1 - p) * lik(u, g))
+      }.toMap
+      val wm = pats.map { case (g, c) => c * post(g) }.sum
+      val wu = n - wm
+      p = clamp(wm / n)
+      m = (0 until 3).map(i => clamp(pats.collect {
+        case (g, c) if ((g >> (2 - i)) & 1) == 1 => c * post(g)
+      }.sum / math.max(1e-9, wm))).toArray
+      u = (0 until 3).map(i => clamp(pats.collect {
+        case (g, c) if ((g >> (2 - i)) & 1) == 1 => c * (1 - post(g))
+      }.sum / math.max(1e-9, wu))).toArray
+    }
+    (p, m, u, post)
+  }
+
+  // q_record_link_em's trained artifact, stashed at query run time so
+  // the oracle def inlines the EXACT per-pattern posterior integers
+  // (SimilarityPack's trainedCb idiom; Verify emits oracle_sql.json
+  // after every query has run)
+  @volatile private var emPosts: Option[Map[Int, Long]] = None
+
+  // the comparison-space prelude both linkage oracles share: dirty
+  // generation, ±1-cent band probes, quantized trigram jaccard
+  private val linkPreludeSql: String =
+    """cl AS (SELECT CAST(c_custkey AS BIGINT) AS ck, c_name AS nm,
+      |    CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bc
+      |  FROM customer),
+      |dirty AS (SELECT ck AS dk, nk, seg,
+      |    substr(nm, 1, CAST(9 + ck % 9 AS INT))
+      |      || substr(nm, CAST(11 + ck % 9 AS INT)) AS dnm,
+      |    bc + ck % 3 - 1 AS dbc
+      |  FROM cl),
+      |dbands AS (SELECT *, unnest(list_distinct([
+      |    (dbc + 99999) // 10000, (dbc + 100000) // 10000,
+      |    (dbc + 100001) // 10000])) AS band FROM dirty),
+      |dtgs AS (SELECT *, list_distinct(list_transform(
+      |    range(1, length(dnm) - 1),
+      |    i -> substr(dnm, CAST(i AS INT), 3))) AS dtg FROM dbands),
+      |ctgs AS (SELECT *, (bc + 100000) // 10000 AS band,
+      |    list_distinct(list_transform(range(1, length(nm) - 1),
+      |      i -> substr(nm, CAST(i AS INT), 3))) AS tg FROM cl),
+      |sc AS (SELECT d.dk, c.ck,
+      |    (CAST(len(list_intersect(d.dtg, c.tg)) AS BIGINT) * 1048576)
+      |      // (len(d.dtg) + len(c.tg) - len(list_intersect(d.dtg, c.tg)))
+      |      AS jq,
+      |    abs(d.dbc - c.bc) AS bdiff,
+      |    right(d.dnm, 4) = right(c.nm, 4) AS sfx
+      |  FROM dtgs d JOIN ctgs c
+      |    ON d.nk = c.nk AND d.seg = c.seg AND d.band = c.band)"""
+      .stripMargin
+
+  // the zone census both linkage oracles share (consumes a CTE `z`
+  // with (decision, is_true))
+  private val linkCensusSql: String =
+    """t AS (SELECT count(*) AS n_truth FROM cl)
+      |SELECT decision, count(*) AS n_pairs,
+      |  CAST(sum(is_true) AS BIGINT) AS n_true,
+      |  round(CAST(sum(is_true) AS DOUBLE) / count(*), 6) AS precision,
+      |  round(CAST(sum(is_true) AS DOUBLE) / max(n_truth), 6) AS recall
+      |FROM z, t GROUP BY 1""".stripMargin
+
+  /** The `q_record_link_em` replay: the shared comparison space, the
+    * pattern id, the STASHED fitted-posterior integers as a CASE
+    * mapping, the same zone cuts and census. */
+  private def recordLinkEmSql: String = emPosts match {
+    case None =>
+      // query never ran in this process: an impossible row, so a stale
+      // pairing fails the compare loudly instead of silently passing
+      "SELECT 'match' AS decision, 0 AS n_pairs, 0 AS n_true, " +
+        "0.0 AS precision, 0.0 AS recall WHERE 1 = 0"
+    case Some(pq) =>
+      val cases = (0 until 8).map(g => s"WHEN $g THEN ${pq(g)}")
+        .mkString(" ")
+      s"WITH $linkPreludeSql,\n" +
+        s"""pat AS (SELECT dk, ck,
+           |    (CASE WHEN jq >= 629146 THEN 4 ELSE 0 END
+           |     + CASE WHEN bdiff <= 1 THEN 2 ELSE 0 END
+           |     + CASE WHEN sfx THEN 1 ELSE 0 END) AS g
+           |  FROM sc),
+           |z AS (SELECT CASE WHEN pq >= 950000 THEN 'match'
+           |      WHEN pq >= 50000 THEN 'possible'
+           |      ELSE 'non_match' END AS decision,
+           |    CASE WHEN dk = ck THEN 1 ELSE 0 END AS is_true
+           |  FROM (SELECT dk, ck, CASE g $cases END AS pq FROM pat)),
+           |""".stripMargin + linkCensusSql
+  }
+
+  /** The EM-fitted linkage kernel: fit on the collected 8-row pattern
+    * census (bounded by the 2³ domain — the sanctioned
+    * codebook-collect), classify every pair by its pattern's fitted
+    * match posterior quantized to exact 1e6-unit integers (computed
+    * ONCE on the driver and inlined in BOTH plans, so no float
+    * crosses the engine boundary), zone cuts at 0.95 / 0.05. */
+  private[graft] def recordLinkEmFrom(clean: DataFrame): DataFrame = {
+    val cl = clean.localCheckpoint(true)
+    val ev = linkEvidence(cl)
+      .withColumn("g",
+        when(col("a_name"), 4).otherwise(0)
+          + when(col("a_bal"), 2).otherwise(0)
+          + when(col("a_sfx"), 1).otherwise(0))
+      .localCheckpoint(true) // feeds the census collect + the classify
+    val counts = ev.groupBy("g").count().collect()
+      .map(r => r.getAs[Int]("g") -> r.getAs[Long]("count")).toMap
+    val (_, _, _, post) = fsEm(counts)
+    val pq = (0 until 8).map(g =>
+      g -> math.floor(post.getOrElse(g, 0.0) * 1e6).toLong).toMap
+    emPosts = Some(pq)
+    val pqCol = (0 until 8).foldLeft(lit(0L)) { (acc, g) =>
+      when(col("g") === g, lit(pq(g))).otherwise(acc)
+    }
+    val decided = ev.withColumn("pq", pqCol)
+      .withColumn("decision",
+        when(col("pq") >= 950000L, "match")
+          .when(col("pq") >= 50000L, "possible")
+          .otherwise("non_match"))
+    linkCensus(decided, cl)
   }
 
   // the deterministic MinHash permutation constants the Spark plan
@@ -376,48 +549,20 @@ object DedupPack extends QueryPack {
     // DuckDB's scalar range(a,b) is the list [a, b) and // floors,
     // matching Spark's div on the shift-positive operands
     "q_record_link" ->
-      """WITH cl AS (SELECT CAST(c_custkey AS BIGINT) AS ck, c_name AS nm,
-        |    CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
-        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bc
-        |  FROM customer),
-        |dirty AS (SELECT ck AS dk, nk, seg,
-        |    substr(nm, 1, CAST(9 + ck % 9 AS INT))
-        |      || substr(nm, CAST(11 + ck % 9 AS INT)) AS dnm,
-        |    bc + ck % 3 - 1 AS dbc
-        |  FROM cl),
-        |dbands AS (SELECT *, unnest(list_distinct([
-        |    (dbc + 99999) // 10000, (dbc + 100000) // 10000,
-        |    (dbc + 100001) // 10000])) AS band FROM dirty),
-        |dtgs AS (SELECT *, list_distinct(list_transform(
-        |    range(1, length(dnm) - 1),
-        |    i -> substr(dnm, CAST(i AS INT), 3))) AS dtg FROM dbands),
-        |ctgs AS (SELECT *, (bc + 100000) // 10000 AS band,
-        |    list_distinct(list_transform(range(1, length(nm) - 1),
-        |      i -> substr(nm, CAST(i AS INT), 3))) AS tg FROM cl),
-        |sc AS (SELECT d.dk, c.ck,
-        |    (CAST(len(list_intersect(d.dtg, c.tg)) AS BIGINT) * 1048576)
-        |      // (len(d.dtg) + len(c.tg) - len(list_intersect(d.dtg, c.tg)))
-        |      AS jq,
-        |    abs(d.dbc - c.bc) AS bdiff,
-        |    right(d.dnm, 4) = right(c.nm, 4) AS sfx
-        |  FROM dtgs d JOIN ctgs c
-        |    ON d.nk = c.nk AND d.seg = c.seg AND d.band = c.band),
-        |dec AS (SELECT dk, ck,
-        |    (CASE WHEN jq >= 629146 THEN 4500 ELSE -2293 END
-        |     + CASE WHEN bdiff <= 1 THEN 6856 ELSE -2996 END
-        |     + CASE WHEN sfx THEN 606 ELSE -442 END) AS score
-        |  FROM sc),
-        |z AS (SELECT CASE WHEN score >= 9000 THEN 'match'
-        |    WHEN score >= 2000 THEN 'possible' ELSE 'non_match' END
-        |    AS decision,
-        |    CASE WHEN dk = ck THEN 1 ELSE 0 END AS is_true
-        |  FROM dec),
-        |t AS (SELECT count(*) AS n_truth FROM cl)
-        |SELECT decision, count(*) AS n_pairs,
-        |  CAST(sum(is_true) AS BIGINT) AS n_true,
-        |  round(CAST(sum(is_true) AS DOUBLE) / count(*), 6) AS precision,
-        |  round(CAST(sum(is_true) AS DOUBLE) / max(n_truth), 6) AS recall
-        |FROM z, t GROUP BY 1""".stripMargin,
+      (s"WITH $linkPreludeSql,\n" +
+        """dec AS (SELECT dk, ck,
+          |    (CASE WHEN jq >= 629146 THEN 4500 ELSE -2293 END
+          |     + CASE WHEN bdiff <= 1 THEN 6856 ELSE -2996 END
+          |     + CASE WHEN sfx THEN 606 ELSE -442 END) AS score
+          |  FROM sc),
+          |z AS (SELECT CASE WHEN score >= 9000 THEN 'match'
+          |    WHEN score >= 2000 THEN 'possible' ELSE 'non_match' END
+          |    AS decision,
+          |    CASE WHEN dk = ck THEN 1 ELSE 0 END AS is_true
+          |  FROM dec),
+          |""".stripMargin + linkCensusSql),
+
+    "q_record_link_em" -> recordLinkEmSql,
 
     // MinHash LSH is reproduced bit-exactly: shingle hashes and band
     // bucket keys live in DuckDB's md5_number_lower space, and the

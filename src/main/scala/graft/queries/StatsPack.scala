@@ -687,9 +687,12 @@ object StatsPack extends QueryPack {
     // from exact integer moments over vq = floor(value·1e4) (n·Q − S²
     // in DECIMAL(38,0) — it overflows BIGINT already at sf0.1), one
     // fixed sqrt per stratum, weight floor-quantized to an integer
-    // BEFORE the allocation division (B·w_h) div Σw (floor allocation,
-    // Σ ≤ B — largest-remainder seat-filling is a documented variant);
-    // the draw is bottom-rank by seedless md5 (h, id) — deterministic
+    // BEFORE the allocation division (B·w_h) div Σw, then the
+    // LARGEST-REMAINDER seat fill (Hamilton's method): the B − Σfloor
+    // leftover rows go to the biggest (B·w_h) mod Σw remainders (ties
+    // to type name), so the allocations sum to exactly B whenever
+    // Σw > 0 — all integer ranking, no float apportionment; the draw
+    // is bottom-rank by seedless md5 (h, id) — deterministic
     // under any repartitioning, q_quantile_sample's sampler. Scale:
     // one events-sized hash agg to k strata rows; the draw rides the
     // bounded TopKStructs heap (B rows per partition per stratum cross
@@ -715,10 +718,21 @@ object StatsPack extends QueryPack {
         (col("n").cast("double") * (col("n") - 1).cast("double"))
       val w = g.select(col("event_type"), col("n"),
         floor(col("n").cast("double") * sqrt(varh)).cast("long").as("wq"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("event_type"))
+      val wall = org.apache.spark.sql.expressions.Window.partitionBy()
       val alloc = w
         .crossJoin(broadcast(w.agg(sum("wq").as("tw"))))
         .select(col("event_type"), col("n"),
-          expr(s"($budget * wq) div tw").as("alloc"))
+          expr(s"case when tw = 0 then 0 else ($budget * wq) div tw end")
+            .as("a0"),
+          expr(s"case when tw = 0 then 0 else ($budget * wq) % tw end")
+            .as("rem"))
+        .withColumn("leftover", lit(budget.toLong) - sum("a0").over(wall))
+        .withColumn("rk", row_number().over(wk))
+        .select(col("event_type"), col("n"),
+          (col("a0") + when(col("rk") <= col("leftover") && col("rem") > 0,
+            1L).otherwise(0L)).as("alloc"))
       val drawn = ev.groupBy("event_type")
         .agg(topk(struct(col("h"), col("event_id")), budget).as("arr"))
         .select(col("event_type"),
@@ -1290,8 +1304,15 @@ object StatsPack extends QueryPack {
         |      AS BIGINT) AS wq
         |  FROM g),
         |t AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM w),
-        |a AS (SELECT event_type, n, (500 * wq) // tw AS alloc
+        |a0 AS (SELECT event_type, n,
+        |    CASE WHEN tw = 0 THEN 0 ELSE (500 * wq) // tw END AS a0,
+        |    CASE WHEN tw = 0 THEN 0 ELSE (500 * wq) % tw END AS rem
         |  FROM w, t),
+        |a AS (SELECT event_type, n, a0 + CASE WHEN
+        |      row_number() OVER (ORDER BY rem DESC, event_type)
+        |        <= 500 - sum(a0) OVER () AND rem > 0
+        |      THEN 1 ELSE 0 END AS alloc
+        |  FROM a0),
         |r AS (SELECT event_type, event_id,
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY h, event_id) AS rn

@@ -245,4 +245,40 @@ class DedupSpec extends SparkSpec {
     assert(m("possible").getAs[Long]("n_true") === 0L)
     assert(!m.contains("non_match"))
   }
+
+  test("fsEm recovers the planted mixture parameters from a pattern " +
+      "census") {
+    // 1000 matches (550 all-agree, 450 name+bal only) + 250
+    // non-matches (200 nothing, 50 balance only): truth m = (1, 1,
+    // .55), u = (0, .2, 0), p = .8
+    val census = Map(7 -> 550L, 6 -> 450L, 0 -> 200L, 2 -> 50L)
+    val (p, mm, uu, post) = graft.queries.DedupPack.fsEm(census)
+    assert(math.abs(p - 0.8) < 0.05, s"p=$p")
+    assert(mm(0) > 0.95 && mm(1) > 0.95, s"m=${mm.toSeq}")
+    assert(math.abs(mm(2) - 0.55) < 0.05, s"m=${mm.toSeq}")
+    assert(uu(0) < 0.05 && math.abs(uu(1) - 0.2) < 0.05 && uu(2) < 0.05,
+      s"u=${uu.toSeq}")
+    assert(post(7) > 0.95 && post(6) > 0.95, "match patterns")
+    assert(post(0) < 0.05 && post(2) < 0.05, "non-match patterns")
+  }
+
+  test("q_record_link_em separates planted truth from strangers with " +
+      "fitted posteriors") {
+    val cl = Seq(
+      (1L, "ABCDEFGHIJKLMNOPQRST", 7L, "SEG", 12345L),
+      (2L, "UVWXYZABCDEFGHIJKLMN", 7L, "SEG", 22345L),
+      (3L, "QRSTUVWXYZ0123456789", 7L, "SEG", 32345L),
+      (4L, "JIHGFEDCBA9876543210", 7L, "SEG", 12346L)
+    ).toDF("ck", "nm", "nk", "seg", "bc")
+    val rows = graft.queries.DedupPack.recordLinkEmFrom(cl).collect()
+    val m = rows.map(r => r.getAs[String]("decision") -> r).toMap
+    assert(m("match").getAs[Long]("n_pairs") === 4L)
+    assert(m("match").getAs[Long]("n_true") === 4L)
+    assert(m("match").getAs[Double]("precision") === 1.0)
+    assert(m("match").getAs[Double]("recall") === 1.0)
+    // the two one-cent strangers must NOT reach the match zone
+    val others = rows.filter(_.getAs[String]("decision") != "match")
+    assert(others.map(_.getAs[Long]("n_pairs")).sum === 2L)
+    assert(others.map(_.getAs[Long]("n_true")).sum === 0L)
+  }
 }

@@ -271,7 +271,7 @@ class PlanSpec extends SparkSpec {
       "ann_hashed_recall", "q_skyline", "q_kmv", "q_chi2",
       "q_markov_stationary", "q_densest", "q_t_closeness", "text_dsir",
       "q_mst", "q_ks_test", "q_neyman", "q_record_link", "q_dtw",
-      "q_clustcoef")
+      "q_clustcoef", "q_record_link_em")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

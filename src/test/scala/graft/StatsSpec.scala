@@ -246,7 +246,9 @@ class StatsSpec extends SparkSpec {
     // estimator already knows exactly gets NOTHING — the operator's
     // defining behavior); b/c have σ ratio 1:2 at equal n, so the
     // floor allocations are (500·28284) div 84852 = 166 and
-    // (500·56568) div 84852 = 333
+    // (500·56568) div 84852 = 333, and the one leftover seat goes to
+    // b's larger remainder (56568 vs 28284) — allocations sum to the
+    // full 500 budget
     val rows = SparkEntry.queries("q_neyman")(spark, writeEvents(
       Seq("a" -> 5.0, "a" -> 5.0, "a" -> 5.0, "a" -> 5.0,
         "b" -> 0.0, "b" -> 2.0, "c" -> 0.0, "c" -> 4.0))).collect()
@@ -254,7 +256,7 @@ class StatsSpec extends SparkSpec {
     assert(!byType.contains("a"), "zero-variance stratum must draw 0")
     assert(byType("b").length === 2 && byType("c").length === 2,
       "allocations exceed tiny stratum sizes, so both draw fully")
-    assert(byType("b").head.getAs[Long]("alloc") === 166L)
+    assert(byType("b").head.getAs[Long]("alloc") === 167L)
     assert(byType("c").head.getAs[Long]("alloc") === 333L)
     // ranks are contiguous from 1 within each stratum
     assert(byType("b").map(_.getAs[Long]("rn")).sorted.toSeq === Seq(1L, 2L))
