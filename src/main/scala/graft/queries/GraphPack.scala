@@ -37,6 +37,19 @@ object GraphPack extends QueryPack {
       .select("u", "v")
   }
 
+  /** [[copurchaseEdges]] keeping the support count as the edge weight
+    * (`u`, `v`, `w`). */
+  private def copurchaseEdgesW(s: SparkSession, d: String,
+      minSupport: Int): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= minSupport)
+  }
+
   /** Triangle counting over the part co-purchase graph — the
     * degree-ordered node-iterator algorithm (Schank 2007; the MapReduce
     * formulation is Suri & Vassilvitskii, WWW 2011): orient every
@@ -106,6 +119,82 @@ object GraphPack extends QueryPack {
       .union(tri.select(col("b").as("node")))
       .union(tri.select(col("c").as("node")))
       .groupBy("node").agg(count(lit(1)).as("tri"))
+  }
+
+  /** Barrat weighted clustering coefficient (Barrat, Barthélemy,
+    * Pastor-Satorras & Vespignani, PNAS 2004; round 13) — the
+    * edge-INTENSITY view q_clustcoef's binary coefficient flattens: a
+    * node whose triangles ride its strong ties scores higher than one
+    * whose triangles are weight-trivia; cc_w(v) = (1/(s_v·(k_v−1)))
+    * · Σ_triangles (w_vu + w_vw)/2 with s_v the node's strength
+    * (Σ incident weights). Determinism: weights are integer
+    * co-purchase supports, each corner's (w1 + w2) term stays a
+    * DOUBLED exact integer (no /2 float), and the coefficient
+    * quantizes to (num·2²⁰) div (2·s·(k−1)) before ranking. */
+  private[graft] def clustcoefWeightedFrom(undW: DataFrame): DataFrame = {
+    val tri = perNodeTriangleCorners(undW)
+    val st = undW.select(col("u").as("node"), col("w"))
+      .union(undW.select(col("v").as("node"), col("w")))
+      .groupBy("node").agg(count(lit(1)).as("dg"),
+        sum("w").as("strength"))
+    val j = st.join(tri, Seq("node"), "left")
+      .select(col("node"), col("dg"), col("strength"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        coalesce(col("num"), lit(0L)).as("num"))
+      .where(col("dg") >= 2)
+    j.withColumn("ccq",
+        expr("(num * 1048576) div (2 * strength * (dg - 1))"))
+      .orderBy(col("ccq").desc, col("node")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("ccq").desc, col("node"))))
+      .select(col("rk").cast("int").as("rk"), col("node").as("l_partkey"),
+        col("dg"), col("strength"), col("tri"),
+        round(col("ccq").cast("double") / 1048576.0, 6).as("cc_w"))
+  }
+
+  /** Per-node (triangle count, Σ doubled incident-pair weight) over a
+    * weighted undirected (`u` < `v`, `w`) edge set — the Barrat
+    * numerator, via the same degree-ordered wedge iterator. */
+  private def perNodeTriangleCorners(undW: DataFrame): DataFrame = {
+    val und = undW.select("u", "v")
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val du = deg.select(col("node").as("u"), col("dg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("dg").as("dv"))
+    val swap = struct(col("dv"), col("v")) < struct(col("du"), col("u"))
+    val dir = und.join(du, "u").join(dv, "v")
+      .select(when(swap, col("v")).otherwise(col("u")).as("f"),
+        when(swap, col("u")).otherwise(col("v")).as("t"))
+    val dird = dir.join(deg.select(col("node").as("t"), col("dg").as("td")), "t")
+      .select("f", "t", "td")
+    val wedges = dird.as("e1").join(dird.as("e2"),
+        col("e1.f") === col("e2.f") &&
+          struct(col("e1.td"), col("e1.t")) < struct(col("e2.td"), col("e2.t")))
+      .select(col("e1.f").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    val tri = wedges.join(dir,
+        wedges("b") === dir("f") && wedges("c") === dir("t"))
+      .select("a", "b", "c")
+    def wj(x: String, y: String, as: String) =
+      undW.select(col("u").as(s"${as}_u"), col("v").as(s"${as}_v"),
+        col("w").as(as))
+    val w3 = tri
+      .join(wj("a", "b", "wab"),
+        col("wab_u") === least(col("a"), col("b"))
+          && col("wab_v") === greatest(col("a"), col("b")))
+      .join(wj("a", "c", "wac"),
+        col("wac_u") === least(col("a"), col("c"))
+          && col("wac_v") === greatest(col("a"), col("c")))
+      .join(wj("b", "c", "wbc"),
+        col("wbc_u") === least(col("b"), col("c"))
+          && col("wbc_v") === greatest(col("b"), col("c")))
+      .select(col("a"), col("b"), col("c"),
+        col("wab"), col("wac"), col("wbc"))
+    w3.select(col("a").as("node"), (col("wab") + col("wac")).as("nm"))
+      .union(w3.select(col("b").as("node"), (col("wab") + col("wbc")).as("nm")))
+      .union(w3.select(col("c").as("node"), (col("wac") + col("wbc")).as("nm")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("tri"), sum("nm").as("num"))
   }
 
   /** Multi-source BFS over the bipartite part↔supplier graph (tagged-
@@ -1366,6 +1455,8 @@ object GraphPack extends QueryPack {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_clustcoef" -> ((s, d) => clustcoef(s, d)),
+    "q_clustcoef_w" -> ((s, d) => clustcoefWeightedFrom(
+      copurchaseEdgesW(s, d, minSupport = 2).localCheckpoint(true))),
     "q_reach" -> ((s, d) => reach(s, d)),
     "q_diameter" -> ((s, d) => diameterQ(s, d)),
     "q_diameter_bracket" -> ((s, d) => diameterBracketQ(s, d)),
@@ -1624,6 +1715,56 @@ object GraphPack extends QueryPack {
         |  round(CAST(t3 AS DOUBLE) / CAST(wdg AS DOUBLE), 6)
         |    AS transitivity
         |FROM top, g""".stripMargin,
+
+    // the weighted variant: the same oriented wedge/triangle chain
+    // with support kept as the edge weight, three least/greatest
+    // weight joins per triangle, doubled corner terms
+    "q_clustcoef_w" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*) AS dg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |dir AS (SELECT
+        |    CASE WHEN (dv.dg, v) < (du.dg, u) THEN v ELSE u END AS f,
+        |    CASE WHEN (dv.dg, v) < (du.dg, u) THEN u ELSE v END AS t
+        |  FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        |dird AS (SELECT f, t, deg.dg AS td FROM dir JOIN deg ON deg.node = t),
+        |tri AS (SELECT e1.f AS a, e1.t AS b, e2.t AS c
+        |  FROM dird e1 JOIN dird e2
+        |    ON e1.f = e2.f AND (e1.td, e1.t) < (e2.td, e2.t)
+        |  JOIN dir e3 ON e3.f = e1.t AND e3.t = e2.t),
+        |w3 AS (SELECT t.a, t.b, t.c, wab.w AS wab, wac.w AS wac,
+        |    wbc.w AS wbc
+        |  FROM tri t
+        |  JOIN und wab ON wab.u = least(t.a, t.b)
+        |    AND wab.v = greatest(t.a, t.b)
+        |  JOIN und wac ON wac.u = least(t.a, t.c)
+        |    AND wac.v = greatest(t.a, t.c)
+        |  JOIN und wbc ON wbc.u = least(t.b, t.c)
+        |    AND wbc.v = greatest(t.b, t.c)),
+        |corner AS (SELECT a AS node, wab + wac AS nm FROM w3
+        |  UNION ALL SELECT b, wab + wbc FROM w3
+        |  UNION ALL SELECT c, wac + wbc FROM w3),
+        |pern AS (SELECT node, count(*) AS tri, CAST(sum(nm) AS BIGINT)
+        |    AS num FROM corner GROUP BY 1),
+        |st AS (SELECT node, count(*) AS dg, CAST(sum(w) AS BIGINT)
+        |    AS strength FROM (SELECT u AS node, w FROM und
+        |    UNION ALL SELECT v, w FROM und) GROUP BY 1),
+        |j AS (SELECT st.node, st.dg, st.strength,
+        |    COALESCE(pern.tri, 0) AS tri, COALESCE(pern.num, 0) AS num
+        |  FROM st LEFT JOIN pern ON pern.node = st.node
+        |  WHERE st.dg >= 2),
+        |top AS (SELECT node, dg, strength, tri, num,
+        |    (num * 1048576) // (2 * strength * (dg - 1)) AS ccq
+        |  FROM j ORDER BY ccq DESC, node LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY ccq DESC, node) AS INT)
+        |    AS rk,
+        |  node AS l_partkey, dg, strength, CAST(tri AS BIGINT) AS tri,
+        |  round(CAST(ccq AS DOUBLE) / 1048576.0, 6) AS cc_w
+        |FROM top""".stripMargin,
 
     // the double-sweep replay: two q_reach BFS chains, the second
     // seeded by the first's (dist desc, node) endpoint

@@ -466,6 +466,21 @@ class GraphPackSpec extends SparkSpec {
     assert(got(1L)._2 === 0.6)
   }
 
+  test("clustcoefWeightedFrom scores a weak-tie triangle by Barrat") {
+    // triangle 1-2-3 (w12=10, w13=w23=2) + pendant 3-4 (w=6):
+    // cc_w(1) = ((10+2)/2)/(12·1) = 0.5 — the triangle rides node 1's
+    // strong tie only halfway; cc_w(3) = ((2+2)/2)/(10·2) = 0.1 —
+    // weight-trivia triangles score low where binary cc read 1/3
+    val undW = Seq((1L, 2L, 10L), (1L, 3L, 2L), (2L, 3L, 2L),
+      (3L, 4L, 6L)).toDF("u", "v", "w")
+    val got = GraphPack.clustcoefWeightedFrom(undW).collect()
+      .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Double]("cc_w"))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === 0.5 && got(2L) === 0.5)
+    assert(got(3L) === 0.099999) // ⌊4·2²⁰/40⌋/2²⁰, quantized-exact
+  }
+
   test("q_mst census invariants on sf0.001") {
     val rows = SparkEntry.queries("q_mst")(s, sfDir)
       .collect().sortBy(_.getAs[Int]("round"))
