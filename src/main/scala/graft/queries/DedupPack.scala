@@ -311,13 +311,24 @@ object DedupPack extends QueryPack {
     * customer names are fixed 18): deterministic dirty generation,
     * ±1-cent band-probe blocking, quantized trigram jaccard, and the
     * three boolean agreement fields per candidate pair. */
-  private[graft] def linkEvidence(cl: DataFrame): DataFrame = {
+  /** The deterministic dirty-record generator (one name digit dropped
+    * at position 10 + key mod 9, balance off by key mod 3 − 1 cents). */
+  private[graft] def dirtyGen(cl: DataFrame): DataFrame =
+    cl.select(col("ck").as("dk"), col("nk"), col("seg"),
+      expr("concat(substr(nm, 1, 9 + ck % 9), substr(nm, 11 + ck % 9))")
+        .as("dnm"),
+      (col("bc") + pmod(col("ck"), lit(3)) - 1).as("dbc"))
+
+  /** Block, compare and score any (`dk`, `nk`, `seg`, `dnm`, `dbc`)
+    * dirty-record frame against a clean table — every operation here
+    * is STATELESS (explode, stream-static-joinable equi-join, per-row
+    * column math), so the same kernel drives both the batch keys and
+    * `StreamingOps.recordLinkStream`. */
+  private[graft] def scoredPairs(dirtyRec: DataFrame,
+      cl: DataFrame): DataFrame = {
     val trigs = "array_distinct(transform(sequence(1, length(%s) - 2), " +
       "i -> substring(%s, i, 3)))"
-    val dirty = cl.select(col("ck").as("dk"), col("nk"), col("seg"),
-        expr("concat(substr(nm, 1, 9 + ck % 9), substr(nm, 11 + ck % 9))")
-          .as("dnm"),
-        (col("bc") + pmod(col("ck"), lit(3)) - 1).as("dbc"))
+    val dirty = dirtyRec
       .withColumn("band", explode(array_distinct(array(
         expr("(dbc + 99999) div 10000"),
         expr("(dbc + 100000) div 10000"),
@@ -331,11 +342,24 @@ object DedupPack extends QueryPack {
       .withColumn("u0",
         size(col("dtg")) + size(col("tg")) - col("i0"))
       .withColumn("jq", expr("(cast(i0 as bigint) * 1048576) div u0"))
-      .select(col("dk"), col("ck"),
-        (col("jq") >= 629146).as("a_name"),
-        (abs(col("dbc") - col("bc")) <= 1).as("a_bal"),
-        expr("right(dnm, 4) = right(nm, 4)").as("a_sfx"))
+      .withColumn("a_name", col("jq") >= 629146)
+      .withColumn("a_bal", abs(col("dbc") - col("bc")) <= 1)
+      .withColumn("a_sfx", expr("right(dnm, 4) = right(nm, 4)"))
+      .withColumn("score",
+        when(col("a_name"), lit(4500L)).otherwise(lit(-2293L))
+          + when(col("a_bal"), lit(6856L)).otherwise(lit(-2996L))
+          + when(col("a_sfx"), lit(606L)).otherwise(lit(-442L)))
+      .withColumn("decision",
+        when(col("score") >= 9000, "match")
+          .when(col("score") >= 2000, "possible")
+          .otherwise("non_match"))
+      .select(col("dk"), col("ck"), col("a_name"), col("a_bal"),
+        col("a_sfx"), col("score"), col("decision"))
   }
+
+  private[graft] def linkEvidence(cl: DataFrame): DataFrame =
+    scoredPairs(dirtyGen(cl), cl)
+      .select("dk", "ck", "a_name", "a_bal", "a_sfx")
 
   /** The zone census shared by both linkage keys. */
   private def linkCensus(decided: DataFrame, cl: DataFrame): DataFrame =
@@ -353,16 +377,7 @@ object DedupPack extends QueryPack {
     * the planted-truth gate. */
   private[graft] def recordLinkFrom(clean: DataFrame): DataFrame = {
     val cl = clean.localCheckpoint(true) // feeds dirty gen + clean side
-    val decided = linkEvidence(cl)
-      .withColumn("score",
-        when(col("a_name"), lit(4500L)).otherwise(lit(-2293L))
-          + when(col("a_bal"), lit(6856L)).otherwise(lit(-2996L))
-          + when(col("a_sfx"), lit(606L)).otherwise(lit(-442L)))
-      .withColumn("decision",
-        when(col("score") >= 9000, "match")
-          .when(col("score") >= 2000, "possible")
-          .otherwise("non_match"))
-    linkCensus(decided, cl)
+    linkCensus(scoredPairs(dirtyGen(cl), cl), cl)
   }
 
   /** Fellegi–Sunter EM over the 8-row agreement-pattern census (the

@@ -982,6 +982,23 @@ object StreamingOps {
     * repetition metric is computed array-side per row (no explode-agg
     * — a stream can't re-aggregate per doc). Emits the input columns
     * plus the rule flags and the keep decision. */
+  /** Streaming face of batch `q_record_link` — ingest-time entity
+    * resolution: an arriving stream of dirty records (`dk`, `nk`,
+    * `seg`, `dnm`, `dbc`) links against the STATIC clean table
+    * through the exact batch kernel ([[graft.queries.DedupPack
+    * .scoredPairs]] — band-probe blocking, quantized trigram jaccard,
+    * declared log-odds score, three-zone decision). Every operation
+    * is stateless (explode + a stream-static equi-join + per-row
+    * column math), so the face runs append-mode with NO state store
+    * and NO watermark: per batch, cost ∝ batch × block occupancy —
+    * the clean side at scale is the broadcast-or-bucketed dimension.
+    * Emits one row per surviving candidate (dk, ck, score, decision);
+    * StreamingSpec proves decisions BIT-IDENTICAL to the batch kernel
+    * under scrambled cross-batch arrival. */
+  def recordLinkStream(dirty: DataFrame, clean: DataFrame): DataFrame =
+    graft.queries.DedupPack.scoredPairs(dirty, clean)
+      .select("dk", "ck", "score", "decision")
+
   def qualityFilterStream(docs: DataFrame, textCol: String = "text",
       langCol: String = "lang"): DataFrame = {
     import graft.functions.TextFunctions.{charClassCount, hitCount, langProfiles, words}

@@ -1843,4 +1843,47 @@ class StreamingSpec extends SparkSpec {
         "minima after restart must equal the batch sketch over both batches")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("recordLinkStream decisions are bit-identical to the batch " +
+      "kernel under scrambled cross-batch arrival") {
+    implicit val sq = spark.sqlContext
+    // the q_record_link hand corpus: 4 clean records, their 4 dirty
+    // counterparts plus the generator applied to a 5th unseen entity
+    // (matches nothing — must emit NO row, not a wrong link)
+    val clean = Seq(
+      (1L, "ABCDEFGHIJKLMNOPQRST", 7L, "SEG", 12345L),
+      (2L, "UVWXYZABCDEFGHIJKLMN", 7L, "SEG", 22345L),
+      (3L, "QRSTUVWXYZ0123456789", 7L, "SEG", 32345L),
+      (4L, "JIHGFEDCBA9876543210", 7L, "SEG", 12346L)
+    ).toDF("ck", "nm", "nk", "seg", "bc")
+    val allClean = clean.unionByName(
+      Seq((5L, "ZYXWVUTSRQPONMLKJIHG", 7L, "SEG", 77777L))
+        .toDF("ck", "nm", "nk", "seg", "bc"))
+    val dirtyRows = graft.queries.DedupPack.dirtyGen(allClean)
+      .collect().map(r => (r.getAs[Long]("dk"), r.getAs[Long]("nk"),
+        r.getAs[String]("seg"), r.getAs[String]("dnm"),
+        r.getAs[Long]("dbc")))
+    val want = graft.queries.DedupPack
+      .scoredPairs(graft.queries.DedupPack.dirtyGen(allClean), clean)
+      .select("dk", "ck", "score", "decision").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(want.nonEmpty && !want.exists(_._1 == 5L),
+      "the unseen entity must not link")
+    val in = MemoryStream[(Long, Long, String, String, Long)]
+    val q = StreamingOps.recordLinkStream(
+        in.toDF().toDF("dk", "nk", "seg", "dnm", "dbc"), clean)
+      .writeStream.format("memory").queryName("rl_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // scrambled split across two triggers
+      val (b1, b2) = dirtyRows.sortBy(_._4).splitAt(2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("rl_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
 }
