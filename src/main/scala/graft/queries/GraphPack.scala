@@ -1115,11 +1115,18 @@ object GraphPack extends QueryPack {
         graft.operators.CheckpointStrategy.Local): DataFrame = {
     val s = und0.sparkSession
     val dec = "decimal(38,0)"
+    // component/label tables are NODE-sized (a fraction of the edge
+    // set) and shrink geometrically — they repartition at a quarter
+    // of the session's parallelism, which scales with the cluster
+    // while quartering the per-tiny-stage task-launch floor the
+    // 36-job loop otherwise pays 36 times (hash-neutral: partition
+    // COUNT never enters any result)
+    val np = math.max(1, s.sparkContext.defaultParallelism / 4)
     val edges = ckpt(und0.repartition(col("u")))
     var lbl = ckpt(edges
       .select(explode(array(col("u"), col("v"))).as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .repartition(col("node")))
+      .repartition(np, col("node")))
     var mstAcc = ckpt(s.range(0).select(col("id").as("u"),
       col("id").as("v"), col("id").as("w")))
     val census = collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1189,12 +1196,12 @@ object GraphPack extends QueryPack {
           .select(col("a.c").as("c"),
             coalesce(col("b.p"), col("a.p")).as("p"))
         ptr = if (j % 2 == 0 || j == jumps)
-          ckpt(stepped.repartition(col("c"))) else stepped
+          ckpt(stepped.repartition(np, col("c"))) else stepped
       }
       lbl = ckpt(lbl
         .join(ptr.select(col("c").as("lbl"), col("p")), Seq("lbl"), "left")
         .select(col("node"), coalesce(col("p"), col("lbl")).as("lbl"))
-        .repartition(col("node")))
+        .repartition(np, col("node")))
       census += selE.agg(count(lit(1)).as("n_sel"))
         .crossJoin(broadcast(mstAcc.agg(count(lit(1)).as("n_mst"),
           coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)).as("wc"))))
@@ -1263,19 +1270,23 @@ object GraphPack extends QueryPack {
       rounds: Int,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    var frontier = ckpt(seeds.repartition(col("node")))
+    // node-sized state repartitions at a quarter parallelism (the
+    // q_mst task-floor lever; hash-neutral)
+    val np = math.max(1,
+      edges.sparkSession.sparkContext.defaultParallelism / 4)
+    var frontier = ckpt(seeds.repartition(np, col("node")))
     var visited = ckpt(frontier.withColumn("dist", lit(0))
-      .repartition(col("node")))
+      .repartition(np, col("node")))
     for (r <- 1 to rounds) {
       val next = ckpt(edges
         .join(frontier, edges("src") === frontier("node"))
         .select(col("seed"), col("dst").as("node")).distinct()
         .join(visited.select("seed", "node"), Seq("seed", "node"),
           "left_anti")
-        .repartition(col("node")))
+        .repartition(np, col("node")))
       visited = ckpt(visited
         .unionByName(next.withColumn("dist", lit(r)))
-        .repartition(col("node")))
+        .repartition(np, col("node")))
       frontier = next
     }
     visited.filter(col("dist") > 0)
@@ -1344,12 +1355,16 @@ object GraphPack extends QueryPack {
       rounds: Int,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
+    // node-sized state repartitions at a quarter parallelism (the
+    // q_mst task-floor lever; hash-neutral)
+    val np = math.max(1,
+      edges.sparkSession.sparkContext.defaultParallelism / 4)
     // phase 1: multi-source BFS with path counts
     var frontier = ckpt(seeds
       .select(col("seed"), col("node"), lit(1L).as("sigma"))
-      .repartition(col("node")))
+      .repartition(np, col("node")))
     var visited = ckpt(frontier.withColumn("dist", lit(0))
-      .repartition(col("node")))
+      .repartition(np, col("node")))
     for (r <- 1 to rounds) {
       // the expansion CHECKPOINTS: it is consumed twice (this round's
       // visited union, next round's join) and the edge join + anti +
@@ -1363,17 +1378,17 @@ object GraphPack extends QueryPack {
         .join(visited.select("seed", "node"), Seq("seed", "node"),
           "left_anti")
         .groupBy("seed", "node").agg(sum("sigma").as("sigma"))
-        .repartition(col("node")))
+        .repartition(np, col("node")))
       visited = ckpt(visited
         .unionByName(next.withColumn("dist", lit(r)))
-        .repartition(col("node")))
+        .repartition(np, col("node")))
       frontier = next
     }
     // phase 2: dependency sweep, deepest level up; `delta` holds level
     // lvl+1's finished dependencies, `accs` collects every level's
     var delta = ckpt(visited.filter(col("dist") === rounds)
       .select(col("seed"), col("node"), lit(0L).as("dq"))
-      .repartition(col("node")))
+      .repartition(np, col("node")))
     val accs = collection.mutable.ArrayBuffer.empty[DataFrame]
     for (lvl <- rounds - 1 to 0 by -1) {
       val cur = visited.filter(col("dist") === lvl)
@@ -1396,7 +1411,7 @@ object GraphPack extends QueryPack {
         .join(contrib, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("dist"),
           coalesce(col("dq"), lit(0L)).as("dq"))
-        .repartition(col("node")))
+        .repartition(np, col("node")))
       accs += delta
       delta = delta.select("seed", "node", "dq")
     }
