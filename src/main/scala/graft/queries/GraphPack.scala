@@ -1136,7 +1136,25 @@ object GraphPack extends QueryPack {
     // and the 100 TB shape (post-convergence rounds scan nothing;
     // without it every round re-joins the FULL edge set)
     var edgesCur = edges
+    // early-exit census synthesis: once the live (crossing) edge set
+    // is EMPTY the remaining rounds are provably no-ops — the oracle's
+    // fixed chain emits n_sel = 0 with unchanged cumulatives for them,
+    // so synthesizing those rows from converged state is
+    // hash-identical while skipping each dead round's ~6 jobs (the
+    // residual behind the contended worst-key number). The emptiness
+    // probe is a head(1) on the just-checkpointed eu — one cheap
+    // action, paid only until convergence.
+    var converged = false
     for (r <- 1 to rounds) {
+      if (converged) {
+        census += mstAcc.agg(count(lit(1)).as("n_mst"),
+            coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)).as("wc"))
+          .crossJoin(broadcast(
+            lbl.agg(countDistinct("lbl").as("n_components"))))
+          .select(lit(r).cast("int").as("round"),
+            lit(0L).as("n_sel"), col("n_mst"),
+            col("wc").cast("long").as("w_cum"), col("n_components"))
+      } else {
       // round 1 is special-cased PHYSICALLY: labels are identity
       // singletons, so the two label joins are no-ops — the heaviest
       // round (full edge set) skips its two biggest shuffles; the
@@ -1151,6 +1169,16 @@ object GraphPack extends QueryPack {
         base.where(col("lu") =!= col("lv")).repartition(col("u"))
       })
       edgesCur = eu.select("u", "v", "w")
+      if (eu.isEmpty) {
+        converged = true
+        census += mstAcc.agg(count(lit(1)).as("n_mst"),
+            coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)).as("wc"))
+          .crossJoin(broadcast(
+            lbl.agg(countDistinct("lbl").as("n_components"))))
+          .select(lit(r).cast("int").as("round"),
+            lit(0L).as("n_sel"), col("n_mst"),
+            col("wc").cast("long").as("w_cum"), col("n_components"))
+      } else {
       val cand = eu.select(col("lu").as("c"), col("lv").as("other"),
           col("w"), col("u"), col("v"))
         .unionByName(eu.select(col("lv").as("c"), col("lu").as("other"),
@@ -1210,8 +1238,9 @@ object GraphPack extends QueryPack {
         .select(lit(r).cast("int").as("round"), col("n_sel"),
           col("n_mst"), col("wc").cast("long").as("w_cum"),
           col("n_components"))
+      } }
     }
-    val crossing = edgesCur
+    val crossing = if (converged) 0L else edgesCur
       .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
       .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
       .where(col("lu") =!= col("lv")).count()
