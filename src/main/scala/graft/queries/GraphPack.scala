@@ -1085,24 +1085,28 @@ object GraphPack extends QueryPack {
     * set + a per-component window over CANDIDATE edges (partitioned
     * by component, never global), then jump rounds of self-equi-joins
     * on the COMPONENT table (component-count-sized, geometrically
-    * shrinking); census scalars are 1-row broadcasts (q_kcore's
-    * pattern); driver state is nothing — the census frame is a lazy
-    * union of 1-row aggregates over checkpointed state. */
+    * shrinking); each round's census is ONE tagged-union aggregate
+    * over checkpointed state (not broadcast crossJoins — those were a
+    * job per scalar at collect time); driver state is nothing — the
+    * census frame is a lazy union of 1-row aggregates. */
+  // NOTE: q_mst runs with AQE ON (unlike the sibling loops): the loop
+  // state is node-/component-sized, and AQE's post-shuffle coalescing
+  // collapses the tiny np-partition exchanges to 1-task stages —
+  // measured 22.4 s → 11.8 s at sf0.1 solo, values byte-identical
+  // (partition counts never enter a result). The ckpt seam captures
+  // whatever layout the final stage produced; no consumer of mst
+  // state assumes a specific partitioning.
   private def mst(s: SparkSession, d: String,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val w0 = lineitem(s, d)
-        .groupBy(col("l_partkey").cast("long").as("p"),
-          col("l_suppkey").cast("long").as("sk"))
-        .agg(min(floor(col("l_extendedprice") * 100).cast("long")).as("w"))
-      val und = w0.select(
-        least(col("p") * 2, col("sk") * 2 + 1).as("u"),
-        greatest(col("p") * 2, col("sk") * 2 + 1).as("v"), col("w"))
-      mstFrom(und, MstRounds, MstJumps, ckpt)
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    val w0 = lineitem(s, d)
+      .groupBy(col("l_partkey").cast("long").as("p"),
+        col("l_suppkey").cast("long").as("sk"))
+      .agg(min(floor(col("l_extendedprice") * 100).cast("long")).as("w"))
+    val und = w0.select(
+      least(col("p") * 2, col("sk") * 2 + 1).as("u"),
+      greatest(col("p") * 2, col("sk") * 2 + 1).as("v"), col("w"))
+    mstFrom(und, MstRounds, MstJumps, ckpt)
   }
 
   /** The Borůvka loop over any undirected weighted (`u`, `v`, `w`)
@@ -1122,14 +1126,49 @@ object GraphPack extends QueryPack {
     // 36-job loop otherwise pays 36 times (hash-neutral: partition
     // COUNT never enters any result)
     val np = math.max(1, s.sparkContext.defaultParallelism / 4)
-    val edges = ckpt(und0.repartition(col("u")))
+    // the loop toggles shuffle.partitions down to np after round 1
+    // (see below); restore whatever the session had on every exit path
+    val partsSaved = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+    // no repartition on the edge materialization: the label joins
+    // shuffle to the join key at plan time anyway, so a u-repartition
+    // here is one full-edge shuffle that co-locates nothing
+    val edges = ckpt(und0)
     var lbl = ckpt(edges
       .select(explode(array(col("u"), col("v"))).as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .repartition(np, col("node")))
-    var mstAcc = ckpt(s.range(0).select(col("id").as("u"),
-      col("id").as("v"), col("id").as("w")))
+    // the empty accumulator seed stays LAZY — a checkpoint here is a
+    // whole job materializing zero rows
+    var mstAcc = s.range(0).select(col("id").as("u"),
+      col("id").as("v"), col("id").as("w"))
     val census = collection.mutable.ArrayBuffer.empty[DataFrame]
+    // ONE aggregate per census row over a tagged union instead of two
+    // broadcast crossJoins: each broadcast subquery was its own job at
+    // collect time (12 jobs across 6 rounds of pure floor — the loop
+    // is job-count-bound at gate scale); the tagged union folds
+    // n_sel / n_mst / w_cum / n_components into a single multi-way
+    // aggregate whose values (and so the hash) are unchanged
+    def censusRow(r: Int, selE: Option[DataFrame], acc: DataFrame,
+        lblF: DataFrame): DataFrame = {
+      val base = acc.select(lit(2).as("t"), col("w").cast(dec).as("wv"),
+          lit(0L).as("lb"))
+        .unionByName(lblF.select(lit(3).as("t"),
+          lit(0L).cast(dec).as("wv"), col("lbl").as("lb")))
+      val u = selE.map(_.select(lit(1).as("t"),
+          lit(0L).cast(dec).as("wv"), lit(0L).as("lb"))
+        .unionByName(base)).getOrElse(base)
+      u.agg(
+          count(when(col("t") === 1, lit(1))).as("n_sel"),
+          count(when(col("t") === 2, lit(1))).as("n_mst"),
+          coalesce(sum(when(col("t") === 2, col("wv"))),
+            lit(0).cast(dec)).as("wc"),
+          countDistinct(when(col("t") === 3, col("lb")))
+            .as("n_components"))
+        .select(lit(r).cast("int").as("round"), col("n_sel"),
+          col("n_mst"), col("wc").cast("long").as("w_cum"),
+          col("n_components"))
+    }
     // the live edge set SHRINKS: an edge inside a component can never
     // be selected again (labels only merge), so each round carries
     // forward only the crossing edges — Borůvka's standard filtering,
@@ -1147,37 +1186,27 @@ object GraphPack extends QueryPack {
     var converged = false
     for (r <- 1 to rounds) {
       if (converged) {
-        census += mstAcc.agg(count(lit(1)).as("n_mst"),
-            coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)).as("wc"))
-          .crossJoin(broadcast(
-            lbl.agg(countDistinct("lbl").as("n_components"))))
-          .select(lit(r).cast("int").as("round"),
-            lit(0L).as("n_sel"), col("n_mst"),
-            col("wc").cast("long").as("w_cum"), col("n_components"))
+        census += censusRow(r, None, mstAcc, lbl)
       } else {
       // round 1 is special-cased PHYSICALLY: labels are identity
-      // singletons, so the two label joins are no-ops — the heaviest
-      // round (full edge set) skips its two biggest shuffles; the
-      // oracle's l0 joins produce literally the same rows
-      val eu = ckpt({
-        val base =
-          if (r == 1) edgesCur.select(col("u"), col("v"), col("w"),
+      // singletons, so the two label joins are no-ops AND the
+      // checkpoint is one too — eu is a narrow projection+filter of
+      // the already-checkpointed, already-u-partitioned edge set, so
+      // materializing it again would re-shuffle and re-store the same
+      // rows; the heaviest round (full edge set) thus skips its two
+      // biggest shuffles, a third redundant one, and a whole job
+      val eu =
+        if (r == 1) edgesCur.select(col("u"), col("v"), col("w"),
             col("u").as("lu"), col("v").as("lv"))
-          else edgesCur
-            .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
-            .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
-        base.where(col("lu") =!= col("lv")).repartition(col("u"))
-      })
+          .where(col("lu") =!= col("lv"))
+        else ckpt(edgesCur
+          .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+          .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+          .where(col("lu") =!= col("lv")).repartition(col("u")))
       edgesCur = eu.select("u", "v", "w")
       if (eu.isEmpty) {
         converged = true
-        census += mstAcc.agg(count(lit(1)).as("n_mst"),
-            coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)).as("wc"))
-          .crossJoin(broadcast(
-            lbl.agg(countDistinct("lbl").as("n_components"))))
-          .select(lit(r).cast("int").as("round"),
-            lit(0L).as("n_sel"), col("n_mst"),
-            col("wc").cast("long").as("w_cum"), col("n_components"))
+        census += censusRow(r, None, mstAcc, lbl)
       } else {
       val cand = eu.select(col("lu").as("c"), col("lv").as("other"),
           col("w"), col("u"), col("v"))
@@ -1201,11 +1230,22 @@ object GraphPack extends QueryPack {
           .as("m"))
         .select(col("c"), col("m.other").as("other"), col("m.w").as("w"),
           col("m.u").as("u"), col("m.v").as("v")))
-      val selE = sel.select("u", "v", "w").distinct()
+      // round 1's per-component argmin aggregated the EDGE-sized
+      // candidate set — from here every frame in the loop is node- or
+      // component-sized, so the loop drops to quarter-parallelism
+      // shuffles (np scales with the cluster; partition count never
+      // enters a result): at gate scale the 32-partition exchanges
+      // were the floor — 784-task checkpoint jobs over sub-1k-row
+      // state
+      if (r == 1) s.conf.set("spark.sql.shuffle.partitions", np.toString)
+      // selE IS checkpointed (the one frame every LATER census row
+      // re-reads through the accumulator chain): lazy, its distinct
+      // re-ran as r+1 separate AQE stage jobs inside the final census
+      // collect — 27 thirty-two-task jobs of pure floor
+      val selE = ckpt(sel.select("u", "v", "w").distinct())
       // the accumulator stays LAZY: a 6-deep union over checkpointed
-      // per-round sel frames is a tiny plan, and a ckpt here is a
-      // whole job per round for nothing (the loop is job-count-bound
-      // — BENCH_FULL measured 30 s contended at 10 ckpts/round)
+      // per-round selE frames is a tiny plan, and a ckpt here is a
+      // whole job per round for nothing
       mstAcc = mstAcc.unionByName(selE)
       val p0raw = sel.select(col("c"), col("other").as("p"))
       var ptr = p0raw.as("a")
@@ -1213,31 +1253,26 @@ object GraphPack extends QueryPack {
         .select(col("a.c").as("c"),
           when(col("b.p") === col("a.c") && col("a.c") < col("a.p"),
             col("a.c")).otherwise(col("a.p")).as("p"))
-      // checkpoint every OTHER jump: a lazy self-join doubles its
-      // subtree, so one lazy step costs ~3 exchanges inside the next
-      // ckpt's job — cheaper than a whole extra job on component-
-      // sized data, while the full-lazy cascade (2^jumps−1 exchanges,
-      // 47 s) stays reverted
+      // the whole jump cascade stays LAZY inside the lbl checkpoint's
+      // job: a lazy self-join doubles its subtree per step, but every
+      // doubled subtree is IDENTICAL and roots at the checkpointed
+      // sel, so exchange reuse collapses the 2^jumps−1 planned
+      // exchanges back to ~one per jump — stage floors inside one job
+      // beat 2 whole extra jobs per round (the 47 s number that keeps
+      // the ACROSS-round cascade reverted was rounds compounding on
+      // rounds, which the per-round lbl/sel checkpoints still cut)
       for (j <- 1 to jumps) {
         val stepped = ptr.as("a")
           .join(ptr.as("b"), col("a.p") === col("b.c"), "left")
           .select(col("a.c").as("c"),
             coalesce(col("b.p"), col("a.p")).as("p"))
-        ptr = if (j % 2 == 0 || j == jumps)
-          ckpt(stepped.repartition(np, col("c"))) else stepped
+        ptr = stepped
       }
       lbl = ckpt(lbl
         .join(ptr.select(col("c").as("lbl"), col("p")), Seq("lbl"), "left")
         .select(col("node"), coalesce(col("p"), col("lbl")).as("lbl"))
         .repartition(np, col("node")))
-      census += selE.agg(count(lit(1)).as("n_sel"))
-        .crossJoin(broadcast(mstAcc.agg(count(lit(1)).as("n_mst"),
-          coalesce(sum(col("w").cast(dec)), lit(0).cast(dec)).as("wc"))))
-        .crossJoin(broadcast(
-          lbl.agg(countDistinct("lbl").as("n_components"))))
-        .select(lit(r).cast("int").as("round"), col("n_sel"),
-          col("n_mst"), col("wc").cast("long").as("w_cum"),
-          col("n_components"))
+      census += censusRow(r, Some(selE), mstAcc, lbl)
       } }
     }
     val crossing = if (converged) 0L else edgesCur
@@ -1248,6 +1283,7 @@ object GraphPack extends QueryPack {
       s"q_mst: $crossing inter-component edges remain after $rounds " +
         "Borůvka rounds — raise MstRounds/MstJumps")
     census.reduce(_ unionByName _)
+    } finally s.conf.set("spark.sql.shuffle.partitions", partsSaved)
   }
 
   /** BFS rounds for `q_closeness` — the bipartite graph's diameter is
