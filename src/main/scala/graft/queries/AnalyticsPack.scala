@@ -907,7 +907,33 @@ object AnalyticsPack extends QueryPack {
     // type-domain square — every window partitions by (ta, tb), the
     // cost cube is (types² × 900) rows, and row state rides the
     // `CheckpointStrategy` seam every third row to bound plan depth.
-    "q_dtw" -> ((s, d) => dtwFrom(dailyCounts(events(s, d))))
+    "q_dtw" -> ((s, d) => dtwFrom(dailyCounts(events(s, d)))),
+
+    // Sakoe–Chiba banded DTW (Sakoe & Chiba 1978 §III; round 12) —
+    // the form every production matcher runs: cells with |i−j| > 5
+    // are unreachable, so the cost cube shrinks from 900 to ~330
+    // cells per pair and a pathological warp (one series' whole mass
+    // crammed into the other's tail) is priced as DIFFERENT instead
+    // of elastically absorbed. The band is ONE WHERE on the cost
+    // cube; the V entry-minima table is built by exploding each
+    // D_{i−1}(j) onto columns {j, j+1} and taking min — identical
+    // values to q_dtw's lag() form inside the band, and exact at the
+    // band's right edge, where column i+B exists in row i but not in
+    // row i−1 (only the diagonal enters it).
+    "q_dtw_banded" -> ((s, d) =>
+      dtwBandedFrom(dailyCounts(events(s, d)))),
+
+    // DBA barycenter (Petitjean, Ketterlin & Gançarski, Pattern
+    // Recognition 2011; round 12) — the time-series family's CENTROID
+    // operator: one DBA pass against the DTW medoid. Medoid = the
+    // series minimizing Σ pairwise DTW (from the same row chain);
+    // alignment cells are marked DECLARATIVELY — no path backtrack —
+    // by the forward+reverse identity D(i,j) + R(i,j) − cst(i,j) =
+    // DTW(pair) (a cell lies on an optimal path iff its through-cost
+    // meets the total), averaging over ALL optimal alignments, which
+    // keeps the operator a pure integer function of the corpus.
+    "q_dtw_barycenter" -> ((s, d) =>
+      dtwBarycenterFrom(dailyCounts(events(s, d))))
   )
 
   /** DP rows for `q_dtw` — the events table spans exactly 30 days at
@@ -958,6 +984,170 @@ object AnalyticsPack extends QueryPack {
       .select(col("ta").as("type_a"), col("tb").as("type_b"),
         col("d").as("dtw"),
         round(col("d").cast("double") / (2 * DtwDays), 4).as("dtw_norm"))
+  }
+
+  /** Sakoe–Chiba band radius for `q_dtw_banded`: |i−j| ≤ 5 keeps a
+    * 30-day alignment within a work-week of drift — wide enough for
+    * every honest local stretch, narrow enough to price a pathological
+    * whole-series warp as different. */
+  private[graft] val DtwBand = 5
+
+  /** The (t, i, c) zero-filled day grid shared by the DTW family. */
+  private def dtwFull(daily: DataFrame): DataFrame = {
+    val d0 = daily.agg(min("day").as("d0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .select(col("event_type").as("t"),
+        (col("day") - col("d0")).cast("int").as("i"), col("n"))
+      .where(col("i") < DtwDays)
+    val grid = idx.select("t").distinct()
+      .select(col("t"), explode(sequence(lit(0), lit(DtwDays - 1))).as("i"))
+    grid.join(idx, Seq("t", "i"), "left")
+      .select(col("t"), col("i"), coalesce(col("n"), lit(0L)).as("c"))
+  }
+
+  /** The (ta, tb, i, j, ca, cb, cst) pair cost cube over a day grid —
+    * carries both series' values so the barycenter can read aligned
+    * points straight off marked cells. */
+  private def dtwCostFrom(full: DataFrame): DataFrame =
+    full.select(col("t").as("ta"), col("i"), col("c").as("ca"))
+      .join(full.select(col("t").as("tb"), col("i").as("j"),
+        col("c").as("cb")), col("ta") < col("tb"))
+      .select(col("ta"), col("tb"), col("i"), col("j"), col("ca"),
+        col("cb"), abs(col("ca") - col("cb")).as("cst"))
+
+  /** The DTW row chain over ANY (ta, tb, i, j, cst) cost cube whose
+    * row-i column sets are contiguous and shift right by at most one
+    * per row (full cube and every Sakoe–Chiba band qualify). Same
+    * prefix-sum/running-min decomposition as [[dtwFrom]], but the V
+    * entry-minima table is built by EXPLODING D_{i−1}(j) onto columns
+    * {j, j+1} and taking min — value-identical to the lag() form where
+    * both columns exist, and exact at a band's right edge, where
+    * column i+B exists in row i but not row i−1 (only the diagonal
+    * enters, which the explode supplies and lag() cannot). Returns
+    * every row frame tagged with its i (checkpoint cadence every
+    * third row bounds plan depth; the lazy in-between rows are ≤
+    * pairs×31-row window chains, cheap to re-evaluate). */
+  private def dtwChainAll(cost: DataFrame,
+      ckpt: graft.operators.CheckpointStrategy)
+      : Vector[(Int, DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
+    val wj = Window.partitionBy("ta", "tb").orderBy("j")
+    val wcum = wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var dRow = ckpt(cost.where(col("i") === 0)
+      .select(col("ta"), col("tb"), col("j"),
+        sum("cst").over(wcum).as("d")))
+    val out = Vector.newBuilder[(Int, DataFrame)]
+    out += 0 -> dRow
+    for (i <- 1 until DtwDays) {
+      val v = dRow
+        .select(col("ta"), col("tb"),
+          explode(array(col("j"), col("j") + 1)).as("j"), col("d"))
+        .groupBy("ta", "tb", "j").agg(min("d").as("v"))
+      val p = cost.where(col("i") === i)
+        .select(col("ta"), col("tb"), col("j"),
+          sum("cst").over(wcum).as("p"))
+      val t = p.join(v, Seq("ta", "tb", "j"))
+        .select(col("ta"), col("tb"), col("j"), col("p"),
+          (col("v") - coalesce(lag("p", 1).over(wj), lit(0L))).as("term"))
+      val next = t.select(col("ta"), col("tb"), col("j"),
+        (col("p") + min("term").over(wcum)).as("d"))
+      dRow = if (i % 3 == 0 || i == DtwDays - 1) ckpt(next) else next
+      out += i -> dRow
+    }
+    out.result()
+  }
+
+  /** Banded DTW over any (`event_type`, `day`, `n`) daily-count frame
+    * — public to the test JVM so the spec can pin band=∞ ≡ [[dtwFrom]]
+    * and the band's refusal to absorb a whole-series warp. */
+  private[graft] def dtwBandedFrom(daily: DataFrame, band: Int = DtwBand,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val cost = ckpt(dtwCostFrom(dtwFull(daily))
+      .where(abs(col("i") - col("j")) <= band))
+    dtwChainAll(cost, ckpt).last._2
+      .where(col("j") === DtwDays - 1)
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("d").as("dtw_band"),
+        round(col("d").cast("double") / (2 * DtwDays), 4)
+          .as("dtw_band_norm"))
+  }
+
+  /** One-pass DBA barycenter against the DTW medoid — public to the
+    * test JVM so the spec can pin medoid choice, alignment membership
+    * and the one-pass cost decrease on a hand corpus. Three phases,
+    * all declarative: (1) the all-pairs forward chain's LAST row
+    * yields pairwise distances; the medoid minimizes the symmetrized
+    * row sum (ties to the smaller type — min(struct)). (2) Forward and
+    * reverse chains re-run on the cost cube FILTERED to medoid pairs
+    * (a broadcast join with the 1-row medoid frame — at many-type
+    * scale this is T−1 pairs, not T²/2); the reverse chain is the
+    * forward kernel on the index-flipped cube. (3) A cell (i, j) lies
+    * on an optimal warping path iff D(i,j) + R(i,j) − cst(i,j) equals
+    * the pair's total (both sides count the cell once), so the
+    * barycenter at medoid index i is the exact integer mean of the
+    * medoid's own value and EVERY value any optimal alignment of any
+    * series puts at i — averaging over all optimal paths instead of
+    * backtracking one keeps the operator declarative and
+    * tie-deterministic. The mean is DBA's update rule, i.e. the exact
+    * minimizer of the SQUARED aligned residuals over a fixed
+    * alignment (the spec gates that Fréchet-squared descent on a
+    * unique-alignment corpus); under the family's |a−b| display
+    * metric the per-index minimizer would be the median — documented
+    * trade, mean kept for the canonical DBA semantics. */
+  private[graft] def dtwBarycenterFrom(daily: DataFrame,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val full = ckpt(dtwFull(daily))
+    val cost = ckpt(dtwCostFrom(full))
+    // phase 1: pairwise totals from the plain chain, medoid by
+    // symmetrized sum (1-row frames, never a collect)
+    val totals = dtwChainAll(cost.select("ta", "tb", "i", "j", "cst"),
+        ckpt).last._2
+      .where(col("j") === DtwDays - 1)
+      .select(col("ta"), col("tb"), col("d").as("tot"))
+    val med = totals.select(col("ta").as("t"), col("tot"))
+      .unionByName(totals.select(col("tb").as("t"), col("tot")))
+      .groupBy("t").agg(sum("tot").as("s"))
+      .agg(min(struct(col("s"), col("t"))).as("m"))
+      .select(col("m.t").as("mt"))
+    // phase 2: forward + reverse chains on medoid pairs only — two
+    // equi-joins (disjoint: ta < tb forbids both sides matching), not
+    // one OR condition, which would plan a nested-loop join
+    val costM = ckpt(cost.join(broadcast(med), col("ta") === col("mt"))
+      .unionByName(cost.join(broadcast(med), col("tb") === col("mt"))))
+    val last = lit(DtwDays - 1)
+    val costR = costM.select(col("ta"), col("tb"),
+      (last - col("i")).cast("int").as("i"),
+      (last - col("j")).cast("int").as("j"), col("cst"))
+    def tag(rows: Vector[(Int, DataFrame)]): DataFrame = rows.map {
+      case (i, f) => f.select(col("ta"), col("tb"), lit(i).cast("int")
+        .as("i"), col("j"), col("d"))
+    }.reduce(_ unionByName _)
+    val fwd = tag(dtwChainAll(costM.select("ta", "tb", "i", "j", "cst"),
+      ckpt))
+    val rev = tag(dtwChainAll(costR, ckpt))
+      .select(col("ta"), col("tb"), (last - col("i")).cast("int").as("i"),
+        (last - col("j")).cast("int").as("j"), col("d").as("dr"))
+    val totM = fwd.where(col("i") === last && col("j") === last)
+      .select(col("ta"), col("tb"), col("d").as("tot"))
+    // phase 3: mark cells on optimal paths, fold to the medoid axis
+    val cells = fwd.join(rev, Seq("ta", "tb", "i", "j"))
+      .join(costM, Seq("ta", "tb", "i", "j"))
+      .join(totM, Seq("ta", "tb"))
+      .where(col("d") + col("dr") - col("cst") === col("tot"))
+      .select(when(col("ta") === col("mt"), col("i")).otherwise(col("j"))
+          .as("mi"),
+        when(col("ta") === col("mt"), col("cb")).otherwise(col("ca"))
+          .as("av"))
+    val own = full.join(broadcast(med), col("t") === col("mt"))
+      .select(col("t").as("medoid"), col("i").as("mi"), col("c").as("mc"))
+    cells.groupBy("mi")
+      .agg(count(lit(1)).as("n_align"), sum("av").as("sum_c"))
+      .join(own, Seq("mi"))
+      .select(col("mi").cast("int").as("i"), col("medoid"),
+        col("n_align"), (col("mc") + col("sum_c")).as("sum_c"),
+        expr("(mc + sum_c) * 1000000 div (n_align + 1)").as("bary_q"))
   }
 
   def oracles: Map[String, String] = {
@@ -1073,7 +1263,9 @@ object AnalyticsPack extends QueryPack {
           .stripMargin
       }.mkString(",\n")
       s"""WITH dy AS (SELECT event_type,
-         |    epoch_us(ts) // 86400000000 AS day FROM events),
+         |    epoch_us(ts) // 86400000000 + (CASE WHEN
+         |      epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END)
+         |      AS day FROM events),
          |dc AS (SELECT event_type, day, count(*) AS n
          |  FROM dy GROUP BY 1, 2),
          |d0 AS (SELECT min(day) AS d0 FROM dc),
@@ -1096,9 +1288,122 @@ object AnalyticsPack extends QueryPack {
          |FROM r${DtwDays - 1} WHERE j = ${DtwDays - 1}""".stripMargin
     }
 
+    // shared preamble for the DTW family: zero-filled day grid `fl`
+    // and the pair cost cube (the banded/barycenter variants carry
+    // ca/cb for aligned-value readout)
+    val dtwPre: String =
+      s"""dy AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 + (CASE WHEN
+         |      epoch_us(ts) % 86400000000 < 0 THEN -1 ELSE 0 END)
+         |      AS day FROM events),
+         |dc AS (SELECT event_type, day, count(*) AS n
+         |  FROM dy GROUP BY 1, 2),
+         |d0 AS (SELECT min(day) AS d0 FROM dc),
+         |idx AS (SELECT event_type AS t, CAST(day - d0 AS INT) AS i, n
+         |  FROM dc, d0 WHERE day - d0 < $DtwDays),
+         |g AS (SELECT s.t, CAST(x.range AS INT) AS i
+         |  FROM (SELECT DISTINCT t FROM idx) s, range($DtwDays) x),
+         |fl AS MATERIALIZED (SELECT g.t, g.i, COALESCE(idx.n, 0) AS c
+         |  FROM g LEFT JOIN idx ON idx.t = g.t AND idx.i = g.i)"""
+        .stripMargin
+
+    // the explode-V row chain (dtwChainAll's form): each D_{i−1}(j)
+    // lands on columns {j, j+1}, min per column — exact at band edges
+    def dtwChainSql(pfx: String, costCte: String): String =
+      (1 until DtwDays).map { i =>
+        s"""${pfx}v$i AS (SELECT ta, tb, j, min(d) AS v FROM (
+           |    SELECT ta, tb, j, d FROM $pfx${i - 1}
+           |    UNION ALL SELECT ta, tb, j + 1 AS j, d FROM $pfx${i - 1})
+           |  GROUP BY 1, 2, 3),
+           |$pfx$i AS MATERIALIZED (SELECT ta, tb, j, p + min(term) OVER
+           |    (PARTITION BY ta, tb ORDER BY j
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d
+           |  FROM (SELECT c.ta, c.tb, c.j, c.p,
+           |      v.v - coalesce(lag(c.p) OVER
+           |        (PARTITION BY c.ta, c.tb ORDER BY c.j), 0) AS term
+           |    FROM (SELECT ta, tb, j, sum(cst) OVER
+           |        (PARTITION BY ta, tb ORDER BY j
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+           |      FROM $costCte WHERE i = $i) c
+           |    JOIN ${pfx}v$i v ON v.ta = c.ta AND v.tb = c.tb
+           |      AND v.j = c.j))""".stripMargin
+      }.mkString(",\n")
+
+    def dtwChainHead(pfx: String, costCte: String): String =
+      s"""${pfx}0 AS MATERIALIZED (SELECT ta, tb, j, sum(cst) OVER
+         |    (PARTITION BY ta, tb ORDER BY j
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d
+         |  FROM $costCte WHERE i = 0)""".stripMargin
+
+    def dtwAllRows(pfx: String): String =
+      (0 until DtwDays).map(i =>
+        s"SELECT CAST($i AS INT) AS i, ta, tb, j, d FROM $pfx$i")
+        .mkString("\n  UNION ALL ")
+
+    val dtwBandedSql: String =
+      s"""WITH $dtwPre,
+         |cost AS MATERIALIZED (SELECT a.t AS ta, b.t AS tb,
+         |    a.i AS i, b.i AS j, abs(a.c - b.c) AS cst
+         |  FROM fl a JOIN fl b ON a.t < b.t
+         |  WHERE abs(a.i - b.i) <= $DtwBand),
+         |${dtwChainHead("b", "cost")},
+         |${dtwChainSql("b", "cost")}
+         |SELECT ta AS type_a, tb AS type_b, CAST(d AS BIGINT) AS dtw_band,
+         |  round(CAST(d AS DOUBLE) / ${2 * DtwDays}, 4) AS dtw_band_norm
+         |FROM b${DtwDays - 1} WHERE j = ${DtwDays - 1}""".stripMargin
+
+    val dtwBarycenterSql: String = {
+      val L = DtwDays - 1
+      s"""WITH $dtwPre,
+         |cost AS MATERIALIZED (SELECT a.t AS ta, b.t AS tb,
+         |    a.i AS i, b.i AS j, a.c AS ca, b.c AS cb,
+         |    abs(a.c - b.c) AS cst
+         |  FROM fl a JOIN fl b ON a.t < b.t),
+         |${dtwChainHead("a", "cost")},
+         |${dtwChainSql("a", "cost")},
+         |tots AS (SELECT ta, tb, d AS tot FROM a$L WHERE j = $L),
+         |sums AS (SELECT t, sum(tot) AS s FROM (
+         |    SELECT ta AS t, tot FROM tots
+         |    UNION ALL SELECT tb AS t, tot FROM tots) GROUP BY 1),
+         |med AS (SELECT t AS mt FROM sums ORDER BY s, t LIMIT 1),
+         |costm AS MATERIALIZED (SELECT c.*, m.mt FROM cost c
+         |  JOIN med m ON c.ta = m.mt OR c.tb = m.mt),
+         |costr AS MATERIALIZED (SELECT ta, tb, $L - i AS i,
+         |    $L - j AS j, cst FROM costm),
+         |${dtwChainHead("f", "costm")},
+         |${dtwChainSql("f", "costm")},
+         |${dtwChainHead("r", "costr")},
+         |${dtwChainSql("r", "costr")},
+         |fwdall AS MATERIALIZED (${dtwAllRows("f")}),
+         |rvall AS MATERIALIZED (SELECT ta, tb, $L - i AS i,
+         |    $L - j AS j, d AS dr FROM (${dtwAllRows("r")})),
+         |totm AS (SELECT ta, tb, d AS tot FROM f$L WHERE j = $L),
+         |cells AS (SELECT
+         |    CASE WHEN c.ta = c.mt THEN f.i ELSE f.j END AS mi,
+         |    CASE WHEN c.ta = c.mt THEN c.cb ELSE c.ca END AS av
+         |  FROM fwdall f
+         |  JOIN rvall r ON r.ta = f.ta AND r.tb = f.tb
+         |    AND r.i = f.i AND r.j = f.j
+         |  JOIN costm c ON c.ta = f.ta AND c.tb = f.tb
+         |    AND c.i = f.i AND c.j = f.j
+         |  JOIN totm t ON t.ta = f.ta AND t.tb = f.tb
+         |  WHERE f.d + r.dr - c.cst = t.tot),
+         |own AS (SELECT m.mt AS medoid, fl.i AS mi, fl.c AS mc
+         |  FROM fl JOIN med m ON fl.t = m.mt)
+         |SELECT CAST(c.mi AS INT) AS i, o.medoid,
+         |  count(*) AS n_align,
+         |  CAST(o.mc + sum(c.av) AS BIGINT) AS sum_c,
+         |  CAST((o.mc + sum(c.av)) * 1000000 // (count(*) + 1)
+         |    AS BIGINT) AS bary_q
+         |FROM cells c JOIN own o ON o.mi = c.mi
+         |GROUP BY c.mi, o.medoid, o.mc""".stripMargin
+    }
+
     Map(
       "q_motif" -> motifSql,
       "q_dtw" -> dtwSql,
+      "q_dtw_banded" -> dtwBandedSql,
+      "q_dtw_barycenter" -> dtwBarycenterSql,
 
       "q_markov_stationary" -> markovSql,
 

@@ -872,6 +872,9 @@ object GraphPack extends QueryPack {
   private[graft] def hitsFrom(directed: DataFrame, rounds: Int,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
+    // auth is only assigned inside the rounds loop — fail loudly on a
+    // zero-round call instead of NPE-ing in top10 (whiten's guard)
+    require(rounds >= 1, s"hitsFrom needs rounds >= 1, got $rounds")
     // TWO edge copies, one per join side (pagerank's layout
     // discipline): the hub→auth half-round probes edges on sk, the
     // auth→hub half on p — a single copy would re-shuffle the FULL
@@ -1455,6 +1458,13 @@ object GraphPack extends QueryPack {
       .select(col("seed"), col("node"), lit(0L).as("dq"))
       .repartition(np, col("node")))
     val accs = collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the deepest level participates in the readout too (dq = 0): the
+    // oracle's union includes d$rounds, so a node reached ONLY at
+    // exactly max depth must appear as a zero-score groupBy member on
+    // this side as well — otherwise the two engines disagree on the
+    // zero-score tail whenever fewer than 20 nodes score positive
+    accs += visited.filter(col("dist") === rounds)
+      .select(col("seed"), col("node"), col("dist"), lit(0L).as("dq"))
     for (lvl <- rounds - 1 to 0 by -1) {
       val cur = visited.filter(col("dist") === lvl)
       // lazy: both inputs (visited, delta) are already checkpointed —

@@ -442,9 +442,14 @@ object LearnPack extends QueryPack {
     * consumes — train offline, serve online, one arithmetic. */
   private[graft] def nbModel(train: DataFrame): (DataFrame, DataFrame) = {
     val vocabN = train.select("tok").distinct().agg(count(lit(1)).as("vn"))
+    // 0-BASED class index: the argmax encodes key·8 + cls_idx and
+    // decodes via pmod(key, 8), so a 1-based index wrapped idx=8 to 0
+    // and silently dropped the 8th class's predictions — 0-based makes
+    // the documented 8-class bound real (idx ∈ 0..7, matching the
+    // streaming scorer's `idx < 8` require)
     val classes = train.select(col("lang").as("cls")).distinct()
       .withColumn("cls_idx",
-        row_number().over(Window.orderBy("cls")).cast("long"))
+        (row_number().over(Window.orderBy("cls")) - 1).cast("long"))
     val totals = train.groupBy(col("lang").as("cls"))
       .agg(count(lit(1)).as("tot"))
     val priorsRaw = train.select("doc_id", "lang").distinct()
@@ -962,7 +967,7 @@ object LearnPack extends QueryPack {
         |test AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
         |vocab AS (SELECT count(DISTINCT tok) AS vn FROM train),
         |classes AS MATERIALIZED (SELECT cls, CAST(row_number()
-        |    OVER (ORDER BY cls) AS BIGINT) AS cls_idx
+        |    OVER (ORDER BY cls) - 1 AS BIGINT) AS cls_idx
         |  FROM (SELECT DISTINCT lang AS cls FROM train)),
         |totals AS (SELECT lang AS cls, count(*) AS tot FROM train
         |  GROUP BY 1),

@@ -973,15 +973,6 @@ object StreamingOps {
       when(h < 52429L, "train").when(h < 58982L, "val").otherwise("test"))
   }
 
-  /** Stateless streaming quality filter — the streaming twin of batch
-    * `text_filter_pipeline`'s per-doc rule stage, for ingest-time
-    * cleaning: every arriving doc gets the same four keep/drop rules
-    * (too short, digit-heavy, stopword-sparse English, single-word
-    * repetition) on the same rounded metrics. Per-row column math
-    * only, so it needs no watermark and adds no state store; the
-    * repetition metric is computed array-side per row (no explode-agg
-    * — a stream can't re-aggregate per doc). Emits the input columns
-    * plus the rule flags and the keep decision. */
   /** Streaming face of batch `q_record_link` — ingest-time entity
     * resolution: an arriving stream of dirty records (`dk`, `nk`,
     * `seg`, `dnm`, `dbc`) links against the STATIC clean table
@@ -999,6 +990,15 @@ object StreamingOps {
     graft.queries.DedupPack.scoredPairs(dirty, clean)
       .select("dk", "ck", "score", "decision")
 
+  /** Stateless streaming quality filter — the streaming twin of batch
+    * `text_filter_pipeline`'s per-doc rule stage, for ingest-time
+    * cleaning: every arriving doc gets the same four keep/drop rules
+    * (too short, digit-heavy, stopword-sparse English, single-word
+    * repetition) on the same rounded metrics. Per-row column math
+    * only, so it needs no watermark and adds no state store; the
+    * repetition metric is computed array-side per row (no explode-agg
+    * — a stream can't re-aggregate per doc). Emits the input columns
+    * plus the rule flags and the keep decision. */
   def qualityFilterStream(docs: DataFrame, textCol: String = "text",
       langCol: String = "lang"): DataFrame = {
     import graft.functions.TextFunctions.{charClassCount, hitCount, langProfiles, words}

@@ -303,4 +303,93 @@ class TimeSeriesSpec extends SparkSpec {
     // euclidean-on-counts distance
     assert(got(("a", "b")) < sa.zip(sb).map(p => math.abs(p._1 - p._2)).sum)
   }
+
+  test("dtwBandedFrom: band=infinity equals full DTW; a narrow band " +
+      "refuses a warp wider than its radius") {
+    val n = graft.queries.AnalyticsPack.DtwDays
+    // a triangular bump over a zero baseline: full DTW aligns the
+    // SAME bump twenty days late at zero cost (warp along the zero
+    // floor), but that warp needs |i - j| up to 20 — far outside the
+    // band, which must price the late bump as genuinely different
+    def bump(at: Int): IndexedSeq[Long] = (0 until n).map { i =>
+      Seq(0L, 10L, 30L, 50L, 30L, 10L)(
+        if (i >= at && i < at + 5) i - at + 1 else 0)
+    }
+    val sa = bump(2)
+    val sb = bump(3)  // one-day shift: inside every band here
+    val sc = bump(22) // twenty-day shift
+    val daily = (for ((ser, t) <- Seq((sa, "a"), (sb, "b"), (sc, "c"));
+        i <- 0 until n) yield (t, 100L + i, ser(i)))
+      .toDF("event_type", "day", "n")
+    def run(band: Int) = graft.queries.AnalyticsPack
+      .dtwBandedFrom(daily, band).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+        -> r.getAs[Long]("dtw_band")).toMap
+    val full = graft.queries.AnalyticsPack.dtwFrom(daily).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+        -> r.getAs[Long]("dtw")).toMap
+    // a band at least as wide as the grid is exactly full DTW
+    assert(run(n) === full)
+    // the default band: a one-step shift fits inside it (identical
+    // distance), the ten-step shift does not (priced strictly higher)
+    val banded = run(graft.queries.AnalyticsPack.DtwBand)
+    assert(banded(("a", "b")) === full(("a", "b")))
+    assert(banded(("a", "c")) > full(("a", "c")))
+    // monotone in the radius: tightening can only raise the distance
+    assert(run(2)(("a", "c")) >= banded(("a", "c")))
+  }
+
+  test("dtwBarycenterFrom: picks the planted medoid and its one-pass " +
+      "barycenter descends the squared-cost Fréchet function") {
+    // squared ground cost: the DBA mean update is the exact minimizer
+    // of the per-index squared residuals over a FIXED alignment, so on
+    // a unique-alignment corpus one pass provably decreases this sum
+    // (re-alignment can only decrease it further); under the family's
+    // |a-b| display metric the mean is not the L1 minimizer, which is
+    // why the gate is Fréchet-squared, not dtw-L1
+    def refDtwSq(a: Seq[Double], b: Seq[Double]): Double = {
+      val (n, m) = (a.length, b.length)
+      val dp = Array.fill(n, m)(0.0)
+      for (i <- 0 until n; j <- 0 until m) {
+        val c = (a(i) - b(j)) * (a(i) - b(j))
+        dp(i)(j) = c + ((i, j) match {
+          case (0, 0) => 0.0
+          case (0, _) => dp(0)(j - 1)
+          case (_, 0) => dp(i - 1)(0)
+          case _ => math.min(dp(i - 1)(j),
+            math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+        })
+      }
+      dp(n - 1)(m - 1)
+    }
+    val n = graft.queries.AnalyticsPack.DtwDays
+    // a steep ramp makes EVERY pairwise optimal path the unique
+    // diagonal (an off-diagonal step costs ≥ 1000 - 30 more than
+    // staying on it), so the all-optimal-paths marking is exactly one
+    // cell per pair per index and the barycenter is the pointwise mean
+    val sm = (0 until n).map(i => 1000L * i)
+    val sx = sm.zipWithIndex.map { case (v, i) =>
+      if (i >= 5 && i < 11) v + 30 else v }   // +30 on W1
+    val sy = sm.zipWithIndex.map { case (v, i) =>
+      if (i >= 18 && i < 24) v - 30 else v }  // -30 on W2
+    val daily = (for ((ser, t) <- Seq((sm, "m"), (sx, "x"), (sy, "y"));
+        i <- 0 until n) yield (t, 100L + i, ser(i)))
+      .toDF("event_type", "day", "n")
+    val rows = graft.queries.AnalyticsPack.dtwBarycenterFrom(daily)
+      .collect().sortBy(_.getAs[Int]("i"))
+    assert(rows.length === n)
+    // medoid: pairwise L1 sums are m: 360, x: 540, y: 540
+    assert(rows.forall(_.getAs[String]("medoid") == "m"),
+      "m is the planted medoid")
+    // unique diagonal alignment: exactly one cell per pair per index
+    assert(rows.forall(_.getAs[Long]("n_align") === 2L))
+    // pointwise mean: +10 on W1, -10 on W2, the ramp elsewhere
+    val bary = rows.map(_.getAs[Long]("bary_q") / 1e6)
+    assert(bary(5) === sm(5) + 10.0 && bary(18) === sm(18) - 10.0)
+    val corpus = Seq(sm, sx, sy).map(_.map(_.toDouble))
+    val medCost = corpus.map(s => refDtwSq(sm.map(_.toDouble), s)).sum
+    val baryCost = corpus.map(s => refDtwSq(bary.toSeq, s)).sum
+    assert(baryCost < medCost,
+      s"one DBA pass must descend: $baryCost vs $medCost")
+  }
 }
