@@ -65,19 +65,21 @@ object ReferenceRng {
     * inclusive-bound draw n is clamped to n-1 (in the original it
     * reads past the array — unreproducible garbage). `PointsSource`
     * ids are monotone in file order but not contiguous, so positions
-    * come from a rank over id — one bounded sort of the n CLI points,
-    * then a k-row collect; duplicate draws are kept, exactly as the
-    * reference does. */
+    * are id-ranks — computed by a RANGE-partitioned sort plus
+    * `zipWithIndex` (per-partition offsets from one count job), never
+    * a global row_number window, which ranks the whole point set on a
+    * single reducer; then a k-row collect. Duplicate draws are kept,
+    * exactly as the reference does. */
   def seededInit(points: DataFrame, k: Int, n: Int, seed: Long): Seq[KMeansDF.Centroid] = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.row_number
     val rng = new ReferenceRng(seed)
     val idx = Seq.fill(k)(math.min(rng.nextInt(n), n - 1).toLong)
-    val byPos = points
-      .withColumn("pos", row_number().over(Window.orderBy("id")) - 1)
-      .filter(col("pos").isin(idx.distinct: _*))
-      .select("pos", "x", "y").collect()
-      .map(r => r.getInt(0).toLong -> (r.getDouble(1), r.getDouble(2))).toMap
+    val target = idx.toSet
+    val byPos = points.select(col("id"), col("x"), col("y"))
+      .orderBy("id").rdd.zipWithIndex()
+      .filter { case (_, pos) => target.contains(pos) }
+      .map { case (row, pos) =>
+        pos -> (row.getDouble(1), row.getDouble(2)) }
+      .collect().toMap
     idx.zipWithIndex.map { case (pos, slot) =>
       val (x, y) = byPos(pos)
       KMeansDF.Centroid(slot, x, y)
