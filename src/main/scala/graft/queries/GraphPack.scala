@@ -998,6 +998,103 @@ object GraphPack extends QueryPack {
         .as("assortativity"))
   }
 
+  /** Weighted assortativity (Leung & Chau, Physica A 2007; round 12)
+    * over the support-weighted co-purchase graph — `q_assortativity`'s
+    * question asked of the graph's STRENGTHS: do heavy-affinity parts
+    * co-purchase with other heavy-affinity parts? Every edge term is
+    * weighted by the edge's support and degrees are replaced by
+    * strengths (Σ incident weight — `q_clustcoef_w`'s table):
+    * r_w = (Σw·s_u·s_v/W − μ²) / (Σw·(s_u²+s_v²)/2W − μ²) with
+    * μ = Σw·(s_u+s_v)/2W. All sums exact integers in DECIMAL(38,0)
+    * (HUGEINT in the oracle), four float ops at the end — the
+    * q_assortativity discipline verbatim. */
+  private[graft] def assortativityWeightedFrom(undW0: DataFrame): DataFrame = {
+    val undW = undW0.localCheckpoint(true)
+    val st = undW.select(col("u").as("node"), col("w"))
+      .unionByName(undW.select(col("v").as("node"), col("w")))
+      .groupBy("node").agg(sum("w").as("sg"))
+    val e = undW
+      .join(st.select(col("node").as("u"), col("sg").as("su")), "u")
+      .join(st.select(col("node").as("v"), col("sg").as("sv")), "v")
+    val dec = "decimal(38,0)"
+    val sums = e.agg(count(lit(1)).as("m"),
+      sum(col("w")).as("wt"),
+      sum(expr(s"cast(w as $dec) * su * sv")).as("sjk"),
+      sum(expr(s"cast(w as $dec) * (su + sv)")).as("ssum"),
+      sum(expr(s"cast(w as $dec) * (cast(su as $dec) * su" +
+        s" + cast(sv as $dec) * sv)")).as("ssq"))
+    val mu = col("ssum").cast("double") / (lit(2.0) * col("wt"))
+    sums.select(col("m").as("m_edges"), col("wt").cast("long").as("w_total"),
+      round((col("sjk").cast("double") / col("wt") - mu * mu)
+        / (col("ssq").cast("double") / (lit(2.0) * col("wt")) - mu * mu), 6)
+        .as("assortativity_w"))
+  }
+
+  /** Rounds for `q_pagerank_w` — mirrors q_pagerank's 3; the oracle
+    * replays exactly these. */
+  private val PrWRounds = 3
+
+  /** Weighted PageRank (damping 0.85; round 12) over the
+    * support-weighted co-purchase graph — q_pagerank's integer-mass
+    * discipline with per-edge mass proportional to edge weight: the
+    * contribution along (u→v, w) is (pr·w) div strength(u), so the
+    * random surfer crosses STRONG affinities more often and a part
+    * with few heavy co-purchases can outrank a promiscuous hub — the
+    * distinction degree-based rank cannot see. Unit 1e9 per node,
+    * damping (85·s) div 100, floor division per edge: exact integers
+    * in any partition order. pr·w stays ≤ 1e9·max-support ≪ 2⁶³ at
+    * the gate SFs; q_markov's documented DECIMAL(38) swap applies at
+    * extreme supports. Plan shape: pagerankPlan's parked layout
+    * verbatim — bidirected weighted edges checkpointed ONCE
+    * partitioned on src (AQE off for the capture), strength and rank
+    * tables maintained on node, each round one co-partitioned
+    * equi-join plus one map-side-combined hash agg; nothing collects. */
+  private def pagerankWeighted(s: SparkSession, d: String,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val pr = try {
+      pagerankWeightedFrom(copurchaseEdgesW(s, d, minSupport = 2)
+          .select(col("u").cast("long").as("u"),
+            col("v").cast("long").as("v"), col("w")),
+        PrWRounds, ckpt)
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    pr.orderBy(col("pr").desc, col("node")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("pr").desc, col("node"))))
+      .select(col("node").as("part"), col("st"), col("pr"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** The weighted-PageRank loop over any undirected weighted
+    * (`u`, `v`, `w`) edge set — public to the test JVM so the spec can
+    * gate it against a driver-side integer reference and pin the
+    * weight pull. */
+  private[graft] def pagerankWeightedFrom(undW: DataFrame, iters: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val edges = ckpt(undW
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(undW
+        .select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .repartition(col("src")))
+    val st = ckpt(edges.groupBy(col("src").as("node"))
+      .agg(sum("w").as("st")))
+    var state = ckpt(st.select(col("node"), col("st"),
+      lit(1000000000L).as("pr")))
+    for (_ <- 1 to iters) {
+      val cin = state.join(edges, state("node") === edges("src"))
+        .select(col("dst").as("node"), expr("(pr * w) div st").as("c"))
+        .groupBy("node").agg(sum("c").as("cin"))
+      // undirected graph: every node has in-edges, inner join keeps all
+      state = ckpt(st.join(cin, "node")
+        .select(col("node"), col("st"),
+          (lit(150000000L) + expr("(85 * cin) div 100")).as("pr")))
+    }
+    state
+  }
+
   /** Per-center degree cap for the wedge generator — a hub center
     * contributes C(deg,2) candidate pairs, quadratic noise on exactly
     * the least-predictive centers (a shared hub says little; the
@@ -1559,6 +1656,9 @@ object GraphPack extends QueryPack {
     "q_hits" -> ((s, d) => hits(s, d)),
     "q_modularity" -> ((s, d) => modularity(s, d)),
     "q_assortativity" -> ((s, d) => assortativity(s, d)),
+    "q_assortativity_w" -> ((s, d) => assortativityWeightedFrom(
+      copurchaseEdgesW(s, d, minSupport = 2))),
+    "q_pagerank_w" -> ((s, d) => pagerankWeighted(s, d)),
     "q_link_pred" -> ((s, d) => linkPred(s, d)),
     "q_mst" -> ((s, d) => mst(s, d)),
     "q_closeness" -> ((s, d) => closeness(s, d)),
@@ -2083,6 +2183,65 @@ object GraphPack extends QueryPack {
         |    / (CAST(ssq AS DOUBLE) / (2.0 * m)
         |      - (ssum / (2.0 * m)) * (ssum / (2.0 * m))), 6) AS assortativity
         |FROM s""".stripMargin,
+
+    "q_assortativity_w" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |    FROM lineitem),
+        |undw AS MATERIALIZED (SELECT a.p AS u, b.p AS v,
+        |    count(*) AS w
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |st AS (SELECT node, sum(w) AS sg FROM (
+        |    SELECT u AS node, w FROM undw
+        |    UNION ALL SELECT v, w FROM undw)
+        |  GROUP BY 1),
+        |e AS (SELECT undw.w, su.sg AS su, sv.sg AS sv FROM undw
+        |  JOIN st su ON su.node = undw.u JOIN st sv ON sv.node = undw.v),
+        |s AS (SELECT count(*) AS m, sum(w) AS wt,
+        |    sum(CAST(w AS HUGEINT) * su * sv) AS sjk,
+        |    sum(CAST(w AS HUGEINT) * (su + sv)) AS ssum,
+        |    sum(CAST(w AS HUGEINT) * (CAST(su AS HUGEINT) * su
+        |      + CAST(sv AS HUGEINT) * sv)) AS ssq
+        |  FROM e)
+        |SELECT CAST(m AS BIGINT) AS m_edges, CAST(wt AS BIGINT) AS w_total,
+        |  round((CAST(sjk AS DOUBLE) / wt
+        |      - (CAST(ssum AS DOUBLE) / (2.0 * wt))
+        |        * (CAST(ssum AS DOUBLE) / (2.0 * wt)))
+        |    / (CAST(ssq AS DOUBLE) / (2.0 * wt)
+        |      - (CAST(ssum AS DOUBLE) / (2.0 * wt))
+        |        * (CAST(ssum AS DOUBLE) / (2.0 * wt))), 6)
+        |    AS assortativity_w
+        |FROM s""".stripMargin,
+
+    "q_pagerank_w" -> {
+      def rnd(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT s.node, s.st,
+           |    CAST(150000000 + (85 * c.cin) // 100 AS BIGINT) AS pr
+           |  FROM st s JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((r.pr * e.w) // r.st) AS BIGINT) AS cin
+           |    FROM $prev r JOIN edges e ON r.node = e.src GROUP BY 1) c
+           |  USING (node))""".stripMargin
+      val rounds = (1 to PrWRounds)
+        .map(i => rnd(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o,
+         |    CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+         |undw AS MATERIALIZED (SELECT a.p AS u, b.p AS v,
+         |    count(*) AS w
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+         |edges AS (SELECT u AS src, v AS dst, w FROM undw
+         |  UNION ALL SELECT v, u, w FROM undw),
+         |st AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS st
+         |  FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, st, CAST(1000000000 AS BIGINT) AS pr
+         |  FROM st),
+         |$rounds
+         |SELECT node AS part, st, pr,
+         |  CAST(row_number() OVER (ORDER BY pr DESC, node) AS INT) AS rk
+         |FROM r$PrWRounds QUALIFY rk <= 20""".stripMargin
+    },
 
     "q_link_pred" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

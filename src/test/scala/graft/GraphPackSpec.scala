@@ -301,6 +301,75 @@ class GraphPackSpec extends SparkSpec {
     assert(r.getAs[Double]("assortativity") === -1.0)
   }
 
+  test("assortativityWeightedFrom: uniform weights reduce to the " +
+      "unweighted value scaled by the weight; weights move r") {
+    // star with uniform weight 7: strengths are 7x the degrees, and
+    // the Leung-Chau ratio is scale-invariant -> exactly -1 still
+    val star = Seq((0L, 1L, 7L), (0L, 2L, 7L), (0L, 3L, 7L))
+      .toDF("u", "v", "w")
+    val r = GraphPack.assortativityWeightedFrom(star).collect().head
+    assert(r.getAs[Long]("m_edges") === 3L)
+    assert(r.getAs[Long]("w_total") === 21L)
+    assert(r.getAs[Double]("assortativity_w") === -1.0)
+    // driver-side replay of the formula on an asymmetric graph
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 5L), (1L, 3L, 2L))
+    val undW = edges.toDF("u", "v", "w")
+    val got = GraphPack.assortativityWeightedFrom(undW).collect().head
+    val sg = edges.flatMap { case (u, v, w) => Seq(u -> w, v -> w) }
+      .groupBy(_._1).map { case (n, ws) => n -> ws.map(_._2).sum }
+    val wt = edges.map(_._3).sum.toDouble
+    val sjk = edges.map { case (u, v, w) => w * sg(u) * sg(v) }.sum
+    val ssum = edges.map { case (u, v, w) => w * (sg(u) + sg(v)) }.sum
+    val ssq = edges.map { case (u, v, w) =>
+      w * (sg(u) * sg(u) + sg(v) * sg(v)) }.sum
+    val mu = ssum / (2.0 * wt)
+    val want = BigDecimal((sjk / wt - mu * mu)
+      / (ssq / (2.0 * wt) - mu * mu))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("assortativity_w") === want)
+  }
+
+  test("pagerankWeightedFrom matches a driver-side integer reference " +
+      "and pulls rank along heavy edges") {
+    def ref(edges: Seq[(Long, Long, Long)], iters: Int)
+        : Map[Long, Long] = {
+      val out = edges.flatMap { case (u, v, w) =>
+        Seq((u, v, w), (v, u, w)) }
+      val st = out.groupBy(_._1).map { case (n, es) =>
+        n -> es.map(_._3).sum }
+      var pr = st.map { case (n, _) => n -> 1000000000L }
+      for (_ <- 1 to iters) {
+        val cin = out.groupBy(_._2).map { case (n, es) =>
+          n -> es.map { case (u, _, w) =>
+            Math.floorDiv(pr(u) * w, st(u)) }.sum }
+        pr = pr.map { case (n, _) =>
+          n -> (150000000L + Math.floorDiv(85L * cin(n), 100L)) }
+      }
+      pr
+    }
+    // path 1-2-3 with a heavy 2-3 tie plus a 3-4 pendant
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 9L), (3L, 4L, 1L))
+    val got = GraphPack.pagerankWeightedFrom(edges.toDF("u", "v", "w"), 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr"))
+      .toMap
+    assert(got === ref(edges, 3))
+    // the heavy tie pulls rank: 3 outranks what it gets under uniform
+    // weights on the same wiring (where 2 and 3 are symmetric)
+    val uni = GraphPack.pagerankWeightedFrom(
+      edges.map { case (u, v, _) => (u, v, 1L) }.toDF("u", "v", "w"), 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr"))
+      .toMap
+    assert(got(2L) > uni(2L) && got(3L) > uni(3L),
+      "the heavy mutual tie concentrates mass on its endpoints")
+    // uniform weights reproduce unweighted pagerank exactly:
+    // (pr*c) div (deg*c) == pr div deg
+    val uni7 = GraphPack.pagerankWeightedFrom(
+      edges.map { case (u, v, _) => (u, v, 7L) }.toDF("u", "v", "w"), 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr"))
+      .toMap
+    assert(uni7 === uni)
+  }
+
   test("linkPredFrom scores the open pair of a path by its shared center") {
     // path 1-2-3: the only distance-2 pair is (1,3) through center 2
     // (deg 2): cn = 1, jaccard = 1/(1+1-1) = 1,
