@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup
@@ -295,7 +295,23 @@ object DedupPack extends QueryPack {
     // float ever crosses the engine boundary), so the gate covers
     // block → compare → pattern → fitted-posterior → zone end to end.
     "q_record_link_em" -> ((s, d) =>
-      recordLinkEmFrom(cleanCustomers(s, d)))
+      recordLinkEmFrom(cleanCustomers(s, d))),
+
+    // Fellegi–Sunter §3 OPTIMAL thresholds from target error rates
+    // (round 12) — the paper's actual decision-theoretic contribution,
+    // which the fixed 0.95/0.05 posterior cuts of q_record_link_em
+    // dodge: given admissible error targets μ (false-match rate among
+    // true non-matches) and λ (false-non-match rate among true
+    // matches), order the 8 agreement patterns by likelihood ratio
+    // P(γ|M)/P(γ|U) and take the WIDEST match prefix with Σ P(γ|U) ≤ μ
+    // and the widest non-match suffix with Σ P(γ|M) ≤ λ; the middle is
+    // exactly the clerical-review zone the theorem proves minimal.
+    // Per-zone output: pattern count, pair census against the planted
+    // truth, the theoretical masses the cuts promise, and the MEASURED
+    // achieved shares (match row's false share = achieved μ̂,
+    // non-match row's true share = achieved λ̂).
+    "q_record_link_thresh" -> ((s, d) =>
+      recordLinkThreshFrom(cleanCustomers(s, d)))
   )
 
   /** The clean-record projection both linkage keys share. */
@@ -522,6 +538,146 @@ object DedupPack extends QueryPack {
     linkCensus(decided, cl)
   }
 
+  /** Fellegi–Sunter §3 threshold selection: given per-pattern
+    * P(γ|M) = mg and P(γ|U) = ug and target error rates μ / λ, order
+    * patterns by likelihood ratio descending (1e6-quantized, pattern
+    * id ascending as the deterministic tie-break) and take the widest
+    * match prefix with Σ ug ≤ μ and the widest non-match suffix with
+    * Σ mg ≤ λ (never crossing the prefix). Pure driver arithmetic on
+    * the 8-pattern domain. Returns pattern → zone. */
+  private[graft] def fsThresholds(mg: Map[Int, Double],
+      ug: Map[Int, Double], mu: Double, lambda: Double)
+      : Map[Int, String] = {
+    val rq = (0 until 8).map(g => g -> math.floor(
+      1e6 * mg.getOrElse(g, 0.0) / math.max(ug.getOrElse(g, 0.0), 1e-9))
+      .toLong).toMap
+    val order = (0 until 8).sortBy(g => (-rq(g), g))
+    var cumU = 0.0
+    var k = 0
+    while (k < 8 && cumU + ug.getOrElse(order(k), 0.0) <= mu + 1e-12) {
+      cumU += ug.getOrElse(order(k), 0.0); k += 1
+    }
+    var cumM = 0.0
+    var l = 8
+    while (l > k && cumM + mg.getOrElse(order(l - 1), 0.0)
+        <= lambda + 1e-12) {
+      cumM += mg.getOrElse(order(l - 1), 0.0); l -= 1
+    }
+    order.zipWithIndex.map { case (g, i) =>
+      g -> (if (i < k) "match" else if (i >= l) "non_match"
+        else "possible")
+    }.toMap
+  }
+
+  /** The error-rate targets `q_record_link_thresh` runs at: at most
+    * 0.1% of true non-matches may be declared matches, at most 1% of
+    * true matches may be declared non-matches. */
+  private[graft] val ThreshMu = 0.001
+  private[graft] val ThreshLambda = 0.01
+
+  // q_record_link_thresh's trained artifact (zone map + quantized
+  // per-pattern theory masses), stashed at query run time for the
+  // oracle replay — the emPosts idiom
+  @volatile private var threshArt
+      : Option[(Map[Int, String], Map[Int, Long], Map[Int, Long])] = None
+
+  /** The threshold-selection linkage kernel — public to the test JVM.
+    * EM fit as in [[recordLinkEmFrom]], per-pattern class likelihoods
+    * from the fitted per-field (m, u), zones from [[fsThresholds]]
+    * quantized and inlined in BOTH plans, then a per-zone census with
+    * the theoretical masses and the measured achieved shares:
+    * false_share_q = (zone's false pairs)·1e6 div (all false pairs) —
+    * the match row's value is the achieved μ̂; true_share_q mirrors it
+    * for λ̂ on the non-match row. */
+  private[graft] def recordLinkThreshFrom(clean: DataFrame): DataFrame = {
+    val cl = clean.localCheckpoint(true)
+    val ev = linkEvidence(cl)
+      .withColumn("g",
+        when(col("a_name"), 4).otherwise(0)
+          + when(col("a_bal"), 2).otherwise(0)
+          + when(col("a_sfx"), 1).otherwise(0))
+      .localCheckpoint(true)
+    val counts = ev.groupBy("g").count().collect()
+      .map(r => r.getAs[Int]("g") -> r.getAs[Long]("count")).toMap
+    val (_, m, u, _) = fsEm(counts)
+    def lik(a: Array[Double], g: Int): Double =
+      (0 until 3).map(i =>
+        if (((g >> (2 - i)) & 1) == 1) a(i) else 1 - a(i)).product
+    val mg = (0 until 8).map(g => g -> lik(m, g)).toMap
+    val ug = (0 until 8).map(g => g -> lik(u, g)).toMap
+    val zone = fsThresholds(mg, ug, ThreshMu, ThreshLambda)
+    val mq = (0 until 8).map(g =>
+      g -> math.floor(mg(g) * 1e6).toLong).toMap
+    val uq = (0 until 8).map(g =>
+      g -> math.floor(ug(g) * 1e6).toLong).toMap
+    threshArt = Some((zone, mq, uq))
+    val zoneCol = (0 until 8).foldLeft(lit("possible")) { (acc, g) =>
+      when(col("g") === g, lit(zone(g))).otherwise(acc)
+    }
+    val decided = ev.withColumn("decision", zoneCol)
+    val byZone = decided.groupBy("decision")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dk") === col("ck"), 1L).otherwise(0L)).as("n_true"))
+    val tot = decided.agg(
+      sum(when(col("dk") =!= col("ck"), 1L).otherwise(0L)).as("tot_false"),
+      sum(when(col("dk") === col("ck"), 1L).otherwise(0L)).as("tot_true"))
+    def zoneLit(f: String => Long): Column =
+      Seq("match", "possible", "non_match").foldLeft(lit(0L)) {
+        (acc, z) => when(col("decision") === z, lit(f(z))).otherwise(acc)
+      }
+    byZone.crossJoin(broadcast(tot))
+      .select(col("decision"),
+        zoneLit(z => zone.count(_._2 == z).toLong).as("n_patterns"),
+        col("n_pairs"), col("n_true"),
+        zoneLit(z => zone.collect { case (g, zz) if zz == z => mq(g) }
+          .sum).as("m_mass_q"),
+        zoneLit(z => zone.collect { case (g, zz) if zz == z => uq(g) }
+          .sum).as("u_mass_q"),
+        expr("(n_pairs - n_true) * 1000000 div greatest(tot_false, 1)")
+          .as("false_share_q"),
+        expr("n_true * 1000000 div greatest(tot_true, 1)")
+          .as("true_share_q"))
+  }
+
+  /** The `q_record_link_thresh` replay: shared comparison space, the
+    * stashed zone map as a CASE, the same census and share math. */
+  private def recordLinkThreshSql: String = threshArt match {
+    case None =>
+      "SELECT 'match' AS decision, 0 AS n_patterns, 0 AS n_pairs, " +
+        "0 AS n_true, 0 AS m_mass_q, 0 AS u_mass_q, " +
+        "0 AS false_share_q, 0 AS true_share_q WHERE 1 = 0"
+    case Some((zone, mq, uq)) =>
+      val zcases = (0 until 8).map(g => s"WHEN $g THEN '${zone(g)}'")
+        .mkString(" ")
+      def zlit(f: String => Long): String =
+        Seq("match", "possible", "non_match").map(z =>
+          s"WHEN '$z' THEN ${f(z)}").mkString("CASE decision ", " ", " END")
+      s"WITH $linkPreludeSql,\n" +
+        s"""pat AS (SELECT dk, ck,
+           |    (CASE WHEN jq >= 629146 THEN 4 ELSE 0 END
+           |     + CASE WHEN bdiff <= 1 THEN 2 ELSE 0 END
+           |     + CASE WHEN sfx THEN 1 ELSE 0 END) AS g
+           |  FROM sc),
+           |z AS (SELECT CASE g $zcases END AS decision,
+           |    CASE WHEN dk = ck THEN 1 ELSE 0 END AS is_true
+           |  FROM pat),
+           |tot AS (SELECT CAST(sum(1 - is_true) AS BIGINT) AS tot_false,
+           |    CAST(sum(is_true) AS BIGINT) AS tot_true FROM z)
+           |SELECT decision,
+           |  ${zlit(z => zone.count(_._2 == z).toLong)} AS n_patterns,
+           |  count(*) AS n_pairs,
+           |  CAST(sum(is_true) AS BIGINT) AS n_true,
+           |  ${zlit(z => zone.collect {
+                case (g, zz) if zz == z => mq(g) }.sum)} AS m_mass_q,
+           |  ${zlit(z => zone.collect {
+                case (g, zz) if zz == z => uq(g) }.sum)} AS u_mass_q,
+           |  CAST((count(*) - sum(is_true)) * 1000000
+           |    // greatest(tot_false, 1) AS BIGINT) AS false_share_q,
+           |  CAST(sum(is_true) * 1000000
+           |    // greatest(tot_true, 1) AS BIGINT) AS true_share_q
+           |FROM z, tot GROUP BY 1, tot_false, tot_true""".stripMargin
+  }
+
   // the deterministic MinHash permutation constants the Spark plan
   // bakes in, inlined as exact BIGINT literals
   private def permsSql: String = {
@@ -578,6 +734,7 @@ object DedupPack extends QueryPack {
           |""".stripMargin + linkCensusSql),
 
     "q_record_link_em" -> recordLinkEmSql,
+    "q_record_link_thresh" -> recordLinkThreshSql,
 
     // MinHash LSH is reproduced bit-exactly: shingle hashes and band
     // bucket keys live in DuckDB's md5_number_lower space, and the

@@ -281,4 +281,58 @@ class DedupSpec extends SparkSpec {
     assert(others.map(_.getAs[Long]("n_pairs")).sum === 2L)
     assert(others.map(_.getAs[Long]("n_true")).sum === 0L)
   }
+
+  test("fsThresholds picks the widest admissible zones and tightening " +
+      "a target only shrinks its zone") {
+    // hand per-field model m=(.9,.8,.7), u=(.1,.2,.3): pattern
+    // likelihoods multiply out exactly; ratio order is 7,6,5,3,4,2,1,0
+    def lik(a: Seq[Double], g: Int): Double =
+      (0 until 3).map(i =>
+        if (((g >> (2 - i)) & 1) == 1) a(i) else 1 - a(i)).product
+    val mg = (0 until 8).map(g => g -> lik(Seq(0.9, 0.8, 0.7), g)).toMap
+    val ug = (0 until 8).map(g => g -> lik(Seq(0.1, 0.2, 0.3), g)).toMap
+    val z = graft.queries.DedupPack.fsThresholds(mg, ug, 0.05, 0.05)
+    // ratio order 7,6,5,3,4,2,1,0; match prefix: cum u .006 -> .020
+    // -> .044, then +u(3)=.054 breaks the .05 budget
+    assert(z(7) === "match" && z(6) === "match" && z(5) === "match")
+    // non-match suffix: cum m .006 -> .020 -> .044, then +m(4)=.054
+    // breaks it; 3 and 4 are exactly the clerical-review middle
+    assert(z(0) === "non_match" && z(1) === "non_match"
+      && z(2) === "non_match")
+    assert(z(3) === "possible" && z(4) === "possible")
+    // tightening mu shrinks ONLY the match zone, monotonically
+    val tight = graft.queries.DedupPack.fsThresholds(mg, ug, 0.01, 0.05)
+    assert(tight(7) === "match" && tight(6) === "possible")
+    assert((0 until 8).filter(z(_) == "non_match")
+      .forall(tight(_) == "non_match"))
+    // fully permissive targets leave no clerical-review zone
+    val loose = graft.queries.DedupPack.fsThresholds(mg, ug, 1.0, 1.0)
+    assert((0 until 8).forall(g => loose(g) != "possible"))
+  }
+
+  test("q_record_link_thresh: the planted corpus meets both error " +
+      "targets with measured shares") {
+    val cl = Seq(
+      (1L, "ABCDEFGHIJKLMNOPQRST", 7L, "SEG", 12345L),
+      (2L, "UVWXYZABCDEFGHIJKLMN", 7L, "SEG", 22345L),
+      (3L, "QRSTUVWXYZ0123456789", 7L, "SEG", 32345L),
+      (4L, "JIHGFEDCBA9876543210", 7L, "SEG", 12346L)
+    ).toDF("ck", "nm", "nk", "seg", "bc")
+    val rows = graft.queries.DedupPack.recordLinkThreshFrom(cl).collect()
+    val m = rows.map(r => r.getAs[String]("decision") -> r).toMap
+    // zone pattern counts partition the 8-pattern domain
+    assert(rows.map(_.getAs[Long]("n_patterns")).sum === 8L)
+    // achieved mu-hat: false share of the match zone within target
+    m.get("match").foreach { r =>
+      assert(r.getAs[Long]("false_share_q") <= 1000L,
+        "match zone must respect the 0.001 false-match target") }
+    // achieved lambda-hat: true share lost to the non-match zone
+    m.get("non_match").foreach { r =>
+      assert(r.getAs[Long]("true_share_q") <= 10000L,
+        "non-match zone must respect the 0.01 false-non-match target") }
+    // nothing planted-true is auto-rejected, no stranger auto-matched
+    assert(m.get("non_match").forall(_.getAs[Long]("n_true") === 0L))
+    m.get("match").foreach { r =>
+      assert(r.getAs[Long]("n_true") === r.getAs[Long]("n_pairs")) }
+  }
 }
