@@ -497,6 +497,133 @@ object Multimodal {
       }
   }
 
+  // ---- shot-boundary corpus (round 12): a planted scene cut ----
+
+  /** Frames per shot-test video: 8–12 — long enough that one cut's
+    * diff cannot dominate the mean by count alone. */
+  def shotFrameCount(id: Long): Int = (8 + id % 5).toInt
+
+  /** The planted cut frame: 3–6, always ≥ 2 frames from either end. */
+  def shotCutAt(id: Long): Int = (3 + id % 4).toInt
+
+  /** The shot-corpus pixel generator — shared, in this exact form, by
+    * the encoder and the DuckDB oracle: within a scene frames drift
+    * GENTLY (f·3 — consecutive-frame channel deltas are 3 except at
+    * the rare mod-256 wrap), and the cut changes the SPATIAL
+    * coefficients, so the cross-cut per-pixel delta varies with
+    * (x, y, c) — effectively uniform on 0..255, mean ≈ 85 against the
+    * within-scene ≈ 6. (A constant additive scene term would NOT work:
+    * adding k mod 256 is a uniform shift whose |Δ| takes only two
+    * values — measured mean 15.5, under the 3×-mean spike rule.) */
+  def shotPixel(id: Long, f: Int, x: Int, y: Int, c: Int): Int = {
+    val spatial =
+      if (f >= shotCutAt(id)) x * 19L + y * 23L + c * 57L + 9973L
+      else x * 7L + y * 13L + c * 101L
+    ((id * 31 + f * 3L + spatial) % 256L).toInt
+  }
+
+  private def shotFrame(id: Long, f: Int): BufferedImage = {
+    val (w, h) = synthDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (shotPixel(id, f, x, y, 0) << 16) |
+            (shotPixel(id, f, x, y, 1) << 8) |
+            shotPixel(id, f, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** GFV1 container around the shot frames (same wire format as
+    * [[videoBytes]] — real PNG payloads). */
+  def shotVideoBytes(id: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeBytes("GFV1")
+    val n = shotFrameCount(id)
+    dos.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(shotFrame(id, f), "png", bos)
+      dos.writeInt(bos.size())
+      bos.writeTo(dos)
+      f += 1
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  def shotCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map(id => (id, shotVideoBytes(id)))
+      }
+      .toDF("id", "media")
+  }
+
+  final case class FrameDiff(id: Long, frame_idx: Int, sad: Long)
+
+  /** Inter-frame difference energy over a GFV1 container: decode the
+    * frames SEQUENTIALLY (the container is already an ordered stream),
+    * keep only the previous frame's raster in local state, and emit
+    * per frame f ≥ 1 the sum of absolute channel differences — THE
+    * classic shot-boundary signal. Decode-local and partition-
+    * parallel: pixels never leave the task; only (id, frame, sad)
+    * rows — O(frames) per clip — reach the plan. */
+  def frameDiffs(df: DataFrame, idCol: String, binCol: String)
+      : Dataset[FrameDiff] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        ImageIO.setUseCache(false)
+        val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        require(new String(magic, "US-ASCII") == "GFV1",
+          s"not a GFV1 container for id=$id")
+        val n = in.readInt()
+        var prev: BufferedImage = null
+        (0 until n).iterator.flatMap { f =>
+          val len = in.readInt()
+          val payload = new Array[Byte](len)
+          in.readFully(payload)
+          val img = decodeImage(id, payload)
+          val out = if (f == 0) None else {
+            var sad = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val a = img.getRGB(x, y)
+                val b = prev.getRGB(x, y)
+                sad += math.abs(((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) +
+                  math.abs(((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) +
+                  math.abs((a & 0xFF) - (b & 0xFF))
+                x += 1
+              }
+              y += 1
+            }
+            Some(FrameDiff(id, f, sad))
+          }
+          prev = img
+          out
+        }.toSeq
+      }
+  }
+
   // ---- audio (round 13): REAL WAV codec via javax.sound.sampled ----
 
   /** Samples per synthetic clip: 400–610 (varying, prime modulus so

@@ -41,6 +41,29 @@ object MultimodalPack extends QueryPack {
     "mm_framesample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.videoCorpus(s, d), "id", "media").toDF()),
 
+    // Shot-boundary detection over GFV1 (round 12) — the video
+    // operator the uniformly-drifting framesample corpus cannot
+    // exercise: a second generator plants ONE scene cut per clip
+    // (within-scene frames drift by 3 per channel; the cut re-bases
+    // every pixel), the decoder emits per-frame inter-frame diff
+    // energy (sum of absolute channel differences — decode-local,
+    // pixels never leave the task), and a frame is a boundary iff its
+    // SAD exceeds 3x the clip mean, as the exact integer
+    // cross-multiplication sad·n > 3·total. Hash-gated through the
+    // real PNG decode: the oracle recomputes every frame's SAD from
+    // the generator formula — one mangled pixel fails the compare.
+    "mm_shot_bounds" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val diffs = Multimodal.frameDiffs(
+        Multimodal.shotCorpus(s, d), "id", "media").toDF()
+      val tot = diffs.groupBy("id")
+        .agg(sum("sad").as("tot"), count(lit(1)).as("nd"))
+      diffs.join(tot, "id")
+        .where(col("sad") * col("nd") > lit(3L) * col("tot"))
+        .select(col("id"), col("frame_idx").as("boundary_frame"),
+          col("sad"), col("tot"), col("nd"))
+    }),
+
     "mm_resize" -> ((s, d) =>
       Multimodal.resizeNN(Multimodal.imageCorpus(s, d), "id", "media").toDF()),
 
@@ -207,6 +230,37 @@ object MultimodalPack extends QueryPack {
          |  CAST(sum(${gen("f", 1)}) AS BIGINT) AS sum_g,
          |  CAST(sum(${gen("f", 2)}) AS BIGINT) AS sum_b
          |FROM px GROUP BY id, f, w, h""".stripMargin,
+
+    // replay the shot generator per (frame, pixel, channel), evaluate
+    // it at f and f−1 (each with its OWN scene term — the cut sits
+    // between them exactly once), sum |Δ| per frame, apply the same
+    // integer spike rule
+    "mm_shot_bounds" -> {
+      def sp(f: String): String =
+        s"(id*31 + ($f)*3 + (CASE WHEN ($f) >= cut" +
+          s" THEN x*19 + y*23 + c*57 + 9973" +
+          s" ELSE x*7 + y*13 + c*101 END)) % 256"
+      s"""WITH sdims AS (SELECT CAST(doc_id AS BIGINT) AS id,
+         |    CAST(4 + doc_id % 13 AS INT) AS w,
+         |    CAST(4 + doc_id % 11 AS INT) AS h,
+         |    CAST(8 + doc_id % 5 AS INT) AS n,
+         |    CAST(3 + doc_id % 4 AS INT) AS cut
+         |  FROM documents),
+         |sad AS (SELECT id, CAST(f AS INT) AS frame_idx,
+         |    CAST(sum(abs((${sp("f")}) - (${sp("f - 1")}))) AS BIGINT)
+         |      AS sad
+         |  FROM (SELECT d.*, f.range AS f, x.range AS x, y.range AS y,
+         |      c.range AS c
+         |    FROM sdims d, range(1, 12) f, range(16) x, range(14) y,
+         |      range(3) c
+         |    WHERE f.range < d.n AND x.range < d.w AND y.range < d.h)
+         |  GROUP BY 1, 2),
+         |t AS (SELECT id, CAST(sum(sad) AS BIGINT) AS tot,
+         |    count(*) AS nd FROM sad GROUP BY 1)
+         |SELECT s.id, s.frame_idx AS boundary_frame, s.sad, t.tot, t.nd
+         |FROM sad s JOIN t USING (id)
+         |WHERE s.sad * t.nd > 3 * t.tot""".stripMargin
+    },
 
     // replay the integer DCT from the generator lattice: the quantized
     // cosine weights inline as a 128-row VALUES table (the SAME longs

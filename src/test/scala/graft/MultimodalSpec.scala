@@ -233,4 +233,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sample(0L, 0) === -32768)
     assert(got(0L).peak === 32768)
   }
+
+  test("mm_shot_bounds: the spike rule reads the exact planted cut " +
+      "frame through the real PNG decode, and nothing else") {
+    val ids = Seq(0L, 3L, 7L, 12L, 211L)
+    val diffs = Multimodal.frameDiffs(
+        ids.map(id => (id, Multimodal.shotVideoBytes(id)))
+          .toDF("id", "media"), "id", "media")
+      .collect().groupBy(_.id)
+    ids.foreach { id =>
+      val n = Multimodal.shotFrameCount(id)
+      val cut = Multimodal.shotCutAt(id)
+      val d = diffs(id).map(f => f.frame_idx -> f.sad).toMap
+      assert(d.size === n - 1, s"id=$id emits one diff per frame pair")
+      // driver replay of the generator: SAD must match pixel for pixel
+      val (w, h) = Multimodal.synthDims(id)
+      (1 until n).foreach { f =>
+        val want = (for (x <- 0 until w; y <- 0 until h; c <- 0 until 3)
+          yield math.abs(Multimodal.shotPixel(id, f, x, y, c)
+            - Multimodal.shotPixel(id, f - 1, x, y, c)).toLong).sum
+        assert(d(f) === want, s"id=$id f=$f")
+      }
+      // the spike rule flags the planted cut and ONLY the planted cut
+      val tot = d.values.sum
+      val flagged = d.filter { case (_, sad) =>
+        sad * (n - 1) > 3 * tot }.keySet
+      assert(flagged === Set(cut), s"id=$id cut=$cut got $flagged")
+    }
+  }
 }
