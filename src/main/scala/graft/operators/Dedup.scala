@@ -136,6 +136,77 @@ object Dedup {
           .as("band_recall"))
   }
 
+  /** Sampled-truth banding evaluation — [[lshEval]]'s honest form for
+    * LENGTH-CONCENTRATED corpora, where the exact key's size-bucket
+    * truth join degenerates toward all-pairs (binary-magnitude
+    * buckets are complete for τ ≥ 0.5 but a corpus whose doc lengths
+    * concentrate puts ~everything in one bucket). Truth is brute-
+    * forced only around a deterministic 1/`mod` rep sample
+    * (id % mod = 0 — replayable in SQL, uncorrelated with length):
+    * every truth join is sample × bucket-mates and every candidate
+    * join sample-bands × all-bands, so the eval is LINEAR in the
+    * corpus at any length distribution. Estimates precision/recall of
+    * the banding on pairs TOUCHING the sample — an unbiased pair
+    * sample under the id hash; the spec pins the estimator against
+    * the exact key at gate scale. */
+  def lshEvalSampled(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, mod: Int = 7): DataFrame = {
+    require(threshold >= 0.5,
+      s"size buckets probe one neighbor — complete only for t >= 0.5, got $threshold")
+    require(mod >= 1, s"sample modulus must be >= 1, got $mod")
+    val base = withTextHash(docs.select(col(idCol).as("id"),
+        col(textCol).as("text"), words(col(textCol)).as("w")), "text")
+      .drop("text")
+      .filter(size(col("w")) >= 3)
+    val reps = base.dropDuplicates("h").localCheckpoint(true)
+    val inSample = pmod(col("id"), lit(mod.toLong)) === 0
+    def bandsOf(df: DataFrame): DataFrame = df.withColumn("band_val",
+        explode(graft.functions.DedupExpressions
+          .minhashBands(col("w"), NumHashes, Bands)))
+      .select(col("id"), col("band_val"))
+    // banding candidates touching the sample: sample bands probe the
+    // FULL band table (never the full self-join)
+    val cand = bandsOf(reps.where(inSample)).as("a")
+      .join(bandsOf(reps).as("b"),
+        col("a.band_val") === col("b.band_val")
+          && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true)
+    // truth around the sample: each sampled rep probes its own size
+    // bucket AND both neighbors (covers the ratio-2 window in both
+    // directions, since here the sampled side may be smaller or larger)
+    val wd = reps.select(col("id"),
+        graft.functions.DedupExpressions.ngramHashSet(col("w"), 1).as("wd"))
+      .withColumn("bk", length(conv(size(col("wd")), 10, 2)).cast("long"))
+    val probes = wd.where(inSample)
+      .select(col("id").as("ia"),
+        explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("bk"))
+    val candTruth = probes
+      .join(wd.select(col("id").as("ib"), col("bk")), "bk")
+      .where(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val repW = reps.select(col("id"), col("w"))
+    val truth = verifyJaccard(candTruth, repW, threshold)
+    val tp = verifyJaccard(cand, repW, threshold)
+    reps.agg(count(lit(1)).as("n_reps"),
+        coalesce(sum(when(inSample, 1L)), lit(0L)).as("n_sample"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth_s"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand_s"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp_s"))))
+      .select(col("n_reps"), col("n_sample"), col("n_truth_s"),
+        col("n_cand_s"), col("n_tp_s"),
+        when(col("n_cand_s") > 0,
+          round(col("n_tp_s").cast("double") / col("n_cand_s"), 4))
+          .as("precision_est"),
+        when(col("n_truth_s") > 0,
+          round(col("n_tp_s").cast("double") / col("n_truth_s"), 4))
+          .as("recall_est"))
+  }
+
   /** Join candidate (id_a, id_b) pairs back to per-doc distinct
     * word-hash sets and keep exact Jaccard ≥ threshold. Hash sets are
     * sorted once per doc so the per-pair intersection is a linear merge

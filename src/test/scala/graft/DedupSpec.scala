@@ -219,6 +219,35 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("band_recall") === 0.3333, s"got $r")
   }
 
+  test("lshEvalSampled estimates the exact eval's ratios from the " +
+      "1/7 id sample, with truth joins only around the sample") {
+    // same regime as the exact-eval corpus, ids placed so the sample
+    // (id % 7 == 0) holds docs 7 and 14: the order-preserving pair
+    // (7,8) and both scramble pairs (7,14), (8,14) all TOUCH the
+    // sample, so the estimator sees the exact key's world: recall 1/3
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      7L -> base,
+      8L -> (base + " lambda"),
+      14L -> "kappa iota theta eta zeta epsilon delta gamma beta alpha",
+      4L -> "one two three four five six seven eight nine ten",
+      5L -> "red orange yellow green blue indigo violet black white gray")
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup
+      .lshEvalSampled(corpus, "doc_id", "text", 0.5).collect().head
+    assert(r.getAs[Long]("n_reps") === 5L)
+    assert(r.getAs[Long]("n_sample") === 2L)
+    assert(r.getAs[Long]("n_truth_s") === 3L, s"got $r")
+    assert(r.getAs[Long]("n_tp_s") === 1L, s"got $r")
+    assert(r.getAs[Double]("recall_est") === 0.3333, s"got $r")
+    assert(r.getAs[Double]("precision_est") === 1.0, s"got $r")
+    // and the estimator agrees with the exact key on this corpus
+    val exact = graft.operators.Dedup
+      .lshEval(corpus, "doc_id", "text", 0.5).collect().head
+    assert(r.getAs[Double]("recall_est")
+      === exact.getAs[Double]("band_recall"))
+  }
+
   test("q_record_link: planted truth pairs all reach the match zone; " +
       "an off-by-a-cent stranger lands in clerical review") {
     // 20-char distinct-trigram names: dropping one digit keeps trigram
