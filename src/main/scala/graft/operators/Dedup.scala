@@ -466,11 +466,18 @@ object Dedup {
       ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val spark = edges1.sparkSession
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val aqeSaved = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val edges = ckpt(edges1
-        .union(edges1.select(col("dst"), col("src")))
+    // the AQE-off capture runs against a PRIVATE session clone (round
+    // 12 — structural scoping, not a shared-conf toggle): the input
+    // edge frame is rebound through the graftbridge (planned once
+    // under its own session, re-exposed as a leaf in the clone), so
+    // every loop frame and the returned labels plan under the clone's
+    // conf and concurrent queries cannot race the capture
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val edges0 = org.apache.spark.sql.graftbridge.SessionBridge
+      .rebind(edges1, s2)
+      val edges = ckpt(edges0
+        .union(edges0.select(col("dst"), col("src")))
         .repartition(col("dst")))
       var labels = ckpt(edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
@@ -533,7 +540,6 @@ object Dedup {
         if (ids.contains(id) && id != keep) rdd.unpersist(false)
       }
       result
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeSaved)
   }
 
   /** Connected components by alternating large-star / small-star

@@ -49,16 +49,11 @@ object AnalyticsPack extends QueryPack {
     // minimal Pregel round: at the 10^12-edge regime nothing
     // edge-sized ever crosses the wire after the one-time layout.
     //
-    // NOTE (shared-session contract): the AQE toggle is session-global.
-    // Pack queries are sequential by contract (Verify/Bench run them
-    // one at a time); running this concurrently with other queries on
-    // the SAME SparkSession could capture a checkpoint with AQE
-    // re-enabled (losing the co-partitioning) or briefly disable AQE
-    // for an unrelated plan. Concurrent callers must use
-    // `spark.newSession()` per query, which scopes the conf.
-    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    val pr = try {
+    // The AQE-off discipline is scoped STRUCTURALLY (round 12): the
+    // loop plans against a private session clone, so concurrent
+    // queries on the shared session can no longer race the capture
+    // (the retired failure mode of the session-global toggle).
+    val pr = graft.operators.SessionScope.withAqeOff(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -86,7 +81,7 @@ object AnalyticsPack extends QueryPack {
             (lit(150000000L) + expr("(85 * cin) div 100")).as("pr")))
       }
       state
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    }
     // top-20 on the long ids (tie-break: pr desc, id asc), THEN project
     // the human-readable node label — 20 string concats total, not V
     val top = pr.orderBy(col("pr").desc, col("node")).limit(20)

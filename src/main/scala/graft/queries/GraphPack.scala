@@ -211,9 +211,7 @@ object GraphPack extends QueryPack {
   private def reach(s: SparkSession, d: String, rounds: Int = 4,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    graft.operators.SessionScope.withAqeOff(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -249,7 +247,7 @@ object GraphPack extends QueryPack {
       vd.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
         .unionByName(unreached.filter(col("n_nodes") > 0))
         .select(col("dist").cast("int").as("dist"), col("n_nodes"))
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    }
   }
 
   /** Double-sweep diameter lower bound (Magnien, Latapy & Habib, ACM
@@ -270,9 +268,7 @@ object GraphPack extends QueryPack {
   private def diameterQ(s: SparkSession, d: String, rounds: Int = 6,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    graft.operators.SessionScope.withAqeOff(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -319,7 +315,7 @@ object GraphPack extends QueryPack {
           col("dist").cast("int").as("diam_lb"))))
         .select(col("n_nodes"), col("n_reached"), col("node_b"),
           col("ecc1"), col("node_c"), col("diam_lb"))
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    }
   }
 
   /** Diameter bracket + exactness census (iFUB: Crescenzi, Grossi,
@@ -363,9 +359,7 @@ object GraphPack extends QueryPack {
       maxRounds: Int = 14,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    graft.operators.SessionScope.withAqeOff(s) { s =>
       val und = und0.localCheckpoint(true)
       val edges = ckpt(und.select(col("u").as("src"), col("v").as("dst"))
         .union(und.select(col("v").as("src"), col("u").as("dst")))
@@ -447,7 +441,7 @@ object GraphPack extends QueryPack {
           col("ub").cast("int").as("ub"),
           col("n_ifub"),
           (col("lb") === col("ub")).cast("int").as("is_exact"))
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    }
   }
 
   /** k-core decomposition profile (round 11): iteratively peel nodes
@@ -770,9 +764,7 @@ object GraphPack extends QueryPack {
   private def sssp(s: SparkSession, d: String, rounds: Int = SsspRounds,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    graft.operators.SessionScope.withAqeOff(s) { s =>
       val w0 = lineitem(s, d)
         .groupBy(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk"))
@@ -782,7 +774,7 @@ object GraphPack extends QueryPack {
         .union(w0.select(
           (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst"), col("w")))
       ssspFrom(directed, source = 2L, rounds, ckpt)
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    }
   }
 
   /** The relaxation loop over any directed weighted (`src`, `dst`, `w`)
@@ -857,13 +849,11 @@ object GraphPack extends QueryPack {
   private def hits(s: SparkSession, d: String, rounds: Int = HitsRounds,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    graft.operators.SessionScope.withAqeOff(s) { s =>
       hitsFrom(lineitem(s, d)
         .select(col("l_suppkey").cast("long").as("sk"),
           col("l_partkey").cast("long").as("p")).distinct(), rounds, ckpt)
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    }
   }
 
   /** The mutual-reinforcement loop over any directed (`sk` hub-side,
@@ -1052,14 +1042,12 @@ object GraphPack extends QueryPack {
   private def pagerankWeighted(s: SparkSession, d: String,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    val pr = try {
+    val pr = graft.operators.SessionScope.withAqeOff(s) { s =>
       pagerankWeightedFrom(copurchaseEdgesW(s, d, minSupport = 2)
           .select(col("u").cast("long").as("u"),
             col("v").cast("long").as("v"), col("w")),
         PrWRounds, ckpt)
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    }
     pr.orderBy(col("pr").desc, col("node")).limit(20)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("pr").desc, col("node"))))
@@ -1198,7 +1186,8 @@ object GraphPack extends QueryPack {
   // state assumes a specific partitioning.
   private def mst(s: SparkSession, d: String,
       ckpt: graft.operators.CheckpointStrategy =
-        graft.operators.CheckpointStrategy.Local): DataFrame = {
+        graft.operators.CheckpointStrategy.Local): DataFrame =
+    graft.operators.SessionScope.cloned(s) { s =>
     val w0 = lineitem(s, d)
       .groupBy(col("l_partkey").cast("long").as("p"),
         col("l_suppkey").cast("long").as("sk"))
@@ -1207,7 +1196,7 @@ object GraphPack extends QueryPack {
       least(col("p") * 2, col("sk") * 2 + 1).as("u"),
       greatest(col("p") * 2, col("sk") * 2 + 1).as("v"), col("w"))
     mstFrom(und, MstRounds, MstJumps, ckpt)
-  }
+    }
 
   /** The Borůvka loop over any undirected weighted (`u`, `v`, `w`)
     * edge set (u < v, one row per edge) — public to the test JVM so
@@ -1410,9 +1399,7 @@ object GraphPack extends QueryPack {
   private def closeness(s: SparkSession, d: String,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    graft.operators.SessionScope.withAqeOff(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -1425,7 +1412,7 @@ object GraphPack extends QueryPack {
         .filter(col("node") % 2 === 0 && expr("node div 2") <= 5)
         .select(col("node").as("seed"), col("node"))
       closenessFrom(edges, seeds, ClosenessRounds, ckpt)
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    }
   }
 
   /** The multi-source BFS fold over any directed (`src`, `dst`) edge
@@ -1495,9 +1482,7 @@ object GraphPack extends QueryPack {
   private def betweenness(s: SparkSession, d: String,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val aqeSaved = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    graft.operators.SessionScope.withAqeOff(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -1510,7 +1495,7 @@ object GraphPack extends QueryPack {
         .filter(col("node") % 2 === 0 && expr("node div 2") <= 3)
         .select(col("node").as("seed"), col("node"))
       betweennessFrom(edges, seeds, BcRounds, ckpt)
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqeSaved)
+    }
   }
 
   /** The Brandes fold over any directed (`src`, `dst`) edge set and

@@ -256,6 +256,11 @@ class PlanSpec extends SparkSpec {
     *     allocation table (rule-11 sanctioned global total);
     *   q_record_link — the 1-row truth-count broadcast onto the
     *     3-row decision census;
+    *   q_record_link_thresh — the 1-row (tot_false, tot_true)
+    *     broadcast onto the 3-row zone census (q_record_link's
+    *     pattern);
+    *   dedup_eval_sampled — the four 1-row count broadcasts feeding
+    *     the single ratio row (dedup_eval's pattern);
     *   q_dtw — the 1-row min-day broadcast and the type-domain
     *     ta < tb pair square (q_xcorr's category-bounded shape). */
   private val bnljAllowed: Set[String] =
@@ -271,7 +276,8 @@ class PlanSpec extends SparkSpec {
       "ann_hashed_recall", "q_skyline", "q_kmv", "q_chi2",
       "q_markov_stationary", "q_densest", "q_t_closeness", "text_dsir",
       "q_mst", "q_ks_test", "q_neyman", "q_record_link", "q_dtw",
-      "q_clustcoef", "q_record_link_em")
+      "q_clustcoef", "q_record_link_em", "q_record_link_thresh",
+      "dedup_eval_sampled")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

@@ -225,4 +225,41 @@ class ScaleOpsSpec extends SparkSpec {
       assert(joined.count() === Tables.lineitem(spark, sfDir).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("layout capture is scoped to a private session: concurrent " +
+      "capturing queries never flip the shared conf, results intact") {
+    // two AQE-off-capturing loops (pagerank's parked layout, reach's
+    // frontier) run CONCURRENTLY on the shared session while a watcher
+    // samples its AQE conf: with the round-12 structural scoping
+    // (SessionScope clones) nothing global mutates — the retired
+    // failure mode was a capture racing another query's restore
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    val seqPr = SparkEntry.queries("q_pagerank")(spark, sfDir)
+      .collect().toSeq
+    val seqRe = SparkEntry.queries("q_reach")(spark, sfDir)
+      .collect().toSeq
+    @volatile var flips = 0
+    @volatile var stop = false
+    val watcher = Future {
+      while (!stop) {
+        if (spark.conf.get("spark.sql.adaptive.enabled") != "true")
+          flips += 1
+        Thread.sleep(2)
+      }
+    }
+    val fPr = Future(
+      SparkEntry.queries("q_pagerank")(spark, sfDir).collect().toSeq)
+    val fRe = Future(
+      SparkEntry.queries("q_reach")(spark, sfDir).collect().toSeq)
+    val (rPr, rRe) = (Await.result(fPr, 5.minutes),
+      Await.result(fRe, 5.minutes))
+    stop = true
+    Await.result(watcher, 1.minute)
+    assert(flips === 0, "the shared session's AQE conf must never flip")
+    assert(rPr === seqPr && rRe === seqRe,
+      "concurrent runs must equal the sequential baselines")
+  }
 }
