@@ -1,0 +1,275 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A minimal transactional table log — the Delta-style commit
+  * protocol (Armbrust et al., "Delta Lake: High-Performance ACID
+  * Table Storage over Cloud Object Stores", VLDB 2020) hand-rolled
+  * over plain parquet + the local filesystem's atomic rename, so the
+  * [[graft.streaming.StreamingOps.UpsertStateStore]] seam can commit
+  * through a REAL log instead of the per-bucket bid bookkeeping
+  * (SURVEY §8a's "what a format replaces" row, made concrete without
+  * adding a dependency).
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     data/<uuid>.parquet     — immutable data files
+  *     _txlog/00000000000000000001.json  — one entry per commit
+  * }}}
+  *
+  * Each log entry is one line-oriented record listing files ADDED and
+  * files REMOVED by the commit, plus an optional idempotence token
+  * (`txn` = the streaming batch id). A snapshot at version V is the
+  * fold of entries 1..V: files added and not yet removed. Readers
+  * list the log (metadata-only), then scan exactly the live files —
+  * uncommitted data files are INVISIBLE by construction, which is
+  * what makes a multi-file commit atomic.
+  *
+  * Commit protocol (optimistic concurrency, the paper's §3.2): write
+  * data files, then try to RENAME a temp entry to the next version
+  * number — rename is atomic and fails if the name exists, so exactly
+  * one of two racing writers wins version V; the loser re-reads the
+  * log (its snapshot moved) and retries at V+1. On a real object
+  * store the atomic-rename step is the piece a commit service or
+  * conditional put provides — everything else here carries over.
+  *
+  * Determinism note: data-file NAMES are uuids and never enter any
+  * result; every read returns rows, not files. */
+final class TxLogTable(root: String) {
+  private val logDir = Paths.get(root, "_txlog")
+  private val dataDir = Paths.get(root, "data")
+
+  private def entryName(v: Long): String = f"$v%020d.json"
+
+  private def listVersions(): Seq[Long] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .toSeq.sorted
+
+  /** Latest committed version; 0 = empty table. */
+  def currentVersion(): Long = listVersions().lastOption.getOrElse(0L)
+
+  // entry encoding: tiny hand-rolled JSON (we control both ends; file
+  // names are uuid-hex + ".parquet", txn is a long — nothing needs
+  // escaping)
+  private def encode(add: Seq[String], remove: Seq[String],
+      txn: Option[Long]): String = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"")
+      .mkString("[", ",", "]")
+    val t = txn.map(v => s""","txn":$v""").getOrElse("")
+    s"""{"add":${arr(add)},"remove":${arr(remove)}$t}"""
+  }
+
+  private val AddRe = """"add":\[([^\]]*)\]""".r.unanchored
+  private val RemRe = """"remove":\[([^\]]*)\]""".r.unanchored
+  private val TxnRe = """"txn":(-?\d+)""".r.unanchored
+
+  private def names(group: String): Seq[String] =
+    if (group.isEmpty) Seq.empty
+    else group.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+
+  private def readEntry(v: Long): (Seq[String], Seq[String], Option[Long]) = {
+    val s = new String(
+      Files.readAllBytes(logDir.resolve(entryName(v))),
+      StandardCharsets.UTF_8)
+    val add = s match { case AddRe(g) => names(g); case _ => Seq.empty }
+    val rem = s match { case RemRe(g) => names(g); case _ => Seq.empty }
+    val txn = s match { case TxnRe(t) => Some(t.toLong); case _ => None }
+    (add, rem, txn)
+  }
+
+  /** The live data files at `version` (default: current) — the fold
+    * of the log, metadata-only. */
+  def liveFiles(version: Long = Long.MaxValue): Seq[String] = {
+    val live = collection.mutable.LinkedHashSet.empty[String]
+    listVersions().takeWhile(_ <= version).foreach { v =>
+      val (add, rem, _) = readEntry(v)
+      rem.foreach(f => live -= f)
+      live ++= add
+    }
+    live.toSeq
+  }
+
+  /** Every idempotence token recorded up to `version`. */
+  def txns(version: Long = Long.MaxValue): Set[Long] =
+    listVersions().takeWhile(_ <= version)
+      .flatMap(v => readEntry(v)._3).toSet
+
+  /** Snapshot read (optionally time-traveled to `version`); None on
+    * an empty table. Cost: list the log + scan exactly the live
+    * files. */
+  def snapshot(spark: SparkSession,
+      version: Long = Long.MaxValue): Option[DataFrame] = {
+    val files = liveFiles(version)
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(
+      files.map(f => dataDir.resolve(f).toString): _*))
+  }
+
+  /** Write `df` as new data files (INVISIBLE until committed);
+    * returns the file names. */
+  def writeDataFiles(df: DataFrame): Seq[String] = {
+    Files.createDirectories(dataDir)
+    val staging = Files.createTempDirectory(dataDir, ".stage-")
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(staging.resolve("out").toString)
+    val parts = Files.list(staging.resolve("out")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val named = parts.map { p =>
+      val name = java.util.UUID.randomUUID().toString + ".parquet"
+      Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    // best-effort staging cleanup — stray staging dirs are invisible
+    // to readers either way
+    try {
+      Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists)
+    } catch { case _: java.io.IOException => () }
+    named
+  }
+
+  /** [[writeDataFiles]] with one file PER BUCKET (single write job via
+    * a duplicated partition column): commits stay bucket-aligned, so a
+    * later commit touching bucket b rewrites only b's file — bounded
+    * rewrite amplification, the layout a format's partition transform
+    * maintains. The duplicate keeps `bucketCol` as a DATA column (a
+    * plain partitionBy would hoist it into directory names and drop it
+    * from the rows). */
+  def writeBucketFiles(df: DataFrame, bucketCol: String): Seq[String] = {
+    Files.createDirectories(dataDir)
+    val staging = Files.createTempDirectory(dataDir, ".stage-")
+    df.withColumn("_bp", col(bucketCol))
+      .repartition(col("_bp"))
+      .write.partitionBy("_bp").mode("overwrite")
+      .parquet(staging.resolve("out").toString)
+    val parts = Files.walk(staging.resolve("out")).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    val named = parts.map { p =>
+      val name = java.util.UUID.randomUUID().toString + ".parquet"
+      Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    try {
+      Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists)
+    } catch { case _: java.io.IOException => () }
+    named
+  }
+
+  /** Atomically commit: `add` become visible, `remove` become
+    * invisible, `txn` is recorded — all in ONE log entry, so the
+    * commit is atomic across any number of files/buckets. Retries on
+    * a version race (another writer won the rename) after the caller-
+    * supplied `rebase` recomputes what to add/remove against the new
+    * snapshot; `rebase(v)` returning None aborts (e.g. the txn turned
+    * out to be already committed by the racer). Returns the committed
+    * version, or -1 on abort. */
+  def commit(add: Seq[String], remove: Seq[String], txn: Option[Long],
+      rebase: Long => Option[(Seq[String], Seq[String])] = v => None)
+      : Long = {
+    Files.createDirectories(logDir)
+    var (a, r) = (add, remove)
+    var attempt = currentVersion() + 1
+    while (true) {
+      val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
+      Files.write(tmp, encode(a, r, txn).getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.move(tmp, logDir.resolve(entryName(attempt)),
+          StandardCopyOption.ATOMIC_MOVE)
+        return attempt
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          rebase(attempt) match {
+            case Some((a2, r2)) => a = a2; r = r2
+              attempt = currentVersion() + 1
+            case None => return -1L
+          }
+      }
+    }
+    -1L // unreachable
+  }
+}
+
+/** [[graft.streaming.StreamingOps.UpsertStateStore]] backed by a
+  * [[TxLogTable]] — the adapter SURVEY §8a maps: `read` = snapshot
+  * read filtered to the touched buckets, `alreadyCommitted` = the
+  * batch id in the log's txn records (ONE check — the log entry is
+  * atomic across buckets, so the per-bucket bid dance disappears,
+  * exactly as the §8a table promises), `commit` = new data files for
+  * the touched buckets + one atomic log entry that swaps them in.
+  * Crash between data-file write and log rename leaves only invisible
+  * files: the replayed batch re-merges idempotently and commits once.
+  * Concurrency contract: racing committers must touch DISJOINT
+  * buckets (commits are bucket-aligned files, so disjoint buckets
+  * cannot conflict at the file level; row-level conflict CHECKING is
+  * the piece a full format adds on top of this same log shape). */
+final class TxLogStore(root: String)
+    extends graft.streaming.StreamingOps.UpsertStateStore {
+  private val table = new TxLogTable(root)
+  // file → buckets bookkeeping lives IN the data: each commit writes
+  // one file per touched bucket, named by content only on the inside;
+  // the mapping is re-derived from the file's bucket column min/max
+  // (parquet footer pruning would serve at scale; a fileName→bucket
+  // map in the log entry is the production refinement)
+  def read(spark: SparkSession, touched: Seq[Int]): Option[DataFrame] =
+    table.snapshot(spark)
+      .map(_.filter(col("bucket").isin(touched: _*)))
+
+  def alreadyCommitted(spark: SparkSession, touched: Seq[Int],
+      batchId: Long): Boolean = table.txns().contains(batchId)
+
+  def commit(merged: DataFrame, batchId: Long): Unit = {
+    val spark = merged.sparkSession
+    // the merged frame carries ONLY the touched buckets; the commit
+    // must replace exactly those buckets' current rows, so untouched
+    // buckets' files survive and touched buckets' rows are re-written
+    // (simplest complete rule on a bucket-keyed state table: rewrite
+    // the full live state of the touched buckets)
+    val m = merged.localCheckpoint(true)
+    val touched = m.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prior = table.snapshot(spark)
+    // files whose rows are ALL in untouched buckets stay; files
+    // containing any touched-bucket row are replaced (their untouched
+    // remainder is re-written alongside the merge)
+    val liveNames = table.liveFiles()
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val carried = prior.map { p =>
+      val withFile = p.withColumn("_f",
+        regexp_extract(input_file_name(), "([^/]+\\.parquet)", 1))
+      val touchedFiles = withFile
+        .filter(col("bucket").isin(touched.toSeq: _*))
+        .select("_f").distinct().collect().map(_.getString(0)).toSet
+      removed ++= liveNames.filter(touchedFiles)
+      withFile.filter(col("_f").isin(touchedFiles.toSeq: _*))
+        .filter(!col("bucket").isin(touched.toSeq: _*)).drop("_f")
+    }
+    val out = carried match {
+      case Some(c) => m.unionByName(c)
+      case None => m
+    }
+    val added = table.writeBucketFiles(out, "bucket")
+    table.commit(added, removed.toSeq, Some(batchId), rebase = _ => {
+      // a racer advanced the table: if it was OUR batch replayed
+      // concurrently, abort; otherwise recompute the removal set
+      // against the new snapshot and retry
+      if (table.txns().contains(batchId)) None
+      else {
+        val names2 = table.liveFiles()
+        Some((added, names2.filter(removed.toSet)))
+      }
+    })
+  }
+}
