@@ -672,6 +672,92 @@ object Multimodal {
       .toDF("id", "media")
   }
 
+  // ---- speech-gap corpus (round 12): planted silence ----
+
+  /** Samples per speech-test clip: 1600–2000 (20–25 full 80-sample
+    * frames at 8 kHz). */
+  def speechSampleCount(id: Long): Int = (1600 + id % 401).toInt
+
+  /** The planted silence: (start, length), both FRAME-ALIGNED
+    * (multiples of 80), 3–5 frames long, starting at frame 5–11 —
+    * always full active runs on both sides. */
+  def speechGap(id: Long): (Int, Int) =
+    ((400 + (id % 7) * 80).toInt, (240 + (id % 3) * 80).toInt)
+
+  /** The speech-corpus sample generator — shared, in this exact form,
+    * by the encoder and the DuckDB oracle: full-range pseudo-signal
+    * ([[sample]]) outside the gap, |s| ≤ 4 inside it. */
+  def speechSample(id: Long, t: Int): Int = {
+    val (g0, gl) = speechGap(id)
+    if (t >= g0 && t < g0 + gl) (((id + t * 13L) % 9L) - 4L).toInt
+    else sample(id, t)
+  }
+
+  /** Real WAV encode of the speech clip ([[wavBytes]]' codec path). */
+  def speechWavBytes(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val n = speechSampleCount(id)
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = speechSample(id, t)
+      pcm(2 * t) = (s & 0xFF).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(WavRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  def speechCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(it => it.map(id => (id, speechWavBytes(id))))
+      .toDF("id", "media")
+  }
+
+  final case class FrameEnergy(id: Long, frame_idx: Int, energy: Long)
+
+  /** Per-frame energy over a PCM16 WAV: Σ s² per full `frameLen`-
+    * sample frame (exact longs; the partial tail frame is dropped —
+    * documented cut, both engines). Decode-local and partition-
+    * parallel like [[frameDiffs]]: samples never leave the task, only
+    * O(frames) rows reach the plan. */
+  def wavFrameEnergies(df: DataFrame, idCol: String, binCol: String,
+      frameLen: Int = 80): Dataset[FrameEnergy] = {
+    import javax.sound.sampled.AudioSystem
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val ais = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+          && !fmt.isBigEndian, s"unexpected WAV format for id=$id: $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        (0 until n / frameLen).map { f =>
+          var e = 0L
+          var t = f * frameLen
+          while (t < (f + 1) * frameLen) {
+            val s = ((pcm(2 * t) & 0xFF) | (pcm(2 * t + 1) << 8))
+              .toShort.toInt
+            e += s.toLong * s
+            t += 1
+          }
+          FrameEnergy(id, f, e)
+        }
+      }
+  }
+
   final case class WavFeatures(id: Long, n_samples: Long, sr: Int,
       duration_us: Long, energy: Long, zero_cross: Long, peak: Int)
 

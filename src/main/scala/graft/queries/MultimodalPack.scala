@@ -41,6 +41,34 @@ object MultimodalPack extends QueryPack {
     "mm_framesample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.videoCorpus(s, d), "id", "media").toDF()),
 
+    // Voice-activity segmentation over real WAV (round 12) —
+    // mm_shot_bounds' audio sibling: a second audio generator plants
+    // one frame-aligned silent gap per clip (|s| ≤ 4 inside, the
+    // full-range pseudo-signal outside), the decoder emits per-frame
+    // Σs² energies (80-sample frames — 10 ms at 8 kHz, decode-local),
+    // and active islands assemble DECLARATIVELY via the gap-and-island
+    // idiom (frame_idx − row_number per clip — q_sessionize's shape,
+    // never a per-clip loop). Active iff energy ≥ 8e7: active frames
+    // sit ~350× above it, silent frames ~60,000× below. Output: one
+    // row per active segment with exact integer bounds and energy.
+    "mm_wav_segments" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val fe = Multimodal.wavFrameEnergies(
+        Multimodal.speechCorpus(s, d), "id", "media").toDF()
+      val w = Window.partitionBy("id").orderBy("frame_idx")
+      val isl = fe.where(col("energy") >= lit(80000000L))
+        .withColumn("grp", col("frame_idx") - row_number().over(w))
+      isl.groupBy("id", "grp")
+        .agg(min("frame_idx").as("start_frame"),
+          max("frame_idx").as("end_frame"),
+          count(lit(1)).as("n_frames"), sum("energy").as("energy"))
+        .withColumn("seg_idx", row_number().over(
+          Window.partitionBy("id").orderBy("start_frame")).cast("int"))
+        .select(col("id"), col("seg_idx"), col("start_frame"),
+          col("end_frame"), col("n_frames"), col("energy"))
+    }),
+
     // Shot-boundary detection over GFV1 (round 12) — the video
     // operator the uniformly-drifting framesample corpus cannot
     // exercise: a second generator plants ONE scene cut per clip
@@ -230,6 +258,35 @@ object MultimodalPack extends QueryPack {
          |  CAST(sum(${gen("f", 1)}) AS BIGINT) AS sum_g,
          |  CAST(sum(${gen("f", 2)}) AS BIGINT) AS sum_b
          |FROM px GROUP BY id, f, w, h""".stripMargin,
+
+    // replay the speech generator per sample, frame the energies, and
+    // assemble the same islands
+    "mm_wav_segments" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(1600 + doc_id % 401 AS INT) AS n,
+        |    CAST(400 + (doc_id % 7) * 80 AS INT) AS g0,
+        |    CAST(240 + (doc_id % 3) * 80 AS INT) AS gl
+        |  FROM documents),
+        |sm AS (SELECT id, n, t.range AS t,
+        |    CASE WHEN t.range >= g0 AND t.range < g0 + gl
+        |      THEN ((id + t.range * 13) % 9) - 4
+        |      ELSE ((id * 31 + t.range * 7919) % 65536) - 32768 END AS s
+        |  FROM p, range(2000) t WHERE t.range < n),
+        |fe AS (SELECT id, CAST(t // 80 AS INT) AS frame_idx,
+        |    CAST(sum(s * s) AS BIGINT) AS energy
+        |  FROM sm WHERE t < (n // 80) * 80 GROUP BY 1, 2),
+        |act AS (SELECT id, frame_idx, energy,
+        |    frame_idx - row_number() OVER
+        |      (PARTITION BY id ORDER BY frame_idx) AS grp
+        |  FROM fe WHERE energy >= 80000000),
+        |seg AS (SELECT id, grp, min(frame_idx) AS start_frame,
+        |    max(frame_idx) AS end_frame, count(*) AS n_frames,
+        |    CAST(sum(energy) AS BIGINT) AS energy
+        |  FROM act GROUP BY 1, 2)
+        |SELECT id, CAST(row_number() OVER
+        |    (PARTITION BY id ORDER BY start_frame) AS INT) AS seg_idx,
+        |  start_frame, end_frame, n_frames, energy
+        |FROM seg""".stripMargin,
 
     // replay the shot generator per (frame, pixel, channel), evaluate
     // it at f and f−1 (each with its OWN scene term — the cut sits

@@ -234,6 +234,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0L).peak === 32768)
   }
 
+  test("mm_wav_segments: frame energies through the real WAV codec " +
+      "read the planted silent gap at its exact frame bounds") {
+    val ids = Seq(0L, 3L, 6L, 13L, 400L)
+    val fe = Multimodal.wavFrameEnergies(
+        ids.map(id => (id, Multimodal.speechWavBytes(id)))
+          .toDF("id", "media"), "id", "media")
+      .collect().groupBy(_.id)
+    ids.foreach { id =>
+      val n = Multimodal.speechSampleCount(id)
+      val (g0, gl) = Multimodal.speechGap(id)
+      val frames = fe(id).map(f => f.frame_idx -> f.energy).toMap
+      assert(frames.size === n / 80, s"id=$id full frames only")
+      // driver replay: every frame's energy matches the generator
+      (0 until n / 80).foreach { f =>
+        val want = (f * 80 until (f + 1) * 80)
+          .map(t => { val s = Multimodal.speechSample(id, t).toLong; s * s })
+          .sum
+        assert(frames(f) === want, s"id=$id f=$f")
+      }
+      // the silent frames are EXACTLY the planted gap's
+      val silent = frames.filter(_._2 < 80000000L).keySet
+      assert(silent === (g0 / 80 until (g0 + gl) / 80).toSet,
+        s"id=$id gap=($g0,$gl) got $silent")
+    }
+  }
+
   test("mm_shot_bounds: the spike rule reads the exact planted cut " +
       "frame through the real PNG decode, and nothing else") {
     val ids = Seq(0L, 3L, 7L, 12L, 211L)
