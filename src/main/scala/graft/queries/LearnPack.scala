@@ -759,7 +759,115 @@ object LearnPack extends QueryPack {
       |    / (CAST(n_all AS DOUBLE) * 1048576.0), 6) AS ece
       |FROM t""".stripMargin
 
+  /** Rounds for `q_logreg` — the oracle replays exactly these. */
+  private[graft] val LrRounds = 8
+
+  /** Feature/label frame for `q_logreg`: predict the engine's
+    * quality-score keep decision (score > 0.7 — text_quality's shared
+    * formula, the label a production quality classifier distills) from
+    * three INTEGER features carrying the same signals at different
+    * scales/clamps: a capped word count (knee at the score's nw=50
+    * saturation), the stopword-hit ratio, and the punctuation ratio
+    * (the negative signal). The label is the one float expression —
+    * rounded to 6 in BOTH engines, the shared-oracle-twin discipline
+    * every quality key uses; the features and the whole training
+    * trajectory are exact integers. */
+  private def logregFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.charClassCount
+    val en = graft.functions.TextFunctions.langProfiles.toMap.apply("en")
+    documents(s, d).select(col("text"))
+      .withColumn("ws", words(col("text")))
+      .withColumn("nw", greatest(size(col("ws")).cast("long"), lit(1L)))
+      .withColumn("nc", greatest(length(col("text")).cast("long"), lit(1L)))
+      .withColumn("hits",
+        graft.functions.TextFunctions.hitCount(col("ws"), en).cast("long"))
+      .withColumn("punct",
+        col("nc") - charClassCount(col("text"), "a-zA-Z0-9 ").cast("long"))
+      .withColumn("q",
+        round(lit(0.5) * least(lit(1.0), col("nw") / 50.0)
+          + lit(0.3) * round(col("hits") / col("nw"), 6)
+          + lit(0.2) * (lit(1.0) - round(col("punct") / col("nc"), 6)), 6))
+      .select(
+        when(col("q") > 0.7, 1L).otherwise(0L).as("y"),
+        lit(1024L).as("x0"),
+        least(col("nw") * 82, lit(4096L)).as("x1"),
+        expr("(hits * 8192) div nw").as("x2"),
+        expr("(punct * 4096) div nc").as("x3"))
+  }
+
+  /** Fixed-round logistic trainer whose ENTIRE trajectory is exact
+    * integer arithmetic — the hash-gated twin of the MLlib
+    * `text_quality_learned` key (the km_lloyd_fixed ↔ km_fit_mllib
+    * pattern on the supervised side). The sigmoid is the HARD sigmoid
+    * σ̂(m) = clamp(½ + m/4, 0, 1): its gradient needs no exp(), so
+    * every round is integer-exact in any partition order and the
+    * oracle replays the whole trajectory as chained CTEs with NO
+    * trained-artifact stash (documented trade: the smooth-sigmoid MLE
+    * is the MLlib twin's job; fixed-point hard-sigmoid training is the
+    * embedded/quantized-ML form). Units: features 2^10, weights 2^20,
+    * probabilities 2^20 — p_q = clamp(2^19 + margin_q div 2^12, 0,
+    * 2^20) with margin_q = Σ w_q·x_q in 2^30 units; gradient
+    * g_j = Σ (p_q − y·2^20)·x_qj, per-example mean by div n, update
+    * w_q −= (ḡ div 2^12) (η = ¼ — max per-round step 0.25 real, so 8
+    * rounds stay inside the hard sigmoid's active region). Per round:
+    * ONE aggregate job collecting d+1 gradient sums (the sanctioned
+    * k-row collect — kmeans' centroid shape) and a lazy 1-row census
+    * (round, weights, training accuracy). Output: the 8-row
+    * trajectory. */
+  private[graft] def logregFrom(feats0: DataFrame,
+      rounds: Int = LrRounds): DataFrame = {
+    val f0 = feats0.select(col("y").cast("long").as("y"),
+        col("x0").cast("long").as("x0"), col("x1").cast("long").as("x1"),
+        col("x2").cast("long").as("x2"), col("x3").cast("long").as("x3"))
+      .localCheckpoint(true)
+    // exact integer feature CENTERING (mean_q = sum div n, inlined as
+    // literals — a 1-row collect): uncentered, the big lang-neutral
+    // shape features share a common positive mass whose gradient
+    // swamps the informative dimension and the trainer just walks the
+    // bias to the class prior (measured: accuracy pinned at 0.564 for
+    // all 8 rounds); centered, the bias absorbs the prior in one step
+    // and each weight moves with its feature's class COVARIANCE
+    val mu = f0.selectExpr("count(1) as n",
+      "sum(x1) div count(1) as m1", "sum(x2) div count(1) as m2",
+      "sum(x3) div count(1) as m3").collect().head
+    val f = f0.selectExpr("y", "x0",
+        s"x1 - ${mu.getAs[Long]("m1")}L as x1",
+        s"x2 - ${mu.getAs[Long]("m2")}L as x2",
+        s"x3 - ${mu.getAs[Long]("m3")}L as x3")
+      .localCheckpoint(true)
+    var w = Array(0L, 0L, 0L, 0L)
+    def mexpr(w: Array[Long]): String =
+      s"(x0*${w(0)}L + x1*${w(1)}L + x2*${w(2)}L + x3*${w(3)}L)"
+    val census = collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val p = s"greatest(0L, least(1048576L, 524288L + ${mexpr(w)} div 4096))"
+      val g = f.selectExpr(
+        (0 to 3).map(j => s"sum(($p - y*1048576L) * x$j) as g$j")
+          :+ "count(1) as n": _*).collect().head
+      val n = math.max(1L, g.getAs[Long]("n"))
+      w = w.indices.map(j =>
+        w(j) - ((g.getAs[Long](s"g$j") / n) / 8192L)).toArray
+      val pNew =
+        s"greatest(0L, least(1048576L, 524288L + ${mexpr(w)} div 4096))"
+      census += f.selectExpr(
+        s"cast($r as int) as round",
+        s"${w(0)}L as w0_q", s"${w(1)}L as w1_q",
+        s"${w(2)}L as w2_q", s"${w(3)}L as w3_q",
+        s"(1000000L * sum(case when (${mexpr(w)} > 0) = (y = 1) " +
+          s"then 1L else 0L end)) div count(1) as acc_q",
+        // mean |p - y| in 2^20 units: the calibration loss the mean
+        // update descends - accuracy saturates at round 1 (the sign
+        // is covariance-determined), the LOSS shows the training
+        s"sum(abs($pNew - y*1048576L)) div count(1) as loss_q")
+    }
+    census.reduce(_ unionByName _)
+  }
+
+  private def logreg(s: SparkSession, d: String): DataFrame =
+    logregFrom(logregFeatures(s, d))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_logreg" -> ((s, d) => logreg(s, d)),
     "q_ndcg" -> ((s, d) => ndcg(s, d)),
     "q_auc" -> ((s, d) => aucFrom(events(s, d)
       .where(col("event_type").isin("purchase", "view"))
@@ -850,7 +958,65 @@ object LearnPack extends QueryPack {
        |$out""".stripMargin
   }
 
+  // q_logreg: the full integer trajectory replayed as chained CTEs —
+  // same hard-sigmoid clamp, same truncating divisions, no artifact
+  private def logregSql: String = {
+    val en = graft.functions.TextFunctions.langProfiles.toMap.apply("en")
+    val hits = "len(list_filter(regexp_split_to_array(text, '\\s+'), " +
+      s"x -> list_contains([${en.map("'" + _ + "'").mkString(",")}], x)))"
+    val f0 =
+      s"""f0 AS MATERIALIZED (SELECT
+         |    CASE WHEN round(0.5 * least(1.0, nw / 50.0)
+         |        + 0.3 * round(hits / nw, 6)
+         |        + 0.2 * (1.0 - round(punct / nc, 6)), 6) > 0.7
+         |      THEN 1 ELSE 0 END AS y,
+         |    1024 AS x0,
+         |    least(nw * 82, 4096) AS x1,
+         |    (hits * 8192) // nw AS x2,
+         |    (punct * 4096) // nc AS x3
+         |  FROM (SELECT
+         |      greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS nw,
+         |      greatest(length(text), 1) AS nc,
+         |      $hits AS hits,
+         |      greatest(length(text), 1) - length(regexp_replace(text,
+         |        '[^a-zA-Z0-9 ]', '', 'g')) AS punct
+         |    FROM documents))""".stripMargin
+    val rounds = (1 to LrRounds).map { r =>
+      val m = s"(f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3)"
+      s"""g$r AS (SELECT ${(0 to 3).map(j =>
+           s"sum((p - y*1048576) * x$j) AS g$j").mkString(", ")}
+         |  FROM (SELECT f.*, greatest(0, least(1048576,
+         |      524288 + $m // 4096)) AS p
+         |    FROM f, w${r - 1}r w)),
+         |w${r}r AS (SELECT ${(0 to 3).map(j =>
+           s"w.w$j - ((g.g$j // c.n) // 8192) AS w$j").mkString(", ")}
+         |  FROM w${r - 1}r w, g$r g, cnt c),
+         |a$r AS (SELECT CAST($r AS INT) AS round,
+         |    ${(0 to 3).map(j =>
+           s"CAST(max(w.w$j) AS BIGINT) AS w${j}_q").mkString(", ")},
+         |    CAST((1000000 * sum(CASE WHEN ($m > 0) = (f.y = 1)
+         |      THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS acc_q,
+         |    CAST(sum(abs(greatest(0, least(1048576,
+         |      524288 + $m // 4096)) - f.y*1048576)) // count(*)
+         |      AS BIGINT) AS loss_q
+         |  FROM f, w${r}r w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $f0,
+       |mu AS (SELECT sum(x1) // count(*) AS m1,
+       |    sum(x2) // count(*) AS m2, sum(x3) // count(*) AS m3
+       |  FROM f0),
+       |f AS MATERIALIZED (SELECT y, x0, x1 - m.m1 AS x1,
+       |    x2 - m.m2 AS x2, x3 - m.m3 AS x3 FROM f0, mu m),
+       |cnt AS (SELECT greatest(count(*), 1) AS n FROM f),
+       |w0r AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+       |$rounds
+       |${(1 to LrRounds).map(r => s"SELECT * FROM a$r")
+         .mkString("\nUNION ALL ")}""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_logreg" -> logregSql,
     "q_ndcg" -> ndcgSql,
     "q_auc" -> aucSql,
     "q_calibration" -> calibrationSql,

@@ -314,4 +314,47 @@ class LearnPackSpec extends SparkSpec {
     assert(got(2L).getAs[Double]("ece") === 0.46875)
     assert(got(9L).getAs[Double]("ece") === 0.46875)
   }
+
+  test("logregFrom: the integer hard-sigmoid trajectory matches a " +
+      "driver replay exactly and separates a planted corpus") {
+    // 40 rows, linearly separable on x1 (positives high, negatives
+    // low), one constant feature (x3) the trainer must zero out
+    val feats = (0 until 40).map { i =>
+      val y = if (i % 2 == 0) 1L else 0L
+      val x1 = if (y == 1) 3000L + (i % 5) * 10 else 500L + (i % 7) * 10
+      (y, 1024L, x1, 200L + (i % 3) * 50, 777L)
+    }
+    val df = feats.toDF("y", "x0", "x1", "x2", "x3")
+    val rows = LearnPack.logregFrom(df, rounds = 8).collect()
+      .sortBy(_.getAs[Int]("round"))
+    // driver replay of the exact integer recurrence (centering, hard
+    // sigmoid, truncating divisions, eta = 1/8)
+    val n = feats.length.toLong
+    val mus = (2 to 4).map(j => feats.map(_.productElement(j)
+      .asInstanceOf[Long]).sum / n)
+    val c = feats.map { case (y, x0, x1, x2, x3) =>
+      (y, Array(x0, x1 - mus(0), x2 - mus(1), x3 - mus(2))) }
+    var w = Array(0L, 0L, 0L, 0L)
+    for (r <- 1 to 8) {
+      val g = Array.fill(4)(0L)
+      c.foreach { case (y, x) =>
+        val m = (0 to 3).map(j => w(j) * x(j)).sum
+        val p = math.max(0L, math.min(1048576L, 524288L + m / 4096L))
+        (0 to 3).foreach(j => g(j) += (p - y * 1048576L) * x(j))
+      }
+      w = w.indices.map(j => w(j) - ((g(j) / n) / 8192L)).toArray
+      val row = rows(r - 1)
+      assert((0 to 3).forall(j =>
+        row.getAs[Long](s"w${j}_q") == w(j)),
+        s"round $r weights: got ${(0 to 3).map(j =>
+          row.getAs[Long](s"w${j}_q"))}, want ${w.toSeq}")
+    }
+    // the constant feature centers to zero and stays at weight 0
+    assert(rows.last.getAs[Long]("w3_q") === 0L)
+    // separable corpus: perfect accuracy, loss strictly decreasing
+    assert(rows.last.getAs[Long]("acc_q") === 1000000L)
+    val losses = rows.map(_.getAs[Long]("loss_q"))
+    assert(losses.zip(losses.tail).forall { case (a, b) => b < a },
+      s"loss must descend every round: ${losses.toSeq}")
+  }
 }
