@@ -1022,6 +1022,15 @@ object AnalyticsPack extends QueryPack {
     * every row frame tagged with its i (checkpoint cadence every
     * third row bounds plan depth; the lazy in-between rows are ≤
     * pairs×31-row window chains, cheap to re-evaluate). */
+  // The chain rides ONE parked (ta, tb) hash layout (pagerank's
+  // captured-layout idiom): every window partitions by (ta, tb), the
+  // v-aggregate groups by (ta, tb, j) and the p⋈v join keys on
+  // (ta, tb, j) — all satisfied by SUBSET clustering, so with the cost
+  // cube and row-0 checkpointed (ta, tb)-partitioned (AQE off for the
+  // capture), EVERY round is exchange-free and each checkpoint is a
+  // single-stage job. The first cut left the layout unparked: 3 chains
+  // × 30 rounds × ~4 exchanges re-planned as ~400 tiny adaptive stage
+  // jobs — 23 s for kilobytes of data.
   private def dtwChainAll(cost: DataFrame,
       ckpt: graft.operators.CheckpointStrategy)
       : Vector[(Int, DataFrame)] = {
@@ -1030,7 +1039,8 @@ object AnalyticsPack extends QueryPack {
     val wcum = wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var dRow = ckpt(cost.where(col("i") === 0)
       .select(col("ta"), col("tb"), col("j"),
-        sum("cst").over(wcum).as("d")))
+        sum("cst").over(wcum).as("d"))
+      .repartition(col("ta"), col("tb")))
     val out = Vector.newBuilder[(Int, DataFrame)]
     out += 0 -> dRow
     for (i <- 1 until DtwDays) {
@@ -1046,10 +1056,36 @@ object AnalyticsPack extends QueryPack {
           (col("v") - coalesce(lag("p", 1).over(wj), lit(0L))).as("term"))
       val next = t.select(col("ta"), col("tb"), col("j"),
         (col("p") + min("term").over(wcum)).as("d"))
-      dRow = if (i % 3 == 0 || i == DtwDays - 1) ckpt(next) else next
+      dRow = if (i % 2 == 0 || i == DtwDays - 1) ckpt(next) else next
       out += i -> dRow
     }
     out.result()
+  }
+
+  /** [[dtwChainAll]] returning the WHOLE tagged D cube (i, ta, tb, j,
+    * d) as ONE periodically-checkpointed accumulator frame. A lazy
+    * 30-frame union looks free but re-plans every lazy row's window
+    * chain as its own adaptive subquery at collect time — the
+    * barycenter's first cut spent 23 s across 404 tiny jobs exactly
+    * there; folding rows into a checkpointed accumulator every few
+    * rounds makes the marking join read a single leaf. */
+  private def dtwChainCube(cost: DataFrame,
+      ckpt: graft.operators.CheckpointStrategy): DataFrame = {
+    val rows = dtwChainAll(cost, ckpt)
+    var acc: DataFrame = null
+    var pending = Vector.empty[DataFrame]
+    def tag(i: Int, f: DataFrame): DataFrame =
+      f.select(lit(i).cast("int").as("i"), col("ta"), col("tb"),
+        col("j"), col("d"))
+    rows.foreach { case (i, f) =>
+      pending :+= tag(i, f)
+      if (pending.size >= 6 || i == DtwDays - 1) {
+        val batch = pending.reduce(_ unionByName _)
+        acc = ckpt(if (acc == null) batch else acc.unionByName(batch))
+        pending = Vector.empty
+      }
+    }
+    acc
   }
 
   /** Banded DTW over any (`event_type`, `day`, `n`) daily-count frame
@@ -1057,9 +1093,22 @@ object AnalyticsPack extends QueryPack {
     * and the band's refusal to absorb a whole-series warp. */
   private[graft] def dtwBandedFrom(daily: DataFrame, band: Int = DtwBand,
       ckpt: graft.operators.CheckpointStrategy =
-        graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val cost = ckpt(dtwCostFrom(dtwFull(daily))
-      .where(abs(col("i") - col("j")) <= band))
+        graft.operators.CheckpointStrategy.Local): DataFrame =
+    graft.operators.SessionScope.withAqeOff(daily.sparkSession) { s2 =>
+    // quarter-parallelism shuffles for the pair-sized chain state
+    // (the q_mst lever; scoped to the PRIVATE clone, scales with the
+    // cluster, partition count never enters a result)
+    s2.conf.set("spark.sql.shuffle.partitions", math.max(1,
+      s2.sparkContext.defaultParallelism / 4).toString)
+    // the p⋈v joins key on (ta, tb, j); accepting the parked (ta, tb)
+    // SUBSET co-partitioning needs this (default-on since Spark 3.3,
+    // scoped to the private clone)
+    s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val d2 = org.apache.spark.sql.graftbridge.SessionBridge
+      .rebind(daily, s2)
+    val cost = ckpt(dtwCostFrom(dtwFull(d2))
+      .where(abs(col("i") - col("j")) <= band)
+      .repartition(col("ta"), col("tb")))
     dtwChainAll(cost, ckpt).last._2
       .where(col("j") === DtwDays - 1)
       .select(col("ta").as("type_a"), col("tb").as("type_b"),
@@ -1092,40 +1141,44 @@ object AnalyticsPack extends QueryPack {
     * trade, mean kept for the canonical DBA semantics. */
   private[graft] def dtwBarycenterFrom(daily: DataFrame,
       ckpt: graft.operators.CheckpointStrategy =
-        graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val full = ckpt(dtwFull(daily))
-    val cost = ckpt(dtwCostFrom(full))
-    // phase 1: pairwise totals from the plain chain, medoid by
-    // symmetrized sum (1-row frames, never a collect)
-    val totals = dtwChainAll(cost.select("ta", "tb", "i", "j", "cst"),
-        ckpt).last._2
-      .where(col("j") === DtwDays - 1)
+        graft.operators.CheckpointStrategy.Local): DataFrame =
+    graft.operators.SessionScope.withAqeOff(daily.sparkSession) { s2 =>
+    s2.conf.set("spark.sql.shuffle.partitions", math.max(1,
+      s2.sparkContext.defaultParallelism / 4).toString)
+    s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val d2 = org.apache.spark.sql.graftbridge.SessionBridge
+      .rebind(daily, s2)
+    val full = ckpt(dtwFull(d2))
+    val cost = ckpt(dtwCostFrom(full)
+      .repartition(col("ta"), col("tb")))
+    // phase 1: ONE all-pairs forward chain, kept as the tagged cube —
+    // it serves three masters (pairwise totals for the medoid, the
+    // forward side of the marking, and the per-pair totals the cells
+    // filter against), so the medoid-pair re-run of the first cut is
+    // gone (3 chains → 2)
+    val fwd = dtwChainCube(cost.select("ta", "tb", "i", "j", "cst"),
+      ckpt)
+    val last = lit(DtwDays - 1)
+    val totals = fwd.where(col("i") === last && col("j") === last)
       .select(col("ta"), col("tb"), col("d").as("tot"))
     val med = totals.select(col("ta").as("t"), col("tot"))
       .unionByName(totals.select(col("tb").as("t"), col("tot")))
       .groupBy("t").agg(sum("tot").as("s"))
       .agg(min(struct(col("s"), col("t"))).as("m"))
       .select(col("m.t").as("mt"))
-    // phase 2: forward + reverse chains on medoid pairs only — two
-    // equi-joins (disjoint: ta < tb forbids both sides matching), not
-    // one OR condition, which would plan a nested-loop join
+    // phase 2: only the REVERSE chain re-runs, on the cost cube
+    // FILTERED to medoid pairs — two equi-joins (disjoint: ta < tb
+    // forbids both sides matching), not one OR condition, which would
+    // plan a nested-loop join
     val costM = ckpt(cost.join(broadcast(med), col("ta") === col("mt"))
       .unionByName(cost.join(broadcast(med), col("tb") === col("mt"))))
-    val last = lit(DtwDays - 1)
     val costR = costM.select(col("ta"), col("tb"),
       (last - col("i")).cast("int").as("i"),
       (last - col("j")).cast("int").as("j"), col("cst"))
-    def tag(rows: Vector[(Int, DataFrame)]): DataFrame = rows.map {
-      case (i, f) => f.select(col("ta"), col("tb"), lit(i).cast("int")
-        .as("i"), col("j"), col("d"))
-    }.reduce(_ unionByName _)
-    val fwd = tag(dtwChainAll(costM.select("ta", "tb", "i", "j", "cst"),
-      ckpt))
-    val rev = tag(dtwChainAll(costR, ckpt))
+    val rev = dtwChainCube(costR, ckpt)
       .select(col("ta"), col("tb"), (last - col("i")).cast("int").as("i"),
         (last - col("j")).cast("int").as("j"), col("d").as("dr"))
-    val totM = fwd.where(col("i") === last && col("j") === last)
-      .select(col("ta"), col("tb"), col("d").as("tot"))
+    val totM = totals
     // phase 3: mark cells on optimal paths, fold to the medoid axis
     val cells = fwd.join(rev, Seq("ta", "tb", "i", "j"))
       .join(costM, Seq("ta", "tb", "i", "j"))
