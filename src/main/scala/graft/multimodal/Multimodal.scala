@@ -497,7 +497,7 @@ object Multimodal {
       }
   }
 
-  // ---- shot-boundary corpus (round 12): a planted scene cut ----
+  // ---- shot-boundary corpus (round 14): a planted scene cut ----
 
   /** Frames per shot-test video: 8–12 — long enough that one cut's
     * diff cannot dominate the mean by count alone. */
@@ -672,7 +672,7 @@ object Multimodal {
       .toDF("id", "media")
   }
 
-  // ---- speech-gap corpus (round 12): planted silence ----
+  // ---- speech-gap corpus (round 14): planted silence ----
 
   /** Samples per speech-test clip: 1600–2000 (20–25 full 80-sample
     * frames at 8 kHz). */

@@ -467,7 +467,7 @@ object Dedup {
     val spark = edges1.sparkSession
     val before = spark.sparkContext.getPersistentRDDs.keySet
     // the AQE-off capture runs against a PRIVATE session clone (round
-    // 12 — structural scoping, not a shared-conf toggle): the input
+    // 14 — structural scoping, not a shared-conf toggle): the input
     // edge frame is rebound through the graftbridge (planned once
     // under its own session, re-exposed as a leaf in the clone), so
     // every loop frame and the returned labels plan under the clone's

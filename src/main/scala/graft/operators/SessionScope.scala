@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * checkpointing with AQE disabled (an AdaptiveSparkPlanExec reports
   * unknown partitioning at checkpoint time, so captures must run
   * static — ScaleOpsSpec proves capture + AQE-consumer reuse). Until
-  * round 12 each loop toggled the SHARED session conf around its body
+  * round 14 each loop toggled the SHARED session conf around its body
   * and restored it in a finally — correct sequentially, but a second
   * query planned concurrently on the same session could capture a
   * checkpoint with AQE re-enabled (losing its layout) or briefly lose

@@ -49,7 +49,7 @@ object AnalyticsPack extends QueryPack {
     // minimal Pregel round: at the 10^12-edge regime nothing
     // edge-sized ever crosses the wire after the one-time layout.
     //
-    // The AQE-off discipline is scoped STRUCTURALLY (round 12): the
+    // The AQE-off discipline is scoped STRUCTURALLY (round 14): the
     // loop plans against a private session clone, so concurrent
     // queries on the shared session can no longer race the capture
     // (the retired failure mode of the session-global toggle).
@@ -904,7 +904,7 @@ object AnalyticsPack extends QueryPack {
     // `CheckpointStrategy` seam every third row to bound plan depth.
     "q_dtw" -> ((s, d) => dtwFrom(dailyCounts(events(s, d)))),
 
-    // Sakoe–Chiba banded DTW (Sakoe & Chiba 1978 §III; round 12) —
+    // Sakoe–Chiba banded DTW (Sakoe & Chiba 1978 §III; round 14) —
     // the form every production matcher runs: cells with |i−j| > 5
     // are unreachable, so the cost cube shrinks from 900 to ~330
     // cells per pair and a pathological warp (one series' whole mass
@@ -919,7 +919,7 @@ object AnalyticsPack extends QueryPack {
       dtwBandedFrom(dailyCounts(events(s, d)))),
 
     // DBA barycenter (Petitjean, Ketterlin & Gançarski, Pattern
-    // Recognition 2011; round 12) — the time-series family's CENTROID
+    // Recognition 2011; round 14) — the time-series family's CENTROID
     // operator: one DBA pass against the DTW medoid. Medoid = the
     // series minimizing Σ pairwise DTW (from the same row chain);
     // alignment cells are marked DECLARATIVELY — no path backtrack —

@@ -61,7 +61,7 @@ object DedupPack extends QueryPack {
     "dedup_eval" -> ((s, d) =>
       Dedup.lshEval(Tables.documents(s, d), "doc_id", "text", 0.5)),
 
-    // Sampled-truth banding eval (round 12) — dedup_eval's honest form
+    // Sampled-truth banding eval (round 14) — dedup_eval's honest form
     // on length-concentrated corpora, where the exact key's size-bucket
     // truth join degenerates toward all-pairs: truth is brute-forced
     // only around a deterministic 1/7 rep sample, every join is
@@ -307,7 +307,7 @@ object DedupPack extends QueryPack {
       recordLinkEmFrom(cleanCustomers(s, d))),
 
     // Fellegi–Sunter §3 OPTIMAL thresholds from target error rates
-    // (round 12) — the paper's actual decision-theoretic contribution,
+    // (round 14) — the paper's actual decision-theoretic contribution,
     // which the fixed 0.95/0.05 posterior cuts of q_record_link_em
     // dodge: given admissible error targets μ (false-match rate among
     // true non-matches) and λ (false-non-match rate among true

@@ -988,7 +988,7 @@ object GraphPack extends QueryPack {
         .as("assortativity"))
   }
 
-  /** Weighted assortativity (Leung & Chau, Physica A 2007; round 12)
+  /** Weighted assortativity (Leung & Chau, Physica A 2007; round 14)
     * over the support-weighted co-purchase graph — `q_assortativity`'s
     * question asked of the graph's STRENGTHS: do heavy-affinity parts
     * co-purchase with other heavy-affinity parts? Every edge term is
@@ -1024,7 +1024,7 @@ object GraphPack extends QueryPack {
     * replays exactly these. */
   private val PrWRounds = 3
 
-  /** Weighted PageRank (damping 0.85; round 12) over the
+  /** Weighted PageRank (damping 0.85; round 14) over the
     * support-weighted co-purchase graph — q_pagerank's integer-mass
     * discipline with per-edge mass proportional to edge weight: the
     * contribution along (u→v, w) is (pr·w) div strength(u), so the

@@ -41,7 +41,7 @@ object MultimodalPack extends QueryPack {
     "mm_framesample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.videoCorpus(s, d), "id", "media").toDF()),
 
-    // Voice-activity segmentation over real WAV (round 12) —
+    // Voice-activity segmentation over real WAV (round 14) —
     // mm_shot_bounds' audio sibling: a second audio generator plants
     // one frame-aligned silent gap per clip (|s| ≤ 4 inside, the
     // full-range pseudo-signal outside), the decoder emits per-frame
@@ -69,7 +69,7 @@ object MultimodalPack extends QueryPack {
           col("end_frame"), col("n_frames"), col("energy"))
     }),
 
-    // Shot-boundary detection over GFV1 (round 12) — the video
+    // Shot-boundary detection over GFV1 (round 14) — the video
     // operator the uniformly-drifting framesample corpus cannot
     // exercise: a second generator plants ONE scene cut per clip
     // (within-scene frames drift by 3 per channel; the cut re-bases

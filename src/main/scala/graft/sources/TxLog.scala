@@ -169,12 +169,18 @@ final class TxLogTable(root: String) {
 
   /** Atomically commit: `add` become visible, `remove` become
     * invisible, `txn` is recorded — all in ONE log entry, so the
-    * commit is atomic across any number of files/buckets. Retries on
-    * a version race (another writer won the rename) after the caller-
-    * supplied `rebase` recomputes what to add/remove against the new
-    * snapshot; `rebase(v)` returning None aborts (e.g. the txn turned
-    * out to be already committed by the racer). Returns the committed
-    * version, or -1 on abort. */
+    * commit is atomic across any number of files/buckets. The entry
+    * is published with an atomic HARD-LINK create, NOT a rename:
+    * POSIX rename silently REPLACES an existing target, so two racers
+    * moving onto the same version would lose the first writer's
+    * commit (caught by the concurrency spec — the earlier rename
+    * form passed only by timing luck); link creation fails loudly on
+    * an existing target and the content is fully written before the
+    * link appears, so readers never see a torn entry. Retries on a
+    * version race after the caller-supplied `rebase` recomputes what
+    * to add/remove against the new snapshot; `rebase(v)` returning
+    * None aborts (e.g. the txn turned out to be already committed by
+    * the racer). Returns the committed version, or -1 on abort. */
   def commit(add: Seq[String], remove: Seq[String], txn: Option[Long],
       rebase: Long => Option[(Seq[String], Seq[String])] = v => None)
       : Long = {
@@ -185,15 +191,15 @@ final class TxLogTable(root: String) {
       val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
       Files.write(tmp, encode(a, r, txn).getBytes(StandardCharsets.UTF_8))
       try {
-        Files.move(tmp, logDir.resolve(entryName(attempt)),
-          StandardCopyOption.ATOMIC_MOVE)
+        Files.createLink(logDir.resolve(entryName(attempt)), tmp)
+        Files.deleteIfExists(tmp)
         return attempt
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           rebase(attempt) match {
             case Some((a2, r2)) => a = a2; r = r2
-              attempt = currentVersion() + 1
+              attempt = math.max(attempt + 1, currentVersion() + 1)
             case None => return -1L
           }
       }

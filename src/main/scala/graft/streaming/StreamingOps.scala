@@ -240,8 +240,8 @@ object StreamingOps {
     * wrong for "have I ever seen this". A parquet corpus keeps stream
     * state O(1), restarts re-read the store, and the probe cost scales
     * with the batch, not the corpus. Append is at-least-once on
-    * replayed batches; exactly-once needs a transactional table
-    * format underneath, which is orthogonal to the dedup shape.
+    * replayed batches; [[incrementalDedupSinkTx]] is the exactly-once
+    * form, committing the same dataflow through the TxLog.
     *
     * Expects batches with (doc_id, lang, text); returns the sink
     * function for `writeStream.foreachBatch`. */
@@ -265,6 +265,40 @@ object StreamingOps {
       }
       novel.write.mode("append").parquet(corpusPath)
     }
+  }
+
+  /** [[incrementalDedupSink]] committing through the
+    * [[graft.sources.TxLogTable]] transaction log — the §8a upgrade
+    * made real: corpus reads are SNAPSHOT reads (uncommitted files
+    * invisible), each batch's accepted docs land as data files plus
+    * ONE atomic log entry carrying the batch id as the txn token, and
+    * a replayed batch is skipped from the log BEFORE any compute —
+    * the documented at-least-once append contract becomes
+    * exactly-once without touching the dedup dataflow. A crash
+    * between the data-file write and the log rename leaves only
+    * invisible garbage; the replay re-dedups against the pre-crash
+    * snapshot and commits once. */
+  def incrementalDedupSinkTx(root: String, ngramN: Int = 1,
+      threshold: Double = 0.6): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      import graft.operators.Dedup
+      val table = new graft.sources.TxLogTable(root)
+      if (batch.head(1).nonEmpty && !table.txns().contains(batchId)) {
+        val shaped = batch
+          .select(col("doc_id"), col("lang"),
+            floor(length(col("text")) / 100).as("lb"), col("text"))
+        val withinBatch = Dedup.applyDedup(shaped, "doc_id",
+          Dedup.blockedNgramJaccardSparse(shaped, ngramN, threshold))
+        val novel = table.snapshot(batch.sparkSession) match {
+          case Some(c) => Dedup.incrementalDedup(withinBatch,
+            c.select("doc_id", "lang", "lb", "text"), ngramN, threshold)
+          case None => withinBatch
+        }
+        val files = table.writeDataFiles(novel)
+        table.commit(files, Nil, Some(batchId), rebase = _ =>
+          if (table.txns().contains(batchId)) None
+          else Some((files, Nil)))
+      }
   }
 
   /** Streaming SEMANTIC dedup ingest loop — the embedding twin of

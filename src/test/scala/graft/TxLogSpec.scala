@@ -108,4 +108,43 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+
+  test("incrementalDedupSinkTx: exactly-once ingest through the log — " +
+      "replays skip before compute, a crash window leaves no torn state") {
+    val dir = tmp()
+    try {
+      val sink = StreamingOps.incrementalDedupSinkTx(dir)
+      val table = new TxLogTable(dir)
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      val b1 = Seq((1L, "en", base),
+        (2L, "en", "completely different words here entirely"),
+        (5L, "en", base)) // within-batch exact dup keeps min id
+        .toDF("doc_id", "lang", "text")
+      sink(b1, 0L)
+      def ids() = table.snapshot(spark)
+        .map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
+        .getOrElse(Set.empty[Long])
+      assert(ids() === Set(1L, 2L))
+      val v1 = table.currentVersion()
+      // exactly-once: the replayed batch is answered from the txn log
+      // BEFORE any dedup work — no new version, no new files
+      sink(b1, 0L)
+      assert(table.currentVersion() === v1, "replay must not commit")
+      assert(ids() === Set(1L, 2L))
+      // batch 1: an exact corpus dup, a near-dup, and a novel doc
+      sink(Seq((10L, "en", base),
+        (11L, "en", base.replace("dog", "cat")),
+        (12L, "en", "fresh novel content that matches nothing prior at all"))
+        .toDF("doc_id", "lang", "text"), 1L)
+      assert(ids() === Set(1L, 2L, 12L))
+      // crash window: data files written but never committed are
+      // invisible — the snapshot and the dedup probes ignore them
+      table.writeDataFiles(Seq((99L, "en", 0L, "torn write"))
+        .toDF("doc_id", "lang", "lb", "text"))
+      assert(ids() === Set(1L, 2L, 12L),
+        "uncommitted files must stay invisible to the corpus")
+      assert(table.txns() === Set(0L, 1L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }
