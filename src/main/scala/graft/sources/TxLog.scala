@@ -8,6 +8,37 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The atomic-publish seam under [[TxLogTable]] — the piece a real
+  * deployment swaps per storage backend (Delta's LogStore): publish
+  * `content` as `name` in `dir` such that exactly one of any number
+  * of concurrent publishers of the same name succeeds and readers
+  * never observe partial content. [[LogPublisher.HardLink]] is the
+  * local-filesystem implementation; an object-store backend
+  * implements the same contract with a conditional put (S3
+  * If-None-Match, GCS preconditions) or a commit service. */
+trait LogPublisher {
+  /** MUST throw [[java.nio.file.FileAlreadyExistsException]] if
+    * `name` already exists — the mutual-exclusion edge the whole
+    * optimistic-concurrency protocol rests on. */
+  def publish(dir: Path, name: String, content: Array[Byte]): Unit
+}
+
+object LogPublisher {
+  /** Local FS: write a temp file, then atomically HARD-LINK it to the
+    * target — link creation fails loudly on an existing target and
+    * the content is fully written before the link appears. (NOT a
+    * rename: POSIX rename silently replaces, losing a racer's
+    * commit — the bug TxLogSpec's racing committers caught.) */
+  object HardLink extends LogPublisher {
+    def publish(dir: Path, name: String, content: Array[Byte]): Unit = {
+      val tmp = Files.createTempFile(dir, ".publish-", ".tmp")
+      Files.write(tmp, content)
+      try Files.createLink(dir.resolve(name), tmp)
+      finally Files.deleteIfExists(tmp)
+    }
+  }
+}
+
 /** A minimal transactional table log — the Delta-style commit
   * protocol (Armbrust et al., "Delta Lake: High-Performance ACID
   * Table Storage over Cloud Object Stores", VLDB 2020) hand-rolled
@@ -42,7 +73,8 @@ import org.apache.spark.sql.functions._
   *
   * Determinism note: data-file NAMES are uuids and never enter any
   * result; every read returns rows, not files. */
-final class TxLogTable(root: String) {
+final class TxLogTable(root: String,
+    publisher: LogPublisher = LogPublisher.HardLink) {
   private val logDir = Paths.get(root, "_txlog")
   private val dataDir = Paths.get(root, "data")
 
@@ -188,15 +220,12 @@ final class TxLogTable(root: String) {
     var (a, r) = (add, remove)
     var attempt = currentVersion() + 1
     while (true) {
-      val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
-      Files.write(tmp, encode(a, r, txn).getBytes(StandardCharsets.UTF_8))
       try {
-        Files.createLink(logDir.resolve(entryName(attempt)), tmp)
-        Files.deleteIfExists(tmp)
+        publisher.publish(logDir, entryName(attempt),
+          encode(a, r, txn).getBytes(StandardCharsets.UTF_8))
         return attempt
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
           rebase(attempt) match {
             case Some((a2, r2)) => a = a2; r = r2
               attempt = math.max(attempt + 1, currentVersion() + 1)

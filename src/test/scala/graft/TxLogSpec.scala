@@ -147,4 +147,45 @@ class TxLogSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
+
+  test("LogPublisher seam: commit retries through injected conflicts " +
+      "and lands at the post-conflict version, rebase consulted per hit") {
+    // a publisher that claims "name exists" for the first two attempts
+    // regardless of the filesystem - the shape of an object-store
+    // conditional-put backend under contention
+    val dir = tmp()
+    try {
+      var conflicts = 2
+      var rebases = 0
+      val flaky = new graft.sources.LogPublisher {
+        def publish(d: java.nio.file.Path, name: String,
+            content: Array[Byte]): Unit = {
+          if (conflicts > 0) {
+            conflicts -= 1
+            throw new java.nio.file.FileAlreadyExistsException(name)
+          }
+          graft.sources.LogPublisher.HardLink.publish(d, name, content)
+        }
+      }
+      val table = new TxLogTable(dir, flaky)
+      val f1 = table.writeDataFiles(Seq((1, "a")).toDF("k", "v"))
+      val v = table.commit(f1, Nil, Some(0L), rebase = _ => {
+        rebases += 1; Some((f1, Nil))
+      })
+      assert(rebases === 2, "rebase must run once per conflict")
+      assert(v >= 1L, s"the commit must eventually land, got $v")
+      assert(table.liveFiles() === f1)
+      assert(table.txns() === Set(0L))
+      // aborting rebase surfaces as -1 and publishes nothing
+      var aborted = false
+      conflicts = 1
+      val f2 = table.writeDataFiles(Seq((2, "b")).toDF("k", "v"))
+      val v2 = table.commit(f2, Nil, Some(1L), rebase = _ => {
+        aborted = true; None
+      })
+      assert(v2 === -1L && aborted)
+      assert(table.liveFiles() === f1, "an aborted commit adds nothing")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }
