@@ -100,7 +100,12 @@ object Dedup {
         col(textCol).as("text"), words(col(textCol)).as("w")), "text")
       .drop("text")
       .filter(size(col("w")) >= 3)
-    val reps = base.dropDuplicates("h").localCheckpoint(true) // read 3×
+    // min-id representative (arg_min semantics): members of a text-hash
+    // group share the text, so w is identical across candidates, but
+    // the rep ID is part of the contract the oracle pins
+    val reps = base.groupBy("h")
+      .agg(min("id").as("id"), min_by(col("w"), col("id")).as("w"))
+      .localCheckpoint(true) // read 3×
     val bands = reps.withColumn("band_val",
         explode(graft.functions.DedupExpressions
           .minhashBands(col("w"), NumHashes, Bands)))
@@ -110,18 +115,37 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
       .localCheckpoint(true) // counted AND verified below
+    // Truth pairs FUSED into one broadcast-probe join (round 13): the
+    // prior form materialized the ~quadratic within-bucket pair set,
+    // dedup-shuffled it, then shuffle-joined the word sets back twice —
+    // three exchanges of a pair-count-sized table for an eval whose
+    // truth side is inherently quadratic on a length-concentrated
+    // corpus. Here the rep (wd, n, bk) table is BROADCAST (reps are
+    // distinct texts — eval-scale by contract; the 100 TB eval is the
+    // sampled twin below) and each rep streams through its own bucket
+    // + the upper neighbor, with the canonical-pair condition and the
+    // exact Jaccard filter applied inside the probe: nothing pair-sized
+    // is ever exchanged or materialized. Coverage is unchanged — same
+    // bucket (once, via id <) plus adjacent magnitudes (once, lower
+    // probes up) — so completeness for t ≥ 0.5 carries over verbatim.
     val wd = reps.select(col("id"),
         graft.functions.DedupExpressions.ngramHashSet(col("w"), 1).as("wd"))
+      .withColumn("n", size(col("wd")))
       .withColumn("bk", length(conv(size(col("wd")), 10, 2)).cast("long"))
-    val sideB = wd.select(col("id").as("ib"),
-      explode(array(col("bk"), col("bk") + lit(1L))).as("bk"))
-    val candTruth = wd.select(col("id").as("ia"), col("bk")).join(sideB, "bk")
-      .where(col("ia") =!= col("ib"))
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true) // probe AND build sides below
+    val probes = wd.select(col("id").as("ia"), col("wd").as("wa"),
+        col("n").as("na"), col("bk").as("abk"))
+      .withColumn("pbk", explode(array(col("abk"), col("abk") + lit(1L))))
+    val interT = graft.functions.DedupExpressions
+      .sortedLongIntersectSize(col("wa"), col("wb"))
+    val truth = probes.join(
+        broadcast(wd.select(col("id").as("ib"), col("wd").as("wb"),
+          col("n").as("nb"), col("bk").as("bbk"))),
+        col("pbk") === col("bbk") &&
+          (col("abk") =!= col("bbk") || col("ia") < col("ib")))
+      .filter(round(interT / (col("na") + col("nb") - interT), 4)
+        >= threshold)
     val repW = reps.select(col("id"), col("w"))
-    val truth = verifyJaccard(candTruth, repW, threshold)
     val tp = verifyJaccard(cand, repW, threshold)
     reps.agg(count(lit(1)).as("n_reps"))
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
@@ -158,7 +182,16 @@ object Dedup {
         col(textCol).as("text"), words(col(textCol)).as("w")), "text")
       .drop("text")
       .filter(size(col("w")) >= 3)
-    val reps = base.dropDuplicates("h").localCheckpoint(true)
+    // min-id representative (arg_min semantics) — NOT dropDuplicates:
+    // unlike lshEval's pair counts (rep-independent), the sampled
+    // estimator's n_sample and every pair count depend on WHICH member
+    // id represents a duplicated text through the id % mod predicate,
+    // so an arbitrary-keeper collapse would be nondeterministic across
+    // partitionings on corpora whose exact-dup copies straddle the
+    // sample boundary (round-13 ADVICE)
+    val reps = base.groupBy("h")
+      .agg(min("id").as("id"), min_by(col("w"), col("id")).as("w"))
+      .localCheckpoint(true)
     val inSample = pmod(col("id"), lit(mod.toLong)) === 0
     def bandsOf(df: DataFrame): DataFrame = df.withColumn("band_val",
         explode(graft.functions.DedupExpressions
