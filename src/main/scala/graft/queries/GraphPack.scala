@@ -1280,10 +1280,12 @@ object GraphPack extends QueryPack {
       // round 1 is special-cased PHYSICALLY: labels are identity
       // singletons, so the two label joins are no-ops AND the
       // checkpoint is one too — eu is a narrow projection+filter of
-      // the already-checkpointed, already-u-partitioned edge set, so
-      // materializing it again would re-shuffle and re-store the same
-      // rows; the heaviest round (full edge set) thus skips its two
-      // biggest shuffles, a third redundant one, and a whole job
+      // the already-checkpointed edge set (checkpointed unpartitioned;
+      // see the materialization note above — the label joins shuffle
+      // to their keys at plan time anyway), so materializing it again
+      // would re-store the same rows; the heaviest round (full edge
+      // set) thus skips the two label joins, the redundant
+      // checkpoint, and a whole job
       val eu =
         if (r == 1) edgesCur.select(col("u"), col("v"), col("w"),
             col("u").as("lu"), col("v").as("lv"))

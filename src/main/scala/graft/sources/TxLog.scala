@@ -74,19 +74,42 @@ object LogPublisher {
   * Determinism note: data-file NAMES are uuids and never enter any
   * result; every read returns rows, not files. */
 final class TxLogTable(root: String,
-    publisher: LogPublisher = LogPublisher.HardLink) {
+    publisher: LogPublisher = LogPublisher.HardLink,
+    checkpointInterval: Long = TxLogTable.DefaultCheckpointInterval) {
+  require(checkpointInterval >= 1,
+    s"checkpointInterval must be >= 1, got $checkpointInterval")
   private val logDir = Paths.get(root, "_txlog")
   private val dataDir = Paths.get(root, "data")
 
   private def entryName(v: Long): String = f"$v%020d.json"
+  private def ckptName(v: Long): String = f"$v%020d.checkpoint.json"
+
+  // directory streams MUST close (round-13 ADVICE): each open stream
+  // holds a directory fd until GC — a long-running streaming ingest
+  // listing the log per batch leaks fds without this
+  private def withList[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+  private def withWalk[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.walk(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
+  private val EntryRe = """(\d{20})\.json""".r
+  private val CkptRe = """(\d{20})\.checkpoint\.json""".r
 
   private def listVersions(): Seq[Long] =
     if (!Files.isDirectory(logDir)) Seq.empty
-    else Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
-      .toSeq.sorted
+    else withList(logDir)(_.map(_.getFileName.toString)
+      .collect { case EntryRe(v) => v.toLong }
+      .toSeq.sorted)
+
+  private def listCheckpoints(): Seq[Long] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else withList(logDir)(_.map(_.getFileName.toString)
+      .collect { case CkptRe(v) => v.toLong }
+      .toSeq.sorted)
 
   /** Latest committed version; 0 = empty table. */
   def currentVersion(): Long = listVersions().lastOption.getOrElse(0L)
@@ -120,22 +143,96 @@ final class TxLogTable(root: String,
     (add, rem, txn)
   }
 
-  /** The live data files at `version` (default: current) — the fold
-    * of the log, metadata-only. */
-  def liveFiles(version: Long = Long.MaxValue): Seq[String] = {
-    val live = collection.mutable.LinkedHashSet.empty[String]
-    listVersions().takeWhile(_ <= version).foreach { v =>
-      val (add, rem, _) = readEntry(v)
+  // ---- checkpoint compaction (round 13) ------------------------------
+  // Without it every snapshot/commit re-folded the ENTIRE log —
+  // unbounded-commit streams degrade O(commits²) in driver metadata IO
+  // (Delta's answer, §3.3 of the paper: a periodic checkpoint entry +
+  // a _last_checkpoint pointer). Every `checkpointInterval`-th commit
+  // writes the full folded state (live files + txn tokens) as
+  // <v>.checkpoint.json; readers fold only entries PAST the newest
+  // checkpoint ≤ their version, so snapshot read cost is bounded by
+  // the interval regardless of table history, and entries at or below
+  // a checkpoint can be retention-deleted without losing current
+  // state (time travel below the oldest surviving checkpoint then
+  // degrades, exactly as a vacuumed Delta log does). The pointer file
+  // is a plain-overwrite HINT (readers derive the newest checkpoint
+  // from the same listing that finds the entries, so a stale or
+  // missing pointer is harmless — Delta tolerates the same).
+
+  private val LiveRe = """"live":\[([^\]]*)\]""".r.unanchored
+  private val TxnsRe = """"txns":\[([^\]]*)\]""".r.unanchored
+
+  private def readCheckpoint(v: Long): (Seq[String], Set[Long]) = {
+    val s = new String(
+      Files.readAllBytes(logDir.resolve(ckptName(v))),
+      StandardCharsets.UTF_8)
+    val live = s match { case LiveRe(g) => names(g); case _ => Seq.empty }
+    val txns = s match {
+      case TxnsRe(g) if g.nonEmpty => g.split(",").map(_.trim.toLong).toSet
+      case _ => Set.empty[Long]
+    }
+    (live, txns)
+  }
+
+  private def writeCheckpoint(v: Long): Unit = {
+    val (live, txns) = foldState(v)
+    val body = s"""{"live":${live.map(x => "\"" + x + "\"")
+        .mkString("[", ",", "]")},"txns":${txns.toSeq.sorted
+        .mkString("[", ",", "]")}}"""
+      .getBytes(StandardCharsets.UTF_8)
+    // two committers can both reach a checkpoint version on their
+    // retry paths: the fold at v is deterministic, so the content is
+    // identical and a REPLACE move is race-safe
+    val tmp = Files.createTempFile(logDir, ".ckpt-", ".tmp")
+    Files.write(tmp, body)
+    Files.move(tmp, logDir.resolve(ckptName(v)),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val ptr = Files.createTempFile(logDir, ".ptr-", ".tmp")
+    Files.write(ptr, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(ptr, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // latest-state fold memo: (folded version, live, txns) — a
+  // long-running ingest calls txns()/liveFiles() several times per
+  // batch; re-folding is pure, so caching on the observed version is
+  // safe across instances (round-13 ADVICE)
+  @volatile private var memo: Option[(Long, Seq[String], Set[Long])] = None
+
+  /** Fold of checkpoint + subsequent entries up to `version`. */
+  private def foldState(version: Long): (Seq[String], Set[Long]) = {
+    val vs = listVersions().takeWhile(_ <= version)
+    val latest = vs.lastOption.getOrElse(0L)
+    memo match {
+      case Some((v, l, t)) if v == latest && latest >= version => return (l, t)
+      case Some((v, l, t)) if v == latest && version == Long.MaxValue =>
+        return (l, t)
+      case _ => ()
+    }
+    val ck = listCheckpoints().filter(_ <= version).lastOption
+    val (live0, txns0) = ck.map(readCheckpoint)
+      .getOrElse((Seq.empty[String], Set.empty[Long]))
+    val live = collection.mutable.LinkedHashSet(live0: _*)
+    var txns = txns0
+    vs.filter(v => ck.forall(_ < v)).foreach { v =>
+      val (add, rem, txn) = readEntry(v)
       rem.foreach(f => live -= f)
       live ++= add
+      txn.foreach(t => txns += t)
     }
-    live.toSeq
+    val out = (live.toSeq, txns)
+    if (version >= latest) memo = Some((latest, out._1, out._2))
+    out
   }
+
+  /** The live data files at `version` (default: current) — the
+    * checkpoint-bounded fold of the log, metadata-only. */
+  def liveFiles(version: Long = Long.MaxValue): Seq[String] =
+    foldState(version)._1
 
   /** Every idempotence token recorded up to `version`. */
   def txns(version: Long = Long.MaxValue): Set[Long] =
-    listVersions().takeWhile(_ <= version)
-      .flatMap(v => readEntry(v)._3).toSet
+    foldState(version)._2
 
   /** Snapshot read (optionally time-traveled to `version`); None on
     * an empty table. Cost: list the log + scan exactly the live
@@ -149,14 +246,23 @@ final class TxLogTable(root: String,
   }
 
   /** Write `df` as new data files (INVISIBLE until committed);
-    * returns the file names. */
+    * returns the file names.
+    *
+    * SINGLE-FILE commit path: the frame funnels through one task
+    * (`coalesce(1)`) — right for the bucket-sized state slices and
+    * metadata-scale frames this seam serves, WRONG for a real table's
+    * bulk writes, where one task becomes the write bottleneck and the
+    * file loses all parallel-scan granularity. The scale path is
+    * [[writeBucketFiles]] (one file per bucket, single parallel write
+    * job); a general table would write unbucketed multi-file commits
+    * the same way minus the bucket column. */
   def writeDataFiles(df: DataFrame): Seq[String] = {
     Files.createDirectories(dataDir)
     val staging = Files.createTempDirectory(dataDir, ".stage-")
     df.coalesce(1).write.mode("overwrite")
       .parquet(staging.resolve("out").toString)
-    val parts = Files.list(staging.resolve("out")).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val parts = withList(staging.resolve("out"))(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
     val named = parts.map { p =>
       val name = java.util.UUID.randomUUID().toString + ".parquet"
       Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
@@ -165,8 +271,7 @@ final class TxLogTable(root: String,
     // best-effort staging cleanup — stray staging dirs are invisible
     // to readers either way
     try {
-      Files.walk(staging).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists)
+      withWalk(staging)(_.toSeq.reverse.foreach(Files.deleteIfExists))
     } catch { case _: java.io.IOException => () }
     named
   }
@@ -185,16 +290,15 @@ final class TxLogTable(root: String,
       .repartition(col("_bp"))
       .write.partitionBy("_bp").mode("overwrite")
       .parquet(staging.resolve("out").toString)
-    val parts = Files.walk(staging.resolve("out")).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    val parts = withWalk(staging.resolve("out"))(
+      _.filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq)
     val named = parts.map { p =>
       val name = java.util.UUID.randomUUID().toString + ".parquet"
       Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       name
     }
     try {
-      Files.walk(staging).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists)
+      withWalk(staging)(_.toSeq.reverse.foreach(Files.deleteIfExists))
     } catch { case _: java.io.IOException => () }
     named
   }
@@ -223,18 +327,41 @@ final class TxLogTable(root: String,
       try {
         publisher.publish(logDir, entryName(attempt),
           encode(a, r, txn).getBytes(StandardCharsets.UTF_8))
+        // best-effort checkpoint on the interval: the fold at this
+        // version is deterministic, so a failed/raced checkpoint write
+        // only defers compaction — never correctness
+        if (attempt % checkpointInterval == 0)
+          try writeCheckpoint(attempt)
+          catch { case _: java.io.IOException => () }
         return attempt
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           rebase(attempt) match {
             case Some((a2, r2)) => a = a2; r = r2
-              attempt = math.max(attempt + 1, currentVersion() + 1)
+              // re-derive the retry version SOLELY from the log
+              // (round-13 ADVICE): the old max(attempt+1, current+1)
+              // left version-number GAPS when a backend reports
+              // phantom conflicts (the object-store conditional-put
+              // case) — gap-tolerant folds survived, but the Delta
+              // "fold of entries 1..V" contract and any
+              // contiguity-assuming reader would not. Versions now
+              // stay contiguous; the trade is that PROGRESS relies on
+              // the publisher's conflict signal being eventually
+              // accurate (a publisher that lies forever loops — the
+              // racy-fake spec pins both behaviors)
+              attempt = currentVersion() + 1
             case None => return -1L
           }
       }
     }
     -1L // unreachable
   }
+}
+
+object TxLogTable {
+  /** Checkpoint every N commits: snapshot fold cost is bounded by N
+    * entry reads; Delta's default is every 10 commits. */
+  val DefaultCheckpointInterval = 10L
 }
 
 /** [[graft.streaming.StreamingOps.UpsertStateStore]] backed by a
@@ -250,9 +377,10 @@ final class TxLogTable(root: String,
   * buckets (commits are bucket-aligned files, so disjoint buckets
   * cannot conflict at the file level; row-level conflict CHECKING is
   * the piece a full format adds on top of this same log shape). */
-final class TxLogStore(root: String)
+final class TxLogStore(root: String,
+    publisher: LogPublisher = LogPublisher.HardLink)
     extends graft.streaming.StreamingOps.UpsertStateStore {
-  private val table = new TxLogTable(root)
+  private val table = new TxLogTable(root, publisher)
   // file → buckets bookkeeping lives IN the data: each commit writes
   // one file per touched bucket, named by content only on the inside;
   // the mapping is re-derived from the file's bucket column min/max

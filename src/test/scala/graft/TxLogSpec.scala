@@ -148,6 +148,200 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("checkpoint compaction: folds read O(interval) entries past the " +
+      "newest checkpoint — entries at or below it can be retention-deleted") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir,
+        graft.sources.LogPublisher.HardLink, checkpointInterval = 3)
+      val files = (1 to 8).map { i =>
+        val f = table.writeDataFiles(Seq((i, s"v$i")).toDF("k", "v"))
+        // each commit also retires the previous commit's file, so the
+        // live set stays 1 file and the fold is genuinely exercised
+        val prev = if (i == 1) Nil else table.liveFiles()
+        assert(table.commit(f, prev, Some(i.toLong)) === i.toLong)
+        f
+      }
+      val logDir = java.nio.file.Paths.get(dir, "_txlog")
+      assert(java.nio.file.Files.exists(
+        logDir.resolve(f"${3L}%020d.checkpoint.json")), "checkpoint at v3")
+      assert(java.nio.file.Files.exists(
+        logDir.resolve(f"${6L}%020d.checkpoint.json")), "checkpoint at v6")
+      assert(new String(java.nio.file.Files.readAllBytes(
+        logDir.resolve("_last_checkpoint"))) === "6",
+        "_last_checkpoint points at the newest checkpoint")
+      assert(table.liveFiles() === files(7), "current state = last commit")
+      assert(table.txns() === (1 to 8).map(_.toLong).toSet)
+      // time travel BELOW the newest checkpoint still folds correctly
+      // (the v3 checkpoint serves ≤ 5; full-fold fallback serves ≤ 2)
+      assert(table.liveFiles(version = 5L) === files(4))
+      assert(table.liveFiles(version = 2L) === files(1))
+      assert(table.txns(version = 5L) === (1 to 5).map(_.toLong).toSet)
+      // retention: delete every entry at or below the v6 checkpoint —
+      // a FRESH instance (cold cache) must still read current state
+      // from checkpoint + the 2 surviving entries, proving the fold
+      // never touches the deleted prefix
+      (1 to 6).foreach(v => java.nio.file.Files
+        .delete(logDir.resolve(f"${v.toLong}%020d.json")))
+      val cold = new TxLogTable(dir,
+        graft.sources.LogPublisher.HardLink, checkpointInterval = 3)
+      assert(cold.currentVersion() === 8L)
+      assert(cold.liveFiles() === files(7),
+        "state must come from the checkpoint, not the deleted entries")
+      assert(cold.txns() === (1 to 8).map(_.toLong).toSet,
+        "txn tokens survive in the checkpoint")
+      // racing committers ACROSS a checkpoint boundary (v9 = interval
+      // multiple): both land, neither lost, checkpoint written
+      val fa = cold.writeDataFiles(Seq((91, "a")).toDF("k", "v"))
+      val fb = cold.writeDataFiles(Seq((92, "b")).toDF("k", "v"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val r1 = Future(cold.commit(fa, Nil, Some(109L),
+        rebase = _ => Some((fa, Nil))))
+      val r2 = Future(cold.commit(fb, Nil, Some(110L),
+        rebase = _ => Some((fb, Nil))))
+      val (v1, v2) = (Await.result(r1, 1.minute), Await.result(r2, 1.minute))
+      assert(Set(v1, v2) === Set(9L, 10L))
+      assert(java.nio.file.Files.exists(
+        logDir.resolve(f"${9L}%020d.checkpoint.json")),
+        "the racer landing on the interval writes the checkpoint")
+      assert(new TxLogTable(dir).liveFiles().toSet
+        === (Seq(files(7)) ++ Seq(fa, fb)).flatten.toSet)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("racy-fake conditional-put publisher: lose/retry interleaving " +
+      "lands contiguously; phantom conflicts never leave version gaps") {
+    val dir = tmp()
+    try {
+      // interleaving 1 — LOSE then WIN: on our first put of version V
+      // a racer's put lands between our log read and our attempt (the
+      // object-store conditional-put race, simulated exactly); we must
+      // rebase once and land at V+1 with no gap
+      var raced = false
+      var rebases = 0
+      val loseOnce = new graft.sources.LogPublisher {
+        def publish(d: java.nio.file.Path, name: String,
+            content: Array[Byte]): Unit = {
+          if (!raced) {
+            raced = true
+            graft.sources.LogPublisher.HardLink.publish(d, name,
+              """{"add":["racer.parquet"],"remove":[],"txn":77}"""
+                .getBytes("UTF-8"))
+            throw new java.nio.file.FileAlreadyExistsException(name)
+          }
+          graft.sources.LogPublisher.HardLink.publish(d, name, content)
+        }
+      }
+      val t1 = new TxLogTable(dir, loseOnce)
+      val f1 = t1.writeDataFiles(Seq((1, "a")).toDF("k", "v"))
+      val v = t1.commit(f1, Nil, Some(1L), rebase = _ => {
+        rebases += 1; Some((f1, Nil))
+      })
+      assert(rebases === 1 && v === 2L,
+        s"loser must land at the NEXT contiguous version, got $v")
+      assert(t1.currentVersion() === 2L)
+      assert(t1.liveFiles().toSet === (f1 :+ "racer.parquet").toSet)
+      assert(t1.txns() === Set(1L, 77L))
+      // interleaving 2 — PHANTOM conflicts: the backend claims "exists"
+      // twice with NO entry present (a false-positive conditional put);
+      // the retry must re-derive the version from the log and commit at
+      // 3, not walk forward to 5 leaving gaps
+      var phantoms = 2
+      val phantom = new graft.sources.LogPublisher {
+        def publish(d: java.nio.file.Path, name: String,
+            content: Array[Byte]): Unit = {
+          if (phantoms > 0) {
+            phantoms -= 1
+            throw new java.nio.file.FileAlreadyExistsException(name)
+          }
+          graft.sources.LogPublisher.HardLink.publish(d, name, content)
+        }
+      }
+      val t2 = new TxLogTable(dir, phantom)
+      val f2 = t2.writeDataFiles(Seq((2, "b")).toDF("k", "v"))
+      val v2 = t2.commit(f2, Nil, Some(2L), rebase = _ => Some((f2, Nil)))
+      assert(v2 === 3L, s"phantom conflicts must not leave gaps, got $v2")
+      // interleaving 3 — WIN under a genuinely concurrent conditional
+      // put: the put decision is an in-memory putIfAbsent (the store's
+      // atomicity primitive), materialized through HardLink on success
+      val names = new java.util.concurrent.ConcurrentHashMap[String, Boolean]
+      val condPut = new graft.sources.LogPublisher {
+        def publish(d: java.nio.file.Path, name: String,
+            content: Array[Byte]): Unit = {
+          if (names.putIfAbsent(name, true) != null)
+            throw new java.nio.file.FileAlreadyExistsException(name)
+          graft.sources.LogPublisher.HardLink.publish(d, name, content)
+        }
+      }
+      val t3 = new TxLogTable(dir, condPut)
+      val fa = t3.writeDataFiles(Seq((3, "c")).toDF("k", "v"))
+      val fb = t3.writeDataFiles(Seq((4, "d")).toDF("k", "v"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val ra = Future(t3.commit(fa, Nil, Some(3L),
+        rebase = _ => Some((fa, Nil))))
+      val rb = Future(t3.commit(fb, Nil, Some(4L),
+        rebase = _ => Some((fb, Nil))))
+      val (va, vb) = (Await.result(ra, 1.minute), Await.result(rb, 1.minute))
+      assert(Set(va, vb) === Set(4L, 5L),
+        "racers through the conditional put take distinct contiguous versions")
+      assert(new TxLogTable(dir).txns()
+        === Set(77L, 1L, 2L, 3L, 4L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("kill between data-file write and log publish: orphans stay " +
+      "invisible and the replayed batch re-commits exactly once") {
+    val dir = tmp()
+    try {
+      final class Kill extends RuntimeException("killed mid-commit")
+      var alive = false // first publish dies AFTER data files landed
+      val killer = new graft.sources.LogPublisher {
+        def publish(d: java.nio.file.Path, name: String,
+            content: Array[Byte]): Unit = {
+          if (!alive) { alive = true; throw new Kill }
+          graft.sources.LogPublisher.HardLink.publish(d, name, content)
+        }
+      }
+      val b0 = Seq((1L, ts(5), "view", 1.0, 10L),
+        (2L, ts(20), "click", 2.0, 11L))
+        .toDF("user_id", "ts", "event_type", "value", "event_id")
+      val sink = StreamingOps.upsertSink(new TxLogStore(dir, killer),
+        nBuckets = 4)
+      intercept[Kill](sink(b0, 0L))
+      val table = new TxLogTable(dir)
+      // the kill window left data files on disk but no log entry:
+      // readers see an EMPTY table, not torn state
+      val dataDir = java.nio.file.Paths.get(dir, "data")
+      val ds = java.nio.file.Files.list(dataDir)
+      val orphans = try ds.count() finally ds.close()
+      assert(orphans > 0, "the kill must have left orphaned data files")
+      assert(table.currentVersion() === 0L)
+      assert(table.snapshot(spark).isEmpty,
+        "uncommitted files must be invisible after the kill")
+      // restart: the SAME batch replays through a fresh store and
+      // commits exactly once
+      val sink2 = StreamingOps.upsertSink(new TxLogStore(dir), nBuckets = 4)
+      sink2(b0, 0L)
+      assert(table.currentVersion() === 1L)
+      assert(table.txns() === Set(0L))
+      def state() = table.snapshot(spark).map(_.collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value"))
+        .toMap).getOrElse(Map.empty)
+      assert(state() === Map(1L -> 1.0, 2L -> 2.0))
+      // a second replay is answered by the txn record — no new version
+      sink2(b0, 0L)
+      assert(table.currentVersion() === 1L, "replay must not re-commit")
+      assert(state() === Map(1L -> 1.0, 2L -> 2.0))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("LogPublisher seam: commit retries through injected conflicts " +
       "and lands at the post-conflict version, rebase consulted per hit") {
     // a publisher that claims "name exists" for the first two attempts
