@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -160,6 +160,17 @@ object AnalyticsPack extends QueryPack {
         "(case when unix_micros(ts) % 86400000000 < 0 then -1 else 0 end)")
         .as("day"))
     .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+
+  /** The motif family's input: per-type daily VALUE sums (quantized
+    * 1e4), floor-corrected day bucketing. */
+  private def motifDaily(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000 + " +
+          "(case when unix_micros(ts) % 86400000000 < 0 then -1 else 0 end)")
+          .as("day"),
+        floor(col("value") * 10000).cast("long").as("q"))
+      .groupBy("event_type", "day").agg(sum("q").as("dq"))
 
   /** Markov stationary-distribution iterations and the mass unit
     * (pagerank's 1e9 integer-mass discipline). Six rounds settle the
@@ -380,7 +391,11 @@ object AnalyticsPack extends QueryPack {
     * occurrences of that word in a time-bounded series, never
     * row-scale. Gaps: windows run over OBSERVED days (row frames);
     * densify with q_gap_fill first if calendar alignment matters. */
-  private[graft] def motifFrom(daily: DataFrame): DataFrame = {
+  /** Shared symbolization for the motif family: z-normalized SAX words
+    * over length-[[MotifW]] windows plus the top-[[MotifTop]] census.
+    * Returns (words, top); words carries (event_type, day, word,
+    * x0..x7), both localCheckpointed (each feeds ≥ 2 consumers). */
+  private def motifWordsTop(daily: DataFrame): (DataFrame, DataFrame) = {
     val ord = Window.partitionBy("event_type").orderBy("day")
     val withX = (1 until MotifW).foldLeft(
       daily.withColumn("x0", col("dq"))) { case (df, j) =>
@@ -413,18 +428,17 @@ object AnalyticsPack extends QueryPack {
           .orderBy(col("n_win").desc, col("word"))))
       .where(col("rk") <= MotifTop)
       .localCheckpoint(true) // <= MotifTop rows per type
-    val bw = words.join(top.select("event_type", "word"),
-      Seq("event_type", "word"), "left_semi")
-    val pairs = bw.as("a").join(bw.as("b"),
-      col("a.event_type") === col("b.event_type") &&
-        col("a.word") === col("b.word") &&
-        col("b.day") >= col("a.day") + MotifW)
-    val dist = (0 until MotifW).map(j =>
-      (col(s"a.x$j") - col(s"b.x$j")).cast("decimal(38,0)") *
-        (col(s"a.x$j") - col(s"b.x$j"))).reduce(_ + _)
-    val best = pairs.select(col("a.event_type").as("event_type"),
-        col("a.word").as("word"), col("a.day").as("d1"),
-        col("b.day").as("d2"), dist.as("pd"))
+    (words, top)
+  }
+
+  /** The exact per-pair distance the motif family reports. */
+  private def motifDist: Column = (0 until MotifW).map(j =>
+    (col(s"a.x$j") - col(s"b.x$j")).cast("decimal(38,0)") *
+      (col(s"a.x$j") - col(s"b.x$j"))).reduce(_ + _)
+
+  /** The shared readout: best (pd, d1, d2) pair per top word. */
+  private def motifReadout(top: DataFrame, pairs: DataFrame): DataFrame = {
+    val best = pairs
       .withColumn("pk", row_number().over(
         Window.partitionBy("event_type", "word")
           .orderBy(col("pd"), col("d1"), col("d2"))))
@@ -433,6 +447,137 @@ object AnalyticsPack extends QueryPack {
       .select(col("event_type"), col("rk").cast("int").as("rk"),
         col("word"), col("n_win"), col("d1"), col("d2"),
         round(sqrt(col("pd").cast("double")) / 10000.0, 4).as("dist"))
+  }
+
+  private[graft] def motifFrom(daily: DataFrame): DataFrame = {
+    val (words, top) = motifWordsTop(daily)
+    val bw = words.join(top.select("event_type", "word"),
+      Seq("event_type", "word"), "left_semi")
+    val pairs = bw.as("a").join(bw.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.word") === col("b.word") &&
+          col("b.day") >= col("a.day") + MotifW)
+      .select(col("a.event_type").as("event_type"),
+        col("a.word").as("word"), col("a.day").as("d1"),
+        col("b.day").as("d2"), motifDist.as("pd"))
+    motifReadout(top, pairs)
+  }
+
+  /** Cells per dimension of the motif grid index — a constant, so the
+    * cell summary is bounded by MotifGrid^MotifSeg per word at ANY
+    * series length. */
+  private[graft] val MotifGrid = 16L
+
+  /** iSAX-style grid-index pair search for `q_motif_isax` (iSAX:
+    * Shieh & Keogh, KDD 2008 — the multi-resolution symbol-bucket
+    * index; adapted): identical SEMANTICS and output to [[motifFrom]]
+    * (same oracle), but within each top (type, word) bucket the
+    * closest-pair search probes a cell index instead of scanning all
+    * C(m, 2) window pairs — the scale path when a word recurs m times
+    * in a long series.
+    *
+    * Adaptation, documented honestly: iSAX's mindist lower-bounds the
+    * Z-NORMALIZED euclidean distance, but the family's reported motif
+    * distance is the exact RAW-integer euclidean — a symbol-space
+    * bound does not bound it. The index words here are therefore
+    * raw-PAA cells: per-type segment sums quantized into
+    * [[MotifGrid]] cells per dimension (iSAX's piecewise-aggregate
+    * skeleton on raw values), which admit the exact integer bound
+    *   dist²(a,b) = Σ_j (a_j−b_j)² ≥ Σ_k (P_ak − P_bk)² / segLen
+    * (Cauchy–Schwarz per segment), and per CELL pair
+    *   |P_ak − P_bk| ≥ (|c_ak − c_bk| − 1)·w_k  when the cells differ,
+    * so Σ_k gap_k² ≤ segLen · bsf prunes a whole cell pair against the
+    * best-so-far without touching its windows.
+    *
+    * Search = seed + prune, both declarative: (1) SEED — exact
+    * distances over same-cell collisions only (the iSAX bucket probe),
+    * min per word = bsf; (2) PRUNE — the bounded cell-pair table
+    * (equi-join on (type, word); ≤ occupied-cells² per word, cells ≤
+    * min(m, MotifGrid^4)) keeps pairs with lb ≤ segLen·bsf (≤, not <:
+    * a tying pair must stay visible or the deterministic (pd, d1, d2)
+    * tie-break could diverge from the brute force), a missing bsf
+    * (no collision) keeps everything; (3) window pairs expand ONLY
+    * through surviving cell pairs (same-cell pairs re-enter here, so
+    * the final readout needs no seed union). Exactness: any pair with
+    * dist² ≤ bsf has lb ≤ segLen·dist² ≤ segLen·bsf — every candidate
+    * for the minimum (and every tie) survives the prune, so the
+    * readout equals motifFrom's row for row; the ORACLE is motifSql
+    * verbatim, making index completeness itself hash-gated
+    * (dbscan_grid's discipline). */
+  private[graft] def motifIsaxParts(daily: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (words, top) = motifWordsTop(daily)
+    val segLen = MotifW / MotifSeg
+    val bw0 = words.join(top.select("event_type", "word"),
+      Seq("event_type", "word"), "left_semi")
+    val seg = (0 until MotifSeg).foldLeft(bw0) { (df, k) =>
+      df.withColumn(s"p$k", (0 until segLen)
+        .map(i => col(s"x${segLen * k + i}")).reduce(_ + _))
+    }
+    val boundAggs = (0 until MotifSeg).flatMap(k => Seq(
+      min(s"p$k").as(s"mn$k"), max(s"p$k").as(s"mx$k")))
+    val bounds = seg.groupBy("event_type")
+      .agg(boundAggs.head, boundAggs.tail: _*)
+    val bw = (0 until MotifSeg).foldLeft(
+        seg.join(broadcast(bounds), "event_type")) { (df, k) =>
+        df.withColumn(s"w$k", greatest(lit(1L),
+            expr(s"(mx$k - mn$k + 1) div $MotifGrid")))
+          .withColumn(s"c$k", expr(s"(p$k - mn$k) div w$k"))
+      }
+      .localCheckpoint(true) // cells agg + seed + both expand sides
+    val cellCols = (0 until MotifSeg).map(k => s"c$k")
+    // cell summary (widths ride along — constant per type)
+    val cellKeys = Seq("event_type", "word") ++ cellCols ++
+      (0 until MotifSeg).map(k => s"w$k")
+    val cells = bw.groupBy(cellKeys.head, cellKeys.tail: _*)
+      .agg(count(lit(1)).as("nw"))
+      .localCheckpoint(true)
+    // seed: exact distances over same-cell collisions
+    val seedCond = cellCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
+    val bsf = bw.as("a").join(bw.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.word") === col("b.word") && seedCond &&
+          col("b.day") >= col("a.day") + MotifW)
+      .select(col("a.event_type").as("event_type"),
+        col("a.word").as("word"), motifDist.as("pd"))
+      .groupBy("event_type", "word").agg(min("pd").as("bsf"))
+    // prune: cell pairs whose integer lower bound passes bsf
+    val lb = (0 until MotifSeg).map { k =>
+      val gap = greatest(lit(0L),
+        abs(col(s"x.c$k") - col(s"y.c$k")) - 1) * col(s"x.w$k")
+      gap.cast("decimal(38,0)") * gap
+    }.reduce(_ + _)
+    val cp = cells.as("x").join(cells.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.word") === col("y.word"))
+      .join(broadcast(bsf),
+        col("x.event_type") === bsf("event_type") &&
+          col("x.word") === bsf("word"), "left")
+      .where(col("bsf").isNull || lb <= lit(segLen) * col("bsf"))
+      .select(Seq(col("x.event_type").as("cp_t"),
+        col("x.word").as("cp_w")) ++
+        cellCols.map(c => col(s"x.$c").as(s"x$c")) ++
+        cellCols.map(c => col(s"y.$c").as(s"y$c")): _*)
+      .localCheckpoint(true) // counted by the spec + expanded below
+    // expand window pairs ONLY through surviving cell pairs
+    val cand = bw.as("a")
+      .join(cp, col("a.event_type") === col("cp_t") &&
+        col("a.word") === col("cp_w") &&
+        cellCols.map(c => col(s"a.$c") === col(s"x$c")).reduce(_ && _))
+      .join(bw.as("b"), col("b.event_type") === col("cp_t") &&
+        col("b.word") === col("cp_w") &&
+        cellCols.map(c => col(s"b.$c") === col(s"y$c")).reduce(_ && _) &&
+        col("b.day") >= col("a.day") + MotifW)
+      .select(col("cp_t").as("event_type"), col("cp_w").as("word"),
+        col("a.day").as("d1"), col("b.day").as("d2"), motifDist.as("pd"))
+    (cand, cp, top)
+  }
+
+  /** `q_motif` through the grid index — see [[motifIsaxParts]]. */
+  private[graft] def motifIsaxFrom(daily: DataFrame): DataFrame = {
+    val (cand, _, top) = motifIsaxParts(daily)
+    motifReadout(top, cand)
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -465,13 +610,14 @@ object AnalyticsPack extends QueryPack {
         .select(col("event_type").as("from_type"), col("to_type")))
     }),
 
-    "q_motif" -> ((s, d) => motifFrom(events(s, d)
-      .select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000 + " +
-          "(case when unix_micros(ts) % 86400000000 < 0 then -1 else 0 end)")
-          .as("day"),
-        floor(col("value") * 10000).cast("long").as("q"))
-      .groupBy("event_type", "day").agg(sum("q").as("dq")))),
+    "q_motif" -> ((s, d) => motifFrom(motifDaily(s, d))),
+
+    // q_motif through the iSAX-style grid index (round 15): identical
+    // rows — the SAME oracle replays the brute-force pair search, so
+    // the index's admissible-bound completeness is itself hash-gated;
+    // the spec additionally asserts measured probe pruning (cell pairs
+    // touched ≪ window pairs scanned).
+    "q_motif_isax" -> ((s, d) => motifIsaxFrom(motifDaily(s, d))),
 
     "q_pagerank" -> ((s, d) => pagerankPlan(s, d, 3)),
 
@@ -1449,6 +1595,9 @@ object AnalyticsPack extends QueryPack {
 
     Map(
       "q_motif" -> motifSql,
+      // the index variant must agree row-for-row with the brute force
+      // — ONE oracle pins both (dedup_clusters_star's discipline)
+      "q_motif_isax" -> motifSql,
       "q_dtw" -> dtwSql,
       "q_dtw_banded" -> dtwBandedSql,
       "q_dtw_barycenter" -> dtwBarycenterSql,

@@ -43,6 +43,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(exact.nonEmpty, rows.mkString("\n"))
   }
 
+  test("motifIsaxFrom equals motifFrom row-for-row and the grid index " +
+      "MEASURABLY prunes: cell-pair probes ≪ the brute-force pair scan") {
+    // one shape at 8 amplitudes (two identical — the seed collision),
+    // 8-day blocks: every aligned window symbolizes to the SAME word
+    // (z-normalization is scale-invariant) while the amplitudes spread
+    // the raw-PAA cells far apart, so the bsf = 0 seed pair prunes
+    // every cross-amplitude cell pair via the integer lower bound
+    val pat = Seq(1000L, 1000L, 1900L, 1900L, 1000L, 1000L, 1400L, 1400L)
+    val amps = Seq(1L, 1L, 40L, 80L, 120L, 160L, 200L, 240L)
+    val vals = amps.flatMap(c => pat.map(_ * c))
+    val daily = vals.zipWithIndex.map { case (v, d) => ("t", d.toLong, v) }
+      .toDF("event_type", "day", "dq")
+    val brute = graft.queries.AnalyticsPack.motifFrom(daily)
+      .collect().sortBy(r => (r.getAs[String]("event_type"),
+        r.getAs[Int]("rk"))).toSeq
+    val indexed = graft.queries.AnalyticsPack.motifIsaxFrom(daily)
+      .collect().sortBy(r => (r.getAs[String]("event_type"),
+        r.getAs[Int]("rk"))).toSeq
+    assert(indexed === brute,
+      "the index probe must reproduce the brute-force rows exactly")
+    // measured pruning on the aligned-block word (8 windows → 28
+    // brute pairs): the seed's exact-dup pair drives bsf to 0, so only
+    // lb = 0 cell pairs expand
+    val (cand, _, top) = graft.queries.AnalyticsPack.motifIsaxParts(daily)
+    import org.apache.spark.sql.functions.{col, desc}
+    val topWord = top.orderBy(desc("n_win"), col("word"))
+      .select("word").head.getString(0)
+    val probed = cand.filter(col("word") === topWord).count()
+    assert(probed >= 1, "the seed pair itself must be probed")
+    assert(probed <= 10,
+      s"expected ≪ 28 brute pairs through the pruned index, got $probed")
+  }
+
   test("q_acf: 7 lags per type, every r in [-1, 1]") {
     val rows = SparkEntry.queries("q_acf")(s, sfDir)
       .as[(String, Int, Double)].collect()
