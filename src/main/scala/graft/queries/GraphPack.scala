@@ -353,6 +353,38 @@ object GraphPack extends QueryPack {
     diameterBracketFrom(s, copurchaseEdges(s, d, minSupport = 2),
       maxRounds, ckpt)
 
+  /** Single-source BFS level table (node, dist) over a bidirected
+    * `(src, dst)` edge frame — the frontier discipline every diameter
+    * member shares: visited re-checkpoints EVERY round (the pagerank
+    * discipline — the union lineage would otherwise grow a k-input
+    * anti-join plan by round k: O(rounds²) plan work dominates at toy
+    * scale and recompiles codegen at any scale), co-partitioned
+    * expansion + anti-join per round, early stop on an empty
+    * frontier. */
+  private def bfsLevels(edges: DataFrame, seed: DataFrame, maxRounds: Int,
+      ckpt: graft.operators.CheckpointStrategy): DataFrame = {
+    var frontier = ckpt(seed.repartition(col("node")))
+    var visited = ckpt(frontier.withColumn("dist", lit(0))
+      .repartition(col("node")))
+    var r = 1
+    var live = true
+    while (r <= maxRounds && live) {
+      val next = ckpt(edges
+        .join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .repartition(col("node")))
+      if (next.isEmpty) live = false
+      else {
+        visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
+          .repartition(col("node")))
+        frontier = next
+      }
+      r += 1
+    }
+    visited
+  }
+
   /** The bracket kernel over any undirected (u, v) edge frame — public
     * to the test JVM for the planted path-graph gate. */
   private[graft] def diameterBracketFrom(s: SparkSession, und0: DataFrame,
@@ -372,32 +404,8 @@ object GraphPack extends QueryPack {
       val giant = memb.groupBy("cluster_id").agg(count(lit(1)).as("n_giant"))
         .orderBy(col("n_giant").desc, col("cluster_id")).limit(1)
         .localCheckpoint(true) // 1 row; cluster_id IS the min member id
-      def bfs(seed: DataFrame): DataFrame = {
-        var frontier = ckpt(seed.repartition(col("node")))
-        // visited re-checkpoints EVERY round (the pagerank discipline):
-        // the union lineage would otherwise grow a k-input anti-join
-        // plan by round k — O(rounds²) plan work dominates at toy
-        // scale and recompiles codegen at any scale
-        var visited = ckpt(frontier.withColumn("dist", lit(0))
-          .repartition(col("node")))
-        var r = 1
-        var live = true
-        while (r <= maxRounds && live) {
-          val next = ckpt(edges
-            .join(frontier, edges("src") === frontier("node"))
-            .select(col("dst").as("node")).distinct()
-            .join(visited.select("node"), Seq("node"), "left_anti")
-            .repartition(col("node")))
-          if (next.isEmpty) live = false
-          else {
-            visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
-              .repartition(col("node")))
-            frontier = next
-          }
-          r += 1
-        }
-        visited
-      }
+      def bfs(seed: DataFrame): DataFrame =
+        bfsLevels(edges, seed, maxRounds, ckpt)
       def far(dist: DataFrame): DataFrame =
         dist.orderBy(col("dist").desc, col("node")).limit(1)
           .localCheckpoint(true) // 1 row
@@ -441,6 +449,125 @@ object GraphPack extends QueryPack {
           col("ub").cast("int").as("ub"),
           col("n_ifub"),
           (col("lb") === col("ub")).cast("int").as("is_exact"))
+    }
+  }
+
+  /** EXACT giant-component diameter by the iFUB census batch (iFUB:
+    * Crescenzi, Grossi, Habib, Lanzi & Marino, TCS 2013) — what
+    * `q_diameter_bracket` stops short of: the bracket REPORTS
+    * n_ifub = |{v : d_m(v) > ⌊lb/2⌋}| as "what certifying exactness
+    * would cost"; this key pays it and certifies. Same prelude (giant
+    * seed, double sweep → lb, midpoint m, d_m levels), then ONE
+    * batched multi-source BFS from the whole census set S computes
+    * every ecc(v), v ∈ S, and
+    *   diameter = max(lb, max_{v∈S} ecc(v))
+    * is EXACT on the giant component: any pair (u, w) with both
+    * endpoints outside S has d(u, w) ≤ d_m(u) + d_m(w) ≤ 2⌊lb/2⌋ ≤ lb
+    * (the iFUB triangle bound), and any pair touching S is covered by
+    * that endpoint's eccentricity. One batch instead of the textbook
+    * level-descending loop: descending levels can stop early only when
+    * a processed level RAISES lb enough to cut the remainder — on the
+    * blob graphs this family runs on, lb is already tight and the
+    * processed set converges to exactly S, so the batch does the same
+    * work in ONE multi-source pass instead of |levels| sequential ones
+    * (the trade is documented: a road-network-shaped graph with a
+    * rising lb would favor the loop). Scale shape: the batched BFS
+    * carries (source, node) state — |S| × giant rows, bounded by the
+    * census the bracket already publishes; expansion and anti-join
+    * stay co-partitioned on node through the checkpoint seam, and a
+    * thin-leveled graph (iFUB's home) collapses |S| to a handful.
+    * Scoping: like the bracket's lb, the certificate covers the GIANT
+    * component (n_comp > 1 graphs have no finite global diameter);
+    * side components are reported, not probed. Determinism:
+    * everything integer, (dist desc, node asc) / (node asc)
+    * tie-breaks, ⌊lb/2⌋ = lb div 2 exact. */
+  private def diameterExactQ(s: SparkSession, d: String,
+      maxRounds: Int = 14,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame =
+    diameterExactFrom(s, copurchaseEdges(s, d, minSupport = 2),
+      maxRounds, ckpt)
+
+  /** The exact-diameter kernel — public to the test JVM for the
+    * planted-graph gate (path + blob, where lb alone is NOT tight). */
+  private[graft] def diameterExactFrom(s: SparkSession, und0: DataFrame,
+      maxRounds: Int = 14,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    graft.operators.SessionScope.withAqeOff(s) { s =>
+      val und = und0.localCheckpoint(true)
+      val edges = ckpt(und.select(col("u").as("src"), col("v").as("dst"))
+        .union(und.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src")))
+      val memb = graft.operators.Dedup.connectedComponents(
+        und.select(col("u").as("id_a"), col("v").as("id_b")))
+        .localCheckpoint(true)
+      val stats = memb.agg(count(lit(1)).as("n_nodes"),
+        countDistinct("cluster_id").as("n_comp"))
+      val giant = memb.groupBy("cluster_id").agg(count(lit(1)).as("n_giant"))
+        .orderBy(col("n_giant").desc, col("cluster_id")).limit(1)
+        .localCheckpoint(true)
+      def far(dist: DataFrame): DataFrame =
+        dist.orderBy(col("dist").desc, col("node")).limit(1)
+          .localCheckpoint(true) // 1 row
+      val dA = bfsLevels(edges,
+        giant.select(col("cluster_id").as("node")), maxRounds, ckpt)
+      val dB = bfsLevels(edges, far(dA).select("node"), maxRounds, ckpt)
+      val farB = far(dB) // node = c, dist = lb
+      val dC = bfsLevels(edges, farB.select("node"), maxRounds, ckpt)
+      val mid = dB.select(col("node"), col("dist").as("db"))
+        .join(dC.select(col("node"), col("dist").as("dc")), "node")
+        .crossJoin(broadcast(farB.select(col("dist").as("lb"))))
+        .where(col("db") + col("dc") === col("lb") &&
+          col("db") === expr("(lb + 1) div 2"))
+        .orderBy("node").limit(1)
+        .localCheckpoint(true) // 1 row — iFUB's canonical root
+      val dM = bfsLevels(edges, mid.select("node"), maxRounds, ckpt)
+      // the census set: every node a full iFUB run must still probe
+      val srcs = ckpt(dM
+        .crossJoin(broadcast(farB.select(col("dist").as("lb0"))))
+        .where(col("dist") > expr("lb0 div 2"))
+        .select(col("node").as("qsrc"), col("node")))
+      // batched multi-source BFS: (qsrc, node) state, same frontier
+      // discipline as bfsLevels with the source tag riding along
+      var frontier = ckpt(srcs.repartition(col("node")))
+      var visited = ckpt(frontier.withColumn("dist", lit(0))
+        .repartition(col("node")))
+      var r = 1
+      var live = true
+      while (r <= maxRounds && live) {
+        val next = ckpt(edges
+          .join(frontier, edges("src") === frontier("node"))
+          .select(col("qsrc"), col("dst").as("node")).distinct()
+          .join(visited.select("qsrc", "node"), Seq("qsrc", "node"),
+            "left_anti")
+          .repartition(col("node")))
+        if (next.isEmpty) live = false
+        else {
+          visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
+            .repartition(col("node")))
+          frontier = next
+        }
+        r += 1
+      }
+      val eccS = visited.agg(
+        countDistinct("qsrc").as("n_sources"),
+        coalesce(max("dist"), lit(0)).as("ecc_s_max"))
+      broadcast(stats)
+        .crossJoin(broadcast(giant.select(col("n_giant"))))
+        .crossJoin(broadcast(farB.select(col("node").as("node_c"),
+          col("dist").as("lb"))))
+        .crossJoin(broadcast(mid.select(col("node").as("node_mid"))))
+        .crossJoin(broadcast(eccS))
+        .select(col("n_nodes"), col("n_comp"), col("n_giant"),
+          col("node_c"), col("node_mid"),
+          col("lb").cast("int").as("lb"),
+          col("n_sources"),
+          col("ecc_s_max").cast("int").as("ecc_s_max"),
+          greatest(col("lb"), col("ecc_s_max")).cast("int")
+            .as("diam_giant"),
+          (col("lb") === greatest(col("lb"), col("ecc_s_max")))
+            .cast("int").as("lb_was_exact"))
     }
   }
 
@@ -1634,6 +1761,9 @@ object GraphPack extends QueryPack {
     "q_reach" -> ((s, d) => reach(s, d)),
     "q_diameter" -> ((s, d) => diameterQ(s, d)),
     "q_diameter_bracket" -> ((s, d) => diameterBracketQ(s, d)),
+    // exact giant-component diameter: the bracket's n_ifub census set,
+    // paid — one batched multi-source BFS certifies lb or raises it
+    "q_diameter_exact" -> ((s, d) => diameterExactQ(s, d)),
     "q_kcore" -> ((s, d) => kcore(s, d)),
     "q_densest" -> ((s, d) =>
       densestFrom(copurchaseEdges(s, d, minSupport = 2))),
@@ -2007,6 +2137,83 @@ object GraphPack extends QueryPack {
          |FROM stats s CROSS JOIN giant g CROSS JOIN fara CROSS JOIN farb
          |CROSS JOIN farc CROSS JOIN mid CROSS JOIN farm
          |CROSS JOIN census c2""".stripMargin
+    },
+
+    // the exact-diameter replay: the bracket's prelude (giant seed,
+    // double sweep, midpoint, d_m levels), then the census multi-
+    // source BFS carried as (qsrc, node) level tables — the fixed
+    // round chain is idempotent at the fixpoint like every BFS replay
+    "q_diameter_exact" -> {
+      val rounds = 14
+      def sweep(p: String, seedCte: String) = {
+        val steps = (1 to rounds).map { r =>
+          s"""${p}f$r AS (SELECT DISTINCT e.dst AS node FROM e
+             |  JOIN ${p}f${r - 1} ON e.src = ${p}f${r - 1}.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM ${p}l${r - 1} v
+             |                    WHERE v.node = e.dst)),
+             |${p}l$r AS MATERIALIZED (SELECT node, dist FROM ${p}l${r - 1}
+             |  UNION ALL SELECT node, $r FROM ${p}f$r)""".stripMargin
+        }.mkString(",\n")
+        s"""${p}l0 AS MATERIALIZED (SELECT node, 0 AS dist FROM $seedCte),
+           |${p}f0 AS (SELECT node FROM ${p}l0),
+           |$steps,
+           |far$p AS (SELECT node, dist FROM ${p}l$rounds
+           |  ORDER BY dist DESC, node LIMIT 1)""".stripMargin
+      }
+      val msSteps = (1 to rounds).map { r =>
+        s"""sf$r AS (SELECT DISTINCT f.qsrc, e.dst AS node FROM e
+           |  JOIN sf${r - 1} f ON e.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM sl${r - 1} v
+           |                    WHERE v.qsrc = f.qsrc AND v.node = e.dst)),
+           |sl$r AS MATERIALIZED (SELECT qsrc, node, dist FROM sl${r - 1}
+           |  UNION ALL SELECT qsrc, node, $r FROM sf$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |und AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (SELECT id, id AS r FROM n
+         |  UNION SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         |memb AS MATERIALIZED (SELECT id, min(r) AS cluster_id FROM reach
+         |  GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_nodes,
+         |    count(DISTINCT cluster_id) AS n_comp FROM memb),
+         |giant AS MATERIALIZED (SELECT cluster_id AS node,
+         |    cnt AS n_giant FROM (
+         |  SELECT cluster_id, count(*) AS cnt FROM memb GROUP BY 1
+         |  ORDER BY cnt DESC, cluster_id LIMIT 1)),
+         |${sweep("a", "giant")},
+         |${sweep("b", "fara")},
+         |${sweep("c", "farb")},
+         |mid AS MATERIALIZED (SELECT b.node FROM bl$rounds b
+         |  JOIN cl$rounds c ON c.node = b.node CROSS JOIN farb
+         |  WHERE b.dist + c.dist = farb.dist
+         |    AND b.dist = (farb.dist + 1) // 2
+         |  ORDER BY b.node LIMIT 1),
+         |${sweep("m", "mid")},
+         |srcs AS MATERIALIZED (SELECT ml$rounds.node FROM ml$rounds
+         |  CROSS JOIN farb WHERE ml$rounds.dist > farb.dist // 2),
+         |sl0 AS MATERIALIZED (SELECT node AS qsrc, node, 0 AS dist
+         |  FROM srcs),
+         |sf0 AS (SELECT qsrc, node FROM sl0),
+         |$msSteps,
+         |eccs AS (SELECT count(DISTINCT qsrc) AS n_sources,
+         |  coalesce(max(dist), 0) AS ecc_s_max FROM sl$rounds)
+         |SELECT s.n_nodes, s.n_comp, CAST(g.n_giant AS BIGINT) AS n_giant,
+         |  farb.node AS node_c, mid.node AS node_mid,
+         |  CAST(farb.dist AS INT) AS lb,
+         |  CAST(x.n_sources AS BIGINT) AS n_sources,
+         |  CAST(x.ecc_s_max AS INT) AS ecc_s_max,
+         |  CAST(greatest(farb.dist, x.ecc_s_max) AS INT) AS diam_giant,
+         |  CAST(CASE WHEN farb.dist = greatest(farb.dist, x.ecc_s_max)
+         |    THEN 1 ELSE 0 END AS INT) AS lb_was_exact
+         |FROM stats s CROSS JOIN giant g CROSS JOIN farb
+         |CROSS JOIN mid CROSS JOIN eccs x""".stripMargin
     },
 
     "q_diameter" -> {

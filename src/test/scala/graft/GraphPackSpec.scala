@@ -268,6 +268,51 @@ class GraphPackSpec extends SparkSpec {
     assert(r.getAs[Int]("is_exact") === 1)
   }
 
+  test("diameterExactFrom equals brute-force Floyd–Warshall truth on a " +
+      "path and on a blob where the census must be paid") {
+    // ground truth computed HERE, not by replaying the operator: the
+    // oracle gate replays the same algorithm, so this spec is the
+    // independent exactness check
+    def truthDiameter(edges: Seq[(Long, Long)]): Int = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val n = nodes.size
+      val inf = 1 << 20
+      val d = Array.fill(n, n)(inf)
+      nodes.indices.foreach(i => d(i)(i) = 0)
+      edges.foreach { case (a, b) =>
+        d(idx(a))(idx(b)) = 1; d(idx(b))(idx(a)) = 1
+      }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (d(i)(k) + d(k)(j) < d(i)(j)) d(i)(j) = d(i)(k) + d(k)(j)
+      // giant component = the largest block of mutually reachable nodes
+      val comps = nodes.indices.groupBy(i =>
+        nodes.indices.filter(j => d(i)(j) < inf).min)
+      val giant = comps.values.maxBy(c => (c.size, -c.min))
+      (for (i <- giant; j <- giant) yield d(i)(j)).max
+    }
+    // (a) path + stray edge: thin-leveled regime, census empty
+    val path = (0L until 10L).map(i => (i, i + 1)) :+ ((100L, 101L))
+    val rp = GraphPack.diameterExactFrom(s, path.toDF("u", "v"))
+      .collect().head
+    assert(rp.getAs[Int]("diam_giant") === truthDiameter(path))
+    assert(rp.getAs[Long]("n_sources") === 0L,
+      "an exactly-bracketed path needs no census BFS")
+    assert(rp.getAs[Int]("lb_was_exact") === 1)
+    // (b) the odd cycle C9 (+ a stray component): the midpoint sits
+    // off-center (ecc(m) = 4 > lb div 2 = 2), so the census holds the
+    // 4 far-side nodes and the batched multi-source pass is genuinely
+    // exercised against the brute-force truth
+    val blob = (0L until 9L).map(i => (i, (i + 1) % 9)) :+ ((100L, 101L))
+    val rb = GraphPack.diameterExactFrom(s, blob.toDF("u", "v"))
+      .collect().head
+    assert(rb.getAs[Int]("diam_giant") === truthDiameter(blob),
+      s"got row $rb")
+    assert(rb.getAs[Long]("n_sources") === 4L,
+      s"C9's census is its 4 far-side nodes, got row $rb")
+    assert(rb.getAs[Int]("diam_giant") >= rb.getAs[Int]("lb"))
+  }
+
   test("q_diameter_bracket invariants on sf data") {
     val r = SparkEntry.queries("q_diameter_bracket")(s, sfDir).collect().head
     val (lb, ub) = (r.getAs[Int]("lb"), r.getAs[Int]("ub"))
