@@ -216,6 +216,10 @@ class PlanSpec extends SparkSpec {
     *     scalars (components stats, giant seed, four eccentricities,
     *     iFUB census) plus the 1-row lb broadcast gating the midpoint
     *     pick and census filter;
+    *   q_diameter_exact — the bracket's composition (five 1-row
+    *     scalars incl. the census-BFS eccentricity aggregate) plus
+    *     the 1-row lb broadcast gating midpoint pick and census
+    *     source filter;
     *   q_markov_stationary — the 1-row state-count broadcast seeding
     *     the uniform start mass (text_tfidf's pattern);
     *   q_chi2 — the types × 7-dow densification lattice (both sides
@@ -262,7 +266,11 @@ class PlanSpec extends SparkSpec {
     *   dedup_eval_sampled — the four 1-row count broadcasts feeding
     *     the single ratio row (dedup_eval's pattern);
     *   q_dtw — the 1-row min-day broadcast and the type-domain
-    *     ta < tb pair square (q_xcorr's category-bounded shape). */
+    *     ta < tb pair square (q_xcorr's category-bounded shape);
+    *   q_dtw_barycenter_iter — the 1-row per-pass Fréchet² aggregate
+    *     broadcast onto that pass's 30 barycenter rows (q_triangles'
+    *     pattern; the 30-row barycenter cross inside each pass is
+    *     behind the checkpoint seam). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -277,7 +285,7 @@ class PlanSpec extends SparkSpec {
       "q_markov_stationary", "q_densest", "q_t_closeness", "text_dsir",
       "q_mst", "q_ks_test", "q_neyman", "q_record_link", "q_dtw",
       "q_clustcoef", "q_record_link_em", "q_record_link_thresh",
-      "dedup_eval_sampled")
+      "dedup_eval_sampled", "q_dtw_barycenter_iter", "q_diameter_exact")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

@@ -76,6 +76,25 @@ class TimeSeriesSpec extends SparkSpec {
       s"expected ≪ 28 brute pairs through the pruned index, got $probed")
   }
 
+  test("q_dtw_barycenter_iter: Fréchet² descends across the three " +
+      "re-marking passes and every index aligns at least one cell per pass") {
+    // the round-14 honest-math find gates SQUARED descent, not L1 —
+    // this key runs squared local costs end to end, so the published
+    // DBA descent property is MEASURED here on the gate corpus
+    val rows = SparkEntry.queries("q_dtw_barycenter_iter")(s, sfDir)
+      .collect()
+    val byPass = rows.groupBy(_.getAs[Int]("pass"))
+    assert(byPass.keySet === Set(1, 2, 3))
+    val f = (1 to 3).map(p => byPass(p).head.getAs[Long]("frechet2"))
+    assert(f(0) >= f(1) && f(1) >= f(2),
+      s"Fréchet² must be non-increasing across passes, got $f")
+    assert(f(0) > f(2), "three passes on real data must actually improve")
+    byPass.values.foreach { rs =>
+      assert(rs.length === 30, "one row per barycenter index")
+      assert(rs.forall(_.getAs[Long]("n_align") >= 1L))
+    }
+  }
+
   test("q_acf: 7 lags per type, every r in [-1, 1]") {
     val rows = SparkEntry.queries("q_acf")(s, sfDir)
       .as[(String, Int, Double)].collect()
