@@ -317,6 +317,49 @@ final class TxLogTable(root: String,
     * to add/remove against the new snapshot; `rebase(v)` returning
     * None aborts (e.g. the txn turned out to be already committed by
     * the racer). Returns the committed version, or -1 on abort. */
+  /** Delete data files no RETAINED snapshot can reach — Delta's
+    * VACUUM, the GC for (a) files removed by commits at or below the
+    * retention version and (b) ORPHANS of crashed commits (written,
+    * never committed — the kill-mid-commit spec's leftovers). The
+    * reachable set is exact and checkpoint-bounded:
+    * liveFiles(retainVersion) ∪ every add in later entries (a file
+    * added after the horizon is live at its own add version, so it
+    * stays even if since removed — time travel within retention keeps
+    * working; below the horizon it degrades, exactly as a vacuumed
+    * Delta table does). `minAgeMs` is the concurrency guard (Delta's
+    * retention-age check): an in-flight commit's files are on disk
+    * before its log entry, so only files older than the longest
+    * plausible commit are eligible — callers pass 0 only when no
+    * writer can be in flight. Stray staging dirs age out the same
+    * way. Returns the deleted data-file names. */
+  def vacuum(retainVersion: Long = -1L,
+      minAgeMs: Long = TxLogTable.DefaultVacuumAgeMs): Seq[String] = {
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val cur = currentVersion()
+    val r = if (retainVersion < 0L) cur else math.min(retainVersion, cur)
+    val keep = collection.mutable.HashSet.empty[String]
+    keep ++= liveFiles(r)
+    listVersions().filter(_ > r).foreach(v => keep ++= readEntry(v)._1)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= cutoff
+    val victims = withList(dataDir)(_.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !keep.contains(n) && oldEnough(p)
+    }.toSeq)
+    val stages = withList(dataDir)(_.filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.startsWith(".stage-")
+        && oldEnough(p)).toSeq)
+    stages.foreach { s =>
+      try withWalk(s)(_.toSeq.reverse.foreach(Files.deleteIfExists))
+      catch { case _: java.io.IOException => () }
+    }
+    victims.map { p =>
+      Files.deleteIfExists(p)
+      p.getFileName.toString
+    }
+  }
+
   def commit(add: Seq[String], remove: Seq[String], txn: Option[Long],
       rebase: Long => Option[(Seq[String], Seq[String])] = v => None)
       : Long = {
@@ -362,6 +405,11 @@ object TxLogTable {
   /** Checkpoint every N commits: snapshot fold cost is bounded by N
     * entry reads; Delta's default is every 10 commits. */
   val DefaultCheckpointInterval = 10L
+
+  /** Default vacuum eligibility age: a file younger than this may
+    * belong to an in-flight commit (data lands before the log entry),
+    * so it is never deleted by default. */
+  val DefaultVacuumAgeMs: Long = 24L * 3600 * 1000
 }
 
 /** [[graft.streaming.StreamingOps.UpsertStateStore]] backed by a

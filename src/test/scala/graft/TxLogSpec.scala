@@ -342,6 +342,46 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("vacuum deletes crash orphans and below-retention files while " +
+      "every retained snapshot stays readable") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(Seq((1, "a")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(0L)) === 1L)
+      val f2 = table.writeDataFiles(Seq((1, "b")).toDF("k", "v"))
+      assert(table.commit(f2, f1, Some(1L)) === 2L) // f1 removed at v2
+      val orphan = table.writeDataFiles(Seq((9, "torn")).toDF("k", "v"))
+      // age guard: nothing young is eligible at the default age
+      assert(table.vacuum().isEmpty,
+        "default min-age must protect possibly-in-flight files")
+      // retain v1: f1 is reachable at v1, so only the orphan goes
+      val d1 = table.vacuum(retainVersion = 1L, minAgeMs = 0L)
+      assert(d1.toSet === orphan.toSet,
+        s"retaining v1 must keep f1, got $d1")
+      assert(table.snapshot(spark, version = 1L).get
+        .collect().head.getString(1) === "a",
+        "time travel within retention survives vacuum")
+      // retain v2 (current): f1 is now unreachable and goes
+      val d2 = table.vacuum(retainVersion = 2L, minAgeMs = 0L)
+      assert(d2.toSet === f1.toSet)
+      assert(table.snapshot(spark).get
+        .collect().head.getString(1) === "b",
+        "the current snapshot is untouched")
+      // the data dir now holds exactly the live files
+      val left = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "data"))
+      val names = try {
+        val it = left.iterator()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.result()
+      } finally left.close()
+      assert(names === f2.toSet)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("LogPublisher seam: commit retries through injected conflicts " +
       "and lands at the post-conflict version, rebase consulted per hit") {
     // a publisher that claims "name exists" for the first two attempts
