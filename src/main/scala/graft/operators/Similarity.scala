@@ -766,6 +766,57 @@ object Similarity {
         col("t.v").as("vid"), round(-col("t.negcos"), 4).as("cos"))
   }
 
+  /** Multi-probe LSH top-k (Lv, Josephson, Wang, Charikar & Li,
+    * VLDB 2007): each query probes its own bucket PLUS the
+    * `nProbes − 1` buckets reached by flipping the hyperplanes whose
+    * projection magnitude is smallest — the planes the query sits
+    * closest to, i.e. exactly where a true neighbor most plausibly
+    * landed on the other side. Recall rises without more hash tables
+    * (the paper's point: perturbation probes substitute for table
+    * replication); candidate volume is a constant ×nProbes, and the
+    * corpus side is the SAME single bucketed scan as [[lshTopK]] —
+    * only the broadcast query side widens. Determinism: flip order is
+    * (|dot| asc, plane asc) on the same sequentially-folded doubles
+    * the bucket signs use, so the oracle ranks flips identically; the
+    * flip bit rides the struct as a plan literal (1L << p), never a
+    * runtime shift. */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 6, nProbes: Int = 3): DataFrame = {
+    require(nProbes >= 1 && nProbes <= numPlanes + 1,
+      s"nProbes must be in [1, numPlanes + 1], got $nProbes")
+    val bc = corpus.withColumn("bucket", lshBucket(col("embedding"), numPlanes))
+    val dotStructs = planes(numPlanes, 64).zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
+      val dot = aggregate(
+        zip_with(col("embedding"), planeCol, (v, r) => v.cast("double") * r),
+        lit(0.0), (acc, x) => acc + x)
+      struct(abs(dot).as("ad"), lit(p).as("p"), lit(1L << p).as("bit"))
+    }
+    val bq = queries
+      .withColumn("bucket", lshBucket(col("embedding"), numPlanes))
+      .withColumn("flips",
+        slice(array_sort(array(dotStructs: _*)), 1, nProbes - 1))
+      .withColumn("pbucket", explode(concat(array(col("bucket")),
+        transform(col("flips"),
+          f => col("bucket").bitwiseXOR(f.getField("bit"))))))
+    val cand = bc.as("c")
+      .join(broadcast(bq.as("q")),
+        col("q.pbucket") === col("c.bucket")
+          && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vid"),
+        cosineSim(col("q.embedding"), col("c.embedding")).as("cos"))
+    // no dedup exchange needed: a query's probed buckets are pairwise
+    // DISTINCT values (base XOR distinct single bits) and a corpus
+    // vector has exactly one bucket, so each (qid, vid) pair matches
+    // at most one probe
+    import graft.functions.TopKAggregate.topk
+    cand.groupBy("qid")
+      .agg(topk(struct((-col("cos")).as("negcos"), col("vid").as("v")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+        col("t.v").as("vid"), round(-col("t.negcos"), 4).as("cos"))
+  }
+
   /** Approximate top-k: brute force only within each query's LSH bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 6): DataFrame = {
     val bc = corpus.withColumn("bucket", lshBucket(col("embedding"), numPlanes))

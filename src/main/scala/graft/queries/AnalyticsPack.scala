@@ -92,6 +92,68 @@ object AnalyticsPack extends QueryPack {
           expr("node div 2").cast("string")))
   }
 
+  /** Personalized PageRank (random walk with restart; round 15 — the
+    * recommendation/similar-node readout `q_pagerank`'s GLOBAL score
+    * cannot give): the same damped integer-mass loop, but the teleport
+    * mass returns to a SOURCE set (parts p ≤ 2 — q_reach's seed
+    * convention) instead of uniformly, so scores measure proximity to
+    * the sources. Differences from pagerankPlan, each load-bearing:
+    * the restart term is `when(isSrc, 0.15·mass)`, the state table
+    * starts AT the sources and stays TOUCHED-proportional — each round
+    * is the co-partitioned cin join (rows ∝ touched) union the
+    * not-yet-reached sources, never a V-row scan of dormant nodes
+    * (push-style PPR's sparsity, the property that makes per-user PPR
+    * affordable at graph scale); the oracle computes the same values
+    * with a dense left-join + pr > 0 filter (value-identical: dormant
+    * non-source nodes read pr = 0 and drop). Same parked layouts,
+    * same integer-mass discipline (pr div deg truncation, div-100
+    * damping) as q_pagerank. */
+  private[graft] def pprPlan(s: SparkSession, d: String, iters: Int = 3,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val isSrc = col("node") % 2 === 0 && expr("node div 2") <= 2
+    val pr = graft.operators.SessionScope.withAqeOff(s) { s =>
+      val e0 = lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk")).distinct()
+      val edges = ckpt(e0.select(
+          (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(e0.select(
+          (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+        .repartition(col("src")))
+      val deg = ckpt(edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")))
+      val srcNodes = deg.where(isSrc).localCheckpoint(true) // seed-sized
+      var state = ckpt(srcNodes
+        .select(col("node"), col("deg"), lit(1000000000L).as("pr")))
+      for (_ <- 1 to iters) {
+        val cin = state.join(edges, state("node") === edges("src"))
+          .select(col("dst").as("node"), expr("pr div deg").as("c"))
+          .groupBy("node").agg(sum("c").as("cin"))
+        val touched = cin.join(deg, Seq("node"))
+          .select(col("node"), col("deg"),
+            (when(isSrc, lit(150000000L)).otherwise(lit(0L))
+              + expr("(85 * cin) div 100")).as("pr"))
+        val dormantSrc = srcNodes.join(cin, Seq("node"), "left_anti")
+          .select(col("node"), col("deg"), lit(150000000L).as("pr"))
+        state = ckpt(touched.unionByName(dormantSrc)
+          .where(col("pr") > 0)
+          .repartition(col("node")))
+      }
+      state
+    }
+    val total = pr.agg(count(lit(1)).as("n_touched"))
+    pr.orderBy(col("pr").desc, col("node")).limit(20)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("pr").desc, col("node"))))
+      .withColumn("node",
+        concat(when(col("node") % 2 === 0, lit("p")).otherwise(lit("s")),
+          expr("node div 2").cast("string")))
+      .crossJoin(broadcast(total))
+      .select(col("rk").cast("int").as("rk"), col("node"), col("pr"),
+        col("n_touched"))
+  }
+
   /** `q_ewma`'s whole computation over any events-shaped frame
     * (event_type, ts, value): daily 1e-4-quantized integer sums, then
     * the dyadic-weight EWMA over the trailing 8 OBSERVED days. Public
@@ -620,6 +682,11 @@ object AnalyticsPack extends QueryPack {
     "q_motif_isax" -> ((s, d) => motifIsaxFrom(motifDaily(s, d))),
 
     "q_pagerank" -> ((s, d) => pagerankPlan(s, d, 3)),
+
+    // Personalized PageRank (round 15): pagerank's loop with teleport
+    // mass returned to the source set — proximity scores, state
+    // touched-proportional (push-style sparsity).
+    "q_pagerank_ppr" -> ((s, d) => pprPlan(s, d, 3)),
 
     // Autocorrelation function (lags 1..7) of the daily event-count
     // series per type — the periodicity detector (a weekly cycle shows
@@ -1537,6 +1604,42 @@ object AnalyticsPack extends QueryPack {
          |FROM r$iters QUALIFY rk <= 20""".stripMargin
     }
 
+    // the PPR replay: pagerank's chained rounds with the teleport
+    // term gated on the source set and a dense left-join + pr > 0
+    // filter (value-identical to the Spark side's sparse union)
+    def pprRound(prev: String, out: String): String =
+      s"""$out AS (SELECT * FROM (
+         |  SELECT d.node, d.deg,
+         |    CAST((CASE WHEN d.node % 2 = 0 AND d.node // 2 <= 2
+         |        THEN 150000000 ELSE 0 END)
+         |      + (85 * coalesce(c.cin, 0)) // 100 AS BIGINT) AS pr
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.pr // r.deg) AS BIGINT) AS cin
+         |    FROM $prev r JOIN edges e ON r.node = e.src GROUP BY 1) c
+         |  USING (node)) WHERE pr > 0)""".stripMargin
+
+    def pprSql(iters: Int): String = {
+      val rounds = (1 to iters)
+        .map(i => pprRound(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+         |    CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+         |edges AS (
+         |  SELECT p * 2 AS src, sk * 2 + 1 AS dst FROM e0
+         |  UNION ALL
+         |  SELECT sk * 2 + 1, p * 2 FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, deg, CAST(1000000000 AS BIGINT) AS pr
+         |  FROM deg WHERE node % 2 = 0 AND node // 2 <= 2),
+         |$rounds,
+         |tot AS (SELECT count(*) AS n_touched FROM r$iters)
+         |SELECT CAST(row_number() OVER (ORDER BY pr DESC, node) AS INT)
+         |    AS rk,
+         |  (CASE WHEN node % 2 = 0 THEN 'p' ELSE 's' END)
+         |    || CAST(node // 2 AS VARCHAR) AS node,
+         |  pr, CAST(tot.n_touched AS BIGINT) AS n_touched
+         |FROM r$iters CROSS JOIN tot QUALIFY rk <= 20""".stripMargin
+    }
+
     // q_dtw: the row-recurrence replay — per DP row a V table
     // (vertical/diagonal entry minima via lag), the row's cost prefix
     // sum, and the running-min composition; MATERIALIZED per row so
@@ -1794,6 +1897,7 @@ object AnalyticsPack extends QueryPack {
           |      OR q.n_orders > p.n_orders
           |      OR q.last_day > p.last_day))""".stripMargin,
       "q_pagerank" -> pagerankSql(3),
+      "q_pagerank_ppr" -> pprSql(3),
       "q_pagerank_iter" -> pagerankSql(8),
 
       "q_ewma" -> {

@@ -307,6 +307,16 @@ object SimilarityPack extends QueryPack {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < NumQueries), k = 3)
     }),
 
+    // Multi-probe LSH (Lv et al. VLDB 2007; round 15): each query also
+    // probes the 2 buckets behind its two NEAREST hyperplanes — recall
+    // rises without more hash tables, the corpus stays one bucketed
+    // scan, and the spec measures the recall gain over ann_lsh_topk.
+    "ann_lsh_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshMultiProbeTopK(emb,
+        emb.filter(col("vec_id") < NumQueries), k = 3)
+    }),
+
     // PQ ANN: 8 subspaces × 16 codewords (deterministic first-k
     // codebook; production trains per-subspace codebooks with
     // KMeansND.fit). The corpus ranking touches 8-code arrays only —
@@ -1289,6 +1299,44 @@ object SimilarityPack extends QueryPack {
          |  JOIN bkt bq ON bq.vec_id = q.vec_id AND q.vec_id < $NumQueries
          |  JOIN bkt bc ON bc.bucket = bq.bucket
          |  JOIN emb c ON c.vec_id = bc.vec_id AND c.vec_id <> q.vec_id)
+         |SELECT qid, rk, vid, round(cos, 4) AS cos FROM (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |  FROM cand) WHERE rk <= 3""".stripMargin,
+    // the multi-probe replay: same planes/buckets, flip ranking by
+    // (abs dot asc, plane asc) on the identical doubles, base ∪ two
+    // xor-flip probes per query
+    "ann_lsh_multiprobe" ->
+      s"""WITH planes(p, pv) AS (VALUES
+         |  $planesSql),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bkt AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
+         |      THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id),
+         |qd AS (
+         |  SELECT e.vec_id, pl.p, abs(list_dot_product(e.v, pl.pv)) AS ad
+         |  FROM emb e CROSS JOIN planes pl WHERE e.vec_id < $NumQueries),
+         |flips AS (SELECT vec_id, p FROM (
+         |  SELECT vec_id, p,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ad, p) AS rn
+         |  FROM qd) WHERE rn <= 2),
+         |probes AS (
+         |  SELECT vec_id, bucket AS pbucket FROM bkt
+         |  WHERE vec_id < $NumQueries
+         |  UNION ALL
+         |  SELECT f.vec_id, xor(b.bucket, CAST(1::BIGINT << f.p AS BIGINT))
+         |  FROM flips f JOIN bkt b ON b.vec_id = f.vec_id),
+         |cand AS (
+         |  SELECT pr.vec_id AS qid, c.vec_id AS vid,
+         |    (list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v))
+         |        * sqrt(list_dot_product(c.v, c.v)))) AS cos
+         |  FROM probes pr
+         |  JOIN emb q ON q.vec_id = pr.vec_id
+         |  JOIN bkt bc ON bc.bucket = pr.pbucket
+         |  JOIN emb c ON c.vec_id = bc.vec_id AND c.vec_id <> pr.vec_id)
          |SELECT qid, rk, vid, round(cos, 4) AS cos FROM (
          |  SELECT qid, vid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk

@@ -317,6 +317,33 @@ final class TxLogTable(root: String,
     * to add/remove against the new snapshot; `rebase(v)` returning
     * None aborts (e.g. the txn turned out to be already committed by
     * the racer). Returns the committed version, or -1 on abort. */
+  /** Compact the current live files into ONE rewrite committed as a
+    * single add+remove entry — Delta's OPTIMIZE, the execution step
+    * behind the q_compaction planner: readers see either the old or
+    * the new layout atomically, values are unchanged (a pure layout
+    * move), and the superseded files become [[vacuum]]'s work. Uses
+    * [[writeBucketFiles]] when `bucketCol` is set (one packed file per
+    * bucket — the layout the state store maintains) else
+    * [[writeDataFiles]]. Concurrency: OPTIMIZE of a stale snapshot
+    * must NOT clobber a racer's data commit, so the rebase retries
+    * only while the live set it compacted is still exactly current —
+    * any real change aborts (returns None; the orphaned rewrite ages
+    * out via vacuum) and the caller re-runs against the new snapshot.
+    * Returns the committed version, None if nothing to do or aborted. */
+  def optimize(spark: SparkSession,
+      bucketCol: Option[String] = None): Option[Long] = {
+    val live = liveFiles()
+    if (live.size <= 1) return None
+    val df = snapshot(spark).get
+    val added = bucketCol match {
+      case Some(b) => writeBucketFiles(df, b)
+      case None => writeDataFiles(df)
+    }
+    val v = commit(added, live, txn = None, rebase = _ =>
+      if (liveFiles() == live) Some((added, live)) else None)
+    if (v < 0L) None else Some(v)
+  }
+
   /** Delete data files no RETAINED snapshot can reach — Delta's
     * VACUUM, the GC for (a) files removed by commits at or below the
     * retention version and (b) ORPHANS of crashed commits (written,

@@ -270,7 +270,9 @@ class PlanSpec extends SparkSpec {
     *   q_dtw_barycenter_iter — the 1-row per-pass Fréchet² aggregate
     *     broadcast onto that pass's 30 barycenter rows (q_triangles'
     *     pattern; the 30-row barycenter cross inside each pass is
-    *     behind the checkpoint seam). */
+    *     behind the checkpoint seam);
+    *   q_pagerank_ppr — the 1-row touched-count broadcast onto the
+    *     top-20 (q_sssp's pattern). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -285,7 +287,8 @@ class PlanSpec extends SparkSpec {
       "q_markov_stationary", "q_densest", "q_t_closeness", "text_dsir",
       "q_mst", "q_ks_test", "q_neyman", "q_record_link", "q_dtw",
       "q_clustcoef", "q_record_link_em", "q_record_link_thresh",
-      "dedup_eval_sampled", "q_dtw_barycenter_iter", "q_diameter_exact")
+      "dedup_eval_sampled", "q_dtw_barycenter_iter", "q_diameter_exact",
+      "q_pagerank_ppr")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {

@@ -93,6 +93,29 @@ class SimilaritySpec extends SparkSpec {
       s"trained-cell IVF recall@3 vs exact cosine was $recall — probing is broken")
   }
 
+  test("multi-probe LSH recall@3 beats single-probe at the same plane " +
+      "count — perturbation probes substitute for hash tables") {
+    // the Lv et al. claim, MEASURED on the gate corpus: flipping the
+    // two nearest hyperplanes must recover neighbors the single
+    // bucket misses, at the same 6-plane signature
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.topK(emb, q, 3).select($"qid", $"vid")
+      .as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"qid", $"vid").as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val single = recallOf(Similarity.lshTopK(emb, q, 3))
+    val multi = recallOf(Similarity.lshMultiProbeTopK(emb, q, 3))
+    info(s"lsh recall@3 single=$single multi=$multi")
+    assert(multi >= single,
+      s"multi-probe must never lose recall (single=$single multi=$multi)")
+    assert(multi > single,
+      s"on this corpus the flip probes must add recall " +
+        s"(single=$single multi=$multi) — if equal, the probe set is dead")
+  }
+
   test("nswTopK recall@3 meets the IVF+PQ nprobe=2 frontier point and the 0.8 floor") {
     // the ann_hnsw gate: the graph walk (efSearch=32 beam per shard)
     // must recall at least as well as the recall-sweep's IVF+PQ

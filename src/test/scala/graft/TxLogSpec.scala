@@ -342,6 +342,61 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("optimize compacts the live files into one atomic rewrite; a " +
+      "racer's data commit aborts a stale compaction") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      (1 to 3).foreach { i =>
+        val f = table.writeDataFiles(Seq((i, s"v$i")).toDF("k", "v"))
+        assert(table.commit(f, Nil, Some(i.toLong)) === i.toLong)
+      }
+      assert(table.liveFiles().size === 3)
+      val vOpt = table.optimize(spark)
+      assert(vOpt === Some(4L), s"compaction commits as one entry, got $vOpt")
+      assert(table.liveFiles().size === 1, "three files packed into one")
+      def rows(v: Long = Long.MaxValue) = table.snapshot(spark, v).get
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(rows() === Set((1, "v1"), (2, "v2"), (3, "v3")),
+        "a layout move never changes values")
+      assert(rows(3L) === rows(), "pre-optimize time travel intact")
+      // idempotence: a single live file is already optimal
+      assert(table.optimize(spark).isEmpty)
+      // abort path: a racer lands a DATA commit between the stale
+      // optimize's snapshot read and its publish — the compaction must
+      // abort, not resurrect the racer-removed state
+      var racerDone = false
+      val racing = new graft.sources.LogPublisher {
+        def publish(d: java.nio.file.Path, name: String,
+            content: Array[Byte]): Unit = {
+          if (!racerDone) {
+            racerDone = true
+            val racer = new TxLogTable(dir)
+            val rf = racer.writeDataFiles(Seq((4, "v4")).toDF("k", "v"))
+            racer.commit(rf, Nil, Some(99L))
+            throw new java.nio.file.FileAlreadyExistsException(name)
+          }
+          graft.sources.LogPublisher.HardLink.publish(d, name, content)
+        }
+      }
+      val t2 = new TxLogTable(dir, racing)
+      // make the table multi-file again so optimize has work
+      val f5 = t2.writeDataFiles(Seq((5, "v5")).toDF("k", "v"))
+      // (pre-seed before the racy publisher fires: commit f5 through a
+      // clean handle so only the optimize hits the race)
+      assert(new TxLogTable(dir).commit(f5, Nil, Some(5L)) === 5L)
+      assert(t2.optimize(spark).isEmpty,
+        "a compaction racing a real data commit must abort")
+      val after = new TxLogTable(dir)
+      assert(after.txns().contains(99L), "the racer's commit survives")
+      assert(after.snapshot(spark).get.count() === 5L,
+        "aborted compaction leaves the table exactly as the racer left it")
+      // the aborted rewrite is an orphan — vacuum reclaims it
+      assert(after.vacuum(minAgeMs = 0L).nonEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("vacuum deletes crash orphans and below-retention files while " +
       "every retained snapshot stays readable") {
     val dir = tmp()
