@@ -325,6 +325,33 @@ class GraphPackSpec extends SparkSpec {
     assert((r.getAs[Int]("is_exact") === 1) === (lb === ub))
   }
 
+  test("louvainFrom resolves two disjoint triangles to the known " +
+      "optimum Q = 0.5 with min-id communities") {
+    // the textbook two-clique value modularityFrom's gate documents —
+    // Louvain must FIND the partition modularity only scores
+    val und = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (10L, 11L, 1L), (10L, 12L, 1L), (11L, 12L, 1L)).toDF("u", "v", "w")
+    val rows = GraphPack.louvainFrom(und).collect()
+    assert(rows.length === 2, rows.mkString("\n"))
+    assert(rows.forall(_.getAs[Double]("q_louvain") === 0.5))
+    val cs = rows.map(_.getAs[Long]("community")).toSet
+    assert(cs.size === 2 && cs.exists(_ <= 3L) && cs.exists(_ >= 10L),
+      s"one community per clique (label id is sweep-defined), got $cs")
+    assert(rows.forall(_.getAs[Long]("n_nodes") === 3L))
+    assert(rows.forall(r =>
+      r.getAs[Long]("w_in") === 3L && r.getAs[Long]("s_tot") === 6L))
+  }
+
+  test("q_louvain on sf data: positive modularity over 2+ communities") {
+    val rows = SparkEntry.queries("q_louvain")(s, sfDir).collect()
+    assert(rows.nonEmpty)
+    val q = rows.head.getAs[Double]("q_louvain")
+    val nc = rows.head.getAs[Long]("n_comms")
+    assert(q > 0.0, s"ascent must beat random wiring, got Q=$q")
+    assert(nc >= 2L, s"the co-purchase graph is not one community, $nc")
+    info(s"louvain Q=$q over $nc communities")
+  }
+
   test("modularityFrom scores two disjoint triangles at Q = 0.5") {
     // LPA resolves each triangle to its min label; m = 6, each
     // community has e_c = 3, deg_c = 6 → per-community contribution
