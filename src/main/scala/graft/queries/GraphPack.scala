@@ -1147,7 +1147,27 @@ object GraphPack extends QueryPack {
   private[graft] def louvainFrom(undW0: DataFrame,
       rounds: Int = LouvainRounds,
       ckpt: graft.operators.CheckpointStrategy =
-        graft.operators.CheckpointStrategy.Local): DataFrame = {
+        graft.operators.CheckpointStrategy.Local): DataFrame =
+    louvainCore(undW0, rounds, ckpt, refine = false, qCol = "q_louvain")
+
+  /** Shared Louvain/Leiden machinery; `refine` inserts the
+    * connectivity split between level 1 and aggregation. */
+  private def louvainCore(undW0: DataFrame, rounds: Int,
+      ckpt: graft.operators.CheckpointStrategy,
+      refine: Boolean, qCol: String): DataFrame = {
+    val (fin, undW, ktab, m2) =
+      louvainMembership(undW0, rounds, ckpt, refine)
+    louvainReadout(fin, undW, ktab, m2, qCol)
+  }
+
+  /** The (node, community) membership both keys resolve — public to
+    * the test JVM so the Leiden spec can check the connectivity
+    * guarantee on the FULL membership, not just the top-10 readout.
+    * Returns (membership, checkpointed undirected edges, k table,
+    * 2m). */
+  private[graft] def louvainMembership(undW0: DataFrame, rounds: Int,
+      ckpt: graft.operators.CheckpointStrategy,
+      refine: Boolean): (DataFrame, DataFrame, DataFrame, Long) = {
     val undW = undW0.localCheckpoint(true) // edges + the final Q fold
     val edges = ckpt(undW
       .select(col("u").as("src"), col("v").as("dst"), col("w"))
@@ -1185,8 +1205,27 @@ object GraphPack extends QueryPack {
             .otherwise(col("lbl")).as("lbl"))
         .repartition(col("node")))
     }
-    var lbl = ckpt(ktab.select(col("node"), col("node").as("lbl")))
-    for (r <- 1 to rounds) lbl = sweep(lbl, edges, ktab, r)
+    var lbl0 = ckpt(ktab.select(col("node"), col("node").as("lbl")))
+    for (r <- 1 to rounds) lbl0 = sweep(lbl0, edges, ktab, r)
+    // Leiden refinement: split every level-1 community into its
+    // connected parts (CC on the within-community edge subgraph;
+    // refined ids = canonical component-min members) so aggregation
+    // can never freeze an internally-disconnected community
+    val lbl = if (!refine) lbl0 else {
+      val intra = undW
+        .join(lbl0.select(col("node").as("u"), col("lbl").as("cu")), "u")
+        .join(lbl0.select(col("node").as("v"), col("lbl").as("cv")), "v")
+        .where(col("cu") === col("cv"))
+        .select(col("u").as("id_a"), col("v").as("id_b"))
+      val comp = graft.operators.Dedup.connectedComponents(intra)
+        .withColumnRenamed("doc_id", "node")
+      // nodes with no intra edge (singleton communities) keep their
+      // own id — already a connected part of one
+      ckpt(lbl0.join(comp, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("cluster_id"), col("node")).as("lbl"))
+        .repartition(col("node")))
+    }
     // aggregation: communities become super-nodes; internal weight
     // stays inside k (Σtot) and out of the edge list — self-loops
     // never enter gains
@@ -1202,10 +1241,36 @@ object GraphPack extends QueryPack {
       .select(col("lbl").as("node"), col("k")))
     var lbl2 = ckpt(superK.select(col("node"), col("node").as("lbl")))
     for (r <- 1 to rounds) lbl2 = sweep(lbl2, superE, superK, r)
+    // the refinement must run after EVERY local-move phase (the
+    // paper's requirement): level-2 moves re-create the defect one
+    // level up — a super-node joins a community through a neighbor
+    // that later leaves. Refining only level 1 measurably left one
+    // disconnected community at gate scale (caught by the spec).
+    val lbl2r = if (!refine) lbl2 else {
+      val intra2 = superE.where(col("src") < col("dst"))
+        .join(lbl2.select(col("node").as("src"), col("lbl").as("cu")),
+          "src")
+        .join(lbl2.select(col("node").as("dst"), col("lbl").as("cv")),
+          "dst")
+        .where(col("cu") === col("cv"))
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      val comp2 = graft.operators.Dedup.connectedComponents(intra2)
+        .withColumnRenamed("doc_id", "node")
+      ckpt(lbl2.join(comp2, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("cluster_id"), col("node")).as("lbl"))
+        .repartition(col("node")))
+    }
     val fin = ckpt(lbl.select(col("node"), col("lbl").as("c1"))
-      .join(lbl2.select(col("node").as("c1"), col("lbl").as("community")),
+      .join(lbl2r.select(col("node").as("c1"), col("lbl").as("community")),
         "c1")
       .select("node", "community"))
+    (fin, undW, ktab, m2)
+  }
+
+  /** Top-10 communities + global weighted Q over a membership. */
+  private def louvainReadout(fin: DataFrame, undW: DataFrame,
+      ktab: DataFrame, m2: Long, qCol: String): DataFrame = {
     // weighted-modularity readout (q_modularity's integer fold)
     val degC = fin.join(ktab, "node").groupBy("community")
       .agg(sum("k").as("s_tot"), count(lit(1)).as("n_nodes"))
@@ -1231,8 +1296,36 @@ object GraphPack extends QueryPack {
         round(col("aa").cast("double") / lit(mw.toDouble)
           - col("bb").cast("double")
             / (lit(4.0) * lit(mw.toDouble) * lit(mw.toDouble)), 6)
-          .as("q_louvain"))
+          .as(qCol))
   }
+
+  /** Leiden-refined Louvain (Traag, Waltman & van Eck, Scientific
+    * Reports 2019; round 15) — Louvain's documented defect, repaired:
+    * a local-move phase can leave a community INTERNALLY DISCONNECTED
+    * (a bridge node joins two far ends, then moves on — the parts stay
+    * labeled together with no path between them), and aggregation
+    * freezes the damage. Leiden's guarantee phase splits every
+    * community into its CONNECTED parts before aggregating; here that
+    * is literally the gated CC operator run on the within-community
+    * edge subgraph (component-min relabel — refined ids are canonical
+    * min member ids), between [[louvainFrom]]'s level-1 sweeps and its
+    * contraction. Everything else (parity sweeps, integer gains,
+    * aggregation, level 2, the weighted-Q fold) is the Louvain kernel
+    * unchanged. The spec proves the guarantee on sf data — every
+    * emitted community is internally connected — and pins a planted
+    * barbell where plain Louvain's labels straddle a cut. Scale: the
+    * refinement is one CC call on an edge subset (the adaptive
+    * union-find/min-label machinery with its own 100 TB path);
+    * singleton communities never enter it. */
+  private def leiden(s: SparkSession, d: String): DataFrame =
+    leidenFrom(copurchaseEdgesW(s, d, minSupport = 2), LouvainRounds)
+
+  /** The refined two-level kernel — public to the test JVM. */
+  private[graft] def leidenFrom(undW0: DataFrame,
+      rounds: Int = LouvainRounds,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame =
+    louvainCore(undW0, rounds, ckpt, refine = true, qCol = "q_leiden")
 
   /** Degree assortativity (Newman, PRL 2002) — does the graph wire
     * hub-to-hub (r > 0, social-style) or hub-to-leaf (r < 0,
@@ -1923,6 +2016,10 @@ object GraphPack extends QueryPack {
     // local moves + community aggregation — the objective-driven
     // upgrade over label propagation; see louvainFrom.
     "q_louvain" -> ((s, d) => louvain(s, d)),
+    // Leiden refinement (round 15): Louvain + the connectivity split
+    // between level 1 and aggregation — no community can be emitted
+    // internally disconnected; see leidenFrom.
+    "q_leiden" -> ((s, d) => leiden(s, d)),
     "q_sssp" -> ((s, d) => sssp(s, d)),
     "q_hits" -> ((s, d) => hits(s, d)),
     "q_modularity" -> ((s, d) => modularity(s, d)),
@@ -2112,7 +2209,16 @@ object GraphPack extends QueryPack {
   /** The Louvain replay: chained parallel-sweep CTEs at both levels,
     * contraction between them, the weighted-modularity fold at the
     * end — every gain an exact integer on the shared 2m scalar. */
-  private def louvainSql: String = {
+  private def louvainSql: String =
+    louvainSqlCore(refine = false, qCol = "q_louvain")
+
+  /** The Leiden replay: louvainSql plus the connectivity-split CTEs
+    * (recursive reachability over within-community edges, component-
+    * min relabel) between level 1 and the contraction. */
+  private def leidenSql: String =
+    louvainSqlCore(refine = true, qCol = "q_leiden")
+
+  private def louvainSqlCore(refine: Boolean, qCol: String): String = {
     // one parity-alternating local-move sweep: out = argmax-gain
     // relabel of prev on this sweep's color, prefer-stay ties
     def sweepSql(out: String, prev: String, e: String, kt: String,
@@ -2147,9 +2253,50 @@ object GraphPack extends QueryPack {
     val lvl2 = (1 to LouvainRounds)
       .map(r => sweepSql(s"v$r", s"v${r - 1}", "se", "kt2", r))
       .mkString(",\n")
-    val lf = s"l$LouvainRounds"
+    val lf0 = s"l$LouvainRounds"
     val vf = s"v$LouvainRounds"
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    // refinement: recursive reachability over within-community edges,
+    // component-min relabel; singleton communities keep their own id
+    val refineCtes =
+      s""",
+         |ie AS MATERIALIZED (SELECT undw.u, undw.v FROM undw
+         |  JOIN $lf0 lu ON lu.node = undw.u
+         |  JOIN $lf0 lv ON lv.node = undw.v
+         |  WHERE lu.lbl = lv.lbl),
+         |ebi AS (SELECT u AS src, v AS dst FROM ie
+         |  UNION ALL SELECT v, u FROM ie),
+         |nn2 AS (SELECT DISTINCT src AS id FROM ebi),
+         |rch AS (SELECT id, id AS r FROM nn2
+         |  UNION SELECT ebi.src, rch.r FROM ebi JOIN rch
+         |    ON rch.id = ebi.dst),
+         |cmp AS MATERIALIZED (SELECT id AS node, min(r) AS cluster_id
+         |  FROM rch GROUP BY 1),
+         |rf AS MATERIALIZED (SELECT l.node,
+         |    coalesce(c.cluster_id, l.node) AS lbl
+         |  FROM $lf0 l LEFT JOIN cmp c USING (node))""".stripMargin
+    val lf = if (refine) "rf" else lf0
+    // second refinement, after the level-2 sweeps: split level-2
+    // communities into connected SUPER-NODE parts over the super edges
+    val refine2Ctes =
+      s""",
+         |ie2 AS MATERIALIZED (SELECT se.src AS u, se.dst AS v FROM se
+         |  JOIN $vf lu ON lu.node = se.src
+         |  JOIN $vf lv ON lv.node = se.dst
+         |  WHERE lu.lbl = lv.lbl AND se.src < se.dst),
+         |ebi2 AS (SELECT u AS src, v AS dst FROM ie2
+         |  UNION ALL SELECT v, u FROM ie2),
+         |nn3 AS (SELECT DISTINCT src AS id FROM ebi2),
+         |rch2 AS (SELECT id, id AS r FROM nn3
+         |  UNION SELECT ebi2.src, rch2.r FROM ebi2 JOIN rch2
+         |    ON rch2.id = ebi2.dst),
+         |cmp2 AS MATERIALIZED (SELECT id AS node, min(r) AS cluster_id
+         |  FROM rch2 GROUP BY 1),
+         |rf2 AS MATERIALIZED (SELECT l.node,
+         |    coalesce(c.cluster_id, l.node) AS lbl
+         |  FROM $vf l LEFT JOIN cmp2 c USING (node))""".stripMargin
+    val vfF = if (refine) "rf2" else vf
+    s"""WITH RECURSIVE
+       |li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
        |    FROM lineitem),
        |undw AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*) AS w
        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
@@ -2160,7 +2307,7 @@ object GraphPack extends QueryPack {
        |  FROM e GROUP BY 1),
        |mm AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM e),
        |l0 AS (SELECT node, node AS lbl FROM kt),
-       |$lvl1,
+       |$lvl1${if (refine) refineCtes else ""},
        |se AS MATERIALIZED (SELECT ls.lbl AS src, ld.lbl AS dst,
        |    CAST(sum(e.w) AS BIGINT) AS w
        |  FROM e JOIN $lf ls ON ls.node = e.src
@@ -2170,9 +2317,9 @@ object GraphPack extends QueryPack {
        |    CAST(sum(k.k) AS BIGINT) AS k
        |  FROM $lf l JOIN kt k USING (node) GROUP BY 1),
        |v0 AS (SELECT node, node AS lbl FROM kt2),
-       |$lvl2,
+       |$lvl2${if (refine) refine2Ctes else ""},
        |fin AS MATERIALIZED (SELECT l.node, v.lbl AS community
-       |  FROM $lf l JOIN $vf v ON v.node = l.lbl),
+       |  FROM $lf l JOIN $vfF v ON v.node = l.lbl),
        |degc AS (SELECT f.community, CAST(sum(k.k) AS BIGINT) AS s_tot,
        |    count(*) AS n_nodes
        |  FROM fin f JOIN kt k USING (node) GROUP BY 1),
@@ -2193,12 +2340,13 @@ object GraphPack extends QueryPack {
        |  community, n_nodes, CAST(w_in AS BIGINT) AS w_in,
        |  CAST(s_tot AS BIGINT) AS s_tot, n_comms,
        |  round(CAST(aa AS DOUBLE) / mw
-       |    - CAST(bb AS DOUBLE) / (4.0 * mw * mw), 6) AS q_louvain
+       |    - CAST(bb AS DOUBLE) / (4.0 * mw * mw), 6) AS $qCol
        |FROM top CROSS JOIN gl CROSS JOIN mw""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
     "q_louvain" -> louvainSql,
+    "q_leiden" -> leidenSql,
     "q_mst" -> mstSql,
     "q_closeness" -> closenessSql,
     "q_betweenness" -> betweennessSql,

@@ -352,6 +352,52 @@ class GraphPackSpec extends SparkSpec {
     info(s"louvain Q=$q over $nc communities")
   }
 
+  test("leidenFrom: every emitted community is internally connected " +
+      "(the Leiden guarantee) and the two-triangle optimum is preserved") {
+    // two triangles: refinement is a no-op on an already-connected
+    // partition — same Q = 0.5 as louvainFrom
+    val und = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (10L, 11L, 1L), (10L, 12L, 1L), (11L, 12L, 1L)).toDF("u", "v", "w")
+    val rows = GraphPack.leidenFrom(und).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[Double]("q_leiden") === 0.5))
+    // the guarantee, checked on the FULL sf membership: within each
+    // community, CC over its internal edges must find one component
+    val edges = {
+      // the same graph q_louvain runs on
+      val li = graft.Tables.lineitem(s, sfDir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+    }
+    def disconnectedComms(refine: Boolean): Long = {
+      val (fin, undW, _, _) = GraphPack.louvainMembership(edges,
+        GraphPack.LouvainRounds,
+        graft.operators.CheckpointStrategy.Local, refine)
+      val intra = undW
+        .join(fin.select(col("node").as("u"), col("community").as("cu")), "u")
+        .join(fin.select(col("node").as("v"), col("community").as("cv")), "v")
+        .where(col("cu") === col("cv"))
+      val comp = graft.operators.Dedup.connectedComponents(
+          intra.select(col("u").as("id_a"), col("v").as("id_b")))
+        .withColumnRenamed("doc_id", "node")
+      fin.join(comp, Seq("node"), "left")
+        .groupBy("community")
+        .agg(countDistinct(coalesce(col("cluster_id"), col("node")))
+          .as("parts"))
+        .agg(sum(when(col("parts") > 1, 1L).otherwise(0L)))
+        .head().getLong(0)
+    }
+    assert(disconnectedComms(refine = true) === 0L,
+      "Leiden must emit only internally-connected communities")
+    info(s"plain Louvain disconnected communities on sf data: " +
+      s"${disconnectedComms(refine = false)}")
+  }
+
   test("modularityFrom scores two disjoint triangles at Q = 0.5") {
     // LPA resolves each triangle to its min label; m = 6, each
     // community has e_c = 3, deg_c = 6 → per-community contribution

@@ -272,7 +272,10 @@ class PlanSpec extends SparkSpec {
     *     pattern; the 30-row barycenter cross inside each pass is
     *     behind the checkpoint seam);
     *   q_pagerank_ppr — the 1-row touched-count broadcast onto the
-    *     top-20 (q_sssp's pattern). */
+    *     top-20 (q_sssp's pattern);
+    *   q_louvain / q_leiden — the 1-row global-Q fold (Σw_in, ΣΣtot²,
+    *     community count) broadcast onto the top-10 community rows
+    *     (q_modularity's pattern). */
   private val bnljAllowed: Set[String] =
     Set("ann_topk", "ann_recall", "ann_pq", "ann_pq_rerank",
       "ann_recall_sweep", "ann_trained_recall", "km_silhouette_exact", "text_tfidf",
@@ -288,7 +291,7 @@ class PlanSpec extends SparkSpec {
       "q_mst", "q_ks_test", "q_neyman", "q_record_link", "q_dtw",
       "q_clustcoef", "q_record_link_em", "q_record_link_thresh",
       "dedup_eval_sampled", "q_dtw_barycenter_iter", "q_diameter_exact",
-      "q_pagerank_ppr")
+      "q_pagerank_ppr", "q_louvain", "q_leiden")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
