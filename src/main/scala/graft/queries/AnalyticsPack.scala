@@ -1458,6 +1458,13 @@ object AnalyticsPack extends QueryPack {
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame =
     graft.operators.SessionScope.withAqeOff(daily.sparkSession) { s2 =>
+    // quarter-parallelism like the rest of the DTW family — and NOT
+    // np=1: the q_mst single-task lever was tried here and MEASURED
+    // WORSE (24.7 s vs ~18 s at /4) — unlike mst's label tables, the
+    // per-step windows and the marking joins still win from real
+    // parallelism across the 2T chain groups; the key is
+    // chain-length-bound, not task-floor-bound (round-16 candidate:
+    // fold two DP rows per step)
     s2.conf.set("spark.sql.shuffle.partitions", math.max(1,
       s2.sparkContext.defaultParallelism / 4).toString)
     s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
