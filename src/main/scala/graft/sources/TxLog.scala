@@ -199,9 +199,16 @@ final class TxLogTable(root: String,
   // safe across instances (round-13 ADVICE)
   @volatile private var memo: Option[(Long, Seq[String], Set[Long])] = None
 
-  /** Fold of checkpoint + subsequent entries up to `version`. */
+  /** Fold of checkpoint + subsequent entries up to `version`.
+    * Throws if `version` is no longer reconstructible: after
+    * retention deletes entries at/below a checkpoint, a request for a
+    * version whose entries are gone and that no checkpoint serves must
+    * FAIL, not silently answer from the nearest older checkpoint with
+    * stale state (round-14 ADVICE — Delta raises VersionNotFound for
+    * the same gap). */
   private def foldState(version: Long): (Seq[String], Set[Long]) = {
-    val vs = listVersions().takeWhile(_ <= version)
+    val all = listVersions()
+    val vs = all.takeWhile(_ <= version)
     val latest = vs.lastOption.getOrElse(0L)
     memo match {
       case Some((v, l, t)) if v == latest && latest >= version => return (l, t)
@@ -210,6 +217,21 @@ final class TxLogTable(root: String,
       case _ => ()
     }
     val ck = listCheckpoints().filter(_ <= version).lastOption
+    // reconstructibility gate: every entry in (checkpoint, target]
+    // must still exist (versions are contiguous by the commit
+    // protocol, so any hole is retention damage, not a skipped number)
+    val target =
+      if (version == Long.MaxValue) latest
+      else math.min(version, all.lastOption.getOrElse(0L))
+    val base = ck.getOrElse(0L)
+    if (target > base) {
+      val have = vs.filter(_ > base).toSet
+      val missing = (base + 1 to target).filterNot(have.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"version $version is not reconstructible: log entries " +
+        s"${missing.mkString(",")} were retention-deleted and no " +
+        s"checkpoint at or above ${missing.max} survives")
+    }
     val (live0, txns0) = ck.map(readCheckpoint)
       .getOrElse((Seq.empty[String], Set.empty[Long]))
     val live = collection.mutable.LinkedHashSet(live0: _*)
@@ -221,7 +243,12 @@ final class TxLogTable(root: String,
       txn.foreach(t => txns += t)
     }
     val out = (live.toSeq, txns)
-    if (version >= latest) memo = Some((latest, out._1, out._2))
+    // memoize only full-log folds: after retention deletes a prefix,
+    // a truncated `vs` can be empty for a checkpoint-served version,
+    // and keying the memo at its (zero) last entry would poison later
+    // lookups for genuinely-empty folds
+    if (version >= all.lastOption.getOrElse(0L))
+      memo = Some((latest, out._1, out._2))
     out
   }
 
@@ -332,15 +359,66 @@ final class TxLogTable(root: String,
     * Returns the committed version, None if nothing to do or aborted. */
   def optimize(spark: SparkSession,
       bucketCol: Option[String] = None): Option[Long] = {
-    val live = liveFiles()
+    // anchor the commit at the version the live set was read at: any
+    // racer committing during the rewrite then forces the
+    // FileAlreadyExists path, where the `liveFiles() == live` check
+    // correctly aborts the stale compaction (round-14 ADVICE, high —
+    // previously only a same-version collision triggered the check,
+    // so a racer landing at a later version was silently rebuilt upon,
+    // resurrecting rows it had removed)
+    val v0 = currentVersion()
+    val live = liveFiles(v0)
     if (live.size <= 1) return None
-    val df = snapshot(spark).get
+    val df = spark.read.parquet(
+      live.map(f => dataDir.resolve(f).toString): _*)
     val added = bucketCol match {
       case Some(b) => writeBucketFiles(df, b)
       case None => writeDataFiles(df)
     }
     val v = commit(added, live, txn = None, rebase = _ =>
-      if (liveFiles() == live) Some((added, live)) else None)
+      if (liveFiles() == live) Some((added, live)) else None,
+      readVersion = v0)
+    if (v < 0L) None else Some(v)
+  }
+
+  /** Size-targeted OPTIMIZE — the bin-packing face of [[optimize]]:
+    * only live files SMALLER than `targetBytes` are rewrite
+    * candidates, packed greedily (largest-first first-fit, the
+    * classic FFD bound) into bins of ≤ `targetBytes` input bytes, so
+    * already-compacted files are never rewritten and amplification
+    * per run is bounded by the small-file tail's size rather than the
+    * table's. A table whose small tail is a single file is already
+    * optimal — returns None without writing (the second-run no-op).
+    * Same stale-snapshot abort discipline as [[optimize]]: the commit
+    * is anchored at the read version, and any concurrent data commit
+    * aborts the compaction (orphaned rewrite ages out via vacuum). */
+  def optimizePacked(spark: SparkSession, targetBytes: Long): Option[Long] = {
+    require(targetBytes > 0L, s"targetBytes must be > 0, got $targetBytes")
+    val v0 = currentVersion()
+    val live = liveFiles(v0)
+    val sized = live.map(f => f -> Files.size(dataDir.resolve(f)))
+    val small = sized.filter(_._2 < targetBytes)
+    if (small.size <= 1) return None
+    // first-fit decreasing over input sizes: deterministic (stable
+    // sort on (size desc, name)), and never produces more bins than
+    // files so the rewrite strictly reduces the file count
+    val bins = collection.mutable.ArrayBuffer.empty[
+      (collection.mutable.ArrayBuffer[String], Long)]
+    small.sortBy { case (n, s) => (-s, n) }.foreach { case (n, s) =>
+      bins.indexWhere(_._2 + s <= targetBytes) match {
+        case -1 => bins += ((collection.mutable.ArrayBuffer(n), s))
+        case i => bins(i)._1 += n
+          bins(i) = (bins(i)._1, bins(i)._2 + s)
+      }
+    }
+    val removed = small.map(_._1)
+    val added = bins.toSeq.flatMap { case (names, _) =>
+      writeDataFiles(spark.read.parquet(
+        names.toSeq.map(f => dataDir.resolve(f).toString): _*))
+    }
+    val v = commit(added, removed, txn = None, rebase = _ =>
+      if (liveFiles() == live) Some((added, removed)) else None,
+      readVersion = v0)
     if (v < 0L) None else Some(v)
   }
 
@@ -381,6 +459,15 @@ final class TxLogTable(root: String,
       try withWalk(s)(_.toSeq.reverse.foreach(Files.deleteIfExists))
       catch { case _: java.io.IOException => () }
     }
+    // log-dir temp sweep (round-14 ADVICE): a crash between
+    // createTempFile and the atomic move in writeCheckpoint (or a
+    // publisher's temp write) strands `.ckpt-*/.ptr-*/.publish-*.tmp`
+    // files under _txlog forever — same age guard, same GC pass
+    if (Files.isDirectory(logDir)) {
+      val tmps = withList(logDir)(_.filter(p =>
+        p.getFileName.toString.endsWith(".tmp") && oldEnough(p)).toSeq)
+      tmps.foreach(Files.deleteIfExists)
+    }
     victims.map { p =>
       Files.deleteIfExists(p)
       p.getFileName.toString
@@ -388,11 +475,22 @@ final class TxLogTable(root: String,
   }
 
   def commit(add: Seq[String], remove: Seq[String], txn: Option[Long],
-      rebase: Long => Option[(Seq[String], Seq[String])] = v => None)
+      rebase: Long => Option[(Seq[String], Seq[String])] = v => None,
+      readVersion: Long = -1L)
       : Long = {
     Files.createDirectories(logDir)
     var (a, r) = (add, remove)
-    var attempt = currentVersion() + 1
+    // Delta's optimistic protocol anchors the FIRST attempt at the
+    // version the caller's snapshot was READ at, not at commit-call
+    // time (round-14 ADVICE, high): computing `currentVersion() + 1`
+    // here silently builds on any racer that committed inside the
+    // caller's read→commit window (optimize's whole rewrite sits in
+    // that window) — the racer's version never collides, so the rebase
+    // validity check never runs and the racer's removals are
+    // resurrected. With readVersion anchored, an intervening commit
+    // forces FileAlreadyExists on the first publish, and the caller's
+    // rebase decides whether its (add, remove) is still valid.
+    var attempt = (if (readVersion >= 0L) readVersion else currentVersion()) + 1
     while (true) {
       try {
         publisher.publish(logDir, entryName(attempt),
@@ -478,6 +576,10 @@ final class TxLogStore(root: String,
     val m = merged.localCheckpoint(true)
     val touched = m.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
+    // anchor at the read version so ANY concurrent commit (not just a
+    // same-version collision) routes through the rebase below, which
+    // recomputes the removal set against the new snapshot
+    val v0 = table.currentVersion()
     val prior = table.snapshot(spark)
     // files whose rows are ALL in untouched buckets stay; files
     // containing any touched-bucket row are replaced (their untouched
@@ -508,6 +610,6 @@ final class TxLogStore(root: String,
         val names2 = table.liveFiles()
         Some((added, names2.filter(removed.toSet)))
       }
-    })
+    }, readVersion = v0)
   }
 }

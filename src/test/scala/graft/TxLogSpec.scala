@@ -477,4 +477,127 @@ class TxLogSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
+
+  test("readVersion anchors the first publish: a racer committing a " +
+      "LATER version inside the read→commit window forces the rebase " +
+      "check instead of being silently built upon") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(Seq((1, "old")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(1L)) === 1L)
+      val f2 = table.writeDataFiles(Seq((2, "x")).toDF("k", "v"))
+      assert(table.commit(f2, Nil, Some(2L)) === 2L)
+      // a stale compactor reads at v2...
+      val v0 = table.currentVersion()
+      val live = table.liveFiles(v0)
+      val rewrite = table.writeDataFiles(
+        table.snapshot(spark, v0).get)
+      // ...then a racer REPLACES f1 with f1' at v3, entirely between
+      // the compactor's read and its commit call (the round-14 ADVICE
+      // window: no same-version collision ever happens without the
+      // readVersion anchor, because commit used to compute its first
+      // attempt from currentVersion() at call time = v4)
+      val racer = new TxLogTable(dir)
+      val f1b = racer.writeDataFiles(Seq((1, "new")).toDF("k", "v"))
+      assert(racer.commit(f1b, f1, Some(99L)) === 3L)
+      // the anchored commit must collide at v3 and abort via rebase
+      val v = table.commit(rewrite, live, txn = None, rebase = _ =>
+        if (table.liveFiles() == live) Some((rewrite, live)) else None,
+        readVersion = v0)
+      assert(v === -1L, "stale compaction over a racer must abort")
+      val rows = new TxLogTable(dir).snapshot(spark).get
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(rows === Set((1, "new"), (2, "x")),
+        "the racer's replacement survives; the pre-racer rows are " +
+        "not resurrected")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("optimizePacked: only the small-file tail is rewritten toward " +
+      "the target size; a second run is a no-op") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      // one LARGE file (many rows) + three small ones
+      val big = table.writeDataFiles(
+        spark.range(200000).selectExpr("cast(id as int) k",
+          "concat('v', cast(id as string)) v"))
+      assert(table.commit(big, Nil, Some(1L)) === 1L)
+      val smalls = (2 to 4).map { i =>
+        val f = table.writeDataFiles(Seq((1000000 + i, s"s$i")).toDF("k", "v"))
+        assert(table.commit(f, Nil, Some(i.toLong)) === i.toLong)
+        f
+      }
+      val dataDir = java.nio.file.Paths.get(dir, "data")
+      val bigBytes = java.nio.file.Files.size(dataDir.resolve(big.head))
+      val target = bigBytes // smalls are well under; big is NOT < target
+      val v = table.optimizePacked(spark, target)
+      assert(v === Some(5L))
+      val liveNow = table.liveFiles()
+      assert(liveNow.contains(big.head),
+        "an already-large file is never rewritten")
+      assert(liveNow.size === 2,
+        s"three small files pack into one, got $liveNow")
+      assert(table.snapshot(spark).get.count() === 200003L,
+        "a layout move never changes values")
+      // second run: the packed file plus the big file have no
+      // 2-file small tail left to merge
+      assert(table.optimizePacked(spark, target).isEmpty,
+        "a packed table is a no-op for the same target")
+      // bins respect the target: two smalls that together exceed a
+      // tiny target stay in separate bins (still a rewrite, but never
+      // an over-target output)
+      val smallBytes = java.nio.file.Files.size(
+        dataDir.resolve(table.liveFiles().filterNot(_ == big.head).head))
+      assert(smallBytes < target)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("a retention-gapped version THROWS instead of answering from a " +
+      "stale checkpoint; vacuum sweeps stranded _txlog temp files") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir,
+        graft.sources.LogPublisher.HardLink, checkpointInterval = 3)
+      val files = (1 to 7).map { i =>
+        val f = table.writeDataFiles(Seq((i, s"v$i")).toDF("k", "v"))
+        val prev = if (i == 1) Nil else table.liveFiles()
+        assert(table.commit(f, prev, Some(i.toLong)) === i.toLong)
+        f
+      }
+      val logDir = java.nio.file.Paths.get(dir, "_txlog")
+      // retention-delete entries 1..6 (checkpoints at 3 and 6 survive)
+      (1 to 6).foreach(v => java.nio.file.Files
+        .delete(logDir.resolve(f"${v.toLong}%020d.json")))
+      val cold = new TxLogTable(dir,
+        graft.sources.LogPublisher.HardLink, checkpointInterval = 3)
+      // versions a checkpoint serves exactly, and the current fold,
+      // still work
+      assert(cold.liveFiles(6L) === files(5))
+      assert(cold.liveFiles() === files(6))
+      // v4 needs entry 4 past the v3 checkpoint — gone: must THROW,
+      // not answer with v3's state (round-14 ADVICE: Delta raises
+      // VersionNotFound for the same gap)
+      val e = intercept[IllegalStateException](cold.liveFiles(4L))
+      assert(e.getMessage.contains("not reconstructible"))
+      // stranded checkpoint/pointer temp files (a crash between
+      // createTempFile and the atomic move) are vacuumed with the
+      // same age guard as data files
+      val strand1 = java.nio.file.Files
+        .createTempFile(logDir, ".ckpt-", ".tmp")
+      val strand2 = java.nio.file.Files
+        .createTempFile(logDir, ".ptr-", ".tmp")
+      assert(cold.vacuum().isEmpty && java.nio.file.Files.exists(strand1),
+        "young temp files are protected by the age guard")
+      cold.vacuum(minAgeMs = 0L)
+      assert(!java.nio.file.Files.exists(strand1)
+        && !java.nio.file.Files.exists(strand2),
+        "aged log-dir temp files are swept")
+      assert(cold.liveFiles() === files(6), "the log itself is intact")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }
