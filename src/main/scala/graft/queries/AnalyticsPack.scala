@@ -1283,32 +1283,6 @@ object AnalyticsPack extends QueryPack {
     out.result()
   }
 
-  /** [[dtwChainAll]] returning the WHOLE tagged D cube (i, ta, tb, j,
-    * d) as ONE periodically-checkpointed accumulator frame. A lazy
-    * 30-frame union looks free but re-plans every lazy row's window
-    * chain as its own adaptive subquery at collect time — the
-    * barycenter's first cut spent 23 s across 404 tiny jobs exactly
-    * there; folding rows into a checkpointed accumulator every few
-    * rounds makes the marking join read a single leaf. */
-  private def dtwChainCube(cost: DataFrame,
-      ckpt: graft.operators.CheckpointStrategy): DataFrame = {
-    val rows = dtwChainAll(cost, ckpt)
-    var acc: DataFrame = null
-    var pending = Vector.empty[DataFrame]
-    def tag(i: Int, f: DataFrame): DataFrame =
-      f.select(lit(i).cast("int").as("i"), col("ta"), col("tb"),
-        col("j"), col("d"))
-    rows.foreach { case (i, f) =>
-      pending :+= tag(i, f)
-      if (pending.size >= 6 || i == DtwDays - 1) {
-        val batch = pending.reduce(_ unionByName _)
-        acc = ckpt(if (acc == null) batch else acc.unionByName(batch))
-        pending = Vector.empty
-      }
-    }
-    acc
-  }
-
   /** Banded DTW over any (`event_type`, `day`, `n`) daily-count frame
     * — public to the test JVM so the spec can pin band=∞ ≡ [[dtwFrom]]
     * and the band's refusal to absorb a whole-series warp. */
@@ -1363,56 +1337,87 @@ object AnalyticsPack extends QueryPack {
   private[graft] def dtwBarycenterFrom(daily: DataFrame,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame =
-    graft.operators.SessionScope.withAqeOff(daily.sparkSession) { s2 =>
+    graft.operators.SessionScope.cloned(daily.sparkSession) { s2 =>
+    // Round 16 rebuild, same move as the iter key: the all-pairs +
+    // medoid-pair chains (2 × 30 sequential window steps on a parked
+    // (ta, tb) layout) were planning/job-floor-bound for kilobyte
+    // pair groups. Each pair's 30×30 DP now runs as ONE
+    // higher-order-function projection per pair row — value-identical
+    // to the window decomposition (exact integer L1 DTW either way;
+    // the oracle replays the window form and hashes match). Pairs are
+    // independent rows, so the all-pairs phase scales out; only the
+    // medoid tag (one value) crosses the driver.
     s2.conf.set("spark.sql.shuffle.partitions", math.max(1,
       s2.sparkContext.defaultParallelism / 4).toString)
-    s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     val d2 = org.apache.spark.sql.graftbridge.SessionBridge
       .rebind(daily, s2)
-    val full = ckpt(dtwFull(d2))
-    val cost = ckpt(dtwCostFrom(full)
-      .repartition(col("ta"), col("tb")))
-    // phase 1: ONE all-pairs forward chain, kept as the tagged cube —
-    // it serves three masters (pairwise totals for the medoid, the
-    // forward side of the marking, and the per-pair totals the cells
-    // filter against), so the medoid-pair re-run of the first cut is
-    // gone (3 chains → 2)
-    val fwd = dtwChainCube(cost.select("ta", "tb", "i", "j", "cst"),
-      ckpt)
-    val last = lit(DtwDays - 1)
-    val totals = fwd.where(col("i") === last && col("j") === last)
-      .select(col("ta"), col("tb"), col("d").as("tot"))
-    val med = totals.select(col("ta").as("t"), col("tot"))
-      .unionByName(totals.select(col("tb").as("t"), col("tot")))
+    val L = DtwDays - 1
+    val series = ckpt(dtwFull(d2).groupBy("t")
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), " +
+        "x -> x.c)").as("cs")))
+    def dpSql(x: String): String =
+      s"""aggregate(
+         |  sequence(1, $L),
+         |  array(aggregate(sequence(1, $L), array($x[0][0]),
+         |    (r, j) -> array_append(r, element_at(r, -1) + $x[0][j]))),
+         |  (acc, i) -> array_append(acc,
+         |    aggregate(sequence(1, $L),
+         |      array($x[i][0] + element_at(acc, -1)[0]),
+         |      (r, j) -> array_append(r, $x[i][j] + least(
+         |        element_at(r, -1),
+         |        element_at(acc, -1)[j - 1],
+         |        element_at(acc, -1)[j])))))""".stripMargin
+    // phase 1: per-pair totals in one projection over the pair frame
+    val pairs = ckpt(series.select(col("t").as("ta"), col("cs").as("ca"))
+      .join(series.select(col("t").as("tb"), col("cs").as("cb")),
+        col("ta") < col("tb"))
+      .withColumn("m", expr(
+        "transform(ca, ai -> transform(cb, bj -> abs(ai - bj)))"))
+      .withColumn("dd", expr(dpSql("m")))
+      .withColumn("tot", expr(s"dd[$L][$L]"))
+      .select("ta", "tb", "ca", "cb", "m", "dd", "tot"))
+    // medoid: min symmetrized row sum, ties to the smaller type
+    val mt = pairs.select(col("ta").as("t"), col("tot"))
+      .unionByName(pairs.select(col("tb").as("t"), col("tot")))
       .groupBy("t").agg(sum("tot").as("s"))
       .agg(min(struct(col("s"), col("t"))).as("m"))
-      .select(col("m.t").as("mt"))
-    // phase 2: only the REVERSE chain re-runs, on the cost cube
-    // FILTERED to medoid pairs — two equi-joins (disjoint: ta < tb
-    // forbids both sides matching), not one OR condition, which would
-    // plan a nested-loop join
-    val costM = ckpt(cost.join(broadcast(med), col("ta") === col("mt"))
-      .unionByName(cost.join(broadcast(med), col("tb") === col("mt"))))
-    val costR = costM.select(col("ta"), col("tb"),
-      (last - col("i")).cast("int").as("i"),
-      (last - col("j")).cast("int").as("j"), col("cst"))
-    val rev = dtwChainCube(costR, ckpt)
-      .select(col("ta"), col("tb"), (last - col("i")).cast("int").as("i"),
-        (last - col("j")).cast("int").as("j"), col("d").as("dr"))
-    val totM = totals
-    // phase 3: mark cells on optimal paths, fold to the medoid axis
-    val cells = fwd.join(rev, Seq("ta", "tb", "i", "j"))
-      .join(costM, Seq("ta", "tb", "i", "j"))
-      .join(totM, Seq("ta", "tb"))
-      .where(col("d") + col("dr") - col("cst") === col("tot"))
-      .select(when(col("ta") === col("mt"), col("i")).otherwise(col("j"))
-          .as("mi"),
-        when(col("ta") === col("mt"), col("cb")).otherwise(col("ca"))
-          .as("av"))
-    val own = full.join(broadcast(med), col("t") === col("mt"))
-      .select(col("t").as("medoid"), col("i").as("mi"), col("c").as("mc"))
-    cells.groupBy("mi")
-      .agg(count(lit(1)).as("n_align"), sum("av").as("sum_c"))
+      .select(col("m.t")).collect()(0).getString(0)
+    // phases 2+3 run only on the medoid's T−1 pairs: reverse DP, then
+    // the all-paths marking (D + R − cst = tot) folded to the medoid
+    // axis in-row — mi = i when the medoid is ta, else j; av = the
+    // OTHER series' value at the aligned cell
+    val medPairs = pairs.where(col("ta") === mt || col("tb") === mt)
+      .withColumn("mr", expr(
+        s"transform(sequence(0, $L), i -> transform(sequence(0, $L), " +
+        s"j -> m[$L - i][$L - j]))"))
+      .withColumn("dr", expr(dpSql("mr")))
+      .select(col("ta"), col("tb"), col("ca"), col("cb"),
+        expr(s"""CASE WHEN ta = '$mt' THEN
+                |  transform(sequence(0, $L), i ->
+                |    size(filter(sequence(0, $L), j ->
+                |      dd[i][j] + dr[$L - i][$L - j] - m[i][j] = tot)))
+                |ELSE
+                |  transform(sequence(0, $L), j ->
+                |    size(filter(sequence(0, $L), i ->
+                |      dd[i][j] + dr[$L - i][$L - j] - m[i][j] = tot)))
+                |END""".stripMargin).as("na"),
+        expr(s"""CASE WHEN ta = '$mt' THEN
+                |  transform(sequence(0, $L), i ->
+                |    aggregate(filter(sequence(0, $L), j ->
+                |      dd[i][j] + dr[$L - i][$L - j] - m[i][j] = tot),
+                |      0L, (a, j) -> a + cb[j]))
+                |ELSE
+                |  transform(sequence(0, $L), j ->
+                |    aggregate(filter(sequence(0, $L), i ->
+                |      dd[i][j] + dr[$L - i][$L - j] - m[i][j] = tot),
+                |      0L, (a, i) -> a + ca[i]))
+                |END""".stripMargin).as("sc"))
+    val own = series.where(col("t") === mt)
+      .select(col("t").as("medoid"), posexplode(col("cs")))
+      .select(col("medoid"), col("pos").as("mi"), col("col").as("mc"))
+    medPairs.select(posexplode(arrays_zip(col("na"), col("sc"))))
+      .groupBy(col("pos").as("mi"))
+      .agg(sum("col.na").as("n_align"), sum("col.sc").as("sum_c"))
       .join(own, Seq("mi"))
       .select(col("mi").cast("int").as("i"), col("medoid"),
         col("n_align"), (col("mc") + col("sum_c")).as("sum_c"),
@@ -1457,67 +1462,96 @@ object AnalyticsPack extends QueryPack {
   private[graft] def dtwBarycenterIterFrom(daily: DataFrame,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame =
-    graft.operators.SessionScope.withAqeOff(daily.sparkSession) { s2 =>
-    // quarter-parallelism like the rest of the DTW family — and NOT
-    // np=1: the q_mst single-task lever was tried here and MEASURED
-    // WORSE (24.7 s vs ~18 s at /4) — unlike mst's label tables, the
-    // per-step windows and the marking joins still win from real
-    // parallelism across the 2T chain groups; the key is
-    // chain-length-bound, not task-floor-bound (round-16 candidate:
-    // fold two DP rows per step)
+    graft.operators.SessionScope.cloned(daily.sparkSession) { s2 =>
+    // Round 16 rebuild: the chain form (30 sequential window steps ×
+    // 2 directions × 3 passes riding a parked (ta, tb) layout) was
+    // chain-length-bound — 87 jobs and ~11 s of driver PLANNING for
+    // kilobytes of data (np=1 measured WORSE, 24.7 s: not task-floor;
+    // per-row folding measured 19.1 s at best). The whole 30×30 DP per
+    // series is a bounded per-row computation, so it now runs as ONE
+    // higher-order-function projection per (series, direction): the
+    // classic recurrence D(i,j) = cst + min(D(i,j−1), D(i−1,j−1),
+    // D(i−1,j)) as nested `aggregate` lambdas over the per-row cost
+    // matrix — value-identical to the prefix-sum/running-min window
+    // decomposition (both compute exact integer DTW₂²; the oracle
+    // replays the window form and hashes match). Per pass: one
+    // T-row projection + a 30-group fold — 3 jobs instead of ~29.
+    // Scale: rows are independent (embarrassingly parallel over T
+    // series); per-row state is the bounded DtwDays² cube. The
+    // barycenter (30 longs) is the only driver round-trip per pass —
+    // centroid-sized, the km_lloyd discipline.
     s2.conf.set("spark.sql.shuffle.partitions", math.max(1,
       s2.sparkContext.defaultParallelism / 4).toString)
-    s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     val d2 = org.apache.spark.sql.graftbridge.SessionBridge
       .rebind(daily, s2)
-    val full = ckpt(dtwFull(d2)) // (t, i, c): init + every pass's cube
-    val last = lit(DtwDays - 1)
-    var bary = ckpt(full.groupBy("i")
-      .agg(expr("sum(c) * 1000 div count(1)").as("bq")))
-    val passOut = Vector.newBuilder[DataFrame]
+    val L = DtwDays - 1
+    // one row per series: its 30-value day grid as an ordered array
+    val series = ckpt(dtwFull(d2).groupBy("t")
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), " +
+        "x -> x.c)").as("cs")))
+    // the DP cube over a cost matrix `x` (array<array<bigint>>,
+    // [barycenter axis i][series axis j]), 0-based subscripts
+    def dpSql(x: String): String =
+      s"""aggregate(
+         |  sequence(1, $L),
+         |  array(aggregate(sequence(1, $L), array($x[0][0]),
+         |    (r, j) -> array_append(r, element_at(r, -1) + $x[0][j]))),
+         |  (acc, i) -> array_append(acc,
+         |    aggregate(sequence(1, $L),
+         |      array($x[i][0] + element_at(acc, -1)[0]),
+         |      (r, j) -> array_append(r, $x[i][j] + least(
+         |        element_at(r, -1),
+         |        element_at(acc, -1)[j - 1],
+         |        element_at(acc, -1)[j])))))""".stripMargin
+    var baryArr: Seq[Long] = dtwFull(d2).groupBy("i")
+      .agg(expr("sum(c) * 1000 div count(1)").as("bq"))
+      .orderBy("i").collect().map(_.getLong(1)).toSeq
+    val passRows = Vector.newBuilder[(Int, Int, Long, Long, Long)]
     for (p <- 1 to DbaPasses) {
-      // cost vs the current barycenter: i = barycenter axis, j =
-      // series axis; the 30-row barycenter frame broadcasts
-      val costF = ckpt(full.select(col("t").as("ta"),
-          col("i").as("j"), (col("c") * 1000).as("cj"), col("c").as("cr"))
-        .crossJoin(broadcast(bary.select(col("i").as("bi"), col("bq"))))
-        .select(col("ta"), col("bi").as("i"), col("j"), col("cr"),
-          ((col("bq") - col("cj")) * (col("bq") - col("cj"))).as("cst"))
-        .repartition(col("ta")))
-      // both directions ride ONE chain: tb is the direction tag, so
-      // the (ta, tb) parked layout serves forward and reverse at once
-      val tagged = ckpt(costF
-        .select(col("ta"), lit("f").as("tb"), col("i"), col("j"), col("cst"))
-        .unionByName(costF.select(col("ta"), lit("r").as("tb"),
-          (last - col("i")).cast("int").as("i"),
-          (last - col("j")).cast("int").as("j"), col("cst")))
-        .repartition(col("ta"), col("tb")))
-      val cube = dtwChainCube(tagged, ckpt)
-      val fwd = cube.where(col("tb") === "f")
-        .select(col("ta"), col("i"), col("j"), col("d"))
-      val rev = cube.where(col("tb") === "r")
-        .select(col("ta"), (last - col("i")).cast("int").as("i"),
-          (last - col("j")).cast("int").as("j"), col("d").as("dr"))
-      val tot = ckpt(fwd.where(col("i") === last && col("j") === last)
-        .select(col("ta"), col("d").as("tot")))
-      val fre = tot.agg(sum("tot").as("frechet2")) // F(B_{p−1}), 1 row
-      val cells = fwd.join(rev, Seq("ta", "i", "j"))
-        .join(costF.select(col("ta"), col("i"), col("j"), col("cr"),
-          col("cst")), Seq("ta", "i", "j"))
-        .join(tot, Seq("ta"))
-        .where(col("d") + col("dr") - col("cst") === col("tot"))
+      val bLit = baryArr.map(_.toString + "L")
+        .mkString("array(", ",", ")")
+      // cst[i][j] = (bq_i − c_j·1000)²; the reverse direction is the
+      // index-flipped matrix; a cell (i, j) lies on an optimal path
+      // iff D(i,j) + R(L−i, L−j) − cst(i,j) equals the pair total
+      // (both sides count the cell once) — the same all-paths marking
+      // as the one-pass key, folded per barycenter index in-row
+      val perType = ckpt(series.select(col("t"), col("cs"),
+        expr(s"""transform($bLit, bi ->
+                |  transform(cs, cj -> (bi - cj * 1000L) * (bi - cj * 1000L)))"""
+          .stripMargin).as("m"))
+        .withColumn("dd", expr(dpSql("m")))
+        .withColumn("mr", expr(
+          s"transform(sequence(0, $L), i -> transform(sequence(0, $L), " +
+          s"j -> m[$L - i][$L - j]))"))
+        .withColumn("dr", expr(dpSql("mr")))
+        .withColumn("tot", expr(s"dd[$L][$L]"))
+        .select(col("t"), col("tot"),
+          expr(s"""transform(sequence(0, $L), i ->
+                  |  size(filter(sequence(0, $L), j ->
+                  |    dd[i][j] + dr[$L - i][$L - j] - m[i][j] = tot)))"""
+            .stripMargin).as("na"),
+          expr(s"""transform(sequence(0, $L), i ->
+                  |  aggregate(filter(sequence(0, $L), j ->
+                  |    dd[i][j] + dr[$L - i][$L - j] - m[i][j] = tot),
+                  |    0L, (a, j) -> a + cs[j]))""".stripMargin).as("sc")))
+      val fre = perType.agg(sum("tot")).collect()(0).getLong(0)
       // every optimal path is corner-to-corner monotone, so each
-      // barycenter index i aligns ≥ 1 cell per series — no missing rows
-      val nb = ckpt(cells.groupBy("i")
-        .agg(count(lit(1)).as("n_align"), sum("cr").as("sum_c"))
+      // barycenter index aligns ≥ 1 cell per series — no missing rows
+      val nb = perType
+        .select(posexplode(arrays_zip(col("na"), col("sc"))))
+        .groupBy(col("pos").as("i"))
+        .agg(sum("col.na").as("n_align"), sum("col.sc").as("sum_c"))
         .select(col("i"), col("n_align"),
-          expr("sum_c * 1000 div n_align").as("bq")))
-      passOut += nb.crossJoin(broadcast(fre))
-        .select(lit(p).cast("int").as("pass"), col("i").cast("int").as("i"),
-          col("n_align"), col("bq").as("bary_q"), col("frechet2"))
-      bary = nb.select("i", "bq")
+          expr("sum_c * 1000 div n_align").as("bq"))
+        .orderBy("i").collect()
+      passRows ++= nb.map(r => (p, r.getAs[Int]("i"),
+        r.getAs[Long]("n_align"), r.getAs[Long]("bq"), fre))
+      baryArr = nb.map(_.getAs[Long]("bq")).toSeq
     }
-    passOut.result().reduce(_ unionByName _)
+    // output-sized driver materialization (90 rows)
+    val out = s2.createDataFrame(passRows.result())
+      .toDF("pass", "i", "n_align", "bary_q", "frechet2")
+    out
   }
 
   def oracles: Map[String, String] = {
