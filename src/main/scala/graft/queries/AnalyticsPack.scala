@@ -154,6 +154,73 @@ object AnalyticsPack extends QueryPack {
         col("n_touched"))
   }
 
+  /** Batched multi-source personalized PageRank — the production
+    * shape of [[pprPlan]]: many source SETS ride one loop with the
+    * set tag `g` in the state key, so each round is ONE edge join and
+    * ONE (g, node) aggregate serving every set at once (the
+    * q_diameter_exact multi-source BFS census discipline applied to
+    * mass). Four sets here: part-seeds pid ∈ 1..11 grouped by
+    * pid div 3. Scale: state is Σ_g |touched_g| rows hash-partitioned
+    * on `node`, which co-locates the edge join AND satisfies the
+    * (g, node) aggregate (subset clustering); per-set top-5 ranks
+    * inside a g-partitioned window, so no global sort ever forms.
+    * Integer mass discipline identical to pprPlan (1e9 seed units,
+    * div-truncated splits — partition-order-exact). */
+  private[graft] def pprMultiPlan(s: SparkSession, d: String,
+      iters: Int = 3,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val isSeed = col("node") % 2 === 0 && expr("node div 2") <= 11
+    val seedG = expr("(node div 2) div 3")
+    val pr = graft.operators.SessionScope.withAqeOff(s) { s =>
+      val e0 = lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk")).distinct()
+      val edges = ckpt(e0.select(
+          (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(e0.select(
+          (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+        .repartition(col("src")))
+      val deg = ckpt(edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")))
+      val srcNodes = deg.where(isSeed)
+        .select(seedG.as("g"), col("node"), col("deg"))
+        .localCheckpoint(true) // seed-sized
+      var state = ckpt(srcNodes
+        .select(col("g"), col("node"), col("deg"),
+          lit(1000000000L).as("pr")))
+      for (_ <- 1 to iters) {
+        val cin = state.join(edges, state("node") === edges("src"))
+          .select(col("g"), col("dst").as("node"),
+            expr("pr div deg").as("c"))
+          .groupBy("g", "node").agg(sum("c").as("cin"))
+        val touched = cin.join(deg, Seq("node"))
+          .select(col("g"), col("node"), col("deg"),
+            (when(isSeed && seedG === col("g"), lit(150000000L))
+              .otherwise(lit(0L))
+              + expr("(85 * cin) div 100")).as("pr"))
+        val dormantSrc = srcNodes.join(cin, Seq("g", "node"), "left_anti")
+          .select(col("g"), col("node"), col("deg"),
+            lit(150000000L).as("pr"))
+        state = ckpt(touched.unionByName(dormantSrc)
+          .where(col("pr") > 0)
+          .repartition(col("node")))
+      }
+      state
+    }
+    val totals = pr.groupBy("g").agg(count(lit(1)).as("n_touched"))
+    pr.withColumn("rk", row_number().over(Window.partitionBy("g")
+        .orderBy(col("pr").desc, col("node"))))
+      .where(col("rk") <= 5)
+      .withColumn("node",
+        concat(when(col("node") % 2 === 0, lit("p")).otherwise(lit("s")),
+          expr("node div 2").cast("string")))
+      .join(broadcast(totals), Seq("g"))
+      .select(col("g").cast("int").as("grp"),
+        col("rk").cast("int").as("rk"), col("node"), col("pr"),
+        col("n_touched"))
+  }
+
   /** `q_ewma`'s whole computation over any events-shaped frame
     * (event_type, ts, value): daily 1e-4-quantized integer sums, then
     * the dyadic-weight EWMA over the trailing 8 OBSERVED days. Public
@@ -687,6 +754,12 @@ object AnalyticsPack extends QueryPack {
     // mass returned to the source set — proximity scores, state
     // touched-proportional (push-style sparsity).
     "q_pagerank_ppr" -> ((s, d) => pprPlan(s, d, 3)),
+
+    // Batched multi-source PPR (round 16): many users' PPR in ONE
+    // loop — the source-set tag rides the state key exactly as
+    // q_diameter_exact's census BFS batches sources, so every round
+    // is one edge join serving all sets instead of one loop per set.
+    "q_pagerank_ppr_multi" -> ((s, d) => pprMultiPlan(s, d, 3)),
 
     // Autocorrelation function (lags 1..7) of the daily event-count
     // series per type — the periodicity detector (a weekly cycle shows
@@ -1659,6 +1732,44 @@ object AnalyticsPack extends QueryPack {
          |    FROM $prev r JOIN edges e ON r.node = e.src GROUP BY 1) c
          |  USING (node)) WHERE pr > 0)""".stripMargin
 
+    def pprMultiRound(prev: String, out: String): String =
+      s"""$out AS (SELECT * FROM (
+         |  SELECT s.g, d.node, d.deg,
+         |    CAST((CASE WHEN d.node % 2 = 0 AND d.node // 2 <= 11
+         |        AND (d.node // 2) // 3 = s.g THEN 150000000 ELSE 0 END)
+         |      + (85 * coalesce(c.cin, 0)) // 100 AS BIGINT) AS pr
+         |  FROM (SELECT DISTINCT g FROM m0) s CROSS JOIN deg d
+         |  LEFT JOIN (
+         |    SELECT r.g, e.dst AS node, CAST(sum(r.pr // r.deg) AS BIGINT)
+         |      AS cin
+         |    FROM $prev r JOIN edges e ON r.node = e.src GROUP BY 1, 2) c
+         |  ON c.g = s.g AND c.node = d.node) WHERE pr > 0)""".stripMargin
+
+    def pprMultiSql(iters: Int): String = {
+      val rounds = (1 to iters)
+        .map(i => pprMultiRound(s"m${i - 1}", s"m$i")).mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+         |    CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+         |edges AS (
+         |  SELECT p * 2 AS src, sk * 2 + 1 AS dst FROM e0
+         |  UNION ALL
+         |  SELECT sk * 2 + 1, p * 2 FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |m0 AS (SELECT (node // 2) // 3 AS g, node, deg,
+         |    CAST(1000000000 AS BIGINT) AS pr
+         |  FROM deg WHERE node % 2 = 0 AND node // 2 <= 11),
+         |$rounds,
+         |tot AS (SELECT g, count(*) AS n_touched FROM m$iters GROUP BY 1)
+         |SELECT CAST(r.g AS INT) AS grp,
+         |  CAST(row_number() OVER (PARTITION BY r.g
+         |    ORDER BY pr DESC, node) AS INT) AS rk,
+         |  (CASE WHEN node % 2 = 0 THEN 'p' ELSE 's' END)
+         |    || CAST(node // 2 AS VARCHAR) AS node,
+         |  pr, CAST(t.n_touched AS BIGINT) AS n_touched
+         |FROM m$iters r JOIN tot t USING (g) QUALIFY rk <= 5"""
+        .stripMargin
+    }
+
     def pprSql(iters: Int): String = {
       val rounds = (1 to iters)
         .map(i => pprRound(s"r${i - 1}", s"r$i")).mkString(",\n")
@@ -1939,6 +2050,7 @@ object AnalyticsPack extends QueryPack {
           |      OR q.last_day > p.last_day))""".stripMargin,
       "q_pagerank" -> pagerankSql(3),
       "q_pagerank_ppr" -> pprSql(3),
+      "q_pagerank_ppr_multi" -> pprMultiSql(3),
       "q_pagerank_iter" -> pagerankSql(8),
 
       "q_ewma" -> {
