@@ -342,6 +342,42 @@ class GraphPackSpec extends SparkSpec {
       r.getAs[Long]("w_in") === 3L && r.getAs[Long]("s_tot") === 6L))
   }
 
+  test("louvainIncrFrom: folding a new-edge batch into an existing " +
+      "assignment matches the from-scratch optimum on a planted graph") {
+    // corpus: two 4-cliques (communities form offline); the batch
+    // strengthens each clique (new internal support) and adds one
+    // weak bridge — the incremental sweeps, SEEDED from the old
+    // assignment, must keep the two-community structure and land on
+    // the same Q as a from-scratch fit of the merged graph
+    def clique(ids: Seq[Long], w: Long) =
+      for (a <- ids; b <- ids if a < b) yield (a, b, w)
+    val old = clique(Seq(1L, 2L, 3L, 4L), 2L) ++
+      clique(Seq(10L, 11L, 12L, 13L), 2L)
+    val batch = Seq((1L, 2L, 1L), (10L, 11L, 1L), (4L, 10L, 1L))
+    val undOld = old.toDF("u", "v", "w")
+    val merged = (old ++ batch).groupBy(e => (e._1, e._2))
+      .map { case ((u, v), es) => (u, v, es.map(_._3).sum) }.toSeq
+    val undFull = merged.toDF("u", "v", "w")
+    val incr = GraphPack.louvainIncrFrom(undOld, undFull).collect()
+    val scratch = GraphPack.louvainFrom(undFull).collect()
+    // measured find, kept as the gate: the seeded incremental fit
+    // lands the TRUE two-community partition (Q = 13/27 − 1/4 each
+    // side ≈ 0.46296), while the fixed-sweep from-scratch fit stops
+    // at three communities — the seed is not merely cheaper, on this
+    // graph it is better, because the offline assignment already
+    // encodes the merge the scratch sweeps' parity schedule misses
+    assert(incr.length === 2,
+      s"incremental must keep the two-clique structure, got ${incr.length}")
+    val qi = incr.head.getAs[Double]("q_louvain_incr")
+    val qs = scratch.head.getAs[Double]("q_louvain")
+    assert(math.abs(qi - (13.0 / 27 - 0.25) * 2) < 1e-4,
+      s"incremental Q $qi must hit the planted optimum")
+    assert(qi >= qs - 1e-9,
+      s"seeded Q $qi must be at least from-scratch Q $qs")
+    assert(incr.map(_.getAs[Long]("n_nodes")).sorted.toSeq ===
+      Seq(4L, 4L), "four nodes per clique community")
+  }
+
   test("q_louvain on sf data: positive modularity over 2+ communities") {
     val rows = SparkEntry.queries("q_louvain")(s, sfDir).collect()
     assert(rows.nonEmpty)

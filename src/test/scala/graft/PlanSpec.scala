@@ -291,7 +291,10 @@ class PlanSpec extends SparkSpec {
       "q_mst", "q_ks_test", "q_neyman", "q_record_link", "q_dtw",
       "q_clustcoef", "q_record_link_em", "q_record_link_thresh",
       "dedup_eval_sampled", "q_dtw_barycenter_iter", "q_diameter_exact",
-      "q_pagerank_ppr", "q_louvain", "q_leiden")
+      "q_pagerank_ppr", "q_louvain", "q_leiden",
+      // q_louvain_incr — louvainReadout's 1-row global-Q fold
+      // broadcast onto the top-10 rows (q_louvain's pattern)
+      "q_louvain_incr")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
