@@ -124,11 +124,13 @@ object TextPack extends QueryPack {
     // — both pre-training red flags no per-doc quality score catches.
     // The heavy step is ONE word→min(bucket) hash agg (map-side
     // combined, shuffles distinct words once — the §3a′ per-distinct
-    // collapse); the cumulative readout is a window over the BUCKET
-    // table (rows = corpus/100 docs, bounded), never over words. All
-    // counts integer-exact.
+    // collapse); the cumulative readout rides the range-partitioned
+    // two-pass [[graft.operators.PrefixSum]] (round 16) — the bucket
+    // table grows as docs/100, so the earlier Window.orderBy running
+    // total was the repo's last unbounded SINGLE-partition fold
+    // (PlanSpec now pins the plan window-free). All counts
+    // integer-exact; values identical to the global window.
     "text_vocab_growth" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val dw = docs(s, d)
         .select(expr("doc_id div 100").as("b"), explode(col("w")).as("word"))
         .where(col("word") =!= "")
@@ -138,13 +140,14 @@ object TextPack extends QueryPack {
       val db = Tables.documents(s, d)
         .select(expr("doc_id div 100").as("b"))
         .groupBy("b").agg(count(lit(1)).as("nd"))
-      val w0 = Window.orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      db.join(tb, Seq("b"), "left").join(vh, Seq("b"), "left")
-        .select(col("b").as("bucket"),
-          sum("nd").over(w0).as("n_docs"),
-          sum(coalesce(col("toks"), lit(0L))).over(w0).as("cum_tokens"),
-          sum(coalesce(col("nv"), lit(0L))).over(w0).as("vocab"))
+      val base = db.join(tb, Seq("b"), "left").join(vh, Seq("b"), "left")
+        .select(col("b"), col("nd"),
+          coalesce(col("toks"), lit(0L)).as("toks"),
+          coalesce(col("nv"), lit(0L)).as("nv"))
+      graft.operators.PrefixSum.cumulative(base, "b",
+          Seq("nd", "toks", "nv"))
+        .select(col("b").as("bucket"), col("nd").as("n_docs"),
+          col("toks").as("cum_tokens"), col("nv").as("vocab"))
     }),
 
     "text_quality" -> ((s, d) => {

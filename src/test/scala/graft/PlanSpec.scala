@@ -353,6 +353,14 @@ class PlanSpec extends SparkSpec {
         "entire event stream on one reducer")
   }
 
+  test("text_vocab_growth cumulative readout is window-free (two-pass " +
+      "range-partitioned prefix sum)") {
+    val p = plan("text_vocab_growth")
+    assert(!p.contains("Window"),
+      "the cumulative fold must ride PrefixSum — a Window.orderBy " +
+        "running total lands the docs/100-row bucket table on one reducer")
+  }
+
   test("q_entropy totals are a k-row broadcast join — no per-column window") {
     val p = plan("q_entropy")
     assert(!p.contains("Window"),

@@ -262,4 +262,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rPr === seqPr && rRe === seqRe,
       "concurrent runs must equal the sequential baselines")
   }
+
+  test("PrefixSum.cumulative equals the driver-side running total and " +
+      "rejects duplicate order keys") {
+    import graft.operators.PrefixSum
+    // sparse, shuffled order keys across many partitions
+    val rows = (0 until 5000).map(i =>
+      ((i * 2654435761L) % 100000, (i % 97).toLong, (i % 13).toLong))
+      .distinct.groupBy(_._1).map(_._2.head).toSeq
+    val df = rows.toDF("b", "x", "y").repartition(16)
+    val got = PrefixSum.cumulative(df, "b", Seq("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val want = rows.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, cx, cy), (b, x, y)) =>
+        (b, cx + x, cy + y) }.drop(1)
+    assert(got.toSeq === want.toSeq)
+    val dup = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("b", "x")
+    val e = intercept[IllegalArgumentException](
+      PrefixSum.cumulative(dup.coalesce(1), "b", Seq("x")).collect())
+    assert(e.getMessage.contains("distinct"))
+  }
 }
