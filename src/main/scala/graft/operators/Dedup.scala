@@ -39,17 +39,43 @@ object Dedup {
     * (the semantic floor). Shuffle discipline unchanged: the band join
     * moves (id, band_val) only; word sets re-enter for the verified
     * representative pairs via equi-joins. */
+  /** Reps per band bucket above which the bucket is DROPPED from
+    * candidate generation — the one 100 TB quadratic left in dedup
+    * without it: a pathological hot band value (boilerplate cores
+    * that pin every minimum of a band's 4 hashes) emits C(c, 2)
+    * within-bucket pairs, and unlike exact duplicates these do NOT
+    * collapse first. The cap bounds any bucket's pair yield at
+    * C(cap, 2) ≈ 8.4M — one spilled-but-finite task, never a job
+    * killer — at the cost of missing near-dups whose ONLY agreeing
+    * band is the hot one (a pair that similar almost surely agrees on
+    * another, colder band: the 32×4 banding gives a τ-similar pair
+    * 1−(1−τ⁴)³² ≈ 0.87 at τ = 0.6 per-band independence, so the
+    * marginal recall loss of one band is small). Same family as
+    * text_winnow's df cap and q_recs_itemitem's basket cap: DORMANT
+    * at gate scale (the sf corpora's hottest band bucket is ≪ 4096,
+    * so every oracle hash is unchanged), load-bearing at 100 TB;
+    * the planted-hot-band spec proves the bound. */
+  private[graft] val BandBucketCap = 4096L
+
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, bandCap: Long = BandBucketCap): DataFrame = {
     val base = withTextHash(docs.select(col(idCol).as("id"),
         col(textCol).as("text"), words(col(textCol)).as("w")), "text")
       .drop("text")
       .filter(size(col("w")) >= 3)
     val reps = base.dropDuplicates("h")
-    val bands = reps
+    val bands0 = reps
       .withColumn("band_val",
         explode(graft.functions.DedupExpressions.minhashBands(col("w"), NumHashes, Bands)))
       .select(col("id"), col("band_val"))
+    // skew census + cap: the over-cap band-value set is tiny by
+    // construction (≤ rows/cap values), so it broadcasts and the cap
+    // is one map-side-combined agg plus an anti probe — no new
+    // shuffle of the band table
+    val hot = bands0.groupBy("band_val")
+      .agg(count(lit(1)).as("bc")).where(col("bc") > bandCap)
+      .select("band_val")
+    val bands = bands0.join(broadcast(hot), Seq("band_val"), "left_anti")
     val candRep = bands.as("a")
       .join(bands.as("b"),
         col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id"))

@@ -25,6 +25,34 @@ class DedupSpec extends SparkSpec {
     assert(got === 0.0)
   }
 
+  test("band-bucket cap bounds a planted hot band's candidate yield; " +
+      "exact-duplicate pairs bypass the cap") {
+    // 40 DISTINCT texts sharing a 120-word boilerplate core: exact
+    // collapse cannot help (no two texts equal), and nearly every
+    // doc's minhash band values are pinned by the core (P[a doc's
+    // unique word displaces a band] ≈ 4/121), so each of the 32 bands
+    // is one hot ~38-member bucket — the quadratic shape the cap
+    // exists for
+    val core = (1 to 120).map(i => f"w$i%03d").mkString(" ")
+    val hotDocs = ((1 to 40).map(i => (i.toLong, s"$core unique$i"))
+      :+ (100L, "totally different words about spark physical plans")
+      :+ (101L, s"$core unique7")) // exact dup of doc 7
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashPairs(hotDocs, "doc_id", "text", 0.6)
+    // all C(40,2) core pairs verify at Jaccard 120/122, plus doc 7's
+    // exact twin against the other 39 and itself
+    assert(uncapped.count() === 780L + 40L, "uncapped is quadratic")
+    val capped = Dedup.minhashPairs(hotDocs, "doc_id", "text", 0.6,
+      bandCap = 4L)
+    val cappedRows = capped.collect()
+    assert(cappedRows.length <= 100,
+      s"hot buckets must be dropped, got ${cappedRows.length} pairs")
+    assert(cappedRows.exists(r => r.getLong(0) === 7L
+        && r.getLong(1) === 101L && r.getDouble(2) === 1.0),
+      "the exact-duplicate pair rides the text-hash collapse, not the " +
+        "bands, so the cap never loses it")
+  }
+
   test("minhashPairs finds the exact and near duplicates") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
