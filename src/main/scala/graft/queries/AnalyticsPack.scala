@@ -53,7 +53,9 @@ object AnalyticsPack extends QueryPack {
     // loop plans against a private session clone, so concurrent
     // queries on the shared session can no longer race the capture
     // (the retired failure mode of the session-global toggle).
-    val pr = graft.operators.SessionScope.withAqeOff(s) { s =>
+    // node-sized loop state — quarter-parallelism clone shuffles (the
+    // q_betweenness task-floor lever, hash-neutral)
+    val pr = graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -112,7 +114,9 @@ object AnalyticsPack extends QueryPack {
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
     val isSrc = col("node") % 2 === 0 && expr("node div 2") <= 2
-    val pr = graft.operators.SessionScope.withAqeOff(s) { s =>
+    // node-sized loop state — quarter-parallelism clone shuffles (the
+    // q_betweenness task-floor lever, hash-neutral)
+    val pr = graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -172,7 +176,9 @@ object AnalyticsPack extends QueryPack {
         graft.operators.CheckpointStrategy.Local): DataFrame = {
     val isSeed = col("node") % 2 === 0 && expr("node div 2") <= 11
     val seedG = expr("(node div 2) div 3")
-    val pr = graft.operators.SessionScope.withAqeOff(s) { s =>
+    // node-sized loop state — quarter-parallelism clone shuffles (the
+    // q_betweenness task-floor lever, hash-neutral)
+    val pr = graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()

@@ -213,7 +213,9 @@ object GraphPack extends QueryPack {
   private def reach(s: SparkSession, d: String, rounds: Int = 4,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    graft.operators.SessionScope.withAqeOff(s) { s =>
+    // node-sized loop state — quarter-parallelism clone shuffles (the
+    // q_betweenness task-floor lever, hash-neutral)
+    graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -270,7 +272,9 @@ object GraphPack extends QueryPack {
   private def diameterQ(s: SparkSession, d: String, rounds: Int = 6,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    graft.operators.SessionScope.withAqeOff(s) { s =>
+    // node-sized loop state — quarter-parallelism clone shuffles (the
+    // q_betweenness task-floor lever, hash-neutral)
+    graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -362,7 +366,14 @@ object GraphPack extends QueryPack {
     * anti-join plan by round k: O(rounds²) plan work dominates at toy
     * scale and recompiles codegen at any scale), co-partitioned
     * expansion + anti-join per round, early stop on an empty
-    * frontier. */
+    * frontier.
+    *
+    * THROWS rather than silently truncate (the q_mst crossing-edge
+    * guard's idiom): the diameter keys CLAIM exact level sets, so if
+    * round maxRounds still left an unvisited reachable node the levels
+    * understate every eccentricity downstream — one extra frontier
+    * probe, paid only when the cap binds (converged runs exit on the
+    * empty frontier before it). */
   private def bfsLevels(edges: DataFrame, seed: DataFrame, maxRounds: Int,
       ckpt: graft.operators.CheckpointStrategy): DataFrame = {
     var frontier = ckpt(seed.repartition(col("node")))
@@ -384,6 +395,18 @@ object GraphPack extends QueryPack {
       }
       r += 1
     }
+    if (live) {
+      val beyond = edges
+        .join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+      if (!beyond.isEmpty)
+        throw new IllegalStateException(
+          s"BFS not converged within maxRounds=$maxRounds: reachable " +
+            "nodes remain beyond the cap, so level sets (and every " +
+            "eccentricity derived from them) would understate — raise " +
+            "maxRounds")
+    }
     visited
   }
 
@@ -393,7 +416,9 @@ object GraphPack extends QueryPack {
       maxRounds: Int = 14,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    graft.operators.SessionScope.withAqeOff(s) { s =>
+    // node-sized loop state — quarter-parallelism clone shuffles (the
+    // q_betweenness task-floor lever, hash-neutral)
+    graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       val und = und0.localCheckpoint(true)
       val edges = ckpt(und.select(col("u").as("src"), col("v").as("dst"))
         .union(und.select(col("v").as("src"), col("u").as("dst")))
@@ -506,7 +531,9 @@ object GraphPack extends QueryPack {
       maxRounds: Int = 14,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    graft.operators.SessionScope.withAqeOff(s) { s =>
+    // node-sized loop state — quarter-parallelism clone shuffles (the
+    // q_betweenness task-floor lever, hash-neutral)
+    graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       val und = und0.localCheckpoint(true)
       val edges = ckpt(und.select(col("u").as("src"), col("v").as("dst"))
         .union(und.select(col("v").as("src"), col("u").as("dst")))
@@ -561,6 +588,20 @@ object GraphPack extends QueryPack {
           frontier = next
         }
         r += 1
+      }
+      // same truncation guard as bfsLevels: a capped census BFS would
+      // understate ecc(v) and certify a too-small diameter
+      if (live) {
+        val beyond = edges
+          .join(frontier, edges("src") === frontier("node"))
+          .select(col("qsrc"), col("dst").as("node")).distinct()
+          .join(visited.select("qsrc", "node"), Seq("qsrc", "node"),
+            "left_anti")
+        if (!beyond.isEmpty)
+          throw new IllegalStateException(
+            s"census multi-source BFS not converged within " +
+              s"maxRounds=$maxRounds — the certified diameter would " +
+              "understate; raise maxRounds")
       }
       val eccS = visited.agg(
         countDistinct("qsrc").as("n_sources"),
@@ -903,7 +944,9 @@ object GraphPack extends QueryPack {
   private def sssp(s: SparkSession, d: String, rounds: Int = SsspRounds,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    graft.operators.SessionScope.withAqeOff(s) { s =>
+    // node-sized loop state — quarter-parallelism clone shuffles (the
+    // q_betweenness task-floor lever, hash-neutral)
+    graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       val w0 = lineitem(s, d)
         .groupBy(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk"))
@@ -988,7 +1031,9 @@ object GraphPack extends QueryPack {
   private def hits(s: SparkSession, d: String, rounds: Int = HitsRounds,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    graft.operators.SessionScope.withAqeOff(s) { s =>
+    // score tables are vocab-sized — quarter-parallelism shuffles on
+    // the private clone (15.7 → 6.6 s warm at sf0.1)
+    graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       hitsFrom(lineitem(s, d)
         .select(col("l_suppkey").cast("long").as("sk"),
           col("l_partkey").cast("long").as("p")).distinct(), rounds, ckpt)
@@ -1611,7 +1656,9 @@ object GraphPack extends QueryPack {
   private def pagerankWeighted(s: SparkSession, d: String,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    val pr = graft.operators.SessionScope.withAqeOff(s) { s =>
+    val pr = // node-sized loop state — quarter-parallelism clone shuffles (the
+    // q_betweenness task-floor lever, hash-neutral)
+    graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       pagerankWeightedFrom(copurchaseEdgesW(s, d, minSupport = 2)
           .select(col("u").cast("long").as("u"),
             col("v").cast("long").as("v"), col("w")),
@@ -1970,7 +2017,9 @@ object GraphPack extends QueryPack {
   private def closeness(s: SparkSession, d: String,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    graft.operators.SessionScope.withAqeOff(s) { s =>
+    // node-sized loop state — quarter-parallelism clone shuffles (the
+    // q_betweenness task-floor lever, hash-neutral)
+    graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -2053,7 +2102,12 @@ object GraphPack extends QueryPack {
   private def betweenness(s: SparkSession, d: String,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
-    graft.operators.SessionScope.withAqeOff(s) { s =>
+    // every shuffle in the two Brandes phases carries node-sized
+    // (seed, node) state or a level slice — quarter-parallelism
+    // shuffles on the PRIVATE clone cut the 32-task stage floors
+    // (the profiler read the phase-2 jobs at 104 tasks dominated by
+    // task floors; 20.0 → 12.4 s warm at sf0.1)
+    graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -2080,34 +2134,38 @@ object GraphPack extends QueryPack {
     // q_mst task-floor lever; hash-neutral)
     val np = math.max(1,
       edges.sparkSession.sparkContext.defaultParallelism / 4)
-    // phase 1: multi-source BFS with path counts
-    var frontier = ckpt(seeds
+    // phase 1: multi-source BFS with path counts. State lives as ONE
+    // checkpointed frame PER LEVEL (never a cumulative `visited`
+    // re-materialization per round — that second job per round was
+    // ~30% of the key's job count for a union the anti-join can read
+    // as a flat stack of already-materialized leaves; round 16, pulled
+    // the key from a 21.2 s solo floor back under budget). The
+    // expansion itself still CHECKPOINTS: it is consumed twice (the
+    // anti-join stack, next round's join) and the edge join + anti +
+    // hash agg is the round's real work — evaluating it lazily in both
+    // consumers measured 22–25 s vs 14–16 s at sf0.1 (the inverse of
+    // the q_mst job-count lesson: trim jobs only where the recompute
+    // is trivial).
+    val levels = collection.mutable.ArrayBuffer.empty[DataFrame]
+    levels += ckpt(seeds
       .select(col("seed"), col("node"), lit(1L).as("sigma"))
       .repartition(np, col("node")))
-    var visited = ckpt(frontier.withColumn("dist", lit(0))
-      .repartition(np, col("node")))
     for (r <- 1 to rounds) {
-      // the expansion CHECKPOINTS: it is consumed twice (this round's
-      // visited union, next round's join) and the edge join + anti +
-      // hash agg is the round's real work — evaluating it lazily in
-      // both consumers measured 22–25 s vs 14–16 s at sf0.1 (the
-      // inverse of the q_mst job-count lesson: trim jobs only where
-      // the recompute is trivial)
+      val prior = levels.map(_.select("seed", "node"))
+        .reduce(_ unionByName _)
       val next = ckpt(edges
-        .join(frontier, edges("src") === frontier("node"))
+        .join(levels.last, edges("src") === levels.last("node"))
         .select(col("seed"), col("dst").as("node"), col("sigma"))
-        .join(visited.select("seed", "node"), Seq("seed", "node"),
-          "left_anti")
+        .join(prior, Seq("seed", "node"), "left_anti")
         .groupBy("seed", "node").agg(sum("sigma").as("sigma"))
         .repartition(np, col("node")))
-      visited = ckpt(visited
-        .unionByName(next.withColumn("dist", lit(r)))
-        .repartition(np, col("node")))
-      frontier = next
+      levels += next
     }
+    def levelAt(lvl: Int): DataFrame =
+      levels(lvl).withColumn("dist", lit(lvl))
     // phase 2: dependency sweep, deepest level up; `delta` holds level
     // lvl+1's finished dependencies, `accs` collects every level's
-    var delta = ckpt(visited.filter(col("dist") === rounds)
+    var delta = ckpt(levels(rounds)
       .select(col("seed"), col("node"), lit(0L).as("dq"))
       .repartition(np, col("node")))
     val accs = collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -2116,14 +2174,14 @@ object GraphPack extends QueryPack {
     // exactly max depth must appear as a zero-score groupBy member on
     // this side as well — otherwise the two engines disagree on the
     // zero-score tail whenever fewer than 20 nodes score positive
-    accs += visited.filter(col("dist") === rounds)
+    accs += levelAt(rounds)
       .select(col("seed"), col("node"), col("dist"), lit(0L).as("dq"))
     for (lvl <- rounds - 1 to 0 by -1) {
-      val cur = visited.filter(col("dist") === lvl)
-      // lazy: both inputs (visited, delta) are already checkpointed —
-      // re-materializing the slice would add a job per level for
-      // nothing (the q_mst job-count lesson)
-      val nxtw = visited.filter(col("dist") === lvl + 1)
+      val cur = levelAt(lvl)
+      // lazy: both inputs (the level frames, delta) are already
+      // checkpointed — re-materializing the slice would add a job per
+      // level for nothing (the q_mst job-count lesson)
+      val nxtw = levelAt(lvl + 1)
         .join(delta, Seq("seed", "node"))
         .select(col("seed").as("sw_seed"), col("node").as("w"),
           col("sigma").as("sw"), col("dq").as("dqw"))

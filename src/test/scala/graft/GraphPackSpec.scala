@@ -313,6 +313,29 @@ class GraphPackSpec extends SparkSpec {
     assert(rb.getAs[Int]("diam_giant") >= rb.getAs[Int]("lb"))
   }
 
+  test("diameter kernels THROW on a graph deeper than the BFS cap " +
+      "instead of certifying a truncated diameter") {
+    // path 0-1-…-20 has diameter 20 > maxRounds = 14: the seed BFS's
+    // level sets would stop at 14 and every downstream readout (lb,
+    // ecc, diam_giant, lb_was_exact) would silently understate — the
+    // guard must fire in BOTH kernels (r13 ADVICE)
+    val deep = (0L until 20L).map(i => (i, i + 1)).toDF("u", "v")
+    val eExact = intercept[IllegalStateException] {
+      GraphPack.diameterExactFrom(s, deep).collect()
+    }
+    assert(eExact.getMessage.contains("not converged"))
+    val eBracket = intercept[IllegalStateException] {
+      GraphPack.diameterBracketFrom(s, deep).collect()
+    }
+    assert(eBracket.getMessage.contains("not converged"))
+    // and a graph that converges EXACTLY at the cap does not throw:
+    // path 0-1-…-14 seeded at node 0 finishes round 14 with a
+    // non-empty frontier but nothing beyond it
+    val edge14 = (0L until 14L).map(i => (i, i + 1)).toDF("u", "v")
+    val ok = GraphPack.diameterExactFrom(s, edge14).collect().head
+    assert(ok.getAs[Int]("diam_giant") === 14)
+  }
+
   test("q_diameter_bracket invariants on sf data") {
     val r = SparkEntry.queries("q_diameter_bracket")(s, sfDir).collect().head
     val (lb, ub) = (r.getAs[Int]("lb"), r.getAs[Int]("ub"))
