@@ -2253,7 +2253,135 @@ object GraphPack extends QueryPack {
           .as("transitivity"))
   }
 
+  private[graft] val AnfRounds = 6
+  private[graft] val AnfK = 8
+
+  /** Approximate neighborhood function (ANF: Palmer, Gibbons &
+    * Faloutsos KDD 2002; min-register folds per Cohen JCSS 1997 —
+    * the shape HyperANF, Boldi, Rosa & Vigna WWW 2011, runs with HLL
+    * counters) over the tagged part↔supplier graph: per node, K = 8
+    * independent registers x_j(v, r) = min over the r-hop ball of a
+    * uniform md5 hash of the member id (SketchPack's portable u32,
+    * quantized to [1, 2²⁰]); the MinCount estimate N̂(v, r) =
+    * (K−1)·2²⁰·1000 div Σ_j x_j reads the ball SIZE from the folded
+    * registers. Per round the readout row is (r, sum_reg, nhat,
+    * pct_bp, at_effective): nhat is monotone in r, pct_bp the
+    * basis-point share of round-R mass, and at_effective flags the
+    * HyperANF effective-diameter convention (first r reaching 90% of
+    * final mass). This is the per-node reachability profile the exact
+    * census (q_diameter_exact's (source, node) state — measured DEAD
+    * at the 10× replica probe, ≈ APSP) cannot afford at graph scale:
+    * state is V rows × K ints FOREVER, each round ONE co-partitioned
+    * edges⋈registers join + a (node) min hash agg — pagerank's round
+    * cost, independent of source count (the point of the sketch).
+    * Register width 2²⁰ serves balls to ~10⁶ nodes; at the 10⁹-node
+    * regime widen to 2³² (one constant, both engines). Determinism:
+    * min-folds are partition-order exact over integers; the estimator
+    * is one integer division per node; the only floats are the two
+    * round()-ed readout columns — so the whole trajectory hashes. */
+  private def anf(s: SparkSession, d: String,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    // node-sized register state — quarter-parallelism clone shuffles
+    // (the q_betweenness task-floor lever, hash-neutral)
+    graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
+      val e0 = lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk")).distinct()
+      val edges = ckpt(e0.select(
+          (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(e0.select(
+          (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+        .repartition(col("src")))
+      anfFrom(edges, AnfRounds, AnfK, ckpt)
+    }
+  }
+
+  /** The register fold over any directed (`src`, `dst`) edge set —
+    * public to the test JVM for the hand-replay and estimator gates. */
+  private[graft] def anfFrom(edges: DataFrame, rounds: Int, k: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val np = math.max(1,
+      edges.sparkSession.sparkContext.defaultParallelism / 4)
+    val regCols = (0 until k).map(j => s"x$j")
+    def u32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var x = ckpt(nodes.select(col("node") +:
+        (0 until k).map(j =>
+          (u32(concat(lit(s"anf:$j:"), col("node").cast("string")))
+            % 1048576L + 1L).as(s"x$j")): _*)
+      .repartition(np, col("node")))
+    val estQ = ((k - 1).toLong * 1048576L * 1000L).toString
+    def censusRow(r: Int, xr: DataFrame): DataFrame =
+      xr.select(regCols.map(col).reduce(_ + _).as("sumx"))
+        .agg(sum(col("sumx")).as("sum_reg"),
+          sum(expr(s"$estQ div sumx")).as("nhat_q"))
+        .select(lit(r).as("r"), col("sum_reg"), col("nhat_q"))
+    val census = collection.mutable.ArrayBuffer(censusRow(0, x))
+    for (r <- 1 to rounds) {
+      val contrib = edges.join(x, edges("src") === x("node"))
+        .select(col("dst").as("node") +: regCols.map(col): _*)
+      x = ckpt(contrib.unionByName(x)
+        .groupBy("node")
+        .agg(min(regCols.head).as(regCols.head),
+          regCols.tail.map(c => min(c).as(c)): _*)
+        .repartition(np, col("node")))
+      census += censusRow(r, x)
+    }
+    val fin = census.last.select(col("nhat_q").as("nf"))
+    census.reduce(_ unionByName _)
+      .crossJoin(broadcast(fin))
+      .select(col("r").cast("int").as("r"),
+        col("sum_reg").cast("long").as("sum_reg"),
+        round(col("nhat_q").cast("double") / 1000.0, 3).as("nhat"),
+        expr("(nhat_q * 10000) div nf").cast("long").as("pct_bp"),
+        (col("nhat_q") * 10 >= col("nf") * 9).cast("int")
+          .as("at_effective"))
+  }
+
+  /** DuckDB replay of [[anfFrom]]: same md5 registers, same chained
+    * min-folds, same integer estimator. */
+  private def anfSql(rounds: Int = AnfRounds, k: Int = AnfK): String = {
+    val regs = (0 until k).map(j => s"x$j")
+    val initCols = (0 until k).map(j =>
+      s"CAST(('0x'||substr(md5('anf:$j:'||CAST(node AS VARCHAR)),1,8)) " +
+        s"AS BIGINT) % 1048576 + 1 AS x$j").mkString(",\n|    ")
+    val minCols = regs.map(c => s"min($c) AS $c").mkString(", ")
+    val xcols = regs.mkString(", ")
+    val sumx = regs.mkString(" + ")
+    val estQ = ((k - 1).toLong * 1048576L * 1000L).toString
+    val steps = (1 to rounds).map { r =>
+      s"""x$r AS MATERIALIZED (SELECT node, $minCols FROM (
+         |  SELECT e.dst AS node, $xcols FROM edges e
+         |    JOIN x${r - 1} x ON e.src = x.node
+         |  UNION ALL SELECT node, $xcols FROM x${r - 1}) GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    val cens = (0 to rounds).map { r =>
+      s"""SELECT $r AS r, sum($sumx) AS sum_reg,
+         |  sum($estQ // ($sumx)) AS nhat_q FROM x$r""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+       |    FROM lineitem),
+       |edges AS (SELECT p * 2 AS src, sk * 2 + 1 AS dst FROM e0
+       |  UNION ALL SELECT sk * 2 + 1, p * 2 FROM e0),
+       |x0 AS MATERIALIZED (SELECT node,
+       |    $initCols
+       |  FROM (SELECT DISTINCT src AS node FROM edges)),
+       |$steps,
+       |cens AS MATERIALIZED ($cens),
+       |fin AS (SELECT nhat_q AS nf FROM cens WHERE r = $rounds)
+       |SELECT CAST(r AS INT) AS r, CAST(sum_reg AS BIGINT) AS sum_reg,
+       |  round(CAST(nhat_q AS DOUBLE) / 1000, 3) AS nhat,
+       |  CAST((nhat_q * 10000) // nf AS BIGINT) AS pct_bp,
+       |  CAST(nhat_q * 10 >= nf * 9 AS INT) AS at_effective
+       |FROM cens, fin""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anf" -> ((s, d) => anf(s, d)),
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_clustcoef" -> ((s, d) => clustcoef(s, d)),
     "q_clustcoef_w" -> ((s, d) => clustcoefWeightedFrom(
@@ -2779,6 +2907,7 @@ object GraphPack extends QueryPack {
     "q_mst" -> mstSql,
     "q_closeness" -> closenessSql,
     "q_betweenness" -> betweennessSql,
+    "q_anf" -> anfSql(),
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |und AS (SELECT a.p AS u, b.p AS v

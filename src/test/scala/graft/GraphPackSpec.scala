@@ -336,6 +336,54 @@ class GraphPackSpec extends SparkSpec {
     assert(ok.getAs[Int]("diam_giant") === 14)
   }
 
+  test("anfFrom: register fold equals a driver md5 replay on a star, " +
+      "and the MinCount pairs curve tracks exact component mass on sf " +
+      "data") {
+    // star 0—{1,2,3,4}: after round 1 the center holds the global
+    // elementwise register min; after round 2 (the star's diameter)
+    // EVERY node does — sum_reg must equal 5 × Σ_j gmin_j exactly
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+    val out = GraphPack.anfFrom(edges, rounds = 2, k = 8).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    def md5hex(str: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def reg(j: Int, v: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"anf:$j:$v").take(8), 16) %
+        1048576L + 1L
+    val nodes = 0L to 4L
+    val sum0 = (for (v <- nodes; j <- 0 until 8) yield reg(j, v)).sum
+    assert(out(0).getAs[Long]("sum_reg") === sum0,
+      "round-0 registers must be the raw md5 inits")
+    val gmin = (0 until 8).map(j => nodes.map(v => reg(j, v)).min)
+    assert(out(2).getAs[Long]("sum_reg") === 5L * gmin.sum,
+      "at the star's diameter every node holds the global min")
+    // sf gate: the saturated pairs estimate must track Σ_c |c|² (the
+    // exact number of connected pairs incl. self) — one K=8 MinCount
+    // estimate per ball, deterministic md5 registers, measured ratio
+    // 0.97 at sf0.01 / 1.0x at sf0.001
+    val rows = SparkEntry.queries("q_anf")(s, sfDir).collect()
+      .sortBy(_.getInt(0))
+    val nhats = rows.map(_.getAs[Double]("nhat"))
+    assert(nhats.zip(nhats.tail).forall { case (a, b) => b >= a },
+      "the neighborhood function is monotone in r")
+    val effs = rows.map(_.getAs[Int]("at_effective"))
+    assert(effs.zip(effs.tail).forall { case (a, b) => b >= a } &&
+      effs.last === 1, "the 90%-mass flag is monotone and final")
+    val e0 = Tables.lineitem(s, sfDir)
+      .select(col("l_partkey").cast("long").as("p"),
+        col("l_suppkey").cast("long").as("sk")).distinct()
+    val memb = graft.operators.Dedup.connectedComponents(
+      e0.select((col("p") * 2).as("id_a"), (col("sk") * 2 + 1).as("id_b")))
+    val truePairs = memb.groupBy("cluster_id").count()
+      .agg(sum(col("count") * col("count"))).head.getLong(0)
+    val ratio = nhats.last / truePairs.toDouble
+    assert(ratio > 0.5 && ratio < 2.0,
+      s"saturated ANF mass ${nhats.last} vs exact $truePairs (ratio " +
+        f"$ratio%.3f) outside the K=8 MinCount band")
+  }
+
   test("q_diameter_bracket invariants on sf data") {
     val r = SparkEntry.queries("q_diameter_bracket")(s, sfDir).collect().head
     val (lb, ub) = (r.getAs[Int]("lb"), r.getAs[Int]("ub"))

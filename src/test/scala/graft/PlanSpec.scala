@@ -294,7 +294,10 @@ class PlanSpec extends SparkSpec {
       "q_pagerank_ppr", "q_louvain", "q_leiden",
       // q_louvain_incr — louvainReadout's 1-row global-Q fold
       // broadcast onto the top-10 rows (q_louvain's pattern)
-      "q_louvain_incr")
+      "q_louvain_incr",
+      // q_anf — the 1-row round-R mass broadcast onto the R+1 census
+      // rows (q_sssp's pattern)
+      "q_anf")
 
   test("all queries at scale: no cartesian products, no unsanctioned nested-loop joins") {
     atScale {
