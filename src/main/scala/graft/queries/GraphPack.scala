@@ -2297,11 +2297,11 @@ object GraphPack extends QueryPack {
     }
   }
 
-  /** The register fold over any directed (`src`, `dst`) edge set —
-    * public to the test JVM for the hand-replay and estimator gates. */
-  private[graft] def anfFrom(edges: DataFrame, rounds: Int, k: Int,
-      ckpt: graft.operators.CheckpointStrategy =
-        graft.operators.CheckpointStrategy.Local): DataFrame = {
+  /** The per-round register frames (node, x0..x{k−1}) for rounds
+    * 0..rounds, each checkpointed — shared by [[anfFrom]]'s census and
+    * [[harmonicFrom]]'s per-node readout. */
+  private def anfRegisters(edges: DataFrame, rounds: Int, k: Int,
+      ckpt: graft.operators.CheckpointStrategy): Seq[DataFrame] = {
     val np = math.max(1,
       edges.sparkSession.sparkContext.defaultParallelism / 4)
     val regCols = (0 until k).map(j => s"x$j")
@@ -2313,14 +2313,8 @@ object GraphPack extends QueryPack {
           (u32(concat(lit(s"anf:$j:"), col("node").cast("string")))
             % 1048576L + 1L).as(s"x$j")): _*)
       .repartition(np, col("node")))
-    val estQ = ((k - 1).toLong * 1048576L * 1000L).toString
-    def censusRow(r: Int, xr: DataFrame): DataFrame =
-      xr.select(regCols.map(col).reduce(_ + _).as("sumx"))
-        .agg(sum(col("sumx")).as("sum_reg"),
-          sum(expr(s"$estQ div sumx")).as("nhat_q"))
-        .select(lit(r).as("r"), col("sum_reg"), col("nhat_q"))
-    val census = collection.mutable.ArrayBuffer(censusRow(0, x))
-    for (r <- 1 to rounds) {
+    val xs = collection.mutable.ArrayBuffer(x)
+    for (_ <- 1 to rounds) {
       val contrib = edges.join(x, edges("src") === x("node"))
         .select(col("dst").as("node") +: regCols.map(col): _*)
       x = ckpt(contrib.unionByName(x)
@@ -2328,8 +2322,25 @@ object GraphPack extends QueryPack {
         .agg(min(regCols.head).as(regCols.head),
           regCols.tail.map(c => min(c).as(c)): _*)
         .repartition(np, col("node")))
-      census += censusRow(r, x)
+      xs += x
     }
+    xs.toSeq
+  }
+
+  /** The register fold over any directed (`src`, `dst`) edge set —
+    * public to the test JVM for the hand-replay and estimator gates. */
+  private[graft] def anfFrom(edges: DataFrame, rounds: Int, k: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val regCols = (0 until k).map(j => s"x$j")
+    val estQ = ((k - 1).toLong * 1048576L * 1000L).toString
+    def censusRow(r: Int, xr: DataFrame): DataFrame =
+      xr.select(regCols.map(col).reduce(_ + _).as("sumx"))
+        .agg(sum(col("sumx")).as("sum_reg"),
+          sum(expr(s"$estQ div sumx")).as("nhat_q"))
+        .select(lit(r).as("r"), col("sum_reg"), col("nhat_q"))
+    val census = anfRegisters(edges, rounds, k, ckpt).zipWithIndex
+      .map { case (xr, r) => censusRow(r, xr) }
     val fin = census.last.select(col("nhat_q").as("nf"))
     census.reduce(_ unionByName _)
       .crossJoin(broadcast(fin))
@@ -2339,6 +2350,118 @@ object GraphPack extends QueryPack {
         expr("(nhat_q * 10000) div nf").cast("long").as("pct_bp"),
         (col("nhat_q") * 10 >= col("nf") * 9).cast("int")
           .as("at_effective"))
+  }
+
+  /** Harmonic centrality for ALL nodes from the same register fold
+    * (HyperBall: Boldi & Vigna WebSci 2014 — "centralities in a
+    * scythe", the flagship application of the neighborhood sketch):
+    * H(v) = Σ_{u≠v} 1/d(u,v) estimated as Σ_r (N̂(v,r) − N̂(v,r−1))/r,
+    * the per-ball MinCount increments discounted by their round. Where
+    * q_closeness pays one BFS per SEED, this reads every node's
+    * centrality from the ONE register fold — the only way the full
+    * centrality table is affordable at graph scale. Exact integer
+    * algebra: the telescoped weights w_r = L/r − L/(r+1) (L =
+    * lcm(1..R), w_0 = −L, w_R = L/R) turn the increment sum into ONE
+    * weighted union-aggregate over the per-round integer N̂_q values —
+    * no subtraction chain, partition-order exact, so the top-20
+    * hashes. Registers monotone ⇒ increments ≥ 0 ⇒ H_q ≥ 0. */
+  private def harmonic(s: SparkSession, d: String,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    // node-sized register state — quarter-parallelism clone shuffles
+    graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
+      val e0 = lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk")).distinct()
+      val edges = ckpt(e0.select(
+          (col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(e0.select(
+          (col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+        .repartition(col("src")))
+      harmonicFrom(edges, AnfRounds, AnfK, ckpt)
+    }
+  }
+
+  private def lcmTo(n: Int): Long =
+    (2 to n).foldLeft(1L)((a, b) => a / BigInt(a).gcd(BigInt(b)).toLong * b)
+
+  /** Telescoped per-round weights (index 0..rounds): Σ_r w_r·N̂_q(v,r)
+    * = L·Σ_r (N̂(v,r) − N̂(v,r−1))/r with every w_r an exact integer. */
+  private[graft] def harmonicWeights(rounds: Int): Seq[Long] = {
+    val L = lcmTo(rounds)
+    (-L) +: (1 until rounds).map(r => L / r - L / (r + 1)) :+ (L / rounds)
+  }
+
+  /** The centrality readout over any directed (`src`, `dst`) edge set
+    * — public to the test JVM for the driver-replay gate. */
+  private[graft] def harmonicFrom(edges: DataFrame, rounds: Int, k: Int,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame = {
+    val regCols = (0 until k).map(j => s"x$j")
+    val estQ = ((k - 1).toLong * 1048576L * 1000L).toString
+    val w = harmonicWeights(rounds)
+    val terms = anfRegisters(edges, rounds, k, ckpt).zipWithIndex
+      .map { case (xr, r) =>
+        xr.select(col("node"),
+          regCols.map(col).reduce(_ + _).as("sumx"))
+          .select(col("node"),
+            (expr(s"$estQ div sumx") * lit(w(r))).as("t"))
+      }
+    val div = (1000.0 * lcmTo(rounds)).toString
+    terms.reduce(_ unionByName _)
+      .groupBy("node").agg(sum("t").as("h_q"))
+      .orderBy(col("h_q").desc, col("node")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("h_q").desc, col("node"))))
+      .select(col("rk").cast("int").as("rk"),
+        when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+          .as("side"),
+        expr("node div 2").as("key"),
+        col("h_q").cast("long").as("h_q"),
+        round(col("h_q").cast("double") / expr(div), 3).as("h"))
+  }
+
+  /** DuckDB replay of [[harmonicFrom]]: the anf register chain + the
+    * weighted union-aggregate + the top-20 readout. */
+  private def harmonicSql(rounds: Int = AnfRounds, k: Int = AnfK): String = {
+    val regs = (0 until k).map(j => s"x$j")
+    val initCols = (0 until k).map(j =>
+      s"CAST(('0x'||substr(md5('anf:$j:'||CAST(node AS VARCHAR)),1,8)) " +
+        s"AS BIGINT) % 1048576 + 1 AS x$j").mkString(",\n|    ")
+    val minCols = regs.map(c => s"min($c) AS $c").mkString(", ")
+    val xcols = regs.mkString(", ")
+    val sumx = regs.mkString(" + ")
+    val estQ = ((k - 1).toLong * 1048576L * 1000L).toString
+    val w = harmonicWeights(rounds)
+    val L = lcmTo(rounds)
+    val steps = (1 to rounds).map { r =>
+      s"""x$r AS MATERIALIZED (SELECT node, $minCols FROM (
+         |  SELECT e.dst AS node, $xcols FROM edges e
+         |    JOIN x${r - 1} x ON e.src = x.node
+         |  UNION ALL SELECT node, $xcols FROM x${r - 1}) GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    val terms = (0 to rounds).map { r =>
+      s"SELECT node, ($estQ // ($sumx)) * (${w(r)}) AS t FROM x$r"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+       |    FROM lineitem),
+       |edges AS (SELECT p * 2 AS src, sk * 2 + 1 AS dst FROM e0
+       |  UNION ALL SELECT sk * 2 + 1, p * 2 FROM e0),
+       |x0 AS MATERIALIZED (SELECT node,
+       |    $initCols
+       |  FROM (SELECT DISTINCT src AS node FROM edges)),
+       |$steps,
+       |hterms AS ($terms),
+       |hq AS (SELECT node, sum(t) AS h_q FROM hterms GROUP BY node),
+       |top AS (SELECT node, h_q FROM hq
+       |  ORDER BY h_q DESC, node LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY h_q DESC, node) AS INT)
+       |    AS rk,
+       |  CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS side,
+       |  node // 2 AS key, CAST(h_q AS BIGINT) AS h_q,
+       |  round(CAST(h_q AS DOUBLE) / ${1000.0 * L}, 3) AS h
+       |FROM top""".stripMargin
   }
 
   /** DuckDB replay of [[anfFrom]]: same md5 registers, same chained
@@ -2382,6 +2505,7 @@ object GraphPack extends QueryPack {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anf" -> ((s, d) => anf(s, d)),
+    "q_harmonic" -> ((s, d) => harmonic(s, d)),
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_clustcoef" -> ((s, d) => clustcoef(s, d)),
     "q_clustcoef_w" -> ((s, d) => clustcoefWeightedFrom(
@@ -2908,6 +3032,7 @@ object GraphPack extends QueryPack {
     "q_closeness" -> closenessSql,
     "q_betweenness" -> betweennessSql,
     "q_anf" -> anfSql(),
+    "q_harmonic" -> harmonicSql(),
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |und AS (SELECT a.p AS u, b.p AS v

@@ -384,6 +384,52 @@ class GraphPackSpec extends SparkSpec {
         f"$ratio%.3f) outside the K=8 MinCount band")
   }
 
+  test("harmonicFrom equals an exact driver replay of the register " +
+      "algebra and ranks a star's hub first") {
+    // star c=100 with leaves 1..6 (tagged-id parity irrelevant to the
+    // kernel): the hub saturates its ball at r=1, leaves at r=2, so
+    // under the 1/r discount the hub's centrality must lead
+    val und = (1L to 6L).map(l => (100L, l))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = GraphPack.harmonicFrom(edges, rounds = 3, k = 8).collect()
+    // exact driver replay: same md5 registers, same min-folds over the
+    // true balls, same integer estimator and telescoped weights
+    def md5hex(str: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def reg(j: Int, v: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"anf:$j:$v").take(8), 16) %
+        1048576L + 1L
+    val nodes = 100L +: (1L to 6L)
+    def ball(v: Long, r: Int): Seq[Long] =
+      if (r == 0) Seq(v)
+      else if (v == 100L || r >= 2) nodes
+      else Seq(v, 100L)
+    val w = GraphPack.harmonicWeights(3)
+    val estQ = 7L * 1048576L * 1000L
+    val want = nodes.map { v =>
+      v -> (0 to 3).map { r =>
+        val sumx = (0 until 8)
+          .map(j => ball(v, r).map(u => reg(j, u)).min).sum
+        w(r) * (estQ / sumx)
+      }.sum
+    }.toMap
+    got.foreach { row =>
+      // the readout decodes node = key·2 (part) / key·2+1 (supplier);
+      // planted ids survive the round trip: 100 → part/50,
+      // 3 → supplier/1, 2 → part/1
+      val planted = row.getAs[Long]("key") * 2 +
+        (if (row.getString(1) == "supplier") 1L else 0L)
+      assert(want.contains(planted) &&
+        row.getAs[Long]("h_q") === want(planted),
+        s"node $planted: got ${row.getAs[Long]("h_q")}, " +
+          s"want ${want(planted)}")
+    }
+    assert(got.head.getString(1) === "part" &&
+      got.head.getAs[Long]("key") === 50L,
+      "the hub's 1/r-discounted mass must rank first")
+  }
+
   test("q_diameter_bracket invariants on sf data") {
     val r = SparkEntry.queries("q_diameter_bracket")(s, sfDir).collect().head
     val (lb, ub) = (r.getAs[Int]("lb"), r.getAs[Int]("ub"))
