@@ -422,6 +422,72 @@ final class TxLogTable(root: String,
     if (v < 0L) None else Some(v)
   }
 
+  /** OPTIMIZE ZORDER BY — [[optimize]]'s multi-dimensional layout
+    * face (Delta's `OPTIMIZE ... ZORDER BY (x, y)`): the full rewrite
+    * is clustered into `nFiles` EQUI-WIDTH slices of the 32-bit Morton
+    * key of two integral columns (`graft.operators.Layout` — the same
+    * key q_zorder audits) and sorted by it inside each file, so every
+    * output file carries a tight min/max envelope on BOTH dimensions
+    * — the parquet footer stats a scan prunes on for filters over
+    * either column, where a linear sort serves only its leading key.
+    * Equi-width slices (`z·n div (zMax+1)`) rather than sampled range
+    * boundaries: deterministic (the layout, like every result here,
+    * must not depend on a sampler), and on power-of-two grids they
+    * ARE the Morton quadrants; a skew-heavy table wanting equi-depth
+    * files would swap in `repartitionByRange` and accept sampled
+    * cuts. Grid normalization reads each column's max from the data
+    * (one 1-row aggregate). Same read-version anchoring / stale-abort
+    * discipline as [[optimize]]; a racer's data commit aborts the
+    * stale rewrite, the orphan ages out via [[vacuum]]. */
+  def optimizeZorder(spark: SparkSession, xCol: String, yCol: String,
+      nFiles: Int = 4): Option[Long] = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val v0 = currentVersion()
+    val live = liveFiles(v0)
+    if (live.isEmpty) return None
+    val df = spark.read.parquet(
+      live.map(f => dataDir.resolve(f).toString): _*)
+    val mx = df.selectExpr(s"cast(max($xCol) as bigint)",
+      s"cast(max($yCol) as bigint)").head()
+    if (mx.isNullAt(0) || mx.isNullAt(1)) return None
+    val z = graft.operators.Layout.zorder16(
+      graft.operators.Layout.grid16(xCol, mx.getLong(0).toString),
+      graft.operators.Layout.grid16(yCol, mx.getLong(1).toString))
+    val zdf = df.withColumn("_z", z)
+    val zMax = zdf.agg(max("_z")).head().getLong(0)
+    val added = writeZorderFiles(
+      zdf.withColumn("_zb", expr(s"(_z * $nFiles) div ${zMax + 1}L")))
+    val v = commit(added, live, txn = None, rebase = _ =>
+      if (liveFiles() == live) Some((added, live)) else None,
+      readVersion = v0)
+    if (v < 0L) None else Some(v)
+  }
+
+  /** One file per `_zb` slice, rows sorted by `_z` inside it (the
+    * clustered-write shape); both layout columns are derivable, not
+    * data — `_zb` hoists into directory names via partitionBy and
+    * `_z` is dropped after the in-task sort. */
+  private def writeZorderFiles(df: DataFrame): Seq[String] = {
+    Files.createDirectories(dataDir)
+    val staging = Files.createTempDirectory(dataDir, ".stage-")
+    df.repartition(col("_zb"))
+      .sortWithinPartitions("_zb", "_z")
+      .drop("_z")
+      .write.partitionBy("_zb").mode("overwrite")
+      .parquet(staging.resolve("out").toString)
+    val parts = withWalk(staging.resolve("out"))(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+    val named = parts.map { p =>
+      val name = java.util.UUID.randomUUID().toString + ".parquet"
+      Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    try {
+      withWalk(staging)(_.toSeq.reverse.foreach(Files.deleteIfExists))
+    } catch { case _: java.io.IOException => () }
+    named
+  }
+
   /** Delete data files no RETAINED snapshot can reach — Delta's
     * VACUUM, the GC for (a) files removed by commits at or below the
     * retention version and (b) ORPHANS of crashed commits (written,

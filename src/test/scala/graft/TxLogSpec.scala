@@ -515,6 +515,51 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("optimizeZorder: the rewrite carries tight per-file envelopes " +
+      "on BOTH dimensions and values survive the layout move") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      // 64×64 grid scattered across 4 commits in round-robin order —
+      // every pre-optimize file spans the FULL range of both dims
+      // (the no-skipping worst case)
+      val all = for (i <- 0 until 4096) yield (i % 64, i / 64)
+      (0 until 4).foreach { c =>
+        val part = all.zipWithIndex.filter(_._2 % 4 == c).map(_._1)
+        val f = table.writeDataFiles(part.toDF("x", "y"))
+        assert(table.commit(f, Nil, Some(c.toLong)) === c + 1L)
+      }
+      val dataDir = java.nio.file.Paths.get(dir, "data")
+      def envelopes(files: Seq[String]): Seq[(Int, Int)] = files.map { f =>
+        val r = spark.read.parquet(dataDir.resolve(f).toString)
+          .selectExpr("max(x) - min(x)", "max(y) - min(y)").head()
+        (r.getInt(0), r.getInt(1))
+      }
+      envelopes(table.liveFiles()).foreach { case (ex, ey) =>
+        // each round-robin slice holds x ∈ {c, c+4, …, 60+c} (range
+        // 60) and the full y range — no dimension is clustered
+        assert(ex === 60 && ey === 63,
+          "scattered commits must span (nearly) the full grid")
+      }
+      val v = table.optimizeZorder(spark, "x", "y", nFiles = 4)
+      assert(v === Some(5L))
+      val liveNow = table.liveFiles()
+      assert(liveNow.size === 4)
+      // four z-ranges of a 64×64 grid are the four 32×32 quadrants:
+      // each file's envelope must be quadrant-tight on BOTH dims —
+      // the property a linear sort cannot give (x-sorted files would
+      // still span y 0..63)
+      envelopes(liveNow).foreach { case (ex, ey) =>
+        assert(ex <= 32 && ey <= 32,
+          s"z-clustered file spans ($ex, $ey) — not quadrant-tight")
+      }
+      val rows = table.snapshot(spark).get
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(rows === all.toSet, "a layout move never changes values")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("optimizePacked: only the small-file tail is rewritten toward " +
       "the target size; a second run is a no-op") {
     val dir = tmp()
