@@ -44,6 +44,55 @@ object Clustering extends QueryPack {
 
   private def pts(s: SparkSession, d: String): DataFrame = Tables.points2d(s, d)
 
+  /** Lightweight-coreset parameters (km_coreset): target sample size,
+    * coordinate quantizer, and the positive-domain offset (every
+    * integral division in the pipeline is truncating, and Spark `div`
+    * only equals DuckDB `//` on non-negative operands — the offset
+    * keeps the whole quantized domain positive; distances are
+    * offset-invariant). */
+  val CoresetM = 256
+  val CoresetQ = 1048576L // 2^20
+  val CoresetOff = 8.0
+
+  /** Quantized positive-domain points (id, qx, qy) — the ONE float →
+    * integer step; everything downstream is exact. */
+  private[graft] def coresetQpts(p: DataFrame): DataFrame =
+    p.select(col("id"),
+      floor((col("x") + CoresetOff) * CoresetQ).cast("long").as("qx"),
+      floor((col("y") + CoresetOff) * CoresetQ).cast("long").as("qy"))
+
+  /** Lightweight-coreset selection (Bachem, Lucic & Krause, KDD 2018):
+    * q(x) = 1/(2n) + d²(x, μ)/(2·Σd²), keep x iff
+    * u(x)/2³² < m·q(x), weight w(x) = 1/(m·q(x)) — one mean pass, one
+    * Σd² pass, one selection scan; E[|coreset|] = m, E[Σw] = n. The
+    * inequality and weight clear denominators into DECIMAL(38,0)
+    * (u·2·n·S < m·(S + n·d)·2³², max ~2¹⁰³ ≈ 10³¹) so both engines
+    * compare exact integers; u is SketchPack's portable md5-u32 of
+    * "cs:<id>". Returns (id, qx, qy, w) with w in 1/1000 units. */
+  private[graft] def coresetSelect(qpts: DataFrame, m: Int): DataFrame = {
+    val st = qpts.agg(count(lit(1)).as("n"), sum("qx").as("sqx"),
+      sum("qy").as("sqy")).head()
+    val n = st.getLong(0)
+    val mx = st.getLong(1) / n
+    val my = st.getLong(2) / n
+    val dq = qpts.select(col("id"), col("qx"), col("qy"),
+      ((col("qx") - mx) * (col("qx") - mx) +
+        (col("qy") - my) * (col("qy") - my)).as("d"))
+    val sq = BigInt(dq.agg(sum("d")).head().getLong(0))
+    def dec(b: BigInt) =
+      lit(new java.math.BigDecimal(b.bigInteger))
+    val u = conv(substring(md5(concat(lit("cs:"),
+      col("id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val den = (dec(sq) +
+      dec(BigInt(n)) * col("d").cast("decimal(38,0)"))
+    dq.where(u.cast("decimal(38,0)") * dec(2 * BigInt(n) * sq) <
+        den * dec(BigInt(m) * BigInt(4294967296L)))
+      .withColumn("wnum", dec(2 * BigInt(n) * sq * 1000))
+      .withColumn("wden", den * dec(BigInt(m)))
+      .selectExpr("id", "qx", "qy", "cast(wnum div wden as bigint) as w")
+  }
+
   /** Bisecting k-means split levels / Lloyd iterations per split —
     * also the oracle's replay depth. */
   val BisectLevels = 3
@@ -627,6 +676,76 @@ object Clustering extends QueryPack {
         .select(col("rk"), col("id"), col("x"), col("y"), col("n_points"))
     }),
 
+    // Lightweight coreset + weighted Lloyd (Bachem, Lucic & Krause
+    // KDD 2018) — THE technique for k-means at corpus scale: compress
+    // n points into an m-point WEIGHTED summary in two scans (mean,
+    // Σd²) + one selection pass, then fit on the coreset. Selection is
+    // importance sampling q(x) = 1/(2n) + d²(x,μ)/(2Σd²) made
+    // deterministic by md5 thresholding (q_sample's scan-side idiom,
+    // km_kmeanspp's exact-integer inverse-CDF discipline): far/rare
+    // points are kept with probability ~1 and LOW weight, dense-blob
+    // points are thinned and re-weighted up, so the weighted fit sees
+    // an unbiased surrogate of the full objective (E[Σw] = n). Two
+    // weighted Lloyd iterations from the pack's id<K seeds, all
+    // integer (quantized coords, truncating divides, least-struct
+    // argmin with cid ties) — the whole pipeline hashes. Readout: one
+    // row per center (n_members, w_sum, final position) + the global
+    // (n, n_coreset, w_total) compression report. Scale shape: the
+    // coreset NEVER collects — selection is a scan-side filter, the
+    // fit's per-iteration state is k rows; at 10¹² points the same
+    // three passes + an m-row table replace every downstream full
+    // scan.
+    "km_coreset" -> ((s, d) => {
+      val q = coresetQpts(pts(s, d)).localCheckpoint(true)
+      val sel = coresetSelect(q, CoresetM).localCheckpoint(true)
+      var centers: Seq[(Int, Long, Long)] =
+        q.filter(col("id") < K).orderBy("id").collect()
+          .map(r => (r.getAs[Long]("id").toInt,
+            r.getAs[Long]("qx"), r.getAs[Long]("qy"))).toSeq
+      def assign(df: DataFrame): DataFrame = {
+        val structs = centers.map { case (cid, cx, cy) =>
+          struct(((col("qx") - cx) * (col("qx") - cx) +
+            (col("qy") - cy) * (col("qy") - cy)).as("dist"),
+            lit(cid).as("cid"))
+        }
+        df.withColumn("a", least(structs: _*))
+          .select(col("qx"), col("qy"), col("w"), col("a.cid").as("cid"))
+      }
+      var lastUpd: Array[org.apache.spark.sql.Row] = Array.empty
+      for (_ <- 1 to 2) {
+        lastUpd = assign(sel).groupBy("cid").agg(
+          sum(expr("w * qx")).as("swx"), sum(expr("w * qy")).as("swy"),
+          sum("w").as("sw"), count(lit(1)).as("mcnt")).collect()
+        val byCid = lastUpd.map(r => r.getAs[Int]("cid") -> r).toMap
+        centers = centers.map { case (cid, cx, cy) =>
+          byCid.get(cid) match {
+            case Some(r) => (cid,
+              r.getAs[Long]("swx") / r.getAs[Long]("sw"),
+              r.getAs[Long]("swy") / r.getAs[Long]("sw"))
+            case None => (cid, cx, cy) // empty center keeps (reference)
+          }
+        }
+      }
+      val glob = sel.agg(count(lit(1)).as("n_coreset"),
+        sum("w").as("w_total")).head()
+      val n = q.count()
+      val byCid = lastUpd.map(r => r.getAs[Int]("cid") -> r).toMap
+      import s.implicits._
+      centers.map { case (cid, cx, cy) =>
+        val (mc, sw) = byCid.get(cid)
+          .map(r => (r.getAs[Long]("mcnt"), r.getAs[Long]("sw")))
+          .getOrElse((0L, 0L))
+        (cid, mc, sw, cx, cy, glob.getLong(0), glob.getLong(1), n)
+      }.toDF("cid", "n_members", "w_sum", "qcx", "qcy",
+          "n_coreset", "w_total", "n")
+        .select(col("cid"), col("n_members"), col("w_sum"),
+          round(col("qcx").cast("double") / CoresetQ - CoresetOff, 6)
+            .as("cx"),
+          round(col("qcy").cast("double") / CoresetQ - CoresetOff, 6)
+            .as("cy"),
+          col("n_coreset"), col("w_total"), col("n"))
+    }),
+
     // Model selection: WSSSE elbow curve over candidate k — one
     // broadcast-argmin pass per k, unioned. Each pass is the km_cost
     // operator; the oracle reproduces every k from the same seeds.
@@ -1125,6 +1244,66 @@ object Clustering extends QueryPack {
     // engines despite different summation orders
     "km_lloyd_fixed" -> lloydReplaySql(LloydFixedIters,
       s"SELECT cid, cx AS nx, cy AS ny FROM cent$LloydFixedIters"),
+    // lightweight-coreset replay: quantize, mean, Σd², md5-threshold
+    // selection + integral weights (HUGEINT clears the u·2nS ≈ 2¹⁰³
+    // products), then both weighted Lloyd stages with truncating
+    // integer center updates and empty-center carry
+    "km_coreset" -> {
+      s"""WITH pts AS ($ptsSql),
+         |qpts AS (SELECT id,
+         |    CAST(floor((x + $CoresetOff) * $CoresetQ) AS BIGINT) AS qx,
+         |    CAST(floor((y + $CoresetOff) * $CoresetQ) AS BIGINT) AS qy
+         |  FROM pts),
+         |st AS (SELECT count(*) AS n, sum(qx) AS sqx, sum(qy) AS sqy
+         |  FROM qpts),
+         |mu AS (SELECT n, sqx // n AS mx, sqy // n AS my FROM st),
+         |dq AS (SELECT id, qx, qy,
+         |    (qx - mx)*(qx - mx) + (qy - my)*(qy - my) AS d
+         |  FROM qpts, mu),
+         |sq AS (SELECT sum(d) AS s FROM dq),
+         |sel AS MATERIALIZED (SELECT id, qx, qy,
+         |    (2 * n * s * 1000) // ($CoresetM * (s + n * d)) AS w
+         |  FROM dq, mu, sq
+         |  WHERE CAST(('0x'||substr(md5('cs:'||CAST(id AS VARCHAR)),1,8))
+         |      AS BIGINT) * 2 * n * s
+         |    < $CoresetM * (s + n * d) * 4294967296),
+         |cent0 AS (SELECT CAST(id AS INT) AS cid, qx AS cx, qy AS cy
+         |  FROM qpts WHERE id < $K),
+         |a1 AS (SELECT id, qx, qy, w, cid FROM (
+         |  SELECT p.id, p.qx, p.qy, p.w, c.cid,
+         |    row_number() OVER (PARTITION BY p.id
+         |      ORDER BY (p.qx-c.cx)*(p.qx-c.cx)+(p.qy-c.cy)*(p.qy-c.cy),
+         |        c.cid) AS rn
+         |  FROM sel p CROSS JOIN cent0 c) WHERE rn = 1),
+         |u1 AS (SELECT cid, sum(w*qx) AS swx, sum(w*qy) AS swy,
+         |    sum(w) AS sw FROM a1 GROUP BY cid),
+         |cent1 AS (SELECT c.cid,
+         |    CAST(coalesce(u.swx // u.sw, c.cx) AS BIGINT) AS cx,
+         |    CAST(coalesce(u.swy // u.sw, c.cy) AS BIGINT) AS cy
+         |  FROM cent0 c LEFT JOIN u1 u USING (cid)),
+         |a2 AS (SELECT id, qx, qy, w, cid FROM (
+         |  SELECT p.id, p.qx, p.qy, p.w, c.cid,
+         |    row_number() OVER (PARTITION BY p.id
+         |      ORDER BY (p.qx-c.cx)*(p.qx-c.cx)+(p.qy-c.cy)*(p.qy-c.cy),
+         |        c.cid) AS rn
+         |  FROM sel p CROSS JOIN cent1 c) WHERE rn = 1),
+         |u2 AS (SELECT cid, sum(w*qx) AS swx, sum(w*qy) AS swy,
+         |    sum(w) AS sw, count(*) AS mcnt FROM a2 GROUP BY cid),
+         |cent2 AS (SELECT c.cid,
+         |    CAST(coalesce(u.swx // u.sw, c.cx) AS BIGINT) AS cx,
+         |    CAST(coalesce(u.swy // u.sw, c.cy) AS BIGINT) AS cy
+         |  FROM cent1 c LEFT JOIN u2 u USING (cid)),
+         |gstat AS (SELECT count(*) AS n_coreset, sum(w) AS w_total
+         |  FROM sel)
+         |SELECT c.cid, CAST(coalesce(u.mcnt, 0) AS BIGINT) AS n_members,
+         |  CAST(coalesce(u.sw, 0) AS BIGINT) AS w_sum,
+         |  round(CAST(c.cx AS DOUBLE) / $CoresetQ - $CoresetOff, 6) AS cx,
+         |  round(CAST(c.cy AS DOUBLE) / $CoresetQ - $CoresetOff, 6) AS cy,
+         |  CAST(gstat.n_coreset AS BIGINT) AS n_coreset,
+         |  CAST(gstat.w_total AS BIGINT) AS w_total,
+         |  CAST(mu.n AS BIGINT) AS n
+         |FROM cent2 c LEFT JOIN u2 u USING (cid), gstat, mu""".stripMargin
+    },
     // the CONVERGENT fit's replay: the tol gate stopped after exactly
     // LloydConvergedItersSf001 rounds at the gate's scale (pinned by
     // ClusteringSpec), so the same fixed chain reproduces its

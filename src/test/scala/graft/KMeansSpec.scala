@@ -189,4 +189,35 @@ class KMeansSpec extends SparkSpec {
     assert(got.exists(r =>
       math.abs(r.getAs[Double]("soft_n") - r.getAs[Long]("hard_n")) > 0.2))
   }
+
+  test("coresetSelect keeps every far outlier with LOW weight, thins " +
+      "the blob with HIGH weight, and the weights stay unbiased") {
+    import graft.queries.Clustering
+    // 1005 points: a dense 1000-point blob near the origin + 5 far
+    // outliers that carry ~all of the Σd² mass. Lightweight-coreset
+    // importance: far points have m·q(x) ≫ 1 → kept with certainty
+    // and low weight (they represent only themselves); blob points
+    // have q(x) ≈ 1/(2n) → thinned to ~m/2 survivors that each stand
+    // in for ~2n/m originals via a high weight. E[Σw] = n.
+    val blob = (0 until 1000).map(i =>
+      (i.toLong, 0.001 * (i % 32), 0.001 * (i / 32)))
+    val far = (0 until 5).map(j => (5000L + j, 7.0 + j, -7.0 - j))
+    val q = Clustering.coresetQpts((blob ++ far).toDF("id", "x", "y"))
+    val sel = Clustering.coresetSelect(q, Clustering.CoresetM)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("w")).toMap
+    far.foreach { case (id, _, _) =>
+      assert(sel.contains(id), s"far point $id must be kept") }
+    val (farW, blobW) = (far.map(f => sel(f._1)),
+      sel.view.filterKeys(_ < 5000L).values.toSeq)
+    assert(blobW.nonEmpty && farW.max * 50 < blobW.min,
+      s"far weights ${farW.max} must sit far below blob weights " +
+        s"${blobW.min} — each far point represents only itself")
+    val wTotal = sel.values.sum / 1000.0
+    assert(math.abs(wTotal - 1005.0) / 1005.0 < 0.15,
+      s"Σw = $wTotal must track n = 1005 (unbiased weights)")
+    // the blob thins toward m/2 = 128 (the 1/(2n) uniform half of q)
+    val blobKept = sel.keys.count(_ < 5000L)
+    assert(blobKept > 60 && blobKept < 230,
+      s"blob kept $blobKept of 1000 — expected ~128")
+  }
 }
