@@ -497,6 +497,54 @@ object Multimodal {
       }
   }
 
+  final case class VideoFingerprint(id: Long, n_frames: Int, vhash: Long,
+      drift: Int)
+
+  /** Video-level perceptual fingerprint (round 16): per container,
+    * every frame through the REAL decode → [[ahashOf]], then the
+    * frame-hash sequence collapses to ONE 64-bit signature by per-bit
+    * MAJORITY vote (bit b set iff ≥ half the frames set it — SimHash's
+    * vote, Charikar STOC 2002, over the frame axis), plus
+    * `drift` = popcount(first ⊕ last) — how far the content moves
+    * across the clip (0 = static, ~32 = unrelated endpoints). The
+    * majority vote is what makes the signature a VIDEO identity:
+    * re-encoded copies, dropped tail frames, or a re-sampled frame
+    * rate perturb few votes, where any frame-list digest flips
+    * completely. Per-row work bounded by frames × decode;
+    * embarrassingly parallel mapPartitions, nothing leaves the task
+    * but the 4-field row. */
+  def videoFingerprints(df: DataFrame, idCol: String,
+      binCol: String): Dataset[VideoFingerprint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        ImageIO.setUseCache(false)
+        val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        require(new String(magic, "US-ASCII") == "GFV1",
+          s"not a GFV1 container for id=$id")
+        val n = in.readInt()
+        val hs = (0 until n).map { _ =>
+          val len = in.readInt()
+          val payload = new Array[Byte](len)
+          in.readFully(payload)
+          ahashOf(decodeImage(id, payload))
+        }
+        var vh = 0L
+        var b = 0
+        while (b < 64) {
+          val cnt = hs.count(h => ((h >>> b) & 1L) == 1L)
+          if (2 * cnt >= n) vh |= (1L << b)
+          b += 1
+        }
+        VideoFingerprint(id, n, vh,
+          java.lang.Long.bitCount(hs.head ^ hs.last))
+      }
+  }
+
   // ---- shot-boundary corpus (round 14): a planted scene cut ----
 
   /** Frames per shot-test video: 8–12 — long enough that one cut's

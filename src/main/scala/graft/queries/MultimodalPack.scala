@@ -38,6 +38,9 @@ object MultimodalPack extends QueryPack {
     "mm_features" -> ((s, d) =>
       Multimodal.channelHistogram(Multimodal.imageCorpus(s, d), "id", "media").toDF()),
 
+    "mm_video_fingerprint" -> ((s, d) =>
+      Multimodal.videoFingerprints(
+        Multimodal.videoCorpus(s, d), "id", "media").toDF()),
     "mm_framesample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.videoCorpus(s, d), "id", "media").toDF()),
 
@@ -370,6 +373,51 @@ object MultimodalPack extends QueryPack {
     // from raster identity (same format ∧ same dims ∧ cid ≡ mod 256
     // — 31 is invertible mod 256, so equal offset ⟺ equal cid mod
     // 256; lossless deterministic encoders ⇒ equal bytes)
+    // replay every frame's aHash from the video generator lattice
+    // (NN sample, integer grayscale, integer-mean threshold — the
+    // mm_ahash_dedup idiom with the f·17 frame term), majority-vote
+    // the bits across frames, convert the UBIGINT register to the
+    // two's-complement BIGINT Spark emits
+    "mm_video_fingerprint" ->
+      s"""WITH $dimsSql,
+         |frames AS (SELECT id, w, h, CAST(f.range AS INT) AS f,
+         |    CAST(1 + id % 5 AS INT) AS n
+         |  FROM dims, range(5) f WHERE f.range < 1 + id % 5),
+         |gpx AS (SELECT id, f, n, dx.range AS dx, dy.range AS dy,
+         |    (((id*31 + f*17 + ((dx.range*w)//8)*7 + ((dy.range*h)//8)*13) % 256)
+         |     + ((id*31 + f*17 + ((dx.range*w)//8)*7 + ((dy.range*h)//8)*13 + 101) % 256)
+         |     + ((id*31 + f*17 + ((dx.range*w)//8)*7 + ((dy.range*h)//8)*13 + 202) % 256)
+         |    ) // 3 AS g
+         |  FROM frames, range(8) dx, range(8) dy),
+         |mn AS (SELECT id, f, sum(g) // 64 AS mean
+         |  FROM gpx GROUP BY id, f),
+         |hs AS MATERIALIZED (SELECT g.id, g.f, max(g.n) AS n,
+         |    CAST(sum(CASE WHEN g.g > mn.mean
+         |      THEN 1::UBIGINT << CAST(g.dy*8 + g.dx AS INT)
+         |      ELSE 0::UBIGINT END) AS UBIGINT) AS ahash
+         |  FROM gpx g JOIN mn ON mn.id = g.id AND mn.f = g.f
+         |  GROUP BY g.id, g.f),
+         |votes AS (SELECT id, b.range AS b, max(n) AS n,
+         |    sum(CAST((ahash >> CAST(b.range AS INT)) & 1::UBIGINT
+         |      AS BIGINT)) AS cnt
+         |  FROM hs, range(64) b GROUP BY id, b.range),
+         |vh AS (SELECT id, max(n) AS n,
+         |    CAST(sum(CASE WHEN 2*cnt >= n
+         |      THEN 1::UBIGINT << CAST(b AS INT)
+         |      ELSE 0::UBIGINT END) AS UBIGINT) AS uvh
+         |  FROM votes GROUP BY id),
+         |ends AS (SELECT a.id,
+         |    CAST(bit_count(xor(a.ahash, z.ahash)) AS INT) AS drift
+         |  FROM hs a JOIN hs z ON z.id = a.id AND z.f = z.n - 1
+         |  WHERE a.f = 0)
+         |SELECT vh.id, CAST(vh.n AS INT) AS n_frames,
+         |  CAST(CAST(uvh AS HUGEINT)
+         |    - CASE WHEN uvh >= 9223372036854775808::UBIGINT
+         |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+         |    AS BIGINT) AS vhash,
+         |  ends.drift
+         |FROM vh JOIN ends USING (id)""".stripMargin,
+
     "mm_ahash_dedup" ->
       """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS id,
         |    CAST(doc_id // 2 AS BIGINT) AS cid FROM documents),

@@ -85,6 +85,53 @@ class MultimodalSpec extends SparkSpec {
       "id", "media", stride = 1).count() === 4)
   }
 
+  test("videoFingerprints: re-encoded copies collide, a dropped tail " +
+      "frame barely moves the majority vote, and a frame digest would " +
+      "not survive either") {
+    val id = 39L // 1 + 39%5 = 5 frames
+    val (w, h) = Multimodal.synthDims(id)
+    def frame(f: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y,
+          (Multimodal.pixel(id, f, x, y, 0) << 16) |
+            (Multimodal.pixel(id, f, x, y, 1) << 8) |
+            Multimodal.pixel(id, f, x, y, 2))
+      img
+    }
+    def container(fmt: String, nFrames: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeBytes("GFV1"); dos.writeInt(nFrames)
+      (0 until nFrames).foreach { f =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(frame(f), fmt, bos)
+        dos.writeInt(bos.size()); bos.writeTo(dos)
+      }
+      dos.flush(); out.toByteArray
+    }
+    def fp(media: Array[Byte]) = Multimodal.videoFingerprints(
+      Seq((id, media)).toDF("id", "media"), "id", "media")
+      .collect().head
+    val png = fp(Multimodal.videoBytes(id))
+    val bmp = fp(container("bmp", 5))
+    assert(png.n_frames === 5)
+    // the recompressed-copy regime: different container bytes, same
+    // decoded pixels -> identical video identity
+    assert(bmp.vhash === png.vhash && bmp.drift === png.drift,
+      "a lossless re-encode must not move the perceptual signature")
+    // robustness of the majority vote: dropping the tail frame flips
+    // only bits where frame 4 was the tiebreaker
+    val dropped = fp(container("png", 4))
+    val moved = java.lang.Long.bitCount(dropped.vhash ^ png.vhash)
+    assert(moved <= 12,
+      s"majority signature moved $moved bits on a dropped tail frame")
+    // while any digest of the exact frame-hash LIST changes completely
+    // (4 ≠ 5 frames) — the contrast the operator exists for
+    assert(dropped.n_frames === 4)
+  }
+
   test("channelHistogram counts real pixels and featureVectors normalize to 1 per channel") {
     val id = 7L
     val (w, h) = Multimodal.synthDims(id)
