@@ -884,8 +884,128 @@ object LearnPack extends QueryPack {
     "q_stump" -> ((s, d) => stump(s, d)),
     "q_tree2" -> ((s, d) => tree2(s, d)),
     "q_tree3" -> ((s, d) => tree3(s, d)),
+    "q_adaboost" -> ((s, d) => adaboost(s, d)),
     "q_naive_bayes" -> ((s, d) => naiveBayes(s, d))
   )
+
+  private[graft] val AdaRounds = 3
+  private[graft] val AdaW0 = 1048576L // 2^20 initial per-row weight
+
+  /** Discrete AdaBoost over decision stumps (Freund & Schapire, JCSS
+    * 1997 — the multiplicative-weights ORIGINAL, 3 rounds): per round
+    * pick the (feature, threshold, polarity) stump minimizing the
+    * WEIGHTED error ε = Σ_{h(x)≠y} w, multiply every misclassified
+    * row's weight by (W−ε)/ε, renormalize to Σw = 2²⁰·n, repeat.
+    * Readout: one row per round (t, feature, threshold, pol, eps_bp)
+    * plus the ENSEMBLE's training accuracy — where the textbook vote
+    * sign(Σ_t ±α_t), α_t = ½ln((W−ε)/ε), is decided WITHOUT any
+    * engine transcendental: with 3 rounds the sign reduces to one
+    * exact integer cross-multiplication, Π_{h_t=1}(W_t−ε_t) >
+    * Π_{h_t=0}ε_t-mirrored — three-factor products ≤ 2¹¹⁷ carried in
+    * DECIMAL(38,0)/HUGEINT (at the 10¹²-row regime the vote goes
+    * float — scoring, never the gate). Weight updates and renorms are
+    * truncating integer divisions on positive operands (`div` = `//`),
+    * so the whole trajectory — stump picks, ε values, final accuracy
+    * — hashes. Scale shape: per round one fact-sized weight join +
+    * the bins-sized cumulative window of q_stump's histogram search;
+    * weights live on the natural (orderkey, linenumber) key, never a
+    * nondeterministic row id; ε = 0 clamps to 1 weight unit (the
+    * standard epsilon clamp) so a perfect stump cannot divide by
+    * zero. */
+  private def adaboost(s: SparkSession, d: String): DataFrame =
+    adaboostFrom(lineitem(s, d).select(
+      floor(col("l_quantity")).cast("long").as("qty"),
+      floor(col("l_discount") * 100).cast("long").as("disc"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y")))
+
+  /** The boosting loop over any (`qty`, `disc`, `y`) frame — public to
+    * the test JVM for the planted-interval and driver-replay gates. */
+  private[graft] def adaboostFrom(rows0: DataFrame,
+      rounds: Int = AdaRounds): DataFrame = {
+    // the ln-free ensemble vote cross-multiplies `rounds` factors of
+    // ≤ 2²⁰·n each — DECIMAL(38,0) holds the product only to 3 rounds
+    // at fact scale (the operator's documented depth)
+    require(rounds >= 1 && rounds <= 3,
+      s"adaboostFrom supports 1..3 rounds, got $rounds")
+    val s = rows0.sparkSession
+    val li = rows0.localCheckpoint(true)
+    val n = li.count()
+    val renorm = BigInt(AdaW0) * BigInt(n)
+    def dec(b: BigInt) = lit(new java.math.BigDecimal(b.bigInteger))
+    // weights ride the rows as a COLUMN (bag semantics, the oracle's
+    // w0→w1→w2 CTE chain) — the synthetic lineitem has NO unique
+    // natural key (60k rows / 45.8k distinct (orderkey, linenumber)
+    // pairs at sf0.01), so any keyed weight join would fan out
+    var w = li.select(col("qty"), col("disc"), col("y"),
+      lit(AdaW0).as("w")).localCheckpoint(true)
+    final case class Pick(t: Int, feature: String, thr: Long, pol: Int,
+      eRaw: Long, e: Long, wt: Long)
+    var picks = Vector.empty[Pick]
+    for (t <- 1 to rounds) {
+      val rows = w
+      val feats = rows.select(lit("quantity").as("feature"),
+          col("qty").as("v"), col("y"), col("w"))
+        .union(rows.select(lit("discount"), col("disc"), col("y"),
+          col("w")))
+      val hist = feats.groupBy("feature", "v")
+        .agg(sum("w").as("wv"), sum(expr("w * y")).as("pwv"))
+      val wvc = Window.partitionBy("feature").orderBy("v")
+      val wtw = Window.partitionBy("feature")
+      val cum = hist.withColumn("wl", sum("wv").over(wvc))
+        .withColumn("pwl", sum("pwv").over(wvc))
+        .withColumn("wt", sum("wv").over(wtw))
+        .withColumn("pwt", sum("pwv").over(wtw))
+        .where(col("wl") < col("wt"))
+      val errPos = col("wl") - col("pwl") + col("pwt") - col("pwl")
+      val best = cum.select(col("feature"), col("v"), col("wt"),
+          when(errPos * 2 <= col("wt"), errPos)
+            .otherwise(col("wt") - errPos).as("e"),
+          when(errPos * 2 <= col("wt"), 1).otherwise(0).as("pol"))
+        .orderBy(col("e").asc, col("feature"), col("v")).limit(1)
+        .collect().head
+      val (feat, thr) = (best.getString(0), best.getLong(1))
+      val (wTot, eRaw, pol) =
+        (best.getLong(2), best.getLong(3), best.getInt(4))
+      val e = math.max(eRaw, 1L)
+      picks :+= Pick(t, feat, thr, pol, eRaw, e, wTot)
+      val vcol = if (feat == "quantity") col("qty") else col("disc")
+      val h = if (pol == 1) when(vcol <= thr, 1L).otherwise(0L)
+        else when(vcol <= thr, 0L).otherwise(1L)
+      val upd = w
+        .withColumn("w1", when(h =!= col("y"),
+          expr(s"cast((cast(w as decimal(38,0)) * ${wTot - e}) " +
+            s"div $e as decimal(38,0))"))
+          .otherwise(col("w").cast("decimal(38,0)")))
+      val sw = BigInt(upd.agg(sum("w1")).head()
+        .getDecimal(0).toBigInteger)
+      w = upd.select(col("qty"), col("disc"), col("y"),
+          (col("w1") * dec(renorm)).as("wr"))
+        .selectExpr("qty", "disc", "y",
+          s"cast(wr div cast('$sw' as decimal(38,0)) as bigint) as w")
+        .localCheckpoint(true)
+    }
+    // ensemble vote by exact cross-multiplication: pred = 1 iff
+    // Π_t (h_t = 1 ? (W_t−ε_t) : ε_t) > Π_t (h_t = 1 ? ε_t : (W_t−ε_t))
+    def hCol(p: Pick) = {
+      val vcol = if (p.feature == "quantity") col("qty") else col("disc")
+      if (p.pol == 1) when(vcol <= p.thr, 1L).otherwise(0L)
+      else when(vcol <= p.thr, 0L).otherwise(1L)
+    }
+    val lhs = picks.map(p => when(hCol(p) === 1L,
+      dec(BigInt(p.wt - p.e))).otherwise(dec(BigInt(p.e))))
+      .reduce(_ * _)
+    val rhs = picks.map(p => when(hCol(p) === 1L,
+      dec(BigInt(p.e))).otherwise(dec(BigInt(p.wt - p.e))))
+      .reduce(_ * _)
+    val accBp = li.select(
+        when((lhs > rhs).cast("long") === col("y"), 1L).otherwise(0L)
+          .as("ok"))
+      .agg(sum("ok")).head().getLong(0) * 10000L / n
+    import s.implicits._
+    picks.map(p => (p.t, p.feature, p.thr, p.pol,
+        p.eRaw * 10000L / p.wt, accBp, n))
+      .toDF("t", "feature", "threshold", "pol", "eps_bp", "acc_bp", "n")
+  }
 
   /** The Gini gain over (nl, posl, nt, post) cumulative-count columns —
     * ONE string shared by the q_stump and q_tree2 oracles, mirroring
@@ -1072,6 +1192,76 @@ object LearnPack extends QueryPack {
         |  CAST(nr AS BIGINT) AS nr, CAST(posl AS BIGINT) AS posl,
         |  CAST(posr AS BIGINT) AS posr, gain
         |FROM top""".stripMargin,
+
+    "q_adaboost" -> {
+      def pred(bt: String) =
+        s"(CASE WHEN $bt.pol = 1 THEN CASE WHEN (CASE WHEN " +
+          s"$bt.feature = 'quantity' THEN r.qty ELSE r.disc END) " +
+          s"<= $bt.v THEN 1 ELSE 0 END ELSE CASE WHEN (CASE WHEN " +
+          s"$bt.feature = 'quantity' THEN r.qty ELSE r.disc END) " +
+          s"<= $bt.v THEN 0 ELSE 1 END END)"
+      def stage(t: Int) = {
+        val ep = "wl - pwl + pwt - pwl"
+        s"""f$t AS (SELECT 'quantity' AS feature, qty AS v, y, w
+           |    FROM w${t - 1}
+           |  UNION ALL SELECT 'discount', disc, y, w FROM w${t - 1}),
+           |h$t AS (SELECT feature, v, sum(w) AS wv, sum(w*y) AS pwv
+           |  FROM f$t GROUP BY 1, 2),
+           |c$t AS (SELECT feature, v,
+           |    sum(wv) OVER (PARTITION BY feature ORDER BY v) AS wl,
+           |    sum(pwv) OVER (PARTITION BY feature ORDER BY v) AS pwl,
+           |    sum(wv) OVER (PARTITION BY feature) AS wt,
+           |    sum(pwv) OVER (PARTITION BY feature) AS pwt
+           |  FROM h$t),
+           |s$t AS (SELECT feature, v, wt,
+           |    CASE WHEN 2*($ep) <= wt THEN $ep ELSE wt - ($ep) END AS e,
+           |    CASE WHEN 2*($ep) <= wt THEN 1 ELSE 0 END AS pol
+           |  FROM c$t WHERE wl < wt),
+           |b$t AS MATERIALIZED (SELECT feature, v, wt, e AS eraw,
+           |    greatest(e, 1) AS e, pol
+           |  FROM s$t ORDER BY e, feature, v LIMIT 1),
+           |u$t AS (SELECT r.qty, r.disc, r.y,
+           |    CASE WHEN ${pred(s"b$t")} <> r.y
+           |      THEN (r.w * (b$t.wt - b$t.e)) // b$t.e ELSE r.w END AS w1
+           |  FROM w${t - 1} r, b$t),
+           |n$t AS (SELECT sum(w1) AS sw FROM u$t),
+           |w$t AS (SELECT qty, disc, y,
+           |    (w1 * (1048576 * cnt.n)) // sw AS w FROM u$t, n$t, cnt)"""
+          .stripMargin
+      }
+      val lhs = (1 to 3).map(t =>
+        s"(CASE WHEN ${pred(s"b$t")} = 1 THEN (b$t.wt - b$t.e) " +
+          s"ELSE b$t.e END)").mkString(" * ")
+      val rhs = (1 to 3).map(t =>
+        s"(CASE WHEN ${pred(s"b$t")} = 1 THEN b$t.e " +
+          s"ELSE (b$t.wt - b$t.e) END)").mkString(" * ")
+      s"""WITH li AS MATERIALIZED (SELECT
+         |    CAST(floor(l_quantity) AS BIGINT) AS qty,
+         |    CAST(floor(l_discount * 100) AS BIGINT) AS disc,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |cnt AS (SELECT count(*) AS n FROM li),
+         |w0 AS (SELECT qty, disc, y, 1048576 AS w FROM li),
+         |${stage(1)},
+         |${stage(2)},
+         |${stage(3)},
+         |acc AS (SELECT (sum(CASE WHEN
+         |      (CASE WHEN $lhs > $rhs THEN 1 ELSE 0 END) = r.y
+         |      THEN 1 ELSE 0 END) * 10000) // count(*) AS acc_bp
+         |  FROM li r, b1, b2, b3)
+         |SELECT CAST(t AS INT) AS t, feature, threshold,
+         |  CAST(pol AS INT) AS pol, CAST(eps_bp AS BIGINT) AS eps_bp,
+         |  CAST(acc.acc_bp AS BIGINT) AS acc_bp,
+         |  CAST(cnt.n AS BIGINT) AS n
+         |FROM (
+         |  SELECT 1 AS t, feature, v AS threshold, pol,
+         |    (eraw * 10000) // wt AS eps_bp FROM b1
+         |  UNION ALL SELECT 2, feature, v, pol,
+         |    (eraw * 10000) // wt FROM b2
+         |  UNION ALL SELECT 3, feature, v, pol,
+         |    (eraw * 10000) // wt FROM b3
+         |) rounds, acc, cnt""".stripMargin
+    },
 
     "q_tree2" ->
       s"""WITH li AS MATERIALIZED (SELECT

@@ -357,4 +357,73 @@ class LearnPackSpec extends SparkSpec {
     assert(losses.zip(losses.tail).forall { case (a, b) => b < a },
       s"loss must descend every round: ${losses.toSeq}")
   }
+
+  test("adaboostFrom equals an exact BigInt driver replay on a " +
+      "planted interval and every stump stays a weak learner") {
+    // y = 1 iff qty ∈ [10, 19] over qty 0..29 ×10 rows — an interval
+    // no single stump can express (best single stump = 2/3), so the
+    // reweighting must move rounds 2..3 onto the uncovered side
+    val data = for (q <- 0 until 30; r <- 0 until 10)
+      yield (q.toLong, 0L, if (q >= 10 && q <= 19) 1L else 0L)
+    val got = LearnPack.adaboostFrom(data.toDF("qty", "disc", "y"))
+      .collect().sortBy(_.getInt(0))
+    // --- driver replay: same rules, exact BigInt arithmetic ---
+    val W0 = BigInt(1048576)
+    val n = data.size
+    val renorm = W0 * n
+    var w = data.map(_ => W0)
+    final case class P(feat: String, thr: Long, pol: Int, eRaw: BigInt,
+      e: BigInt, wt: BigInt)
+    var picks = Vector.empty[P]
+    def fv(row: (Long, Long, Long), f: String) =
+      if (f == "quantity") row._1 else row._2
+    for (_ <- 1 to 3) {
+      val wt = w.sum
+      val cands = for {
+        f <- Seq("discount", "quantity")
+        v <- data.map(fv(_, f)).distinct.sorted.dropRight(1)
+      } yield {
+        val errPos = data.zip(w).map { case (r, wi) =>
+          val h = if (fv(r, f) <= v) 1L else 0L
+          if (h != r._3) wi else BigInt(0)
+        }.sum
+        val (e, pol) = if (errPos * 2 <= wt) (errPos, 1)
+          else (wt - errPos, 0)
+        (e, f, v, pol)
+      }
+      val best = cands.minBy(c => (c._1, c._2, c._3))
+      val e = best._1.max(BigInt(1))
+      picks :+= P(best._2, best._3, best._4, best._1, e, wt)
+      val upd = data.zip(w).map { case (r, wi) =>
+        val hLeft = fv(r, best._2) <= best._3
+        val h = if (best._4 == 1) (if (hLeft) 1L else 0L)
+          else (if (hLeft) 0L else 1L)
+        if (h != r._3) wi * (wt - e) / e else wi
+      }
+      val sw = upd.sum
+      w = upd.map(wi => wi * renorm / sw)
+    }
+    val accBp = BigInt(data.count { r =>
+      val (lhs, rhs) = picks.map { p =>
+        val hLeft = fv(r, p.feat) <= p.thr
+        val h = if (p.pol == 1) (if (hLeft) 1L else 0L)
+          else (if (hLeft) 0L else 1L)
+        if (h == 1L) (p.wt - p.e, p.e) else (p.e, p.wt - p.e)
+      }.reduce((a, b) => (a._1 * b._1, a._2 * b._2))
+      (if (lhs > rhs) 1L else 0L) == r._3
+    }) * 10000 / n
+    got.zip(picks).foreach { case (row, p) =>
+      assert(row.getString(1) === p.feat &&
+        row.getAs[Long]("threshold") === p.thr &&
+        row.getAs[Int]("pol") === p.pol &&
+        row.getAs[Long]("eps_bp") === (p.eRaw * 10000 / p.wt).toLong,
+        s"round ${row.getInt(0)}: got $row, want $p")
+      // weak-learner guarantee: every picked stump beats chance on
+      // its OWN round's weights
+      assert(row.getAs[Long]("eps_bp") < 5000L)
+    }
+    assert(got.head.getAs[Long]("acc_bp") === accBp.toLong,
+      s"ensemble accuracy ${got.head.getAs[Long]("acc_bp")} vs " +
+        s"replay $accBp")
+  }
 }
