@@ -104,7 +104,62 @@ object TextPack extends QueryPack {
       + lit(0.3) * stopR + lit(0.2) * (lit(1.0) - punctR), 6)
   }
 
+  private[graft] val CoverageK = 5
+
+  /** Greedy max-coverage document selection (Nemhauser, Wolsey &
+    * Fisher 1978 — the (1−1/e) greedy; the facility-location shape of
+    * training-data subset selection, cf. submodular data curation):
+    * k rounds, each picking the document with the largest MARGINAL
+    * distinct-token gain over everything already covered (ties → min
+    * doc_id), the budgeted "which docs buy the most new vocabulary"
+    * readout a top-k-by-length cannot give (long near-duplicate docs
+    * add nothing; the spec plants exactly that trap). Output: one row
+    * per round (t, doc_id, gain, covered). Scale shape: the covered
+    * set is bounded by the BUDGET's token mass (k docs' distinct
+    * tokens — broadcastable), so each round is one broadcast anti-join
+    * over the (doc, token) pair table + a doc-keyed hash agg + a
+    * top-1; k scans total, nothing corpus-sized ever sits in driver
+    * or state. */
+  private[graft] def coverageGreedyFrom(pairs0: DataFrame,
+      k: Int = CoverageK): DataFrame = {
+    val s = pairs0.sparkSession
+    val pairs = pairs0.localCheckpoint(true)
+    var pickedIds = Vector.empty[Long]
+    var out = Vector.empty[(Int, Long, Long, Long)]
+    for (t <- 1 to k) {
+      val cand = if (pickedIds.isEmpty) pairs
+        else pairs.join(
+          broadcast(pairs.filter(col("doc_id").isin(pickedIds: _*))
+            .select("tok").distinct()),
+          Seq("tok"), "left_anti")
+      val best = cand.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1)
+        .collect().headOption
+      best.foreach { b =>
+        pickedIds :+= b.getLong(0)
+        val covered = pairs.filter(col("doc_id").isin(pickedIds: _*))
+          .select("tok").distinct().count()
+        out :+= ((t, b.getLong(0), b.getLong(1), covered))
+      }
+    }
+    import s.implicits._
+    out.toDF("t", "doc_id", "gain", "covered")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_coverage_greedy" -> ((s, d) => {
+      // coverage universe = BIGRAMS (the unigram vocabulary of the
+      // synthetic corpus is 31 tokens — one doc covers it and the
+      // greedy run degenerates to a single round; bigrams give a
+      // 916-type universe at gate scale and 5 genuine rounds)
+      val n1 = greatest(size(col("w")) - 1, lit(0))
+      coverageGreedyFrom(docs(s, d)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("w"), lit(1), n1), slice(col("w"), lit(2), n1),
+          (a, b) => concat(a, lit(" "), b))).as("tok"))
+        .distinct())
+    }),
 
     "token_count" -> ((s, d) => {
       docs(s, d)
@@ -1371,6 +1426,40 @@ object TextPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // replay the greedy coverage chain: same tokenizer, same marginal
+    // counts via NOT EXISTS against the growing covered set, same
+    // (gain desc, doc_id) tie
+    "text_coverage_greedy" -> {
+      val steps = (2 to CoverageK).map { t =>
+        s"""g$t AS (SELECT t.doc_id, count(*) AS gain FROM toks t
+           |  WHERE NOT EXISTS (SELECT 1 FROM c${t - 1} c
+           |                    WHERE c.tok = t.tok)
+           |  GROUP BY 1),
+           |p$t AS MATERIALIZED (SELECT doc_id, gain FROM g$t
+           |  ORDER BY gain DESC, doc_id LIMIT 1),
+           |c$t AS MATERIALIZED (SELECT tok FROM c${t - 1}
+           |  UNION SELECT tok FROM toks JOIN p$t USING (doc_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = (1 to CoverageK).map { t =>
+        s"""SELECT $t AS t, p$t.doc_id, p$t.gain,
+           |  (SELECT count(*) FROM c$t) AS covered FROM p$t""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH dw AS (SELECT doc_id, $wSql AS ws FROM documents),
+         |toks AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |    z[1] || ' ' || z[2] AS tok FROM (
+         |    SELECT doc_id, unnest(list_zip(ws, ws[2:])) AS z FROM dw)
+         |  WHERE z[2] IS NOT NULL),
+         |p1 AS MATERIALIZED (SELECT doc_id, count(*) AS gain FROM toks
+         |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+         |c1 AS MATERIALIZED (SELECT DISTINCT tok FROM toks
+         |  JOIN p1 USING (doc_id)),
+         |$steps
+         |SELECT CAST(t AS INT) AS t, CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(gain AS BIGINT) AS gain, CAST(covered AS BIGINT) AS covered
+         |FROM ($rows)""".stripMargin
+    },
+
     "text_filter_adaptive" ->
       s"""WITH t AS (
          |  SELECT source, text, $wSql AS w, CAST(length(text) AS BIGINT) AS n_chars,

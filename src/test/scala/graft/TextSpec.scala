@@ -399,4 +399,23 @@ class TextSpec extends SparkSpec {
     assert(got("srcA").getAs[Long]("n_sel") === 4L)
     assert(got("srcB").getAs[Long]("n_sel") === 0L)
   }
+
+  test("coverageGreedyFrom skips the near-duplicate long doc a " +
+      "top-k-by-size pick would waste budget on") {
+    import graft.queries.TextPack
+    // doc 1: t1..t10; doc 2: t1..t9 + t11 (a 10-token NEAR-DUP of 1);
+    // doc 3: t20..t25 (6 fresh tokens). Top-2-by-size takes {1, 2}
+    // and covers 11; greedy takes {1, 3} and covers 16 — the whole
+    // point of marginal-gain selection on redundant corpora
+    val pairs =
+      (1 to 10).map(i => (1L, s"t$i")) ++
+        ((1 to 9).map(i => (2L, s"t$i")) :+ ((2L, "t11"))) ++
+        (20 to 25).map(i => (3L, s"t$i"))
+    val got = TextPack.coverageGreedyFrom(pairs.toDF("doc_id", "tok"),
+      k = 3).collect().sortBy(_.getInt(0))
+    assert(got.map(r => (r.getInt(0), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"), r.getAs[Long]("covered"))).toSeq ===
+      Seq((1, 1L, 10L, 10L), (2, 3L, 6L, 16L), (3, 2L, 1L, 17L)),
+      s"greedy trajectory: ${got.toSeq}")
+  }
 }
