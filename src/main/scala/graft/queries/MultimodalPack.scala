@@ -41,6 +41,9 @@ object MultimodalPack extends QueryPack {
     "mm_video_fingerprint" -> ((s, d) =>
       Multimodal.videoFingerprints(
         Multimodal.videoCorpus(s, d), "id", "media").toDF()),
+    "mm_audio_fingerprint" -> ((s, d) =>
+      Multimodal.audioFingerprints(
+        Multimodal.audioCorpus(s, d), "id", "media").toDF()),
     "mm_framesample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.videoCorpus(s, d), "id", "media").toDF()),
 
@@ -373,6 +376,30 @@ object MultimodalPack extends QueryPack {
     // from raster identity (same format ∧ same dims ∧ cid ≡ mod 256
     // — 31 is invertible mod 256, so equal offset ⟺ equal cid mod
     // 256; lossless deterministic encoders ⇒ equal bytes)
+    // replay the Haitsma–Kalker bits from the sample generator: 8
+    // sub-segment energies per 80-sample frame, bit = sign of the
+    // time-delta of the k-delta, assembled into the ≤42-bit word
+    "mm_audio_fingerprint" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(400 + doc_id % 211 AS INT) AS n FROM documents),
+        |sm AS (SELECT id, CAST(t.range AS INT) AS t,
+        |    ((id*31 + t.range*7919) % 65536) - 32768 AS s
+        |  FROM p, range(611) t WHERE t.range < (n // 80) * 80),
+        |en AS (SELECT id, t // 80 AS f, (t % 80) // 10 AS k,
+        |    sum(s*s) AS e FROM sm GROUP BY 1, 2, 3),
+        |d AS (SELECT id, f, k,
+        |    e - lead(e) OVER (PARTITION BY id, f ORDER BY k) AS dk
+        |  FROM en),
+        |dd AS (SELECT id, f, k,
+        |    dk - lag(dk) OVER (PARTITION BY id, k ORDER BY f) AS b
+        |  FROM d WHERE dk IS NOT NULL),
+        |fp AS (SELECT id,
+        |    sum(CAST(1 AS BIGINT) << CAST((f-1)*7 + k AS INT)) AS fp
+        |  FROM dd WHERE b IS NOT NULL AND b > 0 GROUP BY id)
+        |SELECT p.id, CAST(p.n // 80 AS INT) AS n_frames,
+        |  CAST(coalesce(fp.fp, 0) AS BIGINT) AS fp
+        |FROM p LEFT JOIN fp ON fp.id = p.id""".stripMargin,
+
     // replay every frame's aHash from the video generator lattice
     // (NN sample, integer grayscale, integer-mean threshold — the
     // mm_ahash_dedup idiom with the f·17 frame term), majority-vote

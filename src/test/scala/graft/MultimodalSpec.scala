@@ -132,6 +132,55 @@ class MultimodalSpec extends SparkSpec {
     assert(dropped.n_frames === 4)
   }
 
+  test("audioFingerprints: a re-leveled copy keeps the sign structure " +
+      "and an unrelated clip does not") {
+    // planted pseudo-noise clips (the corpus generator is a phase-
+    // shifted sawtooth whose energy STRUCTURE barely varies between
+    // ids — 19 distinct fps over 500 clips at gate scale, honest but
+    // useless for a discrimination gate; the spec owns richer inputs)
+    def md5hex(str: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def noise(tag: String)(t: Int): Int =
+      (java.lang.Long.parseLong(md5hex(s"$tag:$t").take(8), 16) %
+        60000L - 30000L).toInt
+    def wav(gen: Int => Int, scaleNum: Int, scaleDen: Int,
+        n: Int = 480): Array[Byte] = {
+      import javax.sound.sampled.{AudioFormat, AudioInputStream,
+        AudioSystem, AudioFileFormat}
+      val pcm = new Array[Byte](n * 2)
+      for (t <- 0 until n) {
+        val s = gen(t) * scaleNum / scaleDen
+        pcm(2 * t) = (s & 0xFF).toByte
+        pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def fp(media: Array[Byte]): Long = Multimodal.audioFingerprints(
+      Seq((1L, media)).toDF("id", "media"), "id", "media")
+      .collect().head.fp
+    val full = fp(wav(noise("a"), 1, 1))
+    // half-amplitude re-level: energies scale ~c² uniformly, so the
+    // difference SIGNS survive up to integer-truncation noise on
+    // near-tie bits — the re-encoded-copy regime the fingerprint
+    // exists for
+    val releveled = fp(wav(noise("a"), 1, 2))
+    val moved = java.lang.Long.bitCount(full ^ releveled)
+    assert(moved <= 4,
+      s"re-leveled copy moved $moved of ~35 bits — not a match")
+    // an unrelated clip's fingerprint must sit far away
+    val other = fp(wav(noise("b"), 1, 1))
+    val far = java.lang.Long.bitCount(full ^ other)
+    assert(far >= 10,
+      s"unrelated clip only $far bits away — fingerprint carries no " +
+        "signal")
+  }
+
   test("channelHistogram counts real pixels and featureVectors normalize to 1 per channel") {
     val id = 7L
     val (w, h) = Multimodal.synthDims(id)
