@@ -848,7 +848,13 @@ object Multimodal {
         }
         var fp = 0L
         var f = 1
-        while (f < nf) {
+        // bit (f−1)·7+k must stay under 64 (Scala's << wraps mod 64,
+        // silently folding later frames onto earlier bits) — the word
+        // covers the first 10 frames (bits 0..62); longer clips
+        // fingerprint their opening 800 samples, mirrored in the
+        // oracle's `f < 10` cap
+        val fCap = math.min(nf, 10)
+        while (f < fCap) {
           var k = 0
           while (k < 7) {
             val d = (e(f)(k) - e(f)(k + 1)) - (e(f - 1)(k) - e(f - 1)(k + 1))

@@ -78,7 +78,10 @@ object Clustering extends QueryPack {
     val dq = qpts.select(col("id"), col("qx"), col("qy"),
       ((col("qx") - mx) * (col("qx") - mx) +
         (col("qy") - my) * (col("qy") - my)).as("d"))
-    val sq = BigInt(dq.agg(sum("d")).head().getLong(0))
+    // Σd² overflows Long around n~1e4-1e6 for wide spreads (d up to
+    // ~2^48 per point); sum in decimal(38,0) like the oracle's HUGEINT
+    val sq = BigInt(dq.agg(sum(col("d").cast("decimal(38,0)")))
+      .head().getDecimal(0).toBigInteger)
     def dec(b: BigInt) =
       lit(new java.math.BigDecimal(b.bigInteger))
     val u = conv(substring(md5(concat(lit("cs:"),

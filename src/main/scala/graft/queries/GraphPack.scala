@@ -39,7 +39,7 @@ object GraphPack extends QueryPack {
 
   /** [[copurchaseEdges]] keeping the support count as the edge weight
     * (`u`, `v`, `w`). */
-  private def copurchaseEdgesW(s: SparkSession, d: String,
+  private[graft] def copurchaseEdgesW(s: SparkSession, d: String,
       minSupport: Int,
       orderFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val li = lineitem(s, d)
@@ -1551,6 +1551,39 @@ object GraphPack extends QueryPack {
       .rebind(undWFull0, s)
     val (mOld, _, _, _) =
       louvainMembership(undWOld, oldRounds, ckpt, refine = false)
+    louvainIncrCore(mOld, undWFull, seedSweeps, ckpt)
+    }
+
+  /** Incremental Louvain from a PERSISTED membership — the production
+    * face of `q_louvain_incr`: the offline fit is yesterday's (node,
+    * community) table read back from storage ([[
+    * graft.operators.Dedup.mergeComponents]]' label-table contract
+    * applied to communities), so the daily update pays ONLY the
+    * seeded sweeps over the merged graph — never the from-scratch
+    * prelude the self-contained oracle face reruns in-query. Any
+    * (node, community) frame seeds: nodes absent from it (the
+    * batch's new nodes) start as singletons. The spec proves
+    * sweeps-from-a-parquet-round-tripped-membership ≡ the in-query
+    * fit, row for row. */
+  private[graft] def louvainIncrSeeded(membership0: DataFrame,
+      undWFull0: DataFrame, seedSweeps: Int = LouvainIncrSweeps,
+      ckpt: graft.operators.CheckpointStrategy =
+        graft.operators.CheckpointStrategy.Local): DataFrame =
+    graft.operators.SessionScope.cloned(undWFull0.sparkSession) { s =>
+    s.conf.set("spark.sql.shuffle.partitions", math.max(1,
+      s.sparkContext.defaultParallelism / 4).toString)
+    val mOld = org.apache.spark.sql.graftbridge.SessionBridge
+      .rebind(membership0, s)
+    val undWFull = org.apache.spark.sql.graftbridge.SessionBridge
+      .rebind(undWFull0, s)
+    louvainIncrCore(mOld, undWFull, seedSweeps, ckpt)
+    }
+
+  /** The seeded-sweep kernel both incremental faces share — assumes
+    * the caller scoped the session (clone + quarter-np). */
+  private def louvainIncrCore(mOld: DataFrame, undWFull: DataFrame,
+      seedSweeps: Int,
+      ckpt: graft.operators.CheckpointStrategy): DataFrame = {
     val undW = undWFull.localCheckpoint(true)
     val edges = ckpt(undW
       .select(col("u").as("src"), col("v").as("dst"), col("w"))
@@ -1569,7 +1602,7 @@ object GraphPack extends QueryPack {
       lbl = louvainSweep(lbl, edges, ktab, m2, r, ckpt)
     louvainReadout(lbl.select(col("node"), col("lbl").as("community")),
       undW, ktab, m2, "q_louvain_incr")
-    }
+  }
 
   /** Degree assortativity (Newman, PRL 2002) — does the graph wire
     * hub-to-hub (r > 0, social-style) or hub-to-leaf (r < 0,
@@ -2307,7 +2340,11 @@ object GraphPack extends QueryPack {
     val regCols = (0 until k).map(j => s"x$j")
     def u32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // node set = src ∪ dst so sink-only nodes carry registers too (the
+    // packaged queries build symmetric edges where the union is a
+    // no-op; the documented contract is ANY directed edge set)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
     var x = ckpt(nodes.select(col("node") +:
         (0 until k).map(j =>
           (u32(concat(lit(s"anf:$j:"), col("node").cast("string")))
@@ -2450,7 +2487,9 @@ object GraphPack extends QueryPack {
        |  UNION ALL SELECT sk * 2 + 1, p * 2 FROM e0),
        |x0 AS MATERIALIZED (SELECT node,
        |    $initCols
-       |  FROM (SELECT DISTINCT src AS node FROM edges)),
+       |  FROM (SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges
+       |    UNION ALL SELECT dst FROM edges))),
        |$steps,
        |hterms AS ($terms),
        |hq AS (SELECT node, sum(t) AS h_q FROM hterms GROUP BY node),
@@ -2492,7 +2531,9 @@ object GraphPack extends QueryPack {
        |  UNION ALL SELECT sk * 2 + 1, p * 2 FROM e0),
        |x0 AS MATERIALIZED (SELECT node,
        |    $initCols
-       |  FROM (SELECT DISTINCT src AS node FROM edges)),
+       |  FROM (SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges
+       |    UNION ALL SELECT dst FROM edges))),
        |$steps,
        |cens AS MATERIALIZED ($cens),
        |fin AS (SELECT nhat_q AS nf FROM cens WHERE r = $rounds)

@@ -906,12 +906,11 @@ object LearnPack extends QueryPack {
     * float — scoring, never the gate). Weight updates and renorms are
     * truncating integer divisions on positive operands (`div` = `//`),
     * so the whole trajectory — stump picks, ε values, final accuracy
-    * — hashes. Scale shape: per round one fact-sized weight join +
-    * the bins-sized cumulative window of q_stump's histogram search;
-    * weights live on the natural (orderkey, linenumber) key, never a
-    * nondeterministic row id; ε = 0 clamps to 1 weight unit (the
-    * standard epsilon clamp) so a perfect stump cannot divide by
-    * zero. */
+    * — hashes. Scale shape: see [[adaboostFrom]] — the weight ledger
+    * is ≤ 2ᵗ driver-side BigInt constants keyed by misclassification
+    * bit-pattern, so the per-round fact scans are pure Long
+    * arithmetic; ε = 0 clamps to 1 weight unit (the standard epsilon
+    * clamp) so a perfect stump cannot divide by zero. */
   private def adaboost(s: SparkSession, d: String): DataFrame =
     adaboostFrom(lineitem(s, d).select(
       floor(col("l_quantity")).cast("long").as("qty"),
@@ -919,30 +918,61 @@ object LearnPack extends QueryPack {
       when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y")))
 
   /** The boosting loop over any (`qty`, `disc`, `y`) frame — public to
-    * the test JVM for the planted-interval and driver-replay gates. */
+    * the test JVM for the planted-interval and driver-replay gates.
+    *
+    * Scale shape: every row starts at the same weight 2²⁰ and the
+    * per-row recurrence (truncating multiply-divide, then truncating
+    * renorm) maps equal weights to equal weights, so after round t a
+    * row's weight is a pure function of its misclassification
+    * bit-pattern — at most 2ᵗ ≤ 8 distinct values. The weight LEDGER
+    * therefore lives on the driver as exact BigInt per pattern, and
+    * the engine only ever scans Long columns: per round one
+    * weighted-histogram pass (weight = a CASE over ≤ 8 pattern
+    * constants, recomputed from the picked stumps — no per-round
+    * checkpoint, no fact-sized state) and one `groupBy(bits, y)`
+    * count pass that both advances the ledger and, on the last round,
+    * doubles as the ensemble-accuracy readout (h_t = y XOR
+    * misbit_t, so the vote is decided per 16-row pattern census on
+    * the driver, BigInt-exact). Nothing wider than Long ever
+    * shuffles; the 2²⁰·n total mass must fit a Long sum, bounding
+    * n < 2⁴² rows (~4.4 trillion — documented, `require`d). */
   private[graft] def adaboostFrom(rows0: DataFrame,
       rounds: Int = AdaRounds): DataFrame = {
-    // the ln-free ensemble vote cross-multiplies `rounds` factors of
-    // ≤ 2²⁰·n each — DECIMAL(38,0) holds the product only to 3 rounds
-    // at fact scale (the operator's documented depth)
     require(rounds >= 1 && rounds <= 3,
       s"adaboostFrom supports 1..3 rounds, got $rounds")
     val s = rows0.sparkSession
     val li = rows0.localCheckpoint(true)
     val n = li.count()
     val renorm = BigInt(AdaW0) * BigInt(n)
-    def dec(b: BigInt) = lit(new java.math.BigDecimal(b.bigInteger))
-    // weights ride the rows as a COLUMN (bag semantics, the oracle's
-    // w0→w1→w2 CTE chain) — the synthetic lineitem has NO unique
-    // natural key (60k rows / 45.8k distinct (orderkey, linenumber)
-    // pairs at sf0.01), so any keyed weight join would fan out
-    var w = li.select(col("qty"), col("disc"), col("y"),
-      lit(AdaW0).as("w")).localCheckpoint(true)
+    require(renorm < (BigInt(1) << 62),
+      s"adaboostFrom carries the 2^20*n weight mass in Long sums; " +
+        s"n=$n exceeds the 2^42-row bound")
     final case class Pick(t: Int, feature: String, thr: Long, pol: Int,
-      eRaw: Long, e: Long, wt: Long)
+      eRaw: BigInt, e: BigInt, wt: BigInt)
     var picks = Vector.empty[Pick]
+    def hCol(p: Pick) = {
+      val vcol = if (p.feature == "quantity") col("qty") else col("disc")
+      if (p.pol == 1) when(vcol <= p.thr, 1L).otherwise(0L)
+      else when(vcol <= p.thr, 0L).otherwise(1L)
+    }
+    // misclassification bit-pattern of a row under the first `k`
+    // picked stumps — pure constant-folded CASE arithmetic on the
+    // base columns, so every round's scan reads the one checkpoint
+    def bitsCol(k: Int): org.apache.spark.sql.Column =
+      picks.take(k).map(p =>
+          when(hCol(p) =!= col("y"), lit(1L << (p.t - 1)))
+            .otherwise(lit(0L)))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+    // driver ledger: pattern -> (exact weight, row count)
+    var wByBits = Map(0L -> BigInt(AdaW0))
+    var cntByBits = Map(0L -> BigInt(n))
+    def wCase: org.apache.spark.sql.Column = wByBits.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (b, wgt)) =>
+        when(col("bits") === b, lit(wgt.toLong)).otherwise(acc) }
+    var accBp = BigInt(0)
     for (t <- 1 to rounds) {
-      val rows = w
+      val rows = li.withColumn("bits", bitsCol(t - 1))
+        .withColumn("w", wCase)
       val feats = rows.select(lit("quantity").as("feature"),
           col("qty").as("v"), col("y"), col("w"))
         .union(rows.select(lit("discount"), col("disc"), col("y"),
@@ -965,45 +995,45 @@ object LearnPack extends QueryPack {
         .collect().head
       val (feat, thr) = (best.getString(0), best.getLong(1))
       val (wTot, eRaw, pol) =
-        (best.getLong(2), best.getLong(3), best.getInt(4))
-      val e = math.max(eRaw, 1L)
+        (BigInt(best.getLong(2)), BigInt(best.getLong(3)),
+          best.getInt(4))
+      val e = eRaw.max(BigInt(1))
       picks :+= Pick(t, feat, thr, pol, eRaw, e, wTot)
-      val vcol = if (feat == "quantity") col("qty") else col("disc")
-      val h = if (pol == 1) when(vcol <= thr, 1L).otherwise(0L)
-        else when(vcol <= thr, 0L).otherwise(1L)
-      val upd = w
-        .withColumn("w1", when(h =!= col("y"),
-          expr(s"cast((cast(w as decimal(38,0)) * ${wTot - e}) " +
-            s"div $e as decimal(38,0))"))
-          .otherwise(col("w").cast("decimal(38,0)")))
-      val sw = BigInt(upd.agg(sum("w1")).head()
-        .getDecimal(0).toBigInteger)
-      w = upd.select(col("qty"), col("disc"), col("y"),
-          (col("w1") * dec(renorm)).as("wr"))
-        .selectExpr("qty", "disc", "y",
-          s"cast(wr div cast('$sw' as decimal(38,0)) as bigint) as w")
-        .localCheckpoint(true)
+      // pattern census after stump t: advances the BigInt ledger
+      // exactly as the old per-row chain did (rows sharing a pattern
+      // shared a weight there too); on the final round the same 16
+      // (bits, y) rows decide the cross-multiplied ensemble vote
+      val census = li.withColumn("bits", bitsCol(t))
+        .groupBy("bits", "y").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1), BigInt(r.getLong(2))))
+      cntByBits = census.groupBy(_._1).map { case (b, rs) =>
+        b -> rs.map(_._3).sum }
+      val w1ByBits = cntByBits.keys.map { b =>
+        val prev = wByBits(b & ~(1L << (t - 1)))
+        b -> (if ((b & (1L << (t - 1))) != 0L) prev * (wTot - e) / e
+          else prev)
+      }.toMap
+      val sw = w1ByBits.map { case (b, wgt) => wgt * cntByBits(b) }.sum
+      wByBits = w1ByBits.map { case (b, wgt) =>
+        b -> wgt * renorm / sw }
+      if (t == rounds) {
+        // ensemble vote by exact cross-multiplication: pred = 1 iff
+        // Π_t (h_t=1 ? (W_t−ε_t) : ε_t) > Π_t (h_t=1 ? ε_t : (W_t−ε_t));
+        // h_t recovers from the pattern as y XOR misbit_t
+        val ok = census.collect { case (b, y, c) =>
+          val (lhs, rhs) = picks.map { p =>
+            val mis = (b & (1L << (p.t - 1))) != 0L
+            val h = (y == 1L) != mis // h_t = y XOR misbit
+            if (h) (p.wt - p.e, p.e) else (p.e, p.wt - p.e)
+          }.reduce((a, c2) => (a._1 * c2._1, a._2 * c2._2))
+          if ((if (lhs > rhs) 1L else 0L) == y) c else BigInt(0)
+        }.sum
+        accBp = ok * 10000 / n
+      }
     }
-    // ensemble vote by exact cross-multiplication: pred = 1 iff
-    // Π_t (h_t = 1 ? (W_t−ε_t) : ε_t) > Π_t (h_t = 1 ? ε_t : (W_t−ε_t))
-    def hCol(p: Pick) = {
-      val vcol = if (p.feature == "quantity") col("qty") else col("disc")
-      if (p.pol == 1) when(vcol <= p.thr, 1L).otherwise(0L)
-      else when(vcol <= p.thr, 0L).otherwise(1L)
-    }
-    val lhs = picks.map(p => when(hCol(p) === 1L,
-      dec(BigInt(p.wt - p.e))).otherwise(dec(BigInt(p.e))))
-      .reduce(_ * _)
-    val rhs = picks.map(p => when(hCol(p) === 1L,
-      dec(BigInt(p.e))).otherwise(dec(BigInt(p.wt - p.e))))
-      .reduce(_ * _)
-    val accBp = li.select(
-        when((lhs > rhs).cast("long") === col("y"), 1L).otherwise(0L)
-          .as("ok"))
-      .agg(sum("ok")).head().getLong(0) * 10000L / n
     import s.implicits._
     picks.map(p => (p.t, p.feature, p.thr, p.pol,
-        p.eRaw * 10000L / p.wt, accBp, n))
+        (p.eRaw * 10000 / p.wt).toLong, accBp.toLong, n))
       .toDF("t", "feature", "threshold", "pol", "eps_bp", "acc_bp", "n")
   }
 

@@ -395,7 +395,7 @@ object MultimodalPack extends QueryPack {
         |  FROM d WHERE dk IS NOT NULL),
         |fp AS (SELECT id,
         |    sum(CAST(1 AS BIGINT) << CAST((f-1)*7 + k AS INT)) AS fp
-        |  FROM dd WHERE b IS NOT NULL AND b > 0 GROUP BY id)
+        |  FROM dd WHERE b IS NOT NULL AND b > 0 AND f < 10 GROUP BY id)
         |SELECT p.id, CAST(p.n // 80 AS INT) AS n_frames,
         |  CAST(coalesce(fp.fp, 0) AS BIGINT) AS fp
         |FROM p LEFT JOIN fp ON fp.id = p.id""".stripMargin,

@@ -129,6 +129,124 @@ object SketchPack extends QueryPack {
        |FROM fl GROUP BY 1""".stripMargin
   }
 
+  /** Shard count for the SHUFFLE-partitioned filter — stands in for
+    * the cluster's partition count; each shard owns m/P bits. */
+  private val BloomShards = 32
+
+  @volatile private var bloomShuffleStash: (Int, Long) = (4096, 0L)
+
+  /** Shuffle-partitioned runtime join filter — the BEYOND-broadcast
+    * regime of [[bloomPrune]]'s own scale note: at 10⁹ dim keys the
+    * global bit set hits ~1 GiB, past the broadcast sweet spot, so the
+    * filter state itself must shard. The key space splits into P
+    * shards by an independent hash; each shard packs ITS m/P-bit
+    * slice of the filter into 64-bit words (a `(word → bits)` map per
+    * shard — bounded by the shard's slice, never by data), built with
+    * one `bit_or` aggregation. The fact side joins the packed state
+    * on `shard` alone — ONE co-partitioned SHUFFLE_HASH join (hinted:
+    * the broadcast fallback is exactly what this operator exists to
+    * avoid), riding the same hash-partitioning the protected join
+    * would pay anyway — then tests its k=3 bits with pure integer
+    * word/mask arithmetic. Same audit readout as the broadcast twin
+    * (rows in / passed / matched / false-positive / FP rate); no
+    * false negative is possible by construction (every dim key set
+    * its own 3 bits in its own shard) — SketchSpec plants the
+    * match ⊆ pass containment and the per-shard slice bound. */
+  private def bloomPruneShuffle(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k")).distinct()
+      .localCheckpoint(true)
+    val nDim = dim.count()
+    val m = math.max(1024,
+      java.lang.Long.highestOneBit(math.max(1L, BloomBitsPerKey * nDim - 1)) * 2)
+      .toInt
+    bloomShuffleStash = (m, nDim)
+    val mP = m / BloomShards // pow2/pow2: the shard's bit-slice width
+    def shardOf(key: Column): Column =
+      pmod(u32(concat(lit("bfs:"), key.cast("string"))),
+        lit(BloomShards.toLong))
+    def bkt(i: Int, key: Column): Column =
+      pmod(u32(concat(lit(s"bf$i:"), key.cast("string"))), lit(mP.toLong))
+    // (shard, word → or-of-masks) — the sharded filter state; words
+    // sort-ordered so the map literal is partition-order-free
+    val packed = dim
+      .select(shardOf(col("k")).as("shard"),
+        explode(array((1 to BloomK).map(i => bkt(i, col("k"))): _*)).as("bit"))
+      .distinct()
+      .groupBy(col("shard"), expr("bit div 64").as("word"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), " +
+        "cast(bit % 64 as int)))").as("mask"))
+      .groupBy("shard")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("word"), col("mask"))))).as("bm"))
+    val fact = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"), col("o_orderstatus"))
+      .withColumn("shard", shardOf(col("k")))
+    val probed = (1 to BloomK).foldLeft(fact)((df, i) =>
+      df.withColumn(s"b$i", bkt(i, col("k"))))
+      .join(packed.hint("SHUFFLE_HASH"), Seq("shard"), "left")
+    def hit(i: Int): Column = (coalesce(
+      try_element_at(col("bm"), expr(s"b$i div 64")), lit(0L))
+      .bitwiseAND(expr(s"shiftleft(cast(1 as bigint), " +
+        s"cast(b$i % 64 as int))"))
+      =!= 0L)
+    val pass = (1 to BloomK).map(hit).reduce(_ && _)
+    val flagged = probed.join(
+      dim.select(col("k"), lit(1).as("dm")).hint("SHUFFLE_HASH"),
+      Seq("k"), "left")
+    flagged.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("dm").isNotNull, 1L).otherwise(0L)).as("n_match"),
+        sum(when(pass && col("dm").isNull, 1L).otherwise(0L)).as("n_false_pos"))
+      .select(col("o_orderstatus"), col("n_rows"), col("n_pass"),
+        col("n_match"), col("n_false_pos"),
+        round(col("n_false_pos") /
+          expr("nullif(n_rows - n_match, 0)"), 6).as("fp_rate"),
+        lit(m).as("m_bits"), lit(BloomShards).as("n_shards"),
+        lit(nDim).as("n_dim_keys"))
+  }
+
+  /** DuckDB replay of [[bloomPruneShuffle]]: membership over the same
+    * (shard, local-bit) pairs — the word-packing is engine-side
+    * LAYOUT, not semantics, so the oracle tests set membership with
+    * the pair encoded as shard·(m/P)+bit. */
+  private def bloomShuffleSql: String = {
+    val (m, nDim) = bloomShuffleStash
+    val mP = m / BloomShards
+    def sh(e: String) =
+      s"${u32Sql(s"'bfs:'||CAST($e AS VARCHAR)")} % $BloomShards"
+    def b(i: Int, e: String) =
+      s"${u32Sql(s"'bf$i:'||CAST($e AS VARCHAR)")} % $mP"
+    s"""WITH dim AS (SELECT DISTINCT c_custkey AS k FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |bits AS (SELECT DISTINCT sb FROM (
+       |  SELECT (${sh("k")}) * $mP + ${b(1, "k")} AS sb FROM dim
+       |  UNION ALL SELECT (${sh("k")}) * $mP + ${b(2, "k")} FROM dim
+       |  UNION ALL SELECT (${sh("k")}) * $mP + ${b(3, "k")} FROM dim)),
+       |f AS (SELECT o_custkey AS k, o_orderstatus,
+       |  (${sh("o_custkey")}) * $mP + ${b(1, "o_custkey")} AS s1,
+       |  (${sh("o_custkey")}) * $mP + ${b(2, "o_custkey")} AS s2,
+       |  (${sh("o_custkey")}) * $mP + ${b(3, "o_custkey")} AS s3
+       |  FROM orders),
+       |fl AS (SELECT o_orderstatus,
+       |  (s1 IN (SELECT sb FROM bits) AND s2 IN (SELECT sb FROM bits)
+       |    AND s3 IN (SELECT sb FROM bits)) AS pass,
+       |  k IN (SELECT k FROM dim) AS mt FROM f)
+       |SELECT o_orderstatus, count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(sum(CASE WHEN mt THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  CAST(sum(CASE WHEN pass AND NOT mt THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_false_pos,
+       |  round(CAST(sum(CASE WHEN pass AND NOT mt THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / nullif(count(*) - sum(CASE WHEN mt THEN 1 ELSE 0 END), 0), 6)
+       |    AS fp_rate,
+       |  CAST($m AS INT) AS m_bits, CAST($BloomShards AS INT) AS n_shards,
+       |  CAST($nDim AS BIGINT) AS n_dim_keys
+       |FROM fl GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------------ hll
 
   /** Register-index bits: 2^8 = 256 registers (σ ≈ 1.04/√256 = 6.5%). */
@@ -564,6 +682,7 @@ object SketchPack extends QueryPack {
     "q_kmv" -> ((s, d) => kmvFrom(Tables.events(s, d)
       .select(col("event_type"), col("user_id")))),
     "q_bloom_prune" -> ((s, d) => bloomPrune(s, d)),
+    "q_bloom_prune_shuffle" -> ((s, d) => bloomPruneShuffle(s, d)),
     "q_hll" -> ((s, d) => hll(s, d)),
     "text_cms" -> ((s, d) => cms(s, d)),
     "text_winnow" -> ((s, d) => winnow(s, d)),
@@ -573,6 +692,7 @@ object SketchPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_kmv" -> kmvSql,
     "q_bloom_prune" -> bloomSql,
+    "q_bloom_prune_shuffle" -> bloomShuffleSql,
     "q_hll" -> hllSql,
     "text_cms" -> cmsSql,
     "text_winnow" -> winnowSql,

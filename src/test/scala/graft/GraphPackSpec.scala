@@ -495,6 +495,42 @@ class GraphPackSpec extends SparkSpec {
       Seq(4L, 4L), "four nodes per clique community")
   }
 
+  test("louvainIncrSeeded from a parquet-round-tripped membership " +
+      "equals the self-contained in-query fit row for row") {
+    // the production face: the offline fit is PERSISTED (node,
+    // community) state read back from storage; the daily update pays
+    // only the seeded sweeps. Equivalence must hold through a real
+    // storage round-trip, not just a shared in-memory frame.
+    def clique(ids: Seq[Long], w: Long) =
+      for (a <- ids; b <- ids if a < b) yield (a, b, w)
+    val old = clique(Seq(1L, 2L, 3L, 4L), 2L) ++
+      clique(Seq(10L, 11L, 12L, 13L), 2L)
+    val batch = Seq((1L, 2L, 1L), (10L, 11L, 1L), (4L, 10L, 1L),
+      (20L, 21L, 3L)) // the batch also INTRODUCES two brand-new nodes
+    val merged = (old ++ batch).groupBy(e => (e._1, e._2))
+      .map { case ((u, v), es) => (u, v, es.map(_._3).sum) }.toSeq
+    val undOld = old.toDF("u", "v", "w")
+    val undFull = merged.toDF("u", "v", "w")
+    // persist the offline membership the way a nightly job would
+    val (mOld, _, _, _) = GraphPack.louvainMembership(undOld,
+      GraphPack.LouvainIncrOldRounds,
+      graft.operators.CheckpointStrategy.Local, refine = false)
+    val dir = java.nio.file.Files
+      .createTempDirectory("louvain-membership").toString
+    mOld.write.mode("overwrite").parquet(dir)
+    val persisted = s.read.parquet(dir)
+    val seeded = GraphPack.louvainIncrSeeded(persisted, undFull)
+      .collect().map(_.toString).sorted
+    val selfContained = GraphPack.louvainIncrFrom(undOld, undFull)
+      .collect().map(_.toString).sorted
+    assert(seeded.toSeq === selfContained.toSeq,
+      s"persisted-membership face diverged:\n${seeded.mkString("\n")}" +
+        s"\nvs\n${selfContained.mkString("\n")}")
+    // the new nodes must have been absorbed as their own community
+    // (singleton seeds, then the 3-weight edge binds them)
+    assert(seeded.length === 3)
+  }
+
   test("q_louvain on sf data: positive modularity over 2+ communities") {
     val rows = SparkEntry.queries("q_louvain")(s, sfDir).collect()
     assert(rows.nonEmpty)

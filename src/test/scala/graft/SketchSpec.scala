@@ -38,6 +38,33 @@ class SketchSpec extends SparkSpec {
       s"bloom passed $pass of $total — filter not pruning")
   }
 
+  test("q_bloom_prune_shuffle: no false negatives, pass-set algebra " +
+      "holds, and the audit agrees with the broadcast twin") {
+    val rows = q("q_bloom_prune_shuffle").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nRows, nPass, nMatch, nFp) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      // every true match passes: its 3 bits were set in its own shard
+      assert(nPass >= nMatch, s"false negative in $r")
+      assert(nFp === nPass - nMatch, s"pass-set algebra broken in $r")
+      assert(nPass <= nRows)
+    }
+    // n_rows / n_match are FILTER-INDEPENDENT ground truth — both
+    // variants must agree on them exactly (same dim, same fact)
+    val bc = q("q_bloom_prune").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    rows.foreach { r =>
+      assert(bc(r.getString(0)) === ((r.getLong(1), r.getLong(3))),
+        s"shuffle variant disagrees with broadcast ground truth: $r")
+    }
+    // and the sharded filter still prunes
+    val (pass, total) =
+      (rows.map(_.getLong(2)).sum, rows.map(_.getLong(1)).sum)
+    assert(pass.toDouble / total < 0.5,
+      s"sharded bloom passed $pass of $total — filter not pruning")
+  }
+
   // ------------------------------------------------------------------ hll
 
   test("q_hll: estimates within 3σ of exact on every tested column") {
