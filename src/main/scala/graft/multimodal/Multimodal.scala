@@ -691,13 +691,17 @@ object Multimodal {
   /** Real encode: the synthetic PCM16 mono clip through the JDK WAV
     * writer (`AudioSystem.write`, `Type.WAVE` — pure JDK, public API,
     * lossless for PCM). */
-  def wavBytes(id: Long): Array[Byte] = {
+  def wavBytes(id: Long): Array[Byte] =
+    encodePcm((0 until synthSampleCount(id)).map(t => sample(id, t)))
+
+  /** PCM16LE mono samples through the real JDK WAV writer. */
+  private def encodePcm(samples: Seq[Int]): Array[Byte] = {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
-    val n = synthSampleCount(id)
+    val n = samples.length
     val pcm = new Array[Byte](n * 2)
     var t = 0
     while (t < n) {
-      val s = sample(id, t)
+      val s = samples(t)
       pcm(2 * t) = (s & 0xFF).toByte // little-endian
       pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
       t += 1
@@ -718,6 +722,119 @@ object Multimodal {
       .as[Long]
       .mapPartitions(it => it.map(id => (id, wavBytes(id))))
       .toDF("id", "media")
+  }
+
+  // ---- audio-dup corpus (round 17): planted re-leveled copies ----
+
+  /** Sample for the audio-dedup corpus: content key cid = id div 2;
+    * even ids carry [[sample]](cid, ·), odd ids the RE-LEVELED
+    * (half-amplitude) copy. The truncating halving runs on the
+    * non-negative raw value so Scala `/` and DuckDB `//` agree:
+    * raw = (cid·31 + t·7919) mod 65536 ∈ [0, 65536); even → raw −
+    * 32768, odd → raw/2 − 16384 (≈ s/2 with ≤ 1 LSB of truncation
+    * noise — exactly the imperfect re-encode the fingerprint must
+    * shrug off). */
+  def dupSample(id: Long, t: Int): Int = {
+    val cid = id / 2
+    // the per-10-sample-block offset is what gives each content its
+    // own ENERGY structure (the plain sawtooth is phase-shifted only,
+    // collapsing unrelated clips' delta-delta signs — measured: 125
+    // distinct fingerprints over 500 clips without it, 245 with)
+    val raw = (cid * 31 + t * 7919L +
+      (t / 10).toLong * 104729L * (1 + cid % 1009)) % 65536L
+    if (id % 2 == 0) raw.toInt - 32768 else (raw / 2L).toInt - 16384
+  }
+
+  /** Audio-dedup corpus: ids 2c and 2c+1 carry the SAME recording at
+    * different levels (clip length from the content key, so copies
+    * share their frame count). Byte dedup sees unrelated blobs; the
+    * amplitude-invariant [[audioFingerprints]] word lands within a
+    * few bits. */
+  def audioDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(it => it.map { id =>
+        val n = synthSampleCount(id / 2)
+        (id, encodePcm((0 until n).map(t => dupSample(id, t))))
+      })
+      .toDF("id", "media")
+  }
+
+  // ---- video-dup corpus (round 17): planted trimmed re-encodes ----
+
+  /** Frames per video-dedup content: 4–7 — enough that a trimmed
+    * copy still shares most of the clip. */
+  def dupFrameCount(cid: Long): Int = (4 + cid % 4).toInt
+
+  /** Video-dedup payload: content cid = id div 2 through the real
+    * GFV1 encoder; odd ids are the TRIMMED RE-ENCODE (the same frames
+    * minus the last — a fresh container write of a cut copy). The
+    * codecs are lossless and deterministic, so the shared frames'
+    * decoded rasters — and their aHashes — are bit-identical across
+    * the two containers. */
+  def videoDupBytes(id: Long): Array[Byte] = {
+    val cid = id / 2
+    val n = dupFrameCount(cid) - (if (id % 2 == 0) 0 else 1)
+    val out = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeBytes("GFV1")
+    dos.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(synthFrame(cid, f), "png", bos)
+      dos.writeInt(bos.size())
+      bos.writeTo(dos)
+      f += 1
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  def videoDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map(id => (id, videoDupBytes(id)))
+      }
+      .toDF("id", "media")
+  }
+
+  final case class FrameHash(id: Long, frame_idx: Int, ahash: Long)
+
+  /** Per-frame perceptual hashes over the GFV1 container — the
+    * inverted-index face of [[videoFingerprints]]: each frame through
+    * the real decode → [[ahashOf]], one row per frame. This is the
+    * identity video dedup joins on (frame-level containment survives
+    * trims and re-encodes that perturb any clip-level digest).
+    * flatMap shape, partition-parallel, 3 integers per frame leave
+    * the task. */
+  def frameHashes(df: DataFrame, idCol: String,
+      binCol: String): Dataset[FrameHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        ImageIO.setUseCache(false)
+        val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        require(new String(magic, "US-ASCII") == "GFV1",
+          s"not a GFV1 container for id=$id")
+        val n = in.readInt()
+        (0 until n).map { f =>
+          val len = in.readInt()
+          val payload = new Array[Byte](len)
+          in.readFully(payload)
+          FrameHash(id, f, ahashOf(decodeImage(id, payload)))
+        }
+      }
   }
 
   // ---- speech-gap corpus (round 14): planted silence ----

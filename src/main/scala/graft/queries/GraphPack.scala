@@ -652,30 +652,50 @@ object GraphPack extends QueryPack {
 
   /** The peel loop over any undirected (`u` < `v`, distinct) edge set —
     * public to the test JVM so the spec can gate it against a hand
-    * graph. */
+    * graph. EARLY-EXITS on the fixpoint: the peel is MONOTONE (each
+    * round's edge set ⊆ the last), so an unchanged edge count proves
+    * an unchanged edge SET, and every remaining round's census row is
+    * the fixpoint row — synthesized as literals, zero jobs, value-
+    * identical to the oracle's fixed-count replay (the peel is
+    * idempotent at its fixpoint). Measured on the sf0.1 board: rounds
+    * 5–8 were pure no-ops at both k values. */
   private[graft] def kcoreProfile(und0: DataFrame, ks: Seq[Int],
       rounds: Int,
       ckpt: graft.operators.CheckpointStrategy =
         graft.operators.CheckpointStrategy.Local): DataFrame = {
     val base = ckpt(und0)
+    val s = und0.sparkSession
+    def row(k: Int, r: Int, nn: Long, ne: Long): DataFrame =
+      s.range(1).select(lit(k).cast("int").as("k"),
+        lit(r).cast("int").as("round"), lit(nn).as("n_nodes"),
+        lit(ne).as("n_edges"))
     val perK = ks.map { k =>
       var und = base
+      var prevEdges = -1L
+      var fix: Option[(Long, Long)] = None
       val stats = (1 to rounds).map { r =>
-        val deg = und.select(col("u").as("node"))
-          .union(und.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("c"))
-        val keep = deg.filter(col("c") >= k).select("node")
-        und = ckpt(und
-          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-          .select("u", "v"))
-        val nNodes = und.select(col("u").as("node"))
-          .union(und.select(col("v").as("node"))).distinct()
-          .agg(count(lit(1)).as("n_nodes"))
-        val nEdges = und.agg(count(lit(1)).as("n_edges"))
-        nNodes.crossJoin(broadcast(nEdges))
-          .select(lit(k).cast("int").as("k"), lit(r).cast("int").as("round"),
-            col("n_nodes"), col("n_edges"))
+        fix match {
+          case Some((nn, ne)) => row(k, r, nn, ne)
+          case None =>
+            val deg = und.select(col("u").as("node"))
+              .union(und.select(col("v").as("node")))
+              .groupBy("node").agg(count(lit(1)).as("c"))
+            val keep = deg.filter(col("c") >= k).select("node")
+            und = ckpt(und
+              .join(keep.withColumnRenamed("node", "u"), Seq("u"),
+                "left_semi")
+              .join(keep.withColumnRenamed("node", "v"), Seq("v"),
+                "left_semi")
+              .select("u", "v"))
+            val ne = und.count()
+            val nn = if (ne == 0L) 0L
+              else und.select(col("u").as("node"))
+                .union(und.select(col("v").as("node"))).distinct()
+                .count()
+            if (ne == prevEdges || ne == 0L) fix = Some((nn, ne))
+            prevEdges = ne
+            row(k, r, nn, ne)
+        }
       }
       stats.reduce(_.unionByName(_))
     }

@@ -207,7 +207,85 @@ object MultimodalPack extends QueryPack {
     // (one mangled sample anywhere and the hash compare fails).
     "mm_wav_features" -> ((s, d) =>
       Multimodal.wavFeatures(Multimodal.audioCorpus(s, d), "id", "media")
-        .toDF())
+        .toDF()),
+
+    // Audio dedup by clip fingerprint (round 17) — the CONSUMER of
+    // mm_audio_fingerprint: the dup corpus stores each recording
+    // twice (even id = original level, odd id = truncating
+    // half-amplitude re-level — a real re-encode's noise), byte
+    // identity finds nothing, and the Haitsma–Kalker word lands
+    // within a few bits. Candidates come from 7×6-bit banding over
+    // DISTINCT fingerprints (complete for Hamming ≤ 6 by pigeonhole
+    // — mm_ahash_dedup's blocking over the ≤63-bit word), members
+    // expand afterwards; the oracle replays fingerprint + banding
+    // from the sample formula.
+    "mm_audio_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val fps = Multimodal.audioFingerprints(
+        Multimodal.audioDupCorpus(s, d), "id", "media").toDF()
+      val hs = fps.select("fp").distinct()
+      val banded = hs.select(col("fp"),
+        explode(array((0 until 7).map(b =>
+          shiftrightunsigned(col("fp"), b * 6).bitwiseAND(lit(63L))
+            + lit(b.toLong << 8)): _*)).as("band_val"))
+      val hashPairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_val") === col("b.band_val")
+            && col("a.fp") < col("b.fp"))
+        .select(col("a.fp").as("ha"), col("b.fp").as("hb"))
+        .dropDuplicates("ha", "hb")
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+        .filter(col("hamming") <= 6)
+      val m = fps.select(col("id"), col("fp"))
+      val within = m.as("x")
+        .join(m.as("y"),
+          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          lit(0).cast("int").as("hamming"))
+      val across = hashPairs
+        .join(m.as("ma"), col("ha") === col("ma.fp"))
+        .join(m.as("mb"), col("hb") === col("mb.fp"))
+        .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+          greatest(col("ma.id"), col("mb.id")).as("id_b"),
+          col("hamming"))
+      within.unionByName(across)
+        .withColumn("same_src", expr("id_a div 2 = id_b div 2"))
+    }),
+
+    // Video dedup by frame-hash containment (round 17) — the CONSUMER
+    // of the per-frame identity behind mm_video_fingerprint: the dup
+    // corpus stores each clip twice (odd id = TRIMMED RE-ENCODE,
+    // same frames minus the tail through a fresh container write),
+    // and clips match when the smaller one's distinct frame-hash set
+    // is ≥ 80% contained in the other's — the alignment-free overlap
+    // measure a trim cannot break where any clip-level digest drifts.
+    // Pairs come from the inverted index on exact frame aHash
+    // (lossless codec ⇒ shared frames hash identically); the
+    // containment arithmetic is one exact integer cross-multiply.
+    "mm_video_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val fh = Multimodal.frameHashes(
+        Multimodal.videoDupCorpus(s, d), "id", "media").toDF()
+      val dh = fh.select("id", "ahash").distinct()
+      val cnt = dh.groupBy("id").agg(count(lit(1)).as("nh"))
+      val shared = dh.as("a")
+        .join(dh.as("b"),
+          col("a.ahash") === col("b.ahash") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(cnt.select(col("id").as("id_a"), col("nh").as("n_a")),
+          "id_a")
+        .join(cnt.select(col("id").as("id_b"), col("nh").as("n_b")),
+          "id_b")
+        .withColumn("cont_bp",
+          expr("n_shared * 10000 div least(n_a, n_b)"))
+        .where(col("cont_bp") >= 8000)
+        .withColumn("same_src", expr("id_a div 2 = id_b div 2"))
+        .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+          col("n_b"), col("cont_bp"), col("same_src"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -488,6 +566,101 @@ object MultimodalPack extends QueryPack {
         |    AND (s >= 0) != (ps >= 0) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS zero_cross,
         |  CAST(max(abs(s)) AS INT) AS peak
-        |FROM lg GROUP BY id""".stripMargin
+        |FROM lg GROUP BY id""".stripMargin,
+
+    // replay fingerprint + banding from the dup-corpus sample formula
+    // (even id = original, odd = truncating half-level of content
+    // id//2), then the same 7×6-bit pigeonhole blocking and popcount
+    "mm_audio_dedup" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(400 + (doc_id // 2) % 211 AS INT) AS n FROM documents),
+        |sm AS (SELECT id, CAST(t.range AS INT) AS t,
+        |    CASE WHEN id % 2 = 0
+        |      THEN ((id // 2)*31 + t.range*7919
+        |        + (t.range // 10)*104729*(1 + (id // 2) % 1009))
+        |        % 65536 - 32768
+        |      ELSE (((id // 2)*31 + t.range*7919
+        |        + (t.range // 10)*104729*(1 + (id // 2) % 1009))
+        |        % 65536) // 2 - 16384
+        |    END AS s
+        |  FROM p, range(611) t WHERE t.range < (n // 80) * 80),
+        |en AS (SELECT id, t // 80 AS f, (t % 80) // 10 AS k,
+        |    sum(s*s) AS e FROM sm GROUP BY 1, 2, 3),
+        |d AS (SELECT id, f, k,
+        |    e - lead(e) OVER (PARTITION BY id, f ORDER BY k) AS dk
+        |  FROM en),
+        |dd AS (SELECT id, f, k,
+        |    dk - lag(dk) OVER (PARTITION BY id, k ORDER BY f) AS b
+        |  FROM d WHERE dk IS NOT NULL),
+        |fp0 AS (SELECT id,
+        |    sum(CAST(1 AS BIGINT) << CAST((f-1)*7 + k AS INT)) AS fp
+        |  FROM dd WHERE b IS NOT NULL AND b > 0 AND f < 10 GROUP BY id),
+        |fpt AS (SELECT p.id, CAST(coalesce(fp0.fp, 0) AS BIGINT) AS fp
+        |  FROM p LEFT JOIN fp0 ON fp0.id = p.id),
+        |hs AS (SELECT DISTINCT fp FROM fpt),
+        |banded AS (SELECT fp,
+        |    ((fp >> CAST(b.range*6 AS INT)) & 63) + b.range * 256 AS bv
+        |  FROM hs, range(7) b),
+        |hp AS (SELECT DISTINCT a.fp AS ha, b.fp AS hb
+        |  FROM banded a JOIN banded b ON a.bv = b.bv AND a.fp < b.fp),
+        |hpf AS (SELECT ha, hb,
+        |    CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |  FROM hp WHERE bit_count(xor(ha, hb)) <= 6),
+        |within AS (SELECT x.id AS id_a, y.id AS id_b,
+        |    CAST(0 AS INT) AS hamming
+        |  FROM fpt x JOIN fpt y ON x.fp = y.fp AND x.id < y.id),
+        |across AS (SELECT least(ma.id, mb.id) AS id_a,
+        |    greatest(ma.id, mb.id) AS id_b, h.hamming
+        |  FROM hpf h JOIN fpt ma ON ma.fp = h.ha
+        |  JOIN fpt mb ON mb.fp = h.hb)
+        |SELECT id_a, id_b, hamming, (id_a // 2 = id_b // 2) AS same_src
+        |FROM (SELECT * FROM within UNION ALL SELECT * FROM across)"""
+        .stripMargin,
+
+    // replay every frame's aHash from the dup lattice (content key
+    // cid = id//2, odd clips one frame shorter), then the same
+    // inverted-index join + integer containment
+    "mm_video_dedup" ->
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    doc_id // 2 AS cid,
+        |    CAST(4 + (doc_id // 2) % 13 AS INT) AS w,
+        |    CAST(4 + (doc_id // 2) % 11 AS INT) AS h,
+        |    CAST(4 + (doc_id // 2) % 4 - (doc_id % 2) AS INT) AS n
+        |  FROM documents),
+        |frames AS (SELECT id, cid, w, h, CAST(f.range AS INT) AS f
+        |  FROM m, range(7) f WHERE f.range < n),
+        |gpx AS (SELECT id, f, dx.range AS dx, dy.range AS dy,
+        |    (((cid*31 + f*17 + ((dx.range*w)//8)*7 + ((dy.range*h)//8)*13) % 256)
+        |     + ((cid*31 + f*17 + ((dx.range*w)//8)*7 + ((dy.range*h)//8)*13 + 101) % 256)
+        |     + ((cid*31 + f*17 + ((dx.range*w)//8)*7 + ((dy.range*h)//8)*13 + 202) % 256)
+        |    ) // 3 AS g
+        |  FROM frames, range(8) dx, range(8) dy),
+        |mn AS (SELECT id, f, sum(g) // 64 AS mean
+        |  FROM gpx GROUP BY id, f),
+        |hs AS (SELECT g.id, g.f,
+        |    CAST(sum(CASE WHEN g.g > mn.mean
+        |      THEN 1::UBIGINT << CAST(g.dy*8 + g.dx AS INT)
+        |      ELSE 0::UBIGINT END) AS UBIGINT) AS uh
+        |  FROM gpx g JOIN mn ON mn.id = g.id AND mn.f = g.f
+        |  GROUP BY g.id, g.f),
+        |hb AS (SELECT id, CAST(CAST(uh AS HUGEINT)
+        |    - CASE WHEN uh >= 9223372036854775808::UBIGINT
+        |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+        |    AS BIGINT) AS ahash FROM hs),
+        |dh AS (SELECT DISTINCT id, ahash FROM hb),
+        |cnt AS (SELECT id, count(*) AS nh FROM dh GROUP BY id),
+        |shared AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    count(*) AS n_shared
+        |  FROM dh a JOIN dh b ON a.ahash = b.ahash AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT s.id_a, s.id_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+        |  CAST(ca.nh AS BIGINT) AS n_a, CAST(cb.nh AS BIGINT) AS n_b,
+        |  CAST((s.n_shared * 10000) // least(ca.nh, cb.nh) AS BIGINT)
+        |    AS cont_bp,
+        |  (s.id_a // 2 = s.id_b // 2) AS same_src
+        |FROM shared s JOIN cnt ca ON ca.id = s.id_a
+        |JOIN cnt cb ON cb.id = s.id_b
+        |WHERE (s.n_shared * 10000) // least(ca.nh, cb.nh) >= 8000"""
+        .stripMargin
   )
 }

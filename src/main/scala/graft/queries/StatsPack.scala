@@ -405,6 +405,28 @@ object StatsPack extends QueryPack {
           col("p95_exact"), col("p95_est"))
     }),
 
+    // Fixed-REGISTER quantile sketch (round 17) — the histogram
+    // member the sketch family still lacked beside the bottom-k
+    // sample (q_quantile_sample) and the library call
+    // (q_approx_percentile, rows-only): 64 equi-width registers per
+    // group over a min/max frame pass, counts merged by ELEMENTWISE
+    // ADD (the mergeability spec proves sketch(A)⊎sketch(B) ≡
+    // sketch(A∪B) and that the readout agrees), quantiles read by
+    // integer interpolation inside the rank's bucket. The error is
+    // PROVABLY ≤ one bucket width (est and exact sit in the same
+    // bucket by the cumulative-count definition) — emitted as
+    // max_err_cq beside the measured abs_err_cq, so the bound is
+    // visible, gated (spec) and hash-compared. Everything is integer
+    // (centi-units via floor(value·100)): frame, registers, ranks,
+    // interpolation — the DuckDB oracle replays all of it. Scale:
+    // state is 64 longs per group no matter the row count (q_hll's
+    // argument for quantiles); the exact side is the audit's
+    // deliberate per-group sort, not the production path.
+    "q_quantile_sketch" -> ((s, d) =>
+      quantileSketchFrom(events(s, d).select(
+        col("event_type").as("g"),
+        floor(col("value") * 100).cast("long").as("vq")))),
+
     // Chi-squared independence test (Pearson 1900, round 12) on the
     // event_type × day-of-week contingency table, with Cramér's V as
     // the effect size — the CATEGORICAL-dependence audit beside
@@ -895,11 +917,114 @@ object StatsPack extends QueryPack {
     } :+ ((65536L, 20))
   }
 
+  /** Register count for the histogram quantile sketch. */
+  private[graft] val QSketchB = 64
+
+  /** The frame pass: per-group (lo, hi, n) over (g, vq) rows. */
+  private[graft] def qsketchFrame(ev: DataFrame): DataFrame =
+    ev.groupBy("g").agg(min("vq").as("lo"), max("vq").as("hi"),
+      count(lit(1)).as("n"))
+
+  /** The register pass: per-group bucket counts against a SHARED
+    * frame — the mergeable state (merging partial sketches built on
+    * the same frame is elementwise addition; the spec proves it). */
+  private[graft] def qsketchCounts(ev: DataFrame,
+      frame: DataFrame): DataFrame =
+    ev.join(broadcast(frame.select("g", "lo", "hi")), "g")
+      .select(col("g"),
+        expr(s"((vq - lo) * $QSketchB) div (hi - lo + 1)").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("cb"))
+
+  /** Quantile readout from registers + frame: integer interpolation
+    * inside the bucket whose cumulative count crosses the rank. */
+  private[graft] def qsketchReadout(counts: DataFrame,
+      frame: DataFrame, qs: Seq[Int]): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("b")
+    val cum = counts.withColumn("c1", sum("cb").over(wc))
+      .withColumn("c0", col("c1") - col("cb"))
+    val rq = frame.select(col("g"), col("n"), col("lo"), col("hi"),
+        explode(array(qs.map(q => struct(lit(q).as("q"),
+          (expr(s"((n - 1) * $q) div 100") + lit(1L)).as("r"))): _*))
+          .as("qr"))
+      .select(col("g"), col("n"), col("lo"), col("hi"),
+        col("qr.q").as("q"), col("qr.r").as("r"))
+    rq.join(cum, "g")
+      .where(col("c0") < col("r") && col("r") <= col("c1"))
+      .withColumn("span1", col("hi") - col("lo") + 1)
+      .withColumn("lbs",
+        col("lo") + expr(s"(b * span1 + ${QSketchB - 1}) div $QSketchB"))
+      .withColumn("ubs", col("lo") +
+        expr(s"((b + 1) * span1 + ${QSketchB - 1}) div $QSketchB"))
+      .withColumn("est_cq",
+        col("lbs") + expr("((r - c0 - 1) * (ubs - lbs)) div cb"))
+      .select("g", "q", "n", "r", "span1", "est_cq")
+  }
+
+  /** The full sketch-vs-exact audit over (g, vq) rows — public to the
+    * test JVM for the mergeability and error-bound gates. */
+  private[graft] def quantileSketchFrom(ev0: DataFrame,
+      qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val ev = ev0.localCheckpoint(true) // frame + registers + exact
+    val frame = qsketchFrame(ev)
+    val est = qsketchReadout(qsketchCounts(ev, frame), frame, qs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("vq")
+    val ex = ev.withColumn("rn", row_number().over(w))
+      .join(est.select(col("g"), col("q"), col("r")), "g")
+      .where(col("rn") === col("r"))
+      .select(col("g"), col("q"), col("vq").as("exact_cq"))
+    est.join(ex, Seq("g", "q"))
+      .select(col("g").as("event_type"), col("q"), col("n"),
+        col("exact_cq"), col("est_cq"),
+        abs(col("est_cq") - col("exact_cq")).as("abs_err_cq"),
+        expr("(abs(est_cq - exact_cq) * 10000) div span1")
+          .as("err_span_bp"),
+        expr(s"(span1 + ${QSketchB - 1}) div $QSketchB")
+          .as("max_err_cq"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q_percentile" ->
       """SELECT event_type, round(quantile_cont(value, 0.5),4) AS p50,
         |  round(quantile_cont(value, 0.9),4) AS p90, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // replay the histogram sketch end to end: frame, 64 equi-width
+    // registers, rank rule, integer interpolation, exact rank audit
+    "q_quantile_sketch" ->
+      """WITH ev AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS vq FROM events),
+        |fr AS (SELECT g, min(vq) AS lo, max(vq) AS hi, count(*) AS n
+        |  FROM ev GROUP BY g),
+        |cnts AS (SELECT ev.g, ((vq - lo) * 64) // (hi - lo + 1) AS b,
+        |    count(*) AS cb
+        |  FROM ev JOIN fr ON fr.g = ev.g GROUP BY 1, 2),
+        |cum AS (SELECT g, b, cb,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY b) AS c1,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY b) - cb AS c0
+        |  FROM cnts),
+        |rq AS (SELECT g, n, lo, hi, qq.q AS q,
+        |    ((n - 1) * qq.q) // 100 + 1 AS r
+        |  FROM fr, (SELECT unnest([50, 90, 99]) AS q) qq),
+        |est AS (SELECT rq.g, rq.q, rq.n, rq.r, hi - lo + 1 AS span1,
+        |    lo + (b * (hi - lo + 1) + 63) // 64
+        |      + ((rq.r - c0 - 1) * ((lo + ((b + 1) * (hi - lo + 1) + 63) // 64)
+        |          - (lo + (b * (hi - lo + 1) + 63) // 64))) // cb AS est_cq
+        |  FROM rq JOIN cum ON cum.g = rq.g
+        |    AND c0 < rq.r AND rq.r <= c1),
+        |rn AS (SELECT g, vq,
+        |    row_number() OVER (PARTITION BY g ORDER BY vq) AS rn
+        |  FROM ev),
+        |ex AS (SELECT rq.g, rq.q, vq AS exact_cq
+        |  FROM rq JOIN rn ON rn.g = rq.g AND rn.rn = rq.r)
+        |SELECT e.g AS event_type, CAST(e.q AS INT) AS q, e.n,
+        |  ex.exact_cq, CAST(e.est_cq AS BIGINT) AS est_cq,
+        |  CAST(abs(e.est_cq - ex.exact_cq) AS BIGINT) AS abs_err_cq,
+        |  CAST((abs(e.est_cq - ex.exact_cq) * 10000) // e.span1
+        |    AS BIGINT) AS err_span_bp,
+        |  CAST((e.span1 + 63) // 64 AS BIGINT) AS max_err_cq
+        |FROM est e JOIN ex ON ex.g = e.g AND ex.q = e.q""".stripMargin,
     "q_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows

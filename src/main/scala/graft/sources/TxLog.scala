@@ -272,6 +272,80 @@ final class TxLogTable(root: String,
       files.map(f => dataDir.resolve(f).toString): _*))
   }
 
+  /** Per-file [min, max] envelope of an integral top-level column,
+    * read from the parquet FOOTER — the stats [[optimizeZorder]]'s
+    * clustered write makes quadrant-tight (and any write makes
+    * truthful). Metadata-only: a footer read opens no data pages.
+    * None when any row group lacks usable stats for the column — the
+    * caller must then treat the file as possibly-matching. */
+  private def footerRange(spark: SparkSession, file: String,
+      column: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dataDir.resolve(file).toString),
+        conf))
+    try {
+      val rngs = rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .flatMap { c =>
+            val st = c.getStatistics
+            (Option(st).filter(_.hasNonNullValue)
+              .map(s => (s.genericGetMin, s.genericGetMax)) match {
+              case Some((mn: Number, mx: Number)) =>
+                Some((mn.longValue, mx.longValue))
+              case _ => None
+            })
+          }
+      }
+      if (rngs.isEmpty || rngs.exists(_.isEmpty)) None
+      else Some((rngs.flatten.map(_._1).min, rngs.flatten.map(_._2).max))
+    } finally rd.close()
+  }
+
+  /** The live files at `version` that can POSSIBLY satisfy every
+    * inclusive range in `ranges` (`(column, lo, hi)` conjuncts over
+    * integral columns), judged by footer envelopes — plus the live
+    * count, so callers can observe the skip rate. A file is kept
+    * unless some conjunct's envelope provably misses it; missing
+    * stats keep the file (skipping may only ever drop certain
+    * non-matches — no false negative by construction). */
+  def pruneLiveFiles(spark: SparkSession,
+      ranges: Seq[(String, Long, Long)],
+      version: Long = Long.MaxValue): (Seq[String], Int) = {
+    val live = liveFiles(version)
+    val kept = live.filter { f =>
+      ranges.forall { case (c, lo, hi) =>
+        footerRange(spark, f, c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+    (kept, live.size)
+  }
+
+  /** [[snapshot]] with scan-side FILE SKIPPING — the read that makes
+    * [[optimizeZorder]]'s clustering pay off: list the log, prune the
+    * live-file list against the footer envelopes, scan only what
+    * survives. Returns a SUPERSET of the rows matching `ranges`
+    * (exactly a format's data-skipping contract) — the caller still
+    * applies the actual predicate; the spec proves pruned-then-
+    * filtered ≡ unpruned-then-filtered and that a zordered layout
+    * opens strictly fewer files than a linear one on a quadrant
+    * query. None when no live file can match (or the table is
+    * empty) — the provably-empty result. */
+  def snapshotWhere(spark: SparkSession,
+      ranges: Seq[(String, Long, Long)],
+      version: Long = Long.MaxValue): Option[DataFrame] = {
+    val (kept, _) = pruneLiveFiles(spark, ranges, version)
+    if (kept.isEmpty) None
+    else Some(spark.read.parquet(
+      kept.map(f => dataDir.resolve(f).toString): _*))
+  }
+
   /** Write `df` as new data files (INVISIBLE until committed);
     * returns the file names.
     *

@@ -266,6 +266,49 @@ class MultimodalSpec extends SparkSpec {
       "mirror pairs must be byte-distinct (different containers)")
   }
 
+  test("mm_audio_dedup: every planted re-leveled copy collapses " +
+      "through the banded fingerprint blocking") {
+    val sfDir = "/root/testdata/sf0.001"
+    val pairs = graft.queries.MultimodalPack.defs("mm_audio_dedup")(
+        spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"), r.getAs[Boolean]("same_src")))
+    val ids = Tables.documents(spark, sfDir)
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    val planted = ids.filter(id => id % 2 == 0 && ids.contains(id + 1))
+      .map(id => (id, id + 1))
+    // the half-level copy is NOT byte- or sample-identical (truncating
+    // halving), yet its sign-structure word must land within the
+    // banding's completeness radius — measured 0 on this corpus,
+    // gated at <= 2 for slack against future corpus tweaks
+    val found = pairs.collect { case (a, b, h, _) if h <= 2 => (a, b) }
+      .toSet
+    assert(planted.subsetOf(found),
+      s"missing re-leveled pairs: ${(planted -- found).take(5)}")
+    // the same_src audit is truthful: exactly the planted pairs
+    assert(pairs.filter(_._4).map(p => (p._1, p._2)).toSet === planted)
+  }
+
+  test("mm_video_dedup: every planted trimmed re-encode collapses at " +
+      "full containment") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.queries.MultimodalPack.defs("mm_video_dedup")(
+        spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("cont_bp"), r.getAs[Boolean]("same_src")))
+    val ids = Tables.documents(spark, sfDir)
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    val planted = ids.filter(id => id % 2 == 0 && ids.contains(id + 1))
+      .map(id => (id, id + 1))
+    // the trimmed copy's distinct frame-hash set is a SUBSET of the
+    // original's (lossless codec, shared frames), so its containment
+    // is exactly 10000 bp
+    val full = rows.collect { case (a, b, 10000L, _) => (a, b) }.toSet
+    assert(planted.subsetOf(full),
+      s"missing trimmed pairs: ${(planted -- full).take(5)}")
+    assert(rows.filter(_._4).map(p => (p._1, p._2)).toSet === planted)
+  }
+
   test("dctProfileOf: flat image is pure DC; stripes out-sharpen a gradient") {
     def fill(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

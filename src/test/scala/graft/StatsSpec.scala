@@ -23,6 +23,45 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_quantile_sketch: partial registers merge by elementwise add " +
+      "and the readout error never exceeds one bucket width") {
+    import graft.queries.StatsPack
+    // synthetic two-group corpus with a skewed tail
+    val rows = ((0 until 3000).map(i =>
+        ("a", ((i * 7919) % 10007).toLong)) ++
+      (0 until 2000).map(i => ("b", ((i * i) % 4001).toLong)))
+      .toDF("g", "vq").localCheckpoint(true)
+    val frame = StatsPack.qsketchFrame(rows)
+    // mergeability: sketch(A) ⊎ sketch(B) ≡ sketch(A ∪ B) against the
+    // SHARED frame — the property that lets every partition build its
+    // own registers and the reduce add them
+    val half = rows.withColumn("h", pmod(col("vq") * 37, lit(2)))
+    val cA = StatsPack.qsketchCounts(half.where($"h" === 0)
+      .select("g", "vq"), frame)
+    val cB = StatsPack.qsketchCounts(half.where($"h" === 1)
+      .select("g", "vq"), frame)
+    val merged = cA.unionByName(cB).groupBy("g", "b")
+      .agg(sum("cb").as("cb"))
+    val whole = StatsPack.qsketchCounts(rows, frame)
+    val mSet = merged.as[(String, Long, Long)].collect().toSet
+    val wSet = whole.as[(String, Long, Long)].collect().toSet
+    assert(mSet === wSet, "register merge must be elementwise add")
+    // ...and the merged readout IS the single-shot readout
+    val rm = StatsPack.qsketchReadout(merged, frame, Seq(50, 90, 99))
+      .collect().map(_.toString).sorted.toSeq
+    val rw = StatsPack.qsketchReadout(whole, frame, Seq(50, 90, 99))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rm === rw)
+    // provable error bound: est and exact share a bucket, so the
+    // measured error is < one bucket width on EVERY quantile
+    val audit = StatsPack.quantileSketchFrom(rows).collect()
+    assert(audit.length === 6)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("abs_err_cq") <= r.getAs[Long]("max_err_cq"),
+        s"bucket-width bound violated: $r")
+    }
+  }
+
   test("q_mixture rebalances every stratum to the smallest stratum's size, deterministically") {
     def run() = SparkEntry.queries("q_mixture")(spark, sfDir)
       .as[(Long, String)].collect().toSet

@@ -560,6 +560,56 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("snapshotWhere: footer-envelope file skipping returns exactly " +
+      "the unpruned rows under the predicate, and the zordered layout " +
+      "opens strictly fewer files than a linear sort on a quadrant " +
+      "query") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val all = for (i <- 0 until 4096) yield (i % 64, i / 64)
+      // LINEAR layout: 4 commits, each an x-slice sorted by x — tight
+      // x envelopes, but every file spans the full y range
+      (0 until 4).foreach { c =>
+        val part = all.filter(p => p._1 / 16 == c)
+        val f = table.writeDataFiles(part.toDF("x", "y").orderBy("x"))
+        assert(table.commit(f, Nil, Some(c.toLong)) === c + 1L)
+      }
+      // quadrant query: x in the low half AND y in the low half
+      val q = Seq(("x", 0L, 31L), ("y", 0L, 31L))
+      def filtered(df: org.apache.spark.sql.DataFrame) = df
+        .where("x between 0 and 31 and y between 0 and 31")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val want = filtered(table.snapshot(spark).get)
+      assert(want.size === 32 * 32)
+      val (keptLin, totLin) = table.pruneLiveFiles(spark, q)
+      // x envelopes prune the two high-x slices; y prunes nothing
+      assert(totLin === 4 && keptLin.size === 2,
+        s"linear layout must prune on x only, kept ${keptLin.size}")
+      assert(filtered(table.snapshotWhere(spark, q).get) === want,
+        "skipping must never change the filtered result")
+      // ZORDER the same table: quadrant files give BOTH-dim envelopes
+      assert(table.optimizeZorder(spark, "x", "y", nFiles = 4)
+        === Some(5L))
+      val (keptZ, totZ) = table.pruneLiveFiles(spark, q)
+      assert(totZ === 4 && keptZ.size === 1,
+        s"zordered quadrant query must open 1 of 4 files, got " +
+          s"${keptZ.size}")
+      assert(keptZ.size < keptLin.size,
+        "the clustered layout must open strictly fewer files")
+      assert(filtered(table.snapshotWhere(spark, q).get) === want,
+        "skipping over the zordered layout must preserve the result")
+      // a provably-empty range returns None (no file can match)
+      assert(table.snapshotWhere(spark,
+        Seq(("x", 1000L, 2000L))).isEmpty)
+      // missing stats / unknown columns never prune (no false negative)
+      val (keptU, _) = table.pruneLiveFiles(spark,
+        Seq(("no_such_col", 0L, 0L)))
+      assert(keptU.size === 4, "unknown column must keep every file")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("optimizePacked: only the small-file tail is rewritten toward " +
       "the target size; a second run is a no-op") {
     val dir = tmp()
