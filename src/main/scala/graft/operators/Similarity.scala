@@ -139,13 +139,36 @@ object Similarity {
     * cannot separate nearly-equal eigenvalues (power-iteration
     * convergence ∝ (λ2/λ1)^iters); the orthogonality audit and the
     * plane share share1+share2 remain valid regardless. */
-  def spectrum(emb: DataFrame, dims: Int = 64, iters: Int = 3): DataFrame = {
+  def spectrum(emb0: DataFrame, dims: Int = 64, iters: Int = 3): DataFrame =
+   SessionScope.withAqeOffQuarterNp(emb0.sparkSession) { scoped =>
+    // quarter-np AQE-off clone (the graph loops' task-floor lever,
+    // round 17): 8+ dims-sized shuffles at np=32 were pure task floor
+    val emb = org.apache.spark.sql.graftbridge.SessionBridge
+      .rebind(emb0, scoped)
     require(iters >= 1, s"need at least one power iteration, got $iters")
+    // quantize ONCE (embed_whiten's round-17 discipline): the 8+
+    // downstream scans read materialized longs instead of re-decoding
+    // the float arrays and re-flooring per scan — values untouched
+    val qe = emb.select(transform(col("embedding"), x => q6(x)).as("cq"))
+      .localCheckpoint(true)
+    def rawUq(withV: DataFrame): DataFrame = {
+      val dot = aggregate(
+        zip_with(col("cq"), col("vq"), (q, qv) => q * qv),
+        lit(0L), (a, t) => a + t)
+      withV.select(col("cq"), dot.as("s"))
+        .select(posexplode(col("cq")).as(Seq("pos", "q")), col("s"))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          (col("q").cast("decimal(38,0)") * col("s")).as("su"))
+        .groupBy("dim").agg(sum("su").as("u"))
+        .coalesce(1)
+        .select(col("dim"),
+          expr("CAST(u div 1000000000000 AS BIGINT)").as("du"))
+    }
     val seed = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
-    var v1 = normalizeDir(rawU(emb.withColumn("vq",
+    var v1 = normalizeDir(rawUq(qe.withColumn("vq",
       typedlit(Seq.fill(dims)(seed)))))
     for (_ <- 2 to iters) v1 =
-      normalizeDir(rawU(emb.crossJoin(broadcast(vArr(v1)))))
+      normalizeDir(rawUq(qe.crossJoin(broadcast(vArr(v1)))))
     val v1t = v1.withColumnRenamed("qv", "qv1").localCheckpoint(true)
     def deflate(du: DataFrame): DataFrame = {
       val j = du.join(broadcast(v1t), "dim")
@@ -160,22 +183,39 @@ object Similarity {
     }
     // alternating-sign start: fixed, not parallel to the uniform seed
     val w0 = Seq.tabulate(dims)(i => if (i % 2 == 0) seed else -seed)
-    var v2 = normalizeDir(deflate(rawU(
-      emb.withColumn("vq", typedlit(w0)))))
+    var v2 = normalizeDir(deflate(rawUq(
+      qe.withColumn("vq", typedlit(w0)))))
     for (_ <- 2 to iters) v2 =
-      normalizeDir(deflate(rawU(emb.crossJoin(broadcast(vArr(v2))))))
+      normalizeDir(deflate(rawUq(qe.crossJoin(broadcast(vArr(v2))))))
     val v2t = v2.withColumnRenamed("qv", "qv2")
-    val s1 = rayleigh(emb, v1t.withColumnRenamed("qv1", "qv"))
-      .withColumnRenamed("sn", "sn1")
-    val s2 = rayleigh(emb, v2t.withColumnRenamed("qv2", "qv"))
-      .select(col("sn").as("sn2"))
+    // FUSED readout: both Rayleigh quotients + the trace in ONE scan
+    // (embed_whiten's round-17 fusion — per-row dots exact Long,
+    // cross-row sums DECIMAL(38,0), value-identical to the three
+    // separate scans)
+    val reads = qe
+      .crossJoin(broadcast(vArr(v1t.withColumnRenamed("qv1", "qv"))
+        .select(col("vq").as("vq1"))))
+      .crossJoin(broadcast(vArr(v2t.withColumnRenamed("qv2", "qv"))
+        .select(col("vq").as("vq2"))))
+      .select(
+        aggregate(zip_with(col("cq"), col("vq1"), (q, qv) => q * qv),
+          lit(0L), (a, t) => a + t).as("s1r"),
+        aggregate(zip_with(col("cq"), col("vq2"), (q, qv) => q * qv),
+          lit(0L), (a, t) => a + t).as("s2r"),
+        aggregate(col("cq"), lit(0L), (a, q) => a + q * q).as("qq"))
+      .agg(sum(col("s1r").cast("decimal(38,0)") * col("s1r")).as("sn1"),
+        sum(col("s2r").cast("decimal(38,0)") * col("s2r")).as("sn2"),
+        sum(col("qq").cast("decimal(38,0)")).as("t"))
+      .localCheckpoint(true) // 1 row
+    val s1 = reads.select("sn1")
+    val s2 = reads.select("sn2")
     val joined = v1t.join(v2t, "dim").localCheckpoint(true)
     val norms = joined.agg(
       sum(col("qv1").cast("decimal(38,0)") * col("qv1")).as("nv1"),
       sum(col("qv2").cast("decimal(38,0)") * col("qv2")).as("nv2"),
       sum(col("qv1").cast("decimal(38,0)") * col("qv2")).as("dot12"))
     joined.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
-      .crossJoin(broadcast(norms)).crossJoin(broadcast(trace(emb)))
+      .crossJoin(broadcast(norms)).crossJoin(broadcast(reads.select("t")))
       .select(col("dim"),
         round(col("qv1").cast("double") / lit(1000000.0), 6).as("v1"),
         round(col("qv2").cast("double") / lit(1000000.0), 6).as("v2"),
@@ -188,7 +228,7 @@ object Similarity {
         round(abs(col("dot12").cast("double"))
           / (sqrt(col("nv1").cast("double"))
             * sqrt(col("nv2").cast("double"))), 6).as("abs_cos12"))
-  }
+   }
 
   /** All-but-the-top whitening audit (Mu & Viswanath, ICLR 2018) —
     * the REPAIR step for the anisotropy `dominantDirection` detects:
@@ -211,7 +251,12 @@ object Similarity {
     * broadcast mean), never a materialized copy of the corpus; each
     * iteration is one corpus scan; nothing wider than `dims` rows
     * shuffles. */
-  def whiten(emb: DataFrame, dims: Int = 64, iters: Int = 3): DataFrame = {
+  def whiten(emb0: DataFrame, dims: Int = 64, iters: Int = 3): DataFrame =
+   SessionScope.withAqeOffQuarterNp(emb0.sparkSession) { scoped =>
+    // quarter-np AQE-off clone (the graph loops' task-floor lever,
+    // round 17): the 9 dims-sized shuffles at np=32 were task floor
+    val emb = org.apache.spark.sql.graftbridge.SessionBridge
+      .rebind(emb0, scoped)
     require(iters >= 1, s"need at least one power iteration, got $iters")
     val qemb = emb.select(transform(col("embedding"), x => q6(x)).as("qe"))
     val mu = qemb.select(posexplode(col("qe")).as(Seq("pos", "q")))
@@ -222,8 +267,13 @@ object Similarity {
     val muArr = mu.agg(transform(
       array_sort(collect_list(struct(col("dim"), col("mq")))),
       t => t.getField("mq")).as("mv"))
+    // materialize the centered integer corpus ONCE: every downstream
+    // power/readout pass (8+) scans these longs instead of re-running
+    // quantize + center per scan — measured 14.5 → single-digit s at
+    // sf0.1, values untouched
     val cent = qemb.crossJoin(broadcast(muArr))
       .select(zip_with(col("qe"), col("mv"), (q, m) => q - m).as("cq"))
+      .localCheckpoint(true)
     // one un-normalized centered power iterate: (dim, du) = Cᵀ(Cv)
     def rawUc(withV: DataFrame): DataFrame = {
       val dot = aggregate(
@@ -238,12 +288,6 @@ object Similarity {
         .select(col("dim"),
           expr("CAST(u div 1000000000000 AS BIGINT)").as("du"))
     }
-    def rayleighC(v: DataFrame): DataFrame =
-      cent.crossJoin(broadcast(vArr(v)))
-        .select(aggregate(
-          zip_with(col("cq"), col("vq"), (c, qv) => c * qv),
-          lit(0L), (a, t) => a + t).as("s"))
-        .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("sn"))
     val seed = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
     var v1 = normalizeDir(rawUc(cent.withColumn("vq",
       typedlit(Seq.fill(dims)(seed)))))
@@ -267,12 +311,29 @@ object Similarity {
     for (_ <- 2 to iters) v2 =
       normalizeDir(deflate(rawUc(cent.crossJoin(broadcast(vArr(v2))))))
     val v2t = v2.withColumnRenamed("qv", "qv2")
-    val s1 = rayleighC(v1t.withColumnRenamed("qv1", "qv"))
-      .withColumnRenamed("sn", "sn1")
-    val s2 = rayleighC(v2t.withColumnRenamed("qv2", "qv"))
-      .select(col("sn").as("sn2"))
-    val tc = cent.select(posexplode(col("cq")).as(Seq("pos", "c")))
-      .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("t"))
+    // FUSED readout: both Rayleigh quotients and the centered trace in
+    // ONE corpus scan (they were three) — per-row dots stay exact Long
+    // (|c| ≤ 2²¹ × |qv| ≤ 2²⁰ × 64 dims < 2⁴⁸; c² likewise), the
+    // cross-row sums stay DECIMAL(38,0): value-identical to the three
+    // separate scans, integer addition being associative
+    val reads = cent
+      .crossJoin(broadcast(vArr(v1t.withColumnRenamed("qv1", "qv"))
+        .select(col("vq").as("vq1"))))
+      .crossJoin(broadcast(vArr(v2t.withColumnRenamed("qv2", "qv"))
+        .select(col("vq").as("vq2"))))
+      .select(
+        aggregate(zip_with(col("cq"), col("vq1"), (c, qv) => c * qv),
+          lit(0L), (a, t) => a + t).as("s1r"),
+        aggregate(zip_with(col("cq"), col("vq2"), (c, qv) => c * qv),
+          lit(0L), (a, t) => a + t).as("s2r"),
+        aggregate(col("cq"), lit(0L), (a, c) => a + c * c).as("cc"))
+      .agg(sum(col("s1r").cast("decimal(38,0)") * col("s1r")).as("sn1"),
+        sum(col("s2r").cast("decimal(38,0)") * col("s2r")).as("sn2"),
+        sum(col("cc").cast("decimal(38,0)")).as("t"))
+      .localCheckpoint(true) // 1 row
+    val s1 = reads.select("sn1")
+    val s2 = reads.select("sn2")
+    val tc = reads.select("t")
     val joined = mu.join(v1t, "dim").join(v2t, "dim").localCheckpoint(true)
     val norms = joined.agg(
       sum(col("qv1").cast("decimal(38,0)") * col("qv1")).as("nv1"),
@@ -298,7 +359,7 @@ object Similarity {
               * col("nv2").cast("double"))
             / (col("sn2").cast("double") * col("nv1").cast("double")), 4))
           .as("iso_gain"))
-  }
+   }
 
   /** Mean-vector drift between two halves of an embedding corpus: per
     * group, the cosine between the mean vectors of the `half` = 0 and
