@@ -219,39 +219,9 @@ object MultimodalPack extends QueryPack {
     // — mm_ahash_dedup's blocking over the ≤63-bit word), members
     // expand afterwards; the oracle replays fingerprint + banding
     // from the sample formula.
-    "mm_audio_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val fps = Multimodal.audioFingerprints(
-        Multimodal.audioDupCorpus(s, d), "id", "media").toDF()
-      val hs = fps.select("fp").distinct()
-      val banded = hs.select(col("fp"),
-        explode(array((0 until 7).map(b =>
-          shiftrightunsigned(col("fp"), b * 6).bitwiseAND(lit(63L))
-            + lit(b.toLong << 8)): _*)).as("band_val"))
-      val hashPairs = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band_val") === col("b.band_val")
-            && col("a.fp") < col("b.fp"))
-        .select(col("a.fp").as("ha"), col("b.fp").as("hb"))
-        .dropDuplicates("ha", "hb")
-        .withColumn("hamming",
-          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
-        .filter(col("hamming") <= 6)
-      val m = fps.select(col("id"), col("fp"))
-      val within = m.as("x")
-        .join(m.as("y"),
-          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-          lit(0).cast("int").as("hamming"))
-      val across = hashPairs
-        .join(m.as("ma"), col("ha") === col("ma.fp"))
-        .join(m.as("mb"), col("hb") === col("mb.fp"))
-        .select(least(col("ma.id"), col("mb.id")).as("id_a"),
-          greatest(col("ma.id"), col("mb.id")).as("id_b"),
-          col("hamming"))
-      within.unionByName(across)
-        .withColumn("same_src", expr("id_a div 2 = id_b div 2"))
-    }),
+    "mm_audio_dedup" -> ((s, d) => audioDedupFrom(
+      Multimodal.audioFingerprints(
+        Multimodal.audioDupCorpus(s, d), "id", "media").toDF())),
 
     // Video dedup by frame-hash containment (round 17) — the CONSUMER
     // of the per-frame identity behind mm_video_fingerprint: the dup
@@ -263,30 +233,78 @@ object MultimodalPack extends QueryPack {
     // Pairs come from the inverted index on exact frame aHash
     // (lossless codec ⇒ shared frames hash identically); the
     // containment arithmetic is one exact integer cross-multiply.
-    "mm_video_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val fh = Multimodal.frameHashes(
-        Multimodal.videoDupCorpus(s, d), "id", "media").toDF()
-      val dh = fh.select("id", "ahash").distinct()
-      val cnt = dh.groupBy("id").agg(count(lit(1)).as("nh"))
-      val shared = dh.as("a")
-        .join(dh.as("b"),
-          col("a.ahash") === col("b.ahash") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("n_shared"))
-      shared
-        .join(cnt.select(col("id").as("id_a"), col("nh").as("n_a")),
-          "id_a")
-        .join(cnt.select(col("id").as("id_b"), col("nh").as("n_b")),
-          "id_b")
-        .withColumn("cont_bp",
-          expr("n_shared * 10000 div least(n_a, n_b)"))
-        .where(col("cont_bp") >= 8000)
-        .withColumn("same_src", expr("id_a div 2 = id_b div 2"))
-        .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
-          col("n_b"), col("cont_bp"), col("same_src"))
-    })
+    "mm_video_dedup" -> ((s, d) => videoDedupFrom(
+      Multimodal.frameHashes(
+        Multimodal.videoDupCorpus(s, d), "id", "media").toDF()))
   )
+
+  /** The audio-dedup kernel over ANY (id, fp) fingerprint table —
+    * the persisted-identity production face (louvainIncrSeeded's
+    * contract applied to media): fingerprints are computed ONCE at
+    * ingest (the 10× probe measured the decode stage linear at
+    * ~44 s — exactly the cost a stored table amortizes) and the
+    * daily dedup pays only this banding + verify stage. The
+    * `mm_audio_dedup` key feeds it the in-query fingerprints for the
+    * oracle gate; the spec proves a parquet-round-tripped table
+    * gives identical pairs. */
+  private[graft] def audioDedupFrom(fps0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fps = fps0
+    val hs = fps.select("fp").distinct()
+    val banded = hs.select(col("fp"),
+      explode(array((0 until 7).map(b =>
+        shiftrightunsigned(col("fp"), b * 6).bitwiseAND(lit(63L))
+          + lit(b.toLong << 8)): _*)).as("band_val"))
+    val hashPairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_val") === col("b.band_val")
+          && col("a.fp") < col("b.fp"))
+      .select(col("a.fp").as("ha"), col("b.fp").as("hb"))
+      .dropDuplicates("ha", "hb")
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= 6)
+    val m = fps.select(col("id"), col("fp"))
+    val within = m.as("x")
+      .join(m.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    val across = hashPairs
+      .join(m.as("ma"), col("ha") === col("ma.fp"))
+      .join(m.as("mb"), col("hb") === col("mb.fp"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"),
+        col("hamming"))
+    within.unionByName(across)
+      .withColumn("same_src", expr("id_a div 2 = id_b div 2"))
+  }
+
+  /** The video-dedup kernel over ANY (id, ahash) frame-hash table —
+    * same persisted-identity contract as [[audioDedupFrom]]: frame
+    * hashes computed once at ingest (the decode-bound stage), the
+    * dedup pays only the inverted-index join + containment. */
+  private[graft] def videoDedupFrom(fh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dh = fh.select("id", "ahash").distinct()
+    val cnt = dh.groupBy("id").agg(count(lit(1)).as("nh"))
+    val shared = dh.as("a")
+      .join(dh.as("b"),
+        col("a.ahash") === col("b.ahash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(cnt.select(col("id").as("id_a"), col("nh").as("n_a")),
+        "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("nh").as("n_b")),
+        "id_b")
+      .withColumn("cont_bp",
+        expr("n_shared * 10000 div least(n_a, n_b)"))
+      .where(col("cont_bp") >= 8000)
+      .withColumn("same_src", expr("id_a div 2 = id_b div 2"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("cont_bp"), col("same_src"))
+  }
 
   def oracles: Map[String, String] = Map(
     "mm_decode" ->

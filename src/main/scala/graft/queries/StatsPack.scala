@@ -917,8 +917,9 @@ object StatsPack extends QueryPack {
     } :+ ((65536L, 20))
   }
 
-  /** Register count for the histogram quantile sketch. */
-  private[graft] val QSketchB = 64
+  /** Register count for the histogram quantile sketch — the shared
+    * kernel's (one bucket rule for batch and stream). */
+  private[graft] val QSketchB = graft.functions.QSketch.B
 
   /** The frame pass: per-group (lo, hi, n) over (g, vq) rows. */
   private[graft] def qsketchFrame(ev: DataFrame): DataFrame =
@@ -927,12 +928,14 @@ object StatsPack extends QueryPack {
 
   /** The register pass: per-group bucket counts against a SHARED
     * frame — the mergeable state (merging partial sketches built on
-    * the same frame is elementwise addition; the spec proves it). */
+    * the same frame is elementwise addition; the spec proves it).
+    * Bucketing through [[graft.functions.QSketch]] — the streaming
+    * face sketches through the same expression, and the kernel's
+    * edge clamp is a no-op here because the frame IS the min/max. */
   private[graft] def qsketchCounts(ev: DataFrame,
       frame: DataFrame): DataFrame =
     ev.join(broadcast(frame.select("g", "lo", "hi")), "g")
-      .select(col("g"),
-        expr(s"((vq - lo) * $QSketchB) div (hi - lo + 1)").as("b"))
+      .select(col("g"), graft.functions.QSketch.bucket.as("b"))
       .groupBy("g", "b").agg(count(lit(1)).as("cb"))
 
   /** Quantile readout from registers + frame: integer interpolation

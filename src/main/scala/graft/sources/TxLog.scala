@@ -115,33 +115,58 @@ final class TxLogTable(root: String,
   def currentVersion(): Long = listVersions().lastOption.getOrElse(0L)
 
   // entry encoding: tiny hand-rolled JSON (we control both ends; file
-  // names are uuid-hex + ".parquet", txn is a long — nothing needs
-  // escaping)
+  // names are uuid-hex + ".parquet", txn is a long, stats rows are
+  // pipe-delimited "<file>|<col>|<lo>|<hi>" over identifier column
+  // names — nothing needs escaping)
   private def encode(add: Seq[String], remove: Seq[String],
-      txn: Option[Long]): String = {
+      txn: Option[Long], stats: Seq[String] = Seq.empty): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"")
       .mkString("[", ",", "]")
     val t = txn.map(v => s""","txn":$v""").getOrElse("")
-    s"""{"add":${arr(add)},"remove":${arr(remove)}$t}"""
+    val st = if (stats.isEmpty) "" else s""","stats":${arr(stats)}"""
+    s"""{"add":${arr(add)},"remove":${arr(remove)}$t$st}"""
   }
 
   private val AddRe = """"add":\[([^\]]*)\]""".r.unanchored
   private val RemRe = """"remove":\[([^\]]*)\]""".r.unanchored
   private val TxnRe = """"txn":(-?\d+)""".r.unanchored
+  private val StatsRe = """"stats":\[([^\]]*)\]""".r.unanchored
 
   private def names(group: String): Seq[String] =
     if (group.isEmpty) Seq.empty
     else group.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
 
-  private def readEntry(v: Long): (Seq[String], Seq[String], Option[Long]) = {
+  private def readEntry(v: Long): (Seq[String], Seq[String], Option[Long],
+      Seq[String]) = {
     val s = new String(
       Files.readAllBytes(logDir.resolve(entryName(v))),
       StandardCharsets.UTF_8)
     val add = s match { case AddRe(g) => names(g); case _ => Seq.empty }
     val rem = s match { case RemRe(g) => names(g); case _ => Seq.empty }
     val txn = s match { case TxnRe(t) => Some(t.toLong); case _ => None }
-    (add, rem, txn)
+    val st = s match { case StatsRe(g) => names(g); case _ => Seq.empty }
+    (add, rem, txn, st)
   }
+
+  /** Parse "<file>|<col>|<lo>|<hi>" stats rows into the per-file
+    * per-column envelope map. */
+  private def parseStats(rows: Seq[String])
+      : Map[String, Map[String, (Long, Long)]] =
+    rows.flatMap { r =>
+      r.split('|') match {
+        case Array(f, c, lo, hi) => Some((f, c, lo.toLong, hi.toLong))
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (f, xs) =>
+      f -> xs.map(x => x._2 -> (x._3, x._4)).toMap
+    }
+
+  private def statsRows(m: Map[String, Map[String, (Long, Long)]])
+      : Seq[String] =
+    m.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"$f|$c|$lo|$hi" }
+    }
 
   // ---- checkpoint compaction (round 13) ------------------------------
   // Without it every snapshot/commit re-folded the ENTIRE log —
@@ -161,8 +186,10 @@ final class TxLogTable(root: String,
 
   private val LiveRe = """"live":\[([^\]]*)\]""".r.unanchored
   private val TxnsRe = """"txns":\[([^\]]*)\]""".r.unanchored
+  private val FStatsRe = """"fstats":\[([^\]]*)\]""".r.unanchored
 
-  private def readCheckpoint(v: Long): (Seq[String], Set[Long]) = {
+  private def readCheckpoint(v: Long)
+      : (Seq[String], Set[Long], Seq[String]) = {
     val s = new String(
       Files.readAllBytes(logDir.resolve(ckptName(v))),
       StandardCharsets.UTF_8)
@@ -171,14 +198,17 @@ final class TxLogTable(root: String,
       case TxnsRe(g) if g.nonEmpty => g.split(",").map(_.trim.toLong).toSet
       case _ => Set.empty[Long]
     }
-    (live, txns)
+    val st = s match { case FStatsRe(g) => names(g); case _ => Seq.empty }
+    (live, txns, st)
   }
 
   private def writeCheckpoint(v: Long): Unit = {
-    val (live, txns) = foldState(v)
+    val (live, txns, fstats) = foldStateFull(v)
+    val stArr = statsRows(fstats).map(x => "\"" + x + "\"")
+      .mkString("[", ",", "]")
     val body = s"""{"live":${live.map(x => "\"" + x + "\"")
         .mkString("[", ",", "]")},"txns":${txns.toSeq.sorted
-        .mkString("[", ",", "]")}}"""
+        .mkString("[", ",", "]")},"fstats":$stArr}"""
       .getBytes(StandardCharsets.UTF_8)
     // two committers can both reach a checkpoint version on their
     // retry paths: the fold at v is deterministic, so the content is
@@ -197,7 +227,8 @@ final class TxLogTable(root: String,
   // long-running ingest calls txns()/liveFiles() several times per
   // batch; re-folding is pure, so caching on the observed version is
   // safe across instances (round-13 ADVICE)
-  @volatile private var memo: Option[(Long, Seq[String], Set[Long])] = None
+  @volatile private var memo: Option[(Long, Seq[String], Set[Long],
+    Map[String, Map[String, (Long, Long)]])] = None
 
   /** Fold of checkpoint + subsequent entries up to `version`.
     * Throws if `version` is no longer reconstructible: after
@@ -207,13 +238,20 @@ final class TxLogTable(root: String,
     * stale state (round-14 ADVICE — Delta raises VersionNotFound for
     * the same gap). */
   private def foldState(version: Long): (Seq[String], Set[Long]) = {
+    val (l, t, _) = foldStateFull(version)
+    (l, t)
+  }
+
+  private def foldStateFull(version: Long): (Seq[String], Set[Long],
+      Map[String, Map[String, (Long, Long)]]) = {
     val all = listVersions()
     val vs = all.takeWhile(_ <= version)
     val latest = vs.lastOption.getOrElse(0L)
     memo match {
-      case Some((v, l, t)) if v == latest && latest >= version => return (l, t)
-      case Some((v, l, t)) if v == latest && version == Long.MaxValue =>
-        return (l, t)
+      case Some((v, l, t, st)) if v == latest && latest >= version =>
+        return (l, t, st)
+      case Some((v, l, t, st)) if v == latest && version == Long.MaxValue =>
+        return (l, t, st)
       case _ => ()
     }
     val ck = listCheckpoints().filter(_ <= version).lastOption
@@ -232,25 +270,34 @@ final class TxLogTable(root: String,
         s"${missing.mkString(",")} were retention-deleted and no " +
         s"checkpoint at or above ${missing.max} survives")
     }
-    val (live0, txns0) = ck.map(readCheckpoint)
-      .getOrElse((Seq.empty[String], Set.empty[Long]))
+    val (live0, txns0, st0) = ck.map(readCheckpoint)
+      .getOrElse((Seq.empty[String], Set.empty[Long], Seq.empty[String]))
     val live = collection.mutable.LinkedHashSet(live0: _*)
     var txns = txns0
+    // per-live-file column envelopes from add entries (Delta's
+    // add-entry stats): removed files drop their stats with them
+    var fstats = parseStats(st0)
     vs.filter(v => ck.forall(_ < v)).foreach { v =>
-      val (add, rem, txn) = readEntry(v)
-      rem.foreach(f => live -= f)
+      val (add, rem, txn, st) = readEntry(v)
+      rem.foreach { f => live -= f; fstats -= f }
       live ++= add
+      fstats ++= parseStats(st)
       txn.foreach(t => txns += t)
     }
-    val out = (live.toSeq, txns)
+    val out = (live.toSeq, txns, fstats)
     // memoize only full-log folds: after retention deletes a prefix,
     // a truncated `vs` can be empty for a checkpoint-served version,
     // and keying the memo at its (zero) last entry would poison later
     // lookups for genuinely-empty folds
     if (version >= all.lastOption.getOrElse(0L))
-      memo = Some((latest, out._1, out._2))
+      memo = Some((latest, out._1, out._2, out._3))
     out
   }
+
+  /** Per-file column envelopes recorded in the log at `version` —
+    * files committed without stats are simply absent. */
+  def fileStats(version: Long = Long.MaxValue)
+      : Map[String, Map[String, (Long, Long)]] = foldStateFull(version)._3
 
   /** The live data files at `version` (default: current) — the
     * checkpoint-bounded fold of the log, metadata-only. */
@@ -278,7 +325,7 @@ final class TxLogTable(root: String,
     * truthful). Metadata-only: a footer read opens no data pages.
     * None when any row group lacks usable stats for the column — the
     * caller must then treat the file as possibly-matching. */
-  private def footerRange(spark: SparkSession, file: String,
+  private[sources] def footerRange(spark: SparkSession, file: String,
       column: String): Option[(Long, Long)] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
@@ -315,10 +362,16 @@ final class TxLogTable(root: String,
   def pruneLiveFiles(spark: SparkSession,
       ranges: Seq[(String, Long, Long)],
       version: Long = Long.MaxValue): (Seq[String], Int) = {
-    val live = liveFiles(version)
+    // prefer envelopes recorded IN THE LOG at commit time (Delta's
+    // add-entry stats, round 17): pruning then folds metadata the
+    // reader already holds — zero per-file footer round trips for
+    // stats-carrying files; footer envelopes remain the fallback for
+    // files committed without stats
+    val (live, _, fstats) = foldStateFull(version)
     val kept = live.filter { f =>
       ranges.forall { case (c, lo, hi) =>
-        footerRange(spark, f, c) match {
+        fstats.get(f).flatMap(_.get(c))
+          .orElse(footerRange(spark, f, c)) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true
         }
@@ -344,6 +397,29 @@ final class TxLogTable(root: String,
     if (kept.isEmpty) None
     else Some(spark.read.parquet(
       kept.map(f => dataDir.resolve(f).toString): _*))
+  }
+
+  /** [[snapshotWhere]] for an IN-list predicate over an integral
+    * column — a file is kept iff its envelope contains SOME listed
+    * value (a sparse bucket set {2, 30} prunes tighter than the
+    * [2, 30] range). Same superset contract and stats-over-footer
+    * preference; `(kept, total)` observability via the second
+    * return. */
+  def snapshotWhereIn(spark: SparkSession, column: String,
+      values: Seq[Long], version: Long = Long.MaxValue)
+      : (Option[DataFrame], Int, Int) = {
+    val (live, _, fstats) = foldStateFull(version)
+    val kept = live.filter { f =>
+      fstats.get(f).flatMap(_.get(column))
+        .orElse(footerRange(spark, f, column)) match {
+        case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
+        case None => true
+      }
+    }
+    val df = if (kept.isEmpty) None
+      else Some(spark.read.parquet(
+        kept.map(f => dataDir.resolve(f).toString): _*))
+    (df, kept.size, live.size)
   }
 
   /** Write `df` as new data files (INVISIBLE until committed);
@@ -531,9 +607,17 @@ final class TxLogTable(root: String,
     val zMax = zdf.agg(max("_z")).head().getLong(0)
     val added = writeZorderFiles(
       zdf.withColumn("_zb", expr(s"(_z * $nFiles) div ${zMax + 1}L")))
+    // record both clustering columns' envelopes IN the commit entry
+    // (Delta's add-entry stats, round 17) — snapshotWhere then prunes
+    // off the log fold alone, no footer reads; the writer pays one
+    // footer read per file it just wrote
+    val stats = added.map { f =>
+      f -> Seq(xCol, yCol).flatMap(c =>
+        footerRange(spark, f, c).map(c -> _)).toMap
+    }.toMap
     val v = commit(added, live, txn = None, rebase = _ =>
       if (liveFiles() == live) Some((added, live)) else None,
-      readVersion = v0)
+      readVersion = v0, stats = stats)
     if (v < 0L) None else Some(v)
   }
 
@@ -616,7 +700,8 @@ final class TxLogTable(root: String,
 
   def commit(add: Seq[String], remove: Seq[String], txn: Option[Long],
       rebase: Long => Option[(Seq[String], Seq[String])] = v => None,
-      readVersion: Long = -1L)
+      readVersion: Long = -1L,
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
       : Long = {
     Files.createDirectories(logDir)
     var (a, r) = (add, remove)
@@ -633,8 +718,14 @@ final class TxLogTable(root: String,
     var attempt = (if (readVersion >= 0L) readVersion else currentVersion()) + 1
     while (true) {
       try {
+        // stats ride the entry keyed by file name — a rebase that
+        // changes the add set keeps only the stats of files it still
+        // adds (stats for dropped files would be dead weight; files
+        // the rebase introduces fall back to footer envelopes)
         publisher.publish(logDir, entryName(attempt),
-          encode(a, r, txn).getBytes(StandardCharsets.UTF_8))
+          encode(a, r, txn,
+            statsRows(stats.filter { case (f, _) => a.contains(f) }))
+            .getBytes(StandardCharsets.UTF_8))
         // best-effort checkpoint on the interval: the fold at this
         // version is deterministic, so a failed/raced checkpoint write
         // only defers compaction — never correctness
@@ -694,13 +785,17 @@ final class TxLogStore(root: String,
     publisher: LogPublisher = LogPublisher.HardLink)
     extends graft.streaming.StreamingOps.UpsertStateStore {
   private val table = new TxLogTable(root, publisher)
-  // file → buckets bookkeeping lives IN the data: each commit writes
-  // one file per touched bucket, named by content only on the inside;
-  // the mapping is re-derived from the file's bucket column min/max
-  // (parquet footer pruning would serve at scale; a fileName→bucket
-  // map in the log entry is the production refinement)
+  // file → buckets bookkeeping lives IN THE LOG since round 17: each
+  // commit writes one file per touched bucket AND records the file's
+  // bucket envelope in its add entry, so a read folds the metadata it
+  // already holds and OPENS only the touched buckets' files
+  // (snapshotWhereIn — the "production refinement" the earlier
+  // footer-pruning comment promised); files from pre-stats commits
+  // fall back to footer envelopes, and the isin filter below is the
+  // residual predicate data-skipping always leaves with the caller
   def read(spark: SparkSession, touched: Seq[Int]): Option[DataFrame] =
-    table.snapshot(spark)
+    table.snapshotWhereIn(spark, "bucket",
+        touched.map(_.toLong))._1
       .map(_.filter(col("bucket").isin(touched: _*)))
 
   def alreadyCommitted(spark: SparkSession, touched: Seq[Int],
@@ -741,7 +836,15 @@ final class TxLogStore(root: String,
       case None => m
     }
     val added = table.writeBucketFiles(out, "bucket")
-    table.commit(added, removed.toSeq, Some(batchId), rebase = _ => {
+    // record each file's bucket envelope in the add entry (one footer
+    // read per just-written file, writer-side — reads then prune off
+    // the log fold alone)
+    val stats = added.map { f =>
+      f -> table.footerRange(spark, f, "bucket")
+        .map(r => Map("bucket" -> r)).getOrElse(Map.empty[String, (Long, Long)])
+    }.toMap
+    table.commit(added, removed.toSeq, Some(batchId), stats = stats,
+      rebase = _ => {
       // a racer advanced the table: if it was OUR batch replayed
       // concurrently, abort; otherwise recompute the removal set
       // against the new snapshot and retry

@@ -1175,6 +1175,40 @@ object StreamingOps {
       .select(col("w.start").as("ws"), col("idx"), col("mr"))
   }
 
+  /** Streaming histogram-quantile sketch — the batch
+    * `q_quantile_sketch` register build per tumbling window under a
+    * watermark, through the SHARED kernel
+    * ([[graft.functions.QSketch]]): per row one value → register
+    * projection against a FIXED frame (lo, hi — yesterday's frame, a
+    * config, a monitoring range: the mergeable-against-shared-frame
+    * contract the batch spec proves), then ONE stateful aggregation
+    * counting rows per (window, register). The register merge is an
+    * element-wise ADD — order-free — so the emitted registers are
+    * IDENTICAL to a batch build over the same rows regardless of
+    * arrival order or trigger boundaries (StreamingSpec scrambles
+    * arrival across two triggers and asserts exact register
+    * equality). Out-of-frame values clamp to the edge registers (the
+    * kernel's documented stream behavior). State: ≤ 64 rows per OPEN
+    * window — the sketch bound, never the value cardinality; closed
+    * windows emit once (Append) and evict. Downstream finalizes with
+    * `StatsPack.qsketchReadout`-style interpolation or merges windows
+    * by another add — registers compose, quantile readouts don't. */
+  def qsketchStream(events: DataFrame, valueCol: String = "value",
+      tsCol: String = "ts", windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      lo: Long = 0L, hi: Long = 99999L): DataFrame = {
+    require(hi >= lo, s"need a non-empty frame, got [$lo, $hi]")
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        floor(col(valueCol) * 100).cast("long").as("vq"),
+        lit(lo).as("lo"), lit(hi).as("hi"))
+      .select(col(tsCol), graft.functions.QSketch.bucket.as("b"))
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("b"))
+      .agg(count(lit(1)).as("cb"))
+      .select(col("w.start").as("ws"), col("b"), col("cb"))
+  }
+
   final case class KmvState(minima: Seq[Long])
   final case class KmvOut(ws: Long, minima: Seq[Long])
 

@@ -309,6 +309,41 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.filter(_._4).map(p => (p._1, p._2)).toSet === planted)
   }
 
+  test("audio/video dedup from a parquet-round-tripped identity table " +
+      "equals the in-query face row for row") {
+    // the persisted-fingerprint production contract: identities are
+    // computed once at ingest and STORED; the daily dedup reads the
+    // table and pays only banding/containment. Equivalence must hold
+    // through a real storage round trip.
+    val sfDir = "/root/testdata/sf0.001"
+    val fps = graft.multimodal.Multimodal.audioFingerprints(
+      graft.multimodal.Multimodal.audioDupCorpus(spark, sfDir),
+      "id", "media").toDF()
+    val aDir = java.nio.file.Files
+      .createTempDirectory("audio-fps").toString
+    fps.write.mode("overwrite").parquet(aDir)
+    val fromStored = graft.queries.MultimodalPack
+      .audioDedupFrom(spark.read.parquet(aDir))
+      .collect().map(_.toString).sorted.toSeq
+    val inQuery = graft.queries.MultimodalPack
+      .defs("mm_audio_dedup")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromStored === inQuery)
+    val fh = graft.multimodal.Multimodal.frameHashes(
+      graft.multimodal.Multimodal.videoDupCorpus(spark, sfDir),
+      "id", "media").toDF()
+    val vDir = java.nio.file.Files
+      .createTempDirectory("video-fh").toString
+    fh.write.mode("overwrite").parquet(vDir)
+    val vStored = graft.queries.MultimodalPack
+      .videoDedupFrom(spark.read.parquet(vDir))
+      .collect().map(_.toString).sorted.toSeq
+    val vQuery = graft.queries.MultimodalPack
+      .defs("mm_video_dedup")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(vStored === vQuery)
+  }
+
   test("dctProfileOf: flat image is pure DC; stripes out-sharpen a gradient") {
     def fill(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

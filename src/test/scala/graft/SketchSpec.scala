@@ -65,6 +65,27 @@ class SketchSpec extends SparkSpec {
       s"sharded bloom passed $pass of $total — filter not pruning")
   }
 
+  test("RuntimeFilter.filteredJoin equals the plain join in BOTH " +
+      "regimes (broadcast bit set and sharded packed words)") {
+    import graft.operators.RuntimeFilter
+    val fact = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("k"), col("o_orderstatus"))
+    val dim = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"), col("c_name"))
+    val want = fact.join(dim, Seq("k"))
+      .collect().map(_.toString).sorted.toSeq
+    // default threshold → the broadcast regime
+    val bc = RuntimeFilter.filteredJoin(fact, dim, "k")
+      .collect().map(_.toString).sorted.toSeq
+    assert(bc === want, "broadcast regime must equal the plain join")
+    // a 1-bit threshold forces the sharded regime
+    val sh = RuntimeFilter.filteredJoin(fact, dim, "k",
+        broadcastBitsMax = 1L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sh === want, "sharded regime must equal the plain join")
+  }
+
   // ------------------------------------------------------------------ hll
 
   test("q_hll: estimates within 3σ of exact on every tested column") {

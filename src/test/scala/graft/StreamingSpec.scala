@@ -90,6 +90,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qsketchStream registers equal the batch kernel build and clamp " +
+      "out-of-frame values to the edges") {
+    implicit val sq = spark.sqlContext
+    // window 0: values 0.00 .. 119.00 scrambled across two triggers,
+    // plus one value PAST the frame — the register merge is an
+    // order-free add through the SHARED QSketch.bucket kernel, so the
+    // emitted (register, count) rows must EQUAL a batch build over
+    // the same rows against the same frame
+    val (lo, hi) = (0L, 9999L) // centi-units: values 0.00 .. 99.99
+    val w0 = (0 until 120).map(v => Event(v, ts(v % 45), "view",
+      v.toDouble)) // values 100..119 are OUT of frame → clamp to b=63
+    val scrambled = w0.sortBy(_.user_id % 7)
+    val in = MemoryStream[Event]
+    val q = StreamingOps.qsketchStream(in.toDF(),
+        watermarkDelay = "2 hours", lo = lo, hi = hi)
+      .writeStream.format("memory").queryName("qsketch_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(scrambled.take(70))
+      q.processAllAvailable()
+      in.addData(scrambled.drop(70))
+      q.processAllAvailable()
+      in.addData(Event(999, ts(300), "view", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("qsketch_stream").collect()
+      assert(emitted.map(_.getAs[Timestamp]("ws")).distinct.length === 1)
+      val got = emitted
+        .map(r => r.getAs[Long]("b") -> r.getAs[Long]("cb")).toMap
+      val batch = w0.toDF()
+        .select(org.apache.spark.sql.functions.floor(col("value") * 100)
+            .cast("long").as("vq"),
+          org.apache.spark.sql.functions.lit(lo).as("lo"),
+          org.apache.spark.sql.functions.lit(hi).as("hi"))
+        .select(graft.functions.QSketch.bucket.as("b"))
+        .groupBy("b").count()
+      val want = batch.collect()
+        .map(r => r.getAs[Long]("b") -> r.getAs[Long]("count")).toMap
+      assert(got === want, "stream registers must equal the batch build")
+      // the 20 out-of-frame values (100.00..119.00 > 99.99) clamped
+      // into the top register alongside the in-frame tail
+      assert(got(63L) >= 20L, s"edge clamp missing: ${got.get(63L)}")
+      // state is register-bounded
+      assert(got.size <= graft.functions.QSketch.B)
+    } finally q.stop()
+  }
+
   test("hllStream restart: a checkpointed stream resumes the register state") {
     // the crash/redeploy path for the sketch faces: stop the query
     // with an OPEN window (registers live only in the state store),

@@ -58,6 +58,38 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("TxLogStore reads open only the touched buckets' files — the " +
+      "bucket envelopes ride the commit entries") {
+    val dir = tmp()
+    try {
+      val store = new TxLogStore(dir)
+      val table = new TxLogTable(dir)
+      val sink = StreamingOps.upsertSink(store, nBuckets = 4)
+      // users 1..8 spread across all 4 buckets, one commit
+      sink((1L to 8L).map(u =>
+          (u, ts(u.toInt), "view", u.toDouble, 100L + u))
+        .toDF("user_id", "ts", "event_type", "value", "event_id"), 0L)
+      val allBuckets = table.snapshot(spark).get
+        .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      assert(allBuckets.size === 4, s"need all buckets hit: $allBuckets")
+      val one = allBuckets.head
+      // the in-list skip opens a strict subset of the live files
+      val (df, kept, total) = table.snapshotWhereIn(spark, "bucket",
+        Seq(one.toLong))
+      assert(total === 4 && kept === 1,
+        s"one touched bucket must open 1 of 4 files, got $kept/$total")
+      // ...and the store's read through it equals the full-scan filter
+      val viaStore = store.read(spark, Seq(one)).get
+        .collect().map(_.toString).sorted.toSeq
+      val full = table.snapshot(spark).get
+        .filter(col("bucket") === one)
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaStore === full)
+      assert(df.get.select("bucket").distinct().count() === 1L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("uncommitted data files are invisible: the log rename IS the " +
       "commit (the crash window leaves only garbage, never torn state)") {
     val dir = tmp()
@@ -606,6 +638,54 @@ class TxLogSpec extends SparkSpec {
       val (keptU, _) = table.pruneLiveFiles(spark,
         Seq(("no_such_col", 0L, 0L)))
       assert(keptU.size === 4, "unknown column must keep every file")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("add-entry stats: the zorder commit records per-file envelopes " +
+      "in the LOG, pruning prefers them over footers, and they survive " +
+      "checkpoint compaction and removal") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir, checkpointInterval = 2)
+      val all = for (i <- 0 until 4096) yield (i % 64, i / 64)
+      val f0 = table.writeDataFiles(all.toDF("x", "y"))
+      assert(table.commit(f0, Nil, Some(1L)) === 1L)
+      // v2 = zorder rewrite → the entry must CARRY stats rows and, at
+      // interval 2, a checkpoint folds them
+      assert(table.optimizeZorder(spark, "x", "y", nFiles = 4)
+        === Some(2L))
+      val entry = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_txlog",
+          f"${2L}%020d.json")), java.nio.charset.StandardCharsets.UTF_8)
+      assert(entry.contains("\"stats\":["),
+        s"zorder commit must embed stats, got $entry")
+      // a FRESH instance (cold memo) folds checkpoint+log and sees
+      // envelopes for all 4 files on both columns
+      val reader = new TxLogTable(dir)
+      val st = reader.fileStats()
+      assert(st.size === 4 && st.values.forall(m =>
+        m.contains("x") && m.contains("y")), s"stats fold broken: $st")
+      // log stats are exact quadrant envelopes — a quadrant query
+      // prunes to 1 of 4 WITHOUT any footer read being necessary;
+      // prove precedence with a LYING commit: a file whose log stats
+      // claim x ∈ [0,0] while its footer spans [0,63] must be PRUNED
+      // for x ∈ [50,60] (the footer would keep it)
+      val q = Seq(("x", 0L, 31L), ("y", 0L, 31L))
+      assert(reader.pruneLiveFiles(spark, q)._1.size === 1)
+      val liar = table.writeDataFiles(all.toDF("x", "y"))
+      assert(table.commit(liar, Nil, Some(3L),
+        stats = Map(liar.head -> Map("x" -> ((0L, 0L))))) === 3L)
+      val reader2 = new TxLogTable(dir)
+      val (kept, tot) = reader2.pruneLiveFiles(spark,
+        Seq(("x", 50L, 60L)))
+      assert(tot === 5 && !kept.contains(liar.head),
+        "log stats must take precedence over the footer envelope")
+      // a rewrite that REMOVES stats-carrying files drops their stats
+      assert(table.optimize(spark).isDefined)
+      val st2 = new TxLogTable(dir).fileStats()
+      assert(st2.isEmpty,
+        s"removed files must drop their envelopes, got $st2")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
