@@ -495,6 +495,51 @@ class GraphPackSpec extends SparkSpec {
       Seq(4L, 4L), "four nodes per clique community")
   }
 
+  test("kcoreIncrFrom: the pinned seeded peel equals a from-scratch " +
+      "core on a planted cascade, old members never leave, and a " +
+      "parquet-round-tripped membership gives identical rows") {
+    val k = 3
+    def und(es: Seq[(Long, Long)]) = es.toDF("u", "v")
+    // old graph: a 5-clique — its 3-core is all five nodes
+    val old = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    // batch: 10 and 11 must enter TOGETHER (each needs the other —
+    // the cascade the seeded rounds exist for), 20 is a false
+    // candidate (full degree 3 but one neighbor, 30, can never join,
+    // so 20 peels in round one), 30 is never a candidate
+    val batch = Seq((1L, 10L), (2L, 10L), (10L, 11L), (2L, 11L),
+      (3L, 11L), (1L, 20L), (2L, 20L), (20L, 30L))
+    val full = old ++ batch
+    val mOld = GraphPack.kcoreMembers(und(old), k, 8)
+    assert(mOld.collect().map(_.getLong(0)).toSet === (1L to 5L).toSet)
+    val rows = GraphPack.kcoreIncrFrom(mOld, und(full), k, 4)
+      .collect().sortBy(_.getInt(0))
+    // round 1: candidates {10, 11, 20}, 20 cascades out
+    assert(rows.head.getAs[Long]("n_out_cand") === 3L)
+    assert(rows.head.getAs[Long]("n_out_kept") === 2L)
+    // fixpoint: core = clique + the joined pair
+    assert(rows.last.getAs[Long]("n_core") === 7L)
+    val scratch = GraphPack.kcoreMembers(und(full), k, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(scratch === (1L to 5L).toSet ++ Set(10L, 11L),
+      s"from-scratch core sanity: $scratch")
+    assert(rows.last.getAs[Long]("n_core") === scratch.size.toLong,
+      "the pinned seeded peel must land on the true merged core")
+    // the persisted-membership contract: a storage round trip of the
+    // old member table changes nothing
+    val dir = java.nio.file.Files
+      .createTempDirectory("kcore-members").toString
+    mOld.write.mode("overwrite").parquet(dir)
+    val viaStored = GraphPack.kcoreIncrFrom(
+        s.read.parquet(dir), und(full), k, 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStored === rows.map(_.toString).sorted.toSeq)
+    // truncation guard: one seeded round cannot absorb the 2-step
+    // cascade settle (round 1 still moves) — must THROW, not certify
+    intercept[IllegalStateException] {
+      GraphPack.kcoreIncrFrom(mOld, und(full), k, seededRounds = 1)
+    }
+  }
+
   test("louvainIncrSeeded from a parquet-round-tripped membership " +
       "equals the self-contained in-query fit row for row") {
     // the production face: the offline fit is PERSISTED (node,

@@ -136,6 +136,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qsketchStream registers finalize through the batch readout: " +
+      "stream quantiles equal the batch sketch's") {
+    implicit val sq = spark.sqlContext
+    // fully in-frame data with the stream frame = the true min/max, so
+    // the batch audit (which derives its frame from min/max) and the
+    // stream (which receives it) read IDENTICAL quantiles — registers
+    // compose and the readout is one shared fold
+    val vals = (0 until 200).map(v => ((v * 37) % 100).toDouble)
+    val w0 = vals.zipWithIndex.map { case (v, i) =>
+      Event(i, ts(i % 45), "view", v) }
+    val vq = vals.map(v => math.floor(v * 100).toLong)
+    val (lo, hi) = (vq.min, vq.max)
+    val in = MemoryStream[Event]
+    val q = StreamingOps.qsketchStream(in.toDF(),
+        watermarkDelay = "2 hours", lo = lo, hi = hi)
+      .writeStream.format("memory").queryName("qsketch_ro")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(w0)
+      q.processAllAvailable()
+      in.addData(Event(999, ts(300), "view", 1.0))
+      q.processAllAvailable()
+      val regs = spark.table("qsketch_ro")
+        .select(lit("w0").as("g"), col("b"), col("cb"))
+      val frame = regs.groupBy("g")
+        .agg(org.apache.spark.sql.functions.sum("cb").as("n"))
+        .select(col("g"), lit(lo).as("lo"), lit(hi).as("hi"), col("n"))
+      val streamEst = graft.queries.StatsPack
+        .qsketchReadout(regs, frame, Seq(50, 90, 99))
+        .collect().map(r => r.getAs[Int]("q") -> r.getAs[Long]("est_cq"))
+        .toMap
+      val batchEst = graft.queries.StatsPack.quantileSketchFrom(
+          w0.map(e => ("w0", math.floor(e.value * 100).toLong))
+            .toDF("g", "vq"))
+        .collect().map(r => r.getAs[Int]("q") -> r.getAs[Long]("est_cq"))
+        .toMap
+      assert(streamEst === batchEst,
+        s"stream readout $streamEst vs batch $batchEst")
+    } finally q.stop()
+  }
+
   test("hllStream restart: a checkpointed stream resumes the register state") {
     // the crash/redeploy path for the sketch faces: stop the query
     // with an OPEN window (registers live only in the state store),
