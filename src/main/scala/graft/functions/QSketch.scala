@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * which keeps the batch oracle hashes unchanged, and the documented
   * out-of-range behavior on a stream. All integer arithmetic
   * (truncating `div` ≡ DuckDB `//` on the non-negative
-  * (vq−lo)·B operand). */
+  * (vq−lo)·B operand); (hi−lo)·B must fit a Long, bounding the frame
+  * span below 2⁵⁷ centi-units — wider domains take the documented
+  * DECIMAL(38,0) swap. */
 object QSketch {
 
   /** Register count per group/window. */

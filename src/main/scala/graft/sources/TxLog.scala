@@ -404,7 +404,9 @@ final class TxLogTable(root: String,
     * value (a sparse bucket set {2, 30} prunes tighter than the
     * [2, 30] range). Same superset contract and stats-over-footer
     * preference; `(kept, total)` observability via the second
-    * return. */
+    * return. An EMPTY `values` list is the provably-empty predicate:
+    * every enveloped file prunes (stats-free files are still kept —
+    * the no-false-negative rule outranks the empty list). */
   def snapshotWhereIn(spark: SparkSession, column: String,
       values: Seq[Long], version: Long = Long.MaxValue)
       : (Option[DataFrame], Int, Int) = {
