@@ -2245,17 +2245,27 @@ object GraphPack extends QueryPack {
     var frontier = ckpt(seeds.repartition(np, col("node")))
     var visited = ckpt(frontier.withColumn("dist", lit(0))
       .repartition(np, col("node")))
-    for (r <- 1 to rounds) {
+    // empty-frontier early exit (q_betweenness' round-17 cut): a dead
+    // frontier expands to nothing forever, so the remaining budgeted
+    // rounds are no-ops in both engines — one cheap count per
+    // materialized frontier buys each dead round's 2 jobs
+    var r = 1
+    var live = true
+    while (r <= rounds && live) {
       val next = ckpt(edges
         .join(frontier, edges("src") === frontier("node"))
         .select(col("seed"), col("dst").as("node")).distinct()
         .join(visited.select("seed", "node"), Seq("seed", "node"),
           "left_anti")
         .repartition(np, col("node")))
-      visited = ckpt(visited
-        .unionByName(next.withColumn("dist", lit(r)))
-        .repartition(np, col("node")))
-      frontier = next
+      if (next.count() == 0L) live = false
+      else {
+        visited = ckpt(visited
+          .unionByName(next.withColumn("dist", lit(r)))
+          .repartition(np, col("node")))
+        frontier = next
+      }
+      r += 1
     }
     visited.filter(col("dist") > 0)
       .groupBy("seed")
@@ -2346,7 +2356,17 @@ object GraphPack extends QueryPack {
     levels += ckpt(seeds
       .select(col("seed"), col("node"), lit(1L).as("sigma"))
       .repartition(np, col("node")))
-    for (r <- 1 to rounds) {
+    // EARLY-EXIT on the exhausted frontier (round 17): BFS depth is
+    // ~4 on this graph, so the budgeted deeper levels are EMPTY — an
+    // empty level contributes nothing forward (its expansion is
+    // empty) or backward (its join with delta is empty), so BOTH
+    // phases stop at the deepest non-empty level; values identical
+    // to the oracle's fixed-round replay, which carries the empty
+    // CTEs as no-ops. One cheap count per already-materialized level
+    // buys the dead levels' ~3 forward + ~3 backward jobs each.
+    var frontierLive = true
+    var r = 1
+    while (r <= rounds && frontierLive) {
       val prior = levels.map(_.select("seed", "node"))
         .reduce(_ unionByName _)
       val next = ckpt(edges
@@ -2355,13 +2375,16 @@ object GraphPack extends QueryPack {
         .join(prior, Seq("seed", "node"), "left_anti")
         .groupBy("seed", "node").agg(sum("sigma").as("sigma"))
         .repartition(np, col("node")))
-      levels += next
+      if (next.count() == 0L) frontierLive = false
+      else levels += next
+      r += 1
     }
+    val maxLvl = levels.size - 1
     def levelAt(lvl: Int): DataFrame =
       levels(lvl).withColumn("dist", lit(lvl))
     // phase 2: dependency sweep, deepest level up; `delta` holds level
     // lvl+1's finished dependencies, `accs` collects every level's
-    var delta = ckpt(levels(rounds)
+    var delta = ckpt(levels(maxLvl)
       .select(col("seed"), col("node"), lit(0L).as("dq"))
       .repartition(np, col("node")))
     val accs = collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -2370,9 +2393,11 @@ object GraphPack extends QueryPack {
     // exactly max depth must appear as a zero-score groupBy member on
     // this side as well — otherwise the two engines disagree on the
     // zero-score tail whenever fewer than 20 nodes score positive
-    accs += levelAt(rounds)
+    // (an empty deeper level contributes no such members, so starting
+    // at maxLvl is row-identical)
+    accs += levelAt(maxLvl)
       .select(col("seed"), col("node"), col("dist"), lit(0L).as("dq"))
-    for (lvl <- rounds - 1 to 0 by -1) {
+    for (lvl <- maxLvl - 1 to 0 by -1) {
       val cur = levelAt(lvl)
       // lazy: both inputs (the level frames, delta) are already
       // checkpointed — re-materializing the slice would add a job per
