@@ -233,15 +233,23 @@ object GraphPack extends QueryPack {
       // node-sized table instead of a k-way union lineage
       var visited = ckpt(frontier.withColumn("dist", lit(0))
         .repartition(col("node")))
-      for (r <- 1 to rounds) {
+      // empty-frontier early exit (q_betweenness' round-17 cut):
+      // remaining budgeted rounds are no-ops in both engines
+      var r = 1
+      var live = true
+      while (r <= rounds && live) {
         val next = ckpt(edges
           .join(frontier, edges("src") === frontier("node"))
           .select(col("dst").as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
           .repartition(col("node")))
-        visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
-          .repartition(col("node")))
-        frontier = next
+        if (next.count() == 0L) live = false
+        else {
+          visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
+            .repartition(col("node")))
+          frontier = next
+        }
+        r += 1
       }
       val vd = visited
       val unreached = nodes
