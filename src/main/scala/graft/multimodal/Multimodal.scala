@@ -984,6 +984,66 @@ object Multimodal {
       }
   }
 
+  final case class AudioWord(id: Long, n_frames: Int, widx: Int,
+    word: Long)
+
+  /** FULL-CLIP audio fingerprint (round 18) — [[audioFingerprints]]
+    * without its 10-frame horizon: the same Haitsma–Kalker sign bits
+    * (bit j = (f−1)·7 + k globally, f = 1..nf−1), packed 63 bits per
+    * word so no bit ever wraps Scala's mod-64 shift, emitted as one
+    * (id, widx, word) row per 63-bit window. Word 0 is BIT-IDENTICAL
+    * to [[audioFingerprints]]' `fp` (same bits 0..62), so the legacy
+    * single-word face is exactly this one's first row; words 1+ are
+    * what it was missing — two clips identical in their opening
+    * 0.1 s but different after now differ in some later word. Every
+    * clip emits ≥ 1 word (an empty/short clip emits word 0 = 0,
+    * mirroring the legacy coalesce-to-0), and the per-window words
+    * are ALSO what gives dedup banding real entropy: banding over
+    * (widx, band) has nWords·7 buckets of signal instead of 7. */
+  def audioFingerprintWords(df: DataFrame, idCol: String,
+      binCol: String): Dataset[AudioWord] = {
+    import javax.sound.sampled.AudioSystem
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val ais = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+          && !fmt.isBigEndian, s"unexpected WAV format for id=$id: $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val nf = n / 80
+        val e = Array.ofDim[Long](nf, 8)
+        var t = 0
+        while (t < nf * 80) {
+          val s = ((pcm(2 * t) & 0xFF) | (pcm(2 * t + 1) << 8))
+            .toShort.toLong
+          e(t / 80)((t % 80) / 10) += s * s
+          t += 1
+        }
+        val nBits = math.max(0, (nf - 1) * 7)
+        val nWords = math.max(1, (nBits + 62) / 63)
+        val words = new Array[Long](nWords)
+        var f = 1
+        while (f < nf) {
+          var k = 0
+          while (k < 7) {
+            val d = (e(f)(k) - e(f)(k + 1)) - (e(f - 1)(k) - e(f - 1)(k + 1))
+            val j = (f - 1) * 7 + k
+            if (d > 0) words(j / 63) |= 1L << (j % 63)
+            k += 1
+          }
+          f += 1
+        }
+        words.iterator.zipWithIndex.map { case (w, i) =>
+          AudioWord(id, nf, i, w)
+        }
+      }
+  }
+
   final case class WavFeatures(id: Long, n_samples: Long, sr: Int,
       duration_us: Long, energy: Long, zero_cross: Long, peak: Int)
 

@@ -37,6 +37,15 @@ object RuntimeFilter {
       broadcastBitsMax: Long = 1L << 29 /* 64 MiB of bits */): DataFrame = {
     require(k >= 1 && k <= 8, s"1..8 hash probes, got $k")
     require(Integer.bitCount(shards) == 1, s"shards must be pow2: $shards")
+    // the probe writes working columns under fixed names; a fact
+    // schema already carrying one would be silently REPLACED by
+    // withColumn and then dropped — fail loudly instead
+    val reserved = ("__shard" +: "__bm" +:
+      (1 to k).flatMap(i => Seq(s"__b$i", s"__h$i"))).toSet
+    val clash = fact.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"fact schema uses filteredJoin's reserved working columns: " +
+        clash.toSeq.sorted.mkString(", "))
     val dim = dim0.localCheckpoint(true) // sized once, probed once
     val nDim = dim.select(col(key)).distinct().count()
     val m = math.max(1024, java.lang.Long.highestOneBit(
@@ -59,13 +68,21 @@ object RuntimeFilter {
         probed.where(pass)
           .drop((1 to k).flatMap(i => Seq(s"__b$i", s"__h$i")): _*)
       } else {
-        // sharded regime: per-shard packed words, co-partitioned join
-        val mP = (m / shards).toInt
+        // sharded regime: per-shard packed words, co-partitioned join.
+        // Shards AUTO-SCALE with m (user value is a floor): a fixed
+        // 32 shards at m = 2^33 would pack ~64 MiB of words into ONE
+        // map cell — one giant row per shard through the shuffle and
+        // the probe. Capping a shard at 2^22 bits (512 KiB payload,
+        // ~2 MiB as a map) keeps cells shuffle- and probe-friendly,
+        // and also removes the old Int overflow in m/shards: mP is
+        // Long and ≤ 2^22 by construction.
+        val nsh = math.max(shards.toLong, m >> 22) // both pow2
+        val mP = m / nsh
+        assert(mP <= (1L << 22), s"shard cell too big: $mP bits")
         def shardOf(c: Column): Column =
-          pmod(u32(concat(lit("bfs:"), c.cast("string"))),
-            lit(shards.toLong))
+          pmod(u32(concat(lit("bfs:"), c.cast("string"))), lit(nsh))
         def bkt(i: Int, c: Column): Column =
-          pmod(u32(concat(lit(s"bf$i:"), c.cast("string"))), lit(mP.toLong))
+          pmod(u32(concat(lit(s"bf$i:"), c.cast("string"))), lit(mP))
         val packed = dimKeys
           .select(shardOf(col("__k")).as("__shard"),
             explode(array((1 to k).map(i => bkt(i, col("__k"))): _*))

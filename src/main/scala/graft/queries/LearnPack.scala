@@ -966,8 +966,14 @@ object LearnPack extends QueryPack {
     // driver ledger: pattern -> (exact weight, row count)
     var wByBits = Map(0L -> BigInt(AdaW0))
     var cntByBits = Map(0L -> BigInt(n))
+    // every bits pattern a scan can produce MUST be in the ledger
+    // (each round's census covers all rows); fold the CASE onto
+    // raise_error so a future edit breaking that invariant throws
+    // instead of silently scoring weight 0 in the stump histogram
     def wCase: org.apache.spark.sql.Column = wByBits.toSeq.sortBy(_._1)
-      .foldLeft(lit(0L)) { case (acc, (b, wgt)) =>
+      .foldLeft(expr("raise_error(concat('adaboostFrom: bits pattern " +
+          "outside the driver weight ledger: ', cast(bits as string)))")
+        .cast("long")) { case (acc, (b, wgt)) =>
         when(col("bits") === b, lit(wgt.toLong)).otherwise(acc) }
     var accBp = BigInt(0)
     for (t <- 1 to rounds) {

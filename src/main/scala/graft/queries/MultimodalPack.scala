@@ -44,6 +44,15 @@ object MultimodalPack extends QueryPack {
     "mm_audio_fingerprint" -> ((s, d) =>
       Multimodal.audioFingerprints(
         Multimodal.audioCorpus(s, d), "id", "media").toDF()),
+
+    // FULL-CLIP multi-word fingerprint (round 18) — the 10-frame
+    // horizon removed: one 63-bit word per 0.9 s window, word 0
+    // bit-identical to mm_audio_fingerprint's fp, every clip emits
+    // all its words (zero words included — the skeleton comes from
+    // the clip length, not from which bits happened to set)
+    "mm_audio_fingerprint_words" -> ((s, d) =>
+      Multimodal.audioFingerprintWords(
+        Multimodal.audioCorpus(s, d), "id", "media").toDF()),
     "mm_framesample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.videoCorpus(s, d), "id", "media").toDF()),
 
@@ -209,18 +218,19 @@ object MultimodalPack extends QueryPack {
       Multimodal.wavFeatures(Multimodal.audioCorpus(s, d), "id", "media")
         .toDF()),
 
-    // Audio dedup by clip fingerprint (round 17) — the CONSUMER of
-    // mm_audio_fingerprint: the dup corpus stores each recording
-    // twice (even id = original level, odd id = truncating
-    // half-amplitude re-level — a real re-encode's noise), byte
-    // identity finds nothing, and the Haitsma–Kalker word lands
-    // within a few bits. Candidates come from 7×6-bit banding over
-    // DISTINCT fingerprints (complete for Hamming ≤ 6 by pigeonhole
-    // — mm_ahash_dedup's blocking over the ≤63-bit word), members
-    // expand afterwards; the oracle replays fingerprint + banding
-    // from the sample formula.
+    // Audio dedup by clip fingerprint (round 17, multi-word round
+    // 18) — the CONSUMER of mm_audio_fingerprint_words: the dup
+    // corpus stores each recording twice (even id = original level,
+    // odd id = truncating half-amplitude re-level — a real
+    // re-encode's noise), byte identity finds nothing, and the
+    // Haitsma–Kalker words land within a few bits SUMMED OVER THE
+    // WHOLE CLIP. Candidates come from 7×6-bit banding per (window,
+    // band) over DISTINCT fingerprints (complete for per-word
+    // Hamming ≤ 6 by pigeonhole) under the BandBucketCap skew
+    // census; members expand afterwards; the oracle replays the
+    // word loop + banding from the sample formula.
     "mm_audio_dedup" -> ((s, d) => audioDedupFrom(
-      Multimodal.audioFingerprints(
+      Multimodal.audioFingerprintWords(
         Multimodal.audioDupCorpus(s, d), "id", "media").toDF())),
 
     // Video dedup by frame-hash containment (round 17) — the CONSUMER
@@ -238,41 +248,104 @@ object MultimodalPack extends QueryPack {
         Multimodal.videoDupCorpus(s, d), "id", "media").toDF()))
   )
 
-  /** The audio-dedup kernel over ANY (id, fp) fingerprint table —
-    * the persisted-identity production face (louvainIncrSeeded's
+  /** The audio-dedup kernel over ANY (id, widx, word) MULTI-WORD
+    * fingerprint table ([[Multimodal.audioFingerprintWords]]) — the
+    * persisted-identity production face (louvainIncrSeeded's
     * contract applied to media): fingerprints are computed ONCE at
     * ingest (the 10× probe measured the decode stage linear at
     * ~44 s — exactly the cost a stored table amortizes) and the
     * daily dedup pays only this banding + verify stage. The
     * `mm_audio_dedup` key feeds it the in-query fingerprints for the
     * oracle gate; the spec proves a parquet-round-tripped table
-    * gives identical pairs. */
-  private[graft] def audioDedupFrom(fps0: DataFrame): DataFrame = {
+    * gives identical pairs. Round 18 closed the two 100 TB holes the
+    * round-17 single-word face carried: banding now runs per
+    * (window, band) — real bucket entropy instead of 448 possible
+    * values — and a BandBucketCap skew census drops any still-hot
+    * bucket before the self-join can go quadratic. */
+  private[graft] def audioDedupFrom(words0: DataFrame,
+      bandCap: Long = graft.operators.Dedup.BandBucketCap): DataFrame = {
     import org.apache.spark.sql.functions._
-    val fps = fps0
-    val hs = fps.select("fp").distinct()
-    val banded = hs.select(col("fp"),
-      explode(array((0 until 7).map(b =>
-        shiftrightunsigned(col("fp"), b * 6).bitwiseAND(lit(63L))
-          + lit(b.toLong << 8)): _*)).as("band_val"))
-    val hashPairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_val") === col("b.band_val")
-          && col("a.fp") < col("b.fp"))
-      .select(col("a.fp").as("ha"), col("b.fp").as("hb"))
-      .dropDuplicates("ha", "hb")
-      .withColumn("hamming",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
-      .filter(col("hamming") <= 6)
-    val m = fps.select(col("id"), col("fp"))
+    // the word table feeds FOUR plan branches (digest agg, rep words,
+    // membership, verify) — materialize it once so the in-query face
+    // pays the upstream decode a single time (the persisted face
+    // reads it from parquet anyway)
+    val w = words0.select(col("id"), col("widx"), col("word"))
+      .localCheckpoint(true)
+    // full-clip fingerprint identity: the sorted word vector's digest
+    // plus its word count. Equal-length discipline: a re-leveled or
+    // re-encoded copy shares its frame count; a TRIM is the video
+    // family's containment job, not a Hamming match.
+    val fpd = w.groupBy("id").agg(
+      md5(to_json(sort_array(collect_list(
+        struct(col("widx"), col("word")))))).as("fpd"),
+      count(lit(1)).as("nw"))
+    // one representative clip per DISTINCT fingerprint — members
+    // re-enter after verification (dedup_minhash's rep discipline)
+    val reps = fpd.groupBy("fpd", "nw").agg(min("id").as("id"))
+    val repW = w.join(reps.select(col("id"), col("fpd")), "id")
+    // 7×6-bit banding PER WORD: band key (widx, band, 6-bit value) —
+    // complete for per-word Hamming ≤ 6 by pigeonhole, and the widx
+    // axis is what gives buckets entropy: the old single-word face
+    // had 7·64 = 448 possible buckets TOTAL, so candidate volume was
+    // ~7·D²/64 in D distinct clips; per-window words multiply the
+    // bucket space by the clip length in 0.9 s windows.
+    val banded = repW.select(col("fpd"),
+      explode(array((0 until 7).map(b => struct(
+        col("widx"), lit(b).as("b"),
+        shiftrightunsigned(col("word"), b * 6).bitwiseAND(lit(63L))
+          .as("v"))): _*)).as("bv"))
+    // hot-bucket skew census — the BandBucketCap discipline
+    // (Dedup.minhashPairs): a bucket holding > bandCap distinct
+    // fingerprints would emit C(c,2) pairs; drop it — a truly similar
+    // pair almost surely also agrees on a colder (widx, band). The
+    // over-cap set is ≤ rows/cap values, so it broadcasts and the cap
+    // costs one map-side-combined agg + an anti probe, no new
+    // shuffle. Dormant at gate scale (hottest bucket ≪ 4096, oracle
+    // hash unchanged); load-bearing at 100 TB — the planted-hot-band
+    // spec proves the bound.
+    val hot = banded.groupBy("bv").agg(count(lit(1)).as("bc"))
+      .where(col("bc") > bandCap).select("bv")
+    val cold = banded.join(broadcast(hot), Seq("bv"), "left_anti")
+    val cand = cold.as("a")
+      .join(cold.as("b"),
+        col("a.bv") === col("b.bv") && col("a.fpd") < col("b.fpd"))
+      .select(col("a.fpd").as("fa"), col("b.fpd").as("fb"))
+      .dropDuplicates("fa", "fb")
+    // verify: Hamming summed over ALIGNED words across the WHOLE
+    // clip ≤ 6 PER WORD (the round-17 cap applied per 0.9 s window —
+    // truncation noise on near-tie bits scales with clip length, so
+    // a fixed cap would reject long re-levels; ≡ 6 at gate scale
+    // where every clip is one word), and both clips matched on every
+    // word (equal counts)
+    val ra = repW.select(col("fpd").as("fa"), col("widx"),
+      col("word").as("wa"))
+    val rb = repW.select(col("fpd").as("fb"), col("widx"),
+      col("word").as("wb"))
+    val nws = reps.select(col("fpd"), col("nw"))
+    val verified = cand
+      .join(ra, Seq("fa")).join(rb, Seq("fb", "widx"))
+      .groupBy("fa", "fb")
+      .agg(sum(bit_count(col("wa").bitwiseXOR(col("wb"))))
+          .as("hamming"),
+        count(lit(1)).as("matched"))
+      .join(nws.select(col("fpd").as("fa"), col("nw").as("nwa")), Seq("fa"))
+      .join(nws.select(col("fpd").as("fb"), col("nw").as("nwb")), Seq("fb"))
+      .where(col("matched") === col("nwa")
+        && col("matched") === col("nwb")
+        && col("hamming") <= lit(6L) * col("nwa"))
+      .select(col("fa"), col("fb"),
+        col("hamming").cast("int").as("hamming"))
+    // membership expansion: identical fingerprints pair at Hamming 0,
+    // verified rep pairs expand to all cross members
+    val m = fpd.select(col("id"), col("fpd"))
     val within = m.as("x")
       .join(m.as("y"),
-        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+        col("x.fpd") === col("y.fpd") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         lit(0).cast("int").as("hamming"))
-    val across = hashPairs
-      .join(m.as("ma"), col("ha") === col("ma.fp"))
-      .join(m.as("mb"), col("hb") === col("mb.fp"))
+    val across = verified
+      .join(m.as("ma"), col("fa") === col("ma.fpd"))
+      .join(m.as("mb"), col("fb") === col("mb.fpd"))
       .select(least(col("ma.id"), col("mb.id")).as("id_a"),
         greatest(col("ma.id"), col("mb.id")).as("id_b"),
         col("hamming"))
@@ -280,13 +353,32 @@ object MultimodalPack extends QueryPack {
       .withColumn("same_src", expr("id_a div 2 = id_b div 2"))
   }
 
+  /** Frame-hash document-frequency cap for [[videoDedupFrom]]: a
+    * frame shared by more clips than this (black frame, logo card,
+    * silence slate — guaranteed in any real video corpus) carries no
+    * identity signal and would emit C(df, 2) pair rows from ONE
+    * inverted-index bucket — text_winnow's df-cap rationale applied
+    * to frames. Dormant at gate scale (hottest frame df ≪ 4096, so
+    * the oracle hash is unchanged); the planted-slate spec proves
+    * the bound. */
+  private[graft] val FrameDfCap = 4096L
+
   /** The video-dedup kernel over ANY (id, ahash) frame-hash table —
     * same persisted-identity contract as [[audioDedupFrom]]: frame
     * hashes computed once at ingest (the decode-bound stage), the
-    * dedup pays only the inverted-index join + containment. */
-  private[graft] def videoDedupFrom(fh: DataFrame): DataFrame = {
+    * dedup pays only the inverted-index join + containment. Hot
+    * frames (df > `dfCap`) are dropped from BOTH the index and the
+    * containment arithmetic, keeping the measure consistent —
+    * containment over identity-bearing frames only. */
+  private[graft] def videoDedupFrom(fh: DataFrame,
+      dfCap: Long = FrameDfCap): DataFrame = {
     import org.apache.spark.sql.functions._
-    val dh = fh.select("id", "ahash").distinct()
+    val dh0 = fh.select("id", "ahash").distinct()
+    // df census: the over-cap set is ≤ rows/cap hashes — broadcast
+    // anti probe, one map-side-combined agg, no new shuffle
+    val hot = dh0.groupBy("ahash").agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap).select("ahash")
+    val dh = dh0.join(broadcast(hot), Seq("ahash"), "left_anti")
     val cnt = dh.groupBy("id").agg(count(lit(1)).as("nh"))
     val shared = dh.as("a")
       .join(dh.as("b"),
@@ -496,6 +588,38 @@ object MultimodalPack extends QueryPack {
         |  CAST(coalesce(fp.fp, 0) AS BIGINT) AS fp
         |FROM p LEFT JOIN fp ON fp.id = p.id""".stripMargin,
 
+    // the same Haitsma–Kalker replay WITHOUT the 10-frame horizon:
+    // global bit j = (f−1)·7 + k packs into word j//63 at bit j%63;
+    // the word skeleton derives from the clip LENGTH (every word
+    // emits, zero or not — mirroring the flatMap's zero-filled array)
+    "mm_audio_fingerprint_words" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(400 + doc_id % 211 AS INT) AS n FROM documents),
+        |sm AS (SELECT id, CAST(t.range AS INT) AS t,
+        |    ((id*31 + t.range*7919) % 65536) - 32768 AS s
+        |  FROM p, range(611) t WHERE t.range < (n // 80) * 80),
+        |en AS (SELECT id, t // 80 AS f, (t % 80) // 10 AS k,
+        |    sum(s*s) AS e FROM sm GROUP BY 1, 2, 3),
+        |d AS (SELECT id, f, k,
+        |    e - lead(e) OVER (PARTITION BY id, f ORDER BY k) AS dk
+        |  FROM en),
+        |dd AS (SELECT id, f, k,
+        |    dk - lag(dk) OVER (PARTITION BY id, k ORDER BY f) AS b
+        |  FROM d WHERE dk IS NOT NULL),
+        |wbits AS (SELECT id, ((f-1)*7 + k) // 63 AS widx,
+        |    sum(CAST(1 AS BIGINT) << CAST(((f-1)*7 + k) % 63 AS INT))
+        |      AS word
+        |  FROM dd WHERE b IS NOT NULL AND b > 0 GROUP BY 1, 2),
+        |wsk AS (SELECT id, CAST(n // 80 AS INT) AS nf,
+        |    greatest(1, ((n // 80 - 1)*7 + 62) // 63) AS nwords
+        |  FROM p),
+        |wall AS (SELECT id, nf, CAST(w.range AS INT) AS widx
+        |  FROM wsk, range(8) w WHERE w.range < nwords)
+        |SELECT wall.id, wall.nf AS n_frames, wall.widx,
+        |  CAST(coalesce(wb.word, 0) AS BIGINT) AS word
+        |FROM wall LEFT JOIN wbits wb
+        |  ON wb.id = wall.id AND wb.widx = wall.widx""".stripMargin,
+
     // replay every frame's aHash from the video generator lattice
     // (NN sample, integer grayscale, integer-mean threshold — the
     // mm_ahash_dedup idiom with the f·17 frame term), majority-vote
@@ -586,9 +710,12 @@ object MultimodalPack extends QueryPack {
         |  CAST(max(abs(s)) AS INT) AS peak
         |FROM lg GROUP BY id""".stripMargin,
 
-    // replay fingerprint + banding from the dup-corpus sample formula
-    // (even id = original, odd = truncating half-level of content
-    // id//2), then the same 7×6-bit pigeonhole blocking and popcount
+    // replay the MULTI-WORD fingerprint + per-(window, band) banding
+    // from the dup-corpus sample formula (even id = original, odd =
+    // truncating half-level of content id//2), then whole-clip
+    // summed-Hamming verification over aligned words; the cap census
+    // is dormant at gate scale so the oracle omits it (the
+    // dedup_minhash precedent — the planted-hot-band spec owns it)
     "mm_audio_dedup" ->
       """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
         |    CAST(400 + (doc_id // 2) % 211 AS INT) AS n FROM documents),
@@ -610,27 +737,52 @@ object MultimodalPack extends QueryPack {
         |dd AS (SELECT id, f, k,
         |    dk - lag(dk) OVER (PARTITION BY id, k ORDER BY f) AS b
         |  FROM d WHERE dk IS NOT NULL),
-        |fp0 AS (SELECT id,
-        |    sum(CAST(1 AS BIGINT) << CAST((f-1)*7 + k AS INT)) AS fp
-        |  FROM dd WHERE b IS NOT NULL AND b > 0 AND f < 10 GROUP BY id),
-        |fpt AS (SELECT p.id, CAST(coalesce(fp0.fp, 0) AS BIGINT) AS fp
-        |  FROM p LEFT JOIN fp0 ON fp0.id = p.id),
-        |hs AS (SELECT DISTINCT fp FROM fpt),
-        |banded AS (SELECT fp,
-        |    ((fp >> CAST(b.range*6 AS INT)) & 63) + b.range * 256 AS bv
-        |  FROM hs, range(7) b),
-        |hp AS (SELECT DISTINCT a.fp AS ha, b.fp AS hb
-        |  FROM banded a JOIN banded b ON a.bv = b.bv AND a.fp < b.fp),
-        |hpf AS (SELECT ha, hb,
-        |    CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-        |  FROM hp WHERE bit_count(xor(ha, hb)) <= 6),
+        |wbits AS (SELECT id, ((f-1)*7 + k) // 63 AS widx,
+        |    sum(CAST(1 AS BIGINT) << CAST(((f-1)*7 + k) % 63 AS INT))
+        |      AS word
+        |  FROM dd WHERE b IS NOT NULL AND b > 0 GROUP BY 1, 2),
+        |wsk AS (SELECT id,
+        |    greatest(1, ((n // 80 - 1)*7 + 62) // 63) AS nwords
+        |  FROM p),
+        |wt AS (SELECT wall.id, wall.widx,
+        |    CAST(coalesce(wb.word, 0) AS BIGINT) AS word
+        |  FROM (SELECT id, CAST(w.range AS INT) AS widx
+        |      FROM wsk, range(8) w WHERE w.range < nwords) wall
+        |  LEFT JOIN wbits wb
+        |    ON wb.id = wall.id AND wb.widx = wall.widx),
+        |fpv AS (SELECT id,
+        |    string_agg(widx || ':' || word, ',' ORDER BY widx) AS fpd,
+        |    count(*) AS nw
+        |  FROM wt GROUP BY id),
+        |reps AS (SELECT fpd, nw, min(id) AS rid FROM fpv
+        |  GROUP BY fpd, nw),
+        |repw AS (SELECT r.fpd, w.widx, w.word
+        |  FROM reps r JOIN wt w ON w.id = r.rid),
+        |banded AS (SELECT DISTINCT fpd, widx, b.range AS bb,
+        |    (word >> CAST(b.range*6 AS INT)) & 63 AS v
+        |  FROM repw, range(7) b),
+        |cand AS (SELECT DISTINCT a.fpd AS fa, b.fpd AS fb
+        |  FROM banded a JOIN banded b
+        |    ON a.widx = b.widx AND a.bb = b.bb AND a.v = b.v
+        |      AND a.fpd < b.fpd),
+        |ham AS (SELECT c.fa, c.fb,
+        |    sum(bit_count(xor(wa.word, wb.word))) AS hamming,
+        |    count(*) AS matched
+        |  FROM cand c JOIN repw wa ON wa.fpd = c.fa
+        |  JOIN repw wb ON wb.fpd = c.fb AND wb.widx = wa.widx
+        |  GROUP BY 1, 2),
+        |ver AS (SELECT h.fa, h.fb, CAST(h.hamming AS INT) AS hamming
+        |  FROM ham h JOIN reps ra ON ra.fpd = h.fa
+        |  JOIN reps rb ON rb.fpd = h.fb
+        |  WHERE h.matched = ra.nw AND h.matched = rb.nw
+        |    AND h.hamming <= 6 * ra.nw),
         |within AS (SELECT x.id AS id_a, y.id AS id_b,
         |    CAST(0 AS INT) AS hamming
-        |  FROM fpt x JOIN fpt y ON x.fp = y.fp AND x.id < y.id),
+        |  FROM fpv x JOIN fpv y ON x.fpd = y.fpd AND x.id < y.id),
         |across AS (SELECT least(ma.id, mb.id) AS id_a,
-        |    greatest(ma.id, mb.id) AS id_b, h.hamming
-        |  FROM hpf h JOIN fpt ma ON ma.fp = h.ha
-        |  JOIN fpt mb ON mb.fp = h.hb)
+        |    greatest(ma.id, mb.id) AS id_b, v.hamming
+        |  FROM ver v JOIN fpv ma ON ma.fpd = v.fa
+        |  JOIN fpv mb ON mb.fpd = v.fb)
         |SELECT id_a, id_b, hamming, (id_a // 2 = id_b // 2) AS same_src
         |FROM (SELECT * FROM within UNION ALL SELECT * FROM across)"""
         .stripMargin,

@@ -370,6 +370,24 @@ object SimilarityPack extends QueryPack {
         cents, k = 3, nprobe = 2)
     }),
 
+    // Incremental IVF maintenance (round 18): yesterday's index
+    // (vec_id % 10 ≠ 7) + today's arrival batch (% 10 = 7) through
+    // ivfInsert — assignment to the EXISTING cells only, the batch
+    // scan is the whole cost. The ORACLE REBUILDS FROM SCRATCH: the
+    // hash gate IS the insert-then-probe ≡ rebuild-then-probe
+    // equivalence, at gate scale, every round.
+    "ann_ivf_insert" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.operators.KMeansND.seed(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")), NumCells)
+      val index = Similarity.ivfIndex(
+        emb.filter(col("vec_id") % 10 =!= 7), cents)
+      val updated = Similarity.ivfInsert(index,
+        emb.filter(col("vec_id") % 10 === 7), cents)
+      Similarity.ivfTopKIndexed(updated,
+        emb.filter(col("vec_id") < NumQueries), cents, k = 3, nprobe = 2)
+    }),
+
     // IVF + PQ composed — the billion-vector index layout: coarse cells
     // prune the probe set, ADC over byte-packed codes ranks inside
     // probed cells, raw embeddings never leave the query side. Same
@@ -1355,7 +1373,14 @@ object SimilarityPack extends QueryPack {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".stripMargin,
-    "ann_ivf" ->
+    // ann_ivf_insert shares ann_ivf's REBUILD oracle verbatim: the
+    // gate is exactly "insert into existing cells ≡ rebuild from
+    // scratch" (Voronoi assignment is per-vector)
+    "ann_ivf_insert" -> ivfRebuildSql,
+    "ann_ivf" -> ivfRebuildSql
+  )
+
+  private lazy val ivfRebuildSql =
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),
          |cells AS (SELECT vec_id, v, cid AS cell FROM (
@@ -1376,5 +1401,4 @@ object SimilarityPack extends QueryPack {
          |  SELECT qid, vid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
          |  FROM cand) WHERE rk <= 3""".stripMargin
-  )
 }

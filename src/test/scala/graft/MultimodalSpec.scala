@@ -181,6 +181,131 @@ class MultimodalSpec extends SparkSpec {
         "signal")
   }
 
+  test("audioFingerprintWords covers the WHOLE clip: two clips " +
+      "identical in their opening 0.1 s collide on the legacy word " +
+      "but diverge in a later word, and the dedup face separates " +
+      "them while still pairing a full-clip re-level") {
+    def md5hex(str: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def noise(tag: String)(t: Int): Int =
+      (java.lang.Long.parseLong(md5hex(s"$tag:$t").take(8), 16) %
+        60000L - 30000L).toInt
+    def wav(gen: Int => Int, scaleNum: Int, scaleDen: Int,
+        n: Int): Array[Byte] = {
+      import javax.sound.sampled.{AudioFormat, AudioInputStream,
+        AudioSystem, AudioFileFormat}
+      val pcm = new Array[Byte](n * 2)
+      for (t <- 0 until n) {
+        val s = gen(t) * scaleNum / scaleDen
+        pcm(2 * t) = (s & 0xFF).toByte
+        pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 1600 samples = 20 frames = 19 delta-frames = 133 bits = 3 words
+    val n = 1600
+    val genA = noise("a") _
+    // identical to A for the first 800 samples (10 frames — exactly
+    // the legacy fingerprint's horizon), unrelated after
+    def genB(t: Int): Int = if (t < 800) genA(t) else noise("b")(t)
+    val wavA = wav(genA, 1, 1, n)
+    val wavB = wav(genB, 1, 1, n)
+    val wavA2 = wav(genA, 1, 2, n) // half-amplitude re-level of A
+    // the legacy single-word face cannot tell A from B
+    val legacy = Multimodal.audioFingerprints(
+      Seq((0L, wavA), (1L, wavB)).toDF("id", "media"), "id", "media")
+      .collect().map(r => r.id -> r.fp).toMap
+    assert(legacy(0L) === legacy(1L),
+      "clips identical in their first 0.1 s must collide on the " +
+        "legacy 10-frame word — the gap this spec documents")
+    // the multi-word face differs in a later window
+    val words = Multimodal.audioFingerprintWords(
+      Seq((0L, wavA), (1L, wavB)).toDF("id", "media"), "id", "media")
+      .collect()
+    assert(words.count(_.id == 0L) === 3, "20 frames pack 3 words")
+    val w0 = words.filter(_.id == 0L).map(w => w.widx -> w.word).toMap
+    val w1 = words.filter(_.id == 1L).map(w => w.widx -> w.word).toMap
+    assert(w0(0) === legacy(0L), "word 0 is the legacy fp bit for bit")
+    assert((1 to 2).exists(i => w0(i) != w1(i)),
+      "the tail windows must separate the clips")
+    // dedup over the word table: the re-level pairs with A, B does not
+    val tab = Multimodal.audioFingerprintWords(
+      Seq((0L, wavA), (1L, wavA2), (2L, wavB)).toDF("id", "media"),
+      "id", "media").toDF()
+    val pairs = graft.queries.MultimodalPack.audioDedupFrom(tab)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)),
+      "a full-clip re-level must verify within the per-window budget")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      "a clip sharing only its opening 0.1 s must NOT pair — the " +
+        "whole-clip Hamming rejects it")
+  }
+
+  test("audio band-bucket cap bounds a planted hot band's candidate " +
+      "yield; exact-duplicate pairs bypass the cap") {
+    // 40 distinct single-word fingerprints, each one bit off a shared
+    // base: every band's base-value bucket holds ~35 fingerprints —
+    // the 448-bucket quadratic the round-17 face had, in miniature
+    val base = 0x2AAAAAAAAAL
+    val hotClips = (0 until 40).map(i => (i.toLong, 0, base ^ (1L << i)))
+    val dupWord = base ^ (1L << 40)
+    val all = (hotClips :+ (100L, 0, dupWord) :+ (101L, 0, dupWord))
+      .toDF("id", "widx", "word")
+    val uncapped = graft.queries.MultimodalPack.audioDedupFrom(all)
+    // 41 distinct fingerprints, all pairwise Hamming ≤ 4: C(41,2)
+    // rep pairs, the dup digest carrying 2 members (40·2 = 80 rows),
+    // plus the within pair
+    assert(uncapped.count() === 780L + 80L + 1L, "uncapped is quadratic")
+    val capped = graft.queries.MultimodalPack.audioDedupFrom(all,
+      bandCap = 4L).collect()
+    assert(capped.length === 1,
+      s"hot buckets must be dropped, got ${capped.length} pairs")
+    assert(capped.head.getLong(0) === 100L
+        && capped.head.getLong(1) === 101L
+        && capped.head.getInt(2) === 0,
+      "the exact-duplicate pair rides the identical-fingerprint " +
+        "collapse, not the bands, so the cap never loses it")
+  }
+
+  test("video frame-hash df cap drops a planted ubiquitous slate " +
+      "frame: the slate-only false pair dies, the trimmed true pair " +
+      "survives") {
+    val slate = 777L
+    // 40 clips: one unique frame + the shared slate (2 hashes each)
+    val crowd = (0 until 40).flatMap(i =>
+      Seq((i.toLong, i * 1000L + 13), (i.toLong, slate)))
+    // true trimmed pair: 101 is 100 minus one frame (plus the slate)
+    val truePair = Seq((100L, 5001L), (100L, 5002L), (100L, 5003L),
+      (100L, slate), (101L, 5001L), (101L, 5002L), (101L, slate))
+    // slate-only clips: nothing in common BUT the slate
+    val slateOnly = Seq((201L, slate), (203L, slate))
+    val fh = (crowd ++ truePair ++ slateOnly).toDF("id", "ahash")
+    val uncapped = graft.queries.MultimodalPack
+      .videoDedupFrom(fh, dfCap = Long.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((201L, 203L)),
+      "without the cap the no-signal slate alone makes a 10000 bp " +
+        "'duplicate' — the false-positive shape the cap also kills")
+    assert(uncapped.contains((100L, 101L)))
+    val capped = graft.queries.MultimodalPack.videoDedupFrom(fh,
+      dfCap = 4L)
+    val rows = capped.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+        === Set((100L, 101L)),
+      s"capped must keep exactly the true pair, got ${rows.toSeq}")
+    // containment arithmetic runs over identity-bearing frames only
+    val r = rows.head
+    assert(r.getAs[Long]("n_shared") === 2L
+      && r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 2L
+      && r.getAs[Long]("cont_bp") === 10000L)
+  }
+
   test("channelHistogram counts real pixels and featureVectors normalize to 1 per channel") {
     val id = 7L
     val (w, h) = Multimodal.synthDims(id)
@@ -316,7 +441,7 @@ class MultimodalSpec extends SparkSpec {
     // table and pays only banding/containment. Equivalence must hold
     // through a real storage round trip.
     val sfDir = "/root/testdata/sf0.001"
-    val fps = graft.multimodal.Multimodal.audioFingerprints(
+    val fps = graft.multimodal.Multimodal.audioFingerprintWords(
       graft.multimodal.Multimodal.audioDupCorpus(spark, sfDir),
       "id", "media").toDF()
     val aDir = java.nio.file.Files

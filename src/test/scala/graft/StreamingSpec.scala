@@ -1025,6 +1025,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttributionJoin (two independent streams) equals the " +
+      "batch interval join under scrambled cross-stream arrival") {
+    implicit val sq = spark.sqlContext
+    // impressions and clicks as SEPARATE streams: clicks run AHEAD of
+    // their impressions (the click for user 1 lands a batch before
+    // the impression it attributes to) — the state buffer must hold
+    // the early click until the partner arrives
+    val imps = Seq(
+      Event(1, ts(10), "imp", 1.0),  // in window of click@40
+      Event(1, ts(35), "imp", 2.0),  // in window of click@40
+      Event(1, ts(50), "imp", 3.0),  // AFTER the click — excluded
+      Event(2, ts(5), "imp", 4.0),   // other user's click@200: 195 min gap — out of the 1 h window
+      Event(3, ts(70), "imp", 5.0))  // no click at all
+    val clks = Seq(
+      Event(1, ts(40), "click", 9.0),
+      Event(2, ts(200), "click", 8.0))
+    val inI = MemoryStream[Event]
+    val inC = MemoryStream[Event]
+    val q = StreamingOps.clickAttributionJoin(inI.toDF(), inC.toDF(),
+        watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: ONLY the clicks — nothing can pair yet
+      inC.addData(clks)
+      q.processAllAvailable()
+      assert(spark.table("attr_join").isEmpty,
+        "no impression has arrived — nothing to emit")
+      // batch 2: impressions arrive scrambled; the buffered early
+      // clicks pair now
+      inI.addData(imps.sortBy(_.value.toInt % 3))
+      q.processAllAvailable()
+      val got = spark.table("attr_join").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Double]("i_value"), r.getAs[Double]("c_value"))).toSet
+      // the BATCH interval join over the same rows — the equality the
+      // operator exists to keep
+      val want = clks.toDF().select(col("user_id").as("c_user"),
+          col("ts").as("c_ts"), col("value").as("c_value"))
+        .join(imps.toDF().select(col("user_id").as("i_user"),
+            col("ts").as("i_ts"), col("value").as("i_value")),
+          col("c_user") === col("i_user")
+            && col("i_ts") <= col("c_ts")
+            && col("i_ts") >= col("c_ts")
+              - org.apache.spark.sql.functions.expr("INTERVAL 1 hour"))
+        .select(col("c_user"), col("i_value"), col("c_value"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getDouble(2))).toSet
+      assert(got === want, "stream join must equal the batch interval join")
+      assert(got === Set((1L, 1.0, 9.0), (1L, 2.0, 9.0)),
+        "only user 1's two preceding-hour impressions attribute")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]

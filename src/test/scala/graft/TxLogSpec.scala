@@ -374,6 +374,188 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("deleteWhere rewrites ONLY the files holding true-matching " +
+      "rows, keeps NULL-predicate rows, equals snapshot-filter, and " +
+      "leaves untouched files byte-identical (same names)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val fa = table.writeDataFiles(
+        Seq((1, "a"), (2, "del"), (3, "a")).toDF("k", "v"))
+      assert(table.commit(fa, Nil, Some(1L)) === 1L)
+      val fb = table.writeDataFiles(
+        Seq((4, "del"), (5, "del")).toDF("k", "v"))
+      assert(table.commit(fb, Nil, Some(2L)) === 2L)
+      val fc = table.writeDataFiles(
+        Seq((7, "keep"), (8, null)).toDF("k", "v"))
+      assert(table.commit(fc, Nil, Some(3L)) === 3L)
+      val vd = table.deleteWhere(spark, col("v") === "del",
+        txn = Some(50L))
+      assert(vd === Some(4L), "one atomic entry for the whole delete")
+      def rows(v: Long = Long.MaxValue) = table.snapshot(spark, v).get
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      // SQL DELETE semantics: (8, null)'s predicate is NULL → kept
+      assert(rows() === Set((1, "a"), (3, "a"), (7, "keep"),
+        (8, null)), "post-state ≡ filter(NOT pred), null rows kept")
+      val liveNow = table.liveFiles().toSet
+      assert(liveNow.contains(fc.head),
+        "a file with no TRUE match keeps its name — byte-identical, " +
+          "never rewritten")
+      assert(!fa.exists(liveNow) && !fb.exists(liveNow),
+        "touched files leave the live set")
+      assert(liveNow.size === 2,
+        "fully-matching file B gets NO replacement; A gets one rewrite")
+      assert(rows(3L) === Set((1, "a"), (2, "del"), (3, "a"),
+        (4, "del"), (5, "del"), (7, "keep"), (8, null)),
+        "time travel below the delete still shows the dead rows")
+      // a no-match predicate is a no-op — no commit, no version
+      assert(table.deleteWhere(spark, col("v") === "absent").isEmpty)
+      assert(table.currentVersion() === 4L)
+      // idempotence: the recorded txn answers a replay
+      assert(table.deleteWhere(spark, col("v") === "a",
+        txn = Some(50L)).isEmpty)
+      assert(rows().contains((1, "a")), "replayed delete is a no-op")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("deleteWhere with envelope ranges equals the unpruned delete " +
+      "and records the rewrite's stats in the log; a racing data " +
+      "commit aborts the delete") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val fa = table.writeDataFiles(
+        (1 to 4).map(i => (i, "lo")).toDF("k", "v"))
+      assert(table.commit(fa, Nil, Some(1L),
+        stats = fa.map(_ -> Map("k" -> ((1L, 4L)))).toMap) === 1L)
+      val fb = table.writeDataFiles(
+        (10 to 14).map(i => (i, "hi")).toDF("k", "v"))
+      assert(table.commit(fb, Nil, Some(2L),
+        stats = fb.map(_ -> Map("k" -> ((10L, 14L)))).toMap) === 2L)
+      // delete k ∈ [11, 12]: the range prunes file A off the log
+      // stats before any data is read; the rewrite carries fresh
+      // stats so later range reads keep pruning
+      val vd = table.deleteWhere(spark,
+        col("k") >= 11 && col("k") <= 12,
+        ranges = Seq(("k", 11L, 12L)), txn = Some(60L))
+      assert(vd === Some(3L))
+      assert(table.snapshot(spark).get.count() === 7L)
+      assert(table.liveFiles().contains(fa.head),
+        "the envelope-pruned file is untouched")
+      val rewritten = (table.liveFiles().toSet -- fa.toSet).head
+      assert(table.fileStats()(rewritten)("k") === ((10L, 14L)),
+        "the rewrite's envelope rides its add entry")
+      // abort path: a racer's data commit between the delete's
+      // snapshot read and its publish must abort the delete
+      var racerDone = false
+      val racing = new graft.sources.LogPublisher {
+        def publish(d: java.nio.file.Path, name: String,
+            content: Array[Byte]): Unit = {
+          if (!racerDone) {
+            racerDone = true
+            val racer = new TxLogTable(dir)
+            val rf = racer.writeDataFiles(Seq((99, "r")).toDF("k", "v"))
+            racer.commit(rf, Nil, Some(99L))
+            throw new java.nio.file.FileAlreadyExistsException(name)
+          }
+          graft.sources.LogPublisher.HardLink.publish(d, name, content)
+        }
+      }
+      val t2 = new TxLogTable(dir, racing)
+      assert(t2.deleteWhere(spark, col("v") === "hi").isEmpty,
+        "a delete racing a real data commit must abort")
+      val after = new TxLogTable(dir)
+      assert(after.txns().contains(99L), "the racer's commit survives")
+      assert(after.snapshot(spark).get.count() === 8L,
+        "aborted delete leaves the table exactly as the racer left it")
+      assert(after.vacuum(minAgeMs = 0L).nonEmpty,
+        "the aborted rewrite is an orphan vacuum reclaims")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("point-lookup bloom envelopes prune files that range stats " +
+      "cannot, with no false negatives, folding through checkpoints") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir, checkpointInterval = 2)
+      // 4 files with INTERLEAVED keys (file i holds k ≡ i mod 4): every
+      // file's [min,max] covers nearly the whole domain, so range
+      // skipping proves nothing — the unclustered high-cardinality
+      // regime the bloom exists for
+      val fileKeys = (0 until 4).map(i =>
+        (0 until 200).map(n => (n * 4 + i).toLong))
+      fileKeys.zipWithIndex.foreach { case (ks, i) =>
+        val f = table.writeDataFiles(ks.map(k => (k, s"v$k")).toDF("k", "v"))
+        val stats = f.map(_ -> Map("k" -> ((ks.min, ks.max)))).toMap
+        val blooms = f.map(n =>
+          n -> Map("k" -> table.bloomEnvelope(spark, n, "k"))).toMap
+        assert(table.commit(f, Nil, Some(i.toLong), stats = stats,
+          blooms = blooms) === i + 1L)
+      }
+      // the IN-list read keeps everything: every envelope contains 42
+      val (_, keptIn, liveIn) = table.snapshotWhereIn(spark, "k", Seq(42L))
+      assert(keptIn === 4 && liveIn === 4,
+        "range stats cannot prune interleaved keys — the gap")
+      // the bloom opens exactly the one owning file (42 ≡ 2 mod 4)
+      val (dfPt, keptPt, livePt) = table.snapshotWherePoint(spark, "k", 42L)
+      assert(livePt === 4)
+      assert(keptPt === 1,
+        s"bloom must prune to the owning file, kept $keptPt")
+      assert(dfPt.get.filter(col("k") === 42L).count() === 1L)
+      // no false negatives on a sample of committed keys
+      Seq(0L, 37L, 123L, 399L, 798L, 799L).foreach { k =>
+        val (df, _, _) = table.snapshotWherePoint(spark, "k", k)
+        assert(df.get.filter(col("k") === k).count() === 1L,
+          s"point read lost committed key $k — false negative")
+      }
+      // a key outside every envelope is provably empty
+      assert(table.snapshotWherePoint(spark, "k", 4001L)._1.isEmpty)
+      // a fresh instance folds the blooms through checkpoint 4 (the
+      // interval-2 table checkpointed at commits 2 and 4)
+      val t2 = new TxLogTable(dir, checkpointInterval = 2)
+      val (_, kept2, _) = t2.snapshotWherePoint(spark, "k", 42L)
+      assert(kept2 === 1, "blooms must survive the checkpoint fold")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("merge replaces matched keys, inserts the rest, rewrites only " +
+      "files actually carrying a source key, and replays as a no-op") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val fa = table.writeDataFiles(
+        Seq((1L, "a1"), (2L, "a2")).toDF("k", "v"))
+      assert(table.commit(fa, Nil, Some(1L)) === 1L)
+      val fb = table.writeDataFiles(
+        Seq((10L, "b1"), (11L, "b2")).toDF("k", "v"))
+      assert(table.commit(fb, Nil, Some(2L)) === 2L)
+      // source spans [2, 20]: file B's envelope intersects the range
+      // (it is a CANDIDATE) but carries no source key — the semi-scan
+      // must leave it untouched
+      val src = Seq(("S2", 2L), ("S20", 20L)).toDF("v", "k") // reordered
+      val vm = table.merge(spark, src, "k", txn = Some(7L))
+      assert(vm === Some(3L), "one atomic entry for the whole merge")
+      def rows() = table.snapshot(spark).get.collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+      assert(rows() === Set((1L, "a1"), (2L, "S2"), (10L, "b1"),
+        (11L, "b2"), (20L, "S20")),
+        "matched key replaced, unmatched inserted, rest intact")
+      val liveNow = table.liveFiles().toSet
+      assert(liveNow.contains(fb.head),
+        "a candidate file with no actual key match keeps its name")
+      assert(!fa.exists(liveNow), "the matched file was rewritten")
+      // the replayed CDC batch answers off the txn record
+      assert(table.merge(spark, src, "k", txn = Some(7L)).isEmpty)
+      assert(rows().contains((2L, "S2")))
+      // time travel below the merge shows the pre-image
+      assert(table.snapshot(spark, 2L).get.count() === 4L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("optimize compacts the live files into one atomic rewrite; a " +
       "racer's data commit aborts a stale compaction") {
     val dir = tmp()
