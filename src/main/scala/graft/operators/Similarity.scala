@@ -77,17 +77,23 @@ object Similarity {
     withV.select(col("embedding"), dot.as("s"))
       .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("s"))
       .select((col("pos") + 1).cast("long").as("dim"),
-        // decimal BEFORE the multiply: q·s alone can pass Long.Max
-        // (q ≤ 6e6 × s ≤ 4e14) — the sum was always decimal, the
-        // per-term product must be too
-        (q6(col("x")).cast("decimal(38,0)") * col("s")).as("su"))
-      .groupBy("dim").agg(sum("su").as("u"))
+        // q·s alone can pass Long.Max (q ≤ 6e6 × s ≤ 4e14), so split
+        // the wide factor (round 18, rawUc's discipline): q·sHi and
+        // q·sLo are exact Long products (≤ 2⁴⁸ each), decimal only in
+        // the agg buffer, reconstruction exact — hash-neutral
+        (q6(col("x")) * expr("s div 16777216")).as("suHi"),
+        (q6(col("x")) * (col("s")
+          - expr("s div 16777216") * lit(16777216L))).as("suLo"))
+      .groupBy("dim").agg(
+        sum(col("suHi").cast("decimal(38,0)")).as("uHi"),
+        sum(col("suLo").cast("decimal(38,0)")).as("uLo"))
       // dims-row table: single-task reduce (§3 rule 14 — map-side
       // partials stay corpus-parallel; every downstream stage of the
       // direction pipeline is dims-sized)
       .coalesce(1)
       .select(col("dim"),
-        expr("CAST(u div 1000000000000 AS BIGINT)").as("du"))
+        expr("CAST((uHi * 16777216 + uLo) div 1000000000000 AS BIGINT)")
+          .as("du"))
   }
 
   /** Floor-requantize (dim, du) to the 1e6 unit sphere. */
@@ -151,6 +157,10 @@ object Similarity {
     // the float arrays and re-flooring per scan — values untouched
     val qe = emb.select(transform(col("embedding"), x => q6(x)).as("cq"))
       .localCheckpoint(true)
+    // wide-factor split as in whiten's rawUc (round 18): q·sHi and
+    // q·sLo are exact Long products, decimal only in the agg buffer,
+    // u reconstructs exactly — hash-neutral, no per-element decimal
+    // multiply in the six power scans
     def rawUq(withV: DataFrame): DataFrame = {
       val dot = aggregate(
         zip_with(col("cq"), col("vq"), (q, qv) => q * qv),
@@ -158,11 +168,16 @@ object Similarity {
       withV.select(col("cq"), dot.as("s"))
         .select(posexplode(col("cq")).as(Seq("pos", "q")), col("s"))
         .select((col("pos") + 1).cast("long").as("dim"),
-          (col("q").cast("decimal(38,0)") * col("s")).as("su"))
-        .groupBy("dim").agg(sum("su").as("u"))
+          (col("q") * expr("s div 16777216")).as("suHi"),
+          (col("q") * (col("s")
+            - expr("s div 16777216") * lit(16777216L))).as("suLo"))
+        .groupBy("dim").agg(
+          sum(col("suHi").cast("decimal(38,0)")).as("uHi"),
+          sum(col("suLo").cast("decimal(38,0)")).as("uLo"))
         .coalesce(1)
         .select(col("dim"),
-          expr("CAST(u div 1000000000000 AS BIGINT)").as("du"))
+          expr("CAST((uHi * 16777216 + uLo) div 1000000000000 AS BIGINT)")
+            .as("du"))
     }
     val seed = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
     var v1 = normalizeDir(rawUq(qe.withColumn("vq",
@@ -274,7 +289,15 @@ object Similarity {
     val cent = qemb.crossJoin(broadcast(muArr))
       .select(zip_with(col("qe"), col("mv"), (q, m) => q - m).as("cq"))
       .localCheckpoint(true)
-    // one un-normalized centered power iterate: (dim, du) = Cᵀ(Cv)
+    // one un-normalized centered power iterate: (dim, du) = Cᵀ(Cv).
+    // The per-element product c·s needs ~2⁶⁹ bits (|c| ≤ 2²¹,
+    // |s| < 2⁴⁸), but a DECIMAL multiply per element dominated the
+    // six power scans (§7 round-18 candidate) — so SPLIT the wide
+    // factor: s = sHi·2²⁴ + sLo with |sLo| < 2²⁴, making both terms
+    // c·sHi and c·sLo exact LONG products (≤ 2⁴⁵ each — plain codegen
+    // multiplies); only the agg buffer is decimal (term-wise long →
+    // decimal at the sum input, exact), and u = 2²⁴·ΣHi + ΣLo
+    // reconstructs Σc·s exactly — value-identical, hash-neutral.
     def rawUc(withV: DataFrame): DataFrame = {
       val dot = aggregate(
         zip_with(col("cq"), col("vq"), (c, v) => c * v),
@@ -282,11 +305,16 @@ object Similarity {
       withV.select(col("cq"), dot.as("s"))
         .select(posexplode(col("cq")).as(Seq("pos", "c")), col("s"))
         .select((col("pos") + 1).cast("long").as("dim"),
-          (col("c").cast("decimal(38,0)") * col("s")).as("su"))
-        .groupBy("dim").agg(sum("su").as("u"))
+          (col("c") * expr("s div 16777216")).as("suHi"),
+          (col("c") * (col("s")
+            - expr("s div 16777216") * lit(16777216L))).as("suLo"))
+        .groupBy("dim").agg(
+          sum(col("suHi").cast("decimal(38,0)")).as("uHi"),
+          sum(col("suLo").cast("decimal(38,0)")).as("uLo"))
         .coalesce(1)
         .select(col("dim"),
-          expr("CAST(u div 1000000000000 AS BIGINT)").as("du"))
+          expr("CAST((uHi * 16777216 + uLo) div 1000000000000 AS BIGINT)")
+            .as("du"))
     }
     val seed = math.floor(1000000.0 / math.sqrt(dims.toDouble)).toLong
     var v1 = normalizeDir(rawUc(cent.withColumn("vq",
