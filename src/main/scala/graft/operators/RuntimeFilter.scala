@@ -32,6 +32,22 @@ object RuntimeFilter {
   private def u32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** Shard layout for the sharded regime: (shard count, bits per
+    * shard). The user's `shards` is a FLOOR — shards auto-scale with
+    * m so one shard's packed word map stays ≤ 2²² bits (512 KiB of
+    * payload, ~2 MiB as a map cell): a fixed 32 shards at m = 2³³
+    * would push ~64 MiB through the shuffle as ONE map value per
+    * shard and stress the probe. Both inputs pow2 ⇒ both outputs
+    * pow2 and nsh·mP = m exactly; mP is Long throughout, which also
+    * removes the old Int overflow in m/shards. Spec-pinned at
+    * synthetic large m. */
+  private[graft] def shardPlan(m: Long, shards: Int): (Long, Long) = {
+    val nsh = math.max(shards.toLong, m >> 22) // both pow2
+    val mP = m / nsh
+    assert(mP <= (1L << 22), s"shard cell too big: $mP bits")
+    (nsh, mP)
+  }
+
   def filteredJoin(fact: DataFrame, dim0: DataFrame, key: String,
       bitsPerKey: Int = 8, k: Int = 3, shards: Int = 32,
       broadcastBitsMax: Long = 1L << 29 /* 64 MiB of bits */): DataFrame = {
@@ -68,17 +84,9 @@ object RuntimeFilter {
         probed.where(pass)
           .drop((1 to k).flatMap(i => Seq(s"__b$i", s"__h$i")): _*)
       } else {
-        // sharded regime: per-shard packed words, co-partitioned join.
-        // Shards AUTO-SCALE with m (user value is a floor): a fixed
-        // 32 shards at m = 2^33 would pack ~64 MiB of words into ONE
-        // map cell — one giant row per shard through the shuffle and
-        // the probe. Capping a shard at 2^22 bits (512 KiB payload,
-        // ~2 MiB as a map) keeps cells shuffle- and probe-friendly,
-        // and also removes the old Int overflow in m/shards: mP is
-        // Long and ≤ 2^22 by construction.
-        val nsh = math.max(shards.toLong, m >> 22) // both pow2
-        val mP = m / nsh
-        assert(mP <= (1L << 22), s"shard cell too big: $mP bits")
+        // sharded regime: per-shard packed words, co-partitioned join
+        // (shard count auto-scales with m — see shardPlan)
+        val (nsh, mP) = shardPlan(m, shards)
         def shardOf(c: Column): Column =
           pmod(u32(concat(lit("bfs:"), c.cast("string"))), lit(nsh))
         def bkt(i: Int, c: Column): Column =

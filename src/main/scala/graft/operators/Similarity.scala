@@ -616,16 +616,45 @@ object Similarity {
     * composed oracle reproduces both stages exactly. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       centroids: Seq[(Int, Array[Double])], codebook: Seq[Seq[Double]],
-      numSub: Int, k: Int, nprobe: Int = 2): DataFrame = {
-    import graft.functions.PQExpressions.{pqAdcDist, pqEncode}
-    import graft.functions.TopKAggregate.topk
+      numSub: Int, k: Int, nprobe: Int = 2): DataFrame =
+    ivfPqTopKIndexed(ivfPqIndex(corpus, centroids, codebook, numSub),
+      queries, centroids, codebook, numSub, k, nprobe)
+
+  /** The persisted IVF+PQ index row: (vec_id, cell, codes) — tens of
+    * bytes per vector, embeddings dropped; the layout that lets a
+    * billion-vector corpus sit in executor memory. Assignment +
+    * encoding in one scan over broadcast-literal artifacts. */
+  def ivfPqIndex(corpus: DataFrame, centroids: Seq[(Int, Array[Double])],
+      codebook: Seq[Seq[Double]], numSub: Int): DataFrame = {
+    import graft.functions.PQExpressions.pqEncode
     import graft.operators.KMeansND
-    // the persisted index: cell id + packed codes, embeddings dropped
-    val index = corpus
+    corpus
       .withColumn("cell",
         KMeansND.nearest(col("embedding"), centroids).getField("cid"))
       .select(col("vec_id"), col("cell"),
         pqEncode(col("embedding"), codebook, numSub).as("codes"))
+  }
+
+  /** Incremental IVF+PQ maintenance — [[ivfInsert]]'s contract on the
+    * COMPRESSED index: a new-vector batch assigns to the existing
+    * cells and encodes against the existing codebook in one batch
+    * scan; the stored code rows are never touched, and insert-then-
+    * probe ≡ rebuild-then-probe exactly (both assignment and encoding
+    * are per-vector against fixed artifacts — `ann_ivfpq_insert`
+    * hash-gates it against the full-rebuild oracle). Recall drifts
+    * only as the data leaves the trained centroids/codebook behind —
+    * the scheduled offline refit's job. */
+  def ivfPqInsert(index: DataFrame, batch: DataFrame,
+      centroids: Seq[(Int, Array[Double])], codebook: Seq[Seq[Double]],
+      numSub: Int): DataFrame =
+    index.unionByName(ivfPqIndex(batch, centroids, codebook, numSub))
+
+  /** [[ivfPqTopK]] over a PREBUILT (vec_id, cell, codes) index. */
+  def ivfPqTopKIndexed(index: DataFrame, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], codebook: Seq[Seq[Double]],
+      numSub: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    import graft.functions.PQExpressions.pqAdcDist
+    import graft.functions.TopKAggregate.topk
     val probed = probeCells(queries, centroids, nprobe)
     val cand = index.as("c")
       .join(broadcast(probed.as("q")),

@@ -405,6 +405,28 @@ object SimilarityPack extends QueryPack {
         cents, cb, NumSub, k = 3, nprobe = 2)
     }),
 
+    // Incremental IVF+PQ maintenance (round 18) — ann_ivf_insert's
+    // contract on the COMPRESSED index: yesterday's (vec_id, cell,
+    // codes) rows + today's batch assigned/encoded against the SAME
+    // artifacts; the oracle rebuilds from scratch, so the hash gate
+    // IS insert ≡ rebuild for the code rows too.
+    "ann_ivfpq_insert" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.operators.KMeansND.seed(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")), NumCells)
+      val cb: Seq[Seq[Double]] = emb.filter(col("vec_id") < NumCodes)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val index = Similarity.ivfPqIndex(
+        emb.filter(col("vec_id") % 10 =!= 7), cents, cb, NumSub)
+      val updated = Similarity.ivfPqInsert(index,
+        emb.filter(col("vec_id") % 10 === 7), cents, cb, NumSub)
+      Similarity.ivfPqTopKIndexed(updated,
+        emb.filter(col("vec_id") < NumQueries), cents, cb, NumSub,
+        k = 3, nprobe = 2)
+    }),
+
     // PQ with exact re-ranking — the standard recall repair: the cheap
     // ADC pass shortlists 10 candidates per query from codes alone,
     // then the exact cosine runs ONLY on the shortlist (10 vector
@@ -1082,7 +1104,13 @@ object SimilarityPack extends QueryPack {
          |  SELECT qid, vid, ad,
          |    row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk
          |  FROM adc) WHERE rk <= 3""".stripMargin,
-    "ann_ivfpq" ->
+    // shared verbatim by ann_ivfpq_insert: insert into existing
+    // cells/codebook ≡ rebuild from scratch (per-vector artifacts)
+    "ann_ivfpq_insert" -> ivfPqRebuildSql,
+    "ann_ivfpq" -> ivfPqRebuildSql
+  ) ++ oraclesTail
+
+  private lazy val ivfPqRebuildSql =
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),
          |cb AS (SELECT CAST(vec_id AS INT) AS code, v FROM emb WHERE vec_id < $NumCodes),
@@ -1114,7 +1142,9 @@ object SimilarityPack extends QueryPack {
          |SELECT qid, rk, vid, round(ad, 4) AS ad FROM (
          |  SELECT qid, vid, ad,
          |    row_number() OVER (PARTITION BY qid ORDER BY ad, vid) AS rk
-         |  FROM adc) WHERE rk <= 3""".stripMargin,
+         |  FROM adc) WHERE rk <= 3""".stripMargin
+
+  private lazy val oraclesTail: Map[String, String] = Map(
     "ann_pq_rerank" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cb AS (SELECT CAST(vec_id AS INT) AS code, v FROM emb WHERE vec_id < $NumCodes),

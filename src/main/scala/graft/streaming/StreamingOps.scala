@@ -605,6 +605,37 @@ object StreamingOps {
         col("i_value"), col("c_value"))
   }
 
+  /** LEFT-OUTER watermark-bounded stream⋈stream join (round 18) —
+    * [[clickAttributionJoin]]'s other half: every impression emits,
+    * matched with the SAME user's clicks inside the FOLLOWING
+    * `conversionWindow`, or with null click columns once the
+    * watermark proves no click can still arrive. This is the
+    * "unconverted impressions" readout an attribution pipeline needs
+    * beside the conversions — and it is exactly where the watermark
+    * stops being an optimization and becomes SEMANTICS: an inner
+    * join could evict state lazily, but the outer join must KNOW a
+    * row expired to emit its null partner, so the null rows appear
+    * only after the watermark passes i_ts + window + delay (the spec
+    * drives it with a far-future tick and proves equality with the
+    * batch left-outer join once everything has expired). */
+  def impressionOutcomeJoin(impressions: DataFrame, clicks: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      conversionWindow: String = "1 hour"): DataFrame = {
+    val i = impressions.select(col("user_id").as("i_user"),
+        col("ts").as("i_ts"), col("value").as("i_value"))
+      .withWatermark("i_ts", watermarkDelay)
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", watermarkDelay)
+    i.join(c, col("i_user") === col("c_user")
+        && col("c_ts") >= col("i_ts")
+        && col("c_ts") <= col("i_ts")
+          + expr(s"INTERVAL $conversionWindow"),
+        "left_outer")
+      .select(col("i_user").as("user_id"), col("i_ts"), col("c_ts"),
+        col("i_value"), col("c_value"))
+  }
+
   /** Streaming sessionization with custom state: 30-min inactivity gap —
     * the stateful twin of batch `q_sessionize`. Event-time timeouts
     * against the watermark (deterministic on replay, unlike wall-clock

@@ -57,6 +57,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqInsert into a parquet-persisted compressed index ≡ full " +
+      "rebuild; stored code rows never re-encode") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.operators.KMeansND.seed(
+      emb.select($"vec_id".as("id"), $"embedding".as("vec")), 16)
+    val cb: Seq[Seq[Double]] = emb.filter($"vec_id" < 16)
+      .select($"vec_id", $"embedding").collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val q = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq-index").toString
+    Similarity.ivfPqIndex(emb.filter($"vec_id" % 10 =!= 7), cents, cb, 8)
+      .write.mode("overwrite").parquet(dir)
+    val updated = Similarity.ivfPqInsert(spark.read.parquet(dir),
+      emb.filter($"vec_id" % 10 === 7), cents, cb, 8)
+    val got = Similarity
+      .ivfPqTopKIndexed(updated, q, cents, cb, 8, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val want = Similarity.ivfPqTopK(emb, q, cents, cb, 8, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want,
+      "compressed insert-then-probe must equal rebuild-then-probe")
+    // the stored (cell, codes) rows pass through byte-for-byte
+    val stored = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    val after = updated.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    stored.foreach { case (id, cc) =>
+      assert(after(id) === cc, s"stored row $id was re-encoded")
+    }
+  }
+
   test("PQ encode picks each codeword for itself; ADC reproduces quantization error") {
     import graft.functions.PQExpressions.{pqAdcDist, pqEncode}
     val emb = Tables.embeddings(spark, sfDir)

@@ -65,6 +65,37 @@ class SketchSpec extends SparkSpec {
       s"sharded bloom passed $pass of $total — filter not pruning")
   }
 
+  test("RuntimeFilter.shardPlan auto-scales shards so a shard cell " +
+      "stays <= 2^22 bits, pow2 throughout, exact product") {
+    import graft.operators.RuntimeFilter
+    // small m: the user floor wins
+    assert(RuntimeFilter.shardPlan(1L << 20, 32) === ((32L, 1L << 15)))
+    // the 1 GiB filter the r15 ADVICE flagged: 32 fixed shards would
+    // make one ~64 MiB map cell AND (m/shards).toInt stays positive
+    // only by luck — the plan scales to 2^11 shards of 2^22 bits
+    val (nsh, mP) = RuntimeFilter.shardPlan(1L << 33, 32)
+    assert(nsh === (1L << 11) && mP === (1L << 22))
+    // far past the old Int-overflow point (m/shards > 2^31 bits)
+    val (nsh2, mP2) = RuntimeFilter.shardPlan(1L << 40, 32)
+    assert(nsh2 === (1L << 18) && mP2 === (1L << 22))
+    assert(java.lang.Long.bitCount(nsh2) === 1
+      && java.lang.Long.bitCount(mP2) === 1 && nsh2 * mP2 === (1L << 40))
+  }
+
+  test("filteredJoin fails loudly when the fact schema already uses " +
+      "a reserved working column") {
+    import graft.operators.RuntimeFilter
+    val fact = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("k"), col("o_orderstatus").as("__b1"))
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("k")).limit(10)
+    val e = intercept[IllegalArgumentException] {
+      RuntimeFilter.filteredJoin(fact, dim, "k")
+    }
+    assert(e.getMessage.contains("__b1"),
+      "the clash message must name the offending column")
+  }
+
   test("RuntimeFilter.filteredJoin equals the plain join in BOTH " +
       "regimes (broadcast bit set and sharded packed words)") {
     import graft.operators.RuntimeFilter

@@ -1079,6 +1079,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("impressionOutcomeJoin (left outer, two streams): conversions " +
+      "pair, unconverted impressions emit null ONLY after the " +
+      "watermark expires them, and the drained stream equals the " +
+      "batch left-outer join") {
+    implicit val sq = spark.sqlContext
+    val imps = Seq(
+      Event(1, ts(10), "imp", 1.0),  // converted by click@40
+      Event(2, ts(20), "imp", 2.0),  // never clicked — must emit null
+      Event(3, ts(30), "imp", 3.0))  // clicked too late (95 min gap)
+    val clks = Seq(
+      Event(1, ts(40), "click", 9.0),
+      Event(3, ts(125), "click", 8.0))
+    val inI = MemoryStream[Event]
+    val inC = MemoryStream[Event]
+    val q = StreamingOps.impressionOutcomeJoin(inI.toDF(), inC.toDF(),
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("imp_outcome")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inI.addData(imps)
+      inC.addData(clks)
+      q.processAllAvailable()
+      val early = spark.table("imp_outcome").collect()
+        .map(r => (r.getAs[Long]("user_id"), Option(r.get(4)))).toSet
+      assert(!early.exists(_._2.isEmpty),
+        "no null outcome may emit before the watermark proves the " +
+          "window closed — early nulls would be retracted conversions")
+      // a far-future tick on BOTH sides advances the watermark past
+      // every impression's window end
+      inI.addData(Event(99, ts(600), "imp", 0.0))
+      inC.addData(Event(99, ts(600), "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("imp_outcome").collect()
+        .filter(_.getAs[Long]("user_id") != 99L)
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Double]("i_value"),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+      assert(got === Set((1L, 1.0, Some(9.0)), (2L, 2.0, None),
+        (3L, 3.0, None)),
+        "drained stream must equal the batch left-outer join: one " +
+          "conversion, two null outcomes (late click outside window)")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
