@@ -830,7 +830,9 @@ final class TxLogTable(root: String,
     * table and scanning the files the predicate can possibly touch.
     * SQL DELETE semantics: a row whose predicate evaluates NULL is
     * KEPT (only provably-true matches die). `txn` makes a replayed
-    * delete a no-op. Returns the committed version; None when nothing
+    * delete a no-op. `bloomCols` re-derives point-lookup bloom
+    * envelopes for the rewritten files (round 18 upkeep — one
+    * file-local job per rewrite per column). Returns the committed version; None when nothing
     * matched, the txn already committed, or a racer forced an abort.
     * Spec-proven: post-state ≡ snapshot-filter, untouched files keep
     * their names (immutable ⇒ byte-identical), time travel to the
@@ -838,7 +840,8 @@ final class TxLogTable(root: String,
   def deleteWhere(spark: SparkSession,
       predicate: org.apache.spark.sql.Column,
       ranges: Seq[(String, Long, Long)] = Nil,
-      txn: Option[Long] = None): Option[Long] = {
+      txn: Option[Long] = None,
+      bloomCols: Seq[String] = Nil): Option[Long] = {
     val v0 = currentVersion()
     if (txn.exists(txns(v0).contains)) return None
     val live = liveFiles(v0)
@@ -868,18 +871,29 @@ final class TxLogTable(root: String,
       if (survivors.isEmpty) Nil else writeDataFiles(survivors)
     }
     // writer-side stats for the pruning columns (optimizeZorder's
-    // discipline: one footer read per just-written file)
+    // discipline: one footer read per just-written file); bloom
+    // envelopes for `bloomCols` so a table relying on
+    // [[snapshotWherePoint]] keeps point-pruning tight ACROSS deletes
+    // (without it a rewritten file degrades to range-only skipping
+    // until the next bloom-carrying commit)
     val stats =
       if (ranges.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
       else added.map { f =>
         f -> ranges.map(_._1).distinct.flatMap(c =>
           footerRange(spark, f, c).map(c -> _)).toMap
       }.toMap
+    val blooms =
+      if (bloomCols.isEmpty)
+        Map.empty[String, Map[String, (Long, Map[Int, Long])]]
+      else added.map { f =>
+        f -> bloomCols.distinct.map(c =>
+          c -> bloomEnvelope(spark, f, c)).toMap
+      }.toMap
     val v = commit(added, touched, txn, rebase = _ =>
       if (liveFiles() == live && !txn.exists(txns().contains))
         Some((added, touched))
       else None,
-      readVersion = v0, stats = stats)
+      readVersion = v0, stats = stats, blooms = blooms)
     if (v < 0L) None else Some(v)
   }
 
@@ -901,7 +915,8 @@ final class TxLogTable(root: String,
     * no-op. Returns the committed version; None on empty source,
     * already-committed txn, or abort. */
   def merge(spark: SparkSession, source: DataFrame, keyCol: String,
-      txn: Option[Long] = None): Option[Long] = {
+      txn: Option[Long] = None,
+      bloomCols: Seq[String] = Nil): Option[Long] = {
     val v0 = currentVersion()
     if (txn.exists(txns(v0).contains)) return None
     val live = liveFiles(v0)
@@ -959,11 +974,18 @@ final class TxLogTable(root: String,
         f -> footerRange(spark, f, keyCol).map(r => Map(keyCol -> r))
           .getOrElse(Map.empty[String, (Long, Long)])
       }.toMap
+    val blooms =
+      if (bloomCols.isEmpty)
+        Map.empty[String, Map[String, (Long, Map[Int, Long])]]
+      else added.map { f =>
+        f -> bloomCols.distinct.map(c =>
+          c -> bloomEnvelope(spark, f, c)).toMap
+      }.toMap
     val v = commit(added, touched, txn, rebase = _ =>
       if (liveFiles() == live && !txn.exists(txns().contains))
         Some((added, touched))
       else None,
-      readVersion = v0, stats = stats)
+      readVersion = v0, stats = stats, blooms = blooms)
     if (v < 0L) None else Some(v)
   }
 

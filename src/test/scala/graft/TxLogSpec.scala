@@ -517,6 +517,18 @@ class TxLogSpec extends SparkSpec {
       val t2 = new TxLogTable(dir, checkpointInterval = 2)
       val (_, kept2, _) = t2.snapshotWherePoint(spark, "k", 42L)
       assert(kept2 === 1, "blooms must survive the checkpoint fold")
+      // bloom UPKEEP across a copy-on-write delete: the rewrite
+      // carries a fresh bloom (bloomCols), so the point read stays
+      // file-tight and the deleted key becomes provably absent
+      assert(table.deleteWhere(spark, col("k") === 42L,
+        ranges = Seq(("k", 42L, 42L)), bloomCols = Seq("k")).nonEmpty)
+      val (dfSurv, keptSurv, _) = table.snapshotWherePoint(spark, "k", 46L)
+      assert(keptSurv === 1,
+        "a surviving key in the rewritten file must still open 1 file")
+      assert(dfSurv.get.filter(col("k") === 46L).count() === 1L)
+      assert(table.snapshotWherePoint(spark, "k", 42L)._2 === 0,
+        "the deleted key's bits are absent from the fresh bloom — " +
+          "provably-empty point read without opening a file")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
