@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   * only regime a runtime filter is FOR. */
 object RuntimeFilter {
 
-  private def u32(c: Column): Column =
+  /** md5 → first 8 hex chars → u32, the shared hash kernel behind the
+    * runtime filter AND TxLog's bloom envelopes (whose driver-side
+    * membership twin `bloomBit` replicates it bit-for-bit in JVM
+    * Scala — ONE definition here keeps the three faces in sync). */
+  private[graft] def u32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** Shard layout for the sharded regime: (shard count, bits per

@@ -561,9 +561,15 @@ object Similarity {
     * of either): the probe pays only the candidate join, the
     * assignment scan is the index's sunk cost. */
   def ivfTopKIndexed(cells: DataFrame, queries: DataFrame,
-      centroids: Seq[(Int, Array[Double])], k: Int, nprobe: Int = 2): DataFrame = {
+      centroids: Seq[(Int, Array[Double])], k: Int, nprobe: Int = 2): DataFrame =
+    ivfTopKProbed(cells, probeCells(queries, centroids, nprobe), k)
+
+  /** [[ivfTopKIndexed]] over an ALREADY-RANKED probe table (qid,
+    * qemb, pcell) — so a caller that needs the probed cell set for
+    * file pruning evaluates [[probeCells]] once, not twice. */
+  private[graft] def ivfTopKProbed(cells: DataFrame, probed: DataFrame,
+      k: Int): DataFrame = {
     import graft.functions.TopKAggregate.topk
-    val probed = probeCells(queries, centroids, nprobe)
     val cand = cells.as("c")
       .join(broadcast(probed.as("q")),
         col("q.pcell") === col("c.cell") && col("q.qid") =!= col("c.vec_id"))
@@ -582,7 +588,7 @@ object Similarity {
     * higher-order folds are fine here and accumulate sequentially in
     * double, so the oracle ranks cells identically. Returns
     * (qid, qemb, pcell). */
-  private def probeCells(queries: DataFrame,
+  private[graft] def probeCells(queries: DataFrame,
       centroids: Seq[(Int, Array[Double])], nprobe: Int): DataFrame = {
     import graft.operators.KMeansND
     val sorted = centroids.sortBy(_._1)

@@ -1025,7 +1025,7 @@ object LearnPack extends QueryPack {
         s"adaboostFrom round $t census covers ${cntByBits.values.sum} " +
           s"of $n rows — the weight ledger no longer spans the data")
       require(census.forall { case (b, _, _) =>
-          wByBits.contains(b & ((1L << (t - 1)) - 1)) },
+          wByBits.contains(b & ~(1L << (t - 1))) },
         s"adaboostFrom round $t saw a bits pattern outside the ledger")
       val w1ByBits = cntByBits.keys.map { b =>
         val prev = wByBits(b & ~(1L << (t - 1)))

@@ -385,11 +385,21 @@ final class TxLogTable(root: String,
   private val footerCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Option[(Long, Long)]]()
 
-  private[sources] def footerRange(spark: SparkSession, file: String,
-      column: String): Option[(Long, Long)] =
-    footerCache.computeIfAbsent((file, column), _ =>
-      scala.util.Try(footerRangeUncached(spark, file, column))
-        .toOption.flatten)
+  private[graft] def footerRange(spark: SparkSession, file: String,
+      column: String): Option[(Long, Long)] = {
+    val k = (file, column)
+    val cached = footerCache.get(k)
+    if (cached != null) cached
+    else scala.util.Try(footerRangeUncached(spark, file, column)) match {
+      // only a SUCCESSFUL read is a fact about the immutable file —
+      // cache it (None included: "no usable stats" is definitive).
+      // A thrown read may be a transient FS blip: degrade to
+      // keep-the-file for THIS call without pinning the file as
+      // unprunable for the instance's lifetime.
+      case scala.util.Success(v) => footerCache.put(k, v); v
+      case scala.util.Failure(_) => None
+    }
+  }
 
   private def footerRangeUncached(spark: SparkSession, file: String,
       column: String): Option[(Long, Long)] = {
@@ -515,8 +525,7 @@ final class TxLogTable(root: String,
       : (Long, Map[Int, Long]) = {
     require(java.lang.Long.bitCount(mBits) == 1 && mBits >= 64,
       s"mBits must be a pow2 >= 64: $mBits")
-    def u32(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    import graft.operators.RuntimeFilter.u32 // the ONE hash kernel
     val df = spark.read.parquet(dataDir.resolve(file).toString)
     val words = df.select(col(column).cast("string").as("s"))
       .where(col("s").isNotNull).distinct()
@@ -616,6 +625,10 @@ final class TxLogTable(root: String,
     * plain partitionBy would hoist it into directory names and drop it
     * from the rows). */
   def writeBucketFiles(df: DataFrame, bucketCol: String): Seq[String] = {
+    require(!df.columns.contains("_bp"),
+      "writeBucketFiles reserves the _bp working column and the frame " +
+        "already carries one (it would be silently replaced and " +
+        "hoisted out of the data pages)")
     Files.createDirectories(dataDir)
     val staging = Files.createTempDirectory(dataDir, ".stage-")
     df.withColumn("_bp", col(bucketCol))
@@ -837,6 +850,47 @@ final class TxLogTable(root: String,
     * Spec-proven: post-state ≡ snapshot-filter, untouched files keep
     * their names (immutable ⇒ byte-identical), time travel to the
     * pre-delete version still shows the deleted rows. */
+  /** ONE distributed rewrite of `touched` files: rows tag their
+    * source file AT THE SCAN (before `trim`'s joins/filters — the
+    * broadcast shapes both callers use keep the scan stage intact),
+    * then one partitioned write emits one file per surviving source
+    * file; a file whose every row was trimmed produces no partition
+    * and so no replacement. Replaces the per-file driver loop the
+    * first cut used (~3 sequential jobs per touched file — a
+    * 5,000-file GDPR delete would have paid ~15,000 driver-scheduled
+    * jobs; this shape pays 1 write job regardless). `_bp` hoists into
+    * directory names and is dropped from the data pages, so the
+    * output schema equals the input's. */
+  private def rewriteFiltered(spark: SparkSession, touched: Seq[String],
+      trim: DataFrame => DataFrame): Seq[String] = {
+    Files.createDirectories(dataDir)
+    val tagged = spark.read
+      .parquet(touched.map(f => dataDir.resolve(f).toString): _*)
+      .withColumn("_bp", input_file_name())
+    val staging = Files.createTempDirectory(dataDir, ".stage-")
+    trim(tagged)
+      .repartition(col("_bp"))
+      .write.partitionBy("_bp").mode("overwrite")
+      .parquet(staging.resolve("out").toString)
+    // REGULAR FILES only: the partition DIRECTORY names embed the
+    // escaped source-file URI and therefore also end in ".parquet" —
+    // a name-only filter would move the directory first and orphan
+    // the part file inside it (caught by the delete specs)
+    val parts = withWalk(staging.resolve("out"))(
+      _.filter(p => Files.isRegularFile(p)
+        && p.getFileName.toString.endsWith(".parquet")
+        && !p.getFileName.toString.startsWith(".")).toSeq)
+    val named = parts.map { p =>
+      val name = java.util.UUID.randomUUID().toString + ".parquet"
+      Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    try {
+      withWalk(staging)(_.toSeq.reverse.foreach(Files.deleteIfExists))
+    } catch { case _: java.io.IOException => () }
+    named
+  }
+
   def deleteWhere(spark: SparkSession,
       predicate: org.apache.spark.sql.Column,
       ranges: Seq[(String, Long, Long)] = Nil,
@@ -853,23 +907,26 @@ final class TxLogTable(root: String,
     // its source file AT THE SCAN (input_file_name is stage-local —
     // tagging before any exchange keeps it correct), filter, distinct
     // — the job returns ≤ |cand| file-name rows
-    val hitUris = spark.read
+    val scan = spark.read
       .parquet(cand.map(f => dataDir.resolve(f).toString): _*)
+    require(!scan.columns.contains("__f"),
+      "deleteWhere reserves the __f working column and the table " +
+        "schema already uses it (it would be silently replaced)")
+    val hitUris = scan
       .withColumn("__f", input_file_name())
       .filter(predicate)
       .select("__f").distinct()
       .collect().map(_.getString(0))
     val touched = cand.filter(f => hitUris.exists(_.endsWith("/" + f)))
     if (touched.isEmpty) return None
-    // rewrite each touched file MINUS its true-matching rows — one
-    // output file per input file (granularity-preserving); a file
-    // whose every row matches gets no replacement
-    val added = touched.flatMap { f =>
-      val survivors = spark.read
-        .parquet(dataDir.resolve(f).toString)
-        .filter(coalesce(not(predicate), lit(true)))
-      if (survivors.isEmpty) Nil else writeDataFiles(survivors)
-    }
+    // ONE distributed rewrite of the touched files minus their
+    // true-matching rows — one output file per surviving input file;
+    // a file whose every row matches gets no replacement
+    require(!scan.columns.contains("_bp"),
+      "deleteWhere reserves the _bp working column and the table " +
+        "schema already uses it")
+    val added = rewriteFiltered(spark, touched,
+      _.filter(coalesce(not(predicate), lit(true))))
     // writer-side stats for the pruning columns (optimizeZorder's
     // discipline: one footer read per just-written file); bloom
     // envelopes for `bloomCols` so a table relying on
@@ -946,15 +1003,25 @@ final class TxLogTable(root: String,
       else {
         val mm = src.agg(min(col(keyCol)).cast("long"),
           max(col(keyCol)).cast("long")).head()
-        pruneLiveFiles(spark,
+        // an all-NULL key batch matches nothing (SQL equality): no
+        // candidate files, the batch lands insert-only
+        if (mm.isNullAt(0)) Seq.empty[String]
+        else pruneLiveFiles(spark,
           Seq((keyCol, mm.getLong(0), mm.getLong(1))), v0)._1
       }
     val keys = src.select(col(keyCol).as("__k")).distinct()
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else {
-        val hitUris = spark.read
+        val scan = spark.read
           .parquet(cand.map(f => dataDir.resolve(f).toString): _*)
+        require(!scan.columns.contains("__f")
+            && !scan.columns.contains("__k")
+            && !scan.columns.contains("_bp"),
+          "merge reserves the __f/__k/_bp working columns and the " +
+            "table schema already uses one (it would be silently " +
+            "replaced)")
+        val hitUris = scan
           .withColumn("__f", input_file_name())
           .join(broadcast(keys), col(keyCol) === col("__k"),
             "left_semi")
@@ -962,12 +1029,10 @@ final class TxLogTable(root: String,
           .collect().map(_.getString(0))
         cand.filter(f => hitUris.exists(_.endsWith("/" + f)))
       }
-    val added = touched.flatMap { f =>
-      val survivors = spark.read
-        .parquet(dataDir.resolve(f).toString)
-        .join(broadcast(keys), col(keyCol) === col("__k"), "left_anti")
-      if (survivors.isEmpty) Nil else writeDataFiles(survivors)
-    } ++ writeDataFiles(src)
+    val added = (if (touched.isEmpty) Seq.empty[String]
+      else rewriteFiltered(spark, touched,
+        _.join(broadcast(keys), col(keyCol) === col("__k"),
+          "left_anti"))) ++ writeDataFiles(src)
     val stats =
       if (!integralKey) Map.empty[String, Map[String, (Long, Long)]]
       else added.map { f =>

@@ -510,6 +510,62 @@ object StreamingOps {
     * leaves the predecessor version intact instead of an empty path
     * that would silently reseed (same bookkeeping as
     * [[incrementalAggSink]]). */
+  /** Streaming ANN INGEST through the transaction log (round 18) —
+    * the ANN, lakehouse, and streaming families meeting in one sink:
+    * each micro-batch of (vec_id, embedding) rows assigns to the
+    * FIXED coarse cells ([[graft.operators.Similarity.ivfInsert]]'s
+    * per-vector contract, so ingest-then-probe ≡ rebuild-then-probe
+    * at the same centroids), lands bucket-aligned (one file per cell
+    * touched — bounded rewrite amplification, the state-store
+    * layout), and commits as ONE atomic log entry carrying each
+    * file's CELL envelope. The batch id rides as the txn token, so a
+    * replayed batch is answered by one log lookup before any compute.
+    * [[ivfProbeStored]] is the read side: it prunes the index files
+    * to the probed cells OFF THE LOG FOLD ALONE (snapshotWhereIn —
+    * probe IO follows nprobe, not table size or ingest history). */
+  def ivfIngestSink(table: graft.sources.TxLogTable,
+      centroids: Seq[(Int, Array[Double])]): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val spark = batch.sparkSession
+      if (!table.txns().contains(batchId) && batch.head(1).nonEmpty) {
+        val idx = graft.operators.Similarity.ivfIndex(batch, centroids)
+        val files = table.writeBucketFiles(idx, "cell")
+        // one footer read per just-written file, writer-side — reads
+        // then prune off the log fold alone (the TxLogStore discipline)
+        val stats = files.map { f =>
+          f -> table.footerRange(spark, f, "cell")
+            .map(r => Map("cell" -> r))
+            .getOrElse(Map.empty[String, (Long, Long)])
+        }.toMap
+        table.commit(files, Nil, Some(batchId), stats = stats,
+          rebase = _ =>
+            if (table.txns().contains(batchId)) None
+            else Some((files, Nil)))
+      }
+  }
+
+  /** Probe a [[ivfIngestSink]]-maintained index: rank the probed
+    * cells per query, open ONLY the index files whose cell envelope
+    * intersects them, brute-force inside. Returns (topk, files
+    * opened, live files) so callers can observe the skip rate. */
+  def ivfProbeStored(spark: org.apache.spark.sql.SparkSession,
+      table: graft.sources.TxLogTable, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], k: Int, nprobe: Int = 2)
+      : (Option[DataFrame], Int, Int) = {
+    import graft.operators.Similarity
+    // rank the cells ONCE (queries × nprobe rows — driver-sized by
+    // construction): the materialized probe table feeds both the
+    // file pruning and the candidate join
+    val probed = Similarity.probeCells(queries, centroids, nprobe)
+      .localCheckpoint(true)
+    val cells = probed.select(col("pcell")).distinct()
+      .collect().map(_.getInt(0).toLong).toSeq
+    val (dfOpt, kept, live) =
+      table.snapshotWhereIn(spark, "cell", cells)
+    (dfOpt.map(ix => Similarity.ivfTopKProbed(ix, probed, k)),
+      kept, live)
+  }
+
   def kmeansSink(statePath: String, k: Int = 4): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       import graft.operators.KMeansDF

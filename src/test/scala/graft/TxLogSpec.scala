@@ -475,6 +475,37 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("ivfIngestSink: batches append atomically with cell envelopes, " +
+      "the stored probe equals the full rebuild and opens only the " +
+      "probed cells' files, and a replayed batch is a no-op") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = graft.operators.KMeansND.seed(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")), 16)
+      val sink = StreamingOps.ivfIngestSink(table, cents)
+      sink(emb.filter(col("vec_id") % 2 === 0), 0L)
+      sink(emb.filter(col("vec_id") % 2 === 1), 1L)
+      assert(table.currentVersion() === 2L,
+        "each micro-batch is ONE atomic log entry across its cells")
+      val q = emb.filter(col("vec_id") < 5)
+      val (gotOpt, kept, live) =
+        StreamingOps.ivfProbeStored(spark, table, q, cents, k = 3)
+      val got = gotOpt.get.collect().map(_.toString).sorted.toSeq
+      val want = graft.operators.Similarity.ivfTopK(emb, q, cents, k = 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want,
+        "ingest-then-probe must equal rebuild-then-probe row for row")
+      assert(kept < live,
+        s"the probe must open only the probed cells' files ($kept of $live)")
+      // replay: one txn-record lookup, no compute, no new version
+      sink(emb.filter(col("vec_id") % 2 === 1), 1L)
+      assert(table.currentVersion() === 2L, "replayed batch must no-op")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("point-lookup bloom envelopes prune files that range stats " +
       "cannot, with no false negatives, folding through checkpoints") {
     val dir = tmp()
