@@ -522,7 +522,11 @@ object StreamingOps {
     * replayed batch is answered by one log lookup before any compute.
     * [[ivfProbeStored]] is the read side: it prunes the index files
     * to the probed cells OFF THE LOG FOLD ALONE (snapshotWhereIn —
-    * probe IO follows nprobe, not table size or ingest history). */
+    * probe IO follows nprobe, not table size or ingest history).
+    * Long-running ingest grows one file per (batch, touched cell);
+    * the standard `table.optimize(spark, Some("cell"))` repacks to
+    * one file per cell in one atomic commit — probe results
+    * identical, file count bounded (spec-proven). */
   def ivfIngestSink(table: graft.sources.TxLogTable,
       centroids: Seq[(Int, Array[Double])]): (DataFrame, Long) => Unit = {
     (batch, batchId) =>

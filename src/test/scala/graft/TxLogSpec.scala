@@ -502,6 +502,15 @@ class TxLogSpec extends SparkSpec {
       // replay: one txn-record lookup, no compute, no new version
       sink(emb.filter(col("vec_id") % 2 === 1), 1L)
       assert(table.currentVersion() === 2L, "replayed batch must no-op")
+      // ingest growth is bounded by the standard bucket-aligned
+      // OPTIMIZE: one file per cell after, probe results identical
+      assert(table.optimize(spark, Some("cell")).nonEmpty)
+      val (got2, kept2, live2) =
+        StreamingOps.ivfProbeStored(spark, table, q, cents, k = 3)
+      assert(got2.get.collect().map(_.toString).sorted.toSeq === want,
+        "compaction is a pure layout move — probe results unchanged")
+      assert(live2 < live && kept2 <= live2,
+        s"repack must shrink the file count ($live -> $live2)")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
