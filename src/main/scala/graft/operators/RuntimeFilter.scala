@@ -43,12 +43,17 @@ object RuntimeFilter {
     * would push ~64 MiB through the shuffle as ONE map value per
     * shard and stress the probe. Both inputs pow2 ⇒ both outputs
     * pow2 and nsh·mP = m exactly; mP is Long throughout, which also
-    * removes the old Int overflow in m/shards. Spec-pinned at
-    * synthetic large m. */
+    * removes the old Int overflow in m/shards. nsh is also CAPPED at
+    * m: a caller-degenerate layout (shards > m, reachable with a
+    * small dim and a lowered broadcastBitsMax) would otherwise plan
+    * mP = 0, and pmod(x, 0) is NULL — every hit() predicate null,
+    * filteredJoin silently empty. One shard per bit is the most a
+    * plan can mean. Spec-pinned at synthetic large m and at the
+    * shards > m corner. */
   private[graft] def shardPlan(m: Long, shards: Int): (Long, Long) = {
-    val nsh = math.max(shards.toLong, m >> 22) // both pow2
+    val nsh = math.min(m, math.max(shards.toLong, m >> 22)) // all pow2
     val mP = m / nsh
-    assert(mP <= (1L << 22), s"shard cell too big: $mP bits")
+    assert(mP >= 1L && mP <= (1L << 22), s"shard cell out of range: $mP bits")
     (nsh, mP)
   }
 

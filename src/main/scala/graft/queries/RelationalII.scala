@@ -486,6 +486,37 @@ object RelationalII extends QueryPack {
           coalesce(col("s_ts"), col("t_ts")).as("state_ts_us"))
     }),
 
+    // Row-level CHANGE DATA FEED through a REAL transaction log
+    // (round 19) — the first hash-gated key that drives the TxLog
+    // protocol end to end in-query: build a logged table from an
+    // orders carve-out, MERGE a deterministic batch (updates +
+    // inserts through the copy-on-write rewrite), then read
+    // `tableChanges(v1, v2)` — the CDC face whose scan is the
+    // symmetric difference of the live sets, never the table. The
+    // emitted rows are a pure function of the data (temp-dir paths
+    // never surface); the result is eagerly checkpointed so the
+    // scratch table can be deleted before the frame is consumed.
+    // Money in integer cents (the §4 discipline); the 10% bump
+    // always CHANGES the value (cents ≥ 10 ⇒ bumped > old), so
+    // every matched key yields exactly delete + insert.
+    "q_cdc" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("qcdc")
+      val t = new graft.sources.TxLogTable(dir.toString)
+      val o = orders(s, d).select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val init = o.filter(pmod(col("k"), lit(17)) === 0)
+      t.commit(t.writeDataFiles(init), Nil, Some(1L))
+      val batch = o.filter(pmod(col("k"), lit(51)) === 0
+          || (pmod(col("k"), lit(17)) === 1 && pmod(col("k"), lit(5)) === 0))
+        .withColumn("cents", expr("(cents * 110) div 100"))
+      t.merge(s, batch, "k", txn = Some(2L))
+      val out = t.tableChanges(s, 1L, 2L).get
+        .withColumnRenamed("_change_type", "change_type")
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      out
+    }),
+
     // Snapshot reconciliation diff (round 10) — the backfill/CDC
     // verification pass: given two versions of a table, report what
     // was added, removed, and changed, with the money delta per
@@ -769,6 +800,21 @@ object RelationalII extends QueryPack {
         |    ELSE 'unchanged' END AS change_type,
         |  count(*) AS n, round(CAST(sum(dq) AS DOUBLE) / 100, 2) AS delta
         |FROM j GROUP BY 1""".stripMargin,
+    // replay the merge's row-level diff directly: matched keys
+    // (51 = 3·17 ⇒ batch-update keys are all in init) emit delete
+    // (old) + insert (new), unmatched batch keys insert only
+    "q_cdc" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |init AS (SELECT * FROM o WHERE k % 17 = 0),
+        |batch AS (SELECT k, (cents * 110) // 100 AS cents FROM o
+        |  WHERE k % 51 = 0 OR (k % 17 = 1 AND k % 5 = 0))
+        |SELECT i.k, i.cents, 'delete' AS change_type
+        |FROM init i JOIN batch b ON b.k = i.k
+        |UNION ALL
+        |SELECT k, cents, 'insert' AS change_type FROM batch"""
+        .stripMargin,
     "q_upsert" ->
       """WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
         |    event_id FROM events),

@@ -120,13 +120,24 @@ final class TxLogTable(root: String,
   // names — nothing needs escaping)
   private def encode(add: Seq[String], remove: Seq[String],
       txn: Option[Long], stats: Seq[String] = Seq.empty,
-      blooms: Seq[String] = Seq.empty): String = {
+      blooms: Seq[String] = Seq.empty, ts: Long = -1L,
+      schemaDdl: Option[String] = None): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"")
       .mkString("[", ",", "]")
     val t = txn.map(v => s""","txn":$v""").getOrElse("")
     val st = if (stats.isEmpty) "" else s""","stats":${arr(stats)}"""
     val bl = if (blooms.isEmpty) "" else s""","blooms":${arr(blooms)}"""
-    s"""{"add":${arr(add)},"remove":${arr(remove)}$t$st$bl}"""
+    val tm = if (ts < 0L) "" else s""","ts":$ts"""
+    // StructType.toDDL: backquoted identifiers + SQL type names —
+    // never a double quote or ']' in practice, so the regex parse
+    // below holds; a pathological quoted column name fails LOUDLY
+    // here instead of corrupting the log entry
+    val sc = schemaDdl.map { d =>
+      require(!d.contains("\""),
+        s"schema DDL must not contain a double quote: $d")
+      s""","schema":"$d""""
+    }.getOrElse("")
+    s"""{"add":${arr(add)},"remove":${arr(remove)}$t$st$bl$tm$sc}"""
   }
 
   private val AddRe = """"add":\[([^\]]*)\]""".r.unanchored
@@ -134,13 +145,15 @@ final class TxLogTable(root: String,
   private val TxnRe = """"txn":(-?\d+)""".r.unanchored
   private val StatsRe = """"stats":\[([^\]]*)\]""".r.unanchored
   private val BloomsRe = """"blooms":\[([^\]]*)\]""".r.unanchored
+  private val TsRe = """"ts":(\d+)""".r.unanchored
+  private val SchemaRe = """"schema":"([^"]*)"""".r.unanchored
 
   private def names(group: String): Seq[String] =
     if (group.isEmpty) Seq.empty
     else group.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
 
   private def readEntry(v: Long): (Seq[String], Seq[String], Option[Long],
-      Seq[String], Seq[String]) = {
+      Seq[String], Seq[String], Option[Long], Option[String]) = {
     val s = new String(
       Files.readAllBytes(logDir.resolve(entryName(v))),
       StandardCharsets.UTF_8)
@@ -149,7 +162,9 @@ final class TxLogTable(root: String,
     val txn = s match { case TxnRe(t) => Some(t.toLong); case _ => None }
     val st = s match { case StatsRe(g) => names(g); case _ => Seq.empty }
     val bl = s match { case BloomsRe(g) => names(g); case _ => Seq.empty }
-    (add, rem, txn, st, bl)
+    val ts = s match { case TsRe(t) => Some(t.toLong); case _ => None }
+    val sc = s match { case SchemaRe(d) => Some(d); case _ => None }
+    (add, rem, txn, st, bl, ts, sc)
   }
 
   /** Parse "<file>|<col>|<lo>|<hi>" stats rows into the per-file
@@ -228,7 +243,7 @@ final class TxLogTable(root: String,
   private val FBloomsRe = """"fblooms":\[([^\]]*)\]""".r.unanchored
 
   private def readCheckpoint(v: Long)
-      : (Seq[String], Set[Long], Seq[String], Seq[String]) = {
+      : (Seq[String], Set[Long], Seq[String], Seq[String], Option[String]) = {
     val s = new String(
       Files.readAllBytes(logDir.resolve(ckptName(v))),
       StandardCharsets.UTF_8)
@@ -239,18 +254,20 @@ final class TxLogTable(root: String,
     }
     val st = s match { case FStatsRe(g) => names(g); case _ => Seq.empty }
     val bl = s match { case FBloomsRe(g) => names(g); case _ => Seq.empty }
-    (live, txns, st, bl)
+    val sc = s match { case SchemaRe(d) => Some(d); case _ => None }
+    (live, txns, st, bl, sc)
   }
 
   private def writeCheckpoint(v: Long): Unit = {
-    val (live, txns, fstats, fblooms) = foldStateFull(v)
+    val (live, txns, fstats, fblooms, schemaDdl) = foldStateFull(v)
     val stArr = statsRows(fstats).map(x => "\"" + x + "\"")
       .mkString("[", ",", "]")
     val blArr = bloomRows(fblooms).map(x => "\"" + x + "\"")
       .mkString("[", ",", "]")
+    val scPart = schemaDdl.map(d => s""","schema":"$d"""").getOrElse("")
     val body = s"""{"live":${live.map(x => "\"" + x + "\"")
         .mkString("[", ",", "]")},"txns":${txns.toSeq.sorted
-        .mkString("[", ",", "]")},"fstats":$stArr,"fblooms":$blArr}"""
+        .mkString("[", ",", "]")},"fstats":$stArr,"fblooms":$blArr$scPart}"""
       .getBytes(StandardCharsets.UTF_8)
     // two committers can both reach a checkpoint version on their
     // retry paths: the fold at v is deterministic, so the content is
@@ -271,7 +288,8 @@ final class TxLogTable(root: String,
   // safe across instances (round-13 ADVICE)
   @volatile private var memo: Option[(Long, Seq[String], Set[Long],
     Map[String, Map[String, (Long, Long)]],
-    Map[String, Map[String, (Long, Map[Int, Long])]])] = None
+    Map[String, Map[String, (Long, Map[Int, Long])]],
+    Option[String])] = None
 
   /** Fold of checkpoint + subsequent entries up to `version`.
     * Throws if `version` is no longer reconstructible: after
@@ -281,22 +299,23 @@ final class TxLogTable(root: String,
     * stale state (round-14 ADVICE — Delta raises VersionNotFound for
     * the same gap). */
   private def foldState(version: Long): (Seq[String], Set[Long]) = {
-    val (l, t, _, _) = foldStateFull(version)
+    val (l, t, _, _, _) = foldStateFull(version)
     (l, t)
   }
 
   private def foldStateFull(version: Long): (Seq[String], Set[Long],
       Map[String, Map[String, (Long, Long)]],
-      Map[String, Map[String, (Long, Map[Int, Long])]]) = {
+      Map[String, Map[String, (Long, Map[Int, Long])]],
+      Option[String]) = {
     val all = listVersions()
     val vs = all.takeWhile(_ <= version)
     val latest = vs.lastOption.getOrElse(0L)
     memo match {
-      case Some((v, l, t, st, bl)) if v == latest && latest >= version =>
-        return (l, t, st, bl)
-      case Some((v, l, t, st, bl)) if v == latest
+      case Some((v, l, t, st, bl, sc)) if v == latest && latest >= version =>
+        return (l, t, st, bl, sc)
+      case Some((v, l, t, st, bl, sc)) if v == latest
           && version == Long.MaxValue =>
-        return (l, t, st, bl)
+        return (l, t, st, bl, sc)
       case _ => ()
     }
     val ck = listCheckpoints().filter(_ <= version).lastOption
@@ -315,30 +334,35 @@ final class TxLogTable(root: String,
         s"${missing.mkString(",")} were retention-deleted and no " +
         s"checkpoint at or above ${missing.max} survives")
     }
-    val (live0, txns0, st0, bl0) = ck.map(readCheckpoint)
+    val (live0, txns0, st0, bl0, sc0) = ck.map(readCheckpoint)
       .getOrElse((Seq.empty[String], Set.empty[Long], Seq.empty[String],
-        Seq.empty[String]))
+        Seq.empty[String], None))
     val live = collection.mutable.LinkedHashSet(live0: _*)
     var txns = txns0
     // per-live-file column envelopes from add entries (Delta's
     // add-entry stats): removed files drop their stats with them
     var fstats = parseStats(st0)
     var fblooms = parseBlooms(bl0)
+    // table schema = latest schema-carrying entry at or below the
+    // version (Delta's metaData action): absent on pre-evolution
+    // tables, where reads fall back to parquet's first-file schema
+    var schemaDdl = sc0
     vs.filter(v => ck.forall(_ < v)).foreach { v =>
-      val (add, rem, txn, st, bl) = readEntry(v)
+      val (add, rem, txn, st, bl, _, sc) = readEntry(v)
       rem.foreach { f => live -= f; fstats -= f; fblooms -= f }
       live ++= add
       fstats ++= parseStats(st)
       fblooms ++= parseBlooms(bl)
       txn.foreach(t => txns += t)
+      sc.foreach(d => schemaDdl = Some(d))
     }
-    val out = (live.toSeq, txns, fstats, fblooms)
+    val out = (live.toSeq, txns, fstats, fblooms, schemaDdl)
     // memoize only full-log folds: after retention deletes a prefix,
     // a truncated `vs` can be empty for a checkpoint-served version,
     // and keying the memo at its (zero) last entry would poison later
     // lookups for genuinely-empty folds
     if (version >= all.lastOption.getOrElse(0L))
-      memo = Some((latest, out._1, out._2, out._3, out._4))
+      memo = Some((latest, out._1, out._2, out._3, out._4, out._5))
     out
   }
 
@@ -356,6 +380,34 @@ final class TxLogTable(root: String,
   def txns(version: Long = Long.MaxValue): Set[Long] =
     foldState(version)._2
 
+  /** The table schema recorded IN THE LOG at `version` (Delta's
+    * metaData action, round 19): set by [[alterAddColumn]] or an
+    * evolving [[merge]]; None on a table that never evolved, where
+    * reads fall back to parquet's first-file schema. Schema-on-read:
+    * files written BEFORE a column was added simply lack it, and
+    * every read face projects them to the log schema with nulls for
+    * the absent columns — no rewrite at ALTER time, the only answer
+    * at 100 TB. */
+  def tableSchema(version: Long = Long.MaxValue)
+      : Option[org.apache.spark.sql.types.StructType] =
+    foldStateFull(version)._5
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+
+  /** Schema-aware file read — EVERY bulk read of committed files
+    * funnels here: with a log-recorded schema the read pins it
+    * explicitly (old files yield nulls for later-added columns; a
+    * raw read would take the FIRST file's schema and silently drop
+    * newer columns depending on read order), without one it is a
+    * plain parquet read. */
+  private def readFiles(spark: SparkSession, files: Seq[String],
+      version: Long = Long.MaxValue): DataFrame = {
+    val paths = files.map(f => dataDir.resolve(f).toString)
+    tableSchema(version) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
   /** Snapshot read (optionally time-traveled to `version`); None on
     * an empty table. Cost: list the log + scan exactly the live
     * files. */
@@ -363,8 +415,183 @@ final class TxLogTable(root: String,
       version: Long = Long.MaxValue): Option[DataFrame] = {
     val files = liveFiles(version)
     if (files.isEmpty) None
-    else Some(spark.read.parquet(
-      files.map(f => dataDir.resolve(f).toString): _*))
+    else Some(readFiles(spark, files, version))
+  }
+
+  // ---- timestamp-addressed time travel (round 19, r16 verdict #2) --
+  // a user's first time-travel query is `TIMESTAMP AS OF` ("the table
+  // as of yesterday 09:00"), not a version number. Each commit entry
+  // records a timestamp IN ITS BODY — replay-stable (a copied or
+  // restored log keeps its history; file mtimes would not survive
+  // either) and MONOTONE by construction: the committer takes
+  // max(now, predecessor ts + 1), so a clock stepping backwards
+  // between commits can never make a later version look earlier
+  // (Delta's in-commit-timestamp discipline). Resolution degrades
+  // below the oldest surviving entry exactly like version-addressed
+  // travel does after retention.
+
+  /** The commit timestamp (epoch millis) recorded in entry `v`; None
+    * for pre-round-19 entries, which carry no timestamp. */
+  def commitTimestamp(v: Long): Option[Long] = {
+    val c = tsCache.get(v)
+    if (c != null) c
+    else {
+      val t = readEntry(v)._6
+      tsCache.put(v, t)
+      t
+    }
+  }
+  private val tsCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[Long]]()
+
+  /** Resolve a wall-clock instant to the LATEST version committed at
+    * or before it — the `TIMESTAMP AS OF` helper every read face
+    * composes with (`snapshotWhere(spark, ranges, versionAt(ts))`).
+    * Entries without a recorded timestamp (pre-round-19) inherit
+    * their predecessor's (0 for the first) — monotone, and an
+    * all-legacy log resolves everything to its newest version, the
+    * only defensible reading of an undated history. Throws when `ts`
+    * predates the first SURVIVING entry's timestamp: answering from a
+    * later state would silently time-travel forwards. */
+  def versionAt(ts: Long): Long = {
+    val vs = listVersions()
+    require(vs.nonEmpty, "versionAt on an empty table")
+    var last = 0L   // running ts: legacy entries inherit predecessor
+    var ans = -1L
+    val first = commitTimestamp(vs.head).getOrElse(0L)
+    if (ts < first) throw new IllegalArgumentException(
+      s"timestamp $ts predates the first surviving commit ($first); " +
+        "earlier history was retention-deleted or never existed")
+    vs.foreach { v =>
+      last = commitTimestamp(v).getOrElse(last)
+      if (last <= ts) ans = v
+    }
+    ans
+  }
+
+  /** `SELECT ... TIMESTAMP AS OF` — [[snapshot]] at [[versionAt]]. */
+  def snapshotAt(spark: SparkSession, ts: Long): Option[DataFrame] =
+    snapshot(spark, versionAt(ts))
+
+  /** `RESTORE TABLE ... TO VERSION AS OF` (round 19) — roll the table
+    * back to `toVersion` as a NEW commit, never by rewriting history:
+    * the restore entry re-adds exactly the files live at the target
+    * that are no longer live, removes the files added since, and
+    * re-records the target's per-file stats + bloom envelopes (the
+    * fold drops them with the remove, so the entry must carry them
+    * back) and the target's schema. History stays intact — the bad
+    * versions remain time-travelable, and a second restore can undo
+    * the first. Metadata-only when the target's files survive on
+    * disk; throws loudly when VACUUM already reclaimed one (the same
+    * retention boundary version-addressed time travel has). Aborts
+    * (None) on any concurrent commit — a restore is a statement about
+    * the CURRENT state, so it must not rebase over a racer. */
+  def restore(spark: SparkSession, toVersion: Long,
+      txn: Option[Long] = None): Option[Long] = {
+    val v0 = currentVersion()
+    require(toVersion <= v0, s"restore target $toVersion is in the " +
+      s"future (current $v0)")
+    if (txn.exists(txns(v0).contains)) return None
+    val (oldLive, _, oldStats, oldBlooms, oldSchema) =
+      foldStateFull(toVersion)
+    val curLive = liveFiles(v0)
+    val adds = oldLive.filterNot(curLive.toSet)
+    val removes = curLive.filterNot(oldLive.toSet)
+    if (adds.isEmpty && removes.isEmpty) return None
+    adds.filterNot(f => Files.exists(dataDir.resolve(f))) match {
+      case Seq() => ()
+      case gone => throw new IllegalStateException(
+        s"version $toVersion is not restorable: data file(s) " +
+        s"${gone.take(3).mkString(",")} were vacuumed")
+    }
+    // the target's schema, pinned EXPLICITLY: a restore below an
+    // ALTER must narrow tableSchema back, and the fold cannot unset —
+    // a pre-evolution target (None) pins its parquet birth schema
+    val curSchema = foldStateFull(v0)._5
+    val targetDdl: Option[String] =
+      if (oldSchema == curSchema || oldLive.isEmpty) None
+      else oldSchema.orElse(Some(spark.read
+        .parquet(dataDir.resolve(oldLive.head).toString).schema.toDDL))
+    val addSet = adds.toSet
+    val v = commit(adds, removes, txn, rebase = _ => None,
+      readVersion = v0,
+      stats = oldStats.filter { case (f, _) => addSet.contains(f) },
+      blooms = oldBlooms.filter { case (f, _) => addSet.contains(f) },
+      schemaDdl = () => targetDdl)
+    if (v < 0L) None else Some(v)
+  }
+
+  /** Row-level CHANGE DATA FEED between two versions (round 19 —
+    * Delta CDF's read face, derived instead of stored): every row in
+    * `(vFrom, vTo]`'s churn tagged `_change_type` insert | delete
+    * (an update surfaces as delete + insert — whole-row replacement,
+    * [[merge]]'s own semantics). Because data files are immutable,
+    * rows in files live at BOTH versions cancel by construction, so
+    * the diff reads ONLY the symmetric difference of the live sets —
+    * CDC cost is proportional to the CHURN, never the table: a
+    * 2-file delete on a 100k-file table reads a handful of files,
+    * where a naive snapshot-vs-snapshot EXCEPT scans both full
+    * snapshots. The multiset `exceptAll` keeps duplicate-row
+    * arithmetic exact; both sides read under `vTo`'s schema (older
+    * files project with nulls). None when nothing changed. */
+  def tableChanges(spark: SparkSession, vFrom: Long, vTo: Long)
+      : Option[DataFrame] = {
+    require(vFrom <= vTo,
+      s"tableChanges wants vFrom <= vTo, got $vFrom > $vTo")
+    val from = liveFiles(vFrom).toSet
+    val to = liveFiles(vTo).toSet
+    val addedF = (to -- from).toSeq.sorted
+    val removedF = (from -- to).toSeq.sorted
+    if (addedF.isEmpty && removedF.isEmpty) return None
+    def side(fs: Seq[String], other: Seq[String]): DataFrame =
+      if (fs.nonEmpty) readFiles(spark, fs, vTo)
+      else readFiles(spark, other, vTo).limit(0)
+    val post = side(addedF, removedF)
+    val pre = side(removedF, addedF)
+    import org.apache.spark.sql.functions.lit
+    Some(post.exceptAll(pre)
+        .withColumn("_change_type", lit("insert"))
+      .unionByName(pre.exceptAll(post)
+        .withColumn("_change_type", lit("delete"))))
+  }
+
+  /** ALTER TABLE ADD COLUMN — records the WIDENED schema as a log
+    * entry (no data movement: old files simply lack the column and
+    * every read projects them with nulls — schema-on-read, round 19).
+    * `columnDdl` is one `name TYPE` DDL fragment. Returns the commit
+    * version; a concurrent identical ALTER aborts (None). */
+  def alterAddColumn(spark: SparkSession, columnDdl: String)
+      : Option[Long] = {
+    import org.apache.spark.sql.types.StructType
+    val added = StructType.fromDDL(columnDdl)
+    require(added.fields.length == 1,
+      s"one column per ALTER, got: $columnDdl")
+    val name = added.fields.head.name
+    def widened(): Option[String] = {
+      val cur = tableSchema().orElse {
+        val live = liveFiles()
+        if (live.isEmpty) None
+        else Some(spark.read
+          .parquet(dataDir.resolve(live.head).toString).schema)
+      }.getOrElse(throw new IllegalStateException(
+        "alterAddColumn on an empty, schema-less table — the first " +
+          "write defines the schema"))
+      if (cur.fieldNames.contains(name)) None
+      else Some(StructType(cur.fields :+ added.fields.head).toDDL)
+    }
+    val w0 = widened().getOrElse(throw new IllegalArgumentException(
+      s"column $name already exists"))
+    val v0 = currentVersion()
+    // rebase: re-derive against the racer's state; a racer that added
+    // the same column aborts this ALTER instead of double-adding
+    var w = w0
+    val v = commit(Nil, Nil, txn = None, rebase = _ =>
+      widened() match {
+        case Some(d) => w = d; Some((Nil, Nil))
+        case None => None
+      },
+      readVersion = v0, schemaDdl = () => Some(w))
+    if (v < 0L) None else Some(v)
   }
 
   /** Per-file [min, max] envelope of an integral top-level column,
@@ -443,7 +670,7 @@ final class TxLogTable(root: String,
     // reader already holds — zero per-file footer round trips for
     // stats-carrying files; footer envelopes remain the fallback for
     // files committed without stats
-    val (live, _, fstats, _) = foldStateFull(version)
+    val (live, _, fstats, _, _) = foldStateFull(version)
     val kept = live.filter { f =>
       ranges.forall { case (c, lo, hi) =>
         fstats.get(f).flatMap(_.get(c))
@@ -471,8 +698,7 @@ final class TxLogTable(root: String,
       version: Long = Long.MaxValue): Option[DataFrame] = {
     val (kept, _) = pruneLiveFiles(spark, ranges, version)
     if (kept.isEmpty) None
-    else Some(spark.read.parquet(
-      kept.map(f => dataDir.resolve(f).toString): _*))
+    else Some(readFiles(spark, kept, version))
   }
 
   /** [[snapshotWhere]] for an IN-list predicate over an integral
@@ -486,7 +712,7 @@ final class TxLogTable(root: String,
   def snapshotWhereIn(spark: SparkSession, column: String,
       values: Seq[Long], version: Long = Long.MaxValue)
       : (Option[DataFrame], Int, Int) = {
-    val (live, _, fstats, _) = foldStateFull(version)
+    val (live, _, fstats, _, _) = foldStateFull(version)
     val kept = live.filter { f =>
       fstats.get(f).flatMap(_.get(column))
         .orElse(footerRange(spark, f, column)) match {
@@ -495,8 +721,7 @@ final class TxLogTable(root: String,
       }
     }
     val df = if (kept.isEmpty) None
-      else Some(spark.read.parquet(
-        kept.map(f => dataDir.resolve(f).toString): _*))
+      else Some(readFiles(spark, kept, version))
     (df, kept.size, live.size)
   }
 
@@ -527,6 +752,22 @@ final class TxLogTable(root: String,
       s"mBits must be a pow2 >= 64: $mBits")
     import graft.operators.RuntimeFilter.u32 // the ONE hash kernel
     val df = spark.read.parquet(dataDir.resolve(file).toString)
+    // INTEGRAL keys only — the probe side (`snapshotWherePoint`,
+    // `snapshotWhereIn`) renders the lookup value via Long.toString;
+    // a bloom built on e.g. a double column would hash "42.0"
+    // writer-side vs "42" probe-side and prune the owning file — a
+    // false NEGATIVE despite the contract. Enforce the shared
+    // integral-key restriction at the build end too.
+    df.schema(column).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"bloomEnvelope($column): integral key columns only (probe " +
+          s"renders Long.toString; a $other column would hash " +
+          "differently writer- vs probe-side and false-negative)")
+    }
     val words = df.select(col(column).cast("string").as("s"))
       .where(col("s").isNotNull).distinct()
       .select(explode(array((1 to TxLogTable.BloomK).map(i =>
@@ -543,13 +784,41 @@ final class TxLogTable(root: String,
   }
 
   /** Driver-side twin of the Spark hash in [[bloomEnvelope]]:
-    * md5("bf<i>:<value>") → first 4 bytes as u32 → mod m. */
-  private def bloomBit(i: Int, value: String, mBits: Long): Long = {
+    * md5("bf<i>:<value>") → first 4 bytes as u32. The mod-m fold is
+    * split out so an erasure-list probe ([[deleteWhereIn]]) pays the
+    * md5 once per (probe, value) instead of once per (probe, value,
+    * FILE) — at a 100k-file table that is the difference between
+    * k·|values| and k·|values|·10⁵ digests on the driver. */
+  private def bloomHashU32(i: Int, value: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"bf$i:$value".getBytes(StandardCharsets.UTF_8))
-    val u = java.lang.Long.parseLong(
+    java.lang.Long.parseLong(
       d.take(4).map("%02x".format(_)).mkString, 16)
-    u % mBits
+  }
+
+  private def bloomBit(i: Int, value: String, mBits: Long): Long =
+    bloomHashU32(i, value) % mBits
+
+  /** Driver-side bloom membership: true when the envelope is absent
+    * (keep — no false negatives) or every probe bit is set. Shared by
+    * [[snapshotWherePoint]] and [[deleteWhereIn]]. */
+  private def bloomMaybeContains(env: Option[(Long, Map[Int, Long])],
+      value: Long): Boolean =
+    bloomMaybeContainsHashed(env, (1 to TxLogTable.BloomK)
+      .map(i => bloomHashU32(i, value.toString)).toArray)
+
+  /** [[bloomMaybeContains]] with the value's probe hashes
+    * pre-computed — the erasure-list shape, where the same values
+    * probe every candidate file's envelope. */
+  private def bloomMaybeContainsHashed(
+      env: Option[(Long, Map[Int, Long])],
+      hashes: Array[Long]): Boolean = env match {
+    case Some((m, words)) => hashes.forall { u =>
+      val bit = u % m
+      (words.getOrElse((bit / 64).toInt, 0L)
+        & (1L << (bit % 64).toInt)) != 0L
+    }
+    case None => true
   }
 
   /** [[snapshot]] with POINT-LOOKUP file skipping: a file is kept iff
@@ -563,26 +832,18 @@ final class TxLogTable(root: String,
   def snapshotWherePoint(spark: SparkSession, column: String,
       value: Long, version: Long = Long.MaxValue)
       : (Option[DataFrame], Int, Int) = {
-    val (live, _, fstats, fblooms) = foldStateFull(version)
+    val (live, _, fstats, fblooms, _) = foldStateFull(version)
     val kept = live.filter { f =>
       val rangeOk = fstats.get(f).flatMap(_.get(column))
         .orElse(footerRange(spark, f, column)) match {
         case Some((mn, mx)) => value >= mn && value <= mx
         case None => true
       }
-      val bloomOk = fblooms.get(f).flatMap(_.get(column)) match {
-        case Some((m, words)) => (1 to TxLogTable.BloomK).forall { i =>
-          val bit = bloomBit(i, value.toString, m)
-          (words.getOrElse((bit / 64).toInt, 0L)
-            & (1L << (bit % 64).toInt)) != 0L
-        }
-        case None => true
-      }
-      rangeOk && bloomOk
+      rangeOk && bloomMaybeContains(
+        fblooms.get(f).flatMap(_.get(column)), value)
     }
     val df = if (kept.isEmpty) None
-      else Some(spark.read.parquet(
-        kept.map(f => dataDir.resolve(f).toString): _*))
+      else Some(readFiles(spark, kept, version))
     (df, kept.size, live.size)
   }
 
@@ -687,8 +948,7 @@ final class TxLogTable(root: String,
     val v0 = currentVersion()
     val live = liveFiles(v0)
     if (live.size <= 1) return None
-    val df = spark.read.parquet(
-      live.map(f => dataDir.resolve(f).toString): _*)
+    val df = readFiles(spark, live, v0)
     val added = bucketCol match {
       case Some(b) => writeBucketFiles(df, b)
       case None => writeDataFiles(df)
@@ -731,8 +991,7 @@ final class TxLogTable(root: String,
     }
     val removed = small.map(_._1)
     val added = bins.toSeq.flatMap { case (names, _) =>
-      writeDataFiles(spark.read.parquet(
-        names.toSeq.map(f => dataDir.resolve(f).toString): _*))
+      writeDataFiles(readFiles(spark, names.toSeq, v0))
     }
     val v = commit(added, removed, txn = None, rebase = _ =>
       if (liveFiles() == live) Some((added, removed)) else None,
@@ -763,8 +1022,7 @@ final class TxLogTable(root: String,
     val v0 = currentVersion()
     val live = liveFiles(v0)
     if (live.isEmpty) return None
-    val df = spark.read.parquet(
-      live.map(f => dataDir.resolve(f).toString): _*)
+    val df = readFiles(spark, live, v0)
     val mx = df.selectExpr(s"cast(max($xCol) as bigint)",
       s"cast(max($yCol) as bigint)").head()
     if (mx.isNullAt(0) || mx.isNullAt(1)) return None
@@ -864,8 +1122,7 @@ final class TxLogTable(root: String,
   private def rewriteFiltered(spark: SparkSession, touched: Seq[String],
       trim: DataFrame => DataFrame): Seq[String] = {
     Files.createDirectories(dataDir)
-    val tagged = spark.read
-      .parquet(touched.map(f => dataDir.resolve(f).toString): _*)
+    val tagged = readFiles(spark, touched)
       .withColumn("_bp", input_file_name())
     val staging = Files.createTempDirectory(dataDir, ".stage-")
     trim(tagged)
@@ -902,13 +1159,57 @@ final class TxLogTable(root: String,
     if (live.isEmpty) return None
     val cand = if (ranges.isEmpty) live
       else pruneLiveFiles(spark, ranges, v0)._1
+    deleteCore(spark, predicate, ranges.map(_._1), cand, live, v0,
+      txn, bloomCols)
+  }
+
+  /** [[deleteWhere]] for an IN-LIST erasure (`DELETE WHERE col IN
+    * (…)` — the GDPR shape, round 19): candidates are pruned PER
+    * VALUE against range envelopes AND point blooms (the
+    * [[snapshotWherePoint]] discipline applied to an erasure list),
+    * so on a bloom-carrying table the scan opens only the files that
+    * may actually hold a doomed key — a plain range prune would keep
+    * nearly every file for ids scattered across the key space. */
+  def deleteWhereIn(spark: SparkSession, column: String,
+      values: Seq[Long], txn: Option[Long] = None): Option[Long] = {
+    val v0 = currentVersion()
+    if (txn.exists(txns(v0).contains)) return None
+    val live = liveFiles(v0)
+    if (live.isEmpty || values.isEmpty) return None
+    val (_, _, fstats, fblooms, _) = foldStateFull(v0)
+    // md5 probe hashes once per distinct value, NOT per (value, file)
+    val probes = values.distinct.map(v =>
+      v -> (1 to TxLogTable.BloomK)
+        .map(i => bloomHashU32(i, v.toString)).toArray).toMap
+    val cand = live.filter { f =>
+      // envelope + bloom resolved once per FILE, probed per value
+      // (footerRange is cached, but the fallback read belongs outside
+      // the |values| loop regardless)
+      val range = fstats.get(f).flatMap(_.get(column))
+        .orElse(footerRange(spark, f, column))
+      val bloom = fblooms.get(f).flatMap(_.get(column))
+      values.exists { v =>
+        (range match {
+          case Some((mn, mx)) => v >= mn && v <= mx
+          case None => true
+        }) && bloomMaybeContainsHashed(bloom, probes(v))
+      }
+    }
+    deleteCore(spark, col(column).isin(values: _*), Seq(column),
+      cand, live, v0, txn, Nil)
+  }
+
+  private def deleteCore(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column,
+      rangeCols: Seq[String], cand: Seq[String], live: Seq[String],
+      v0: Long, txn: Option[Long], bloomCols: Seq[String])
+      : Option[Long] = {
     if (cand.isEmpty) return None
     // which candidates actually hold matching rows: tag each row with
     // its source file AT THE SCAN (input_file_name is stage-local —
     // tagging before any exchange keeps it correct), filter, distinct
     // — the job returns ≤ |cand| file-name rows
-    val scan = spark.read
-      .parquet(cand.map(f => dataDir.resolve(f).toString): _*)
+    val scan = readFiles(spark, cand, v0)
     require(!scan.columns.contains("__f"),
       "deleteWhere reserves the __f working column and the table " +
         "schema already uses it (it would be silently replaced)")
@@ -917,7 +1218,11 @@ final class TxLogTable(root: String,
       .filter(predicate)
       .select("__f").distinct()
       .collect().map(_.getString(0))
-    val touched = cand.filter(f => hitUris.exists(_.endsWith("/" + f)))
+    // basename-Set membership, not per-candidate suffix scans: the
+    // O(|cand|·|hit|) endsWith form is 10¹⁰ driver compares at the
+    // 100k-file tables this log is designed for (r16 verdict)
+    val hitNames = hitUris.map(u => u.substring(u.lastIndexOf('/') + 1)).toSet
+    val touched = cand.filter(hitNames.contains)
     if (touched.isEmpty) return None
     // ONE distributed rewrite of the touched files minus their
     // true-matching rows — one output file per surviving input file;
@@ -927,23 +1232,36 @@ final class TxLogTable(root: String,
         "schema already uses it")
     val added = rewriteFiltered(spark, touched,
       _.filter(coalesce(not(predicate), lit(true))))
-    // writer-side stats for the pruning columns (optimizeZorder's
-    // discipline: one footer read per just-written file); bloom
-    // envelopes for `bloomCols` so a table relying on
-    // [[snapshotWherePoint]] keeps point-pruning tight ACROSS deletes
-    // (without it a rewritten file degrades to range-only skipping
-    // until the next bloom-carrying commit)
+    // writer-side stats for the pruning columns PLUS every column the
+    // replaced files carried envelopes for (r16 verdict #6): a delete
+    // on a zordered table re-deriving only the predicate's columns
+    // would quietly drop the OTHER clustering column's envelope from
+    // rewritten files, degrading quadrant skipping until the next
+    // OPTIMIZE. One footer read per just-written file per column —
+    // optimizeZorder's discipline. Bloom envelopes for `bloomCols` so
+    // a table relying on [[snapshotWherePoint]] keeps point-pruning
+    // tight ACROSS deletes too.
+    val fstats0 = fileStats(v0)
+    val statCols = (rangeCols ++ touched.flatMap(f =>
+      fstats0.get(f).map(_.keySet.toSeq).getOrElse(Seq.empty))).distinct
     val stats =
-      if (ranges.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      if (statCols.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
       else added.map { f =>
-        f -> ranges.map(_._1).distinct.flatMap(c =>
+        f -> statCols.flatMap(c =>
           footerRange(spark, f, c).map(c -> _)).toMap
       }.toMap
+    // bloom upkeep is AUTO-CARRIED like stats (round 19): any column
+    // the replaced files carried blooms for is re-derived on the
+    // rewrites, so a point-pruned table stays file-tight across
+    // deletes without every caller remembering `bloomCols`
+    val fblooms0 = foldStateFull(v0)._4
+    val bloomColsAll = (bloomCols ++ touched.flatMap(f =>
+      fblooms0.get(f).map(_.keySet.toSeq).getOrElse(Seq.empty))).distinct
     val blooms =
-      if (bloomCols.isEmpty)
+      if (bloomColsAll.isEmpty)
         Map.empty[String, Map[String, (Long, Map[Int, Long])]]
       else added.map { f =>
-        f -> bloomCols.distinct.map(c =>
+        f -> bloomColsAll.map(c =>
           c -> bloomEnvelope(spark, f, c)).toMap
       }.toMap
     val v = commit(added, touched, txn, rebase = _ =>
@@ -970,25 +1288,66 @@ final class TxLogTable(root: String,
     * (a CDC batch — if it outgrows broadcast, split the batch, the
     * dedup_incremental contract). `txn` makes a replayed batch a
     * no-op. Returns the committed version; None on empty source,
-    * already-committed txn, or abort. */
+    * already-committed txn, or abort.
+    *
+    * Schema (round 19): shared columns must match by NAME AND TYPE —
+    * a name-set-only check let an Int-keyed batch write a file whose
+    * physical schema diverged from the table's, failing or silently
+    * miscasting later reads depending on read order (r16 ADVICE).
+    * With `evolveSchema = true` a source carrying EXTRA columns
+    * widens the table in the same atomic commit (the entry records
+    * the widened schema; old files project with nulls —
+    * schema-on-read, no rewrite); without it, extra columns fail
+    * loudly. */
   def merge(spark: SparkSession, source: DataFrame, keyCol: String,
       txn: Option[Long] = None,
-      bloomCols: Seq[String] = Nil): Option[Long] = {
+      bloomCols: Seq[String] = Nil,
+      evolveSchema: Boolean = false): Option[Long] = {
+    import org.apache.spark.sql.types.StructType
     val v0 = currentVersion()
     if (txn.exists(txns(v0).contains)) return None
     val live = liveFiles(v0)
     val src0 = source.localCheckpoint(true)
     if (src0.isEmpty) return None
+    // the LOG-recorded schema outranks the first file's (post-ALTER,
+    // the first live file may predate the newest column)
+    val schemaAtRead = foldStateFull(v0)._5
+    val tblSchema: Option[StructType] =
+      if (live.isEmpty) None
+      else Some(schemaAtRead.map(StructType.fromDDL).getOrElse(
+        spark.read.parquet(dataDir.resolve(live.head).toString).schema))
     // align the source to the table's column ORDER (parquet readers
     // take the first file's schema — a reordered batch must not
     // depend on read-time name resolution)
-    val src = if (live.isEmpty) src0 else {
-      val tableCols = spark.read
-        .parquet(dataDir.resolve(live.head).toString).columns.toSeq
-      require(src0.columns.toSet == tableCols.toSet,
-        s"merge source schema ${src0.columns.sorted.mkString(",")} != " +
-          s"table schema ${tableCols.sorted.mkString(",")}")
-      src0.select(tableCols.map(col): _*)
+    var newDdl: Option[String] = None
+    val src = tblSchema match {
+      case None => src0
+      case Some(ts0) =>
+        val tMap = ts0.fields.map(f => f.name -> f.dataType).toMap
+        val sMap = src0.schema.fields.map(f => f.name -> f.dataType).toMap
+        val missing = tMap.keySet -- sMap.keySet
+        require(missing.isEmpty,
+          s"merge source lacks table columns: ${missing.toSeq.sorted
+            .mkString(",")}")
+        val mistyped = ts0.fields.filter(f =>
+          sMap.get(f.name).exists(_ != f.dataType)).map(f =>
+            s"${f.name}: table ${f.dataType.simpleString} vs source " +
+              sMap(f.name).simpleString)
+        require(mistyped.isEmpty,
+          s"merge source column types diverge from the table's " +
+            s"(${mistyped.mkString("; ")}) — a divergent physical " +
+            "schema fails or miscasts later reads by read order")
+        val extra = src0.schema.fields.filter(f => !tMap.contains(f.name))
+        if (extra.isEmpty) src0.select(ts0.fieldNames.toSeq.map(col): _*)
+        else {
+          require(evolveSchema,
+            s"merge source adds columns ${extra.map(_.name).sorted
+              .mkString(",")} — pass evolveSchema=true to widen the " +
+              "table (schema-on-read: old files project with nulls)")
+          val widened = StructType(ts0.fields ++ extra)
+          newDdl = Some(widened.toDDL)
+          src0.select(widened.fieldNames.toSeq.map(col): _*)
+        }
     }
     val integralKey = src.schema(keyCol).dataType match {
       case org.apache.spark.sql.types.ByteType
@@ -1013,8 +1372,7 @@ final class TxLogTable(root: String,
     val touched =
       if (cand.isEmpty) Seq.empty[String]
       else {
-        val scan = spark.read
-          .parquet(cand.map(f => dataDir.resolve(f).toString): _*)
+        val scan = readFiles(spark, cand, v0)
         require(!scan.columns.contains("__f")
             && !scan.columns.contains("__k")
             && !scan.columns.contains("_bp"),
@@ -1027,30 +1385,52 @@ final class TxLogTable(root: String,
             "left_semi")
           .select("__f").distinct()
           .collect().map(_.getString(0))
-        cand.filter(f => hitUris.exists(_.endsWith("/" + f)))
+        // basename-Set membership (r16 verdict #7) — not the
+        // O(|cand|·|hit|) suffix scan
+        val hitNames = hitUris
+          .map(u => u.substring(u.lastIndexOf('/') + 1)).toSet
+        cand.filter(hitNames.contains)
       }
     val added = (if (touched.isEmpty) Seq.empty[String]
       else rewriteFiltered(spark, touched,
         _.join(broadcast(keys), col(keyCol) === col("__k"),
           "left_anti"))) ++ writeDataFiles(src)
+    // keyCol envelope for the next merge's pruning, PLUS every column
+    // the replaced files carried stats for (r16 verdict #6 — zorder
+    // upkeep, same rule as deleteWhere)
+    val fstats0 = fileStats(v0)
+    val statCols = ((if (integralKey) Seq(keyCol) else Nil) ++
+      touched.flatMap(f =>
+        fstats0.get(f).map(_.keySet.toSeq).getOrElse(Seq.empty))).distinct
     val stats =
-      if (!integralKey) Map.empty[String, Map[String, (Long, Long)]]
+      if (statCols.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
       else added.map { f =>
-        f -> footerRange(spark, f, keyCol).map(r => Map(keyCol -> r))
-          .getOrElse(Map.empty[String, (Long, Long)])
+        f -> statCols.flatMap(c =>
+          footerRange(spark, f, c).map(c -> _)).toMap
       }.toMap
+    // same auto-carry as deleteWhere: blooms the replaced files
+    // carried are re-derived on every added file (rewrites AND the
+    // landed source batch)
+    val fblooms0 = foldStateFull(v0)._4
+    val bloomColsAll = (bloomCols ++ touched.flatMap(f =>
+      fblooms0.get(f).map(_.keySet.toSeq).getOrElse(Seq.empty))).distinct
     val blooms =
-      if (bloomCols.isEmpty)
+      if (bloomColsAll.isEmpty)
         Map.empty[String, Map[String, (Long, Map[Int, Long])]]
       else added.map { f =>
-        f -> bloomCols.distinct.map(c =>
+        f -> bloomColsAll.map(c =>
           c -> bloomEnvelope(spark, f, c)).toMap
       }.toMap
+    // rebase also checks the SCHEMA is unchanged: an ALTER commit
+    // leaves liveFiles identical, and an evolving merge re-committing
+    // over it would record a widened DDL missing the racer's column
     val v = commit(added, touched, txn, rebase = _ =>
-      if (liveFiles() == live && !txn.exists(txns().contains))
+      if (liveFiles() == live && !txn.exists(txns().contains)
+          && foldStateFull(Long.MaxValue)._5 == schemaAtRead)
         Some((added, touched))
       else None,
-      readVersion = v0, stats = stats, blooms = blooms)
+      readVersion = v0, stats = stats, blooms = blooms,
+      schemaDdl = () => newDdl)
     if (v < 0L) None else Some(v)
   }
 
@@ -1095,7 +1475,8 @@ final class TxLogTable(root: String,
       rebase: Long => Option[(Seq[String], Seq[String])] = v => None,
       readVersion: Long = -1L,
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      blooms: Map[String, Map[String, (Long, Map[Int, Long])]] = Map.empty)
+      blooms: Map[String, Map[String, (Long, Map[Int, Long])]] = Map.empty,
+      schemaDdl: () => Option[String] = () => None)
       : Long = {
     Files.createDirectories(logDir)
     var (a, r) = (add, remove)
@@ -1112,6 +1493,13 @@ final class TxLogTable(root: String,
     var attempt = (if (readVersion >= 0L) readVersion else currentVersion()) + 1
     while (true) {
       try {
+        // per-attempt commit timestamp: max(now, predecessor + 1) —
+        // monotone even under a backwards clock step, replay-stable
+        // (recorded in the entry body, never mtime); the predecessor
+        // entry always exists because versions are contiguous
+        val prevTs = if (attempt <= 1L) 0L
+          else commitTimestamp(attempt - 1).getOrElse(0L)
+        val ts = math.max(System.currentTimeMillis(), prevTs + 1L)
         // stats ride the entry keyed by file name — a rebase that
         // changes the add set keeps only the stats of files it still
         // adds (stats for dropped files would be dead weight; files
@@ -1119,7 +1507,8 @@ final class TxLogTable(root: String,
         publisher.publish(logDir, entryName(attempt),
           encode(a, r, txn,
             statsRows(stats.filter { case (f, _) => a.contains(f) }),
-            bloomRows(blooms.filter { case (f, _) => a.contains(f) }))
+            bloomRows(blooms.filter { case (f, _) => a.contains(f) }),
+            ts, schemaDdl())
             .getBytes(StandardCharsets.UTF_8))
         // best-effort checkpoint on the interval: the fold at this
         // version is deterministic, so a failed/raced checkpoint write
@@ -1186,9 +1575,25 @@ object TxLogTable {
   * cannot conflict at the file level; row-level conflict CHECKING is
   * the piece a full format adds on top of this same log shape). */
 final class TxLogStore(root: String,
-    publisher: LogPublisher = LogPublisher.HardLink)
+    publisher: LogPublisher = LogPublisher.HardLink,
+    keyBloomCol: Option[String] = None)
     extends graft.streaming.StreamingOps.UpsertStateStore {
   private val table = new TxLogTable(root, publisher)
+
+  /** Point lookup on the state's KEY column (round 19, r16 verdict
+    * #5): with `keyBloomCol` set, every commit records a per-file key
+    * bloom beside the bucket envelope, so a single-key read opens
+    * exactly the owning file — the bucket range alone cannot separate
+    * files by key (key mins/maxes interleave across buckets).
+    * `(df, kept, live)` observability, superset contract: the caller
+    * still applies the equality filter. */
+  def readPoint(spark: SparkSession, key: Long)
+      : (Option[DataFrame], Int, Int) = {
+    val c = keyBloomCol.getOrElse(throw new IllegalStateException(
+      "readPoint needs a keyBloomCol-configured store"))
+    val (df, kept, live) = table.snapshotWherePoint(spark, c, key)
+    (df.map(_.filter(col(c) === key)), kept, live)
+  }
   // file → buckets bookkeeping lives IN THE LOG since round 17: each
   // commit writes one file per touched bucket AND records the file's
   // bucket envelope in its add entry, so a read folds the metadata it
@@ -1242,12 +1647,20 @@ final class TxLogStore(root: String,
     val added = table.writeBucketFiles(out, "bucket")
     // record each file's bucket envelope in the add entry (one footer
     // read per just-written file, writer-side — reads then prune off
-    // the log fold alone)
+    // the log fold alone), plus a KEY bloom when configured (round
+    // 19) so [[readPoint]] opens exactly the owning file
     val stats = added.map { f =>
       f -> table.footerRange(spark, f, "bucket")
         .map(r => Map("bucket" -> r)).getOrElse(Map.empty[String, (Long, Long)])
     }.toMap
+    val blooms = keyBloomCol match {
+      case None => Map.empty[String, Map[String, (Long, Map[Int, Long])]]
+      case Some(c) => added.map { f =>
+        f -> Map(c -> table.bloomEnvelope(spark, f, c))
+      }.toMap
+    }
     table.commit(added, removed.toSeq, Some(batchId), stats = stats,
+      blooms = blooms,
       rebase = _ => {
       // a racer advanced the table: if it was OUR batch replayed
       // concurrently, abort; otherwise recompute the removal set

@@ -534,18 +534,44 @@ object StreamingOps {
       if (!table.txns().contains(batchId) && batch.head(1).nonEmpty) {
         val idx = graft.operators.Similarity.ivfIndex(batch, centroids)
         val files = table.writeBucketFiles(idx, "cell")
-        // one footer read per just-written file, writer-side — reads
-        // then prune off the log fold alone (the TxLogStore discipline)
+        // writer-side per-file metadata (the TxLogStore discipline,
+        // one file-local job per file): CELL + VEC_ID range envelopes
+        // so both the probe and a GDPR delete prune off the log fold
+        // alone, and a VEC_ID point bloom (round 19) so
+        // [[ivfDeleteStored]]'s candidate set and any point lookup
+        // open exactly the owning files within a cell
         val stats = files.map { f =>
-          f -> table.footerRange(spark, f, "cell")
-            .map(r => Map("cell" -> r))
-            .getOrElse(Map.empty[String, (Long, Long)])
+          f -> Seq("cell", "vec_id").flatMap(c =>
+            table.footerRange(spark, f, c).map(c -> _)).toMap
+        }.toMap
+        val blooms = files.map { f =>
+          f -> Map("vec_id" -> table.bloomEnvelope(spark, f, "vec_id"))
         }.toMap
         table.commit(files, Nil, Some(batchId), stats = stats,
+          blooms = blooms,
           rebase = _ =>
             if (table.txns().contains(batchId)) None
             else Some((files, Nil)))
       }
+  }
+
+  /** GDPR DELETE from a [[ivfIngestSink]]-maintained index (round 19,
+    * r16 verdict #3): remove `vecIds` from the persisted index
+    * through the log's copy-on-write [[graft.sources.TxLogTable
+    * .deleteWhere]] — candidates prune off the ingest-recorded vec_id
+    * range + bloom envelopes BEFORE any data read, only files
+    * actually holding a doomed vector rewrite, and the rewrite
+    * auto-carries both the cell/vec_id envelopes and fresh vec_id
+    * blooms, so [[ivfProbeStored]] stays file-tight and point lookups
+    * stay bloom-pruned across deletes. Delete-then-probe ≡
+    * rebuild-without-deleted (spec-proven) because the probe is a
+    * pure function of the live row set. `txn` makes a replayed
+    * erasure a no-op. */
+  def ivfDeleteStored(spark: org.apache.spark.sql.SparkSession,
+      table: graft.sources.TxLogTable, vecIds: Seq[Long],
+      txn: Option[Long] = None): Option[Long] = {
+    require(vecIds.nonEmpty, "empty erasure set")
+    table.deleteWhereIn(spark, "vec_id", vecIds, txn = txn)
   }
 
   /** Probe a [[ivfIngestSink]]-maintained index: rank the probed

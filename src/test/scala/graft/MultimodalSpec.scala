@@ -469,6 +469,102 @@ class MultimodalSpec extends SparkSpec {
     assert(vStored === vQuery)
   }
 
+  test("video rep collapse FINDS a planted over-cap duplicate group " +
+      "(the r16 recall cliff) and the star face reads it out in " +
+      "|members| + |repPairs| rows, not C(c,2)") {
+    // 10 byte-identical copies of one clip (frames {11,12,13}): with
+    // dfCap = 4 the r16 face censused per-COPY df = 10 > cap, dropped
+    // every frame, and the most-duplicated clip in the corpus
+    // vanished from its own dedup. Rep collapse censuses distinct
+    // FINGERPRINTS (df = 1 here), so the flood stays cold and FOUND.
+    val copies = (0 until 10).flatMap(i =>
+      Seq((i.toLong, 11L), (i.toLong, 12L), (i.toLong, 13L)))
+    // a normal trimmed near-dup pair must keep working beside it
+    val pair = Seq((100L, 5001L), (100L, 5002L), (100L, 5003L),
+      (101L, 5001L), (101L, 5002L))
+    val fh = (copies ++ pair).toDF("id", "ahash")
+    val rows = graft.queries.MultimodalPack
+      .videoDedupFrom(fh, dfCap = 4L).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flood = (for { a <- 0 until 10; b <- a + 1 until 10 }
+      yield (a.toLong, b.toLong)).toSet
+    assert(got === flood + ((100L, 101L)),
+      s"the flood must be FOUND and the trim pair survive, got $got")
+    assert(rows.filter(_.getLong(1) < 10L).forall(r =>
+        r.getAs[Long]("cont_bp") === 10000L
+          && r.getAs[Long]("n_shared") === 3L),
+      "exact copies pair at full containment over all 3 frames")
+    // the star face bounds the same group: 9 member edges off the
+    // rep + 1 verified rep pair — 10 rows where all-pairs is 46
+    val star = graft.queries.MultimodalPack
+      .videoDedupStarFrom(fh, dfCap = 4L).collect()
+    val member = star.filter(_.getString(2) == "member")
+    val repPair = star.filter(_.getString(2) == "pair")
+    assert(member.length === 9
+        && member.forall(_.getLong(0) === 0L)
+        && member.map(_.getLong(1)).toSet === (1L to 9L).toSet,
+      "one member edge per non-rep copy, all anchored at the rep")
+    assert(repPair.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        === Seq((100L, 101L)))
+  }
+
+  private def componentsOf(verts: Set[Long],
+      edges: Iterable[(Long, Long)]): Set[Set[Long]] = {
+    val parent = scala.collection.mutable.Map(
+      verts.map(v => v -> v).toSeq: _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) => parent.update(find(a), find(b)) }
+    verts.groupBy(find).values.map(_.toSet).toSet
+  }
+
+  test("media star faces are connectivity-equivalent to the " +
+      "all-pairs readouts — identical components on corpus + a " +
+      "planted identical-fingerprint group") {
+    val sfDir = "/root/testdata/sf0.001"
+    // audio: corpus words + clip 0's words replayed under two fresh
+    // ids = a 3-member identical-fingerprint group exercising the
+    // member-edge path the bare corpus never does
+    val w0 = Multimodal.audioFingerprintWords(
+      Multimodal.audioDupCorpus(spark, sfDir), "id", "media").toDF()
+    val clone = w0.where($"id" === 0L)
+    val words = w0
+      .unionByName(clone.withColumn("id",
+        org.apache.spark.sql.functions.lit(9000L)))
+      .unionByName(clone.withColumn("id",
+        org.apache.spark.sql.functions.lit(9001L)))
+    val verts = words.select("id").distinct().as[Long].collect().toSet
+    val all = graft.queries.MultimodalPack.audioDedupFrom(words)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val star = graft.queries.MultimodalPack.audioDedupStarFrom(words)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(componentsOf(verts, all) === componentsOf(verts, star),
+      "audio star edges must walk to the same duplicate sets")
+    assert(star.length < all.length + 4,
+      "star is never materially larger than all-pairs")
+    // video: same discipline over frame hashes
+    val f0 = Multimodal.frameHashes(
+      Multimodal.videoDupCorpus(spark, sfDir), "id", "media").toDF()
+    val fClone = f0.where($"id" === 0L)
+    val fh = f0
+      .unionByName(fClone.withColumn("id",
+        org.apache.spark.sql.functions.lit(9000L)))
+      .unionByName(fClone.withColumn("id",
+        org.apache.spark.sql.functions.lit(9001L)))
+    val fVerts = fh.select("id").distinct().as[Long].collect().toSet
+    val vAll = graft.queries.MultimodalPack.videoDedupFrom(fh)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val vStar = graft.queries.MultimodalPack.videoDedupStarFrom(fh)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(componentsOf(fVerts, vAll) === componentsOf(fVerts, vStar),
+      "video star edges must walk to the same duplicate sets")
+  }
+
   test("dctProfileOf: flat image is pure DC; stripes out-sharpen a gradient") {
     def fill(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

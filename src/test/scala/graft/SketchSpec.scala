@@ -80,6 +80,30 @@ class SketchSpec extends SparkSpec {
     assert(nsh2 === (1L << 18) && mP2 === (1L << 22))
     assert(java.lang.Long.bitCount(nsh2) === 1
       && java.lang.Long.bitCount(mP2) === 1 && nsh2 * mP2 === (1L << 40))
+    // the degenerate corner (r16 ADVICE): shards > m used to plan
+    // mP = 0, and pmod(x, 0) is NULL — every probe predicate null,
+    // the join silently empty. The cap is one shard per bit.
+    assert(RuntimeFilter.shardPlan(1L << 10, 1 << 12) === ((1L << 10, 1L)),
+      "shards are capped at m — mP never reaches 0")
+  }
+
+  test("filteredJoin equals the plain join even under a degenerate " +
+      "shards > m layout (the mP = 0 silent-empty corner, r16 ADVICE)") {
+    import graft.operators.RuntimeFilter
+    val fact = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("k"), col("o_orderstatus"))
+    val dim = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 8)
+      .select(col("c_custkey").as("k"), col("c_name"))
+    val want = fact.join(dim, Seq("k"))
+      .collect().map(_.toString).sorted.toSeq
+    // ≤8 dim keys → m = 1024 bits; shards = 4096 > m, and a 1-bit
+    // broadcast budget forces the sharded regime
+    val got = RuntimeFilter.filteredJoin(fact, dim, "k",
+      shards = 4096, broadcastBitsMax = 1L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want,
+      "the sharded regime with shards > m must still return the join")
   }
 
   test("filteredJoin fails loudly when the fact schema already uses " +

@@ -1009,4 +1009,367 @@ class TxLogSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
+
+  test("TIMESTAMP AS OF: commit timestamps are recorded in the entry " +
+      "body, monotone, replay-stable; versionAt resolves every read " +
+      "face and a pre-first-commit timestamp throws (round 19)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(Seq((1, "old")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(1L)) === 1L)
+      val f2 = table.writeDataFiles(Seq((2, "new")).toDF("k", "v"))
+      assert(table.commit(f2, Nil, Some(2L)) === 2L)
+      val t1 = table.commitTimestamp(1L).get
+      val t2 = table.commitTimestamp(2L).get
+      assert(t2 > t1, "commit timestamps are strictly monotone")
+      // resolution: at t1 exactly → v1 (t2 > t1 by monotonicity);
+      // at t2 and far future → v2
+      assert(table.versionAt(t1) === 1L)
+      assert(table.versionAt(t2) === 2L)
+      assert(table.versionAt(t2 + 3600L * 1000) === 2L)
+      assert(table.snapshotAt(spark, t1).get.collect()
+        .map(_.getString(1)).toSeq === Seq("old"),
+        "the between-commits instant reads the OLD snapshot")
+      assert(table.snapshotAt(spark, t2).get.count() === 2L)
+      val e = intercept[IllegalArgumentException](
+        table.versionAt(t1 - 1L))
+      assert(e.getMessage.contains("predates"),
+        "a pre-first-commit timestamp must fail loudly")
+      // replay-stable: a COPIED log (new directory, fresh instance)
+      // resolves identically — the timestamp lives in the entry body,
+      // not in file mtimes
+      val dir2 = tmp()
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(dir), new java.io.File(dir2))
+      val restored = new TxLogTable(dir2)
+      assert(restored.commitTimestamp(1L) === Some(t1)
+        && restored.versionAt(t1) === 1L,
+        "a restored log keeps its history")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir2))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("schema evolution: ALTER ADD COLUMN is a metadata-only commit, " +
+      "old files project with nulls, merges accept the widened batch, " +
+      "and time travel below the ALTER shows the old schema (round 19)") {
+    val dir = tmp()
+    try {
+      // interval 2: the ALTER at v2 forces a checkpoint, so the
+      // fresh-instance fold below proves the schema survives
+      // checkpoint compaction too
+      val table = new TxLogTable(dir, checkpointInterval = 2)
+      val f1 = table.writeDataFiles(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(1L)) === 1L)
+      // epoch 2: widen — no data movement (liveFiles unchanged)
+      assert(table.alterAddColumn(spark, "score BIGINT") === Some(2L))
+      assert(table.liveFiles() === f1, "ALTER moves no data")
+      assert(table.tableSchema().get.fieldNames.toSeq
+        === Seq("k", "v", "score"))
+      val snap = table.snapshot(spark).get
+      assert(snap.columns.toSeq === Seq("k", "v", "score"))
+      assert(snap.collect().forall(_.isNullAt(2)),
+        "pre-ALTER files read as null in the new column")
+      // a same-name re-ALTER fails loudly
+      intercept[IllegalArgumentException](
+        table.alterAddColumn(spark, "score BIGINT"))
+      // the widened batch now merges (update k=2, insert k=3)
+      import s.implicits._
+      val batch = Seq((2, "b2", 20L), (3, "c", 30L))
+        .toDF("k", "v", "score")
+      assert(table.merge(spark, batch, "k", txn = Some(50L))
+        === Some(3L))
+      val rows = table.snapshot(spark).get.collect()
+        .map(r => (r.getInt(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows === Set((1, "a", -1L), (2, "b2", 20L), (3, "c", 30L)),
+        "two-epoch table: old rows null-filled, merged rows carry the " +
+          "new column")
+      // time travel below the ALTER: the old 2-column schema
+      val old = table.snapshot(spark, 1L).get
+      assert(old.columns.toSeq === Seq("k", "v"),
+        "pre-ALTER versions keep their birth schema")
+      assert(old.count() === 2L)
+      // a fresh instance folds the schema through the v2 CHECKPOINT
+      // (interval 2) plus the v3 entry — cold-start correctness
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        dir, "_txlog", f"${2L}%020d.checkpoint.json")),
+        "the ALTER at v2 must have checkpointed")
+      assert(new TxLogTable(dir).tableSchema().get.fieldNames.toSeq
+        === Seq("k", "v", "score"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("merge schema guards: mistyped shared columns fail loudly " +
+      "(r16 ADVICE), extra columns require evolveSchema=true, and an " +
+      "evolving merge widens in the same atomic commit (round 19)") {
+    val dir = tmp()
+    try {
+      import s.implicits._
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(1L)) === 1L)
+      // Int k vs the table's Long k: a divergent physical schema must
+      // never reach a data file
+      val mistyped = Seq((2, "b2")).toDF("k", "v")
+      val e1 = intercept[IllegalArgumentException](
+        table.merge(spark, mistyped, "k"))
+      assert(e1.getMessage.contains("k: table bigint vs source int"))
+      // extra column without the flag: loud
+      val wide = Seq((2L, "b2", 0.5)).toDF("k", "v", "q")
+      val e2 = intercept[IllegalArgumentException](
+        table.merge(spark, wide, "k"))
+      assert(e2.getMessage.contains("evolveSchema"))
+      // with the flag: ONE commit both merges and widens
+      assert(table.merge(spark, wide, "k", txn = Some(9L),
+        evolveSchema = true) === Some(2L))
+      assert(table.tableSchema().get.fieldNames.toSeq
+        === Seq("k", "v", "q"))
+      val rows = table.snapshot(spark).get.collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+      assert(rows === Set((1L, "a", -1.0), (2L, "b2", 0.5)))
+      // a source missing a table column is never an implicit DROP
+      val narrow = Seq((3L, "c")).toDF("k", "v")
+      val e3 = intercept[IllegalArgumentException](
+        table.merge(spark, narrow, "k"))
+      assert(e3.getMessage.contains("lacks table columns"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("deleteWhere on a zordered table keeps BOTH clustering " +
+      "columns' envelopes on rewritten files — quadrant skipping " +
+      "stays tight across deletes (r16 verdict #6)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val all = for (i <- 0 until 4096) yield (i % 64, i / 64)
+      val f0 = table.writeDataFiles(all.toDF("x", "y"))
+      assert(table.commit(f0, Nil, Some(1L)) === 1L)
+      assert(table.optimizeZorder(spark, "x", "y", nFiles = 4)
+        === Some(2L))
+      assert(table.pruneLiveFiles(spark,
+        Seq(("x", 0L, 31L), ("y", 0L, 31L)))._1.size === 1)
+      // delete on a predicate whose RANGES name only x — the rewrite
+      // must still re-derive y's envelope for the rewritten files
+      assert(table.deleteWhere(spark,
+        col("x") === 3 && col("y") === 3,
+        ranges = Seq(("x", 3L, 3L))).isDefined)
+      val st = table.fileStats()
+      assert(table.liveFiles().forall(f =>
+        st.get(f).exists(m => m.contains("x") && m.contains("y"))),
+        s"every live file must keep BOTH clustering envelopes: $st")
+      val (kept, total) = table.pruneLiveFiles(spark,
+        Seq(("x", 32L, 63L), ("y", 32L, 63L)))
+      assert(total === 4 && kept.size === 1,
+        s"quadrant skipping must stay 1-of-4 after the delete, " +
+          s"got ${kept.size} of $total")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("bloomEnvelope rejects non-integral key columns — the probe " +
+      "renders Long.toString, so a double column would false-negative " +
+      "(r16 ADVICE)") {
+    val dir = tmp()
+    try {
+      import s.implicits._
+      val table = new TxLogTable(dir)
+      val f = table.writeDataFiles(
+        Seq((1L, 42.0), (2L, 7.5)).toDF("k", "d"))
+      assert(table.commit(f, Nil, Some(1L)) === 1L)
+      // integral key: fine
+      val (m, words) = table.bloomEnvelope(spark, f.head, "k")
+      assert(m >= 64L && words.nonEmpty)
+      // double key: 42.0 would hash "42.0" writer-side vs "42" at the
+      // probe — reject at build time
+      val e = intercept[IllegalArgumentException](
+        table.bloomEnvelope(spark, f.head, "d"))
+      assert(e.getMessage.contains("integral"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("ivfDeleteStored: GDPR erasure from the streamed ANN index — " +
+      "delete-then-probe equals rebuild-without-deleted, candidates " +
+      "prune per-value off the ingest blooms, and the rewrite keeps " +
+      "the probe file-tight (round 19)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = graft.operators.KMeansND.seed(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")), 16)
+      val sink = StreamingOps.ivfIngestSink(table, cents)
+      sink(emb.filter(col("vec_id") % 2 === 0), 0L)
+      sink(emb.filter(col("vec_id") % 2 === 1), 1L)
+      val liveBefore = table.liveFiles().toSet
+      // erase two vectors NOT in the query set
+      val doomed = Seq(11L, 24L)
+      assert(StreamingOps.ivfDeleteStored(spark, table, doomed,
+        txn = Some(77L)).nonEmpty)
+      // bloom-aware candidate pruning: only the owning files were
+      // rewritten — every other file keeps its NAME (byte-identical)
+      val liveAfter = table.liveFiles().toSet
+      val untouched = liveBefore.intersect(liveAfter)
+      assert(liveBefore.size - untouched.size <= doomed.size,
+        s"at most one rewrite per doomed vector's owning file: " +
+          s"${liveBefore.size - untouched.size} files rewritten")
+      // delete-then-probe ≡ rebuild-without-deleted, row for row
+      val q = emb.filter(col("vec_id") < 5)
+      val (gotOpt, kept, live) =
+        StreamingOps.ivfProbeStored(spark, table, q, cents, k = 3)
+      val want = graft.operators.Similarity.ivfTopK(
+        emb.filter(!col("vec_id").isin(doomed: _*)), q, cents, k = 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(gotOpt.get.collect().map(_.toString).sorted.toSeq === want,
+        "the erased vectors must vanish from probe results exactly")
+      assert(kept < live, "the probe stays file-tight after the delete")
+      // the rewrite auto-carried fresh vec_id blooms: a deleted id is
+      // provably absent, a surviving id still point-prunes
+      assert(table.snapshotWherePoint(spark, "vec_id", 11L)._2 === 0,
+        "deleted id must be bloom-absent after the rewrite")
+      val (dfS, keptS, liveS) =
+        table.snapshotWherePoint(spark, "vec_id", 13L)
+      assert(keptS < liveS && dfS.get
+        .filter(col("vec_id") === 13L).count() === 1L,
+        "a surviving id still opens a bloom-pruned file subset")
+      // replayed erasure is answered by the txn record
+      assert(StreamingOps.ivfDeleteStored(spark, table, doomed,
+        txn = Some(77L)).isEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("TxLogStore key blooms: readPoint opens exactly the owning " +
+      "file within a bucket (r16 verdict #5)") {
+    val dir = tmp()
+    try {
+      val store = new TxLogStore(dir,
+        graft.sources.LogPublisher.HardLink,
+        keyBloomCol = Some("user_id"))
+      val table = new TxLogTable(dir)
+      val sink = StreamingOps.upsertSink(store, nBuckets = 4)
+      // two batches, four buckets → four bucket-aligned files whose
+      // user_id RANGES interleave (1..8 spread over buckets 0..3), so
+      // only the bloom separates them
+      sink((1L to 8L).map(u =>
+          (u, ts(u.toInt), "view", u.toDouble, 100L + u))
+        .toDF("user_id", "ts", "event_type", "value", "event_id"), 0L)
+      sink(Seq((2L, ts(30), "click", 9.0, 200L))
+        .toDF("user_id", "ts", "event_type", "value", "event_id"), 1L)
+      val (dfOpt, kept, live) = store.readPoint(spark, 3L)
+      assert(live >= 4, s"bucket-aligned layout expected, live=$live")
+      assert(kept === 1,
+        s"point read must open exactly the owning file, opened $kept")
+      assert(dfOpt.get.count() === 1L)
+      // the updated key reads its LATEST state through the point face
+      val (df2, kept2, _) = store.readPoint(spark, 2L)
+      assert(kept2 === 1 && df2.get.collect().head
+        .getAs[String]("event_type") === "click",
+        "the point read sees the merged latest state")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("RESTORE: rollback-by-commit re-adds the target's files, " +
+      "stats and schema; history stays travelable; a vacuumed target " +
+      "throws; a replayed restore is a no-op (round 19)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(1L), stats = f1.map(f =>
+        f -> Map("k" -> (1L, 3L))).toMap) === 1L)
+      // v2: bad delete (the fat-finger restore exists to undo)
+      assert(table.deleteWhere(spark, col("v") =!= "c",
+        ranges = Nil).contains(2L))
+      assert(table.snapshot(spark).get.count() === 1L)
+      // v3: ALTER (so the restore below also narrows the schema back)
+      assert(table.alterAddColumn(spark, "extra BIGINT")
+        .contains(3L))
+      // v4: RESTORE to v1 — content, stats, and schema all back
+      assert(table.restore(spark, 1L, txn = Some(700L))
+        .contains(4L))
+      assert(table.snapshot(spark).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+        === Set((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(table.tableSchema().get.fieldNames.toSeq === Seq("k", "v"),
+        "restore below the ALTER narrows tableSchema back")
+      assert(f1.forall(f => table.fileStats().get(f)
+          .exists(_.contains("k"))),
+        "re-added files carry their envelopes again (the fold drops " +
+          "them with the remove, the restore entry must bring them back)")
+      // history intact: the bad version is still time-travelable
+      assert(table.snapshot(spark, 2L).get.count() === 1L)
+      // a replayed restore (same txn) and a no-change restore no-op
+      assert(table.restore(spark, 1L, txn = Some(700L)).isEmpty)
+      assert(table.restore(spark, 4L).isEmpty,
+        "restoring to the current state is a no-op")
+      // vacuum the bad epoch's rewrite, then try restoring INTO it
+      assert(table.vacuum(retainVersion = 4L, minAgeMs = 0L).nonEmpty)
+      val e = intercept[IllegalStateException](table.restore(spark, 2L))
+      assert(e.getMessage.contains("vacuumed"),
+        s"a reclaimed target must fail loudly, got: ${e.getMessage}")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("tableChanges: row-level CDC between versions reads ONLY the " +
+      "churn's files — inserts, deletes, and update pairs exact; " +
+      "untouched files never enter the plan (round 19)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      // 3 single-key files so a 1-key merge touches exactly 1 of 3
+      val fs = (1L to 3L).flatMap(k => table.writeDataFiles(
+        Seq((k, s"v$k")).toDF("k", "v")))
+      assert(table.commit(fs, Nil, Some(1L), stats = fs.zipWithIndex
+        .map { case (f, i) =>
+          f -> Map("k" -> ((i + 1).toLong, (i + 1).toLong)) }
+        .toMap) === 1L)
+      // v2: update k=2, insert k=4 (one merge — one rewrite + one add)
+      assert(table.merge(spark,
+        Seq((2L, "v2new"), (4L, "v4")).toDF("k", "v"), "k",
+        txn = Some(9L)).contains(2L))
+      val ch = table.tableChanges(spark, 1L, 2L).get
+      val got = ch.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2))).toSet
+      assert(got === Set((2L, "v2", "delete"), (2L, "v2new", "insert"),
+          (4L, "v4", "insert")),
+        s"update = delete + insert, insert alone for the new key: $got")
+      // churn-proportional: the plan reads only the symmetric
+      // difference of the live sets — k=1 and k=3's files never
+      // appear among the scan's input files
+      val touched = (table.liveFiles(1L).toSet -- table.liveFiles(2L))
+        .union(table.liveFiles(2L).toSet -- table.liveFiles(1L))
+      val scanned = ch.inputFiles.map(u =>
+        u.substring(u.lastIndexOf('/') + 1)).toSet
+      assert(scanned === touched.map(f =>
+          f.substring(f.lastIndexOf('/') + 1)),
+        s"CDC must scan exactly the churn: $scanned vs $touched")
+      // no-change interval → None; degenerate interval → None
+      assert(table.tableChanges(spark, 2L, 2L).isEmpty)
+      intercept[IllegalArgumentException](
+        table.tableChanges(spark, 2L, 1L))
+      // v3: pure delete — CDC is deletes only
+      assert(table.deleteWhere(spark, col("k") === 1L,
+        ranges = Seq(("k", 1L, 1L))).contains(3L))
+      val del = table.tableChanges(spark, 2L, 3L).get.collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(del === Set((1L, "delete")))
+      // spanning interval composes: (1,3] = the merge + the delete
+      val span = table.tableChanges(spark, 1L, 3L).get.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(span === Set((1L, "v1", "delete"), (2L, "v2", "delete"),
+        (2L, "v2new", "insert"), (4L, "v4", "insert")))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }
