@@ -1644,21 +1644,41 @@ object GraphPack extends QueryPack {
       // level — measured 12.2 → 20.4 s at checkpoint-every-3rd
       // (round 18; the floor is the sweeps' nature, not the jobs)
       for (r <- 1 to rounds) lbl = louvainSweep(lbl, curE, curK, m2, r, ckpt)
-      val nMoved = lbl.where(col("node") =!= col("lbl")).count()
-      // newly-internalized weight: bidirected internal edges / 2
-      aaCum += curE
-        .join(lbl.select(col("node").as("src"), col("lbl").as("cs")), "src")
-        .join(lbl.select(col("node").as("dst"), col("lbl").as("cd")), "dst")
-        .where(col("cs") === col("cd"))
+      // round-19 job fusion (§7 r19 #5): the census used to pay 3
+      // extra driver actions per level beside the sweeps — a
+      // node-sized nMoved count, an edge-sized internal-weight join,
+      // and the bb/n_comms agg. nMoved now rides the superK groupBy
+      // (per-group moved counts summed in the same bb head()), and
+      // the internal weight reads off the CONTRACTION's self-loops —
+      // contracting WITHOUT dropping internal edges makes the
+      // contracted table carry aa as its loop weight (super-node-
+      // sized agg), and the next level's edge list is just the
+      // loop-free filter of the same checkpoint. Values are
+      // bit-identical: Σ per-group moved = the global count, and the
+      // loop weight IS the cs = cd sum the old join computed.
+      val superK0 = ckpt(lbl.join(curK, "node")
+        .groupBy(col("lbl")).agg(sum("k").as("k"),
+          sum(when(col("node") =!= col("lbl"), 1L).otherwise(0L))
+            .as("mv"))
+        .select(col("lbl").as("node"), col("k"), col("mv")))
+      val superK = superK0.select("node", "k")
+      val contracted = ckpt(curE
+        .join(lbl.select(col("node").as("src"), col("lbl").as("cs")),
+          "src")
+        .join(lbl.select(col("node").as("dst"), col("lbl").as("cd")),
+          "dst")
+        .groupBy(col("cs").as("src"), col("cd").as("dst"))
+        .agg(sum("w").as("w"))
+        .repartition(col("src")))
+      // newly-internalized weight: bidirected internal loops / 2
+      aaCum += contracted.where(col("src") === col("dst"))
         .agg(coalesce(sum("w"), lit(0L))).head().getLong(0) / 2
-      val superK = ckpt(lbl.join(curK, "node")
-        .groupBy(col("lbl")).agg(sum("k").as("k"))
-        .select(col("lbl").as("node"), col("k")))
-      val agg = superK.agg(
+      val agg = superK0.agg(
         sum(expr("cast(k as decimal(38,0)) * k")).as("bb"),
-        count(lit(1)).as("n_comms")).head()
+        count(lit(1)).as("n_comms"), sum("mv").as("n_moved")).head()
       val bb = agg.getDecimal(0)
       val nComms = agg.getLong(1)
+      val nMoved = agg.getLong(2)
       out += s.range(1).select(lit(lv).cast("int").as("level"),
         lit(nSuper).as("n_super"), lit(nMoved).as("n_moved"),
         lit(nComms).as("n_comms"),
@@ -1668,15 +1688,7 @@ object GraphPack extends QueryPack {
           .as("q"))
       nSuper = nComms
       if (lv < levels) {
-        curE = ckpt(curE
-          .join(lbl.select(col("node").as("src"), col("lbl").as("cs")),
-            "src")
-          .join(lbl.select(col("node").as("dst"), col("lbl").as("cd")),
-            "dst")
-          .where(col("cs") =!= col("cd"))
-          .groupBy(col("cs").as("src"), col("cd").as("dst"))
-          .agg(sum("w").as("w"))
-          .repartition(col("src")))
+        curE = contracted.where(col("src") =!= col("dst"))
         curK = superK
       }
     }

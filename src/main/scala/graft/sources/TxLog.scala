@@ -1542,6 +1542,28 @@ final class TxLogTable(root: String,
 }
 
 object TxLogTable {
+  /** Apply a [[TxLogTable.tableChanges]] frame to a materialized
+    * replica — the CDC CONSUMER half (round 19): downstream
+    * replication is pure multiset algebra, `replica ∖ deletes ⊎
+    * inserts`, needing no key column and no knowledge of which
+    * change was an update (whole-row replacement makes delete +
+    * insert exact). Composition law (spec-pinned): folding
+    * `tableChanges(v, v+1)` from an empty replica reproduces
+    * `snapshot(vN)` at every step — bootstrap is just the v0→v1
+    * changes (an empty `from` live set reads the whole first commit
+    * as inserts), and each increment costs only that interval's
+    * churn. */
+  def applyChanges(replica: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ins = changes.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    val del = changes.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    replica.exceptAll(del).unionByName(ins)
+  }
+
   /** Checkpoint every N commits: snapshot fold cost is bounded by N
     * entry reads; Delta's default is every 10 commits. */
   val DefaultCheckpointInterval = 10L

@@ -1372,4 +1372,35 @@ class TxLogSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
+
+  test("CDC composes: folding tableChanges from an empty replica " +
+      "reproduces every snapshot — bootstrap is the v0->v1 changes, " +
+      "each increment costs only its churn (round 19)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(1L)) === 1L)
+      assert(table.merge(spark,
+        Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), "k",
+        txn = Some(2L)).contains(2L))
+      assert(table.deleteWhere(spark, col("k") === 1L,
+        ranges = Nil).contains(3L))
+      var replica = table.snapshot(spark).get.limit(0)
+      (0L until 3L).foreach { v =>
+        table.tableChanges(spark, v, v + 1).foreach(ch =>
+          replica = graft.sources.TxLogTable.applyChanges(replica, ch))
+        assert(replica.collect().map(_.toString).sorted.toSeq
+            === table.snapshot(spark, v + 1).get.collect()
+              .map(_.toString).sorted.toSeq,
+          s"replica must equal snapshot(${v + 1}) — the CDC fold is " +
+            "exactly replication")
+      }
+      assert(replica.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+        === Set((2L, "b2"), (3L, "c")))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }
