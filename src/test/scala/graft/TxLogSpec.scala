@@ -1373,6 +1373,41 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("vector UPSERT composes from the lifecycle faces: delete + " +
+      "re-ingest of a corrected embedding equals a from-scratch " +
+      "index over the corrected corpus (round 19)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = graft.operators.KMeansND.seed(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        16)
+      val sink = StreamingOps.ivfIngestSink(table, cents)
+      sink(emb, 0L)
+      // 'correct' vector 11: negate its embedding (a re-embedding
+      // after a model fix — the real update-in-place ask)
+      val corrected = emb.withColumn("embedding",
+        when(col("vec_id") === 11L,
+            org.apache.spark.sql.functions.transform(col("embedding"),
+              x => -x))
+          .otherwise(col("embedding")))
+      assert(StreamingOps.ivfDeleteStored(spark, table, Seq(11L),
+        txn = Some(1L)).nonEmpty)
+      sink(corrected.filter(col("vec_id") === 11L), 2L)
+      val q = emb.filter(col("vec_id") < 5)
+      val got = StreamingOps.ivfProbeStored(spark, table, q, cents,
+        k = 3)._1.get.collect().map(_.toString).sorted.toSeq
+      val want = graft.operators.Similarity.ivfTopK(
+        corrected, q, cents, k = 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want,
+        "delete + re-ingest must equal rebuild over the corrected " +
+          "corpus — the UPSERT contract from the two lifecycle faces")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("CDC composes: folding tableChanges from an empty replica " +
       "reproduces every snapshot — bootstrap is the v0->v1 changes, " +
       "each increment costs only its churn (round 19)") {
