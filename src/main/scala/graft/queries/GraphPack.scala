@@ -1662,14 +1662,20 @@ object GraphPack extends QueryPack {
             .as("mv"))
         .select(col("lbl").as("node"), col("k"), col("mv")))
       val superK = superK0.select("node", "k")
-      val contracted = ckpt(curE
+      // materialized only when a NEXT level will consume it — at the
+      // final level the self-loop aggregate is the sole reader, so
+      // the join runs once lazily and the checkpoint write + exchange
+      // would be dead weight
+      val contracted0 = curE
         .join(lbl.select(col("node").as("src"), col("lbl").as("cs")),
           "src")
         .join(lbl.select(col("node").as("dst"), col("lbl").as("cd")),
           "dst")
         .groupBy(col("cs").as("src"), col("cd").as("dst"))
         .agg(sum("w").as("w"))
-        .repartition(col("src")))
+      val contracted =
+        if (lv < levels) ckpt(contracted0.repartition(col("src")))
+        else contracted0
       // newly-internalized weight: bidirected internal loops / 2
       aaCum += contracted.where(col("src") === col("dst"))
         .agg(coalesce(sum("w"), lit(0L))).head().getLong(0) / 2

@@ -501,20 +501,22 @@ object RelationalII extends QueryPack {
     // every matched key yields exactly delete + insert.
     "q_cdc" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("qcdc")
-      val t = new graft.sources.TxLogTable(dir.toString)
-      val o = orders(s, d).select(col("o_orderkey").as("k"),
-        floor(col("o_totalprice") * 100).cast("long").as("cents"))
-      val init = o.filter(pmod(col("k"), lit(17)) === 0)
-      t.commit(t.writeDataFiles(init), Nil, Some(1L))
-      val batch = o.filter(pmod(col("k"), lit(51)) === 0
-          || (pmod(col("k"), lit(17)) === 1 && pmod(col("k"), lit(5)) === 0))
-        .withColumn("cents", expr("(cents * 110) div 100"))
-      t.merge(s, batch, "k", txn = Some(2L))
-      val out = t.tableChanges(s, 1L, 2L).get
-        .withColumnRenamed("_change_type", "change_type")
-        .localCheckpoint(true)
-      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
-      out
+      try {
+        val t = new graft.sources.TxLogTable(dir.toString)
+        val o = orders(s, d).select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val init = o.filter(pmod(col("k"), lit(17)) === 0)
+        t.commit(t.writeDataFiles(init), Nil, Some(1L))
+        val batch = o.filter(pmod(col("k"), lit(51)) === 0
+            || (pmod(col("k"), lit(17)) === 1
+              && pmod(col("k"), lit(5)) === 0))
+          .withColumn("cents", expr("(cents * 110) div 100"))
+        t.merge(s, batch, "k", txn = Some(2L))
+        t.tableChanges(s, 1L, 2L).get
+          .withColumnRenamed("_change_type", "change_type")
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(dir.toFile)
     }),
 
     // Snapshot reconciliation diff (round 10) — the backfill/CDC

@@ -452,7 +452,13 @@ final class TxLogTable(root: String,
     * all-legacy log resolves everything to its newest version, the
     * only defensible reading of an undated history. Throws when `ts`
     * predates the first SURVIVING entry's timestamp: answering from a
-    * later state would silently time-travel forwards. */
+    * later state would silently time-travel forwards. The loud throw
+    * is only as sharp as the first entry's stamp — an UNDATED first
+    * entry inherits 0, so on a mixed legacy/dated log any ts ≥ 0
+    * resolves into the undated prefix instead of throwing (the
+    * prefix's age is unknown; absorbing pre-history instants there is
+    * the same inheritance rule, not a hole — only fully-dated logs
+    * can police their left edge). */
   def versionAt(ts: Long): Long = {
     val vs = listVersions()
     require(vs.nonEmpty, "versionAt on an empty table")
@@ -497,19 +503,27 @@ final class TxLogTable(root: String,
     val curLive = liveFiles(v0)
     val adds = oldLive.filterNot(curLive.toSet)
     val removes = curLive.filterNot(oldLive.toSet)
-    if (adds.isEmpty && removes.isEmpty) return None
+    // the target's schema, pinned EXPLICITLY: a restore below an
+    // ALTER must narrow tableSchema back, and the fold cannot unset —
+    // a pre-evolution target (None) pins its parquet birth schema.
+    // The DECISION is made before the no-op check (a metadata-only
+    // rollback — same files, only an ALTER since — must still commit
+    // the reversal), but the parquet derivation waits until AFTER the
+    // vacuumed-file gate: every oldLive file is either in `adds`
+    // (checked below) or still live (never vacuumed), so the read is
+    // safe there and a reclaimed target fails with the loud
+    // IllegalStateException, not a raw path error.
+    val curSchema = foldStateFull(v0)._5
+    val schemaDiffers = oldSchema != curSchema && oldLive.nonEmpty
+    if (adds.isEmpty && removes.isEmpty && !schemaDiffers) return None
     adds.filterNot(f => Files.exists(dataDir.resolve(f))) match {
       case Seq() => ()
       case gone => throw new IllegalStateException(
         s"version $toVersion is not restorable: data file(s) " +
         s"${gone.take(3).mkString(",")} were vacuumed")
     }
-    // the target's schema, pinned EXPLICITLY: a restore below an
-    // ALTER must narrow tableSchema back, and the fold cannot unset —
-    // a pre-evolution target (None) pins its parquet birth schema
-    val curSchema = foldStateFull(v0)._5
     val targetDdl: Option[String] =
-      if (oldSchema == curSchema || oldLive.isEmpty) None
+      if (!schemaDiffers) None
       else oldSchema.orElse(Some(spark.read
         .parquet(dataDir.resolve(oldLive.head).toString).schema.toDDL))
     val addSet = adds.toSet
@@ -1177,22 +1191,33 @@ final class TxLogTable(root: String,
     val live = liveFiles(v0)
     if (live.isEmpty || values.isEmpty) return None
     val (_, _, fstats, fblooms, _) = foldStateFull(v0)
-    // md5 probe hashes once per distinct value, NOT per (value, file)
-    val probes = values.distinct.map(v =>
-      v -> (1 to TxLogTable.BloomK)
-        .map(i => bloomHashU32(i, v.toString)).toArray).toMap
+    // md5 probe hashes once per DISTINCT value, not per (value, file);
+    // the sorted array lets each file's range envelope cut its probe
+    // set to a binary-searched window — a file holding none of the
+    // erasure list costs O(log V), not O(V), so a 100k-key GDPR list
+    // against a 100k-file table is ~F·log V + matched-window probes
+    // on the driver, never the 10¹⁰ full cross product
+    val vsArr = values.distinct.sorted.toArray
+    val probes = vsArr.map(v => v -> (1 to TxLogTable.BloomK)
+      .map(i => bloomHashU32(i, v.toString)).toArray).toMap
     val cand = live.filter { f =>
-      // envelope + bloom resolved once per FILE, probed per value
-      // (footerRange is cached, but the fallback read belongs outside
-      // the |values| loop regardless)
+      // envelope + bloom resolved once per FILE (footerRange is
+      // cached, but the fallback read belongs outside the loop)
       val range = fstats.get(f).flatMap(_.get(column))
         .orElse(footerRange(spark, f, column))
       val bloom = fblooms.get(f).flatMap(_.get(column))
-      values.exists { v =>
-        (range match {
-          case Some((mn, mx)) => v >= mn && v <= mx
-          case None => true
-        }) && bloomMaybeContainsHashed(bloom, probes(v))
+      range match {
+        case Some((mn, mx)) =>
+          val s = java.util.Arrays.binarySearch(vsArr, mn)
+          var i = if (s >= 0) s else -s - 1
+          var hit = false
+          while (!hit && i < vsArr.length && vsArr(i) <= mx) {
+            hit = bloomMaybeContainsHashed(bloom, probes(vsArr(i)))
+            i += 1
+          }
+          hit
+        case None =>
+          vsArr.exists(v => bloomMaybeContainsHashed(bloom, probes(v)))
       }
     }
     deleteCore(spark, col(column).isin(values: _*), Seq(column),
@@ -1310,12 +1335,18 @@ final class TxLogTable(root: String,
     val src0 = source.localCheckpoint(true)
     if (src0.isEmpty) return None
     // the LOG-recorded schema outranks the first file's (post-ALTER,
-    // the first live file may predate the newest column)
+    // the first live file may predate the newest column) — and it
+    // governs even when live is EMPTY: a table whose rows were all
+    // deleted still HAS a schema, and skipping the guards there would
+    // let a divergent batch write a physical schema the log-pinned
+    // read can't resolve (the r16-ADVICE failure mode through the
+    // emptied-table side door)
     val schemaAtRead = foldStateFull(v0)._5
     val tblSchema: Option[StructType] =
-      if (live.isEmpty) None
-      else Some(schemaAtRead.map(StructType.fromDDL).getOrElse(
-        spark.read.parquet(dataDir.resolve(live.head).toString).schema))
+      schemaAtRead.map(StructType.fromDDL).orElse(
+        if (live.isEmpty) None
+        else Some(spark.read
+          .parquet(dataDir.resolve(live.head).toString).schema))
     // align the source to the table's column ORDER (parquet readers
     // take the first file's schema — a reordered batch must not
     // depend on read-time name resolution)
@@ -1556,12 +1587,23 @@ object TxLogTable {
   def applyChanges(replica: org.apache.spark.sql.DataFrame,
       changes: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val ins = changes.filter(col("_change_type") === "insert")
       .drop("_change_type")
     val del = changes.filter(col("_change_type") === "delete")
       .drop("_change_type")
-    replica.exceptAll(del).unionByName(ins)
+    // schema evolution mid-fold: the change frame reads under vTo's
+    // schema, so a replica bootstrapped before an ALTER is narrower —
+    // null-fill the added columns (exactly how the source table's own
+    // schema-on-read projects its old files), keeping the fold law
+    // intact across evolving histories. An ALTER-only interval has no
+    // row churn (tableChanges = None), so the widening lands with the
+    // first post-ALTER data change.
+    val aligned = ins.schema.fields
+      .filterNot(f => replica.columns.contains(f.name))
+      .foldLeft(replica)((r, f) =>
+        r.withColumn(f.name, lit(null).cast(f.dataType)))
+    aligned.exceptAll(del).unionByName(ins)
   }
 
   /** Checkpoint every N commits: snapshot fold cost is bounded by N

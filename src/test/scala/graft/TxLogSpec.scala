@@ -1373,6 +1373,84 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("restore undoes a metadata-only ALTER: identical file sets, " +
+      "schema narrows back (round-19 review fix — the no-op check " +
+      "must see the schema delta, not just the file delta)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(Seq((1L, "a")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(1L)) === 1L)
+      assert(table.alterAddColumn(spark, "score BIGINT")
+        .contains(2L))
+      assert(table.restore(spark, 1L).contains(3L),
+        "an ALTER-only rollback is a real commit, not a no-op")
+      assert(table.tableSchema().get.fieldNames.toSeq === Seq("k", "v"))
+      assert(table.snapshot(spark).get.columns.toSeq === Seq("k", "v"))
+      assert(table.liveFiles() === f1, "no data moved either way")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("CDC fold survives schema evolution: applyChanges null-fills " +
+      "the replica's missing columns exactly like the source table's " +
+      "schema-on-read (round-19 review fix)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(1L)) === 1L)
+      assert(table.alterAddColumn(spark, "q BIGINT").contains(2L))
+      assert(table.merge(spark,
+        Seq((2L, "b2", 20L), (3L, "c", 30L)).toDF("k", "v", "q"),
+        "k", txn = Some(3L)).contains(3L))
+      var replica = table.snapshot(spark, 1L).get.limit(0)
+      (0L until 3L).foreach { v =>
+        table.tableChanges(spark, v, v + 1).foreach(ch =>
+          replica = graft.sources.TxLogTable.applyChanges(replica, ch))
+      }
+      // the ALTER interval itself has no row churn (None); the
+      // widening lands with the post-ALTER merge's change frame
+      assert(replica.columns.toSeq === Seq("k", "v", "q"))
+      assert(replica.collect().map(_.toString).sorted.toSeq
+          === table.snapshot(spark).get.collect()
+            .map(_.toString).sorted.toSeq,
+        "the fold law holds across an evolving history")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("merge guards govern an EMPTIED evolved table: the log schema " +
+      "outlives the last live file (round-19 review fix)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(Seq((1L, "a")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(1L)) === 1L)
+      assert(table.alterAddColumn(spark, "q BIGINT").contains(2L))
+      assert(table.deleteWhere(spark, col("k") === 1L,
+        ranges = Nil).contains(3L))
+      assert(table.liveFiles().isEmpty, "the table is emptied")
+      // mistyped and narrow batches still fail LOUDLY — the side
+      // door the review caught: live.isEmpty used to skip every guard
+      val e1 = intercept[IllegalArgumentException](table.merge(spark,
+        Seq((1, "x", 1L)).toDF("k", "v", "q"), "k"))
+      assert(e1.getMessage.contains("table bigint vs source int"))
+      val e2 = intercept[IllegalArgumentException](table.merge(spark,
+        Seq((1L, "x")).toDF("k", "v"), "k"))
+      assert(e2.getMessage.contains("lacks table columns"))
+      // a well-typed batch inserts and reads under the log schema
+      assert(table.merge(spark,
+        Seq((5L, "e", 50L)).toDF("k", "v", "q"), "k",
+        txn = Some(9L)).contains(4L))
+      assert(table.snapshot(spark).get.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        === Seq((5L, "e", 50L)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("vector UPSERT composes from the lifecycle faces: delete + " +
       "re-ingest of a corrected embedding equals a from-scratch " +
       "index over the corrected corpus (round 19)") {
