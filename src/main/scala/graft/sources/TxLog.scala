@@ -569,6 +569,32 @@ final class TxLogTable(root: String,
         .withColumn("_change_type", lit("delete"))))
   }
 
+  /** [[tableChanges]] with per-version ATTRIBUTION (round 19 —
+    * Delta CDF's `_commit_version`/`_commit_timestamp` columns):
+    * one symmetric-difference diff PER version in `(vFrom, vTo]`,
+    * each tagged with the version that made the change and its
+    * recorded commit timestamp (null for pre-timestamp legacy
+    * entries). Where the interval face nets out churn that was later
+    * undone, this face reports every intermediate change — the audit
+    * / debugging read ("who deleted this row, and when"). Cost is
+    * the union of the per-version churns; disjoint churn reads the
+    * same files the interval face would, overlapping churn re-reads
+    * the overlap once per touching version. None when no version in
+    * the interval changed a row. */
+  def tableChangesByVersion(spark: SparkSession, vFrom: Long,
+      vTo: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    require(vFrom <= vTo,
+      s"tableChangesByVersion wants vFrom <= vTo, got $vFrom > $vTo")
+    val steps = ((vFrom + 1) to vTo).flatMap { v =>
+      tableChanges(spark, v - 1, v).map(
+        _.withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", commitTimestamp(v)
+            .map(lit(_)).getOrElse(lit(null).cast("long"))))
+    }
+    steps.reduceOption(_ unionByName _)
+  }
+
   /** ALTER TABLE ADD COLUMN — records the WIDENED schema as a log
     * entry (no data movement: old files simply lack the column and
     * every read projects them with nulls — schema-on-read, round 19).

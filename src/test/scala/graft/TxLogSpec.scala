@@ -1486,6 +1486,39 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("tableChangesByVersion attributes every change to its commit " +
+      "— version + timestamp columns, intermediate churn reported " +
+      "even when the interval face nets it out (round 19)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(Seq((1L, "a")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(1L)) === 1L)
+      // v2 inserts k=2; v3 deletes it again — the interval face nets
+      // this to nothing, the attribution face must report both
+      assert(table.merge(spark, Seq((2L, "b")).toDF("k", "v"), "k",
+        txn = Some(2L)).contains(2L))
+      assert(table.deleteWhere(spark, col("k") === 2L,
+        ranges = Seq(("k", 2L, 2L))).contains(3L))
+      assert(table.tableChanges(spark, 1L, 3L).isEmpty,
+        "netted-out churn: the interval face sees no difference")
+      val by = table.tableChangesByVersion(spark, 1L, 3L).get.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      assert(by === Set((2L, "b", "insert", 2L),
+          (2L, "b", "delete", 3L)),
+        s"every intermediate change attributed to its version: $by")
+      // timestamps ride along and match the log's records
+      val ts = table.tableChangesByVersion(spark, 1L, 3L).get
+        .select("_commit_version", "_commit_timestamp").distinct()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ts === Map(
+        2L -> table.commitTimestamp(2L).get,
+        3L -> table.commitTimestamp(3L).get))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("CDC composes: folding tableChanges from an empty replica " +
       "reproduces every snapshot — bootstrap is the v0->v1 changes, " +
       "each increment costs only its churn (round 19)") {
