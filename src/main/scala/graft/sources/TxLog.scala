@@ -595,6 +595,48 @@ final class TxLogTable(root: String,
     steps.reduceOption(_ unionByName _)
   }
 
+  /** Publish committed ADDED files into an append-only SPOOL
+    * directory — the `readStream` projection (round 19, the missing
+    * Delta read face): Spark's built-in file-stream source tails a
+    * directory with checkpointed exactly-once file tracking, but
+    * pointing it at `data/` would observe uncommitted (pre-entry)
+    * files; the spool instead receives a file only AFTER its commit
+    * entry exists, via HARDLINK — the name appears atomically, and
+    * the linked inode survives a later VACUUM of the source (a slow
+    * stream consumer can never lose bytes it has not read yet).
+    * `spark.readStream.schema(s).parquet(spoolDir)` is then a true
+    * transactional tail. Idempotent and cheap to poll: each call
+    * links the window's added files once (existing link = already
+    * published) and returns the version the spool now reflects —
+    * feed it back as `fromVersion` next poll. Deletes and rewrites
+    * do NOT retract spooled files: the spool is the append-only
+    * CHANGE-ARRIVAL projection (Delta readStream's `ignoreDeletes`
+    * contract — exactly what a downstream ingest stream wants; a
+    * consumer needing retractions reads [[tableChanges]] instead).
+    * A consumer older than log retention bootstraps the current
+    * live set (the trimmed increments are unrecoverable as
+    * increments); an added file that was itself already vacuumed is
+    * skipped — its arrival is unrecoverable. */
+  def spoolTail(spoolDir: String, fromVersion: Long = 0L): Long = {
+    val sp = Paths.get(spoolDir)
+    Files.createDirectories(sp)
+    val cur = currentVersion()
+    if (cur <= fromVersion) return cur
+    val vs = listVersions().filter(v => v > fromVersion && v <= cur)
+    val trimmed = vs.size.toLong != cur - fromVersion
+    val arrivals =
+      (if (trimmed) liveFiles(cur) else Seq.empty[String]) ++
+        vs.flatMap(readEntry(_)._1)
+    arrivals.distinct.foreach { f =>
+      val src = dataDir.resolve(f)
+      val target = sp.resolve(f)
+      if (!Files.exists(target) && Files.exists(src))
+        try Files.createLink(target, src)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    cur
+  }
+
   /** ALTER TABLE ADD COLUMN — records the WIDENED schema as a log
     * entry (no data movement: old files simply lack the column and
     * every read projects them with nulls — schema-on-read, round 19).

@@ -1486,6 +1486,75 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("spoolTail: spark.readStream tails the table through the " +
+      "spool projection — commit-atomic arrival, checkpointed " +
+      "incremental pickup, no retraction on delete, and hardlinks " +
+      "survive vacuum (round 19)") {
+    val dir = tmp()
+    val spool = tmp()
+    val ckpt = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      assert(table.commit(f1, Nil, Some(1L)) === 1L)
+      val v1 = table.spoolTail(spool)
+      assert(v1 === 1L)
+      val got = collection.mutable.ArrayBuffer.empty[(Long, String)]
+      def drain(): Unit = {
+        val q = spark.readStream
+          .schema("k BIGINT, v STRING")
+          .parquet(spool)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+              _: Long) =>
+            got ++= b.collect().map(r =>
+              (r.getLong(0), r.getString(1))); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      assert(got.toSet === Set((1L, "a"), (2L, "b")),
+        "the first drain reads exactly the committed rows")
+      // a second commit arrives INCREMENTALLY (the stream checkpoint
+      // tracks seen files — the second drain reads only the delta)
+      val n1 = got.size
+      val f2 = table.writeDataFiles(Seq((3L, "c")).toDF("k", "v"))
+      assert(table.commit(f2, Nil, Some(2L)) === 2L)
+      assert(table.spoolTail(spool, v1) === 2L)
+      drain()
+      assert(got.size === n1 + 1 && got.toSet.contains((3L, "c")),
+        "incremental pickup: only the new commit's rows arrive")
+      // delete does not retract (append-only arrival projection);
+      // the rewrite's surviving-row file is a NEW arrival
+      assert(table.deleteWhere(spark, col("k") === 1L,
+        ranges = Nil).contains(3L))
+      assert(table.spoolTail(spool, 2L) === 3L)
+      drain()
+      assert(got.count(_ == ((1L, "a"))) === 1,
+        "no retraction of the deleted row")
+      assert(got.count(_ == ((2L, "b"))) === 2,
+        "the rewrite's surviving row re-arrives as a new file — " +
+          "at-least-once on rewrites, the documented ignoreDeletes " +
+          "trade; dedup downstream if the consumer needs it")
+      // vacuum reclaims the rewritten ORIGINAL under data/ but the
+      // spool's hardlink keeps the bytes: a fresh full read of the
+      // spool still sees every arrival
+      assert(table.vacuum(minAgeMs = 0L).nonEmpty)
+      val reread = spark.read.schema("k BIGINT, v STRING")
+        .parquet(spool).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(reread.count(_ == ((1L, "a"))) === 1,
+        "vacuumed source bytes survive through the spool hardlink")
+    } finally Seq(dir, spool, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(d)))
+  }
+
   test("tableChangesByVersion attributes every change to its commit " +
       "— version + timestamp columns, intermediate churn reported " +
       "even when the interval face nets it out (round 19)") {
