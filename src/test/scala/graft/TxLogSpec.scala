@@ -1451,6 +1451,46 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("CDC fan-out: N independent followers at different paces " +
+      "each converge to the source — follower lag never blocks the " +
+      "writer or the other followers (round 19)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      // four commits: insert, merge-update, insert, delete
+      assert(table.commit(table.writeDataFiles(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v")), Nil,
+        Some(1L)) === 1L)
+      assert(table.merge(spark, Seq((2L, "b2")).toDF("k", "v"), "k",
+        txn = Some(2L)).contains(2L))
+      assert(table.merge(spark, Seq((3L, "c")).toDF("k", "v"), "k",
+        txn = Some(3L)).contains(3L))
+      assert(table.deleteWhere(spark, col("k") === 1L,
+        ranges = Nil).contains(4L))
+      val want = table.snapshot(spark).get.collect()
+        .map(_.toString).sorted.toSeq
+      // follower A syncs every version; follower B once at the end;
+      // follower C starts late (bootstrap from v2). Positions are
+      // each follower's OWN state — the writer never waited, and no
+      // follower's sync touched another's.
+      val empty = table.snapshot(spark, 1L).get.limit(0)
+      var a = empty
+      (0L until 4L).foreach(v => table.tableChanges(spark, v, v + 1)
+        .foreach(ch => a = TxLogTable.applyChanges(a, ch)))
+      var b = empty
+      table.tableChanges(spark, 0L, 4L)
+        .foreach(ch => b = TxLogTable.applyChanges(b, ch))
+      var c = table.snapshot(spark, 2L).get
+      table.tableChanges(spark, 2L, 4L)
+        .foreach(ch => c = TxLogTable.applyChanges(c, ch))
+      for ((name, df) <- Seq("per-version" -> a, "one-shot" -> b,
+          "late-bootstrap" -> c))
+        assert(df.collect().map(_.toString).sorted.toSeq === want,
+          s"follower $name must converge to the source snapshot")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("vector UPSERT composes from the lifecycle faces: delete + " +
       "re-ingest of a corrected embedding equals a from-scratch " +
       "index over the corrected corpus (round 19)") {
