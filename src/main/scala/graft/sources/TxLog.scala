@@ -649,6 +649,10 @@ final class TxLogTable(root: String,
     require(added.fields.length == 1,
       s"one column per ALTER, got: $columnDdl")
     val name = added.fields.head.name
+    require(!tombstonedColumns(spark).contains(name),
+      s"column $name was previously dropped; re-adding it would " +
+        "resurrect stale values from pre-drop files (restore below " +
+        "the drop to bring schema AND values back, or use a new name)")
     def widened(): Option[String] = {
       val cur = tableSchema().orElse {
         val live = liveFiles()
@@ -669,6 +673,84 @@ final class TxLogTable(root: String,
     var w = w0
     val v = commit(Nil, Nil, txn = None, rebase = _ =>
       widened() match {
+        case Some(d) => w = d; Some((Nil, Nil))
+        case None => None
+      },
+      readVersion = v0, schemaDdl = () => Some(w))
+    if (v < 0L) None else Some(v)
+  }
+
+  /** Columns that were ever in a RECORDED schema but are absent from
+    * the current one — the RESURRECTION guard behind
+    * [[alterDropColumn]] (round 19): a dropped column's values still
+    * sit in the old parquet files (schema-on-read never rewrites),
+    * so re-ADDing the same name would silently resurrect stale data
+    * where the user expects nulls — the hazard Delta's column
+    * mapping exists to solve. Without mapping ids the honest answer
+    * is to REFUSE the re-add. Derived from surviving schema history
+    * (latest checkpoint's schema + every surviving entry's), no
+    * extra persistence: [[restore]] below the drop re-records the
+    * wider schema, putting the name back in the CURRENT set and
+    * thereby legitimately un-tombstoning it (restore resurrects the
+    * values on purpose). Two sources, both needed: recorded schema
+    * history (catches columns whose files were since rewritten) AND
+    * the PHYSICAL union of live-file schemas via one mergeSchema
+    * read (catches a drop on a never-evolved table, whose pre-drop
+    * schema was never recorded, and survives retention-trimmed
+    * history — stale bytes in a live file ARE the hazard, whatever
+    * the log remembers). Metadata-only: footer reads, no data pages;
+    * runs only on the rare ALTER/evolve paths. */
+  private def tombstonedColumns(spark: SparkSession): Set[String] = {
+    import org.apache.spark.sql.types.StructType
+    val ckSc = listCheckpoints().lastOption
+      .flatMap(readCheckpoint(_)._5)
+    val hist = ckSc.toSeq ++ listVersions().flatMap(v => readEntry(v)._7)
+    val live = liveFiles()
+    val physical: Set[String] =
+      if (live.isEmpty) Set.empty
+      else spark.read.option("mergeSchema", "true")
+        .parquet(live.map(f => dataDir.resolve(f).toString): _*)
+        .schema.fieldNames.toSet
+    // a never-evolved table's current schema IS the physical union
+    // (all files share the birth schema) — nothing tombstoned there
+    val cur = tableSchema().map(_.fieldNames.toSet).getOrElse(physical)
+    (hist.flatMap(d => StructType.fromDDL(d).fieldNames).toSet
+      ++ physical) -- cur
+  }
+
+  /** ALTER TABLE DROP COLUMN (round 19) — metadata-only like
+    * [[alterAddColumn]]: records the NARROWED schema, every read
+    * projects it (parquet simply stops reading the column's pages —
+    * no rewrite at any scale), time travel below the entry still
+    * shows the column. The dropped name becomes a TOMBSTONE: a later
+    * re-add (ALTER or evolving merge) is refused because old files
+    * still carry the stale values ([[tombstonedColumns]]); a
+    * [[restore]] below the drop legitimately resurrects both schema
+    * and values. Aborts (None) when a racer already dropped it. */
+  def alterDropColumn(spark: SparkSession, name: String)
+      : Option[Long] = {
+    import org.apache.spark.sql.types.StructType
+    def narrowed(): Option[String] = {
+      val cur = tableSchema().orElse {
+        val live = liveFiles()
+        if (live.isEmpty) None
+        else Some(spark.read
+          .parquet(dataDir.resolve(live.head).toString).schema)
+      }.getOrElse(throw new IllegalStateException(
+        "alterDropColumn on an empty, schema-less table"))
+      if (!cur.fieldNames.contains(name)) None
+      else {
+        require(cur.fields.length > 1,
+          s"cannot drop the last column ($name)")
+        Some(StructType(cur.fields.filterNot(_.name == name)).toDDL)
+      }
+    }
+    val w0 = narrowed().getOrElse(throw new IllegalArgumentException(
+      s"no such column: $name"))
+    val v0 = currentVersion()
+    var w = w0
+    val v = commit(Nil, Nil, txn = None, rebase = _ =>
+      narrowed() match {
         case Some(d) => w = d; Some((Nil, Nil))
         case None => None
       },
@@ -1443,6 +1525,11 @@ final class TxLogTable(root: String,
             s"merge source adds columns ${extra.map(_.name).sorted
               .mkString(",")} — pass evolveSchema=true to widen the " +
               "table (schema-on-read: old files project with nulls)")
+          val dead = extra.map(_.name).filter(tombstonedColumns(spark))
+          require(dead.isEmpty,
+            s"merge source re-adds dropped column(s) ${dead.sorted
+              .mkString(",")} — that would resurrect stale values " +
+              "from pre-drop files; use a new name or restore")
           val widened = StructType(ts0.fields ++ extra)
           newDdl = Some(widened.toDDL)
           src0.select(widened.fieldNames.toSeq.map(col): _*)

@@ -1421,6 +1421,56 @@ class TxLogSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("ALTER DROP COLUMN is metadata-only with a tombstone: reads " +
+      "narrow, time travel keeps the column, re-adding the name is " +
+      "refused (no silent resurrection), restore legitimately " +
+      "resurrects (round 19)") {
+    val dir = tmp()
+    try {
+      val table = new TxLogTable(dir)
+      val f1 = table.writeDataFiles(
+        Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "score"))
+      assert(table.commit(f1, Nil, Some(1L)) === 1L)
+      assert(table.alterDropColumn(spark, "score").contains(2L))
+      assert(table.liveFiles() === f1, "DROP moves no data")
+      val snap = table.snapshot(spark).get
+      assert(snap.columns.toSeq === Seq("k", "v"),
+        "reads project the narrowed schema")
+      assert(snap.count() === 2L)
+      // time travel below the drop still reads the column's values
+      val old = table.snapshot(spark, 1L).get
+      assert(old.columns.toSeq === Seq("k", "v", "score")
+          && old.collect().map(_.getLong(2)).toSet === Set(10L, 20L))
+      // resurrection refused on BOTH evolution faces
+      val e1 = intercept[IllegalArgumentException](
+        table.alterAddColumn(spark, "score BIGINT"))
+      assert(e1.getMessage.contains("resurrect"))
+      val e2 = intercept[IllegalArgumentException](table.merge(spark,
+        Seq((3L, "c", 99L)).toDF("k", "v", "score"), "k",
+        evolveSchema = true))
+      assert(e2.getMessage.contains("resurrect"))
+      // a FRESH name still evolves fine
+      assert(table.merge(spark, Seq((3L, "c", 99L))
+        .toDF("k", "v", "score2"), "k", txn = Some(5L),
+        evolveSchema = true).contains(3L))
+      // restore below the drop resurrects schema AND values — the
+      // one legitimate path back, after which the name is droppable
+      // again (it is in the CURRENT schema, hence not tombstoned)
+      assert(table.restore(spark, 1L).contains(4L))
+      val back = table.snapshot(spark).get
+      assert(back.columns.toSeq === Seq("k", "v", "score")
+          && back.collect().map(_.getLong(2)).toSet === Set(10L, 20L))
+      assert(table.alterDropColumn(spark, "score").contains(5L))
+      // dropping a non-column and the last column both fail loudly
+      intercept[IllegalArgumentException](
+        table.alterDropColumn(spark, "ghost"))
+      assert(table.alterDropColumn(spark, "v").contains(6L))
+      intercept[IllegalArgumentException](
+        table.alterDropColumn(spark, "k"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("merge guards govern an EMPTIED evolved table: the log schema " +
       "outlives the last live file (round-19 review fix)") {
     val dir = tmp()
