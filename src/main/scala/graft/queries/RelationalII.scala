@@ -519,6 +519,42 @@ object RelationalII extends QueryPack {
         .deleteDirectory(dir.toFile)
     }),
 
+    // Time travel + RESTORE through a REAL transaction log (round
+    // 19, q_cdc's sibling): version-addressed snapshot, TIMESTAMP AS
+    // OF resolution, and rollback-by-commit, all hash-gated against
+    // a relational replay. Four faces of one two-commit history:
+    // `v1` (the initial carve-out), `v2` (after a deterministic
+    // merge update), `asof_v1` (snapshotAt at v1's recorded commit
+    // timestamp — v2's stamp is strictly greater by the monotone
+    // rule, so the instant resolves to v1), and `restored` (the
+    // snapshot after restore(1) — byte-identical rows to v1, proving
+    // the rollback re-reads the original files). 57 = 3·19 ⇒ the
+    // batch updates a subset of init keys and inserts nothing, so
+    // every face is a pure function of orders.
+    "q_time_travel" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("qtt")
+      try {
+        val t = new graft.sources.TxLogTable(dir.toString)
+        val o = orders(s, d).select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val init = o.filter(pmod(col("k"), lit(19)) === 0)
+        t.commit(t.writeDataFiles(init), Nil, Some(1L))
+        val batch = o.filter(pmod(col("k"), lit(57)) === 0)
+          .withColumn("cents", expr("(cents * 110) div 100"))
+        t.merge(s, batch, "k", txn = Some(2L))
+        val ts1 = t.commitTimestamp(1L).get
+        val v1 = t.snapshot(s, 1L).get.withColumn("face", lit("v1"))
+        val v2 = t.snapshot(s, 2L).get.withColumn("face", lit("v2"))
+        val asof = t.snapshotAt(s, ts1).get
+          .withColumn("face", lit("asof_v1"))
+        require(t.restore(s, 1L).contains(3L), "restore must commit")
+        val back = t.snapshot(s).get.withColumn("face", lit("restored"))
+        v1.unionByName(v2).unionByName(asof).unionByName(back)
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(dir.toFile)
+    }),
+
     // Snapshot reconciliation diff (round 10) — the backfill/CDC
     // verification pass: given two versions of a table, report what
     // was added, removed, and changed, with the money delta per
@@ -802,6 +838,22 @@ object RelationalII extends QueryPack {
         |    ELSE 'unchanged' END AS change_type,
         |  count(*) AS n, round(CAST(sum(dq) AS DOUBLE) / 100, 2) AS delta
         |FROM j GROUP BY 1""".stripMargin,
+    // replay all four faces relationally: v1/asof_v1/restored are
+    // the init carve-out verbatim, v2 is init with the 10% bump
+    // applied to the k%57 subset (57 = 3·19 ⇒ updates only)
+    "q_time_travel" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |init AS (SELECT * FROM o WHERE k % 19 = 0),
+        |v2 AS (SELECT k, CASE WHEN k % 57 = 0
+        |    THEN (cents * 110) // 100 ELSE cents END AS cents
+        |  FROM init)
+        |SELECT k, cents, 'v1' AS face FROM init
+        |UNION ALL SELECT k, cents, 'v2' AS face FROM v2
+        |UNION ALL SELECT k, cents, 'asof_v1' AS face FROM init
+        |UNION ALL SELECT k, cents, 'restored' AS face FROM init"""
+        .stripMargin,
     // replay the merge's row-level diff directly: matched keys
     // (51 = 3·17 ⇒ batch-update keys are all in init) emit delete
     // (old) + insert (new), unmatched batch keys insert only
