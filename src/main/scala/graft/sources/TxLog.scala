@@ -637,11 +637,52 @@ final class TxLogTable(root: String,
     cur
   }
 
+  /** Shared scaffolding of the two metadata-only ALTERs: derive the
+    * current schema (log-recorded outranks first-file), apply
+    * `transform` (None = the alter's precondition no longer holds),
+    * commit the result with a rebase that RE-DERIVES against any
+    * racer's state — so every guard inside `transform` (existence,
+    * tombstones, last-column) re-runs on the retry path too, the
+    * same discipline merge's rebase follows. A racer that made the
+    * alter a no-op aborts (None); one that made it IMPOSSIBLE (a
+    * require inside transform) fails loudly out of the retry loop. */
+  private def alterSchema(spark: SparkSession, noopMsg: => String)(
+      transform: org.apache.spark.sql.types.StructType
+        => Option[org.apache.spark.sql.types.StructType])
+      : Option[Long] = {
+    def next(): Option[String] = {
+      val cur = tableSchema().orElse {
+        val live = liveFiles()
+        if (live.isEmpty) None
+        else Some(spark.read
+          .parquet(dataDir.resolve(live.head).toString).schema)
+      }.getOrElse(throw new IllegalStateException(
+        "schema ALTER on an empty, schema-less table — the first " +
+          "write defines the schema"))
+      transform(cur).map(_.toDDL)
+    }
+    val w0 = next().getOrElse(
+      throw new IllegalArgumentException(noopMsg))
+    val v0 = currentVersion()
+    var w = w0
+    val v = commit(Nil, Nil, txn = None, rebase = _ =>
+      next() match {
+        case Some(d) => w = d; Some((Nil, Nil))
+        case None => None
+      },
+      readVersion = v0, schemaDdl = () => Some(w))
+    if (v < 0L) None else Some(v)
+  }
+
   /** ALTER TABLE ADD COLUMN — records the WIDENED schema as a log
     * entry (no data movement: old files simply lack the column and
     * every read projects them with nulls — schema-on-read, round 19).
     * `columnDdl` is one `name TYPE` DDL fragment. Returns the commit
-    * version; a concurrent identical ALTER aborts (None). */
+    * version; a concurrent identical ALTER aborts (None). Name
+    * matching is CASE-INSENSITIVE, like Spark's default parquet
+    * resolution — both for "already exists" and for the tombstone
+    * guard (re-adding a dropped name in different case would
+    * resurrect the stale values just the same). */
   def alterAddColumn(spark: SparkSession, columnDdl: String)
       : Option[Long] = {
     import org.apache.spark.sql.types.StructType
@@ -649,35 +690,18 @@ final class TxLogTable(root: String,
     require(added.fields.length == 1,
       s"one column per ALTER, got: $columnDdl")
     val name = added.fields.head.name
-    require(!tombstonedColumns(spark).contains(name),
-      s"column $name was previously dropped; re-adding it would " +
-        "resurrect stale values from pre-drop files (restore below " +
-        "the drop to bring schema AND values back, or use a new name)")
-    def widened(): Option[String] = {
-      val cur = tableSchema().orElse {
-        val live = liveFiles()
-        if (live.isEmpty) None
-        else Some(spark.read
-          .parquet(dataDir.resolve(live.head).toString).schema)
-      }.getOrElse(throw new IllegalStateException(
-        "alterAddColumn on an empty, schema-less table — the first " +
-          "write defines the schema"))
-      if (cur.fieldNames.contains(name)) None
-      else Some(StructType(cur.fields :+ added.fields.head).toDDL)
+    alterSchema(spark, s"column $name already exists") { cur =>
+      // inside the transform ⇒ re-checked on every rebase retry: a
+      // racer that added-then-dropped the name mid-flight cannot
+      // sneak a resurrection past a stale first check
+      require(!tombstonedColumns(spark).contains(name.toLowerCase),
+        s"column $name was previously dropped; re-adding it would " +
+          "resurrect stale values from pre-drop files (restore " +
+          "below the drop to bring schema AND values back, or use " +
+          "a new name)")
+      if (cur.fieldNames.exists(_.equalsIgnoreCase(name))) None
+      else Some(StructType(cur.fields :+ added.fields.head))
     }
-    val w0 = widened().getOrElse(throw new IllegalArgumentException(
-      s"column $name already exists"))
-    val v0 = currentVersion()
-    // rebase: re-derive against the racer's state; a racer that added
-    // the same column aborts this ALTER instead of double-adding
-    var w = w0
-    val v = commit(Nil, Nil, txn = None, rebase = _ =>
-      widened() match {
-        case Some(d) => w = d; Some((Nil, Nil))
-        case None => None
-      },
-      readVersion = v0, schemaDdl = () => Some(w))
-    if (v < 0L) None else Some(v)
   }
 
   /** Columns that were ever in a RECORDED schema but are absent from
@@ -699,9 +723,17 @@ final class TxLogTable(root: String,
     * schema was never recorded, and survives retention-trimmed
     * history — stale bytes in a live file ARE the hazard, whatever
     * the log remembers). Metadata-only: footer reads, no data pages;
-    * runs only on the rare ALTER/evolve paths. */
+    * runs only on the rare ALTER/evolve paths, and short-circuits to
+    * empty on a never-evolved table (a DROP always records a schema,
+    * so no recorded schema ⇒ no drop ever ⇒ no tombstones — no
+    * footer sweep on the first ALTER of a 100k-file table). Names
+    * are returned LOWERCASED: Spark's default parquet resolution is
+    * case-insensitive, so a different-case re-add would resurrect
+    * just the same — compare with `name.toLowerCase`. */
   private def tombstonedColumns(spark: SparkSession): Set[String] = {
     import org.apache.spark.sql.types.StructType
+    val cur0 = tableSchema()
+    if (cur0.isEmpty) return Set.empty
     val ckSc = listCheckpoints().lastOption
       .flatMap(readCheckpoint(_)._5)
     val hist = ckSc.toSeq ++ listVersions().flatMap(v => readEntry(v)._7)
@@ -710,12 +742,10 @@ final class TxLogTable(root: String,
       if (live.isEmpty) Set.empty
       else spark.read.option("mergeSchema", "true")
         .parquet(live.map(f => dataDir.resolve(f).toString): _*)
-        .schema.fieldNames.toSet
-    // a never-evolved table's current schema IS the physical union
-    // (all files share the birth schema) — nothing tombstoned there
-    val cur = tableSchema().map(_.fieldNames.toSet).getOrElse(physical)
-    (hist.flatMap(d => StructType.fromDDL(d).fieldNames).toSet
-      ++ physical) -- cur
+        .schema.fieldNames.map(_.toLowerCase).toSet
+    val cur = cur0.get.fieldNames.map(_.toLowerCase).toSet
+    (hist.flatMap(d => StructType.fromDDL(d).fieldNames)
+      .map(_.toLowerCase).toSet ++ physical) -- cur
   }
 
   /** ALTER TABLE DROP COLUMN (round 19) — metadata-only like
@@ -726,36 +756,21 @@ final class TxLogTable(root: String,
     * re-add (ALTER or evolving merge) is refused because old files
     * still carry the stale values ([[tombstonedColumns]]); a
     * [[restore]] below the drop legitimately resurrects both schema
-    * and values. Aborts (None) when a racer already dropped it. */
+    * and values. Aborts (None) when a racer already dropped it; a
+    * racer that made the drop IMPOSSIBLE (only one column left)
+    * fails loudly. Case-insensitive, like the rest of the faces. */
   def alterDropColumn(spark: SparkSession, name: String)
       : Option[Long] = {
     import org.apache.spark.sql.types.StructType
-    def narrowed(): Option[String] = {
-      val cur = tableSchema().orElse {
-        val live = liveFiles()
-        if (live.isEmpty) None
-        else Some(spark.read
-          .parquet(dataDir.resolve(live.head).toString).schema)
-      }.getOrElse(throw new IllegalStateException(
-        "alterDropColumn on an empty, schema-less table"))
-      if (!cur.fieldNames.contains(name)) None
+    alterSchema(spark, s"no such column: $name") { cur =>
+      if (!cur.fieldNames.exists(_.equalsIgnoreCase(name))) None
       else {
         require(cur.fields.length > 1,
           s"cannot drop the last column ($name)")
-        Some(StructType(cur.fields.filterNot(_.name == name)).toDDL)
+        Some(StructType(cur.fields
+          .filterNot(_.name.equalsIgnoreCase(name))))
       }
     }
-    val w0 = narrowed().getOrElse(throw new IllegalArgumentException(
-      s"no such column: $name"))
-    val v0 = currentVersion()
-    var w = w0
-    val v = commit(Nil, Nil, txn = None, rebase = _ =>
-      narrowed() match {
-        case Some(d) => w = d; Some((Nil, Nil))
-        case None => None
-      },
-      readVersion = v0, schemaDdl = () => Some(w))
-    if (v < 0L) None else Some(v)
   }
 
   /** Per-file [min, max] envelope of an integral top-level column,
@@ -1525,7 +1540,9 @@ final class TxLogTable(root: String,
             s"merge source adds columns ${extra.map(_.name).sorted
               .mkString(",")} — pass evolveSchema=true to widen the " +
               "table (schema-on-read: old files project with nulls)")
-          val dead = extra.map(_.name).filter(tombstonedColumns(spark))
+          val tomb = tombstonedColumns(spark)
+          val dead = extra.map(_.name).filter(n =>
+            tomb.contains(n.toLowerCase))
           require(dead.isEmpty,
             s"merge source re-adds dropped column(s) ${dead.sorted
               .mkString(",")} — that would resurrect stale values " +
@@ -1748,16 +1765,20 @@ object TxLogTable {
     val del = changes.filter(col("_change_type") === "delete")
       .drop("_change_type")
     // schema evolution mid-fold: the change frame reads under vTo's
-    // schema, so a replica bootstrapped before an ALTER is narrower —
-    // null-fill the added columns (exactly how the source table's own
-    // schema-on-read projects its old files), keeping the fold law
-    // intact across evolving histories. An ALTER-only interval has no
-    // row churn (tableChanges = None), so the widening lands with the
-    // first post-ALTER data change.
-    val aligned = ins.schema.fields
+    // schema, so a replica bootstrapped before an ADD is narrower
+    // (null-fill the added columns, exactly how the source table's
+    // own schema-on-read projects its old files) and one bootstrapped
+    // before a DROP is wider (project the dropped columns away — the
+    // replica loses them just as the source's reads did). The final
+    // select also pins column ORDER to the change frame's, which
+    // exceptAll requires. ALTER-only intervals have no row churn
+    // (tableChanges = None); the re-shape lands with the first
+    // post-ALTER data change.
+    val filled = ins.schema.fields
       .filterNot(f => replica.columns.contains(f.name))
       .foldLeft(replica)((r, f) =>
         r.withColumn(f.name, lit(null).cast(f.dataType)))
+    val aligned = filled.select(ins.columns.map(col): _*)
     aligned.exceptAll(del).unionByName(ins)
   }
 

@@ -1417,6 +1417,21 @@ class TxLogSpec extends SparkSpec {
           === table.snapshot(spark).get.collect()
             .map(_.toString).sorted.toSeq,
         "the fold law holds across an evolving history")
+      // and across a DROP: the replica is now WIDER than post-drop
+      // change frames — applyChanges projects the dropped column
+      // away, as the source's own reads do
+      assert(table.alterDropColumn(spark, "q").contains(4L))
+      assert(table.merge(spark, Seq((4L, "d")).toDF("k", "v"), "k",
+        txn = Some(5L)).contains(5L))
+      (3L until 5L).foreach { v =>
+        table.tableChanges(spark, v, v + 1).foreach(ch =>
+          replica = graft.sources.TxLogTable.applyChanges(replica, ch))
+      }
+      assert(replica.columns.toSeq === Seq("k", "v"))
+      assert(replica.collect().map(_.toString).sorted.toSeq
+          === table.snapshot(spark).get.collect()
+            .map(_.toString).sorted.toSeq,
+        "the fold law holds across a DROP too")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
@@ -1441,10 +1456,15 @@ class TxLogSpec extends SparkSpec {
       val old = table.snapshot(spark, 1L).get
       assert(old.columns.toSeq === Seq("k", "v", "score")
           && old.collect().map(_.getLong(2)).toSet === Set(10L, 20L))
-      // resurrection refused on BOTH evolution faces
+      // resurrection refused on BOTH evolution faces — and CASE-
+      // INSENSITIVELY: Spark's default parquet resolution would match
+      // SCORE -> score, resurrecting just the same
       val e1 = intercept[IllegalArgumentException](
         table.alterAddColumn(spark, "score BIGINT"))
       assert(e1.getMessage.contains("resurrect"))
+      val e1c = intercept[IllegalArgumentException](
+        table.alterAddColumn(spark, "SCORE BIGINT"))
+      assert(e1c.getMessage.contains("resurrect"))
       val e2 = intercept[IllegalArgumentException](table.merge(spark,
         Seq((3L, "c", 99L)).toDF("k", "v", "score"), "k",
         evolveSchema = true))
