@@ -92,14 +92,39 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Doc-id list feeding the corpus synthesizers. With `spread` the
+    * ids are hash-repartitioned to full cluster parallelism BEFORE the
+    * per-id encode (r17 optimization): the encode is the expensive
+    * stage and the id list is 8 bytes/row, so the exchange is free at
+    * any scale — the heavy media bytes are synthesized AFTER it and
+    * never shuffled (§8's "move heavy bytes once" discipline, here
+    * "zero times"). Without it a single-row-group documents.parquet
+    * pins EVERY decode-side key to one scan task. Measured at sf0.1:
+    * the spread wins ~10 s across the ImageIO corpora (mm_shot_bounds
+    * 4.43→1.35 s, mm_video_dedup 4.64→2.57) but LOSES ~0.7-1.0 s per
+    * key on the cheap PCM-synth audio corpora (mm_audio_fingerprint
+    * 0.63→1.41 — the extra exchange+stage outweighs a sub-second
+    * synth), so the WAV corpora keep the direct scan. Hash
+    * repartition on doc_id: deterministic under retries, and the
+    * explicit numPartitions pins the stage against AQE's byte-based
+    * coalescing (ids are byte-light but compute-heavy). */
+  private def docIds(spark: SparkSession, sfDir: String,
+                     spread: Boolean = true): Dataset[Long] = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+    (if (spread)
+       ids.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+     else ids).as[Long]
+  }
+
   /** The media corpus over `documents`: (id, media) with real encoded
-    * image bytes. Encoding runs in the scan's partitions — at scale
-    * this stage is the ingest job that wrote the binary column. */
+    * image bytes. Encoding runs partition-parallel over the spread id
+    * list — at scale this stage is the ingest job that wrote the
+    * binary column. */
   def imageCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    docIds(spark, sfDir)
       .mapPartitions { it =>
         ImageIO.setUseCache(false) // memory-backed streams, no /tmp spill
         it.map(id => (id, imageBytes(id)))
@@ -110,9 +135,7 @@ object Multimodal {
   /** Video-container corpus over `documents`: (id, media). */
   def videoCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    docIds(spark, sfDir)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map(id => (id, videoBytes(id)))
@@ -136,9 +159,7 @@ object Multimodal {
 
   def mirrorCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    docIds(spark, sfDir)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map(id => (id, mirrorBytes(id)))
@@ -610,9 +631,7 @@ object Multimodal {
 
   def shotCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    docIds(spark, sfDir)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map(id => (id, shotVideoBytes(id)))
@@ -717,9 +736,7 @@ object Multimodal {
     * containers, encoded in the scan's partitions like [[imageCorpus]]. */
   def audioCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    docIds(spark, sfDir, spread = false)
       .mapPartitions(it => it.map(id => (id, wavBytes(id))))
       .toDF("id", "media")
   }
@@ -752,9 +769,7 @@ object Multimodal {
     * few bits. */
   def audioDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    docIds(spark, sfDir, spread = false)
       .mapPartitions(it => it.map { id =>
         val n = synthSampleCount(id / 2)
         (id, encodePcm((0 until n).map(t => dupSample(id, t))))
@@ -795,9 +810,7 @@ object Multimodal {
 
   def videoDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    docIds(spark, sfDir)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map(id => (id, videoDupBytes(id)))
@@ -879,9 +892,7 @@ object Multimodal {
 
   def speechCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
+    docIds(spark, sfDir, spread = false)
       .mapPartitions(it => it.map(id => (id, speechWavBytes(id))))
       .toDF("id", "media")
   }
