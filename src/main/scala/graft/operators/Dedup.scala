@@ -129,8 +129,18 @@ object Dedup {
     // min-id representative (arg_min semantics): members of a text-hash
     // group share the text, so w is identical across candidates, but
     // the rep ID is part of the contract the oracle pins
+    // spread BEFORE the checkpoint (r17): the rep table is byte-small,
+    // so AQE leaves the agg output on 1-2 partitions and every
+    // downstream CPU-heavy stage (128-hash banding, the broadcast
+    // truth probe's sorted-set intersections) inherits that width
+    // through the checkpoint scan — measured 8.2 s on 2 of 32 cores
+    // for the truth probe at sf0.1. One byte-light exchange buys full
+    // parallelism for all three consumers (guide §2: shuffle the
+    // 8-byte ids, not the work).
     val reps = base.groupBy("h")
       .agg(min("id").as("id"), min_by(col("w"), col("id")).as("w"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
       .localCheckpoint(true) // read 3×
     val bands = reps.withColumn("band_val",
         explode(graft.functions.DedupExpressions
@@ -215,8 +225,13 @@ object Dedup {
     // so an arbitrary-keeper collapse would be nondeterministic across
     // partitionings on corpora whose exact-dup copies straddle the
     // sample boundary (round-13 ADVICE)
+    // same pre-checkpoint spread as lshEval: the sampled truth probe
+    // and banding stages otherwise run at the agg output's 1-2
+    // byte-coalesced partitions
     val reps = base.groupBy("h")
       .agg(min("id").as("id"), min_by(col("w"), col("id")).as("w"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
       .localCheckpoint(true)
     val inSample = pmod(col("id"), lit(mod.toLong)) === 0
     def bandsOf(df: DataFrame): DataFrame = df.withColumn("band_val",

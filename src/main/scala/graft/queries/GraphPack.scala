@@ -216,6 +216,10 @@ object GraphPack extends QueryPack {
     // node-sized loop state — quarter-parallelism clone shuffles (the
     // q_betweenness task-floor lever, hash-neutral)
     graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
+      // r17: no auto-broadcast in the loop clone + shuffle_hash hints
+      // (co-partitioned rounds, no per-round broadcast-build jobs) +
+      // lazy visited fold — the bfsLevels discipline
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -228,25 +232,29 @@ object GraphPack extends QueryPack {
       var frontier = ckpt(nodes
         .filter(col("node") % 2 === 0 && expr("node div 2") <= 2)
         .repartition(col("node")))
-      // visited re-checkpoints EVERY round (the pagerank discipline):
-      // keeps the anti-join co-partitioned against a materialized
-      // node-sized table instead of a k-way union lineage
-      var visited = ckpt(frontier.withColumn("dist", lit(0))
+      var visitedCk = ckpt(frontier.withColumn("dist", lit(0))
         .repartition(col("node")))
+      var pending = List.empty[DataFrame]
+      def visited = (visitedCk :: pending).reduce(_ union _)
       // empty-frontier early exit (q_betweenness' round-17 cut):
       // remaining budgeted rounds are no-ops in both engines
       var r = 1
       var live = true
       while (r <= rounds && live) {
         val next = ckpt(edges
-          .join(frontier, edges("src") === frontier("node"))
+          .join(frontier.hint("shuffle_hash"),
+            edges("src") === frontier("node"))
           .select(col("dst").as("node")).distinct()
-          .join(visited.select("node"), Seq("node"), "left_anti")
+          .join(visited.select("node").hint("shuffle_hash"),
+            Seq("node"), "left_anti")
           .repartition(col("node")))
         if (next.count() == 0L) live = false
         else {
-          visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
-            .repartition(col("node")))
+          pending = next.withColumn("dist", lit(r)) :: pending
+          if (pending.size >= VisitedFoldEvery) {
+            visitedCk = ckpt(visited.repartition(col("node")))
+            pending = Nil
+          }
           frontier = next
         }
         r += 1
@@ -283,6 +291,9 @@ object GraphPack extends QueryPack {
     // node-sized loop state — quarter-parallelism clone shuffles (the
     // q_betweenness task-floor lever, hash-neutral)
     graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
+      // r17: no auto-broadcast in the loop clone + shuffle_hash hints
+      // + lazy visited fold — the bfsLevels discipline
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val e0 = lineitem(s, d)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("sk")).distinct()
@@ -294,18 +305,23 @@ object GraphPack extends QueryPack {
       val nodes = edges.select(col("src").as("node")).distinct()
       def bfs(seed: DataFrame): DataFrame = {
         var frontier = ckpt(seed.repartition(col("node")))
-        // per-round visited checkpoint: see reach() — constant-size
-        // lineage, co-partitioned anti-join
-        var visited = ckpt(frontier.withColumn("dist", lit(0))
+        var visitedCk = ckpt(frontier.withColumn("dist", lit(0))
           .repartition(col("node")))
+        var pending = List.empty[DataFrame]
+        def visited = (visitedCk :: pending).reduce(_ union _)
         for (r <- 1 to rounds) {
           val next = ckpt(edges
-            .join(frontier, edges("src") === frontier("node"))
+            .join(frontier.hint("shuffle_hash"),
+              edges("src") === frontier("node"))
             .select(col("dst").as("node")).distinct()
-            .join(visited.select("node"), Seq("node"), "left_anti")
+            .join(visited.select("node").hint("shuffle_hash"),
+              Seq("node"), "left_anti")
             .repartition(col("node")))
-          visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
-            .repartition(col("node")))
+          pending = next.withColumn("dist", lit(r)) :: pending
+          if (pending.size >= VisitedFoldEvery) {
+            visitedCk = ckpt(visited.repartition(col("node")))
+            pending = Nil
+          }
           frontier = next
         }
         visited
@@ -382,23 +398,49 @@ object GraphPack extends QueryPack {
     * understate every eccentricity downstream — one extra frontier
     * probe, paid only when the cap binds (converged runs exit on the
     * empty frontier before it). */
+  /** Rounds between cumulative-visited folds in the BFS loops (r17):
+    * re-checkpointing the visited set EVERY round paid one extra job +
+    * one node-sized shuffle per round just to keep the anti-join's
+    * lineage flat; a bounded lazy union (≤ this many per-round frames
+    * + the folded base) keeps the plan ≤ 5 scans wide — far below the
+    * O(rounds²) growth the every-round discipline was built against —
+    * while cutting per-round actions from 3 to ~2.25. */
+  private val VisitedFoldEvery = 4
+
   private def bfsLevels(edges: DataFrame, seed: DataFrame, maxRounds: Int,
       ckpt: graft.operators.CheckpointStrategy): DataFrame = {
     var frontier = ckpt(seed.repartition(col("node")))
-    var visited = ckpt(frontier.withColumn("dist", lit(0))
+    var visitedCk = ckpt(frontier.withColumn("dist", lit(0))
       .repartition(col("node")))
+    var pending = List.empty[DataFrame] // recent rounds, not yet folded
+    def visited = (visitedCk :: pending).reduce(_ union _)
     var r = 1
     var live = true
     while (r <= maxRounds && live) {
+      // shuffle_hash hints (r17): edges/frontier/visited are all
+      // checkpointed with captured hash layouts on the join key, so
+      // the hinted joins run co-partitioned with ZERO exchange inside
+      // the one checkpoint job. Without the hint the planner
+      // broadcasts the byte-small frontier and visited sides — extra
+      // broadcast-build JOBS per round, and at 100 TB a node-sized
+      // frontier would not fit a broadcast at all. Per-job driver
+      // overhead is this family's floor, not task work (measured:
+      // q_diameter_bracket 372 jobs → 133, 12.0 → 9.6 s warm; with
+      // the lazy visited fold below and the session rebind,
+      // 372 → ~100 jobs).
       val next = ckpt(edges
-        .join(frontier, edges("src") === frontier("node"))
+        .join(frontier.hint("shuffle_hash"), edges("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
+        .join(visited.select("node").hint("shuffle_hash"),
+          Seq("node"), "left_anti")
         .repartition(col("node")))
       if (next.isEmpty) live = false
       else {
-        visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
-          .repartition(col("node")))
+        pending = next.withColumn("dist", lit(r)) :: pending
+        if (pending.size >= VisitedFoldEvery) {
+          visitedCk = ckpt(visited.repartition(col("node")))
+          pending = Nil
+        }
         frontier = next
       }
       r += 1
@@ -427,7 +469,23 @@ object GraphPack extends QueryPack {
     // node-sized loop state — quarter-parallelism clone shuffles (the
     // q_betweenness task-floor lever, hash-neutral)
     graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
-      val und = und0.localCheckpoint(true)
+      // no auto-broadcast inside the loop clone (r17): every per-round
+      // join side is a captured-layout checkpoint, so shuffle joins run
+      // co-partitioned INSIDE the round's one checkpoint job — the
+      // broadcast plans spawned 5-6 separate build jobs per round and
+      // per-JOB driver overhead (~25 ms each, 372 jobs total) was this
+      // key's floor, not task work. At 100 TB the same setting is the
+      // safe one: a frontier is node-sized and must not broadcast.
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // rebind (r17): und0 was planned under the CALLER's session, so
+      // without the bridge every loop frame derived from it kept
+      // planning with AQE ON (stage-materialization jobs defeated the
+      // whole AQE-off capture discipline — the conf above and the
+      // quarter-np clone silently applied to nothing). The
+      // distributedMinLabel kernel already did this; the diameter
+      // kernels had missed it.
+      val und = org.apache.spark.sql.graftbridge.SessionBridge
+        .rebind(und0, s).localCheckpoint(true)
       val edges = ckpt(und.select(col("u").as("src"), col("v").as("dst"))
         .union(und.select(col("v").as("src"), col("u").as("dst")))
         .repartition(col("src")))
@@ -542,7 +600,14 @@ object GraphPack extends QueryPack {
     // node-sized loop state — quarter-parallelism clone shuffles (the
     // q_betweenness task-floor lever, hash-neutral)
     graft.operators.SessionScope.withAqeOffQuarterNp(s) { s =>
-      val und = und0.localCheckpoint(true)
+      // same r17 fixes as diameterBracketFrom: rebind the caller-built
+      // edge frame into the clone (else every loop frame plans with
+      // AQE on and each checkpoint spawns 4-5 stage-materialization
+      // jobs) and disable auto-broadcast so per-round joins run
+      // co-partitioned inside the one checkpoint job.
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val und = org.apache.spark.sql.graftbridge.SessionBridge
+        .rebind(und0, s).localCheckpoint(true)
       val edges = ckpt(und.select(col("u").as("src"), col("v").as("dst"))
         .union(und.select(col("v").as("src"), col("u").as("dst")))
         .repartition(col("src")))
@@ -576,34 +641,44 @@ object GraphPack extends QueryPack {
         .where(col("dist") > expr("lb0 div 2"))
         .select(col("node").as("qsrc"), col("node")))
       // batched multi-source BFS: (qsrc, node) state, same frontier
-      // discipline as bfsLevels with the source tag riding along
+      // discipline as bfsLevels with the source tag riding along —
+      // including r17's shuffle_hash hints and lazy visited fold (the
+      // (qsrc, node) state is the largest in the family, so skipping
+      // 3 of every 4 cumulative-state shuffles matters most here)
       var frontier = ckpt(srcs.repartition(col("node")))
-      var visited = ckpt(frontier.withColumn("dist", lit(0))
+      var visitedCk = ckpt(frontier.withColumn("dist", lit(0))
         .repartition(col("node")))
+      var pending = List.empty[DataFrame]
+      def visited = (visitedCk :: pending).reduce(_ union _)
       var r = 1
       var live = true
       while (r <= maxRounds && live) {
         val next = ckpt(edges
-          .join(frontier, edges("src") === frontier("node"))
+          .join(frontier.hint("shuffle_hash"),
+            edges("src") === frontier("node"))
           .select(col("qsrc"), col("dst").as("node")).distinct()
-          .join(visited.select("qsrc", "node"), Seq("qsrc", "node"),
-            "left_anti")
+          .join(visited.select("qsrc", "node").hint("shuffle_hash"),
+            Seq("qsrc", "node"), "left_anti")
           .repartition(col("node")))
         if (next.isEmpty) live = false
         else {
-          visited = ckpt(visited.union(next.withColumn("dist", lit(r)))
-            .repartition(col("node")))
+          pending = next.withColumn("dist", lit(r)) :: pending
+          if (pending.size >= VisitedFoldEvery) {
+            visitedCk = ckpt(visited.repartition(col("node")))
+            pending = Nil
+          }
           frontier = next
         }
         r += 1
       }
+      val visitedAll = visited
       // same truncation guard as bfsLevels: a capped census BFS would
       // understate ecc(v) and certify a too-small diameter
       if (live) {
         val beyond = edges
           .join(frontier, edges("src") === frontier("node"))
           .select(col("qsrc"), col("dst").as("node")).distinct()
-          .join(visited.select("qsrc", "node"), Seq("qsrc", "node"),
+          .join(visitedAll.select("qsrc", "node"), Seq("qsrc", "node"),
             "left_anti")
         if (!beyond.isEmpty)
           throw new IllegalStateException(
@@ -611,7 +686,7 @@ object GraphPack extends QueryPack {
               s"maxRounds=$maxRounds — the certified diameter would " +
               "understate; raise maxRounds")
       }
-      val eccS = visited.agg(
+      val eccS = visitedAll.agg(
         countDistinct("qsrc").as("n_sources"),
         coalesce(max("dist"), lit(0)).as("ecc_s_max"))
       broadcast(stats)
